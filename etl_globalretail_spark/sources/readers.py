@@ -1,0 +1,112 @@
+"""Sources: parquet scans, JDBC, and the generated calendar.
+
+Reference mapping (SURVEY.md §2.1):
+
+- S1 table scan — ``SELECT … FROM t ORDER BY pk`` + fetchall
+  (etl_completo.py:154-160 and 9 siblings) → ``spark.read.parquet``; the
+  ORDER BY is load-order cosmetics and is intentionally dropped (DataFrames
+  are unordered; Catalyst prunes columns + pushes predicates into the scan).
+- S7 generator source — one row per day 2020-01-01→2025-12-31
+  (etl_completo.py:776-801) → ``explode(sequence(...))`` — distributed, no
+  driver-side loop.
+
+JDBC: the reference's actual source is Postgres; ``jdbc_table`` shows the
+production-shape reader (predicate-pushdown-capable, partitioned by a numeric
+column so a 1000-executor cluster reads in parallel) but is untested here
+(no JDBC server in this environment).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.schemas import TABLE_NAMES, TESTDATA_SCHEMAS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Scan one testdata table.
+
+    Columns are selected in canonical schema order so downstream code and the
+    oracle agree on column order; Catalyst still prunes unused ones at the
+    physical scan.
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
+    has no native type for — read it as raw nanos (legacy long mode) and
+    convert to a microsecond TimestampType, matching DuckDB's ns→µs coercion
+    (truncation).
+    """
+    if name not in TESTDATA_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.select(*[f.name for f in TESTDATA_SCHEMAS[name].fields])
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in names}
+
+
+def calendar_frame(
+    spark: SparkSession, start: str = "2020-01-01", end: str = "2025-12-31"
+) -> DataFrame:
+    """S7: synthesize one row per day in [start, end] — the dim_tempo source.
+
+    ``sequence`` builds the array on an executor and ``explode`` fans it out;
+    for genuinely huge ranges you would sequence per-year first, but a
+    calendar is bounded (~10^4 rows) so a single explode is right.
+    """
+    return spark.sql(
+        f"""
+        SELECT explode(sequence(to_date('{start}'), to_date('{end}'), interval 1 day))
+               AS data_completa
+        """
+    )
+
+
+def jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Production-shape JDBC scan of the reference's Postgres source.
+
+    With ``partition_column`` bounds, Spark issues ``num_partitions`` range
+    predicates so the scan parallelizes across executors instead of a single
+    cursor (the reference reads every table through one sequential cursor,
+    etl_completo.py:154-160). Untested in this environment (no JDBC server).
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1_000_000))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_idempotent(df: DataFrame, path: str, keys: list[str], mode: str = "overwrite") -> None:
+    """S5: the reference's INSERT … ON CONFLICT DO NOTHING per row
+    (etl_completo.py:172-177 et al.) re-expressed as dedup-by-key + an atomic
+    job-level write: identical end state, no per-row round trips.
+    """
+    df.dropDuplicates(keys).write.mode(mode).parquet(path)

@@ -1,0 +1,122 @@
+"""Local differential harness — a faithful stand-in for the driver's t2.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet dir, then compares row count, column names/types,
+and an order-insensitive value multiset. Exit nonzero on any mismatch.
+
+Usage: python scripts/check_oracle.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+FILTERS = sys.argv[2:]
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)  # full precision — driver may hash raw; we demand bit-equality
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    from etl_globalretail_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("oracle-check", shuffle_partitions=8)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    failed, passed, skipped = [], [], []
+    for name, fn in qs.items():
+        if FILTERS and not any(f in name for f in FILTERS):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            srows = sdf.collect()
+            scols = [f.name for f in sdf.schema.fields]
+            stypes = [f.dataType.simpleString() for f in sdf.schema.fields]
+        except Exception as e:
+            failed.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL {name}: spark error: {str(e)[:500]}")
+            continue
+        if name not in oracles:
+            skipped.append(name)
+            print(f"SKIP {name}: no oracle (rows-only) — {len(srows)} rows "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            drows = res.fetchall()
+            dcols = [d[0] for d in res.description]
+        except Exception as e:
+            failed.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL {name}: duckdb error: {str(e)[:500]}")
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(c.lower() for c in dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            sm, dm = multiset(srows, scols), multiset(
+                drows, [c.lower() for c in dcols]
+            )
+            if sm != dm:
+                diffs = [
+                    (a, b) for a, b in zip(sm, dm) if a != b
+                ][:3]
+                problems.append(f"values differ; first diffs={diffs}")
+        if problems:
+            failed.append((name, "; ".join(problems)))
+            print(f"FAIL {name}: {'; '.join(p[:600] for p in problems)}")
+        else:
+            passed.append(name)
+            print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s] "
+                  f"types={dict(zip(scols, stypes))}")
+
+    print(f"\n== {len(passed)} passed, {len(failed)} failed, "
+          f"{len(skipped)} rows-only ==")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
