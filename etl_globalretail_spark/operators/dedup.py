@@ -1,0 +1,451 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first — the standard corpus-dedup ladder:
+
+1. exact (hash-groupBy on normalized content) — oracle-paired;
+2. n-gram Jaccard similarity join (shingle inverted index) — oracle-paired;
+3. MinHash + LSH banding (shingle → signature → band-bucket join →
+   Jaccard verification) — xxhash64-based, no SQL twin (rows-only check);
+4. SimHash (64-bit sign-aggregated fingerprint + chunk-blocked Hamming
+   candidate join) — likewise Spark-only.
+
+Everything is pure DataFrame/Column expressions: shingling and signatures
+are higher-order array functions (codegen'd), candidate generation is an
+explode + shuffle-on-(band,bucket) join whose width is bands × docs — the
+textbook way to keep an n² problem linear at 100 TB. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_globalretail_spark.operators.text import _sql_tokens, tokens
+from etl_globalretail_spark.plans.queries import make_query_decorator
+from etl_globalretail_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+MERSENNE_P = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by Jaccard / MinHash).
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, k: int = 2) -> Column:
+    """Distinct word k-gram shingles of a document, as an array column.
+
+    ``transform(sequence(...))`` is a codegen'd loop per row — no explode
+    until candidate generation needs one.
+    """
+    t = tokens(text)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + F.lit(j)) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+def _sql_shingles(k: int = 2, col: str = "text") -> str:
+    toks = _sql_tokens(col)
+    parts = " || ' ' || ".join(f"__t[i + {j}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(__t) - {k - 1}, 0) + 1), i -> {parts}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 1: exact dedup (hash-groupBy), keep-first deterministic.
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct content (md5 of the normalized
+    token stream). One shuffle on the 32-char digest — never on the full
+    document text; at 100 TB that is the difference between shuffling
+    hashes and shuffling the corpus."""
+    fp = F.md5(F.array_join(tokens(F.col(content_col)), " "))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+
+
+@_register(
+    "q18_dedup_exact",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, lang, source,
+               md5(array_to_string({_sql_tokens()}, ' ')) AS fingerprint
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY fingerprint ORDER BY doc_id
+            ) AS rn FROM fp
+        ) WHERE rn = 1
+    )
+    SELECT lang,
+           (SELECT COUNT(*) FROM fp f WHERE f.lang = kept.lang) AS n_docs,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY lang
+    """,
+)
+def q18_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents with a per-language kept/total report —
+    the ON CONFLICT DO NOTHING idempotency of the reference
+    (etl_completo.py:176) generalized to content-hash identity."""
+    d = load_table(spark, "documents", sf_dir)
+    kept = exact_dedup(d, "text", "doc_id")
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return totals.join(kept_counts, "lang", "inner").select(
+        "lang", "n_docs", "n_kept"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 2: n-gram Jaccard similarity join (exact, inverted-index).
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold, via an inverted index:
+    explode distinct shingles → self-join on shingle → count co-occurrences →
+    |A∩B| / (|A|+|B|−|A∩B|). Exact (no approximation); the shingle join is
+    the bottleneck at scale — that is what tier 3 (MinHash LSH) bounds.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(word_shingles(F.col(text_col), k)).alias("n_sh"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    a = sh.select(
+        F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = sh.select(
+        F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return common.withColumn("jaccard", jac).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+@_register(
+    "q23_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id AS doc, len(__sh) AS n_sh, unnest(__sh) AS shingle
+        FROM (
+            SELECT doc_id, {_sql_shingles(2)} AS __sh
+            FROM (SELECT doc_id, {_sql_tokens()} AS __t FROM documents)
+        )
+    ),
+    common AS (
+        SELECT a.doc AS id_a, b.doc AS id_b,
+               CAST(a.n_sh AS BIGINT) AS n_a, CAST(b.n_sh AS BIGINT) AS n_b,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_a, n_b, n_common,
+           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+    FROM common
+    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.4
+    """,
+)
+def q23_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-Jaccard near-duplicate pairs (τ=0.4) over documents."""
+    d = load_table(spark, "documents", sf_dir)
+    p = jaccard_pairs(d, "text", "doc_id", k=2, threshold=0.4)
+    return p.select(
+        "id_a",
+        "id_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "n_common",
+        "jaccard",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 3: MinHash + LSH banding.
+# ---------------------------------------------------------------------------
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    # a < 2^30 and the shingle hash masked to 32 bits keep a*h + b < 2^63:
+    # overflow-free under ANSI mode (Spark 4 default) with no try_multiply.
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature as an array<bigint> column.
+
+    sig[i] = min over shingles s of (a_i * (xxhash64(s) & 0xFFFFFFFF) + b_i)
+    — a 30-bit × 32-bit affine family, overflow-free under ANSI mode, which
+    gives each hash function the fixed pseudo-random total order MinHash
+    needs. Pure expression tree: one transform per hash function over the
+    pre-hashed shingle array.
+    """
+    mask32 = (1 << 32) - 1
+    hashed = F.transform(
+        shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(mask32).cast("long"))
+    )
+
+    def affine(a: int, b: int):
+        # Factory closure: Spark inspects lambda arity, so the hash params
+        # must be captured outside the lambda signature.
+        return lambda h: F.lit(a).cast("long") * h + F.lit(b).cast("long")
+
+    sigs = [
+        F.array_min(F.transform(hashed, affine(a, b)))
+        for a, b in _hash_params(num_hashes, seed)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 2,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH: signature → band buckets →
+    candidate join → exact Jaccard verification (no false positives; recall
+    set by the (bands, rows) S-curve — 16 bands × 4 rows catches τ≈0.4+).
+
+    Scale shape: the only shuffles are (a) explode to bands × docs rows and
+    join on (band, bucket-hash) — linear in corpus size, and (b) the
+    verification join on candidate ids only. Documents never pair all-vs-all.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes, seed))
+    # The signature frame feeds three consumers (banding + both sides of the
+    # verification join); persist it or the whole shingle→hash→min pipeline
+    # re-executes per consumer. At scale this is the materialized "signature
+    # table" every LSH system keeps (docs × num_hashes longs — tiny relative
+    # to the corpus).
+    base = base.persist()
+
+    banded = base.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+
+    sh_a = base.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def drop_near_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Greedy keep-smaller-id removal: drop every doc that appears as the
+    larger id of a confirmed pair. (Not full connected components — that
+    needs iteration; this is the standard single-pass policy and never drops
+    a cluster entirely.)"""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+@_register("q24_minhash_neardup")  # xxhash64-based — no SQL oracle (rows-only)
+def q24_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup summary: candidate pairs verified at τ=0.4 and
+    the corpus size before/after greedy removal. Deterministic (seeded hash
+    family), but xxhash64 has no DuckDB twin → rows-only check; the exact
+    Jaccard tier (q23) is the oracle-checked ground truth it approximates."""
+    d = load_table(spark, "documents", sf_dir)
+    pairs = minhash_near_duplicates(d, "text", "doc_id").persist()
+    kept = drop_near_duplicates(d, pairs, "doc_id")
+    return spark.createDataFrame(
+        [
+            (
+                "minhash_lsh",
+                d.count(),
+                pairs.count(),
+                kept.count(),
+            )
+        ],
+        "method string, n_docs long, n_pairs long, n_kept long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 4: SimHash.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+
+
+def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
+    """64-bit SimHash of the token stream as a bigint column: each token's
+    xxhash64 votes ±1 per bit position; the sign of each tally sets the bit.
+    Nested higher-order aggregate — still a single codegen'd expression."""
+    hashed = F.transform(tokens(text), lambda w: F.xxhash64(w))
+    # shiftright/shiftleft take Python-int shift amounts, so the per-bit loop
+    # is unrolled into array constructors (a fixed 64-wide expression tree,
+    # built once and codegen'd — not per-row Python).
+    tallies = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.array(
+            *[
+                acc[j]
+                + F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for j in range(bits)
+            ]
+        ),
+    )
+    bit_values = [
+        F.when(
+            tallies[j] > 0,
+            F.lit((1 << j) if j < bits - 1 else -(1 << (bits - 1))).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    ]
+    out = bit_values[0]
+    for bv in bit_values[1:]:
+        out = out.bitwiseOR(bv)
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 8,
+    chunks: int = 4,
+) -> DataFrame:
+    """Hamming-ball near-dup pairs: by pigeonhole, any pair within
+    ``max_hamming ≤ chunks*(per-chunk tolerance)`` shares at least one exact
+    16-bit chunk when distance < chunks — block on chunks, verify with
+    bit_count(xor). Same LSH shape as MinHash banding: linear candidate
+    generation, exact verification."""
+    width = _SIMHASH_BITS // chunks
+    sigs = df.select(
+        F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sig")
+    ).persist()  # feeds both sides of the candidate self-join
+    chunked = sigs.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("sig"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("value"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc", "sig", "cv.chunk", "cv.value")
+    cand = (
+        chunked.alias("x")
+        .join(chunked.alias("y"), ["chunk", "value"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("id_a"),
+            F.col("y.doc").alias("id_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@_register("q25_simhash_neardup")  # xxhash64-based — no SQL oracle (rows-only)
+def q25_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup summary at Hamming ≤ 8 of 64 bits (rows-only)."""
+    d = load_table(spark, "documents", sf_dir)
+    pairs = simhash_near_duplicates(d, "text", "doc_id")
+    return spark.createDataFrame(
+        [("simhash", d.count(), pairs.count())],
+        "method string, n_docs long, n_pairs long",
+    )

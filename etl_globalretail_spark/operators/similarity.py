@@ -1,0 +1,278 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three layers:
+
+- ``cosine`` / ``dot`` — zip_with fold kernels: the fast path (one codegen'd
+  expression per row, no explode, no Python) used by the benchmarked ops;
+- brute-force top-k vs a query vector, in two forms: the zip_with kernel
+  (production) and a posexplode + exact-decimal-sum form whose arithmetic is
+  order-independent and therefore oracle-comparable bit-for-bit;
+- LSH-bucketed ANN (random-hyperplane signs) — the scale path: candidates
+  only within a Hamming-blocked bucket, then exact re-rank. At 100 TB the
+  brute force scan is O(N·d) per query; sign-LSH makes the candidate set
+  ~N/2^bits per bucket probe.
+
+No SQL twin exists for xxhash64-seeded hyperplanes, so the LSH variant is
+rows-only; the brute-force variant is its oracle-checked ground truth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_globalretail_spark.plans.queries import make_query_decorator
+from etl_globalretail_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# zip_with fold kernels — the fast path.
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Production brute-force top-k: the query vector rides along as an array
+    literal (no join at all), cosine is one fold per row, and the top-k is a
+    global sort of N scalar scores — the right plan when the corpus fits one
+    scan. Deterministic tie-break on id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-paired: per-label centroids via posexplode + exact decimal mean.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q26_embedding_centroids",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    )
+    SELECT label, pos,
+           CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM flat GROUP BY label, pos
+    """,
+)
+def q26_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension): posexplode →
+    exact-decimal mean. This is also the k-means update step — the shape a
+    distributed clustering iteration takes (shuffle by (label,pos), partial
+    aggregation map-side)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    return flat.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(27,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-paired: brute-force cosine top-k vs a fixed query vector.
+# ---------------------------------------------------------------------------
+
+_ANN_K = 10
+
+
+@_register(
+    "q27_ann_bruteforce",
+    oracle=f"""
+    WITH flat AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    qv AS (
+        SELECT pos, val AS qval FROM flat
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    scored AS (
+        SELECT f.vec_id,
+               CAST(SUM(CAST(f.val * q.qval AS DECIMAL(30,12))) AS DOUBLE) AS dp,
+               CAST(SUM(CAST(f.val * f.val AS DECIMAL(30,12))) AS DOUBLE) AS nf,
+               CAST(SUM(CAST(q.qval * q.qval AS DECIMAL(30,12))) AS DOUBLE) AS nq
+        FROM flat f JOIN qv q ON f.pos = q.pos
+        GROUP BY f.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id,
+               dp / (sqrt(nf) * sqrt(nq)) AS cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY dp / (sqrt(nf) * sqrt(nq)) DESC, vec_id
+               ) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT vec_id, cos_sim, rank FROM ranked WHERE rank <= {_ANN_K}
+    """,
+)
+def q27_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the corpus's first vector, computed
+    the order-independent way (posexplode → decimal dot/norm sums) so Spark
+    and DuckDB agree bitwise. The zip_with kernel (``cosine_topk``) computes
+    the same scores in one pass and is pytest-checked against this within
+    float tolerance; this form exists to be the oracle-comparable twin."""
+    e = load_table(spark, "embeddings", sf_dir)
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    min_id = e.agg(F.min("vec_id").alias("m"))
+    qv = (
+        flat.join(F.broadcast(min_id), flat.vec_id == F.col("m"))
+        .select("pos", F.col("val").alias("qval"))
+    )
+    scored = (
+        flat.join(F.broadcast(qv), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("val") * F.col("qval")).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("dp"),
+            F.sum((F.col("val") * F.col("val")).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("nf"),
+            F.sum((F.col("qval") * F.col("qval")).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("nq"),
+        )
+    )
+    cos = F.col("dp") / (F.sqrt(F.col("nf")) * F.sqrt(F.col("nq")))
+    w = Window.orderBy(cos.desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("vec_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale path: sign-LSH bucketed ANN (rows-only check).
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(dim: int, plane_seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane via a splitmix-style
+    integer mix — reproducible across runs/machines without numpy RNG state.
+    """
+    out = []
+    x = plane_seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(dim):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        out.append((z / 2**64) * 2.0 - 1.0)
+    return out
+
+
+def lsh_bucket(vec: Column, dim: int, bits: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane signature: bit i = sign(v · h_i). Buckets preserve
+    cosine locality; expected candidate fraction per bucket ≈ 2^-bits."""
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed * 1000 + i)])
+        acc = acc + F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: score only vectors in the query's LSH bucket, exact re-rank
+    inside. Recall < 1 by construction (single-probe); multi-probe = union
+    over neighboring buckets, omitted here for clarity."""
+    dim = len(query_vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, bits, seed))
+    qb = bucketed.limit(1).select(
+        lsh_bucket(q, dim, bits, seed).alias("__qbucket")
+    )
+    cand = bucketed.join(
+        F.broadcast(qb), F.col("__bucket") == F.col("__qbucket")
+    )
+    scored = cand.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+@_register("q28_ann_lsh")  # hyperplane seeds have no SQL twin → rows-only
+def q28_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN summary vs the brute-force ground truth: bucket
+    population and recall@10 of the single-probe bucket search."""
+    e = load_table(spark, "embeddings", sf_dir)
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    qvec = [float(x) for x in first["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(e, qvec, k=10).collect()}
+    approx = {r["vec_id"] for r in ann_lsh_topk(e, qvec, k=10).collect()}
+    recall = len(exact & approx) / max(len(exact), 1)
+    return spark.createDataFrame(
+        [("ann_lsh_single_probe", len(exact), len(approx), float(recall))],
+        "method string, n_exact long, n_candidates long, recall_at_10 double",
+    )

@@ -1,0 +1,269 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting — each a pure Column-expression pipeline (JVM-side,
+codegen'd; a 100 TB corpus never touches Python), each with a DuckDB oracle.
+
+Tokenization contract shared by every operator (and mirrored in the oracle
+SQL): tokens = regexp-split of trim(text) on ``\\s+``. Empty text → one
+empty-string token; the corpus has no empty docs, and the guard is tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.plans.queries import make_query_decorator
+from etl_globalretail_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+
+# Stopword profiles for the n-gram/stopword language heuristic. Public
+# knowledge (standard high-frequency function words per language).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "a", "is", "that"),
+    "de": ("der", "die", "und", "das", "ein", "ist", "nicht", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "es": ("el", "los", "y", "una", "es", "por", "con", "para"),
+    "pt": ("o", "os", "em", "um", "uma", "não", "para", "com"),
+}
+
+_QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count — the baseline "how big is this doc" stat."""
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens that are in ``words`` — a codegen'd higher-order
+    filter over the token array, no UDF."""
+    return F.size(F.filter(tokens(text), lambda w: w.isin(*words))).cast("long")
+
+
+def _sql_tokens(col: str = "text") -> str:
+    return f"regexp_split_to_array(trim({col}), '\\s+')"
+
+
+def _sql_stopword_hits(words: tuple[str, ...], col: str = "text") -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(len(list_filter({_sql_tokens(col)}, w -> w IN ({inlist}))) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token / length statistics per source.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q20_token_stats",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               n_chars
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars_calc) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN n_chars_calc = n_chars THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_chars_consistent
+    FROM tok
+    GROUP BY source
+    """,
+)
+def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) rolled up per source, plus a
+    consistency audit of the stored n_chars column — integer sums, exact."""
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select(
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        "n_chars",
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars_calc").alias("total_chars"),
+        F.sum(
+            F.when(F.col("n_chars_calc") == F.col("n_chars"), 1).otherwise(0)
+        ).cast("long").alias("n_chars_consistent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length/stopword/diversity ratios per document.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q19_quality_scores",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({_sql_tokens()})) AS BIGINT) AS n_distinct_tokens,
+               {_sql_stopword_hits(_QUALITY_STOPWORDS)} AS n_stopwords,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, n_distinct_tokens, n_stopwords,
+           CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS lexical_diversity
+    FROM feat
+    """,
+)
+def q19_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, lexical diversity
+    (distinct/total), stopword ratio, mean token length (chars incl.
+    separators / tokens — cheap and monotone with the true mean). Ratios are
+    single double divisions of exact integers — engine-identical."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = tokens(F.col("text"))
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_distinct_tokens"),
+        stopword_hits(F.col("text"), _QUALITY_STOPWORDS).alias("n_stopwords"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return feat.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_stopwords",
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        (F.col("n_stopwords").cast("double") / F.col("n_tokens")).alias(
+            "stopword_ratio"
+        ),
+        (F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")).alias(
+            "lexical_diversity"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID: stopword-profile scores + deterministic argmax.
+# ---------------------------------------------------------------------------
+
+_LANGS = tuple(LANG_STOPWORDS)  # fixed priority order for argmax ties
+
+
+@_register(
+    "q21_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_label,
+               {", ".join(f"{_sql_stopword_hits(ws)} AS s_{lg}" for lg, ws in LANG_STOPWORDS.items())}
+        FROM documents
+    ),
+    decided AS (
+        SELECT doc_id, lang_label,
+               CASE
+                   WHEN {" + ".join("s_" + lg for lg in _LANGS)} = 0 THEN 'und'
+                   {" ".join(
+                       "WHEN "
+                       + " AND ".join(f"s_{lg} >= s_{other}" for other in _LANGS if other != lg)
+                       + f" THEN '{lg}'"
+                       for lg in _LANGS
+                   )}
+                   ELSE 'und'
+               END AS lang_pred
+        FROM scored
+    )
+    SELECT lang_label, lang_pred, COUNT(*) AS n_docs
+    FROM decided GROUP BY lang_label, lang_pred
+    """,
+)
+def q21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: per-language stopword-hit scores, argmax with a
+    fixed priority order for ties (first language in LANG_STOPWORDS wins),
+    'und' when no profile hits. Output is the confusion matrix against the
+    stored lang label. Integer scores → deterministic decision."""
+    d = load_table(spark, "documents", sf_dir)
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        *[
+            stopword_hits(F.col("text"), ws).alias(f"s_{lg}")
+            for lg, ws in LANG_STOPWORDS.items()
+        ],
+    )
+    total = None
+    for lg in _LANGS:
+        total = F.col(f"s_{lg}") if total is None else total + F.col(f"s_{lg}")
+    decision = F.when(total == 0, F.lit("und"))
+    for lg in _LANGS:
+        cond = None
+        for other in _LANGS:
+            if other == lg:
+                continue
+            c = F.col(f"s_{lg}") >= F.col(f"s_{other}")
+            cond = c if cond is None else cond & c
+        decision = decision.when(cond, F.lit(lg))
+    decision = decision.otherwise(F.lit("und"))
+    return (
+        scored.withColumn("lang_pred", decision)
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q22_fingerprints",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(array_to_string({_sql_tokens()}, ' ')) AS fingerprint
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fingerprint) AS n_unique,
+           min(fingerprint) AS min_fp
+    FROM fp GROUP BY source
+    """,
+)
+def q22_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 over the whitespace-normalized token
+    stream (so formatting differences don't change the print), rolled up to
+    a per-source uniqueness profile. The rolling/shingle hash variant used by
+    MinHash lives in operators/dedup.py (xxhash64 — Spark-only, no SQL twin).
+    """
+    d = load_table(spark, "documents", sf_dir)
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.array_join(tokens(F.col("text")), " ")).alias("fingerprint"),
+    )
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_unique"),
+        F.min("fingerprint").alias("min_fp"),
+    )

@@ -35,22 +35,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # The driver hands us its own session; pin the posture that
-            # matters for oracle parity (UTC timestamps) at runtime.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            return fn(spark, sf_dir)
+def make_query_decorator(queries_dict: dict, oracle_dict: dict):
+    """Build a ``@query(name, oracle=...)`` decorator that registers into the
+    given dicts — each operator family keeps its own registry and
+    plans/registry.py merges them."""
 
-        wrapped.__name__ = name
-        wrapped.__doc__ = fn.__doc__
-        QUERIES[name] = wrapped
-        if oracle is not None:
-            ORACLE[name] = oracle
-        return wrapped
+    def query(name: str, oracle: str | None = None):
+        def deco(fn):
+            def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+                # The driver hands us its own session; pin the posture that
+                # matters for oracle parity (UTC timestamps) at runtime.
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+                return fn(spark, sf_dir)
 
-    return deco
+            wrapped.__name__ = name
+            wrapped.__doc__ = fn.__doc__
+            queries_dict[name] = wrapped
+            if oracle is not None:
+                oracle_dict[name] = oracle
+            return wrapped
+
+        return deco
+
+    return query
+
+
+query = make_query_decorator(QUERIES, ORACLE)
 
 
 def dsum(col, alias: str, scale: int = 6):
