@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Method: each query is executed to completion through the noop sink (full
+computation, no driver-side collect cost), timed wall-clock after a session
+warmup query. The headline set covers every operator family: star joins,
+window dedup/top-N, date cleansing, events windows, the full fact ETL,
+text dedup tiers, and embedding search.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q01_revenue_by_region",
+    "q04_orders_by_segment",
+    "q05_supplier_star",
+    "q06_avg_price_per_part",
+    "q08_composite_dedup",
+    "q10_top_customers_per_region",
+    "q12_dirty_date_parse",
+    "q15_dim_tempo",
+    "q16_events_hourly",
+    "q17_user_profile",
+    "q18_dedup_exact",
+    "q19_quality_scores",
+    "q21_lang_id",
+    "q24_minhash_neardup",
+    "q27_ann_bruteforce",
+    "q32_fato_vendas",
+]
+
+
+def main() -> None:
+    from etl_globalretail_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    qs["q01_revenue_by_region"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

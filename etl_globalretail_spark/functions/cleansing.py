@@ -69,8 +69,7 @@ def clean_text_exact(colname: str) -> Column:
     import re as _re
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("string")
-    def _clean(s: pd.Series) -> pd.Series:
+    def _clean(s):
         def one(x):
             if x is None or x == "":
                 return "N/A"
@@ -78,7 +77,10 @@ def clean_text_exact(colname: str) -> Column:
 
         return s.map(one)
 
-    return _clean(colname)
+    # `from __future__ import annotations` stringifies hints, which Spark's
+    # pandas_udf hint parser cannot resolve — attach real objects instead.
+    _clean.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_clean, "string")(colname)
 
 
 def standardize_name(col: Column) -> Column:

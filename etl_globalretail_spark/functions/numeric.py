@@ -16,11 +16,11 @@ def extract_discount_pct(col: Column) -> Column:
     """F10 (etl_completo.py:731-740): first ``\\d+(\\.\\d+)?`` in the
     discount-type text as a double percent; no match / null → 0.0.
 
-    ``regexp_extract`` yields '' on no match; cast('double') turns '' into
-    null; coalesce restores the reference's 0.0 default.
+    ``regexp_extract`` yields '' on no match; try_cast('double') turns ''
+    into null (ANSI-safe); coalesce restores the reference's 0.0 default.
     """
     return F.coalesce(
-        F.regexp_extract(col, DISCOUNT_RE, 1).cast("double"), F.lit(0.0)
+        F.regexp_extract(col, DISCOUNT_RE, 1).try_cast("double"), F.lit(0.0)
     )
 
 

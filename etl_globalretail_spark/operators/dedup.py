@@ -49,7 +49,11 @@ def word_shingles(text: Column, k: int = 2) -> Column:
     """
     t = tokens(text)
     n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    # sequence(1, 0) counts DOWN in Spark — an explicit empty array guards
+    # docs shorter than k tokens.
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(

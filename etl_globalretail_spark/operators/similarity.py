@@ -91,16 +91,24 @@ def cosine_topk(
         FROM embeddings
     )
     SELECT label, pos,
-           CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS centroid,
+           CAST(SUM(CAST(FLOOR(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS centroid,
            COUNT(*) AS n_vectors
     FROM flat GROUP BY label, pos
     """,
 )
 def q26_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid, one row per (label, dimension): posexplode →
-    exact-decimal mean. This is also the k-means update step — the shape a
+    quantized mean. This is also the k-means update step — the shape a
     distributed clustering iteration takes (shuffle by (label,pos), partial
-    aggregation map-side)."""
+    aggregation map-side).
+
+    Values are quantized to 1e-6 (floor) before summing so the accumulator
+    is an exact int64 — order-independent and bit-identical across engines.
+    Cross-engine decimal casts are NOT portable here: Spark quantizes a
+    double via its shortest decimal string, DuckDB via scaled multiply, and
+    the two round differently in the last decimal place.
+    """
     e = load_table(spark, "embeddings", sf_dir)
     flat = e.select(
         "label", F.posexplode("embedding").alias("pos0", "valf")
@@ -111,7 +119,9 @@ def q26_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flat.groupBy("label", "pos").agg(
         (
-            F.sum(F.col("val").cast("decimal(27,10)")).cast("double")
+            F.sum(F.floor(F.col("val") * F.lit(1000000.0)).cast("bigint"))
+            .cast("double")
+            / F.lit(1000000.0)
             / F.count(F.lit(1))
         ).alias("centroid"),
         F.count(F.lit(1)).alias("n_vectors"),

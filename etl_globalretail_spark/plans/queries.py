@@ -358,7 +358,9 @@ def q07_sales_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_returnflag,
                concat_ws('_', l_orderkey, l_partkey) AS item_id,
                ROW_NUMBER() OVER (
-                   PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber
+                   PARTITION BY l_orderkey, l_partkey
+                   ORDER BY l_linenumber, l_quantity, l_returnflag,
+                            l_extendedprice
                ) AS rn
         FROM lineitem
     )
@@ -378,7 +380,12 @@ def q08_composite_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_globalretail_spark.functions.cleansing import composite_id
 
     l = load_table(spark, "lineitem", sf_dir)
-    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber")
+    # Tie-break past l_linenumber: the synthetic data holds a handful of
+    # fully-colliding (orderkey, partkey, linenumber) rows whose other
+    # columns differ — without a total order the kept row is engine-luck.
+    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy(
+        "l_linenumber", "l_quantity", "l_returnflag", "l_extendedprice"
+    )
     return (
         l.withColumn("item_id", composite_id(F.col("l_orderkey"), F.col("l_partkey")))
         .withColumn("rn", F.row_number().over(w))
@@ -580,7 +587,7 @@ def q12_dirty_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH extracted AS (
         SELECT event_type,
-               CAST(regexp_extract(props, '(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE) AS k_value
+               TRY_CAST(regexp_extract(props, '(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE) AS k_value
         FROM events
     )
     SELECT event_type,

@@ -27,7 +27,7 @@ def _merge(qs: dict, oracle: dict) -> None:
 _merge(_relational.QUERIES, _relational.ORACLE)
 
 for _mod in ("operators.dedup", "operators.similarity", "operators.text",
-             "plans.star_schema"):
+             "operators.multimodal", "plans.star_schema"):
     try:
         _m = __import__(f"etl_globalretail_spark.{_mod}", fromlist=["QUERIES", "ORACLE"])
         _merge(_m.QUERIES, _m.ORACLE)

@@ -1,0 +1,416 @@
+"""The warehouse build: dimensions + fact, re-expressed Spark-first.
+
+This is the reference's entire ETL (etl_completo.py:1110-1186) transposed to
+the driver's testdata star: nation/region → dim_localidade, customer →
+dim_cliente, part → dim_produto, supplier → dim_fornecedor, a generated
+calendar → dim_tempo, and orders ⨝ lineitem → fato_vendas with surrogate-key
+lookups and the full measure derivation.
+
+Shape changes vs the reference (each noted at the operator):
+
+- per-row INSERT + point-lookup joins (O(rows) round trips,
+  etl_completo.py:637-663) → broadcast hash joins, one job per table;
+- SERIAL surrogate keys → ``row_number() over (order by natural key)`` —
+  deterministic and testable (SURVEY.md W3); the single-partition window
+  shuffle is priced only on dimensions, which are small by definition.
+  The fact table carries a composite natural id instead of a SERIAL
+  (sk_venda is never referenced downstream in the reference — SURVEY.md
+  §7.4);
+- rows with unparseable dates are dropped, rows with missing dim matches
+  keep NULL sks — both reference semantics (etl_completo.py:629,635 vs
+  :637-663) encoded explicitly via an inner join to dim_tempo (drop) and
+  left joins to the other dims (keep-null).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_globalretail_spark.functions.cleansing import (
+    clean_text,
+    is_capital,
+    standardize_customer_category,
+    standardize_product_category,
+    standardize_region,
+)
+from etl_globalretail_spark.plans.queries import davg, make_query_decorator
+from etl_globalretail_spark.sources.readers import calendar_frame, load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+# Calendar span covering every date in the testdata (orders 1995-2001).
+CAL_START, CAL_END = "1995-01-01", "2001-12-31"
+
+# The initcap emulation DuckDB-side (no initcap builtin there).
+_SQL_INITCAP = (
+    "array_to_string(list_transform("
+    "regexp_split_to_array(trim(regexp_replace({c}, '\\s+', ' ', 'g')), ' '),"
+    " w -> upper(w[1]) || lower(w[2:])), ' ')"
+)
+
+
+def _sk(order_col: str) -> F.Column:
+    """W3: deterministic surrogate key. Dimension-sized inputs only — the
+    global window is a single-partition sort by design."""
+    return F.row_number().over(Window.orderBy(order_col)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Dimension builders (callable API — the queries below wrap them).
+# ---------------------------------------------------------------------------
+
+
+def build_dim_localidade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation ⨝ region with cleansing: the dim_localidade analog
+    (cria_dw.sql:24-32). eh_capital replicates the reference's latently
+    always-false membership test (F4 — compares data-cased names against the
+    literal capitals dict; SURVEY.md §7.4)."""
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            _sk("n_nationkey").alias("sk_localidade"),
+            F.col("n_nationkey").alias("id_localidade"),
+            clean_text(F.col("n_name")).alias("cidade"),
+            clean_text(F.col("r_name")).alias("estado"),
+            F.col("r_name").alias("regiao"),
+            standardize_region(F.col("r_name")).alias("regiao_padronizada"),
+            is_capital(F.col("n_name"), F.col("r_name")).alias("eh_capital"),
+        )
+    )
+
+
+def build_dim_cliente(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer with snowflake lookup to dim_localidade (J5) + category
+    standardization (F5) + name cleansing (F1) + status default (F14)."""
+    c = load_table(spark, "customer", sf_dir)
+    loc = build_dim_localidade(spark, sf_dir).select(
+        "sk_localidade", "id_localidade"
+    )
+    return (
+        c.join(F.broadcast(loc), c.c_nationkey == loc.id_localidade, "left")
+        .select(
+            _sk("c_custkey").alias("sk_cliente"),
+            F.col("c_custkey").alias("id_cliente"),
+            clean_text(F.col("c_name")).alias("nome"),
+            standardize_customer_category(F.col("c_mktsegment")).alias(
+                "categoria_padronizada"
+            ),
+            F.col("sk_localidade"),
+            F.col("c_acctbal").alias("saldo"),
+            F.lit("ATIVO").alias("status"),
+        )
+    )
+
+
+def build_dim_produto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part enriched with the decorrelated avg sold price (A1) and margin
+    math (F12): custo = 70% of price, margem = (preco−custo)/preco·100."""
+    p = load_table(spark, "part", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    avg_sold = l.groupBy("l_partkey").agg(
+        davg(F.col("l_extendedprice"), "preco_medio_vendido")
+    )
+    preco = F.col("p_retailprice")
+    custo = preco * F.lit(0.7)
+    return (
+        p.join(avg_sold, p.p_partkey == F.col("l_partkey"), "left")
+        .select(
+            _sk("p_partkey").alias("sk_produto"),
+            F.col("p_partkey").alias("id_produto"),
+            clean_text(F.col("p_name")).alias("nome"),
+            standardize_product_category(F.col("p_type")).alias(
+                "categoria_padronizada"
+            ),
+            preco.alias("preco_unitario"),
+            custo.alias("custo_unitario"),
+            ((preco - custo) / preco * F.lit(100.0)).alias("margem_lucro"),
+            F.col("preco_medio_vendido"),
+        )
+    )
+
+
+def build_dim_fornecedor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier with localidade snowflake lookup + cleansing + status."""
+    s = load_table(spark, "supplier", sf_dir)
+    loc = build_dim_localidade(spark, sf_dir).select(
+        "sk_localidade", "id_localidade"
+    )
+    return (
+        s.join(F.broadcast(loc), s.s_nationkey == loc.id_localidade, "left")
+        .select(
+            _sk("s_suppkey").alias("sk_fornecedor"),
+            F.col("s_suppkey").alias("id_fornecedor"),
+            clean_text(F.col("s_name")).alias("nome_padronizado"),
+            F.col("sk_localidade"),
+            F.lit("ATIVO").alias("status"),
+        )
+    )
+
+
+def build_dim_tempo(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Generated calendar covering the data span (S7+F11+W3); identical in
+    shape to q15_dim_tempo, parameterized on the testdata's date range."""
+    from etl_globalretail_spark.functions.dates import calendar_attributes
+
+    cal = calendar_frame(spark, CAL_START, CAL_END)
+    attrs = calendar_attributes(F.col("data_completa"))
+    cal = cal.withColumns(
+        {
+            k: (v.cast("long") if k in (
+                "ano", "mes", "dia", "trimestre", "semestre", "dia_semana"
+            ) else v)
+            for k, v in attrs.items()
+        }
+    )
+    return cal.select(
+        _sk("data_completa").alias("sk_tempo"),
+        "data_completa",
+        "ano", "mes", "dia", "trimestre", "semestre", "dia_semana",
+        "nome_dia_semana", "nome_mes", "eh_fim_semana",
+    )
+
+
+def build_fato_vendas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact assembly (etl_completo.py:590-705 effective loader, plus the
+    dead-code loader's promo-discount semantics as the discount column):
+
+    orders ⨝ lineitem (J1) → inner join to dim_tempo on the order date (F9's
+    row-drop semantics for dates outside the calendar) → left broadcast
+    joins to cliente/produto/fornecedor (J2: missing dim ⇒ NULL sk, P6) →
+    measures (F12) with the produto join also carrying custo_unitario (J4:
+    one join, two payload columns) → composite id (F15) → dedup on the
+    natural key (A3/S5 idempotency).
+    """
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    tempo = build_dim_tempo(spark).select("sk_tempo", "data_completa")
+    cli = build_dim_cliente(spark, sf_dir).select("sk_cliente", "id_cliente")
+    prod = build_dim_produto(spark, sf_dir).select(
+        "sk_produto", "id_produto", "custo_unitario"
+    )
+    forn = build_dim_fornecedor(spark, sf_dir).select(
+        "sk_fornecedor", "id_fornecedor"
+    )
+
+    qty = F.when(F.col("l_quantity") > 0, F.col("l_quantity")).otherwise(F.lit(0.0))
+    preco = F.when(F.col("l_extendedprice") > 0, F.col("l_extendedprice")).otherwise(
+        F.lit(0.0)
+    )
+    valor_total = qty * preco
+    valor_desconto = valor_total * F.col("l_discount")
+    valor_final = valor_total - valor_desconto
+    custo_total = qty * F.col("custo_unitario")
+
+    # A3/F15: the reference's fact identity is {id_venda}_{id_produto}
+    # (etl_completo.py:686) with ON CONFLICT DO NOTHING keep-first. The
+    # synthetic lineitem has genuine duplicate (orderkey, partkey) pairs —
+    # and even full-row duplicates — so keep-first is made deterministic by
+    # ranking over every remaining column.
+    dedup_w = Window.partitionBy("l_orderkey", "l_partkey").orderBy(
+        "l_linenumber", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    )
+
+    l_dedup = (
+        l.withColumn("__rn", F.row_number().over(dedup_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        l_dedup.join(o, F.col("l_orderkey") == o.o_orderkey)  # J1
+        .join(  # F9/P5: inner ⇒ dates outside the calendar are dropped
+            F.broadcast(tempo), F.to_date("o_orderdate") == F.col("data_completa")
+        )
+        .join(F.broadcast(cli), F.col("o_custkey") == F.col("id_cliente"), "left")
+        .join(F.broadcast(prod), F.col("l_partkey") == F.col("id_produto"), "left")
+        .join(F.broadcast(forn), F.col("l_suppkey") == F.col("id_fornecedor"), "left")
+        .select(
+            F.concat_ws("_", F.col("l_orderkey"), F.col("l_partkey")).alias(
+                "id_venda_item"
+            ),
+            "sk_tempo",
+            "sk_cliente",
+            "sk_produto",
+            "sk_fornecedor",
+            qty.alias("quantidade_vendida"),
+            preco.alias("preco_unitario_venda"),
+            valor_total.alias("valor_total_item"),
+            F.col("custo_unitario"),
+            custo_total.alias("custo_total_item"),
+            (valor_final - custo_total).alias("lucro_bruto"),
+            (F.col("l_discount") * 100.0).alias("percentual_desconto"),
+            valor_desconto.alias("valor_desconto"),
+            valor_final.alias("valor_final"),
+            F.lit("SISTEMA_CRM").alias("origem_dados"),
+        )
+    )
+
+
+def run_full_etl(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
+    """The whole pipeline (reference run_full_etl, etl_completo.py:1110-1186):
+    build every dimension, then the fact, write each as parquet, return the
+    summary row counts (A2). Dependency order is just dataflow here — each
+    builder declares its inputs."""
+    outputs = {
+        "dim_localidade": build_dim_localidade(spark, sf_dir),
+        "dim_cliente": build_dim_cliente(spark, sf_dir),
+        "dim_produto": build_dim_produto(spark, sf_dir),
+        "dim_fornecedor": build_dim_fornecedor(spark, sf_dir),
+        "dim_tempo": build_dim_tempo(spark),
+        "fato_vendas": build_fato_vendas(spark, sf_dir),
+    }
+    counts: dict[str, int] = {}
+    for name, df in outputs.items():
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        counts[name] = spark.read.parquet(f"{out_dir}/{name}").count()
+    return counts
+
+
+# ---------------------------------------------------------------------------
+# Oracle-paired builder queries.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q30_dim_cliente",
+    oracle=f"""
+    WITH loc AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS BIGINT)
+                   AS sk_localidade,
+               n_nationkey AS id_localidade
+        FROM nation
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS sk_cliente,
+           c_custkey AS id_cliente,
+           CASE WHEN c_name IS NULL OR c_name = '' THEN 'N/A'
+                ELSE {_SQL_INITCAP.format(c="c_name")} END AS nome,
+           CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 'Não Definido'
+                WHEN lower(c_mktsegment) LIKE '%vip%'
+                  OR lower(c_mktsegment) LIKE '%premium%' THEN 'Premium'
+                WHEN lower(c_mktsegment) LIKE '%gold%'
+                  OR lower(c_mktsegment) LIKE '%ouro%' THEN 'Gold'
+                WHEN lower(c_mktsegment) LIKE '%silver%'
+                  OR lower(c_mktsegment) LIKE '%prata%' THEN 'Silver'
+                ELSE 'Padrão' END AS categoria_padronizada,
+           loc.sk_localidade,
+           c_acctbal AS saldo,
+           'ATIVO' AS status
+    FROM customer LEFT JOIN loc ON c_nationkey = loc.id_localidade
+    """,
+)
+def q30_dim_cliente(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dim_cliente build (§3.2 exemplar): snowflake lookup, cleansing,
+    category standardization, deterministic SKs."""
+    return build_dim_cliente(spark, sf_dir)
+
+
+@_register(
+    "q31_dim_produto",
+    oracle=f"""
+    WITH avg_sold AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(l_extendedprice) AS preco_medio_vendido
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS BIGINT) AS sk_produto,
+           p_partkey AS id_produto,
+           CASE WHEN p_name IS NULL OR p_name = '' THEN 'N/A'
+                ELSE {_SQL_INITCAP.format(c="p_name")} END AS nome,
+           CASE WHEN p_type IS NULL OR p_type = '' THEN 'Não Definido'
+                ELSE {_SQL_INITCAP.format(c="p_type")} END AS categoria_padronizada,
+           p_retailprice AS preco_unitario,
+           p_retailprice * 0.7 AS custo_unitario,
+           (p_retailprice - p_retailprice * 0.7) / p_retailprice * 100.0
+               AS margem_lucro,
+           a.preco_medio_vendido
+    FROM part LEFT JOIN avg_sold a ON p_partkey = a.l_partkey
+    """,
+)
+def q31_dim_produto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dim_produto build: A1 enrichment + F12 margin math + F6."""
+    return build_dim_produto(spark, sf_dir)
+
+
+@_register(
+    "q32_fato_vendas",
+    oracle=f"""
+    WITH tempo AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS sk_tempo,
+               CAST(d AS DATE) AS data_completa
+        FROM (SELECT unnest(generate_series(DATE '{CAL_START}',
+                                            DATE '{CAL_END}',
+                                            INTERVAL 1 DAY)) AS d)
+    ),
+    cli AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT)
+                   AS sk_cliente, c_custkey AS id_cliente FROM customer
+    ),
+    prod AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS BIGINT)
+                   AS sk_produto, p_partkey AS id_produto,
+               p_retailprice * 0.7 AS custo_unitario
+        FROM part
+    ),
+    forn AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS BIGINT)
+                   AS sk_fornecedor, s_suppkey AS id_fornecedor FROM supplier
+    ),
+    dedup AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY l_orderkey, l_partkey
+            ORDER BY l_linenumber, l_suppkey, l_quantity, l_extendedprice,
+                     l_discount, l_tax, l_shipdate
+        ) AS __rn
+        FROM lineitem
+    )
+    SELECT concat_ws('_', l.l_orderkey, l.l_partkey) AS id_venda_item,
+           t.sk_tempo, c.sk_cliente, p.sk_produto, f.sk_fornecedor,
+           CASE WHEN l.l_quantity > 0 THEN l.l_quantity ELSE 0.0 END
+               AS quantidade_vendida,
+           CASE WHEN l.l_extendedprice > 0 THEN l.l_extendedprice ELSE 0.0 END
+               AS preco_unitario_venda,
+           (CASE WHEN l.l_quantity > 0 THEN l.l_quantity ELSE 0.0 END)
+             * (CASE WHEN l.l_extendedprice > 0 THEN l.l_extendedprice ELSE 0.0 END)
+               AS valor_total_item,
+           p.custo_unitario,
+           (CASE WHEN l.l_quantity > 0 THEN l.l_quantity ELSE 0.0 END)
+             * p.custo_unitario AS custo_total_item,
+           ((CASE WHEN l.l_quantity > 0 THEN l.l_quantity ELSE 0.0 END)
+             * (CASE WHEN l.l_extendedprice > 0 THEN l.l_extendedprice ELSE 0.0 END)
+             - (CASE WHEN l.l_quantity > 0 THEN l.l_quantity ELSE 0.0 END)
+             * (CASE WHEN l.l_extendedprice > 0 THEN l.l_extendedprice ELSE 0.0 END)
+             * l.l_discount)
+             - (CASE WHEN l.l_quantity > 0 THEN l.l_quantity ELSE 0.0 END)
+               * p.custo_unitario AS lucro_bruto,
+           l.l_discount * 100.0 AS percentual_desconto,
+           (CASE WHEN l.l_quantity > 0 THEN l.l_quantity ELSE 0.0 END)
+             * (CASE WHEN l.l_extendedprice > 0 THEN l.l_extendedprice ELSE 0.0 END)
+             * l.l_discount AS valor_desconto,
+           (CASE WHEN l.l_quantity > 0 THEN l.l_quantity ELSE 0.0 END)
+             * (CASE WHEN l.l_extendedprice > 0 THEN l.l_extendedprice ELSE 0.0 END)
+             - (CASE WHEN l.l_quantity > 0 THEN l.l_quantity ELSE 0.0 END)
+               * (CASE WHEN l.l_extendedprice > 0 THEN l.l_extendedprice ELSE 0.0 END)
+               * l.l_discount AS valor_final,
+           'SISTEMA_CRM' AS origem_dados
+    FROM dedup l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN tempo t ON CAST(o.o_orderdate AS DATE) = t.data_completa
+    LEFT JOIN cli c ON o.o_custkey = c.id_cliente
+    LEFT JOIN prod p ON l.l_partkey = p.id_produto
+    LEFT JOIN forn f ON l.l_suppkey = f.id_fornecedor
+    WHERE l.__rn = 1
+    """,
+)
+def q32_fato_vendas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full fact assembly (§3.3) — the flagship ETL parity check."""
+    return build_fato_vendas(spark, sf_dir)

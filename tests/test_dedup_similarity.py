@@ -1,0 +1,114 @@
+"""Dedup ladder + similarity search operators on fixtures and sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    simhash,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from etl_globalretail_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine,
+    cosine_topk,
+)
+from etl_globalretail_spark.sources.readers import load_table
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a  b   c"),  # same after whitespace normalization
+            (3, "different doc"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = exact_dedup(df, "text", "doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == [1, 3]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x",)], "text string")
+    out = df.select(word_shingles(F.col("text"), 2).alias("s")).collect()
+    assert out[0].s == ["a b", "b c", "c d"]
+    assert out[1].s == []  # shorter than k → no shingles
+
+
+def test_jaccard_hand_computed(spark):
+    # doc1: shingles {a b, b c}; doc2: {a b, b x} → jaccard = 1/3
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    p = jaccard_pairs(df, "text", "doc_id", k=2, threshold=0.0).collect()
+    assert len(p) == 1
+    assert p[0].jaccard == pytest.approx(1 / 3)
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(d, "text", "doc_id", 2, 0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(d, "text", "doc_id").collect()
+    }
+    assert approx <= exact  # verification step ⇒ no false positives
+    assert len(approx & exact) / max(len(exact), 1) >= 0.8  # recall of LSH
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "zzz yyy xxx www")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.s for r in df.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    assert sigs[1] != sigs[3]
+    pairs = simhash_near_duplicates(df, "text", "doc_id", max_hamming=0).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_cosine_kernel_matches_numpy(spark):
+    import numpy as np
+
+    a = [1.0, 2.0, 3.0]
+    b = [0.5, -1.0, 2.0]
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    out = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    expect = float(
+        np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    )
+    assert out == pytest.approx(expect, rel=1e-6)
+
+
+def test_cosine_topk_agrees_with_oracle_form(spark, sf_dir):
+    from etl_globalretail_spark.operators.similarity import q27_ann_bruteforce
+
+    e = load_table(spark, "embeddings", sf_dir)
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    qvec = [float(x) for x in first["embedding"]]
+    fast = cosine_topk(e, qvec, k=10).collect()
+    slow = q27_ann_bruteforce(spark, sf_dir).collect()
+    assert [r.vec_id for r in fast] == [r.vec_id for r in slow]
+    for rf, rs in zip(fast, slow):
+        assert rf.cos_sim == pytest.approx(rs.cos_sim, rel=1e-9)
+
+
+def test_ann_lsh_candidates_are_subset_scored_correctly(spark, sf_dir):
+    e = load_table(spark, "embeddings", sf_dir)
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    qvec = [float(x) for x in first["embedding"]]
+    approx = ann_lsh_topk(e, qvec, k=10, bits=4).collect()
+    assert len(approx) >= 1
+    # the query vector itself always lands in its own bucket at rank 1
+    assert approx[0].vec_id == first["vec_id"]
+    assert approx[0].cos_sim == pytest.approx(1.0, abs=1e-6)

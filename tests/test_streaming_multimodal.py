@@ -1,0 +1,59 @@
+"""Structured Streaming parity + multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.operators.multimodal import (
+    extract_features,
+    synthesize_media,
+)
+from etl_globalretail_spark.sources.readers import load_table
+from etl_globalretail_spark.streaming.windows import (
+    hourly_counts,
+    read_event_stream,
+    run_to_memory_sink,
+)
+
+
+def test_stream_batch_parity(spark, sf_dir):
+    """The same hourly_counts transformation over readStream vs batch must
+    produce identical results once the stream drains (availableNow)."""
+    batch = hourly_counts(load_table(spark, "events", sf_dir))
+    stream = hourly_counts(read_event_stream(spark, f"{sf_dir}/events.parquet"))
+    run_to_memory_sink(stream, "hourly_test", mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("hourly_test").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir).limit(20)
+    feats = extract_features(synthesize_media(d)).collect()
+    assert len(feats) == 20
+    by_id = {r.media_id: r for r in feats}
+    docs = {r.doc_id: r.text for r in d.collect()}
+    for media_id, row in by_id.items():
+        payload = docs[media_id].encode()
+        assert row.n_bytes == len(payload)
+        assert row.digest == hashlib.sha256(payload).hexdigest()
+        assert len(row.feature) == 8
+        assert all(0.0 <= v <= 1.0 for v in row.feature)
+
+
+def test_multimodal_schema_stable(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir).limit(1)
+    feats = extract_features(synthesize_media(d))
+    assert feats.schema.simpleString() == (
+        "struct<media_id:bigint,mime:string,n_bytes:bigint,"
+        "digest:string,feature:array<float>>"
+    )
