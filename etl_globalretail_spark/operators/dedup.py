@@ -222,11 +222,15 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature as an array<bigint> column.
 
-    sig[i] = min over shingles s of (a_i * (xxhash64(s) & 0xFFFFFFFF) + b_i)
-    — a 30-bit × 32-bit affine family, overflow-free under ANSI mode, which
-    gives each hash function the fixed pseudo-random total order MinHash
-    needs. Pure expression tree: one transform per hash function over the
-    pre-hashed shingle array.
+    sig[i] = min over shingles s of (a_i·(xxhash64(s) & 0xFFFFFFFF) + b_i)
+    mod p, p = 2^61−1. The mod is load-bearing: without it every affine map
+    is monotonic in h, all hash functions elect the same argmin shingle, and
+    the 64 signature slots collapse into one — MinHash degenerates to exact
+    match on the minimum shingle hash. a < 2^30 × h < 2^32 keeps a·h+b
+    < 2^62: overflow-free under ANSI mode (Spark 4 default).
+
+    Column form for per-row use; the dedup pipeline uses the explode/agg
+    twin ``minhash_signatures`` below, which is the fast distributed shape.
     """
     mask32 = (1 << 32) - 1
     hashed = F.transform(
@@ -236,13 +240,50 @@ def minhash_signature(
     def affine(a: int, b: int):
         # Factory closure: Spark inspects lambda arity, so the hash params
         # must be captured outside the lambda signature.
-        return lambda h: F.lit(a).cast("long") * h + F.lit(b).cast("long")
+        return lambda h: (
+            F.lit(a).cast("long") * h + F.lit(b).cast("long")
+        ) % F.lit(MERSENNE_P).cast("long")
 
     sigs = [
         F.array_min(F.transform(hashed, affine(a, b)))
         for a, b in _hash_params(num_hashes, seed)
     ]
     return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig) signature table: explode shingles → hash once per shingle →
+    64 ``min`` aggregates → reassemble the array.
+
+    Same math as ``minhash_signature`` but as a grouped aggregation: partial
+    mins combine map-side, the shuffle carries 64 longs per doc, and each
+    aggregate is a flat codegen'd expression — unlike the Column form, whose
+    64 nested array traversals in one projection blow past the JIT's method
+    budget and drop the whole row to interpreted evaluation.
+
+    Docs with zero shingles produce no row (they cannot near-dup anyway).
+    """
+    mask32 = (1 << 32) - 1
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles_col).alias("__s")
+    )
+    h = F.xxhash64("__s").bitwiseAND(F.lit(mask32).cast("long"))
+    aggs = [
+        F.min(
+            (F.lit(a).cast("long") * h + F.lit(b).cast("long"))
+            % F.lit(MERSENNE_P).cast("long")
+        ).alias(f"__m{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    return ex.groupBy("doc").agg(*aggs).select(
+        "doc", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_near_duplicates(
@@ -267,15 +308,15 @@ def minhash_near_duplicates(
     base = df.select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), k).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes, seed))
-    # The signature frame feeds three consumers (banding + both sides of the
-    # verification join); persist it or the whole shingle→hash→min pipeline
-    # re-executes per consumer. At scale this is the materialized "signature
-    # table" every LSH system keeps (docs × num_hashes longs — tiny relative
-    # to the corpus).
+    )
+    # The shingle frame feeds three consumers (signatures + both sides of
+    # the verification join); persist it or shingling re-executes per
+    # consumer. At scale this is the materialized "signature table" every
+    # LSH system keeps — docs × shingles, tiny relative to the corpus.
     base = base.persist()
+    sigs = minhash_signatures(base, "doc", "shingles", num_hashes, seed)
 
-    banded = base.select(
+    banded = sigs.select(
         "doc",
         F.explode(
             F.array(
@@ -390,6 +431,41 @@ def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
     return out
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = _SIMHASH_BITS
+) -> DataFrame:
+    """(doc, sig) SimHash table: explode tokens → one ±1 sum aggregate per
+    bit → sign-recombine. Same math as the ``simhash`` Column form, but 64
+    flat aggregates survive whole-stage codegen and combine map-side,
+    where the Column form's 64-wide nested array lambda overflows the JIT
+    method budget and runs interpreted (~10× slower, measured).
+
+    Token multiplicity is preserved (explode, not explode(distinct)) —
+    SimHash weights repeated tokens. Docs with zero tokens produce no row.
+    """
+    ex = df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("__t"))
+    h = F.xxhash64("__t")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"__b{j}")
+        for j in range(bits)
+    ]
+    tallied = ex.groupBy("doc").agg(*aggs)
+    bit_values = [
+        F.when(
+            F.col(f"__b{j}") > 0,
+            F.lit((1 << j) if j < bits - 1 else -(1 << (bits - 1))).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    ]
+    sig = bit_values[0]
+    for bv in bit_values[1:]:
+        sig = sig.bitwiseOR(bv)
+    return tallied.select("doc", sig.alias("sig"))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -403,9 +479,8 @@ def simhash_near_duplicates(
     bit_count(xor). Same LSH shape as MinHash banding: linear candidate
     generation, exact verification."""
     width = _SIMHASH_BITS // chunks
-    sigs = df.select(
-        F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sig")
-    ).persist()  # feeds both sides of the candidate self-join
+    sigs = simhash_signatures(df, id_col, text_col).persist()
+    # persisted: feeds both sides of the candidate self-join
     chunked = sigs.select(
         "doc",
         "sig",

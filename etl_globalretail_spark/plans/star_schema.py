@@ -194,8 +194,17 @@ def build_fato_vendas(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, "lineitem", sf_dir)
     tempo = build_dim_tempo(spark).select("sk_tempo", "data_completa")
     cli = build_dim_cliente(spark, sf_dir).select("sk_cliente", "id_cliente")
-    prod = build_dim_produto(spark, sf_dir).select(
-        "sk_produto", "id_produto", "custo_unitario"
+    # Slim produto lookup built straight from part: the full dim's avg-sold
+    # enrichment aggregates ALL of lineitem, and Catalyst cannot eliminate
+    # that join (it can't prove the agg side is unique), so using
+    # build_dim_produto here would pay a whole extra lineitem scan+shuffle
+    # for columns the fact never reads. SKs are row_number over p_partkey in
+    # both builders, so the keys match by construction.
+    p = load_table(spark, "part", sf_dir)
+    prod = p.select(
+        _sk("p_partkey").alias("sk_produto"),
+        F.col("p_partkey").alias("id_produto"),
+        (F.col("p_retailprice") * F.lit(0.7)).alias("custo_unitario"),
     )
     forn = build_dim_fornecedor(spark, sf_dir).select(
         "sk_fornecedor", "id_fornecedor"
@@ -214,16 +223,21 @@ def build_fato_vendas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (etl_completo.py:686) with ON CONFLICT DO NOTHING keep-first. The
     # synthetic lineitem has genuine duplicate (orderkey, partkey) pairs —
     # and even full-row duplicates — so keep-first is made deterministic by
-    # ranking over every remaining column.
-    dedup_w = Window.partitionBy("l_orderkey", "l_partkey").orderBy(
-        "l_linenumber", "l_suppkey", "l_quantity", "l_extendedprice",
-        "l_discount", "l_tax", "l_shipdate",
-    )
-
+    # a total order over every remaining column. min(struct) picks the same
+    # row as rank-1 of a window, but aggregates with map-side partial
+    # combine instead of a full per-partition sort — the cheaper shape when
+    # lineitem is the 100 TB table.
     l_dedup = (
-        l.withColumn("__rn", F.row_number().over(dedup_w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        l.groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    "l_linenumber", "l_suppkey", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+                )
+            ).alias("__first")
+        )
+        .select("l_orderkey", "l_partkey", "__first.*")
     )
     return (
         l_dedup.join(o, F.col("l_orderkey") == o.o_orderkey)  # J1

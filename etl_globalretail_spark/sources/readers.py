@@ -48,7 +48,25 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return df.select(*[f.name for f in TESTDATA_SCHEMAS[name].fields])
+    df = df.select(*[f.name for f in TESTDATA_SCHEMAS[name].fields])
+    return _spread(spark, df)
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the cluster's parallelism.
+
+    The testdata ships each table as ONE single-row-group parquet file, so
+    the scan is one partition and every pre-shuffle map expression runs on
+    one core — tokenization/shingling over documents was measured 30× slower
+    than the same plan spread over local[32]. A round-robin repartition costs
+    one exchange of a ≤11 MB table here; on a real corpus the scan already
+    has thousands of splits and this is a no-op (guarded, not unconditional).
+    Filters and column pruning still push into the scan below the exchange.
+    """
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(want, 8):
+        return df.repartition(want)
+    return df
 
 
 def load_tables(

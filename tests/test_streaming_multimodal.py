@@ -37,7 +37,9 @@ def test_stream_batch_parity(spark, sf_dir):
 
 
 def test_multimodal_features_deterministic(spark, sf_dir):
-    d = load_table(spark, "documents", sf_dir).limit(20)
+    # filter, not limit(20): limit picks arbitrary rows per action and the
+    # test evaluates the frame twice.
+    d = load_table(spark, "documents", sf_dir).filter("doc_id < 20")
     feats = extract_features(synthesize_media(d)).collect()
     assert len(feats) == 20
     by_id = {r.media_id: r for r in feats}
