@@ -38,6 +38,9 @@ HEADLINE = [
     "q24_minhash_neardup",
     "q27_ann_bruteforce",
     "q32_fato_vendas",
+    "q34_sessions",
+    "q35_sliding_windows",
+    "q39_promo_fact",
 ]
 
 

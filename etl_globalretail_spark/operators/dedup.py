@@ -295,6 +295,7 @@ def minhash_near_duplicates(
     bands: int = 16,
     threshold: float = 0.4,
     seed: int = 42,
+    materialized: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH: signature → band buckets →
     candidate join → exact Jaccard verification (no false positives; recall
@@ -313,7 +314,11 @@ def minhash_near_duplicates(
     # the verification join); persist it or shingling re-executes per
     # consumer. At scale this is the materialized "signature table" every
     # LSH system keeps — docs × shingles, tiny relative to the corpus.
+    # Ownership: appended to `materialized` (if given) so the caller can
+    # unpersist once the pair frame is consumed.
     base = base.persist()
+    if materialized is not None:
+        materialized.append(base)
     sigs = minhash_signatures(base, "doc", "shingles", num_hashes, seed)
 
     banded = sigs.select(
@@ -375,19 +380,20 @@ def q24_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     family), but xxhash64 has no DuckDB twin → rows-only check; the exact
     Jaccard tier (q23) is the oracle-checked ground truth it approximates."""
     d = load_table(spark, "documents", sf_dir)
-    pairs = minhash_near_duplicates(d, "text", "doc_id").persist()
-    kept = drop_near_duplicates(d, pairs, "doc_id")
-    return spark.createDataFrame(
-        [
-            (
-                "minhash_lsh",
-                d.count(),
-                pairs.count(),
-                kept.count(),
-            )
-        ],
-        "method string, n_docs long, n_pairs long, n_kept long",
-    )
+    held: list = []
+    pairs = minhash_near_duplicates(
+        d, "text", "doc_id", materialized=held
+    ).persist()
+    held.append(pairs)
+    try:
+        kept = drop_near_duplicates(d, pairs, "doc_id")
+        return spark.createDataFrame(
+            [("minhash_lsh", d.count(), pairs.count(), kept.count())],
+            "method string, n_docs long, n_pairs long, n_kept long",
+        )
+    finally:
+        for fr in held:
+            fr.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -472,6 +478,7 @@ def simhash_near_duplicates(
     id_col: str,
     max_hamming: int = 8,
     chunks: int = 4,
+    materialized: list | None = None,
 ) -> DataFrame:
     """Hamming-ball near-dup pairs: by pigeonhole, any pair within
     ``max_hamming ≤ chunks*(per-chunk tolerance)`` shares at least one exact
@@ -480,7 +487,10 @@ def simhash_near_duplicates(
     generation, exact verification."""
     width = _SIMHASH_BITS // chunks
     sigs = simhash_signatures(df, id_col, text_col).persist()
-    # persisted: feeds both sides of the candidate self-join
+    # persisted: feeds both sides of the candidate self-join; handed to
+    # `materialized` so the caller can unpersist after consumption
+    if materialized is not None:
+        materialized.append(sigs)
     chunked = sigs.select(
         "doc",
         "sig",
@@ -523,8 +533,13 @@ def simhash_near_duplicates(
 def q25_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup summary at Hamming ≤ 8 of 64 bits (rows-only)."""
     d = load_table(spark, "documents", sf_dir)
-    pairs = simhash_near_duplicates(d, "text", "doc_id")
-    return spark.createDataFrame(
-        [("simhash", d.count(), pairs.count())],
-        "method string, n_docs long, n_pairs long",
-    )
+    held: list = []
+    pairs = simhash_near_duplicates(d, "text", "doc_id", materialized=held)
+    try:
+        return spark.createDataFrame(
+            [("simhash", d.count(), pairs.count())],
+            "method string, n_docs long, n_pairs long",
+        )
+    finally:
+        for fr in held:
+            fr.unpersist()

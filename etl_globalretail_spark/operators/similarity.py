@@ -286,3 +286,194 @@ def q28_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("ann_lsh_single_probe", len(exact), len(approx), float(recall))],
         "method string, n_exact long, n_candidates long, recall_at_10 double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 5 of the dedup ladder: embedding-cosine near-duplicate pairs.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_TAU = 0.35  # synthetic corpus max pairwise cosine ≈ 0.45
+
+
+def _qdot(a: Column, b: Column) -> Column:
+    """Dot product quantized to int64 (scale 1e12): floor each elementwise
+    product, sum exactly. Order-independent and bit-identical across engines
+    — the cross-engine-portable sibling of the float ``dot`` kernel. One
+    codegen'd fold per row; no explode, no shuffle of positions."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(1e12)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = _NEARDUP_TAU,
+) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold — exact, via a broadcast
+    self-join and one fold kernel per pair.
+
+    Scale shape: O(N²) pairs is intrinsic to the exact tier (this is the
+    ground truth the LSH/IVF tiers approximate); the plan broadcasts one
+    side so the pair generation never shuffles, and each pair costs one
+    zip_with fold (d multiplies), not a d-row join. For corpora past
+    broadcast size, swap the broadcast for ``ann_lsh_topk``-style bucketed
+    candidates and reuse the same verification expression.
+    """
+    nrm = F.sqrt(_qdot(F.col(vec_col), F.col(vec_col)).cast("double"))
+    side = df.select(F.col(id_col), F.col(vec_col), nrm.alias("__n"))
+    a = side.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = side.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    cos = _qdot(F.col("__va"), F.col("__vb")).cast("double") / (
+        F.col("__na") * F.col("__nb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+@_register(
+    "q33_embedding_neardup",
+    oracle=f"""
+    WITH flat AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id,
+               sqrt(CAST(SUM(CAST(FLOOR(val * val * 1e12) AS BIGINT))
+                    AS DOUBLE)) AS n
+        FROM flat GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT f.vec_id AS id_a, g.vec_id AS id_b,
+               CAST(SUM(CAST(FLOOR(f.val * g.val * 1e12) AS BIGINT))
+                    AS DOUBLE) AS dp
+        FROM flat f JOIN flat g ON f.pos = g.pos AND f.vec_id < g.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, dp / (na.n * nb.n) AS cos_sim
+    FROM dots JOIN norms na ON id_a = na.vec_id
+              JOIN norms nb ON id_b = nb.vec_id
+    WHERE dp / (na.n * nb.n) >= {_NEARDUP_TAU}
+    """,
+)
+def q33_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (τ={tau}) — the fifth tier of
+    the dedup ladder (exact/Jaccard/MinHash/SimHash/embedding). The oracle
+    computes the identical quantized arithmetic positionally; the Spark plan
+    does it as one fold per broadcast-joined pair — same bits, no explode.
+    """.format(tau=_NEARDUP_TAU)
+    e = load_table(spark, "embeddings", sf_dir)
+    return embedding_near_duplicates(e)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer = per-label centroids.
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame, centroids: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its nearest coarse centroid (by cosine):
+    broadcast cross-join against the (tiny, k ≪ N) centroid table, one fold
+    kernel per (vector, centroid), ``max_by`` argmax per vector. The
+    relational shape keeps the plan small — inlining centroids as column
+    literals was measured to serialize a 27 MB task binary at k=10, d=64.
+
+    ``centroids`` schema: (cell int/long, cvec array<double>).
+    """
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__cos", cosine(F.col(vec_col), F.col("cvec"))
+    )
+    others = [c for c in df.columns]
+    return (
+        scored.groupBy(*others)
+        .agg(F.max_by("cell", "__cos").alias("__cell"))
+    )
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` centroid cells nearest the query,
+    exact re-rank inside — the list-pruning ANN strategy (vs q28's hashing
+    one). Recall rises with nprobe; nprobe = #centroids degenerates to
+    brute force."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_cells = (
+        centroids.select("cell", cosine(F.col("cvec"), q).alias("__c"))
+        .orderBy(F.col("__c").desc())
+        .limit(nprobe)
+        .select("cell")
+    )
+    assigned = ivf_assign(df, centroids, vec_col)
+    cand = assigned.join(
+        F.broadcast(probe_cells), assigned["__cell"] == probe_cells["cell"]
+    )
+    scored = cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+@_register("q36_ann_ivf")  # driver-side coarse quantizer → rows-only
+def q36_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN summary: per-label centroids as the coarse quantizer
+    (q26's aggregation IS the k-means update step), nprobe=2 probe of the
+    query's nearest cells, recall@10 vs the exact scan."""
+    e = load_table(spark, "embeddings", sf_dir)
+    cents = (
+        e.groupBy(F.col("label").alias("cell"))
+        .agg(
+            F.array(
+                *[F.avg(F.col("embedding")[i].cast("double")) for i in range(64)]
+            ).alias("cvec")
+        )
+        .persist()
+    )
+    try:
+        n_cells = cents.count()
+        first = e.orderBy("vec_id").limit(1).collect()[0]
+        qvec = [float(x) for x in first["embedding"]]
+        exact = {r["vec_id"] for r in cosine_topk(e, qvec, k=10).collect()}
+        approx = {
+            r["vec_id"] for r in ann_ivf_topk(e, qvec, cents, k=10).collect()
+        }
+        recall = len(exact & approx) / max(len(exact), 1)
+        return spark.createDataFrame(
+            [("ann_ivf_nprobe2", n_cells, len(approx), float(recall))],
+            "method string, n_cells long, n_candidates long, recall_at_10 double",
+        )
+    finally:
+        cents.unpersist()

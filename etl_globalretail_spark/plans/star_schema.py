@@ -37,7 +37,7 @@ from etl_globalretail_spark.functions.cleansing import (
     standardize_product_category,
     standardize_region,
 )
-from etl_globalretail_spark.plans.queries import davg, make_query_decorator
+from etl_globalretail_spark.plans.queries import davg, dsum, make_query_decorator
 from etl_globalretail_spark.sources.readers import calendar_frame, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -428,3 +428,126 @@ def q31_dim_produto(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q32_fato_vendas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full fact assembly (§3.3) — the flagship ETL parity check."""
     return build_fato_vendas(spark, sf_dir)
+
+
+@_register(
+    "q37_dim_fornecedor",
+    oracle=f"""
+    WITH loc AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS BIGINT)
+                   AS sk_localidade,
+               n_nationkey AS id_localidade
+        FROM nation
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS BIGINT)
+               AS sk_fornecedor,
+           s_suppkey AS id_fornecedor,
+           CASE WHEN s_name IS NULL OR s_name = '' THEN 'N/A'
+                ELSE {_SQL_INITCAP.format(c="s_name")} END AS nome_padronizado,
+           loc.sk_localidade,
+           'ATIVO' AS status
+    FROM supplier LEFT JOIN loc ON s_nationkey = loc.id_localidade
+    """,
+)
+def q37_dim_fornecedor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dim_fornecedor build (cria_dw.sql:63-70): snowflake localidade
+    lookup (J5), name cleansing (F1), status default (F14)."""
+    return build_dim_fornecedor(spark, sf_dir)
+
+
+@_register(
+    "q38_dim_categoria_cliente",
+    oracle="""
+    WITH cats AS (SELECT DISTINCT c_mktsegment AS nome FROM customer)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY nome) AS BIGINT)
+               AS sk_categoria_cliente,
+           nome,
+           CASE WHEN nome IS NULL OR nome = '' THEN 'Não Definido'
+                WHEN lower(nome) LIKE '%vip%'
+                  OR lower(nome) LIKE '%premium%' THEN 'Premium'
+                WHEN lower(nome) LIKE '%gold%'
+                  OR lower(nome) LIKE '%ouro%' THEN 'Gold'
+                WHEN lower(nome) LIKE '%silver%'
+                  OR lower(nome) LIKE '%prata%' THEN 'Silver'
+                ELSE 'Padrão' END AS categoria_padronizada
+    FROM cats
+    """,
+)
+def q38_dim_categoria_cliente(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_categoria_cliente (cria_dw.sql:35-40): DISTINCT projection (P2)
+    over the segment column + F5 standardization + deterministic SK (W3) —
+    the categoria dimension build of §3.1 step 4."""
+    c = load_table(spark, "customer", sf_dir)
+    cats = c.select(F.col("c_mktsegment").alias("nome")).distinct()
+    return cats.select(
+        _sk("nome").alias("sk_categoria_cliente"),
+        "nome",
+        standardize_customer_category(F.col("nome")).alias(
+            "categoria_padronizada"
+        ),
+    )
+
+
+@_register(
+    "q39_promo_fact",
+    oracle="""
+    WITH promo AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY nome) AS BIGINT) AS sk_promocao,
+               nome,
+               COALESCE(TRY_CAST(regexp_extract(nome, '(\\d+(?:\\.\\d+)?)', 1)
+                                 AS DOUBLE), 0.0) AS percentual_desconto
+        FROM (SELECT DISTINCT o_orderpriority AS nome FROM orders)
+    )
+    SELECT p.sk_promocao,
+           p.nome AS promocao,
+           p.percentual_desconto,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS valor_liquido,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           * p.percentual_desconto / 100.0
+                         AS DECIMAL(27,6))) AS DOUBLE) AS valor_desconto_promo
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN promo p ON o_orderpriority = p.nome
+    GROUP BY 1, 2, 3
+    """,
+)
+def q39_promo_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — the dead-code promo loader's intent (etl_completo.py:904-911)
+    as a live query: a promo dimension derived by DISTINCT (P2) + F10 regex
+    pct extraction + SK assignment, left-joined into the measure pipeline,
+    with the discount applied to the net value. o_orderpriority ('1-URGENT'
+    …) stands in for tipo_desconto ('Desconto 10%' …) — same shape: a label
+    whose embedded number is the percentage."""
+    from etl_globalretail_spark.functions.numeric import extract_discount_pct
+
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    promo = (
+        o.select(F.col("o_orderpriority").alias("nome"))
+        .distinct()
+        .select(
+            _sk("nome").alias("sk_promocao"),
+            "nome",
+            extract_discount_pct(F.col("nome")).alias("percentual_desconto"),
+        )
+    )
+    liquido = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(promo), F.col("o_orderpriority") == promo.nome)
+        .groupBy(
+            "sk_promocao",
+            F.col("nome").alias("promocao"),
+            "percentual_desconto",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(liquido, "valor_liquido"),
+            dsum(
+                liquido * F.col("percentual_desconto") / F.lit(100.0),
+                "valor_desconto_promo",
+            ),
+        )
+    )

@@ -112,3 +112,132 @@ def run_to_memory_sink(
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# Session windows (stateful) + sliding windows — batch faces, oracle-paired.
+# The identical transformations run under readStream (session_window and
+# window are both streaming-legal with a watermark).
+# ---------------------------------------------------------------------------
+
+from collections.abc import Callable  # noqa: E402
+
+from etl_globalretail_spark.plans.queries import (  # noqa: E402
+    _osum,
+    dsum,
+    make_query_decorator,
+)
+from etl_globalretail_spark.sources.readers import load_table  # noqa: E402
+
+QUERIES: dict[str, Callable] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+SESSION_GAP = "30 minutes"
+
+
+def sessionize(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Per-user session windows: events < gap apart merge; session end =
+    last event + gap. ``session_window`` is Spark's native stateful window —
+    in batch it compiles to a merging aggregation, under readStream it keeps
+    per-key session state with watermark-driven eviction (the
+    applyInPandasWithState use-case, without custom state code)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "q34_sessions",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {val}
+    FROM sess GROUP BY user_id, sid
+    """.format(val=_osum("value", "sum_value")),
+)
+def q34_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization (30-min inactivity gap). The oracle is the
+    gaps-and-islands formulation — lag + cumulative sum — proving
+    session_window's merge semantics equal the classical SQL construction
+    (new session iff the gap to the previous event is >= the timeout)."""
+    return sessionize(load_table(spark, "events", sf_dir))
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding windows: every event lands in window/slide frames. Shares the
+    streaming path of ``sliding_value_avg``; this face carries the
+    oracle-comparable aggregate set."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "q35_sliding_windows",
+    oracle="""
+    WITH grid AS (
+        SELECT event_type, value,
+               CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT)
+                                 * 1800) AS TIMESTAMP) AS s1
+        FROM events
+    ),
+    fanned AS (
+        SELECT event_type, value,
+               unnest([s1 - INTERVAL 30 MINUTE, s1]) AS window_start
+        FROM grid
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           {val}
+    FROM fanned GROUP BY 1, 2
+    """.format(val=_osum("value", "sum_value")),
+)
+def q35_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes, per event type. The oracle
+    fans each event into its two containing epoch-aligned frames — the
+    set-in, set-out definition window() implements."""
+    return sliding_counts(load_table(spark, "events", sf_dir))

@@ -36,6 +36,26 @@ def test_stream_batch_parity(spark, sf_dir):
     assert len(want) > 0
 
 
+def test_session_stream_batch_parity(spark, sf_dir):
+    """sessionize() over readStream must equal the batch run once the
+    availableNow stream drains — session state merges across micro-batches."""
+    from etl_globalretail_spark.streaming.windows import sessionize
+
+    batch = sessionize(load_table(spark, "events", sf_dir))
+    stream = sessionize(read_event_stream(spark, f"{sf_dir}/events.parquet"))
+    run_to_memory_sink(stream, "sessions_test", mode="complete")
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in spark.table("sessions_test").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     # filter, not limit(20): limit picks arbitrary rows per action and the
     # test evaluates the frame twice.
