@@ -79,14 +79,18 @@ def _sql_shingles(k: int = 2, col: str = "text") -> str:
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per distinct content (md5 of the normalized
-    token stream). One shuffle on the 32-char digest — never on the full
-    document text; at 100 TB that is the difference between shuffling
-    hashes and shuffling the corpus."""
+    token stream). Implemented as ``min_by(row, id)`` grouped on the digest:
+    partial aggregation keeps one candidate row per fingerprint per map
+    task, so the shuffle carries ~one row per *distinct* document — on a
+    near-duplicate-heavy 100 TB corpus that is a fraction of the input,
+    where the window-sort formulation shuffles and sorts every row."""
     fp = F.md5(F.array_join(tokens(F.col(content_col)), " "))
-    w = Window.partitionBy(fp).orderBy(F.col(id_col))
-    return df.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
-    ).drop("__rn")
+    cols = df.columns
+    return (
+        df.groupBy(fp.alias("__fp"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"))
+        .select("__row.*")
+    )
 
 
 @_register(

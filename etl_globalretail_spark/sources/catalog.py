@@ -1,0 +1,114 @@
+"""Catalog operations: database bootstrap, SQL-script execution, view
+registration — the reference's setup/DDL layer re-expressed on the Spark
+catalog.
+
+Reference mapping (SURVEY.md §2.1):
+
+- S2 SQL script runner — read a .sql file, execute it, fall back to
+  per-``;``-statement execution on failure (etl_completo.py:90-136) →
+  ``run_sql_script``: statements always run one-by-one through
+  ``spark.sql`` (Spark has no multi-statement exec), each wrapped in the
+  same log-and-continue policy the reference applies per command.
+- S3 database bootstrap — DROP/CREATE both databases
+  (etl_completo.py:58-88, sql/setup_databases.sql:3-8) →
+  ``bootstrap_database`` on the session catalog.
+- S4 dialect rewrite — strip MySQL-isms before execution
+  (etl_completo.py:138-143) → ``rewrite_dialect``.
+
+DW tables land as parquet-backed catalog tables (``USING parquet``); the
+reference's 23 post-load b-tree indexes (sql/cria_indices_dw.sql) have no
+Spark equivalent and need none — columnar parquet + min/max pushdown +
+partition pruning serve the same queries (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+from etl_globalretail_spark.schemas import TABLE_NAMES
+from etl_globalretail_spark.sources.readers import load_table
+
+
+def rewrite_dialect(sql: str) -> str:
+    """S4 (etl_completo.py:138-143): drop foreign-dialect statements and
+    normalize ``INSERT … VALUE`` to ``VALUES`` so scripts written for MySQL
+    run unchanged."""
+    sql = re.sub(
+        r"^\s*SET\s+FOREIGN_KEY_CHECKS\s*=\s*\d\s*;?\s*$",
+        "",
+        sql,
+        flags=re.IGNORECASE | re.MULTILINE,
+    )
+    return re.sub(r"\bVALUE\b(?=\s*\()", "VALUES", sql, flags=re.IGNORECASE)
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split a script on ``;`` outside single-quoted strings; drop empties
+    and pure-comment fragments (the reference splits naively on ';',
+    etl_completo.py:112 — quote-awareness is the one upgrade)."""
+    out: list[str] = []
+    buf: list[str] = []
+    in_str = False
+    for ch in sql:
+        if ch == "'":
+            in_str = not in_str
+        if ch == ";" and not in_str:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    stmts = []
+    for s in out:
+        body = "\n".join(
+            ln for ln in s.splitlines() if not ln.strip().startswith("--")
+        ).strip()
+        if body:
+            stmts.append(body)
+    return stmts
+
+
+def run_sql_script(
+    spark: SparkSession, script: str, stop_on_error: bool = False
+) -> dict[str, int | list[str]]:
+    """S2: execute a (possibly multi-statement) SQL script statement-by-
+    statement with the reference's log-and-continue policy
+    (etl_completo.py:108-132): a failed statement is recorded, the rest
+    still run. Returns {"ok": n, "failed": [messages…]}."""
+    ok, failed = 0, []
+    for stmt in split_statements(rewrite_dialect(script)):
+        try:
+            spark.sql(stmt).collect()
+            ok += 1
+        except Exception as exc:  # noqa: BLE001 — mirror reference policy
+            if stop_on_error:
+                raise
+            failed.append(f"{stmt[:80]}…: {exc}"[:300])
+    return {"ok": ok, "failed": failed}
+
+
+def bootstrap_database(
+    spark: SparkSession,
+    name: str,
+    drop_first: bool = True,
+    location: str | None = None,
+) -> None:
+    """S3: DROP/CREATE a database (etl_completo.py:58-88). CASCADE mirrors
+    the reference's unconditional drop of a possibly-populated database.
+    ``location`` overrides the warehouse dir (which is a static conf and
+    cannot be changed on a live session)."""
+    if drop_first:
+        spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}{loc}")
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> None:
+    """Expose every testdata table as a temp view so the whole query surface
+    is reachable from plain ``spark.sql`` — the engine's SQL front door."""
+    for t in names:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)

@@ -49,7 +49,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     df = df.select(*[f.name for f in TESTDATA_SCHEMAS[name].fields])
+    if name in _SPREAD_EXEMPT:
+        return df
     return _spread(spark, df)
+
+
+# Broadcast-bound micro-dimensions (≤25 rows): fanning them out just inserts
+# an exchange below the BroadcastExchange for nothing.
+_SPREAD_EXEMPT = frozenset({"region", "nation"})
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
