@@ -49,16 +49,28 @@ CAPITALS = {
 
 
 def _collapse_ws(col: Column) -> Column:
-    return F.regexp_replace(F.trim(col), r"\s+", " ")
+    # Collapse BEFORE trimming: trim only strips 0x20, so a pure-\n input
+    # must first become ' ' to be trimmed away — otherwise cleaning is not
+    # idempotent (f('\n') = ' ' but f(' ') = ''). Matches the reference's
+    # strip()-then-sub, which also maps all-whitespace to ''.
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
 def clean_text(col: Column) -> Column:
     """F1 (etl_completo.py:940-949): null/empty → 'N/A'; collapse whitespace;
     title-case. ``initcap`` stands in for Python ``.title()`` (see module doc).
     Note the reference treats '' as falsy → 'N/A'; so do we.
+
+    The sentinel itself must round-trip: ``.title()`` keeps 'N/A' (capitals
+    follow any non-letter) but ``initcap`` would yield 'N/a', so re-cleaning
+    already-clean data would corrupt the sentinel — branch it explicitly.
     """
     cleaned = F.initcap(_collapse_ws(col))
-    return F.when(col.isNull() | (col == ""), F.lit("N/A")).otherwise(cleaned)
+    return (
+        F.when(col.isNull() | (col == ""), F.lit("N/A"))
+        .when(F.upper(F.trim(col)) == "N/A", F.lit("N/A"))
+        .otherwise(cleaned)
+    )
 
 
 def clean_text_exact(colname: str) -> Column:

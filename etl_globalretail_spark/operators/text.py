@@ -110,6 +110,60 @@ def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish subword token counting.
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer, minus the trailing-space lookahead (RE2 — the
+# oracle's regex engine — has no lookahead; Java and RE2 agree on this
+# subset): contractions | space?letters | space?digits | space?punct-run |
+# whitespace-run. Each match ≈ one pre-token, the unit BPE merges start
+# from — the right denominator for "how many LLM tokens is this corpus".
+BPE_PRETOKEN_RE = (
+    r"'(?:[sdmt]|ll|ve|re)|"
+    r" ?\p{L}+|"
+    r" ?\p{N}+|"
+    r" ?[^\s\p{L}\p{N}]+|"
+    r"\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-ish token count: number of GPT-2 pre-tokenizer matches.
+    ``regexp_count`` is a codegen'd JVM regex scan — no UDF, no Python."""
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_RE)).cast("long")
+
+
+@_register(
+    "q40_bpe_token_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text,
+               '{BPE_PRETOKEN_RE.replace("'", "''")}'))) AS BIGINT)
+               AS total_bpe_tokens,
+           CAST(SUM(len({_sql_tokens()})) AS BIGINT) AS total_ws_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q40_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-token counts next to whitespace counts per source — the
+    corpus-sizing stat a training-data pipeline reports (subword tokens,
+    not words). The ratio bpe/ws ≈ tokens-per-word fertility."""
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select(
+        "source",
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+        token_count(F.col("text")).alias("n_ws"),
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.sum("n_ws").alias("total_ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quality scoring: length/stopword/diversity ratios per document.
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the cleansing library — SURVEY.md
+§5 item 4: idempotence, totality, and date-parse round-trips.
+
+Strategy note: one Spark job per hypothesis example would be minutes per
+test; instead each property draws a BATCH of strings and runs one job over
+the whole batch (examples capped accordingly).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.functions import (
+    clean_text,
+    parse_multiformat_date,
+    standardize_name,
+    standardize_region,
+)
+from etl_globalretail_spark.functions.numeric import extract_discount_pct
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# Text including whitespace runs, unicode letters, punctuation, digits.
+texts = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FF
+    ),
+    max_size=40,
+)
+batches = st.lists(st.one_of(st.none(), texts), min_size=1, max_size=25)
+
+
+def _run(spark, builder, values):
+    df = spark.createDataFrame([(v,) for v in values], "x string")
+    return [r.o for r in df.select(builder(F.col("x")).alias("o")).collect()]
+
+
+@given(vals=batches)
+@settings(**_SETTINGS)
+def test_clean_text_idempotent_and_total(spark, vals):
+    once = _run(spark, clean_text, vals)
+    # totality: never throws, never returns null (null/'' → sentinel)
+    assert all(o is not None for o in once)
+    twice = _run(spark, clean_text, once)
+    assert twice == once
+
+
+@given(vals=batches)
+@settings(**_SETTINGS)
+def test_standardize_name_idempotent(spark, vals):
+    once = _run(spark, standardize_name, vals)
+    twice = _run(spark, standardize_name, once)
+    assert twice == once
+
+
+@given(vals=batches)
+@settings(**_SETTINGS)
+def test_standardize_region_idempotent_and_total(spark, vals):
+    once = _run(spark, standardize_region, vals)
+    assert all(o is not None for o in once)
+    twice = _run(spark, standardize_region, once)
+    assert twice == once
+
+
+@given(vals=batches)
+@settings(**_SETTINGS)
+def test_extract_discount_pct_total_and_nonnegative(spark, vals):
+    out = _run(spark, extract_discount_pct, vals)
+    assert all(o is not None and o >= 0.0 for o in out)
+
+
+@given(
+    dates=st.lists(
+        st.dates(
+            min_value=datetime.date(1900, 1, 1),
+            max_value=datetime.date(2099, 12, 31),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    fmt=st.sampled_from(["%Y-%m-%d", "%d/%m/%Y"]),
+)
+@settings(**_SETTINGS)
+def test_date_parse_roundtrip_both_formats(spark, dates, fmt):
+    """F9: any real date rendered in either accepted format parses back to
+    itself; garbage and sentinels parse to null (totality)."""
+    rendered = [d.strftime(fmt) for d in dates]
+    out = _run(spark, parse_multiformat_date, rendered)
+    assert out == dates
+    junk = ["Data Inválida", "N/A", "NULL", "", "31/31/2020", "2020-13-45"]
+    assert _run(spark, parse_multiformat_date, junk) == [None] * len(junk)
