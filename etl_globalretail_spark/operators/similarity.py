@@ -150,9 +150,12 @@ _ANN_K = 10
     ),
     scored AS (
         SELECT f.vec_id,
-               CAST(SUM(CAST(f.val * q.qval AS DECIMAL(30,12))) AS DOUBLE) AS dp,
-               CAST(SUM(CAST(f.val * f.val AS DECIMAL(30,12))) AS DOUBLE) AS nf,
-               CAST(SUM(CAST(q.qval * q.qval AS DECIMAL(30,12))) AS DOUBLE) AS nq
+               CAST(SUM(CAST(FLOOR(f.val * q.qval * 1e12) AS BIGINT))
+                    AS DOUBLE) AS dp,
+               CAST(SUM(CAST(FLOOR(f.val * f.val * 1e12) AS BIGINT))
+                    AS DOUBLE) AS nf,
+               CAST(SUM(CAST(FLOOR(q.qval * q.qval * 1e12) AS BIGINT))
+                    AS DOUBLE) AS nq
         FROM flat f JOIN qv q ON f.pos = q.pos
         GROUP BY f.vec_id
     ),
@@ -168,38 +171,24 @@ _ANN_K = 10
     """,
 )
 def q27_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 against the corpus's first vector, computed
-    the order-independent way (posexplode → decimal dot/norm sums) so Spark
-    and DuckDB agree bitwise. The zip_with kernel (``cosine_topk``) computes
-    the same scores in one pass and is pytest-checked against this within
-    float tolerance; this form exists to be the oracle-comparable twin."""
+    """Brute-force cosine top-10 against the corpus's first vector.
+
+    The query vector is fetched once (d floats to the driver) and inlined as
+    an array literal, so scoring is ONE scan with a quantized fold kernel
+    per row — no posexplode, no position join, no shuffle before the top-k.
+    int64 quantization (floor·1e12, exact long sums) makes every sum
+    order-independent, and the fold's index order equals the oracle's
+    positional join order, so the two engines agree bit-for-bit. The float
+    kernel (``cosine_topk``) is the production API; this is its
+    oracle-paired twin and they are pytest-cross-checked."""
     e = load_table(spark, "embeddings", sf_dir)
-    flat = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "valf")
-    ).select(
+    first = e.orderBy("vec_id").limit(1).select("embedding").collect()[0]
+    q = F.array(*[F.lit(float(x)) for x in first["embedding"]])
+    scored = e.select(
         "vec_id",
-        (F.col("pos0") + 1).cast("long").alias("pos"),
-        F.col("valf").cast("double").alias("val"),
-    )
-    min_id = e.agg(F.min("vec_id").alias("m"))
-    qv = (
-        flat.join(F.broadcast(min_id), flat.vec_id == F.col("m"))
-        .select("pos", F.col("val").alias("qval"))
-    )
-    scored = (
-        flat.join(F.broadcast(qv), "pos")
-        .groupBy("vec_id")
-        .agg(
-            F.sum((F.col("val") * F.col("qval")).cast("decimal(30,12)"))
-            .cast("double")
-            .alias("dp"),
-            F.sum((F.col("val") * F.col("val")).cast("decimal(30,12)"))
-            .cast("double")
-            .alias("nf"),
-            F.sum((F.col("qval") * F.col("qval")).cast("decimal(30,12)"))
-            .cast("double")
-            .alias("nq"),
-        )
+        _qdot(F.col("embedding"), q).cast("double").alias("dp"),
+        _qdot(F.col("embedding"), F.col("embedding")).cast("double").alias("nf"),
+        _qdot(q, q).cast("double").alias("nq"),
     )
     cos = F.col("dp") / (F.sqrt(F.col("nf")) * F.sqrt(F.col("nq")))
     w = Window.orderBy(cos.desc(), F.col("vec_id"))

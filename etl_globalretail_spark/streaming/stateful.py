@@ -1,0 +1,72 @@
+"""Custom stateful streaming: applyInPandasWithState.
+
+``session_window``/``window`` cover the standard stateful aggregations with
+zero Python in the hot path (streaming/windows.py) — this module is the
+escape hatch for state machines Spark has no operator for, shown on a
+running per-user accumulator. Pattern notes that matter at scale:
+
+- state is per *group* (here: per user); Spark shuffles each micro-batch by
+  the grouping key, so state never migrates — the operator parallelizes to
+  exactly the key cardinality;
+- the callback receives an ITERATOR of Arrow-batched pandas frames (a large
+  group never materializes at once) and must drain it;
+- emitted rows are the operator's output stream ("update" semantics here:
+  one refreshed total per user per micro-batch the user appears in).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+    ]
+)
+
+
+def _update_totals(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+    )
+
+
+def running_user_totals(stream_events: DataFrame) -> DataFrame:
+    """Cumulative per-user event count + value total, carried across
+    micro-batches in explicit group state. The batch-mode ground truth is a
+    plain groupBy aggregation; the parity test drives this through a
+    two-file stream so state genuinely crosses a batch boundary."""
+    return (
+        stream_events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_totals,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
