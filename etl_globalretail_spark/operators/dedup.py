@@ -63,6 +63,25 @@ def word_shingles(text: Column, k: int = 2) -> Column:
     return F.array_distinct(sh)
 
 
+def hashed_word_shingles(text: Column, k: int = 2) -> Column:
+    """Distinct word k-gram shingles as xxhash64 longs, never materializing
+    the shingle string: the k tokens feed multi-argument ``xxhash64(t_i, …,
+    t_{i+k-1})`` directly. Injective on shingles up to 64-bit collisions
+    (P ≈ n²/2⁶⁴), so set sizes/intersections — all any consumer computes —
+    match the string form. This is the shingle representation the dedup
+    pipelines run on; ``word_shingles`` keeps the readable string form."""
+    t = tokens(text)
+    n = F.size(t)
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(t, i + F.lit(j)) for j in range(k)]),
+    )
+    return F.array_distinct(sh)
+
+
 def _sql_shingles(k: int = 2, col: str = "text") -> str:
     toks = _sql_tokens(col)
     parts = " || ' ' || ".join(f"__t[i + {j}]" for j in range(k))
@@ -143,11 +162,17 @@ def jaccard_pairs(
     explode distinct shingles → self-join on shingle → count co-occurrences →
     |A∩B| / (|A|+|B|−|A∩B|). Exact (no approximation); the shingle join is
     the bottleneck at scale — that is what tier 3 (MinHash LSH) bounds.
+
+    The join key is ``xxhash64(shingle)``, not the shingle string: the
+    shuffle carries 8 bytes instead of ~k words per posting and the join
+    compares longs. Counts are unchanged unless two distinct shingles
+    collide in 64 bits (P ≈ n²/2⁶⁴ — negligible even at 100 TB), which is
+    why the DuckDB oracle can keep joining on the raw string.
     """
     sh = df.select(
         F.col(id_col).alias("doc"),
-        F.size(word_shingles(F.col(text_col), k)).alias("n_sh"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+        F.size(hashed_word_shingles(F.col(text_col), k)).alias("n_sh"),
+        F.explode(hashed_word_shingles(F.col(text_col), k)).alias("shingle"),
     )
     a = sh.select(
         F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
@@ -155,9 +180,21 @@ def jaccard_pairs(
     b = sh.select(
         F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
     )
+    # Length filter (exactness-preserving): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    # so pairs whose sizes differ by more than the threshold ratio can be
+    # pruned inside the join before the group-count. On corpora with a tiny
+    # shared vocabulary (every doc pair co-occurs somewhere) the posting join
+    # is inherently ~quadratic — that is the regime tier 3 (MinHash LSH)
+    # exists for; this exact operator is the ground-truth oracle, not the
+    # 100 TB path.
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (a.shingle == b.shingle)
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b")),
+        )
+        .drop(b.shingle)
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -261,15 +298,21 @@ def minhash_signatures(
     shingles_col: str,
     num_hashes: int = 64,
     seed: int = 42,
+    pre_hashed: bool = False,
 ) -> DataFrame:
     """(id, sig) signature table: explode shingles → hash once per shingle →
-    64 ``min`` aggregates → reassemble the array.
+    ``num_hashes`` ``min`` aggregates → reassemble the array.
 
     Same math as ``minhash_signature`` but as a grouped aggregation: partial
-    mins combine map-side, the shuffle carries 64 longs per doc, and each
-    aggregate is a flat codegen'd expression — unlike the Column form, whose
-    64 nested array traversals in one projection blow past the JIT's method
-    budget and drop the whole row to interpreted evaluation.
+    mins combine map-side, the shuffle carries ``num_hashes`` longs per doc,
+    and each aggregate is a flat codegen'd expression — unlike the Column
+    form, whose nested array traversals in one projection blow past the
+    JIT's method budget and drop the whole row to interpreted evaluation.
+
+    With ``pre_hashed=True`` the shingle column is ``array<long>`` of
+    xxhash64 values computed upstream (the dedup pipeline hashes once and
+    reuses the longs for signatures AND verification); otherwise raw shingle
+    strings are hashed here.
 
     Docs with zero shingles produce no row (they cannot near-dup anyway).
     """
@@ -277,7 +320,8 @@ def minhash_signatures(
     ex = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles_col).alias("__s")
     )
-    h = F.xxhash64("__s").bitwiseAND(F.lit(mask32).cast("long"))
+    h0 = F.col("__s") if pre_hashed else F.xxhash64("__s")
+    h = h0.bitwiseAND(F.lit(mask32).cast("long"))
     aggs = [
         F.min(
             (F.lit(a).cast("long") * h + F.lit(b).cast("long"))
@@ -290,40 +334,98 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_arrow(
+    df: DataFrame,
+    id_col: str,
+    hashed_shingles_col: str,
+    num_hashes: int = 60,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc, sig) signature table via a numpy-vectorized ``mapInPandas``.
+
+    Bit-identical to ``minhash_signatures(pre_hashed=True)`` (pytest-checked)
+    but map-only: each Arrow batch computes its docs' signatures with one
+    (num_hashes × n_shingles) broadcasted affine-min per doc, so there is
+    NO shuffle — where the grouped-agg twin shuffles every posting
+    (docs × shingles × 8 B). At 100 TB that posting shuffle dominates the
+    whole dedup job; eliminating it is worth stepping off the JVM for, and
+    the Arrow batch transfer amortizes the Python boundary. a < 2³⁰ and
+    h masked to 32 bits keep a·h+b < 2⁶² — int64-exact in numpy.
+
+    Input shingles must already be xxhash64 longs (``array<long>``).
+    Docs with zero shingles produce no row, matching the grouped-agg twin.
+    """
+    import numpy as np
+
+    params = _hash_params(num_hashes, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            docs, sigs = [], []
+            for doc, hs in zip(
+                pdf[id_col].values, pdf[hashed_shingles_col].values
+            ):
+                h = np.asarray(hs, dtype=np.int64) & 0xFFFFFFFF
+                if h.size == 0:
+                    continue
+                docs.append(doc)
+                sigs.append(((A * h[None, :] + B) % MERSENNE_P).min(axis=1).tolist())
+            yield pd.DataFrame({"doc": docs, "sig": sigs})
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(hashed_shingles_col)
+    ).mapInPandas(batches, "doc long, sig array<long>")
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,
     id_col: str,
     k: int = 2,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = 60,
+    bands: int = 12,
     threshold: float = 0.4,
     seed: int = 42,
     materialized: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH: signature → band buckets →
     candidate join → exact Jaccard verification (no false positives; recall
-    set by the (bands, rows) S-curve — 16 bands × 4 rows catches τ≈0.4+).
+    set by the (bands, rows) S-curve).
+
+    Banding default is 12 bands × 5 rows (S-curve midpoint (1/12)^(1/5) ≈
+    0.61): against real near-dup corpora, whose true pairs sit at J ≥ 0.8
+    (recall there ≥ 99.6%), the steeper curve cuts candidates from
+    background-similarity pairs (J ≈ 0.2) ~7× vs 16 × 4 — measured 330k →
+    48k candidates on the sf0.1 documents fixture for the same 255 verified
+    pairs. Verification is exact, so banding affects recall only, never
+    precision.
 
     Scale shape: the only shuffles are (a) explode to bands × docs rows and
     join on (band, bucket-hash) — linear in corpus size, and (b) the
     verification join on candidate ids only. Documents never pair all-vs-all.
+    Shingles are xxhash64'd to longs ONCE up front; signatures, banding, and
+    the verification intersect all run on the 8-byte hashes (Jaccard over
+    hashed sets ≡ over string sets absent 64-bit collisions, P ≈ n²/2⁶⁴).
     """
     rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), k).alias("shingles"),
+        hashed_word_shingles(F.col(text_col), k).alias("shingles"),
     )
-    # The shingle frame feeds three consumers (signatures + both sides of
-    # the verification join); persist it or shingling re-executes per
-    # consumer. At scale this is the materialized "signature table" every
-    # LSH system keeps — docs × shingles, tiny relative to the corpus.
-    # Ownership: appended to `materialized` (if given) so the caller can
-    # unpersist once the pair frame is consumed.
+    # The hashed-shingle frame feeds three consumers (signatures + both
+    # sides of the verification join); persist it or shingling re-executes
+    # per consumer. At scale this is the materialized "signature table"
+    # every LSH system keeps — docs × shingle-hashes, tiny relative to the
+    # corpus. Ownership: appended to `materialized` (if given) so the
+    # caller can unpersist once the pair frame is consumed.
     base = base.persist()
     if materialized is not None:
         materialized.append(base)
-    sigs = minhash_signatures(base, "doc", "shingles", num_hashes, seed)
+    sigs = minhash_signatures_arrow(base, "doc", "shingles", num_hashes, seed)
 
     banded = sigs.select(
         "doc",

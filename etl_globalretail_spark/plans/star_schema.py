@@ -193,21 +193,29 @@ def build_fato_vendas(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     l = load_table(spark, "lineitem", sf_dir)
     tempo = build_dim_tempo(spark).select("sk_tempo", "data_completa")
-    cli = build_dim_cliente(spark, sf_dir).select("sk_cliente", "id_cliente")
-    # Slim produto lookup built straight from part: the full dim's avg-sold
-    # enrichment aggregates ALL of lineitem, and Catalyst cannot eliminate
-    # that join (it can't prove the agg side is unique), so using
-    # build_dim_produto here would pay a whole extra lineitem scan+shuffle
-    # for columns the fact never reads. SKs are row_number over p_partkey in
-    # both builders, so the keys match by construction.
+    # Slim dim lookups built straight from the raw tables: the full builders
+    # carry snowflake joins (localidade), windows, and cleansing expressions
+    # the fact never reads — and Catalyst cannot eliminate an unused left
+    # join whose right side it can't prove unique (row_number output), so
+    # using them here would keep every one of those operators in the fact's
+    # physical plan (and, for produto, pay a whole extra lineitem
+    # scan+shuffle for the avg-sold enrichment). SKs are row_number over the
+    # same natural key in both shapes, so the keys match by construction.
+    c = load_table(spark, "customer", sf_dir)
+    cli = c.select(
+        _sk("c_custkey").alias("sk_cliente"),
+        F.col("c_custkey").alias("id_cliente"),
+    )
     p = load_table(spark, "part", sf_dir)
     prod = p.select(
         _sk("p_partkey").alias("sk_produto"),
         F.col("p_partkey").alias("id_produto"),
         (F.col("p_retailprice") * F.lit(0.7)).alias("custo_unitario"),
     )
-    forn = build_dim_fornecedor(spark, sf_dir).select(
-        "sk_fornecedor", "id_fornecedor"
+    s = load_table(spark, "supplier", sf_dir)
+    forn = s.select(
+        _sk("s_suppkey").alias("sk_fornecedor"),
+        F.col("s_suppkey").alias("id_fornecedor"),
     )
 
     qty = F.when(F.col("l_quantity") > 0, F.col("l_quantity")).otherwise(F.lit(0.0))

@@ -112,3 +112,32 @@ def test_ann_lsh_candidates_are_subset_scored_correctly(spark, sf_dir):
     # the query vector itself always lands in its own bucket at rank 1
     assert approx[0].vec_id == first["vec_id"]
     assert approx[0].cos_sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_minhash_arrow_matches_jvm(spark, sf_dir):
+    """The numpy mapInPandas signature engine is bit-identical to the JVM
+    grouped-aggregation twin (same hash family, same mask, same modulus)."""
+    from etl_globalretail_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_arrow,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select(
+        F.col("doc_id").alias("doc"),
+        F.transform(
+            word_shingles(F.col("text"), 2), lambda s: F.xxhash64(s)
+        ).alias("shingles"),
+    )
+    jvm = {
+        r["doc"]: r["sig"]
+        for r in minhash_signatures(
+            base, "doc", "shingles", 60, pre_hashed=True
+        ).collect()
+    }
+    arrow = {
+        r["doc"]: r["sig"]
+        for r in minhash_signatures_arrow(base, "doc", "shingles", 60).collect()
+    }
+    assert jvm == arrow
+    assert len(jvm) > 0
