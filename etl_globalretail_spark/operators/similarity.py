@@ -54,6 +54,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Top-k by (cos_sim desc, id) with a rank column — WITHOUT a global
+    window: ``orderBy().limit(k)`` compiles to ``TakeOrderedAndProject``
+    (each partition keeps its local k, the driver merges k·P rows), where
+    ``row_number() over (order by …)`` would shuffle every scored row into
+    ONE partition and sort there — the difference between O(k) and O(N)
+    memory on the merge at 100 TB. The window rank is then assigned on the
+    k-row result, which is driver-trivial."""
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -69,11 +82,7 @@ def cosine_topk(
     scored = df.select(
         F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked_topk(scored, k, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -191,12 +200,8 @@ def q27_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qdot(q, q).cast("double").alias("nq"),
     )
     cos = F.col("dp") / (F.sqrt(F.col("nf")) * F.sqrt(F.col("nq")))
-    w = Window.orderBy(cos.desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("cos_sim", cos)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _ANN_K)
-        .select("vec_id", "cos_sim", "rank")
+    return _ranked_topk(
+        scored.select("vec_id", cos.alias("cos_sim")), _ANN_K, "vec_id"
     )
 
 
@@ -255,10 +260,7 @@ def ann_lsh_topk(
     scored = cand.select(
         F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
-    )
+    return _ranked_topk(scored, k, id_col)
 
 
 @_register("q28_ann_lsh")  # hyperplane seeds have no SQL twin → rows-only
@@ -430,10 +432,7 @@ def ann_ivf_topk(
         F.broadcast(probe_cells), assigned["__cell"] == probe_cells["cell"]
     )
     scored = cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
-    )
+    return _ranked_topk(scored, k, id_col)
 
 
 @_register("q36_ann_ivf")  # driver-side coarse quantizer → rows-only
