@@ -115,6 +115,134 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(fake_decode_features(dim), schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta_width", T.IntegerType()),
+        T.StructField("meta_height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("n_frames_total", T.IntegerType()),
+    ]
+)
+
+
+def fake_resize_kernel(width: int, height: int):
+    """Deterministic stand-in for decode→resize→re-encode: the output payload
+    is the input truncated-or-cycled to exactly ``width·height`` bytes (a
+    real kernel would decode with PIL, ``Image.resize``, re-encode — the
+    byte-count contract is what downstream plumbing depends on either way).
+    Batch-shaped pandas in/out, 1 row out per row in."""
+
+    def mapper(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n_out = width * height
+
+        def resize(b: bytes) -> bytes:
+            b = bytes(b)
+            if not b:
+                return b"\x00" * n_out
+            reps = -(-n_out // len(b))  # ceil-div: cycle short payloads
+            return (b * reps)[:n_out]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "payload": pdf["payload"].map(resize),
+                    "meta_width": width,
+                    "meta_height": height,
+                }
+            )
+
+    return mapper
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize operator: one mapInPandas pass, schema fixed up front, output
+    row-for-row with the input (no fan-out). The payload column is the only
+    heavy column and it never transits a shuffle — resize is map-only, so at
+    100 TB the job is scan → Python batch → write with zero exchanges."""
+    return media.mapInPandas(fake_resize_kernel(width, height), schema=RESIZED_SCHEMA)
+
+
+def fake_frame_sample_kernel(frame_bytes: int = 256, every_nth: int = 4):
+    """Deterministic stand-in for video frame-sampling: the payload is cut
+    into fixed-size chunks ("frames") and every ``every_nth`` one is emitted
+    as its own output row — the 1→N fan-out shape a real ffmpeg sampler has.
+    A real kernel swaps the chunker for decoded frames; the row-explosion
+    contract (media_id, frame_idx, payload-per-frame) is identical."""
+
+    def mapper(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_idx, out_pay, out_tot = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max(1, -(-len(b) // frame_bytes))
+                for i in range(0, n_frames, every_nth):
+                    out_id.append(mid)
+                    out_idx.append(i)
+                    out_pay.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+                    out_tot.append(n_frames)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_payload": out_pay,
+                    "n_frames_total": pd.Series(out_tot, dtype="int32"),
+                }
+            )
+
+    return mapper
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, every_nth: int = 4
+) -> DataFrame:
+    """Frame-sampling operator (1 row in → ~n_frames/every_nth rows out).
+
+    Fan-out happens INSIDE the Python batch, so output partitioning follows
+    input partitioning; repartition the input by a size-balanced key first
+    when single giant videos would skew partitions (module docstring)."""
+    return media.mapInPandas(
+        fake_frame_sample_kernel(frame_bytes, every_nth), schema=FRAME_SCHEMA
+    )
+
+
+@_register("q41_multimodal_pipeline")  # Python kernels — rows-only check
+def q41_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + frame-sample plumbing end-to-end over synthesized media:
+    per-mime totals proving the byte-count contract (every resized payload
+    is exactly 32·32 bytes) and the sampler's fan-out arithmetic."""
+    d = load_table(spark, "documents", sf_dir)
+    media = synthesize_media(d)
+    resized = resize_media(media, 32, 32)
+    frames = sample_frames(media, frame_bytes=256, every_nth=4)
+    r = resized.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.length("payload")).alias("resized_bytes"),
+        F.max(F.length("payload")).alias("max_payload"),
+        F.min(F.length("payload")).alias("min_payload"),
+    )
+    f = frames.groupBy().agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.countDistinct("media_id").alias("n_media_with_frames"),
+    )
+    return r.crossJoin(F.broadcast(f))
+
+
 @_register("q29_multimodal_features")  # sha256-in-Python — rows-only check
 def q29_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary payloads from the

@@ -72,6 +72,48 @@ def test_multimodal_features_deterministic(spark, sf_dir):
         assert all(0.0 <= v <= 1.0 for v in row.feature)
 
 
+def test_resize_byte_contract(spark, sf_dir):
+    """Every resized payload is exactly width·height bytes, row-for-row with
+    the input, and short payloads cycle deterministically."""
+    from etl_globalretail_spark.operators.multimodal import resize_media
+
+    d = load_table(spark, "documents", sf_dir).filter("doc_id < 20")
+    media = synthesize_media(d)
+    out = resize_media(media, 16, 16).collect()
+    assert len(out) == 20
+    docs = {r.doc_id: r.text.encode() for r in d.collect()}
+    for r in out:
+        assert (r.meta_width, r.meta_height) == (16, 16)
+        payload = bytes(r.payload)
+        assert len(payload) == 256
+        src = docs[r.media_id]
+        reps = -(-256 // len(src))
+        assert payload == (src * reps)[:256]
+
+
+def test_frame_sample_fanout(spark, sf_dir):
+    """The sampler emits ceil(n_frames / every_nth) rows per media with
+    frame indices 0, n, 2n, … and chunk payloads from the right offsets."""
+    from etl_globalretail_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, "documents", sf_dir).filter("doc_id < 10")
+    media = synthesize_media(d)
+    frames = sample_frames(media, frame_bytes=64, every_nth=3).collect()
+    docs = {r.doc_id: r.text.encode() for r in d.collect()}
+    seen: dict[int, list] = {}
+    for r in frames:
+        seen.setdefault(r.media_id, []).append(r)
+    assert set(seen) == set(docs)
+    for mid, rows in seen.items():
+        b = docs[mid]
+        n_frames = max(1, -(-len(b) // 64))
+        expect_idx = list(range(0, n_frames, 3))
+        assert sorted(r.frame_idx for r in rows) == expect_idx
+        for r in rows:
+            assert r.n_frames_total == n_frames
+            assert bytes(r.frame_payload) == b[r.frame_idx * 64 : (r.frame_idx + 1) * 64]
+
+
 def test_multimodal_schema_stable(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir).limit(1)
     feats = extract_features(synthesize_media(d))
