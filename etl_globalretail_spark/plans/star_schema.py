@@ -179,7 +179,9 @@ def build_dim_tempo(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     )
 
 
-def build_fato_vendas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_fato_vendas(
+    spark: SparkSession, sf_dir: str, with_ano: bool = False
+) -> DataFrame:
     """The fact assembly (etl_completo.py:590-705 effective loader, plus the
     dead-code loader's promo-discount semantics as the discount column):
 
@@ -189,6 +191,13 @@ def build_fato_vendas(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures (F12) with the produto join also carrying custo_unitario (J4:
     one join, two payload columns) → composite id (F15) → dedup on the
     natural key (A3/S5 idempotency).
+
+    ``with_ano=True`` appends the order year — the physical partition column
+    ``run_full_etl`` writes the fact under (the Spark analog of the
+    reference's composite temporal indexes, cria_indices_dw.sql:25-26:
+    year-ranged queries prune whole directories instead of b-tree probing).
+    The default output omits it so the oracle-checked q32 schema is exactly
+    the reference fact's column set.
     """
     o = load_table(spark, "orders", sf_dir)
     l = load_table(spark, "lineitem", sf_dir)
@@ -273,6 +282,7 @@ def build_fato_vendas(spark: SparkSession, sf_dir: str) -> DataFrame:
             valor_desconto.alias("valor_desconto"),
             valor_final.alias("valor_final"),
             F.lit("SISTEMA_CRM").alias("origem_dados"),
+            *([F.year("data_completa").alias("ano")] if with_ano else []),
         )
     )
 
@@ -288,11 +298,20 @@ def run_full_etl(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, in
         "dim_produto": build_dim_produto(spark, sf_dir),
         "dim_fornecedor": build_dim_fornecedor(spark, sf_dir),
         "dim_tempo": build_dim_tempo(spark),
-        "fato_vendas": build_fato_vendas(spark, sf_dir),
+        "fato_vendas": build_fato_vendas(spark, sf_dir, with_ano=True),
     }
     counts: dict[str, int] = {}
     for name, df in outputs.items():
-        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        writer = df.write.mode("overwrite")
+        if name == "fato_vendas":
+            # Hive-style year partitioning: time-ranged fact queries prune
+            # whole directories (the DW's dominant predicate — every reference
+            # temporal index targets it, cria_indices_dw.sql:25-26). Year
+            # granularity bounds partition count (~1 per year, each further
+            # split by parallelism) — partitioning by day would produce 2k+
+            # tiny files per year of data, the classic small-files failure.
+            writer = writer.partitionBy("ano")
+        writer.parquet(f"{out_dir}/{name}")
         counts[name] = spark.read.parquet(f"{out_dir}/{name}").count()
     return counts
 

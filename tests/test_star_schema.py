@@ -46,6 +46,23 @@ def test_surrogate_keys_dense_and_unique(spark, etl_out):
         assert (agg.d, agg.lo, agg.hi) == (n, 1, n), dim
 
 
+def test_fact_partitioned_by_year(spark, etl_out):
+    """The written fact is hive-partitioned by ano and a year predicate
+    prunes to that partition's directory (PartitionFilters, not a scan)."""
+    import os
+
+    out, _ = etl_out
+    part_dirs = [
+        d for d in os.listdir(f"{out}/fato_vendas") if d.startswith("ano=")
+    ]
+    assert len(part_dirs) >= 5  # 1995-2001 span
+    f = spark.read.parquet(f"{out}/fato_vendas")
+    pruned = f.filter(F.col("ano") == 1995)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ano" in plan
+    assert pruned.count() > 0
+
+
 def test_fact_measure_identities(spark, etl_out):
     out, _ = etl_out
     f = spark.read.parquet(f"{out}/fato_vendas")
