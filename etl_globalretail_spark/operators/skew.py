@@ -1,0 +1,136 @@
+"""Skew mitigation: salting for hot join keys and hot group keys.
+
+AQE's skew-join splitting (enabled session-wide, session.py) is the first
+line of defense — it splits oversized partitions AFTER a shuffle exists.
+Salting is the plan-level tool for the two shapes AQE cannot fix:
+
+- **aggregation skew** — a groupBy where a handful of keys own most rows.
+  Partial aggregation already combines map-side, so plain `groupBy` is
+  usually fine; the salted two-phase form matters when per-key *state* is
+  heavy (collect_list / distinct counts), where one reducer would hold a
+  hot key's whole payload. Phase 1 aggregates (key, salt) — hot keys spread
+  over ``n_salts`` reducers — phase 2 merges the per-salt partials.
+- **join skew against a broadcast-too-big, shuffle-too-hot side** —
+  replicate the small side ``n_salts``× and scatter the big side's hot rows
+  across (key, salt) buckets, so one reducer never sees a hot key's full
+  row set.
+
+Both transforms are semantics-preserving for decomposable aggregates
+(SUM/COUNT/MIN/MAX and their compositions): proven against the unsalted
+plans by the oracle pair (q42) and pytest equality on every table.
+
+The reference has no analog (single-process, no partitions to skew —
+SURVEY.md §4); this is part of the 100 TB mandate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.plans.queries import make_query_decorator
+from etl_globalretail_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+DEFAULT_SALTS = 16
+
+
+def with_salt(df: DataFrame, n_salts: int = DEFAULT_SALTS, seed: int = 42) -> DataFrame:
+    """Append a uniform __salt ∈ [0, n_salts). ``rand(seed)`` is
+    deterministic per (seed, partition layout) — reproducible runs on a
+    fixed input, and correctness never depends on WHICH salt a row gets,
+    only that rows spread."""
+    return df.withColumn(
+        "__salt", F.floor(F.rand(seed) * n_salts).cast("int")
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    n_salts: int = DEFAULT_SALTS,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column name → (phase-1 aggregate over raw rows,
+    phase-2 aggregate over phase-1 partials); the phase-2 expression must
+    reference the phase-1 output by its name (e.g. ``F.sum("n")`` for a
+    COUNT partial named ``n``). Phase 1 groups on keys+salt (hot keys fan
+    out over n_salts reducers), phase 2 merges ≤ n_salts partial rows per
+    key — trivially balanced.
+    """
+    p1 = with_salt(df, n_salts, seed).groupBy(*keys, "__salt").agg(
+        *[expr1.alias(name) for name, (expr1, _) in aggs.items()]
+    )
+    return p1.groupBy(*keys).agg(
+        *[expr2.alias(name) for name, (_, expr2) in aggs.items()]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salts: int = DEFAULT_SALTS,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side
+    once per salt value (explode of a ``sequence`` literal — n_salts× the
+    SMALL side only), join on keys+salt. Each hot key's rows land on
+    n_salts reducers instead of one. Output columns = the plain join's.
+
+    For ``how='left'`` the left frame must be the big one (replicating the
+    preserved side would duplicate unmatched rows)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_big = with_salt(big, n_salts, seed)
+    # sequence of int literals yields array<int>, matching with_salt's type;
+    # explode cannot nest inside a cast (UNSUPPORTED_GENERATOR).
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_big.join(replicated, [*on, "__salt"], how).drop("__salt")
+
+
+@_register(
+    "q42_salted_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q42_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase aggregation on lineitem's most skewed grouping
+    (l_returnflag, l_linestatus — single-digit distinct keys over the whole
+    fact table). The oracle is the PLAIN group-by: salting must be
+    invisible in the result, and the hash-match proves it (sum uses exact
+    decimal so even ordering can't leak)."""
+    l = load_table(spark, "lineitem", sf_dir)
+    return salted_aggregate(
+        l,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n_rows": (F.count(F.lit(1)), F.sum("n_rows")),
+            "sum_qty": (
+                F.sum(F.col("l_quantity").cast("decimal(27,6)")),
+                F.sum("sum_qty").cast("double"),
+            ),
+            "max_price": (
+                F.max("l_extendedprice"),
+                F.max("max_price").cast("double"),
+            ),
+        },
+    )
