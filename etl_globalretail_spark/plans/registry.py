@@ -27,7 +27,8 @@ def _merge(qs: dict, oracle: dict) -> None:
 _merge(_relational.QUERIES, _relational.ORACLE)
 
 for _mod in ("operators.dedup", "operators.similarity", "operators.text",
-             "operators.multimodal", "operators.skew", "plans.star_schema",
+             "operators.multimodal", "operators.skew", "operators.components",
+             "plans.star_schema",
              "streaming.windows"):
     try:
         _m = __import__(f"etl_globalretail_spark.{_mod}", fromlist=["QUERIES", "ORACLE"])
