@@ -516,6 +516,198 @@ def q38_dim_categoria_cliente(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q44_dim_loja",
+    oracle="""
+    WITH loc AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS BIGINT)
+                   AS sk_localidade,
+               n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    ),
+    lojas AS (
+        SELECT s_suppkey, s_name,
+               CASE s_suppkey % 4
+                   WHEN 0 THEN 'Shopping ' || s_name
+                   WHEN 1 THEN 'centro '   || s_name
+                   WHEN 2 THEN 'OUTLET '   || s_name
+                   ELSE s_name END AS nome,
+               CASE s_suppkey % 3
+                   WHEN 0 THEN 'maria   da silva'
+                   WHEN 1 THEN 'JOÃO DE souza'
+                   ELSE 'ana com  santos' END AS gerente_raw,
+               upper(n_name) AS cidade, upper(r_name) AS estado
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS BIGINT) AS sk_loja,
+           s_suppkey AS id_loja,
+           nome,
+           CASE s_suppkey % 3
+               WHEN 0 THEN 'Maria da Silva'
+               WHEN 1 THEN 'João de Souza'
+               ELSE 'Ana com Santos' END AS gerente,
+           CASE s_suppkey % 4
+               WHEN 0 THEN 'Shopping'
+               WHEN 1 THEN 'Centro'
+               WHEN 2 THEN 'Outlet'
+               ELSE 'Loja Padrão' END AS tipo_loja,
+           loc.sk_localidade,
+           'ATIVA' AS status
+    FROM lojas
+    LEFT JOIN loc ON lower(trim(lojas.cidade)) = lower(trim(loc.n_name))
+                 AND lower(trim(lojas.estado)) = lower(trim(loc.r_name))
+    """,
+)
+def q44_dim_loja(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_loja (cria_dw.sql:96-104; effective loader etl_completo.py:540-588):
+    stores manufactured deterministically from supplier (the q12 pattern —
+    the testdata has no stores table, so the reference-shaped dirty input is
+    derived from keys), then the full build: F2 standardize_name on the
+    manager (connector words lowercased), F7 classify_store_type, and J3 —
+    the case-insensitive derived-key lookup to localidade on
+    lower(trim(cidade)), lower(trim(estado)) — with uppercased city/state on
+    the store side so the normalization genuinely does work. The oracle
+    states the cleansed outputs as literals, making this a differential test
+    of F2/F7 against hand-computed expected values."""
+    from etl_globalretail_spark.functions.cleansing import (
+        classify_store_type,
+        norm_key,
+        standardize_name,
+    )
+
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    k = F.col("s_suppkey")
+    raw = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_suppkey",
+            F.when(k % 4 == 0, F.concat(F.lit("Shopping "), F.col("s_name")))
+            .when(k % 4 == 1, F.concat(F.lit("centro "), F.col("s_name")))
+            .when(k % 4 == 2, F.concat(F.lit("OUTLET "), F.col("s_name")))
+            .otherwise(F.col("s_name"))
+            .alias("nome"),
+            F.when(k % 3 == 0, F.lit("maria   da silva"))
+            .when(k % 3 == 1, F.lit("JOÃO DE souza"))
+            .otherwise(F.lit("ana com  santos"))
+            .alias("gerente_raw"),
+            F.upper("n_name").alias("cidade"),
+            F.upper("r_name").alias("estado"),
+        )
+    )
+    loc = (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            _sk("n_nationkey").alias("sk_localidade"),
+            norm_key(F.col("n_name")).alias("__kc"),
+            norm_key(F.col("r_name")).alias("__ke"),
+        )
+    )
+    return (
+        raw.join(
+            F.broadcast(loc),
+            (norm_key(F.col("cidade")) == F.col("__kc"))
+            & (norm_key(F.col("estado")) == F.col("__ke")),
+            "left",
+        )
+        .select(
+            _sk("s_suppkey").alias("sk_loja"),
+            F.col("s_suppkey").alias("id_loja"),
+            "nome",
+            standardize_name(F.col("gerente_raw")).alias("gerente"),
+            classify_store_type(F.col("nome")).alias("tipo_loja"),
+            "sk_localidade",
+            F.lit("ATIVA").alias("status"),
+        )
+    )
+
+
+_PROMO_CASE_SQL = """
+    CASE o_orderpriority
+        WHEN '1-URGENT' THEN 'Black Friday 25'
+        WHEN '2-HIGH' THEN 'Natal Especial 15.5'
+        WHEN '3-MEDIUM' THEN 'liquidação verão 10'
+        WHEN '4-NOT SPECIFIED' THEN 'Oferta Relâmpago'
+        ELSE 'Desconto 5%' END
+"""
+
+
+@_register(
+    "q45_dim_promocao",
+    oracle=f"""
+    WITH promo AS (
+        SELECT DISTINCT {_PROMO_CASE_SQL} AS nome,
+               CASE o_orderpriority
+                   WHEN '1-URGENT' THEN '2024-11-29'
+                   WHEN '2-HIGH' THEN '25/12/2024'
+                   WHEN '3-MEDIUM' THEN 'Data Inválida'
+                   WHEN '4-NOT SPECIFIED' THEN ''
+                   ELSE '01/06/2024' END AS data_inicio_raw
+        FROM orders
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY nome) AS BIGINT) AS sk_promocao,
+           nome,
+           CASE WHEN lower(nome) LIKE '%black%' THEN 'Black Friday'
+                WHEN lower(nome) LIKE '%natal%' THEN 'Natal'
+                WHEN lower(nome) LIKE '%liquidação%' THEN 'Liquidação'
+                ELSE 'Desconto Geral' END AS tipo_promocao,
+           COALESCE(TRY_CAST(regexp_extract(nome, '(\\d+(?:\\.\\d+)?)', 1)
+                             AS DOUBLE), 0.0) AS percentual_desconto,
+           CASE WHEN data_inicio_raw IN ('Data Inválida', 'N/A', 'NULL', '')
+                THEN NULL
+                ELSE COALESCE(
+                    CAST(try_strptime(data_inicio_raw, '%Y-%m-%d') AS DATE),
+                    CAST(try_strptime(data_inicio_raw, '%d/%m/%Y') AS DATE))
+           END AS data_inicio
+    FROM promo
+    """,
+)
+def q45_dim_promocao(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_promocao (cria_dw.sql:107-116; promocao loader
+    etl_completo.py:707-801): promotion labels manufactured from the order
+    priorities, then F8 classify_promotion_type, F10 regex percentage
+    extraction, and F9 multi-format dirty-date parsing with sentinel null-out
+    (dims keep the row with a NULL date where the fact loader would drop it —
+    both reference semantics, SURVEY.md §7.4)."""
+    from etl_globalretail_spark.functions.cleansing import classify_promotion_type
+    from etl_globalretail_spark.functions.dates import (
+        DATE_SENTINELS,
+        parse_multiformat_date,
+    )
+    from etl_globalretail_spark.functions.numeric import extract_discount_pct
+
+    o = load_table(spark, "orders", sf_dir)
+    pr = F.col("o_orderpriority")
+    promo = o.select(
+        F.when(pr == "1-URGENT", F.lit("Black Friday 25"))
+        .when(pr == "2-HIGH", F.lit("Natal Especial 15.5"))
+        .when(pr == "3-MEDIUM", F.lit("liquidação verão 10"))
+        .when(pr == "4-NOT SPECIFIED", F.lit("Oferta Relâmpago"))
+        .otherwise(F.lit("Desconto 5%"))
+        .alias("nome"),
+        F.when(pr == "1-URGENT", F.lit("2024-11-29"))
+        .when(pr == "2-HIGH", F.lit("25/12/2024"))
+        .when(pr == "3-MEDIUM", F.lit("Data Inválida"))
+        .when(pr == "4-NOT SPECIFIED", F.lit(""))
+        .otherwise(F.lit("01/06/2024"))
+        .alias("data_inicio_raw"),
+    ).distinct()
+    return promo.select(
+        _sk("nome").alias("sk_promocao"),
+        "nome",
+        classify_promotion_type(F.col("nome")).alias("tipo_promocao"),
+        extract_discount_pct(F.col("nome")).alias("percentual_desconto"),
+        F.when(
+            F.col("data_inicio_raw").isin(*DATE_SENTINELS), F.lit(None)
+        )
+        .otherwise(parse_multiformat_date(F.col("data_inicio_raw")))
+        .alias("data_inicio"),
+    )
+
+
+@_register(
     "q39_promo_fact",
     oracle="""
     WITH promo AS (
