@@ -516,6 +516,47 @@ def q38_dim_categoria_cliente(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q46_dim_localidade",
+    oracle=f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS BIGINT)
+               AS sk_localidade,
+           n_nationkey AS id_localidade,
+           CASE WHEN n_name IS NULL OR n_name = '' THEN 'N/A'
+                ELSE {_SQL_INITCAP.format(c="n_name")} END AS cidade,
+           CASE WHEN r_name IS NULL OR r_name = '' THEN 'N/A'
+                ELSE {_SQL_INITCAP.format(c="r_name")} END AS estado,
+           r_name AS regiao,
+           CASE WHEN r_name IS NULL OR r_name = '' THEN 'Não Definido'
+                WHEN lower(trim(r_name)) = 'rio de janeiro' THEN 'Rio de Janeiro'
+                WHEN lower(trim(r_name)) = 'são paulo' THEN 'São Paulo'
+                WHEN lower(trim(r_name)) = 'minas gerais' THEN 'Minas Gerais'
+                WHEN lower(trim(r_name)) = 'mato grosso' THEN 'Mato Grosso'
+                WHEN lower(trim(r_name)) = 'mato grosso do sul'
+                     THEN 'Mato Grosso do Sul'
+                WHEN lower(trim(r_name)) = 'rio grande do sul'
+                     THEN 'Rio Grande do Sul'
+                WHEN lower(trim(r_name)) = 'rio grande do norte'
+                     THEN 'Rio Grande do Norte'
+                WHEN lower(trim(r_name)) = 'espírito santo' THEN 'Espírito Santo'
+                WHEN lower(trim(r_name)) = 'distrito federal'
+                     THEN 'Distrito Federal'
+                ELSE {_SQL_INITCAP.format(c="r_name")} END AS regiao_padronizada,
+           FALSE AS eh_capital
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q46_dim_localidade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_localidade itself (cria_dw.sql:24-32): F1 cleansing, F3's 9-entry
+    region map (stated in full in the oracle so the map is differentially
+    checked), and F4 is_capital — whose oracle is the literal FALSE because
+    the reference compares data-cased city names against a dict keyed by
+    Brazilian capitals with 2-letter UF values (etl_completo.py:990-1002);
+    the hash-match proves our replication preserves the latent always-false
+    behavior exactly (SURVEY.md §7.4)."""
+    return build_dim_localidade(spark, sf_dir)
+
+
+@_register(
     "q44_dim_loja",
     oracle="""
     WITH loc AS (

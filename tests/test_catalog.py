@@ -68,3 +68,52 @@ def test_register_views_sql_front_door(spark, sf_dir):
         "JOIN nation ON r_regionkey = n_regionkey GROUP BY r_name"
     ).count()
     assert got == 5
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key sort-merge-join with ZERO
+    exchanges: the write-time shuffle is the only one ever paid (PLANS.md
+    star-join section's bucketing claim, exercised)."""
+    from pyspark.sql import functions as F
+
+    from etl_globalretail_spark.sources.catalog import bootstrap_database
+    from etl_globalretail_spark.sources.readers import load_table, write_bucketed
+
+    bootstrap_database(spark, "bkt_test", location=f"file://{tmp_path}/bkt")
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    write_bucketed(l, "bkt_test.lineitem_b", 8, ["l_orderkey"], ["l_orderkey"])
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "bkt_test.orders_b", 8, ["l_orderkey"], ["l_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path so the assertion is about bucketing,
+        # not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("bkt_test.lineitem_b")
+            .join(spark.table("bkt_test.orders_b"), "l_orderkey")
+            .groupBy("o_custkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        n = joined.count()
+        assert n > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the ONLY exchange allowed is the final groupBy's — the join itself
+        # must read co-located buckets. o_custkey is not the bucket key, so
+        # isolate: the join-only plan must be exchange-free.
+        join_only = spark.table("bkt_test.lineitem_b").join(
+            spark.table("bkt_test.orders_b"), "l_orderkey"
+        )
+        join_only.write.format("noop").mode("overwrite").save()
+        jp = join_only._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in jp
+        assert "Exchange" not in jp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS bkt_test CASCADE")
