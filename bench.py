@@ -41,6 +41,9 @@ HEADLINE = [
     "q34_sessions",
     "q35_sliding_windows",
     "q39_promo_fact",
+    "q41_multimodal_pipeline",
+    "q42_salted_agg",
+    "q43_dedup_clusters",
 ]
 
 

@@ -1,0 +1,91 @@
+"""Physical-plan regression guards: the scale-critical plan shapes PLANS.md
+documents must survive code changes. Each assertion states the property that
+matters at 100 TB, not the whole plan string."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+def _plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fact_build_is_broadcast_only(spark, sf_dir, qs):
+    """q32: every join is a broadcast hash join (dims are dim-sized by
+    construction); the only non-broadcast exchanges are the dedup groupBy's
+    hash shuffle and the per-dim single-partition SK windows."""
+    plan = _plan(qs["q32_fato_vendas"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 5
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert [e.strip() for e in hash_exchanges] == [
+        h for h in hash_exchanges if h.startswith("l_orderkey")
+    ], hash_exchanges
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, qs):
+    """q03's predicate must arrive in the parquet scan's PushedFilters, not
+    as a post-scan Filter only."""
+    plan = _plan(qs["q03_filter_project"](spark, sf_dir))
+    # toString truncates the filter list; the leading pushed predicates are
+    # enough to prove pushdown happened (vs "PushedFilters: []").
+    assert re.search(
+        r"PushedFilters: \[IsNotNull\(l_shipdate\), IsNotNull\(l_quantity\),"
+        r" GreaterThanOrEqual\(l_shipdate",
+        plan,
+    )
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A two-column projection reads a two-column schema from parquet."""
+    from etl_globalretail_spark.sources.readers import load_table
+
+    l = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    plan = _plan(l)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert sorted(f.split(":")[0] for f in m.group(1).split(",")) == [
+        "l_orderkey",
+        "l_quantity",
+    ]
+
+
+def test_topk_is_take_ordered(spark, sf_dir, qs):
+    """q27: global top-k compiles to TakeOrderedAndProject (O(k) merge),
+    never a single-partition window over all scores."""
+    plan = _plan(qs["q27_ann_bruteforce"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_star_join_is_broadcast_chain(spark, sf_dir, qs):
+    """q01 (flagship): the full star join runs as broadcast hash joins with
+    no shuffle join at fixture scale."""
+    plan = _plan(qs["q01_revenue_by_region"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_whole_stage_codegen_covers_measures(spark, sf_dir, qs):
+    """q07's measure arithmetic stays inside whole-stage codegen. AQE is
+    disabled for the assertion only — an AdaptiveSparkPlan's toString hides
+    codegen spans until the final plan materializes."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = qs["q07_sales_measures"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # codegen spans print as "*(n) Operator" in toString
+    assert re.search(r"\*\(\d+\) Project", plan), plan[:500]
