@@ -100,11 +100,16 @@ def connected_components(
 
 
 def dedup_by_components(
-    df: DataFrame, pairs: DataFrame, id_col: str
+    df: DataFrame, pairs: DataFrame, id_col: str, cc: DataFrame | None = None
 ) -> DataFrame:
     """Keep one representative (the min id) per duplicate cluster — the
-    transitive-closure-correct version of ``drop_near_duplicates``."""
-    cc = connected_components(pairs)
+    transitive-closure-correct version of ``drop_near_duplicates``.
+
+    Pass ``cc`` when the caller already ran ``connected_components`` on the
+    same pair graph (it is a multi-job iterative computation — never worth
+    running twice)."""
+    if cc is None:
+        cc = connected_components(pairs)
     losers = cc.filter(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias(id_col)
     )
@@ -126,7 +131,7 @@ def q43_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         cc = connected_components(pairs)
         sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
-        kept = dedup_by_components(d, pairs, "doc_id")
+        kept = dedup_by_components(d, pairs, "doc_id", cc=cc)
         prof = sizes.agg(
             F.count(F.lit(1)).alias("n_clusters"),
             F.sum("sz").alias("n_docs_clustered"),

@@ -426,6 +426,14 @@ def minhash_near_duplicates(
     if materialized is not None:
         materialized.append(base)
     sigs = minhash_signatures_arrow(base, "doc", "shingles", num_hashes, seed)
+    # The signature table feeds both sides of the band self-join; without a
+    # persist each side re-runs shingling + the Arrow signature pass (and the
+    # verification join re-runs both again through `cand`) — measured 42s vs
+    # 7s at sf0.1. Signatures are num_hashes longs per doc: tiny relative to
+    # the corpus, always worth keeping.
+    sigs = sigs.persist()
+    if materialized is not None:
+        materialized.append(sigs)
 
     banded = sigs.select(
         "doc",
@@ -451,6 +459,12 @@ def minhash_near_duplicates(
         .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
         .distinct()
     )
+    # Candidates are the second materialization point: the verification join
+    # consumes them twice (once per shingle side) and they are orders of
+    # magnitude smaller than the banded explode that produced them.
+    cand = cand.persist()
+    if materialized is not None:
+        materialized.append(cand)
 
     sh_a = base.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = base.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
