@@ -77,6 +77,29 @@ def test_star_join_is_broadcast_chain(spark, sf_dir, qs):
     assert plan.count("BroadcastHashJoin") >= 4
 
 
+def test_fact_scan_gets_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A star join against the year-partitioned fact with a selective filter
+    on the year dimension must plan a dynamicpruning subquery on the fact
+    scan — at 100 TB this is the difference between scanning one year's
+    directories and scanning the whole fact."""
+    from etl_globalretail_spark.plans.star_schema import build_fato_vendas
+
+    out = str(tmp_path / "fato")
+    build_fato_vendas(spark, sf_dir, with_ano=True).write.mode(
+        "overwrite"
+    ).partitionBy("ano").parquet(out)
+    fact = spark.read.parquet(out)
+    year_dim = spark.createDataFrame(
+        [(y, "even" if y % 2 == 0 else "odd") for y in range(1992, 2002)],
+        "ano int, parity string",
+    )
+    joined = fact.join(year_dim.filter(F.col("parity") == "even"), "ano").agg(
+        F.sum("valor_final").alias("total")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+
+
 def test_whole_stage_codegen_covers_measures(spark, sf_dir, qs):
     """q07's measure arithmetic stays inside whole-stage codegen. AQE is
     disabled for the assertion only — an AdaptiveSparkPlan's toString hides
