@@ -4,10 +4,14 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Method: each query is executed to completion through the noop sink (full
-computation, no driver-side collect cost), timed wall-clock after a session
-warmup query. The headline set covers every operator family: star joins,
-window dedup/top-N, date cleansing, events windows, the full fact ETL,
-text dedup tiers, and embedding search.
+computation, no driver-side collect cost) TWICE, and the per-query time is
+the min of the two wall-clock runs — steady-state throughput, insulated
+from transient host-load spikes and JVM GC pauses (observed 3× swings on
+identical code in this shared-host container). A session warmup query and
+a Python-worker-pool warmup run first. The headline set covers every
+operator family: star joins, window dedup/top-N, date cleansing, events
+windows, the full fact ETL, text dedup tiers, sampling, and embedding
+search.
 """
 
 from __future__ import annotations
@@ -44,6 +48,8 @@ HEADLINE = [
     "q41_multimodal_pipeline",
     "q42_salted_agg",
     "q43_dedup_clusters",
+    "q47_hash_split",
+    "q48_source_quota",
 ]
 
 
@@ -69,10 +75,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -48,22 +48,43 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    materialized: list | None = None,
 ) -> DataFrame:
     """(vertex, component) for every vertex appearing in ``pairs``;
     component = min vertex id reachable. Converges in ≤ diameter rounds;
     raises if ``max_iter`` rounds don't reach the fixpoint (pathological
-    diameter — use a star-contraction variant then)."""
+    diameter — use a star-contraction variant then).
+
+    Checkpoint hygiene: each round's ``localCheckpoint`` pins RDD blocks in
+    executor storage that ``DataFrame.unpersist`` never touches — on a long
+    job the superseded rounds would accumulate one corpus-of-labels block
+    set per iteration. Every round therefore explicitly unpersists the
+    previous round's blocks once the new checkpoint is materialized; the
+    FINAL round's blocks (which the returned frame reads) are appended to
+    ``materialized`` for the caller to release after consumption.
+    """
+    sc = pairs.sparkSession.sparkContext
+
+    def _checkpoint(df: DataFrame):
+        """localCheckpoint + handles of the java RDD blocks it pinned."""
+        pre = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        out = df.localCheckpoint()
+        post = sc._jsc.getPersistentRDDs()
+        handles = [
+            post.get(i) for i in set(post.keySet().toArray()) - pre
+        ]
+        return out, handles
+
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .persist()
     )
-    labels = (
+    labels, prev_blocks = _checkpoint(
         edges.select(F.col("u").alias("vertex"))
         .distinct()
         .withColumn("component", F.col("vertex"))
-        .localCheckpoint()
     )
     try:
         for _ in range(max_iter):
@@ -87,10 +108,15 @@ def connected_components(
             # One pass computes both the new labels and the convergence
             # flag; localCheckpoint materializes it so the growing loop
             # lineage is cut and `changed` doesn't recompute the join.
-            updated = updated.localCheckpoint()
+            updated, new_blocks = _checkpoint(updated)
+            for h in prev_blocks:
+                h.unpersist(False)
+            prev_blocks = new_blocks
             changed = updated.filter("__changed").limit(1).count()
             labels = updated.drop("__changed")
             if changed == 0:
+                if materialized is not None:
+                    materialized.extend(prev_blocks)
                 return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
@@ -129,7 +155,7 @@ def q43_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pairs.persist()
     held.append(pairs)
     try:
-        cc = connected_components(pairs)
+        cc = connected_components(pairs, materialized=held)
         sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
         kept = dedup_by_components(d, pairs, "doc_id", cc=cc)
         prof = sizes.agg(

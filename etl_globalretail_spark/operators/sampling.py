@@ -1,0 +1,185 @@
+"""Deterministic sampling & corpus-curation operators.
+
+A 100 TB training-data pipeline never uses ``rand()`` for its splits: the
+train/val/test assignment of a document must be a pure function of the
+document (re-runs, backfills, and incremental loads must all agree, on any
+cluster layout). The standard mechanism is hash-bucket assignment — hash a
+stable key with a salt, reduce to a bucket, map bucket ranges to splits.
+The same primitive gives reproducible downsampling ("keep 1%") and A/B
+carve-outs, with no shuffle at all: every operator here is a map-only
+filter/projection that composes with scan pruning.
+
+Quota capping (``quota_per_group``) is the other curation staple: cap the
+number of documents any one source/domain contributes (a handful of crawler
+domains otherwise dominate the corpus). That one is a genuine top-N-per-key
+— one shuffle on the group key.
+
+Cross-engine determinism: the bucket is the first 15 hex chars of
+``md5(key || salt)`` parsed base-16 (< 2⁶⁰, overflow-free in signed 64-bit)
+mod ``n_buckets``. Both Spark (`conv`) and DuckDB (`'0x…'::BIGINT`) compute
+it bit-identically, so every operator here is oracle-paired — unlike
+``rand(seed)`` sampling, which no two engines agree on.
+
+The reference has no sampling surface (single-shot full-table ETL,
+etl_completo.py:1110-1186); this family is part of the 100 TB mandate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_globalretail_spark.plans.queries import make_query_decorator
+from etl_globalretail_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+N_BUCKETS = 1_000_000
+
+
+def hash_bucket(
+    key: Column, n_buckets: int = N_BUCKETS, salt: str = ""
+) -> Column:
+    """Deterministic bucket ∈ [0, n_buckets) from a stable key.
+
+    15 hex chars of md5 → base-16 parse keeps the value < 2⁶⁰ (signed-64
+    safe, ANSI-mode safe). The salt namespaces independent decisions: a
+    sampling decision and a split decision on the same key must not
+    correlate, so they use different salts.
+    """
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_buckets
+
+
+def _sql_bucket(key_expr: str, n_buckets: int = N_BUCKETS, salt: str = "") -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 15)"
+        f" AS BIGINT) % {n_buckets}"
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "sample",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by key hash — map-only,
+    stable across runs/cluster layouts, and disjoint samples compose by
+    bucket range (fraction 0.1 with salt s ⊂ fraction 0.2 with salt s)."""
+    cut = int(fraction * n_buckets)
+    return df.filter(hash_bucket(F.col(key_col), n_buckets, salt) < cut)
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Add a ``split`` column ("train"/"val"/…) by hash-bucket ranges.
+
+    Weights are normalized; the last split absorbs rounding so every row
+    gets exactly one split. Pure projection — no shuffle, no state.
+    """
+    total = sum(weights.values())
+    b = hash_bucket(F.col(key_col), n_buckets, salt)
+    expr: Column | None = None
+    hi = 0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        hi += int(w / total * n_buckets)
+        expr = F.when(b < hi, name) if expr is None else expr.when(b < hi, name)
+    last = items[-1][0]
+    return df.withColumn(
+        "split", F.lit(last) if expr is None else expr.otherwise(last)
+    )
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    id_col: str,
+    salt: str = "quota",
+) -> DataFrame:
+    """Cap each group at ``quota`` rows, chosen deterministically (by hash
+    bucket, id as tiebreak — an unbiased "random but reproducible" pick,
+    not head-of-file bias). One shuffle on the group key; a pathologically
+    hot group is one window partition, which AQE's skew handling splits for
+    the sort but not the rank — for corpus-scale domain caps the group
+    cardinality (domains) is high and per-group size bounded by crawl
+    policy, which is the regime this targets."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(id_col), salt=salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+@_register(
+    "q47_hash_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang, doc_id,
+               CASE WHEN {_sql_bucket("doc_id", salt="split")} < 900000 THEN 'train'
+                    WHEN {_sql_bucket("doc_id", salt="split")} < 950000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs, SUM(doc_id) AS sum_ids
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def q47_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment of the corpus, audited
+    per (split, lang); sum of ids pins exact membership, not just counts."""
+    d = load_table(spark, "documents", sf_dir)
+    a = assign_split(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return a.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+@_register(
+    "q48_source_quota",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_sql_bucket("doc_id", salt="quota")}, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE rn <= 15) AS n_kept,
+           SUM(doc_id) FILTER (WHERE rn <= 15) AS sum_kept_ids
+    FROM ranked GROUP BY source
+    """,
+)
+def q48_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (≤15 docs/source, hash-ordered): the domain
+    cap every crawl-derived corpus applies. sum of kept ids pins the exact
+    kept set against the oracle."""
+    d = load_table(spark, "documents", sf_dir)
+    kept = quota_per_group(d, "source", 15, "doc_id")
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("sum_kept_ids")
+    )
+    return totals.join(kept_agg, "source", "inner").select(
+        "source", "n_docs", "n_kept", "sum_kept_ids"
+    )
