@@ -50,6 +50,8 @@ HEADLINE = [
     "q43_dedup_clusters",
     "q47_hash_split",
     "q48_source_quota",
+    "q49_corpus_profile",
+    "q50_sketch_profile",
 ]
 
 

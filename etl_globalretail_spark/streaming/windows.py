@@ -97,6 +97,33 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-per-key delivery: the streaming face of the reference's
+    ``INSERT … ON CONFLICT DO NOTHING`` idempotency (etl_completo.py:172-177,
+    S5/A3 in SURVEY.md §2).
+
+    Under ``readStream`` this is ``dropDuplicatesWithinWatermark`` — per-key
+    state is *bounded*: a key is remembered only until the watermark passes
+    its event time, so state size tracks the duplication horizon (how late a
+    retransmission can arrive), not the stream's lifetime. Plain
+    ``dropDuplicates`` on a stream would keep every key forever — the
+    classic unbounded-state failure on an infinite stream.
+
+    On a batch frame the same call site degrades to exact ``dropDuplicates``
+    (batch has no watermark; the whole input is one horizon), which is what
+    the parity test asserts against.
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, table_name: str, mode: str = "complete"
 ):

@@ -1,0 +1,57 @@
+"""Sketch-profile error bounds: the approximate profile must track the
+exact one within its configured guarantees (with slack for small-sample
+variance at fixture scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.operators.profiling import exact_profile, sketch_profile
+from etl_globalretail_spark.sources.readers import load_table
+
+
+def test_sketch_cardinality_within_bound(spark, sf_dir):
+    e = load_table(spark, "events", sf_dir)
+    exact = {
+        r.event_type: r.n_distinct_ids
+        for r in exact_profile(e, "event_type", "user_id", "value").collect()
+    }
+    approx = {
+        r.event_type: r.approx_distinct_ids
+        for r in sketch_profile(e, "event_type", "user_id", "value").collect()
+    }
+    assert set(exact) == set(approx)
+    for et, n in exact.items():
+        # 2% rsd → 10% is a ≥5-sigma envelope even at fixture cardinalities
+        assert abs(approx[et] - n) <= max(0.10 * n, 2), (et, n, approx[et])
+
+
+def test_sketch_quantiles_bracket_exact(spark, sf_dir):
+    e = load_table(spark, "events", sf_dir)
+    rows = sketch_profile(e, "event_type", "user_id", "value").collect()
+    exact = {
+        r.event_type: (r.min_value, r.max_value)
+        for r in exact_profile(e, "event_type", "user_id", "value").collect()
+    }
+    for r in rows:
+        q50, q95, q99 = r.value_quantiles
+        lo, hi = exact[r.event_type]
+        assert lo <= q50 <= q95 <= q99 <= hi, (r.event_type, r.value_quantiles)
+
+
+def test_sketch_profile_single_shuffle(spark, sf_dir):
+    """The whole sketch profile is one partial/final aggregate pair — one
+    exchange of sketch states, nothing resembling a distinct expansion."""
+    df = sketch_profile(
+        load_table(spark, "events", sf_dir), "event_type", "user_id", "value"
+    )
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the exact profile's countDistinct needs a second expand/aggregate pass
+    exact = exact_profile(
+        load_table(spark, "events", sf_dir), "event_type", "user_id", "value"
+    )
+    exact.write.format("noop").mode("overwrite").save()
+    exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert exact_plan.count("HashAggregate") > plan.count("HashAggregate")

@@ -56,6 +56,43 @@ def test_session_stream_batch_parity(spark, sf_dir):
     assert len(want) > 0
 
 
+def test_stream_dedup_with_duplicated_source(spark, sf_dir, tmp_path):
+    """dedup_stream over a source that delivers every event twice (two
+    copies of the file in the stream directory) must yield exactly the
+    batch-distinct set, with bounded per-key state (watermark-scoped)."""
+    import shutil
+
+    from etl_globalretail_spark.streaming.windows import (
+        dedup_stream,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    stream_dir = tmp_path / "dup_events"
+    stream_dir.mkdir()
+    shutil.copy(src, stream_dir / "a.parquet")
+    shutil.copy(src, stream_dir / "b.parquet")
+
+    deduped = dedup_stream(read_event_stream(spark, str(stream_dir)))
+    # countDistinct is illegal on streams; after dedup, count == distinct
+    counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    run_to_memory_sink(counted, "dedup_stream_test", mode="complete")
+    got = {r.event_type: r.n for r in spark.table("dedup_stream_test").collect()}
+
+    batch = load_table(spark, "events", sf_dir)
+    want = {
+        r.event_type: r.n
+        for r in batch.groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
+    # batch face degrades to exact dropDuplicates
+    assert dedup_stream(batch.union(batch)).count() == batch.count()
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     # filter, not limit(20): limit picks arbitrary rows per action and the
     # test evaluates the frame twice.
