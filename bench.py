@@ -52,6 +52,7 @@ HEADLINE = [
     "q48_source_quota",
     "q49_corpus_profile",
     "q50_sketch_profile",
+    "q51_asof_attribution",
 ]
 
 

@@ -1,0 +1,131 @@
+"""As-of (temporal) join — match each left row to the latest right row at
+or before its timestamp, per key.
+
+Spark has no ASOF JOIN operator (DuckDB/Pandas do; it is the canonical
+"operator the engine lacks" for event analytics: attribution, last-quote
+enrichment, slowly-changing lookups). The naive formulations both fail at
+100 TB:
+
+- range join (``l JOIN r ON l.k = r.k AND r.ts <= l.ts`` + max-per-row):
+  Catalyst plans a broadcast-nested-loop or an exploding inner join — the
+  per-key cross product is quadratic in events per key;
+- per-key ``applyInPandas`` merge: linear, but moves the whole table
+  through Python.
+
+The scalable shape is **union + one window**: tag both sides, union them,
+sort each key's timeline once (ONE shuffle on the key — the same cost as
+any equi-join on that key), and let every left row read the running
+``last(right_payload, ignorenulls=True)`` over the preceding frame. All
+right-side columns travel in a single struct, so the matched values are
+guaranteed to come from the SAME right row. Whole plan is JVM window
+aggregation — no Python, no cross product, linear in |left| + |right|.
+
+Ordering within a timestamp tie: right rows sort BEFORE left rows, so a
+right row with ts == left.ts matches (``>=`` semantics, same as DuckDB
+ASOF). Right-side ties on (key, ts) are broken by the struct's column
+order deterministically (last wins after an explicit tiebreak sort key).
+
+Oracle: DuckDB's native ``ASOF LEFT JOIN`` (q51) — the rare case where the
+oracle engine has the operator built in and we implement it from relational
+primitives.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_globalretail_spark.plans.queries import make_query_decorator
+from etl_globalretail_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    payload_prefix: str = "asof_",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains the payload of the latest
+    ``right`` row with ``right.ts_col <= left.ts_col`` and equal ``on`` key
+    (NULLs when no prior right row exists).
+
+    Right payload columns (everything except the key) appear as
+    ``{payload_prefix}{name}``. ``tiebreak`` orders right rows that share
+    (key, ts) — pass a unique column for full determinism.
+    """
+    r_payload = [c for c in right.columns if c != on]
+    packed = right.select(
+        F.col(on),
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("__r"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
+    )
+    lhs = left.select(
+        "*",
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(packed.schema["__r"].dataType).alias("__r"),
+        F.lit(None).cast(packed.schema["__tb"].dataType).alias("__tb"),
+    )
+    u = lhs.unionByName(packed, allowMissingColumns=True)
+    # right(0) sorts before left(1) at equal ts → `>=` match semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.col("__m").getField(c).alias(f"{payload_prefix}{c}")
+            for c in r_payload
+        ],
+    )
+    return out
+
+
+@_register(
+    "q51_asof_attribution",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts AS purchase_ts,
+           l.value AS purchase_value,
+           r.ts AS asof_ts, r.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q51_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase matched to the user's latest
+    click at or before it. Oracle is DuckDB's native ASOF LEFT JOIN; the
+    Spark side is the union+window formulation (one shuffle on user_id)."""
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.col("value"), F.col("event_id").alias("__click_id")
+    )
+    joined = as_of_join(
+        purchases, clicks, on="user_id", ts_col="ts", tiebreak="__click_id"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("asof_ts"),
+        F.col("asof_value"),
+    )

@@ -28,7 +28,7 @@ _merge(_relational.QUERIES, _relational.ORACLE)
 
 for _mod in ("operators.dedup", "operators.similarity", "operators.text",
              "operators.multimodal", "operators.skew", "operators.components",
-             "operators.sampling", "operators.profiling",
+             "operators.sampling", "operators.profiling", "operators.asof",
              "plans.star_schema",
              "streaming.windows"):
     try:
