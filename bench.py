@@ -53,6 +53,7 @@ HEADLINE = [
     "q49_corpus_profile",
     "q50_sketch_profile",
     "q51_asof_attribution",
+    "q52_range_join",
 ]
 
 

@@ -96,6 +96,105 @@ def as_of_join(
     return out
 
 
+def range_join(
+    left: DataFrame,
+    ts_col: str,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    bin_days: int = 30,
+) -> DataFrame:
+    """Interval-containment join: ``left.ts_col ∈ [start_col, end_col)``
+    (end-EXCLUSIVE), inner.
+
+    Expressed naively (``JOIN ON ts >= start AND ts < end``) Spark plans a
+    broadcast-nested-loop join — O(|left| × |right|), a non-starter when the
+    interval table outgrows broadcast. The scale shape is **time binning**:
+    quantize time into ``bin_days`` bins, explode each interval to the bins
+    it covers, and equi-join on the bin — Catalyst then picks broadcast-hash
+    or shuffle-hash like any equi-join, and the exact predicate filters
+    within the bin. Each left row owns exactly one bin and an interval
+    covers each bin at most once, so no pair duplicates and no dedup pass.
+    Replication factor = interval length / bin width: choose ``bin_days``
+    near the typical interval length (promo windows here are ~45 days).
+    """
+    sec = bin_days * 86400
+    lb = left.withColumn(
+        "__bin", F.floor(F.unix_timestamp(F.col(ts_col)) / sec)
+    )
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / sec),
+                F.floor(F.unix_timestamp(F.col(end_col)) / sec),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "__bin")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("__bin")
+    )
+
+
+_SEASONS = [
+    ("Holiday", "{y}-11-20", "{n}-01-01"),
+    ("Summer Sale", "{y}-06-01", "{y}-07-16"),
+]
+_WINDOW_ROWS = [
+    (nome, y, s.format(y=y, n=y + 1) + " 00:00:00", e.format(y=y, n=y + 1) + " 00:00:00")
+    for y in range(1992, 1999)
+    for nome, s, e in _SEASONS
+]
+_SQL_WINDOWS = ",\n        ".join(
+    f"('{n}', {y}, TIMESTAMP '{s}', TIMESTAMP '{e}')"
+    for n, y, s, e in _WINDOW_ROWS
+)
+
+
+@_register(
+    "q52_range_join",
+    oracle=f"""
+    WITH windows AS (
+        SELECT * FROM (VALUES
+        {_SQL_WINDOWS}
+        ) AS t(nome, ano, t_start, t_end)
+    )
+    SELECT nome, ano, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN windows
+      ON l_shipdate >= t_start AND l_shipdate < t_end
+    GROUP BY nome, ano
+    """,
+)
+def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-window revenue: lineitem shipments range-joined into
+    per-year promo windows (end-exclusive containment) via the binned
+    equi-join formulation; oracle is the plain BETWEEN join in DuckDB."""
+    from etl_globalretail_spark.plans.queries import dsum
+
+    l = load_table(spark, "lineitem", sf_dir)
+    windows = spark.createDataFrame(
+        [(n, y, s, e) for n, y, s, e in _WINDOW_ROWS],
+        "nome string, ano int, t_start string, t_end string",
+    ).select(
+        "nome",
+        "ano",
+        F.to_timestamp("t_start").alias("t_start"),
+        F.to_timestamp("t_end").alias("t_end"),
+    )
+    joined = range_join(l, "l_shipdate", windows, "t_start", "t_end", bin_days=30)
+    return joined.groupBy("nome", "ano").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+    )
+
+
 @_register(
     "q51_asof_attribution",
     oracle="""

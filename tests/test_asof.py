@@ -61,6 +61,64 @@ def test_asof_payload_from_single_right_row(spark):
             assert tag == f"t{int(rv)}", (rv, tag)
 
 
+def test_range_join_boundaries_and_bin_straddle(spark):
+    from etl_globalretail_spark.operators.asof import range_join
+
+    # interval straddles many 30-day bins; points probe both boundaries
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00")),  # == start: in (inclusive)
+            (2, _ts("2024-03-15T12:00:00")),  # interior, different bin
+            (3, _ts("2024-06-01T00:00:00")),  # == end: out (exclusive)
+            (4, _ts("2023-12-31T23:59:59")),  # just before start
+        ],
+        "id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("w", _ts("2024-01-01T00:00:00"), _ts("2024-06-01T00:00:00"))],
+        "name string, t_start timestamp, t_end timestamp",
+    )
+    got = sorted(
+        r.id for r in range_join(left, "ts", right, "t_start", "t_end").collect()
+    )
+    assert got == [1, 2]
+
+
+def test_range_join_no_pair_duplicates(spark):
+    from etl_globalretail_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(i, _ts(f"2024-02-0{d}T00:00:00")) for i, d in enumerate([1, 2, 3], 1)],
+        "id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("w", _ts("2024-01-01T00:00:00"), _ts("2024-12-31T00:00:00"))],
+        "name string, t_start timestamp, t_end timestamp",
+    )
+    out = range_join(left, "ts", right, "t_start", "t_end", bin_days=7)
+    assert out.count() == 3  # long interval × small bins: still one row per pair
+
+
+def test_range_join_is_equi_join(spark):
+    from etl_globalretail_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-05T00:00:00"))], "id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("w", _ts("2024-01-01T00:00:00"), _ts("2024-02-01T00:00:00"))],
+        "name string, t_start timestamp, t_end timestamp",
+    )
+    plan = (
+        range_join(left, "ts", right, "t_start", "t_end")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_plan_single_shuffle_no_crossjoin(spark):
     left, right = _fixture(spark)
     df = as_of_join(left, right, on="k", ts_col="ts")
