@@ -54,6 +54,7 @@ HEADLINE = [
     "q50_sketch_profile",
     "q51_asof_attribution",
     "q52_range_join",
+    "q53_null_audit",
 ]
 
 

@@ -78,6 +78,85 @@ def sketch_profile(
     )
 
 
+MISSING_SENTINELS = ("", "N/A", "NULL")
+
+
+def null_audit(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column missingness audit: (column, n_rows, n_missing) where
+    missing = NULL, or (for strings) blank/sentinel after trim.
+
+    ONE scan: all per-column counters are conditional aggregates in a
+    single aggregate node (map-side partials, one tiny shuffle), then the
+    1-row result unpivots via ``stack`` into the long audit shape. The
+    k-scan formulation (one pass per column, UNION ALL) reads the table k
+    times — that is the shape reserved for the DuckDB oracle, not the
+    100 TB path.
+    """
+    string_cols = {
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        bad = F.col(c).isNull()
+        if c in string_cols:
+            bad = bad | F.trim(F.col(c)).isin(*MISSING_SENTINELS)
+        aggs.append(F.sum(bad.cast("long")).alias(f"__bad_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', __bad_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column_name, n_missing)",
+        "__n AS n_rows",
+    ).select("column_name", "n_rows", "n_missing")
+
+
+@_register(
+    "q53_null_audit",
+    oracle="""
+    WITH dirty AS (
+        SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL
+                    WHEN c_custkey % 7 = 0 THEN 'N/A'
+                    WHEN c_custkey % 11 = 0 THEN '   ' ELSE c_name END AS nome,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS saldo,
+               CASE WHEN c_custkey % 4 = 0 THEN '' ELSE c_mktsegment END AS segmento
+        FROM customer
+    )
+    SELECT column_name, n_rows, n_missing FROM (
+        SELECT 'nome' AS column_name, COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE nome IS NULL
+                                OR trim(nome) IN ('', 'N/A', 'NULL')) AS n_missing
+        FROM dirty
+        UNION ALL
+        SELECT 'saldo', COUNT(*),
+               COUNT(*) FILTER (WHERE saldo IS NULL) FROM dirty
+        UNION ALL
+        SELECT 'segmento', COUNT(*),
+               COUNT(*) FILTER (WHERE segmento IS NULL
+                                OR trim(segmento) IN ('', 'N/A', 'NULL'))
+        FROM dirty
+    )
+    """,
+)
+def q53_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness audit over a deterministically dirtied customer frame
+    (nulls + sentinel strings + blanks manufactured by key-mod, the q12
+    pattern — the testdata itself ships clean). Single-scan stack-unpivot
+    audit; oracle is the k-scan UNION ALL."""
+    c = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    dirty = c.select(
+        F.when(k % 5 == 0, F.lit(None))
+        .when(k % 7 == 0, F.lit("N/A"))
+        .when(k % 11 == 0, F.lit("   "))
+        .otherwise(F.col("c_name"))
+        .alias("nome"),
+        F.when(k % 3 == 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("saldo"),
+        F.when(k % 4 == 0, F.lit("")).otherwise(F.col("c_mktsegment")).alias(
+            "segmento"
+        ),
+    )
+    return null_audit(dirty, ["nome", "saldo", "segmento"])
+
+
 @_register(
     "q49_corpus_profile",
     oracle="""

@@ -137,6 +137,37 @@ def write_idempotent(df: DataFrame, path: str, keys: list[str], mode: str = "ove
     df.dropDuplicates(keys).write.mode(mode).parquet(path)
 
 
+def append_new_keys(df: DataFrame, path: str, keys: list[str]) -> int:
+    """Incremental idempotent append: write only rows whose key is not yet
+    in the sink — the reference's per-row ``INSERT … ON CONFLICT DO
+    NOTHING`` (etl_completo.py:172-177) as a set operation, for the
+    incremental-load case where ``write_idempotent``'s full overwrite would
+    rewrite the whole table.
+
+    The existing-key scan reads ONLY the key columns (column-pruned to the
+    parquet footer); the delta is deduped within itself, then anti-joined
+    against the sink keys. At 100 TB the sink-side key scan is the cost —
+    production sinks bucket by the key (``write_bucketed``) so the anti-join
+    co-locates, or keep the delta small enough that AQE broadcasts it.
+    Returns the number of rows appended. First write creates the sink.
+    """
+    spark = df.sparkSession
+    fresh = df.dropDuplicates(keys)
+    try:
+        existing = spark.read.parquet(path).select(*keys)
+    except Exception:  # AnalysisException: PATH_NOT_FOUND — first load
+        fresh.write.mode("overwrite").parquet(path)
+        return fresh.count()
+    new = fresh.join(existing.dropDuplicates(keys), keys, "left_anti").persist()
+    try:
+        n = new.count()
+        if n:
+            new.write.mode("append").parquet(path)
+        return n
+    finally:
+        new.unpersist()
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -70,6 +70,30 @@ def test_register_views_sql_front_door(spark, sf_dir):
     assert got == 5
 
 
+def test_append_new_keys_incremental_idempotent(spark, sf_dir, tmp_path):
+    """Incremental ON CONFLICT DO NOTHING: overlapping batches append only
+    novel keys; replaying a batch is a no-op; keys stay unique."""
+    from pyspark.sql import functions as F
+
+    from etl_globalretail_spark.sources.readers import append_new_keys, load_table
+
+    sink = str(tmp_path / "cust_sink")
+    c = load_table(spark, "customer", sf_dir)
+    first = c.filter(F.col("c_custkey") <= 100)
+    second = c.filter((F.col("c_custkey") >= 50) & (F.col("c_custkey") <= 150))
+
+    n1 = append_new_keys(first, sink, ["c_custkey"])
+    assert n1 == first.count()
+    n2 = append_new_keys(second, sink, ["c_custkey"])
+    assert n2 == second.filter(F.col("c_custkey") > 100).count()
+    n3 = append_new_keys(second, sink, ["c_custkey"])  # replay
+    assert n3 == 0
+
+    out = spark.read.parquet(sink)
+    assert out.count() == out.select("c_custkey").distinct().count()
+    assert out.count() == c.filter(F.col("c_custkey") <= 150).count()
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key sort-merge-join with ZERO
     exchanges: the write-time shuffle is the only one ever paid (PLANS.md

@@ -39,6 +39,28 @@ def test_sketch_quantiles_bracket_exact(spark, sf_dir):
         assert lo <= q50 <= q95 <= q99 <= hi, (r.event_type, r.value_quantiles)
 
 
+def test_null_audit_single_scan(spark, sf_dir):
+    """The audit reads the table once — one aggregate, no per-column scans
+    or unions of scans."""
+    from etl_globalretail_spark.operators.profiling import null_audit
+
+    df = null_audit(
+        load_table(spark, "customer", sf_dir), ["c_name", "c_acctbal"]
+    )
+    rows = {r.column_name: (r.n_rows, r.n_missing) for r in df.collect()}
+    assert set(rows) == {"c_name", "c_acctbal"}
+    assert all(n == rows["c_name"][0] for n, _ in rows.values())
+    # AQE's toString appends an "Initial Plan" section that duplicates
+    # every node — count only the final plan.
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_sketch_profile_single_shuffle(spark, sf_dir):
     """The whole sketch profile is one partial/final aggregate pair — one
     exchange of sketch states, nothing resembling a distinct expansion."""
