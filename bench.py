@@ -55,6 +55,12 @@ HEADLINE = [
     "q51_asof_attribution",
     "q52_range_join",
     "q53_null_audit",
+    "q54_rollup_revenue",
+    "q55_semi_anti_customers",
+    "q56_interevent_gaps",
+    "q57_event_type_pivot",
+    "q58_order_value_percentiles",
+    "q59_cohort_set_ops",
 ]
 
 

@@ -1,0 +1,368 @@
+"""Analytical query surface beyond the reference's ETL builders — the
+grouped/windowed shapes a star-schema DW exists to serve (SURVEY.md §7.6):
+rollup hierarchies, semi/anti membership, ordered-window lag analytics,
+pivot crosstabs, exact distributional statistics, and set-algebra cohort
+comparisons. The reference builds the DW "para análise" (README.md:7) but
+ships no analytical queries beyond row counts (etl_completo.py:1063-1092);
+this module is that missing query layer, Spark-first.
+
+Every query is oracle-paired (DuckDB ANSI SQL) and follows the module-wide
+numeric-stability contract from plans/queries.py (decimal-exact FP sums,
+BIGINT-normalized derived integers, deterministic tie-breaks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_globalretail_spark.plans.queries import (
+    dsum,
+    make_query_decorator,
+    _osum,
+)
+from etl_globalretail_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# q54 — ROLLUP hierarchy totals (region → nation → grand total).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q54_rollup_revenue",
+    oracle=f"""
+    SELECT COALESCE(r.r_name, 'ALL') AS regiao,
+           COALESCE(n.n_name, 'ALL') AS nacao,
+           COUNT(*) AS n_orders,
+           {_osum("o.o_totalprice", "revenue")}
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q54_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue at three grains in one pass — (region, nation),
+    region subtotal, grand total — via ``rollup``.
+
+    Scale notes: Spark plans rollup as a single Expand + one hash
+    aggregate — the fact table is scanned ONCE for all grains (vs three
+    separate groupBys = three scans + three shuffles). nation/region are
+    broadcast; the only big shuffle is the orders⨝customer equi-join.
+    Grouping-null subtotal rows are disambiguated with 'ALL' labels
+    (the natural keys are never null in the data, so COALESCE is safe).
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("regiao"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nacao"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — semi/anti join membership split.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q55_semi_anti_customers",
+    oracle="""
+    SELECT c_mktsegment, 'with_orders' AS cohort,
+           COUNT(*) AS n_customers, SUM(c_custkey) AS sum_keys
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, 'no_orders',
+           COUNT(*), SUM(c_custkey)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q55_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers split per segment into has-orders / no-orders cohorts via
+    LEFT SEMI and LEFT ANTI joins — the explicit faces of the membership
+    predicates the reference only has implicitly (`ON CONFLICT DO NOTHING`
+    = anti-join, etl_completo.py:172-177; null-guarded lookups = semi,
+    etl_completo.py:321-331).
+
+    Scale notes: both probes share one orders scan shape — the key column
+    alone is shuffled (column pruning reaches the parquet footer), and
+    semi/anti joins carry no payload from the build side at all. sum_keys
+    is an exact BIGINT checksum (order-independent).
+    """
+    c = load_table(spark, "customer", sf_dir)
+    okeys = load_table(spark, "orders", sf_dir).select("o_custkey")
+
+    def cohort(joined: DataFrame, label: str) -> DataFrame:
+        return joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_custkey").alias("sum_keys"),
+        ).select(
+            "c_mktsegment",
+            F.lit(label).alias("cohort"),
+            "n_customers",
+            "sum_keys",
+        )
+
+    semi = c.join(okeys, c.c_custkey == okeys.o_custkey, "left_semi")
+    anti = c.join(okeys, c.c_custkey == okeys.o_custkey, "left_anti")
+    return cohort(semi, "with_orders").unionByName(cohort(anti, "no_orders"))
+
+
+# ---------------------------------------------------------------------------
+# q56 — inter-event gaps via lag() ordered windows.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q56_interevent_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           SUM(gap_us) AS sum_gap_us,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1000000.0
+               AS avg_gap_s
+    FROM gaps
+    GROUP BY event_type
+    """,
+)
+def q56_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event time gaps (lag over an ordered per-user
+    window), aggregated per event type of the later event — the dwell-time
+    / session-cadence primitive.
+
+    Scale notes: ONE shuffle on user_id (the window partition key); lag is
+    computed inside the sorted window with no self-join (the naive
+    formulation — self-join on rn = rn-1 — would shuffle twice and join).
+    Gap math runs in exact BIGINT microseconds on both engines
+    (``unix_micros`` ≡ DuckDB ``epoch_us``); the average divides the exact
+    sum as double with an identical operation order, so it is bit-stable.
+    Ties on ts are broken by event_id — the window order is total, hence
+    deterministic.
+    """
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        (
+            F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1000000.0)
+        ).alias("avg_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q57 — pivot crosstab (hour-of-day × event type).
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_register(
+    "q57_event_type_pivot",
+    oracle="""
+    SELECT CAST(hour(ts) AS BIGINT) AS hora,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+    FROM events
+    GROUP BY hour(ts)
+    """,
+)
+def q57_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type crosstab via ``pivot`` with an explicit
+    value list.
+
+    Scale notes: passing the pivot values explicitly matters at 100 TB —
+    without them Spark runs an extra distinct-collect job over the whole
+    table just to discover the columns. With them, the pivot compiles to a
+    single hash aggregate of conditional counts (one scan, one shuffle of
+    24 × 5 partial counters — bytes). Missing cells are 0, not NULL, to
+    match the conditional-aggregation oracle shape.
+    """
+    e = load_table(spark, "events", sf_dir)
+    pivoted = (
+        e.groupBy(F.hour("ts").cast("bigint").alias("hora"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "hora",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 — exact discrete percentiles per group (no interpolation).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q58_order_value_percentiles",
+    oracle="""
+    WITH ranked AS (
+        SELECT c.c_mktsegment, o.o_totalprice, o.o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY o.o_totalprice, o.o_orderkey
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment,
+           MAX(n) AS n_orders,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p90,
+           MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p99
+    FROM ranked
+    GROUP BY c_mktsegment
+    """,
+)
+def q58_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99) of order value per market
+    segment — the element at rank ⌈p·n⌉ under a total order, so both
+    engines pick the SAME row (no interpolation arithmetic to diverge on,
+    unlike percentile_cont).
+
+    Scale notes: one shuffle on the group key serves both window
+    functions and the final aggregate (same partitioning). Exact
+    percentiles fundamentally need a per-group sort; at 100 TB with huge
+    groups the sketch path is q50's approx_percentile — this is the exact
+    tier of that pair, and the oracle gate for it.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_totalprice", "o_orderkey"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    ranked = joined.select(
+        "c_mktsegment",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+
+    def at(p: float, alias: str):
+        rank = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        return F.max(
+            F.when(F.col("rn") == rank, F.col("o_totalprice"))
+        ).alias(alias)
+
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n_orders"),
+        at(0.50, "p50"),
+        at(0.90, "p90"),
+        at(0.99, "p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q59 — cohort set algebra (INTERSECT / EXCEPT).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q59_cohort_set_ops",
+    oracle="""
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1995),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1996)
+    SELECT 'retained' AS cohort, COUNT(*) AS n_customers,
+           SUM(o_custkey) AS sum_keys
+    FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'churned', COUNT(*), SUM(o_custkey)
+    FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'acquired', COUNT(*), SUM(o_custkey)
+    FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+    """,
+)
+def q59_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer cohorts via set algebra: retained
+    (1995 ∩ 1996), churned (1995 ∖ 1996), acquired (1996 ∖ 1995).
+
+    Scale notes: ``intersect``/``exceptAll`` on the deduped key column
+    compile to left-semi/left-anti hash joins over just the BIGINT key —
+    the year filter and key projection both push to the parquet scan, so
+    the shuffled payload is the key alone. The three set ops share the
+    same two inputs; Spark recomputes the scans (cheap, pruned) rather
+    than caching — at 100 TB a persisted key set would be the call, noted
+    here as the scale lever.
+    """
+    o = load_table(spark, "orders", sf_dir)
+
+    def keys(year: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = keys(1995), keys(1996)
+
+    def tally(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("o_custkey").alias("sum_keys"),
+        ).select(
+            F.lit(label).alias("cohort"), "n_customers", "sum_keys"
+        )
+
+    return (
+        tally(y95.intersect(y96), "retained")
+        .unionByName(tally(y95.exceptAll(y96), "churned"))
+        .unionByName(tally(y96.exceptAll(y95), "acquired"))
+    )

@@ -1,0 +1,103 @@
+"""Semantic and plan-shape tests for the analytics family (q54–q59)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.plans.analytics import QUERIES
+from etl_globalretail_spark.sources.readers import load_table
+
+
+def _final_plan(df) -> str:
+    return (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+
+
+def test_rollup_grains_are_consistent(spark, sf_dir):
+    """Grand total == Σ region subtotals == Σ leaf rows, and the rollup is
+    a single Expand + aggregate (one fact scan for all three grains)."""
+    df = QUERIES["q54_rollup_revenue"](spark, sf_dir)
+    rows = df.collect()
+    leaves = [r for r in rows if r.nacao != "ALL"]
+    regions = [r for r in rows if r.nacao == "ALL" and r.regiao != "ALL"]
+    grand = [r for r in rows if r.regiao == "ALL"]
+    assert len(grand) == 1
+    assert grand[0].n_orders == sum(r.n_orders for r in leaves)
+    assert grand[0].n_orders == sum(r.n_orders for r in regions)
+    assert abs(grand[0].revenue - sum(r.revenue for r in leaves)) < 1e-6
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Expand") == 1, plan
+
+
+def test_semi_anti_partition_customers(spark, sf_dir):
+    """with_orders + no_orders tile the customer table exactly."""
+    df = QUERIES["q55_semi_anti_customers"](spark, sf_dir)
+    total = sum(r.n_customers for r in df.collect())
+    assert total == load_table(spark, "customer", sf_dir).count()
+
+
+def test_interevent_gaps_nonnegative_and_counted(spark, sf_dir):
+    """Gaps are >= 0 (window order is by ts) and the number of gaps is
+    n_events - n_users (first event per user has no predecessor)."""
+    df = QUERIES["q56_interevent_gaps"](spark, sf_dir)
+    rows = df.collect()
+    assert all(r.sum_gap_us >= 0 for r in rows)
+    e = load_table(spark, "events", sf_dir)
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n_gaps for r in rows) == n_events - n_users
+
+
+def test_pivot_covers_all_events_no_nulls(spark, sf_dir):
+    """Pivot cells are dense (0, never NULL) and sum back to the table
+    row count; no distinct-discovery job (values were given explicitly)."""
+    df = QUERIES["q57_event_type_pivot"](spark, sf_dir)
+    rows = df.collect()
+    cells = [
+        getattr(r, c) for r in rows for c in df.columns if c != "hora"
+    ]
+    assert all(v is not None for v in cells)
+    assert sum(cells) == load_table(spark, "events", sf_dir).count()
+
+
+def test_percentiles_are_order_statistics(spark, sf_dir):
+    """p50 <= p90 <= p99, each an actual order value from its segment."""
+    df = QUERIES["q58_order_value_percentiles"](spark, sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    by_seg = {
+        r.c_mktsegment: set(x.o_totalprice for x in g)
+        for r in df.collect()
+        for g in [
+            o.join(c, o.o_custkey == c.c_custkey)
+            .filter(F.col("c_mktsegment") == r.c_mktsegment)
+            .select("o_totalprice")
+            .collect()
+        ]
+    }
+    for r in df.collect():
+        assert r.p50 <= r.p90 <= r.p99
+        assert {r.p50, r.p90, r.p99} <= by_seg[r.c_mktsegment]
+
+
+def test_cohorts_tile_the_union(spark, sf_dir):
+    """retained + churned = |1995 cohort|; retained + acquired = |1996|."""
+    df = QUERIES["q59_cohort_set_ops"](spark, sf_dir)
+    rows = {r.cohort: r.n_customers for r in df.collect()}
+    o = load_table(spark, "orders", sf_dir)
+
+    def n(year):
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+            .count()
+        )
+
+    assert rows["retained"] + rows["churned"] == n(1995)
+    assert rows["retained"] + rows["acquired"] == n(1996)
