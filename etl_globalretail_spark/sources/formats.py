@@ -1,0 +1,151 @@
+"""Interchange formats and physical-layout management.
+
+The reference ingests exactly one format — SQL INSERT statements replayed
+through psycopg2 (etl_completo.py:90-136) — and manages layout with 23
+post-load b-tree indexes (sql/cria_indices_dw.sql:9-37). A Spark-native
+engine replaces both concerns:
+
+- **formats**: schema-enforced CSV / JSON Lines / parquet readers and
+  writers. Schemas are always EXPLICIT (SURVEY.md §1.4) — inference over a
+  100 TB corpus is a full extra scan, and the reference's dirty
+  varchar-date columns (sql/create_tables.sql:48-49,82) must stay strings
+  until the cleansing layer parses them deliberately.
+- **layout**: hive-partitioned writes (the Spark answer to the reference's
+  composite temporal indexes — partition pruning skips whole directories
+  the way an index range-scan skips pages) and small-file compaction (the
+  maintenance op that replaces index REINDEX: streaming/incremental appends
+  accrete small files until scan task overhead dominates).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# One token, both directions: CSV cannot distinguish NULL from '' natively —
+# an explicit sentinel keeps empty strings and NULLs distinct on round-trip.
+_CSV_NULL = "\\N"
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def write_as(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    """Write ``df`` as ``parquet`` | ``csv`` | ``json`` (JSON Lines).
+
+    CSV writes a header (column names travel with the data), quotes/escapes
+    embedded delimiters, serializes timestamps at microsecond precision, and
+    marks NULL with an explicit sentinel so blank strings survive. Doubles
+    round-trip exactly in all three formats (shortest-round-trip repr).
+    """
+    w = df.write.mode(mode)
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt == "csv":
+        (
+            w.option("header", "true")
+            .option("nullValue", _CSV_NULL)
+            .option("timestampFormat", _TS_FMT)
+            .option("escape", '"')
+            .csv(path)
+        )
+    elif fmt == "json":
+        w.option("timestampFormat", _TS_FMT).json(path)
+    else:
+        raise ValueError(f"unknown format {fmt!r}")
+
+
+def read_as(
+    spark: SparkSession, path: str, fmt: str, schema: StructType
+) -> DataFrame:
+    """Read ``path`` with an EXPLICIT schema — never inference.
+
+    Inference costs a full extra pass over the data (fatal at 100 TB) and
+    guesses wrong on exactly the columns this engine exists to cleanse
+    (dirty date strings must arrive as StringType, not a half-parsed
+    timestamp). The schema is the contract; mismatching files surface as
+    nulls/errors immediately rather than as silently drifted types.
+    """
+    r = spark.read.schema(schema)
+    if fmt == "parquet":
+        return r.parquet(path)
+    if fmt == "csv":
+        # multiLine parses quoted embedded newlines correctly, at a price:
+        # multiline CSV files are NOT splittable (one task per file). For
+        # 100 TB ingest keep files modest (~128 MB) or use JSON/parquet —
+        # CSV is an interchange format here, not the scan path.
+        return (
+            r.option("header", "true")
+            .option("nullValue", _CSV_NULL)
+            .option("timestampFormat", _TS_FMT)
+            .option("escape", '"')
+            .option("multiLine", "true")
+            .csv(path)
+        )
+    if fmt == "json":
+        return r.option("timestampFormat", _TS_FMT).json(path)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-partitioned parquet write: one directory per distinct value of
+    ``partition_cols``, so equality/range predicates on those columns prune
+    whole directories at planning time (PartitionFilters in the scan node —
+    test-asserted) instead of reading and filtering.
+
+    This is the Spark replacement for the reference's composite temporal
+    indexes (sql/cria_indices_dw.sql:25-26). Partition columns must be
+    low-cardinality (year, region — NOT a key: one directory per value; a
+    high-cardinality partition column is the classic small-files
+    anti-pattern, which ``compact_partitions`` exists to repair). Rows are
+    pre-shuffled on the partition columns so each task owns whole
+    partitions and writes one file per directory rather than every task
+    writing into every directory (tasks × partitions files).
+    """
+    df.repartition(*[F.col(c) for c in partition_cols]).write.mode(
+        mode
+    ).partitionBy(*partition_cols).parquet(path)
+
+
+def parquet_files(path: str) -> list[str]:
+    """All data files under a parquet root (recursive, skips _SUCCESS etc.)."""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        )
+    return out
+
+
+def compact_partitions(
+    spark: SparkSession, path: str, target_rows_per_file: int
+) -> tuple[int, int]:
+    """Rewrite a parquet dataset into ⌈rows / target⌉ files — the
+    small-file maintenance op for sinks that accrete incremental appends
+    (``append_new_keys``) or streaming micro-batches, where thousands of
+    KB-sized files make task scheduling and footer reads dominate the scan.
+
+    Local-FS implementation: write the compacted copy beside the source,
+    then swap directories. On cloud object stores the swap step is where a
+    table format (Iceberg/Delta) earns its keep — an atomic metadata commit
+    instead of a rename; the compaction plan itself (read → repartition →
+    write) is identical. Returns (files_before, files_after).
+    """
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    before = len(parquet_files(path))
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
+    # coalesce, not repartition: merging partitions needs no shuffle
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return before, len(parquet_files(path))
