@@ -61,6 +61,10 @@ HEADLINE = [
     "q57_event_type_pivot",
     "q58_order_value_percentiles",
     "q59_cohort_set_ops",
+    "q60_volume_shipping",
+    "q61_returned_items",
+    "q62_market_share",
+    "q63_local_supplier_volume",
 ]
 
 
