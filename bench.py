@@ -65,6 +65,7 @@ HEADLINE = [
     "q61_returned_items",
     "q62_market_share",
     "q63_local_supplier_volume",
+    "q64_stratified_sample",
 ]
 
 

@@ -128,6 +128,84 @@ def quota_per_group(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "strat",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ``fractions[stratum]`` of
+    each stratum's rows, by key hash — the rebalancing primitive for
+    skewed corpora (downsample the over-represented language, keep all of
+    the rare one).
+
+    Map-only like ``hash_sample`` (the stratum cut is a chained-when over
+    the stratum column — no shuffle, no per-stratum pass, unlike
+    ``DataFrame.sampleBy`` which is also non-deterministic under retries).
+    Strata absent from ``fractions`` keep ``default_fraction``. Samples at
+    different fractions nest: the 5% sample is a subset of the 20% one.
+    """
+    b = hash_bucket(F.col(key_col), n_buckets, salt)
+    cut: Column | None = None
+    for stratum, frac in fractions.items():
+        thr = F.lit(int(frac * n_buckets))
+        cond = F.col(stratum_col) == stratum
+        cut = F.when(cond, thr) if cut is None else cut.when(cond, thr)
+    cut = (
+        F.lit(int(default_fraction * n_buckets))
+        if cut is None
+        else cut.otherwise(F.lit(int(default_fraction * n_buckets)))
+    )
+    return df.filter(b < cut)
+
+
+_Q64_FRACTIONS = {"en": 0.25, "zh": 0.8, "de": 1.0}
+_Q64_SQL_CASE = (
+    "CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 800000 "
+    "WHEN 'de' THEN 1000000 ELSE 100000 END"
+)
+
+
+@_register(
+    "q64_stratified_sample",
+    oracle=f"""
+    WITH kept AS (
+        SELECT lang, doc_id FROM documents
+        WHERE {_sql_bucket("doc_id", salt="strat")} < {_Q64_SQL_CASE}
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           COUNT(k.doc_id) AS n_sampled,
+           SUM(k.doc_id) AS sum_sampled_ids
+    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.lang
+    """,
+)
+def q64_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: 25% of over-represented 'en', 80% of
+    'zh', all of 'de', 10% default — audited per language with an id-sum
+    pinning exact membership. The sample itself is a map-only filter; only
+    this audit aggregates."""
+    d = load_table(spark, "documents", sf_dir)
+    kept = stratified_sample(
+        d, "lang", _Q64_FRACTIONS, "doc_id", default_fraction=0.1
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    s = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("sum_sampled_ids"),
+    )
+    return totals.join(s, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        "sum_sampled_ids",
+    )
+
+
 @_register(
     "q47_hash_split",
     oracle=f"""

@@ -61,3 +61,31 @@ def test_hash_bucket_range(spark, sf_dir):
         F.min("b").alias("lo"), F.max("b").alias("hi")
     ).collect()[0]
     assert 0 <= mm.lo and mm.hi < 1000
+
+
+def test_stratified_sample_nests_and_respects_strata(spark, sf_dir):
+    """Per-stratum fractions nest (smaller ⊂ larger), fraction-1.0 strata
+    keep everything, and the sample is a map-only filter (no exchange)."""
+    from etl_globalretail_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, "documents", sf_dir)
+    lo = stratified_sample(d, "lang", {"en": 0.2, "de": 1.0}, "doc_id")
+    hi = stratified_sample(d, "lang", {"en": 0.6, "de": 1.0}, "doc_id")
+    lo_ids = set(r.doc_id for r in lo.select("doc_id").collect())
+    hi_ids = set(r.doc_id for r in hi.select("doc_id").collect())
+    assert lo_ids <= hi_ids
+
+    n_de = d.filter(F.col("lang") == "de").count()
+    assert lo.filter(F.col("lang") == "de").count() == n_de  # frac 1.0 = all
+    assert lo.filter(F.col("lang") == "fr").count() == 0  # default 0.0
+
+    # map-only: no exchange beyond what the bare reader already has
+    # (load_table's round-robin spread of the single-file testdata scan)
+    def n_exchanges(df):
+        plan = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        return plan.count("Exchange")
+
+    assert n_exchanges(lo) == n_exchanges(d), "sampling must add no shuffle"
