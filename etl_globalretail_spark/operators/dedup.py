@@ -558,7 +558,11 @@ def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = _SIMHASH_BITS
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = _SIMHASH_BITS,
+    hash_fn=None,
 ) -> DataFrame:
     """(doc, sig) SimHash table: explode tokens → one ±1 sum aggregate per
     bit → sign-recombine. Same math as the ``simhash`` Column form, but 64
@@ -568,9 +572,14 @@ def simhash_signatures(
 
     Token multiplicity is preserved (explode, not explode(distinct)) —
     SimHash weights repeated tokens. Docs with zero tokens produce no row.
+
+    ``hash_fn`` (Column → Column long) defaults to xxhash64 — the fast
+    JVM path; the md5 variant (q65) passes a cross-engine hash so the
+    whole pipeline is reproducible in ANSI SQL. For bits < 64 the top bit
+    needs no sign trick (the signature fits a positive bigint).
     """
     ex = df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("__t"))
-    h = F.xxhash64("__t")
+    h = (hash_fn or F.xxhash64)(F.col("__t"))
     aggs = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
@@ -582,7 +591,9 @@ def simhash_signatures(
     bit_values = [
         F.when(
             F.col(f"__b{j}") > 0,
-            F.lit((1 << j) if j < bits - 1 else -(1 << (bits - 1))).cast("long"),
+            F.lit(
+                -(1 << (bits - 1)) if bits == 64 and j == bits - 1 else (1 << j)
+            ).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         for j in range(bits)
     ]
@@ -646,6 +657,105 @@ def simhash_near_duplicates(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+_Q65_BITS = 32
+_Q65_MAX_HAMMING = 3  # < chunks(4) ⇒ pigeonhole guarantees a shared chunk
+_Q65_CHUNKS = 4
+_Q65_BIT_SUMS = ",\n               ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(_Q65_BITS)
+)
+_Q65_SIG = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_Q65_BITS)
+)
+
+
+def _md5_hash64(c: Column) -> Column:
+    """Cross-engine 60-bit token hash: first 15 hex chars of md5, base-16
+    parsed — bit-identical to DuckDB's ``CAST('0x'||substr(md5(t),1,15) AS
+    BIGINT)`` (the same construction operators/sampling.py buckets with)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+@_register(
+    "q65_simhash_pairs_exact",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS __t
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(__t), 1, 15) AS BIGINT) AS h
+        FROM tok
+    ),
+    tallies AS (
+        SELECT doc_id,
+               {_Q65_BIT_SUMS}
+        FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id, CAST({_Q65_SIG} AS BIGINT) AS sig FROM tallies
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_Q65_MAX_HAMMING}
+    """,
+)
+def q65_simhash_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-paired SimHash tier: 32-bit md5-hashed signatures, ALL pairs
+    at Hamming ≤ 3 — exact, because max_hamming < chunks makes the
+    pigeonhole blocking lossless (a pair within distance 3 must agree on
+    at least one of the 4 8-bit chunks), so the LSH-blocked Spark plan
+    returns the identical pair set the oracle's brute-force O(n²)
+    self-join finds. q25 is the scale twin (xxhash64, 64-bit, rows-only);
+    this query is the correctness gate for the shared simhash pipeline.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    # no persist: both self-join sides are the identical subplan, which
+    # ReuseExchange dedupes — the signature aggregate runs once
+    sigs = simhash_signatures(
+        d, "doc_id", "text", bits=_Q65_BITS, hash_fn=_md5_hash64
+    )
+    width = _Q65_BITS // _Q65_CHUNKS
+    chunked = sigs.select(
+            "doc",
+            "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("sig"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("value"),
+                    )
+                    for i in range(_Q65_CHUNKS)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc", "sig", "cv.chunk", "cv.value")
+    return (
+        chunked.alias("x")
+        .join(chunked.alias("y"), ["chunk", "value"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("id_a"),
+            F.col("y.doc").alias("id_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= _Q65_MAX_HAMMING)
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
     )
 
 
