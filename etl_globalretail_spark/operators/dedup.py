@@ -759,6 +759,136 @@ def q65_simhash_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q66: oracle-paired MinHash+LSH (md5 hashing, full pipeline in SQL) ---
+
+_Q66_NH, _Q66_BANDS, _Q66_ROWS = 24, 6, 4  # (1/6)^(1/4) ≈ 0.64 S-curve midpoint
+_Q66_THRESHOLD = 0.4
+_MASK32 = (1 << 32) - 1
+_Q66_MIN_AGGS = ",\n               ".join(
+    f"MIN(({a} * h + {b}) % {MERSENNE_P}) AS m{i}"
+    for i, (a, b) in enumerate(_hash_params(_Q66_NH))
+)
+_Q66_BAND_SELECTS = "\n        UNION ALL\n".join(
+    "        SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sigs".format(
+        b=b,
+        bucket=" || '/' || ".join(
+            f"CAST(m{b * _Q66_ROWS + j} AS VARCHAR)" for j in range(_Q66_ROWS)
+        ),
+    )
+    for b in range(_Q66_BANDS)
+)
+
+
+@_register(
+    "q66_minhash_pairs_exact",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   {_sql_shingles(2)},
+                   s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                        & {_MASK32}
+               )) AS hs
+        FROM (SELECT doc_id, {_sql_tokens("text")} AS __t FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+    sigs AS (
+        SELECT doc_id,
+               {_Q66_MIN_AGGS}
+        FROM ex GROUP BY doc_id
+    ),
+    banded AS (
+{_Q66_BAND_SELECTS}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x
+        JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+        WHERE x.doc_id < y.doc_id
+    ),
+    verified AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+               / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+                   AS jaccard
+        FROM cand
+        JOIN sh a ON cand.id_a = a.doc_id
+        JOIN sh b ON cand.id_b = b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM verified
+    WHERE jaccard >= {_Q66_THRESHOLD}
+    """,
+)
+def q66_minhash_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-paired MinHash+LSH: the ENTIRE pipeline — md5-hashed distinct
+    shingles → 24 affine-min signatures → 6×4 banding → candidate join →
+    exact-Jaccard verification — replayed verbatim in ANSI SQL, so the
+    oracle checks not just the final pair set but every modeling choice
+    (hash arithmetic, band boundaries, threshold) bit-for-bit. q24 is the
+    scale twin (xxhash64 + Arrow signature kernel, rows-only); this query
+    is the cross-engine correctness gate for the shared LSH design.
+
+    Scale notes: identical shape to q24 — the banded self-join and the
+    candidates-only verification join are the only shuffles; band buckets
+    are exact 4-long signature slices (string-keyed here for SQL parity
+    where q24 xxhash64s the slice — same candidate set either way).
+    """
+    d = load_table(spark, "documents", sf_dir)
+    hs = F.array_distinct(
+        F.transform(
+            word_shingles(F.col("text"), 2),
+            lambda s: _md5_hash64(s).bitwiseAND(F.lit(_MASK32).cast("long")),
+        )
+    )
+    base = d.select(F.col("doc_id").alias("doc"), hs.alias("hs"))
+    sigs = minhash_signatures(
+        base, "doc", "hs", num_hashes=_Q66_NH, pre_hashed=True
+    )
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "/",
+                            *[
+                                F.element_at("sig", b * _Q66_ROWS + j + 1).cast(
+                                    "string"
+                                )
+                                for j in range(_Q66_ROWS)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(_Q66_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+    a = base.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"))
+    b = base.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            inter.cast("double")
+            / (F.size("hs_a") + F.size("hs_b") - inter),
+        )
+        .filter(F.col("jaccard") >= _Q66_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 @_register("q25_simhash_neardup")  # xxhash64-based — no SQL oracle (rows-only)
 def q25_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup summary at Hamming ≤ 8 of 64 bits (rows-only)."""
