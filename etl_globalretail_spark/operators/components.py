@@ -142,6 +142,67 @@ def dedup_by_components(
     return df.join(losers, id_col, "left_anti")
 
 
+def _q67_oracle() -> str:
+    """Recursive-CTE oracle: reachability closure + min-label aggregation
+    over the SAME edge set q66's oracle derives (md5 pipeline — every
+    upstream hash is cross-engine), so the fixpoint the Spark hash-min
+    loop converges to is checked vertex-for-vertex against an independent
+    formulation of transitive closure."""
+    from etl_globalretail_spark.operators import dedup
+
+    q66 = dedup.ORACLE["q66_minhash_pairs_exact"]
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({q66}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    reach AS (
+        SELECT v, v AS r FROM verts
+        UNION
+        SELECT e.dst AS v, reach.r AS r
+        FROM reach JOIN edges e ON reach.v = e.src
+    )
+    SELECT v AS vertex, MIN(r) AS component FROM reach GROUP BY v
+    """
+
+
+def _register_q67() -> None:
+    @_register("q67_cluster_closure_exact", oracle=_q67_oracle())
+    def q67_cluster_closure_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """(vertex, component) labeling from the iterative hash-min loop,
+        oracle-checked against DuckDB's recursive-CTE transitive closure on
+        the identical (md5-derived, q66) pair graph. Upgrades the CC
+        verification tier from rows-only (q43, xxhash edges) to an exact
+        cross-engine fixpoint compare."""
+        from etl_globalretail_spark.operators import dedup
+
+        pairs = dedup.QUERIES["q66_minhash_pairs_exact"](spark, sf_dir)
+        pairs = pairs.persist()
+        held: list = []
+        try:
+            cc = connected_components(pairs, materialized=held)
+            # The labels live in localCheckpoint blocks that are released
+            # below; the label set is |pair-graph vertices| (≪ corpus —
+            # only docs that near-dup something), so materializing it to
+            # the driver before release is the cheap, safe hand-off.
+            rows = cc.select("vertex", "component").collect()
+            return spark.createDataFrame(rows, "vertex long, component long")
+        finally:
+            pairs.unpersist()
+            for h in held:
+                try:
+                    h.unpersist(False)
+                except Exception:
+                    pass
+
+
+_register_q67()
+
+
 @_register("q43_dedup_clusters")  # iterative fixpoint — rows-only check
 def q43_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-closure dedup over the MinHash-verified pair graph: component
