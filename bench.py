@@ -66,6 +66,8 @@ HEADLINE = [
     "q62_market_share",
     "q63_local_supplier_volume",
     "q64_stratified_sample",
+    "q68_running_revenue",
+    "q69_revenue_share",
 ]
 
 

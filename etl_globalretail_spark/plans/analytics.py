@@ -308,6 +308,147 @@ def q58_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q68 — running (cumulative) totals per partition.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q68_running_revenue",
+    oracle="""
+    WITH monthly AS (
+        SELECT r.r_name,
+               CAST(year(o.o_orderdate) AS BIGINT) AS ano,
+               CAST(month(o.o_orderdate) AS BIGINT) AS mes,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6)))
+                    AS DECIMAL(27,6)) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, year(o.o_orderdate), month(o.o_orderdate)
+    )
+    SELECT r_name, ano, mes,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (
+               PARTITION BY r_name ORDER BY ano, mes
+               ROWS UNBOUNDED PRECEDING
+           ) AS DOUBLE) AS running_revenue
+    FROM monthly
+    """,
+)
+def q68_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative monthly revenue per region — the running-total window
+    every DW dashboard needs.
+
+    Scale notes: aggregate FIRST (months × regions rows), window over the
+    tiny aggregate — never a running sum over raw orders. The window
+    partition key (region) matches the aggregate's grouping prefix, so
+    AQE reuses the partitioning: one fact shuffle, one small window sort.
+    The cumulative sum runs over DECIMAL month subtotals (exact, order-
+    independent) and casts to double per row — bit-stable across engines
+    even though prefix sums are order-sensitive in FP.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            "r_name",
+            F.year("o_orderdate").cast("bigint").alias("ano"),
+            F.month("o_orderdate").cast("bigint").alias("mes"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("decimal(27,6)")
+            .alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("r_name")
+        .orderBy("ano", "mes")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "r_name",
+        "ano",
+        "mes",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("running_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — percent-of-total (ratio-to-report) window.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q69_revenue_share",
+    oracle="""
+    WITH per_nation AS (
+        SELECT r.r_name, n.n_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6)))
+                    AS DECIMAL(27,6)) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT r_name, n_name,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE)
+               / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+               AS share_of_region,
+           CAST(rev AS DOUBLE)
+               / CAST(SUM(rev) OVER () AS DOUBLE) AS share_of_total
+    FROM per_nation
+    """,
+)
+def q69_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its region's and of global revenue —
+    ratio-to-report at two scopes in one pass.
+
+    Scale notes: same aggregate-first shape as q68; the unpartitioned
+    total is a window over the 25-row aggregate (harmless single
+    partition of 25 rows — NOT a global window over the fact table).
+    Decimal subtotals make numerator and denominator exact, so the
+    double divisions are bit-identical across engines.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("decimal(27,6)")
+            .alias("rev")
+        )
+    )
+    region_total = F.sum("rev").over(Window.partitionBy("r_name"))
+    grand_total = F.sum("rev").over(
+        Window.partitionBy()
+    )
+    dbl = F.col("rev").cast("double")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        dbl.alias("revenue"),
+        (dbl / region_total.cast("double")).alias("share_of_region"),
+        (dbl / grand_total.cast("double")).alias("share_of_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q59 — cohort set algebra (INTERSECT / EXCEPT).
 # ---------------------------------------------------------------------------
 

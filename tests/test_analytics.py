@@ -101,3 +101,34 @@ def test_cohorts_tile_the_union(spark, sf_dir):
 
     assert rows["retained"] + rows["churned"] == n(1995)
     assert rows["retained"] + rows["acquired"] == n(1996)
+
+
+def test_running_revenue_monotone_and_totals(spark, sf_dir):
+    """Per region: running total is nondecreasing and ends at the region
+    total (exact decimal path — no FP drift)."""
+    rows = QUERIES["q68_running_revenue"](spark, sf_dir).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, []).append(r)
+    for rs in by_region.values():
+        rs.sort(key=lambda r: (r.ano, r.mes))
+        run = 0.0
+        prev = 0.0
+        for r in rs:
+            run += r.revenue
+            assert r.running_revenue >= prev
+            prev = r.running_revenue
+        assert abs(rs[-1].running_revenue - run) < 1e-6
+
+
+def test_revenue_share_sums_to_one(spark, sf_dir):
+    """Shares tile exactly: Σ share_of_region = 1 within each region,
+    Σ share_of_total = 1 globally."""
+    rows = QUERIES["q69_revenue_share"](spark, sf_dir).collect()
+    total = sum(r.share_of_total for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, 0.0)
+        by_region[r.r_name] += r.share_of_region
+    assert all(abs(s - 1.0) < 1e-9 for s in by_region.values())
