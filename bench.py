@@ -68,6 +68,8 @@ HEADLINE = [
     "q64_stratified_sample",
     "q68_running_revenue",
     "q69_revenue_share",
+    "q70_scd2_merge",
+    "q71_upsert_merge",
 ]
 
 

@@ -29,7 +29,7 @@ _merge(_relational.QUERIES, _relational.ORACLE)
 for _mod in ("operators.dedup", "operators.similarity", "operators.text",
              "operators.multimodal", "operators.skew", "operators.components",
              "operators.sampling", "operators.profiling", "operators.asof",
-             "plans.star_schema", "plans.analytics", "plans.tpch",
+             "plans.star_schema", "plans.analytics", "plans.tpch", "plans.scd",
              "streaming.windows"):
     try:
         _m = __import__(f"etl_globalretail_spark.{_mod}", fromlist=["QUERIES", "ORACLE"])

@@ -1,0 +1,280 @@
+"""Slowly-changing-dimension maintenance — the dimension-update operators
+a Kimball warehouse needs that the reference's insert-only loader cannot
+express.
+
+The reference loads dimensions with ``INSERT … ON CONFLICT DO NOTHING``
+(etl_completo.py:172-177 et al.): first write wins, updates are silently
+dropped, history is lost. Real DW maintenance needs the other two
+policies:
+
+- **SCD Type 1** (``upsert_frame`` / ``merge_upsert``): last-write-wins —
+  the delta overwrites matching keys, new keys append. The relational
+  face is ``current ANTI-JOIN delta ∪ delta`` — one anti-join on the key
+  column, no per-row round trips.
+- **SCD Type 2** (``scd2_apply``): versioned history — a changed row
+  CLOSES the open version (valid_to = effective date) and opens a new one;
+  unchanged rows pass through untouched; brand-new keys open their first
+  version. Every version row carries [valid_from, valid_to) and the query
+  surface gains point-in-time snapshots (``scd2_snapshot``).
+
+Scale shape (both): the delta is typically ≪ the dimension, so the joins
+broadcast; nothing here shuffles the fact table. Attribute comparison is
+null-safe (``eqNullSafe``) — NULL→value and value→NULL are real changes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.plans.queries import make_query_decorator
+from etl_globalretail_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+
+def upsert_frame(current: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """SCD1 merge as a frame: delta rows win on key collision, current
+    rows survive otherwise. Columns must match."""
+    return current.join(
+        delta.select(*keys).dropDuplicates(keys), keys, "left_anti"
+    ).unionByName(delta.dropDuplicates(keys))
+
+
+def merge_upsert(spark: SparkSession, delta: DataFrame, path: str, keys: list[str]) -> None:
+    """SCD1 merge into a parquet sink: read-merge-swap (the parquet-level
+    stand-in for ``MERGE INTO``; a table format would replace the swap
+    with an atomic metadata commit, the dataflow is identical). Creates
+    the sink on first call."""
+    if not os.path.isdir(path):
+        delta.dropDuplicates(keys).write.mode("overwrite").parquet(path)
+        return
+    current = spark.read.parquet(path)
+    merged = upsert_frame(current, delta, keys)
+    tmp = f"{path}.__merge_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def _any_attr_differs(attrs: list[str]) -> Column:
+    cond = F.lit(False)
+    for a in attrs:
+        cond = cond | ~F.col(f"cur.{a}").eqNullSafe(F.col(f"upd.{a}"))
+    return cond
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    effective_date: str,
+) -> DataFrame:
+    """Apply one batch of updates to an SCD2 dimension.
+
+    ``current`` schema: key, attrs…, valid_from DATE, valid_to DATE
+    (NULL = open version). ``updates`` schema: key, attrs…. Returns the
+    new version table:
+
+    - open versions whose attrs differ from their update → CLOSED
+      (valid_to = effective_date) plus a NEW open version with the new
+      attrs (valid_from = effective_date);
+    - open versions with no update, or an identical update → unchanged;
+    - keys new to the dimension → first open version;
+    - already-closed history rows pass through untouched (history is
+      immutable).
+
+    One broadcast-able join of open versions against the update batch +
+    one anti-join for brand-new keys; history never rejoins anything.
+    """
+    eff = F.to_date(F.lit(effective_date))
+    closed_history = current.filter(F.col("valid_to").isNotNull())
+    open_rows = current.filter(F.col("valid_to").isNull())
+
+    u = updates.dropDuplicates([key])
+    joined = open_rows.alias("cur").join(
+        u.alias("upd"), F.col(f"cur.{key}") == F.col(f"upd.{key}"), "left"
+    )
+    differs = _any_attr_differs(attrs) & F.col(f"upd.{key}").isNotNull()
+
+    # open rows: closed if changed, passed through otherwise
+    survivors = joined.select(
+        F.col(f"cur.{key}").alias(key),
+        *[F.col(f"cur.{a}").alias(a) for a in attrs],
+        F.col("cur.valid_from").alias("valid_from"),
+        F.when(differs, eff).otherwise(F.col("cur.valid_to")).alias("valid_to"),
+    )
+    # new versions for changed keys
+    changed_new = joined.filter(differs).select(
+        F.col(f"upd.{key}").alias(key),
+        *[F.col(f"upd.{a}").alias(a) for a in attrs],
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    # first versions for brand-new keys
+    brand_new = u.join(
+        current.select(key).dropDuplicates([key]), key, "left_anti"
+    ).select(
+        key,
+        *attrs,
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    return (
+        closed_history.unionByName(survivors)
+        .unionByName(changed_new)
+        .unionByName(brand_new)
+    )
+
+
+def scd2_snapshot(dim: DataFrame, as_of: str) -> DataFrame:
+    """Point-in-time view: the version of each key valid on ``as_of``
+    ([valid_from, valid_to) semantics)."""
+    d = F.to_date(F.lit(as_of))
+    return dim.filter(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-paired query faces over a deterministic synthetic update batch:
+# the dimension is customers 1..N with (c_acctbal, c_mktsegment); the update
+# batch touches keys ≡ 0 (mod 3) with a shifted balance (a real change),
+# keys ≡ 1 (mod 3) with identical attrs (a no-op update), and adds new keys
+# (max_key + 1 .. max_key + 50).
+# ---------------------------------------------------------------------------
+
+_EFFECTIVE = "1997-06-15"
+_GENESIS = "1995-01-01"
+
+
+@_register(
+    "q70_scd2_merge",
+    oracle=f"""
+    WITH cur AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               DATE '{_GENESIS}' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 3 IN (0, 1)
+        UNION ALL
+        SELECT mx + s AS c_custkey, 0.0 AS c_acctbal,
+               'NEWSEG' AS c_mktsegment
+        FROM (SELECT MAX(c_custkey) AS mx FROM customer),
+             (SELECT unnest(range(1, 51)) AS s)
+    ),
+    changed AS (
+        SELECT u.* FROM upd u JOIN cur c ON u.c_custkey = c.c_custkey
+        WHERE u.c_acctbal IS DISTINCT FROM c.c_acctbal
+           OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+    ),
+    survivors AS (
+        SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.valid_from,
+               CASE WHEN ch.c_custkey IS NOT NULL
+                    THEN DATE '{_EFFECTIVE}' ELSE c.valid_to END AS valid_to
+        FROM cur c LEFT JOIN changed ch ON c.c_custkey = ch.c_custkey
+    ),
+    new_versions AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               DATE '{_EFFECTIVE}' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        FROM changed
+        UNION ALL
+        SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+               DATE '{_EFFECTIVE}', CAST(NULL AS DATE)
+        FROM upd u WHERE NOT EXISTS (
+            SELECT 1 FROM cur c WHERE c.c_custkey = u.c_custkey
+        )
+    )
+    SELECT * FROM survivors UNION ALL SELECT * FROM new_versions
+    """,
+)
+def q70_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 applied to a deterministic update batch: changed keys
+    (balance shift) close their open version and open a new one; no-op
+    updates leave the dimension untouched; new keys open first versions.
+    The oracle derives the identical version table relationally — checking
+    close-out, pass-through, AND the null-safe change predicate."""
+    c = load_table(spark, "customer", sf_dir)
+    cur = c.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.to_date(F.lit(_GENESIS)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    mx = c.agg(F.max("c_custkey")).collect()[0][0]
+    existing_upd = c.filter(F.col("c_custkey") % 3 < 2).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    new_upd = spark.range(1, 51).select(
+        (F.col("id") + mx).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    updates = existing_upd.unionByName(new_upd)
+    return scd2_apply(
+        cur, updates, "c_custkey", ["c_acctbal", "c_mktsegment"], _EFFECTIVE
+    )
+
+
+@_register(
+    "q71_upsert_merge",
+    oracle="""
+    WITH delta AS (
+        SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 4 = 0
+        UNION ALL
+        SELECT mx + s, 0.0, 'NEWSEG'
+        FROM (SELECT MAX(c_custkey) AS mx FROM customer),
+             (SELECT unnest(range(1, 26)) AS s)
+    )
+    SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_acctbal, c_mktsegment FROM delta
+    """,
+)
+def q71_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 1 (last-write-wins) merge as a relational face: the delta
+    (shifted balances for keys ≡ 0 mod 4, plus 25 new keys) replaces
+    matching current rows and appends the rest — one anti-join + union,
+    the set-operation form of MERGE INTO."""
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    mx = c.agg(F.max("c_custkey")).collect()[0][0]
+    delta = c.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        spark.range(1, 26).select(
+            (F.col("id") + mx).alias("c_custkey"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEWSEG").alias("c_mktsegment"),
+        )
+    )
+    return upsert_frame(c, delta, ["c_custkey"])

@@ -1,0 +1,97 @@
+"""SCD lifecycle tests: multi-batch Type 2 versioning, point-in-time
+snapshots, and the Type 1 file-level merge."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.plans.scd import (
+    merge_upsert,
+    scd2_apply,
+    scd2_snapshot,
+    upsert_frame,
+)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, city string, valid_from date, valid_to date"
+    )
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(rows, "id long, city string")
+
+
+def test_scd2_two_batches_and_snapshots(spark):
+    d = datetime.date
+    cur = _dim(spark, [(1, "porto", d(1995, 1, 1), None),
+                       (2, "lisboa", d(1995, 1, 1), None)])
+
+    # batch 1: key 1 moves, key 2 no-op update, key 3 appears
+    v2 = scd2_apply(
+        cur,
+        _upd(spark, [(1, "braga"), (2, "lisboa"), (3, "faro")]),
+        "id", ["city"], "1996-06-01",
+    )
+    rows = {(r.id, r.valid_from, r.valid_to): r.city for r in v2.collect()}
+    assert rows == {
+        (1, d(1995, 1, 1), d(1996, 6, 1)): "porto",   # closed
+        (1, d(1996, 6, 1), None): "braga",            # new version
+        (2, d(1995, 1, 1), None): "lisboa",           # untouched (no-op)
+        (3, d(1996, 6, 1), None): "faro",             # first version
+    }
+
+    # batch 2: key 1 moves again — closed history must pass through intact
+    v3 = scd2_apply(
+        v2, _upd(spark, [(1, "evora")]), "id", ["city"], "1997-01-01"
+    )
+    assert v3.count() == 5
+    open_rows = {r.id: r.city for r in v3.filter("valid_to IS NULL").collect()}
+    assert open_rows == {1: "evora", 2: "lisboa", 3: "faro"}
+
+    # point-in-time: each key resolves to exactly its version at that date
+    snap96 = {r.id: r.city for r in scd2_snapshot(v3, "1996-08-01").collect()}
+    assert snap96 == {1: "braga", 2: "lisboa", 3: "faro"}
+    snap95 = {r.id: r.city for r in scd2_snapshot(v3, "1995-06-01").collect()}
+    assert snap95 == {1: "porto", 2: "lisboa"}
+    # boundary: valid_from inclusive, valid_to exclusive
+    snap_eff = {r.id: r.city for r in scd2_snapshot(v3, "1996-06-01").collect()}
+    assert snap_eff[1] == "braga"
+
+
+def test_scd2_null_attr_transitions_are_changes(spark):
+    d = datetime.date
+    cur = _dim(spark, [(1, None, d(1995, 1, 1), None),
+                       (2, "lisboa", d(1995, 1, 1), None)])
+    out = scd2_apply(
+        cur, _upd(spark, [(1, "porto"), (2, None)]), "id", ["city"],
+        "1996-01-01",
+    )
+    # NULL→value and value→NULL both versioned (eqNullSafe comparison)
+    assert out.filter("valid_to IS NOT NULL").count() == 2
+    assert out.count() == 4
+
+
+def test_merge_upsert_file_level(spark, tmp_path):
+    p = str(tmp_path / "dim_sink")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    merge_upsert(spark, base, p, ["id"])
+    delta = spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string")
+    merge_upsert(spark, delta, p, ["id"])
+    got = {r.id: r.v for r in spark.read.parquet(p).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # replay is idempotent
+    merge_upsert(spark, delta, p, ["id"])
+    assert {r.id: r.v for r in spark.read.parquet(p).collect()} == got
+
+
+def test_upsert_frame_dedupes_delta(spark):
+    cur = spark.createDataFrame([(1, "a")], "id long, v string")
+    delta = spark.createDataFrame([(1, "x"), (1, "y")], "id long, v string")
+    out = upsert_frame(cur, delta, ["id"])
+    assert out.count() == 1  # one winner per key, not a dup explosion
