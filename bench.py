@@ -104,13 +104,19 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    # n_queries/mean: the headline set GROWS round over round as operator
+    # coverage widens — compare totals only at equal coverage; the
+    # per-query mean is the stable cross-round throughput signal.
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
+                "mean_sec_per_query": round(total / len(timings), 3),
                 "sf": float(sf),
             }
         )
