@@ -77,3 +77,50 @@ def test_sketch_profile_single_shuffle(spark, sf_dir):
     exact.write.format("noop").mode("overwrite").save()
     exact_plan = exact._jdf.queryExecution().executedPlan().toString()
     assert exact_plan.count("HashAggregate") > plan.count("HashAggregate")
+
+
+def test_hll_partials_merge_across_batches_and_groups(spark, sf_dir):
+    """Sketch states built on disjoint halves merge to the same estimate
+    as a single-pass sketch, the global re-grain needs only the sketch
+    rows, and estimates sit within HLL error of exact counts."""
+    from pyspark.sql import functions as F
+
+    from etl_globalretail_spark.operators.profiling import (
+        hll_merge,
+        hll_partial,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    half_a = e.filter(F.col("event_id") % 2 == 0)
+    half_b = e.filter(F.col("event_id") % 2 == 1)
+
+    # two "daily batches" → sketch rows; merged per event_type
+    partials = hll_partial(half_a, ["event_type"], "user_id").unionByName(
+        hll_partial(half_b, ["event_type"], "user_id")
+    )
+    merged = {
+        r.event_type: (r.distinct_estimate, r.n_rows)
+        for r in hll_merge(partials, ["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: (r.d, r.n)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for et, (est, n_rows) in merged.items():
+        d, n = exact[et]
+        assert n_rows == n  # row counts are exact, additive
+        assert abs(est - d) <= max(3, 0.05 * d), (et, est, d)
+
+    # global rollup from the SAME sketch rows (no rescan)
+    g = hll_merge(partials, []).collect()[0]
+    exact_global = e.select("user_id").distinct().count()
+    assert abs(g.distinct_estimate - exact_global) <= max(
+        3, 0.05 * exact_global
+    )
+    assert g.n_rows == e.count()
