@@ -70,6 +70,8 @@ HEADLINE = [
     "q69_revenue_share",
     "q70_scd2_merge",
     "q71_upsert_merge",
+    "q72_top_tokens",
+    "q73_value_histogram",
 ]
 
 

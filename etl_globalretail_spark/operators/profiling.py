@@ -116,6 +116,66 @@ def hll_merge(
     )
 
 
+def fixed_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` in [lo, hi): bin index =
+    ⌊(v−lo)/width⌋, out-of-range values clamp to the edge bins.
+
+    One hash aggregate on (groups, bin) — the binning is a map-side
+    projection, so the shuffle carries n_bins × |groups| counters, not
+    data. This is the distribution-profiling primitive next to q50's
+    quantile sketches: bounded output, single pass, mergeable across
+    batches by adding counts. The bin arithmetic is a single double
+    subtract/divide/floor — engine-identical for oracle pairing.
+    """
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bin_idx = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+    ).cast("bigint")
+    keys = list(group_cols or [])
+    return (
+        df.groupBy(*keys, bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *keys,
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+@_register(
+    "q73_value_histogram",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type,
+               CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19)
+                    AS BIGINT) AS bin
+        FROM events
+    )
+    SELECT event_type, bin,
+           0.0 + bin * 25.0 AS bin_lo,
+           COUNT(*) AS n
+    FROM binned GROUP BY event_type, bin
+    """,
+)
+def q73_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin fixed-width histogram of event value per event type over
+    [0, 500) — the single-pass distribution profile."""
+    e = load_table(spark, "events", sf_dir)
+    return fixed_histogram(
+        e, "value", 0.0, 500.0, 20, group_cols=["event_type"]
+    )
+
+
 MISSING_SENTINELS = ("", "N/A", "NULL")
 
 

@@ -321,3 +321,56 @@ def q22_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fingerprint").alias("n_unique"),
         F.min("fingerprint").alias("min_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: exact top-k tokens (distributed wordcount + rank).
+# ---------------------------------------------------------------------------
+
+
+def top_tokens(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Exact top-``k`` tokens by corpus frequency with a total-order rank
+    (count desc, token asc — deterministic under ties).
+
+    Scale shape: explode → hash-aggregate is the canonical wordcount; the
+    shuffle carries (token, partial count) pairs after map-side combine —
+    vocabulary-sized, not corpus-sized. The global rank then runs over the
+    vocabulary aggregate only. For corpora where even the vocabulary is
+    huge, cut it first with a per-partition top-k (not needed here: the
+    aggregate IS the cut)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("token", "n", F.col("pos").cast("bigint").alias("pos"))
+    )
+
+
+@_register(
+    "q72_top_tokens",
+    oracle=f"""
+    WITH counts AS (
+        SELECT token, COUNT(*) AS n FROM (
+            SELECT unnest({_sql_tokens("text")}) AS token FROM documents
+        ) GROUP BY token
+    )
+    SELECT token, n, pos FROM (
+        SELECT token, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, token) AS pos
+        FROM counts
+    ) WHERE pos <= 25
+    """,
+)
+def q72_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus top-25 vocabulary — wordcount + deterministic rank,
+    the vocabulary-audit primitive (stopword discovery, boilerplate
+    detection) every text pipeline runs."""
+    d = load_table(spark, "documents", sf_dir)
+    return top_tokens(d, "text", 25)

@@ -132,3 +132,24 @@ def test_revenue_share_sums_to_one(spark, sf_dir):
         by_region.setdefault(r.r_name, 0.0)
         by_region[r.r_name] += r.share_of_region
     assert all(abs(s - 1.0) < 1e-9 for s in by_region.values())
+
+
+def test_top_tokens_rank_is_total_and_counts_exact(spark, sf_dir):
+    """Ranks are 1..k with no gaps; counts are nonincreasing; a recount of
+    the top token from raw data matches."""
+    from etl_globalretail_spark.operators.text import QUERIES as TEXT_Q
+    from etl_globalretail_spark.operators.text import tokens
+
+    rows = sorted(
+        TEXT_Q["q72_top_tokens"](spark, sf_dir).collect(), key=lambda r: r.pos
+    )
+    assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a.n >= b.n for a, b in zip(rows, rows[1:]))
+    d = load_table(spark, "documents", sf_dir)
+    top = rows[0]
+    recount = (
+        d.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t") == top.token)
+        .count()
+    )
+    assert recount == top.n

@@ -124,3 +124,21 @@ def test_hll_partials_merge_across_batches_and_groups(spark, sf_dir):
         3, 0.05 * exact_global
     )
     assert g.n_rows == e.count()
+
+
+def test_fixed_histogram_tiles_and_clamps(spark, sf_dir):
+    """Bin counts sum to the row count; out-of-range values land in the
+    edge bins rather than vanishing."""
+    from pyspark.sql import functions as F
+
+    from etl_globalretail_spark.operators.profiling import fixed_histogram
+
+    e = load_table(spark, "events", sf_dir)
+    h = fixed_histogram(e, "value", 0.0, 500.0, 20, ["event_type"])
+    assert sum(r.n for r in h.collect()) == e.count()
+
+    oob = spark.createDataFrame(
+        [(-5.0,), (0.0,), (999.0,)], "v double"
+    )
+    got = {r.bin: r.n for r in fixed_histogram(oob, "v", 0.0, 100.0, 10).collect()}
+    assert got == {0: 2, 9: 1}  # -5 and 0 clamp low, 999 clamps high
