@@ -72,6 +72,7 @@ HEADLINE = [
     "q71_upsert_merge",
     "q72_top_tokens",
     "q73_value_histogram",
+    "q75_funnel",
 ]
 
 

@@ -449,6 +449,81 @@ def q69_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q75 — funnel analysis (ordered event-sequence conversion).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q75_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT stage, n_users,
+           CAST(n_users AS DOUBLE)
+               / (SELECT COUNT(*) FROM s1) AS conversion
+    FROM (
+        SELECT 'signup' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
+        UNION ALL
+        SELECT 'signup>click', (SELECT COUNT(*) FROM s2)
+        UNION ALL
+        SELECT 'signup>click>purchase', (SELECT COUNT(*) FROM s3)
+    )
+    """,
+)
+def q75_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage funnel: users who signed up, then clicked at/after
+    their first signup, then purchased at/after that click — the ordered
+    sequence-matching primitive of event analytics (strictly ordered
+    stages, first-qualifying-occurrence semantics).
+
+    Scale notes: each stage is a pushed-filter scan + one aggregate on
+    user_id, joined to the previous stage's (user, ts) frame — the stage
+    frames shrink monotonically, and every join is on the same key, so
+    AQE reuses the user_id partitioning. No window over raw events, no
+    per-user collect — the pattern match is expressed entirely as
+    conditional min-aggregates.
+    """
+    e = load_table(spark, "events", sf_dir)
+
+    def stage(event_type: str, prev: DataFrame | None, prev_ts: str, out_ts: str):
+        s = e.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_ts))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    s1 = stage("signup", None, "", "t1")
+    s2 = stage("click", s1, "t1", "t2")
+    s3 = stage("purchase", s2, "t2", "t3")
+
+    n1, n2, n3 = s1.count(), s2.count(), s3.count()
+    rows = [
+        ("signup", n1),
+        ("signup>click", n2),
+        ("signup>click>purchase", n3),
+    ]
+    out = spark.createDataFrame(rows, "stage string, n_users long")
+    return out.select(
+        "stage",
+        "n_users",
+        (F.col("n_users").cast("double") / F.lit(n1)).alias("conversion"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q59 — cohort set algebra (INTERSECT / EXCEPT).
 # ---------------------------------------------------------------------------
 

@@ -153,3 +153,14 @@ def test_top_tokens_rank_is_total_and_counts_exact(spark, sf_dir):
         .count()
     )
     assert recount == top.n
+
+
+def test_funnel_stages_shrink(spark, sf_dir):
+    """Funnel counts are nonincreasing down the stages and conversion is
+    1.0 at the top."""
+    rows = {r.stage: r for r in QUERIES["q75_funnel"](spark, sf_dir).collect()}
+    n1 = rows["signup"].n_users
+    n2 = rows["signup>click"].n_users
+    n3 = rows["signup>click>purchase"].n_users
+    assert n1 >= n2 >= n3 >= 0
+    assert abs(rows["signup"].conversion - 1.0) < 1e-12
