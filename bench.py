@@ -73,6 +73,7 @@ HEADLINE = [
     "q72_top_tokens",
     "q73_value_histogram",
     "q75_funnel",
+    "q76_dq_expectations",
 ]
 
 

@@ -1,0 +1,154 @@
+"""Data-quality expectations — declarative validation over any frame.
+
+The reference's entire purpose is taming dirty data, but its only guard is
+log-and-continue (etl_completo.py:182-184 et al.): violations vanish into
+logs. This module makes expectations first-class relational checks, each
+one aggregate or anti-join producing a (check, n_rows, n_violations) row —
+the report a pipeline gates on before promoting a load.
+
+Check semantics:
+
+- ``check_unique``: surplus rows beyond one per key (n − distinct(keys)).
+- ``check_not_null``: rows with NULL in any listed column.
+- ``check_range``: rows outside [lo, hi] (NULL passes — pair with
+  not_null when absence is itself a violation).
+- ``check_fk``: child rows whose non-null key has no parent — referential
+  integrity as a left anti-join on the pruned parent key column (the
+  relational form of the FK constraints in sql/cria_dw.sql:126-131 that
+  parquet cannot enforce).
+
+Scale shape: every check is a single scan with map-side partial
+aggregation (the FK check adds one key-only anti-join); the checks UNION
+into one report frame, and Spark runs the independent branches as
+separate-but-concurrent jobs under one action.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.plans.queries import make_query_decorator
+from etl_globalretail_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+
+def _report(df: DataFrame, name: str, violations) -> DataFrame:
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        violations.alias("n_violations"),
+    ).select(
+        F.lit(name).alias("check_name"), "n_rows", "n_violations"
+    )
+
+
+def check_unique(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
+    surplus = F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols])
+    return _report(df, name or f"unique({','.join(cols)})", surplus)
+
+
+def check_not_null(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
+    cond = F.lit(False)
+    for c in cols:
+        cond = cond | F.col(c).isNull()
+    return _report(
+        df, name or f"not_null({','.join(cols)})", F.sum(cond.cast("long"))
+    )
+
+
+def check_range(
+    df: DataFrame, col: str, lo, hi, name: str | None = None
+) -> DataFrame:
+    bad = F.col(col).isNotNull() & (~F.col(col).between(lo, hi))
+    return _report(
+        df, name or f"range({col})", F.sum(bad.cast("long"))
+    )
+
+
+def check_fk(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    name: str | None = None,
+) -> DataFrame:
+    spark = child.sparkSession
+    orphans = (
+        child.filter(F.col(child_key).isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).dropDuplicates(),
+            child_key,
+            "left_anti",
+        )
+        .count()
+    )
+    total = child.count()
+    return spark.createDataFrame(
+        [(name or f"fk({child_key})", total, orphans)],
+        "check_name string, n_rows long, n_violations long",
+    )
+
+
+def dq_report(checks: list[DataFrame]) -> DataFrame:
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@_register(
+    "q76_dq_expectations",
+    oracle="""
+    SELECT 'unique(o_orderkey)' AS check_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'not_null(o_custkey,o_orderdate)', COUNT(*),
+           COUNT(*) FILTER (WHERE o_custkey IS NULL OR o_orderdate IS NULL)
+    FROM orders
+    UNION ALL
+    SELECT 'range(l_quantity)', COUNT(*),
+           COUNT(*) FILTER (WHERE l_quantity IS NOT NULL
+                            AND l_quantity NOT BETWEEN 1 AND 50)
+    FROM lineitem
+    UNION ALL
+    SELECT 'range(l_discount)', COUNT(*),
+           COUNT(*) FILTER (WHERE l_discount IS NOT NULL
+                            AND l_discount NOT BETWEEN 0.0 AND 0.1)
+    FROM lineitem
+    UNION ALL
+    SELECT 'fk(o_custkey)', COUNT(*),
+           COUNT(*) FILTER (WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+               SELECT 1 FROM customer c WHERE c.c_custkey = o_custkey))
+    FROM orders
+    UNION ALL
+    SELECT 'fk(l_orderkey)', COUNT(*),
+           COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_orderkey = l_orderkey))
+    FROM lineitem
+    """,
+)
+def q76_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The promotion-gate report over the warehouse load: key uniqueness,
+    required columns, measure ranges, and both fact-side FK integrities —
+    six expectations, one report frame."""
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    return dq_report(
+        [
+            check_unique(o, ["o_orderkey"]),
+            check_not_null(o, ["o_custkey", "o_orderdate"]),
+            check_range(l, "l_quantity", 1, 50),
+            check_range(l, "l_discount", 0.0, 0.1),
+            check_fk(o, "o_custkey", c, "c_custkey"),
+            check_fk(l, "l_orderkey", o, "o_orderkey"),
+        ]
+    )
