@@ -78,20 +78,19 @@ def check_fk(
     parent_key: str,
     name: str | None = None,
 ) -> DataFrame:
-    spark = child.sparkSession
-    orphans = (
-        child.filter(F.col(child_key).isNotNull())
-        .join(
-            parent.select(F.col(parent_key).alias(child_key)).dropDuplicates(),
-            child_key,
-            "left_anti",
-        )
-        .count()
+    # left join on the deduped parent key column (pruned scan), then count
+    # non-null child keys that found no parent — stays LAZY like every
+    # other check (no driver actions), so the whole report is one plan.
+    marker = f"__fk_hit_{child_key}"
+    parent_keys = (
+        parent.select(F.col(parent_key).alias(child_key))
+        .dropDuplicates()
+        .withColumn(marker, F.lit(1))
     )
-    total = child.count()
-    return spark.createDataFrame(
-        [(name or f"fk({child_key})", total, orphans)],
-        "check_name string, n_rows long, n_violations long",
+    joined = child.join(parent_keys, child_key, "left")
+    orphan = F.col(child_key).isNotNull() & F.col(marker).isNull()
+    return _report(
+        joined, name or f"fk({child_key})", F.sum(orphan.cast("long"))
     )
 
 
