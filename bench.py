@@ -74,6 +74,7 @@ HEADLINE = [
     "q73_value_histogram",
     "q75_funnel",
     "q76_dq_expectations",
+    "q77_retention_matrix",
 ]
 
 

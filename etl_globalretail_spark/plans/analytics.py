@@ -524,6 +524,66 @@ def q75_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q77 — cohort retention matrix.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q77_retention_matrix",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('month', MIN(ts)) AS DATE) AS cohort_month
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_month,
+               CAST(date_trunc('month', e.ts) AS DATE) AS activity_month
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_month,
+           CAST((year(activity_month) - year(cohort_month)) * 12
+                + (month(activity_month) - month(cohort_month))
+                AS BIGINT) AS months_since,
+           COUNT(*) AS n_users
+    FROM activity
+    GROUP BY cohort_month, months_since
+    """,
+)
+def q77_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity month, counted in
+    each subsequent month they return — the (cohort, months-since)
+    triangle behind every retention curve.
+
+    Scale notes: both the first-touch aggregate and the activity dedup
+    shuffle on user_id (one partitioning, reused); the matrix aggregate
+    then works on (cohort, month) pairs — |users| rows at most, not
+    events. Month arithmetic is integer (year·12+month deltas), exact on
+    both engines.
+    """
+    e = load_table(spark, "events", sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.trunc(F.min("ts"), "month").alias("cohort_month")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_month",
+            F.trunc("ts", "month").alias("activity_month"),
+        )
+        .distinct()
+    )
+    months_since = (
+        (F.year("activity_month") - F.year("cohort_month")) * 12
+        + (F.month("activity_month") - F.month("cohort_month"))
+    ).cast("bigint")
+    return activity.groupBy(
+        "cohort_month", months_since.alias("months_since")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
 # q59 — cohort set algebra (INTERSECT / EXCEPT).
 # ---------------------------------------------------------------------------
 

@@ -164,3 +164,15 @@ def test_funnel_stages_shrink(spark, sf_dir):
     n3 = rows["signup>click>purchase"].n_users
     assert n1 >= n2 >= n3 >= 0
     assert abs(rows["signup"].conversion - 1.0) < 1e-12
+
+
+def test_retention_matrix_month_zero_equals_cohort_size(spark, sf_dir):
+    """months_since=0 exists for every cohort (first activity IS in the
+    cohort month) and no retention cell exceeds its cohort's size."""
+    rows = QUERIES["q77_retention_matrix"](spark, sf_dir).collect()
+    zero = {r.cohort_month: r.n_users for r in rows if r.months_since == 0}
+    cohorts = {r.cohort_month for r in rows}
+    assert set(zero) == cohorts
+    for r in rows:
+        assert 0 <= r.months_since
+        assert r.n_users <= zero[r.cohort_month]
