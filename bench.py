@@ -75,6 +75,7 @@ HEADLINE = [
     "q75_funnel",
     "q76_dq_expectations",
     "q77_retention_matrix",
+    "q78_json_extraction",
 ]
 
 

@@ -524,6 +524,55 @@ def q75_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q78 — semi-structured (JSON) column extraction.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q78_json_extraction",
+    oracle="""
+    WITH parsed AS (
+        SELECT event_type,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(k) AS n_parsed,
+           SUM(k) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM parsed GROUP BY event_type
+    """,
+)
+def q78_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parsing of the ``props`` payload
+    (``from_json`` with an explicit struct schema — malformed documents
+    yield NULL fields, counted as unparsed), aggregated per event type.
+    The structured twin of q13's regex extraction.
+
+    Scale notes: ``from_json`` is a JVM Jackson parse inside codegen — no
+    UDF, no Python; the declared schema means only the projected keys are
+    materialized. At 100 TB prefer parsing ONCE into a struct column at
+    ingest (then column-prune forever after) over re-parsing per query —
+    this query is the per-query form; the ingest form is the same
+    expression in a ``withColumn`` before the write.
+    """
+    e = load_table(spark, "events", sf_dir)
+    parsed = e.select(
+        "event_type",
+        F.from_json(F.col("props"), "k bigint").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_parsed"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q77 — cohort retention matrix.
 # ---------------------------------------------------------------------------
 

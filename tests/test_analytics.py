@@ -176,3 +176,22 @@ def test_retention_matrix_month_zero_equals_cohort_size(spark, sf_dir):
     for r in rows:
         assert 0 <= r.months_since
         assert r.n_users <= zero[r.cohort_month]
+
+
+def test_json_extraction_handles_malformed(spark):
+    """Malformed JSON and missing keys parse to NULL (counted as
+    unparsed), never raise."""
+    from etl_globalretail_spark.plans.analytics import (
+        QUERIES as _,  # noqa: F401 — family import sanity
+    )
+
+    df = spark.createDataFrame(
+        [('{"k": 7}',), ("not json",), ('{"other": 1}',), (None,)],
+        "props string",
+    )
+    parsed = df.select(
+        F.from_json(F.col("props"), "k bigint").getField("k").alias("k")
+    )
+    vals = [r.k for r in parsed.collect()]
+    assert sorted(v for v in vals if v is not None) == [7]
+    assert vals.count(None) == 3
