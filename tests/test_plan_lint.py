@@ -1,0 +1,42 @@
+"""Engine-wide physical-plan lint: no query in the registry may plan a
+Cartesian product or nested-loop join — the two shapes that are always
+fatal at 100 TB — except the documented broadcast-tiny cases.
+
+This is the sweep version of the per-query plan tests: every registered
+query's physical plan is built (and, for the handful of eager queries,
+executed at sf0.001) and scanned for forbidden operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# Intentional cross-join shapes — every one is a broadcast of a ≤k-row
+# frame (cluster centroids / probe cells), where the "nested loop" is k
+# comparisons per row, i.e. the argmin scan k-means and IVF are DEFINED as.
+INTENTIONAL_CROSS = {
+    "q36_ann_ivf",   # ivf_assign: broadcast centroid table (k ≤ 10 rows)
+    "q74_kmeans",    # assignment step: broadcast centroids (k = 8 rows)
+    "q33_embedding_neardup",  # the exact O(N²) dedup tier BY DEFINITION —
+    # broadcast pair generation is its documented shape; corpora past
+    # broadcast size use the LSH/IVF tiers (q28/q36) with the same verifier
+    "q41_multimodal_pipeline",  # attaches a broadcast 1-row global
+    # aggregate to the per-mime rows — bounded by construction
+}
+
+FORBIDDEN = ("CartesianProduct",)
+FORBIDDEN_UNLESS_INTENTIONAL = ("BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_no_unbounded_join_shapes(spark, sf_dir, name):
+    fn = entrymod.queries()[name]
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = (
+        FORBIDDEN if name in INTENTIONAL_CROSS else FORBIDDEN_UNLESS_INTENTIONAL
+    )
+    for op in bad:
+        assert op not in plan, f"{name} plans {op}:\n{plan[:2000]}"
