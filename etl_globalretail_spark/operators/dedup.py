@@ -1,13 +1,18 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, cheapest first — the standard corpus-dedup ladder:
+Six tiers, cheapest first — the corpus-dedup ladder:
 
 1. exact (hash-groupBy on normalized content) — oracle-paired;
 2. n-gram Jaccard similarity join (shingle inverted index) — oracle-paired;
 3. MinHash + LSH banding (shingle → signature → band-bucket join →
-   Jaccard verification) — xxhash64-based, no SQL twin (rows-only check);
-4. SimHash (64-bit sign-aggregated fingerprint + chunk-blocked Hamming
-   candidate join) — likewise Spark-only.
+   Jaccard verification) — xxhash64 scale tier (rows-only) + md5
+   oracle-exact twin (q66, whole pipeline replayed in SQL);
+4. SimHash (sign-aggregated fingerprint + chunk-blocked Hamming candidate
+   join) — 64-bit xxhash64 scale tier (rows-only) + 32-bit md5
+   oracle-exact twin (q65, lossless pigeonhole blocking);
+5. embedding-cosine near-dup — in operators/similarity.py (q33);
+6. blocked fuzzy matching (Levenshtein within nation+length blocks) —
+   oracle-paired (q80), the entity-resolution tier for typo'd records.
 
 Everything is pure DataFrame/Column expressions: shingling and signatures
 are higher-order array functions (codegen'd), candidate generation is an
@@ -903,3 +908,70 @@ def q25_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for fr in held:
             fr.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Tier 6: blocked fuzzy matching (edit distance) — entity resolution.
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_distance: int = 2,
+) -> DataFrame:
+    """Within-block name pairs with Levenshtein distance ≤ ``max_distance``
+    — the entity-resolution primitive (same customer typed twice, merged
+    vendor lists).
+
+    Blocking IS the scale strategy: candidate pairs form only inside an
+    equi-join on ``block_cols`` (+ name length, since edit distance k
+    bounds length delta by k — here an exact-length block for the k ≤ 2
+    regime keeps blocks tight), so cost is Σ|block|², never N². The edit
+    distance itself is the JVM built-in — no UDF.
+    """
+    side = df.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("nm"),
+        F.length(name_col).alias("__len"),
+        *[F.col(c) for c in block_cols],
+    )
+    a = side.select(
+        F.col("id").alias("id_a"), F.col("nm").alias("nm_a"), "__len",
+        *[F.col(c) for c in block_cols],
+    )
+    b = side.select(
+        F.col("id").alias("id_b"), F.col("nm").alias("nm_b"), "__len",
+        *[F.col(c) for c in block_cols],
+    )
+    return (
+        a.join(b, [*block_cols, "__len"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("nm_a", "nm_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", F.col("distance").cast("bigint").alias("distance"))
+    )
+
+
+@_register(
+    "q80_fuzzy_name_pairs",
+    oracle="""
+    WITH side AS (
+        SELECT c_custkey AS id, c_name AS nm, c_nationkey,
+               length(c_name) AS len FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS distance
+    FROM side a JOIN side b
+      ON a.c_nationkey = b.c_nationkey AND a.len = b.len AND a.id < b.id
+    WHERE levenshtein(a.nm, b.nm) <= 2
+    """,
+)
+def q80_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-nation near-duplicate customer names (edit distance ≤ 2,
+    blocked on nation + exact length): the fuzzy tier of the dedup ladder
+    — catches the typo'd re-registrations exact hashing cannot."""
+    c = load_table(spark, "customer", sf_dir)
+    return fuzzy_pairs(c, "c_custkey", "c_name", ["c_nationkey"], 2)

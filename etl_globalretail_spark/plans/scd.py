@@ -239,6 +239,89 @@ def q70_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], attrs: list[str]
+) -> DataFrame:
+    """Change-data-capture between two snapshots: one row per differing
+    key, labeled ``inserted`` / ``deleted`` / ``changed``.
+
+    A single FULL OUTER join on the key column computes all three classes
+    in one pass (vs the naive three-query anti/anti/inner formulation =
+    three shuffles of the same tables). Attribute comparison is null-safe.
+    At 100 TB both snapshots are typically bucketed on the key
+    (``write_bucketed``), making this join exchange-free.
+    """
+    on = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    j = old.alias("o").join(new.alias("n"), cond, "full_outer")
+    o_key, n_key = F.col(f"o.{keys[0]}"), F.col(f"n.{keys[0]}")
+    differs = F.lit(False)
+    for a in attrs:
+        differs = differs | ~F.col(f"o.{a}").eqNullSafe(F.col(f"n.{a}"))
+    status = (
+        F.when(o_key.isNull(), F.lit("inserted"))
+        .when(n_key.isNull(), F.lit("deleted"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", status)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[F.coalesce(f"n.{k}", f"o.{k}").alias(k) for k in keys],
+            "change",
+        )
+    )
+
+
+@_register(
+    "q79_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        WHERE c_custkey % 7 <> 0
+    ),
+    new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 50.0
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 11 <> 0
+    )
+    SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+                WHEN n.c_custkey IS NULL THEN 'deleted'
+                WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                  OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                THEN 'changed' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+       OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+    """,
+)
+def q79_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two deterministic customer snapshots (old drops
+    keys ≡ 0 mod 7; new drops keys ≡ 0 mod 11 and shifts balances for
+    keys ≡ 0 mod 5): the inserted/deleted/changed ledger in one
+    full-outer pass."""
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    old = c.filter(F.col("c_custkey") % 7 != 0)
+    new = c.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 50.0
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return snapshot_diff(
+        old, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+    )
+
+
 @_register(
     "q71_upsert_merge",
     oracle="""

@@ -141,3 +141,23 @@ def test_minhash_arrow_matches_jvm(spark, sf_dir):
     }
     assert jvm == arrow
     assert len(jvm) > 0
+
+
+def test_fuzzy_pairs_blocked_and_symmetric_free(spark):
+    """Distance threshold respected, each unordered pair reported once,
+    cross-block pairs never compared."""
+    from etl_globalretail_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "smith", 0), (2, "smyth", 0), (3, "smith", 0),
+            (4, "smith", 1),            # other block: never pairs with 1-3
+            (5, "zzzzz", 0),            # too far from everything
+        ],
+        "id long, name string, blk int",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_pairs(df, "id", "name", ["blk"], 2).collect()
+    }
+    assert pairs == {(1, 2): 1, (1, 3): 0, (2, 3): 1}

@@ -95,3 +95,16 @@ def test_upsert_frame_dedupes_delta(spark):
     delta = spark.createDataFrame([(1, "x"), (1, "y")], "id long, v string")
     out = upsert_frame(cur, delta, ["id"])
     assert out.count() == 1  # one winner per key, not a dup explosion
+
+
+def test_snapshot_diff_classes(spark):
+    from etl_globalretail_spark.plans.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "B"), (3, "c"), (4, "d")], "id long, v string"
+    )
+    got = {r.id: r.change for r in snapshot_diff(old, new, ["id"], ["v"]).collect()}
+    assert got == {1: "deleted", 2: "changed", 4: "inserted"}  # 3 unchanged
