@@ -76,6 +76,9 @@ HEADLINE = [
     "q76_dq_expectations",
     "q77_retention_matrix",
     "q78_json_extraction",
+    "q79_snapshot_diff",
+    "q80_fuzzy_name_pairs",
+    "q81_incremental_agg",
 ]
 
 

@@ -524,6 +524,73 @@ def q75_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q81 — incremental aggregate maintenance (materialized-view refresh).
+# ---------------------------------------------------------------------------
+
+
+def merge_aggregates(
+    agg: DataFrame, delta_agg: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold a delta's partial aggregates into a materialized aggregate
+    table: union + re-aggregate on the keys, summing every non-key column.
+    Works for any algebraic aggregate stored in summable form (counts,
+    sums; averages as sum+count pairs; HLL states via hll_merge).
+
+    This is incremental view maintenance for the append-only case: the
+    refresh costs Θ(|delta| + |affected groups|), never a rescan of the
+    base table. The shuffle moves group subtotals — rows, not data.
+    """
+    sum_cols = [c for c in agg.columns if c not in keys]
+    return (
+        agg.unionByName(delta_agg)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )
+
+
+@_register(
+    "q81_incremental_agg",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS ano,
+           CAST(month(o_orderdate) AS BIGINT) AS mes,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q81_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized monthly-revenue aggregate maintained INCREMENTALLY —
+    the base aggregate is built from pre-1998 orders, then the 1998+
+    delta's partial aggregate is folded in with ``merge_aggregates`` —
+    and checked against the oracle's full recompute. Proves refresh ≡
+    recompute for algebraic aggregates (the decimal sums make the
+    equivalence bit-exact, not just approximate).
+    """
+    o = load_table(spark, "orders", sf_dir)
+
+    def monthly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("ano"),
+            F.month("o_orderdate").cast("bigint").alias("mes"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("revenue"),
+        )
+
+    base = monthly(o.filter(F.year("o_orderdate") < 1998))
+    delta = monthly(o.filter(F.year("o_orderdate") >= 1998))
+    merged = merge_aggregates(base, delta, ["ano", "mes"])
+    return merged.select(
+        "ano",
+        "mes",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q78 — semi-structured (JSON) column extraction.
 # ---------------------------------------------------------------------------
 

@@ -195,3 +195,38 @@ def test_json_extraction_handles_malformed(spark):
     vals = [r.k for r in parsed.collect()]
     assert sorted(v for v in vals if v is not None) == [7]
     assert vals.count(None) == 3
+
+
+def test_incremental_agg_equals_recompute(spark, sf_dir):
+    """merge_aggregates(base, delta) is BIT-equal to the full recompute,
+    and an empty delta is the identity."""
+    from etl_globalretail_spark.plans.analytics import merge_aggregates
+
+    o = load_table(spark, "orders", sf_dir)
+
+    def monthly(df):
+        return df.groupBy(
+            F.year("o_orderdate").alias("ano"),
+            F.month("o_orderdate").alias("mes"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("rev"),
+        )
+
+    full = {(r.ano, r.mes): (r.n, r.rev) for r in monthly(o).collect()}
+    base = monthly(o.filter(F.year("o_orderdate") < 1997))
+    delta = monthly(o.filter(F.year("o_orderdate") >= 1997))
+    merged = {
+        (r.ano, r.mes): (r.n, r.rev)
+        for r in merge_aggregates(base, delta, ["ano", "mes"]).collect()
+    }
+    assert merged == full
+
+    empty = delta.filter(F.lit(False))
+    ident = {
+        (r.ano, r.mes): (r.n, r.rev)
+        for r in merge_aggregates(base, empty, ["ano", "mes"]).collect()
+    }
+    assert ident == {
+        (r.ano, r.mes): (r.n, r.rev) for r in base.collect()
+    }
