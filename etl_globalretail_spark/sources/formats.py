@@ -113,6 +113,31 @@ def write_partitioned(
     ).partitionBy(*partition_cols).parquet(path)
 
 
+def write_range_sorted(
+    df: DataFrame, path: str, col: str, n_files: int, mode: str = "overwrite"
+) -> None:
+    """Range-partitioned, internally-sorted parquet layout on ``col``:
+    ``repartitionByRange`` gives each output file a disjoint value range
+    and ``sortWithinPartitions`` orders rows inside, so every file's
+    parquet footer carries tight, NON-OVERLAPPING min/max for ``col`` —
+    a range predicate then skips whole files and, within a file, whole
+    row groups (the columnar stand-in for the reference's clustered
+    b-tree indexes, sql/cria_indices_dw.sql).
+
+    This is the layout for high-cardinality range-queried columns where
+    hive partitioning (one DIRECTORY per value) would explode; use
+    ``write_partitioned`` for low-cardinality columns, this for the rest.
+    The range boundaries come from a sampling pass over ``df`` (one extra
+    job — the price of balanced ranges without a priori quantiles).
+    """
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def parquet_files(path: str) -> list[str]:
     """All data files under a parquet root (recursive, skips _SUCCESS etc.)."""
     out = []

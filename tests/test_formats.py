@@ -97,3 +97,37 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     back = spark.read.parquet(p)
     assert back.schema == c.schema
     assert _multiset(back) == _multiset(c)
+
+
+def test_range_sorted_layout_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Every output file's footer min/max for the sort column is tight and
+    NON-OVERLAPPING across files — the property file skipping needs."""
+    import pyarrow.parquet as pq
+
+    from etl_globalretail_spark.sources.formats import write_range_sorted
+
+    o = load_table(spark, "orders", sf_dir)
+    p = str(tmp_path / "orders_ranged")
+    write_range_sorted(o, p, "o_orderkey", 8)
+
+    ranges = []
+    for f in parquet_files(p):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("o_orderkey")
+        lo = min(
+            md.row_group(i).column(idx).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(idx).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, ranges
+
+    # data intact
+    back = spark.read.parquet(p)
+    assert back.count() == o.count()
