@@ -268,3 +268,60 @@ def q35_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     fans each event into its two containing epoch-aligned frames — the
     set-in, set-out definition window() implements."""
     return sliding_counts(load_table(spark, "events", sf_dir))
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich each event with dimension attributes.
+
+    Under ``readStream`` Spark re-plans the static side per micro-batch
+    (a broadcast hash join when the dim is small — no stream-side state
+    at all); in batch it is the same left join. This is the streaming
+    face of the reference's per-row dimension lookups (J2,
+    etl_completo.py:637-663) — the dim rides along with every batch
+    instead of being probed per row.
+    """
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def purchases_with_recent_click(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream join: each purchase paired with every click by the
+    same user in the preceding ``horizon`` (inclusive bounds) — the
+    streaming form of q51's attribution shape, with BOUNDED state: the
+    watermark plus the time-range condition lets Spark evict clicks older
+    than horizon+watermark, so state tracks the join window, not the
+    stream's lifetime. (An unbounded-condition stream-stream join would
+    hold every click forever — the failure mode this formulation exists
+    to avoid.)
+
+    Works identically on a batch frame (the time-range condition is just
+    a join predicate there), which is what the parity test exploits.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select("purchase_id", "user_id", "p_ts", "purchase_value", "click_id", "c_ts")

@@ -158,3 +158,49 @@ def test_multimodal_schema_stable(spark, sf_dir):
         "struct<media_id:bigint,mime:string,n_bytes:bigint,"
         "digest:string,feature:array<float>>"
     )
+
+
+def test_stream_static_enrichment_parity(spark, sf_dir):
+    """Stream-static join (dimension enrichment per micro-batch) matches
+    the batch join once the stream drains."""
+    from etl_globalretail_spark.streaming.windows import enrich_with_dim
+
+    events = load_table(spark, "events", sf_dir)
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("cohort", (F.col("user_id") % 3).cast("string"))
+    )
+    batch = enrich_with_dim(events, dim, "user_id")
+    want = {(r.event_id): r.cohort for r in batch.collect()}
+
+    stream = enrich_with_dim(
+        read_event_stream(spark, f"{sf_dir}/events.parquet"), dim, "user_id"
+    )
+    run_to_memory_sink(stream, "enrich_test", mode="append")
+    got = {r.event_id: r.cohort for r in spark.table("enrich_test").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stream_stream_join_parity(spark, sf_dir):
+    """Watermarked stream-stream time-range join produces the same pairs
+    as the identical batch join once both streams drain."""
+    from etl_globalretail_spark.streaming.windows import (
+        purchases_with_recent_click,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in purchases_with_recent_click(events).collect()
+    }
+
+    stream = purchases_with_recent_click(
+        read_event_stream(spark, f"{sf_dir}/events.parquet")
+    )
+    run_to_memory_sink(stream, "ssj_test", mode="append")
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.table("ssj_test").collect()
+    }
+    assert got == want
+    assert len(want) > 0
