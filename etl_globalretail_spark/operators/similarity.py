@@ -465,3 +465,144 @@ def q36_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         cents.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact sign-LSH tier: md5-derived Rademacher hyperplanes (q82).
+# ---------------------------------------------------------------------------
+
+_Q82_BITS = 4
+_Q82_DIM = 64
+
+
+def _rademacher_signs(bits: int = _Q82_BITS, dim: int = _Q82_DIM) -> list[list[int]]:
+    """±1 hyperplane components derived from md5('hp-{bit}-{pos}') parity —
+    the same expression DuckDB evaluates, so both engines hold the SAME
+    hyperplanes. Random-sign (Rademacher) projections are a valid sign-LSH
+    family; unlike q28's float hyperplanes they survive SQL replay."""
+    import hashlib
+
+    out = []
+    for b in range(bits):
+        row = []
+        for pos in range(1, dim + 1):
+            h = int(hashlib.md5(f"hp-{b}-{pos}".encode()).hexdigest()[:15], 16)
+            row.append(1 if h % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+@_register(
+    "q82_ann_lsh_exact",
+    oracle=f"""
+    WITH flat AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    signs AS (
+        SELECT b, pos,
+               CASE WHEN CAST('0x' || substr(
+                        md5('hp-' || b || '-' || pos), 1, 15) AS BIGINT)
+                    % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM (SELECT unnest(range({_Q82_BITS})) AS b),
+             (SELECT unnest(range(1, {_Q82_DIM + 1})) AS pos)
+    ),
+    vq AS (
+        SELECT vec_id, pos, CAST(FLOOR(val * 1e6) AS BIGINT) AS q FROM flat
+    ),
+    bits AS (
+        SELECT vec_id, b,
+               CASE WHEN SUM(s * q) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM vq JOIN signs ON vq.pos = signs.pos
+        GROUP BY vec_id, b
+    ),
+    buckets AS (
+        SELECT vec_id, CAST(SUM(bit * (1 << b)) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id
+    ),
+    qb AS (
+        SELECT bucket FROM buckets
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    cand AS (
+        SELECT vec_id FROM buckets WHERE bucket = (SELECT bucket FROM qb)
+    ),
+    qv AS (
+        SELECT pos, val AS qval FROM flat
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    scored AS (
+        SELECT f.vec_id,
+               CAST(SUM(CAST(FLOOR(f.val * q.qval * 1e12) AS BIGINT))
+                    AS DOUBLE) AS dp,
+               CAST(SUM(CAST(FLOOR(f.val * f.val * 1e12) AS BIGINT))
+                    AS DOUBLE) AS nf,
+               CAST(SUM(CAST(FLOOR(q.qval * q.qval * 1e12) AS BIGINT))
+                    AS DOUBLE) AS nq
+        FROM flat f
+        JOIN qv q ON f.pos = q.pos
+        WHERE f.vec_id IN (SELECT vec_id FROM cand)
+        GROUP BY f.vec_id
+    )
+    SELECT vec_id, cos_sim, rank FROM (
+        SELECT vec_id,
+               dp / (sqrt(nf) * sqrt(nq)) AS cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY dp / (sqrt(nf) * sqrt(nq)) DESC, vec_id
+               ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {_ANN_K}
+    """,
+)
+def q82_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with the WHOLE path oracle-replayed: md5-Rademacher
+    hyperplanes → quantized sign bits → bucket equality candidates → exact
+    quantized-cosine rerank. q28 is the float-hyperplane scale twin
+    (rows-only); this query proves the bucketing design cross-engine —
+    hyperplanes, bit signs, candidate set, and rerank all bit-for-bit.
+
+    Scale notes: identical shape to q28 — bucketing is a map-side
+    projection (one fold per bit), candidates are an equi-filter, and the
+    rerank touches only the query's bucket.
+    """
+    e = load_table(spark, "embeddings", sf_dir)
+    signs = _rademacher_signs()
+    vd = F.col("embedding").cast("array<double>")
+    vq = F.transform(vd, lambda x: F.floor(x * F.lit(1e6)).cast("long"))
+
+    def bit(b: int) -> Column:
+        srow = F.array(*[F.lit(s).cast("long") for s in signs[b]])
+        acc = F.aggregate(
+            F.zip_with(vq, srow, lambda q, s: q * s),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+        return F.when(acc >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = sum((bit(b) * F.lit(1 << b) for b in range(1, _Q82_BITS)), bit(0))
+    withb = e.withColumn("__bucket", bucket.cast("long"))
+
+    first = e.orderBy("vec_id").limit(1).select("embedding").collect()[0]
+    qvec = [float(x) for x in first["embedding"]]
+    import math
+
+    qq = [math.floor(x * 1e6) for x in qvec]
+    qbucket = 0
+    for b in range(_Q82_BITS):
+        acc = sum(s * q for s, q in zip(signs[b], qq))
+        qbucket |= (1 if acc >= 0 else 0) << b
+
+    cand = withb.filter(F.col("__bucket") == F.lit(qbucket))
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    scored = cand.select(
+        "vec_id",
+        _qdot(vd, qcol).cast("double").alias("dp"),
+        _qdot(vd, vd).cast("double").alias("nf"),
+        _qdot(qcol, qcol).cast("double").alias("nq"),
+    )
+    cos = F.col("dp") / (F.sqrt(F.col("nf")) * F.sqrt(F.col("nq")))
+    return _ranked_topk(
+        scored.select("vec_id", cos.alias("cos_sim")), _ANN_K, "vec_id"
+    )
