@@ -79,6 +79,7 @@ HEADLINE = [
     "q79_snapshot_diff",
     "q80_fuzzy_name_pairs",
     "q81_incremental_agg",
+    "q82_ann_lsh_exact",
 ]
 
 
