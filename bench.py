@@ -80,6 +80,8 @@ HEADLINE = [
     "q80_fuzzy_name_pairs",
     "q81_incremental_agg",
     "q82_ann_lsh_exact",
+    "q83_document_chunks",
+    "q84_sequence_packing",
 ]
 
 

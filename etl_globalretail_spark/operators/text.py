@@ -374,3 +374,158 @@ def q72_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection) every text pipeline runs."""
     d = load_table(spark, "documents", sf_dir)
     return top_tokens(d, "text", 25)
+
+
+# ---------------------------------------------------------------------------
+# LLM context prep: overlapping chunking + sequence packing.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_STRIDE = 50, 40  # 50-token windows, 10-token overlap
+_PACK_CAP = 512
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = _CHUNK_W,
+    stride: int = _CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    context-window preparation step of an LLM data pipeline (window <
+    stride overlap keeps boundary context in both neighbors).
+
+    One map-side explode of computed starts — no shuffle, no UDF; a short
+    document yields one (possibly sub-window) chunk. Chunk identity is
+    md5 of the reassembled window (cross-engine), so downstream dedup can
+    run at chunk grain.
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("__n"),
+        F.col(text_col).alias("__txt"),
+        F.posexplode(starts).alias("chunk_pos", "start"),
+    )
+    tt = tokens(F.col("__txt"))
+    length = F.least(F.lit(window), F.col("__n") - F.col("start") + 1)
+    chunk = F.concat_ws(" ", F.slice(tt, F.col("start"), length))
+    return ex.select(
+        "doc_id",
+        (F.col("chunk_pos") + 1).cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("start_token"),
+        length.cast("bigint").alias("n_chunk_tokens"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+@_register(
+    "q83_document_chunks",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_sql_tokens("text")} AS __t FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, __t, len(__t) AS n,
+               unnest(range(1, greatest(len(__t), 1) + 1, {_CHUNK_STRIDE}))
+                   AS start,
+               generate_subscripts(
+                   range(1, greatest(len(__t), 1) + 1, {_CHUNK_STRIDE}), 1
+               ) AS chunk_idx
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_token,
+           CAST(least({_CHUNK_W}, n - start + 1) AS BIGINT)
+               AS n_chunk_tokens,
+           md5(array_to_string(
+               __t[start : start + least({_CHUNK_W}, n - start + 1) - 1],
+               ' ')) AS chunk_md5
+    FROM ex
+    """,
+)
+def q83_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 50-token chunks (stride 40) of every document, each
+    chunk pinned by its cross-engine md5 — the dataset a context-window
+    trainer actually consumes, checked chunk-for-chunk."""
+    d = load_table(spark, "documents", sf_dir)
+    return chunk_documents(d, "doc_id", "text")
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_count_col,
+    capacity: int = _PACK_CAP,
+) -> DataFrame:
+    """Concat-and-split sequence packing: documents are laid out in a
+    deterministic (hash, id) order per group, concatenated, and split at
+    ``capacity``-token boundaries; a document's bin is where its first
+    token lands. This is GPT-style "pack then chunk" — bins fill exactly
+    (documents straddle boundaries), and the assignment is a prefix sum +
+    integer division, no driver loop.
+
+    One shuffle on the group key; the running offset is a window
+    cumulative sum of exact BIGINTs.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_count_col).over(w)
+    offset = (cum - token_count_col).cast("bigint")
+    return df.select(
+        F.col(group_col),
+        F.col(id_col),
+        token_count_col.cast("bigint").alias("n_tokens"),
+        F.floor(offset / capacity).cast("bigint").alias("bin"),
+    )
+
+
+@_register(
+    "q84_sequence_packing",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id,
+               CAST(len({_sql_tokens("text")}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS off
+        FROM sized
+    )
+    SELECT source,
+           CAST(FLOOR(off / {_PACK_CAP}) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS sum_tokens,
+           SUM(doc_id) AS sum_ids
+    FROM placed
+    GROUP BY source, bin
+    """,
+)
+def q84_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sequence packing into 512-token training bins
+    (deterministic hash order, concat-and-split semantics), audited per
+    bin with an id-sum pinning exact membership."""
+    d = load_table(spark, "documents", sf_dir)
+    sized = d.select(
+        "source", "doc_id", token_count(F.col("text")).alias("__nt")
+    )
+    packed = pack_sequences(sized, "source", "doc_id", F.col("__nt"))
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("doc_id").alias("sum_ids"),
+    )

@@ -230,3 +230,53 @@ def test_incremental_agg_equals_recompute(spark, sf_dir):
     assert ident == {
         (r.ano, r.mes): (r.n, r.rev) for r in base.collect()
     }
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    """Chunks tile each document: first chunk starts at 1, strides are
+    exact, and the last chunk reaches the final token."""
+    from etl_globalretail_spark.operators.text import QUERIES as TEXT_Q
+    from etl_globalretail_spark.operators.text import token_count
+
+    chunks = TEXT_Q["q83_document_chunks"](spark, sf_dir).collect()
+    d = load_table(spark, "documents", sf_dir)
+    n_tokens = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    assert set(by_doc) == set(n_tokens)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda c: c.chunk_idx)
+        assert cs[0].start_token == 1
+        for a, b in zip(cs, cs[1:]):
+            assert b.start_token - a.start_token == 40
+        last = cs[-1]
+        assert last.start_token + last.n_chunk_tokens - 1 == n_tokens[doc_id]
+
+
+def test_packing_bins_are_tight(spark, sf_dir):
+    """Per source: total tokens conserved, bins numbered contiguously from
+    0, and every bin except the last one is filled past the boundary by
+    construction (concat-and-split leaves no empty bins)."""
+    from etl_globalretail_spark.operators.text import QUERIES as TEXT_Q
+
+    rows = TEXT_Q["q84_sequence_packing"](spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    d = load_table(spark, "documents", sf_dir)
+    from etl_globalretail_spark.operators.text import token_count
+
+    totals = {
+        r.source: r.t
+        for r in d.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("t"))
+        .collect()
+    }
+    for src, rs in by_src.items():
+        bins = sorted(r.bin for r in rs)
+        assert bins == list(range(len(bins)))  # contiguous from 0
+        assert sum(r.sum_tokens for r in rs) == totals[src]
