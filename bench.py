@@ -82,6 +82,7 @@ HEADLINE = [
     "q82_ann_lsh_exact",
     "q83_document_chunks",
     "q84_sequence_packing",
+    "q85_pii_redaction",
 ]
 
 

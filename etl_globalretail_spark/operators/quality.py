@@ -151,3 +151,98 @@ def q76_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             check_fk(l, "l_orderkey", o, "o_orderkey"),
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — scrub-before-train.
+# ---------------------------------------------------------------------------
+
+# Patterns kept in the Java ∩ RE2 common subset (no lookarounds) so the
+# DuckDB oracle evaluates the identical automaton.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def redact_pii(text_col, patterns: dict[str, str] | None = None):
+    """Replace every PII match with its ``[TYPE]`` tag — chained
+    ``regexp_replace`` (JVM regex inside codegen, no UDF). Order matters
+    only if patterns overlap; defaults don't."""
+    pats = patterns or {"EMAIL": EMAIL_RE, "PHONE": PHONE_RE}
+    out = text_col
+    for tag, pat in pats.items():
+        out = F.regexp_replace(out, pat, f"[{tag}]")
+    return out
+
+
+@_register(
+    "q85_pii_redaction",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT doc_id, lang,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || doc_id || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' call 555-123-4567 today' ELSE '' END AS t
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
+               regexp_replace(regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{PHONE_RE}', '[PHONE]', 'g') AS clean
+        FROM dirty
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_emails) AS n_emails,
+           SUM(n_phones) AS n_phones,
+           bit_xor(CAST('0x' || substr(md5(clean), 1, 15) AS BIGINT))
+               AS redacted_checksum
+    FROM red GROUP BY lang
+    """,
+)
+def q85_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub-before-train: emails/phones (injected deterministically — the
+    corpus ships clean) replaced by type tags, audited per language with
+    match counts AND an order-independent checksum of the redacted text —
+    the oracle checks the actual cleaned bytes, not just the counts."""
+    d = load_table(spark, "documents", sf_dir)
+    dirty = d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567 today")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    red = dirty.select(
+        "lang",
+        F.regexp_count("t", F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("t", F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        redact_pii(F.col("t")).alias("clean"),
+    )
+    # XOR-fold of per-doc 60-bit hashes: order-independent AND overflow-
+    # free at any group size (a SUM of 60-bit values overflows int64
+    # past ~2^3 docs per group at full width — measured).
+    checksum = F.conv(F.substring(F.md5("clean"), 1, 15), 16, 10).cast("bigint")
+    return red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_phones").alias("n_phones"),
+        F.bit_xor(checksum).alias("redacted_checksum"),
+    )

@@ -41,3 +41,20 @@ def test_clean_data_reports_zero(spark):
         [check_unique(df, ["id"]), check_range(df, "v", 0.0, 5.0)]
     ).collect()
     assert all(r.n_violations == 0 for r in rows)
+
+
+def test_redact_pii_replaces_all_matches(spark):
+    from pyspark.sql import functions as F
+
+    from etl_globalretail_spark.operators.quality import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail a@b.co and c.d+x@e-f.org, call 555-123-4567",),
+            ("clean text with no pii at all",),
+        ],
+        "t string",
+    )
+    out = [r.o for r in df.select(redact_pii(F.col("t")).alias("o")).collect()]
+    assert out[0] == "mail [EMAIL] and [EMAIL], call [PHONE]"
+    assert out[1] == "clean text with no pii at all"
