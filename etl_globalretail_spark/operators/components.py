@@ -21,10 +21,11 @@ min-aggregate. Edges for dedup are |verified pairs| — orders of magnitude
 smaller than the corpus, so at 100 TB the CC phase is dwarfed by the LSH
 phase that produced the pairs.
 
-No SQL oracle: iteration-to-fixpoint is not expressible in DuckDB's
-non-recursive dialect (a RECURSIVE CTE could, but per-query hash compare of
-an unordered fixpoint adds nothing over the pytest ground truth) — q43 is a
-rows-only check with pytest-verified closure semantics.
+Verification tiers: q43 (xxhash edges, rows-only + pytest closure
+semantics) is the scale tier; q67 replays the fixpoint against a DuckDB
+RECURSIVE-CTE transitive closure on md5-derived edges (vertex-exact), and
+q86 composes closure + hash split into the leakage-safe train/test
+assignment, also oracle-checked end-to-end.
 """
 
 from __future__ import annotations
@@ -241,3 +242,99 @@ def q43_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for fr in held:
             fr.unpersist()
+
+
+def _q86_oracle() -> str:
+    """q67's recursive closure + q47's md5 bucket arithmetic: every doc
+    inherits its duplicate-cluster representative's split, singletons
+    split on their own id."""
+    from etl_globalretail_spark.operators import dedup
+
+    q66 = dedup.ORACLE["q66_minhash_pairs_exact"]
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({q66}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    reach AS (
+        SELECT v, v AS r FROM verts
+        UNION
+        SELECT e.dst AS v, reach.r AS r
+        FROM reach JOIN edges e ON reach.v = e.src
+    ),
+    comp AS (SELECT v AS doc_id, MIN(r) AS rep FROM reach GROUP BY v),
+    keyed AS (
+        SELECT d.doc_id, d.lang, COALESCE(c.rep, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN CAST('0x' || substr(
+                        md5(CAST(split_key AS VARCHAR) || 'split'), 1, 15)
+                        AS BIGINT) % 1000000 < 900000
+                    THEN 'train' ELSE 'test' END AS split
+        FROM keyed
+    )
+    SELECT split, lang, COUNT(*) AS n_docs, SUM(doc_id) AS sum_ids
+    FROM assigned GROUP BY split, lang
+    """
+
+
+def _register_q86() -> None:
+    @_register("q86_leakage_safe_split", oracle=_q86_oracle())
+    def q86_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Decontaminated train/test split: near-duplicate CLUSTERS (q66's
+        verified pair graph, closed transitively) are assigned as a unit —
+        every member inherits its cluster representative's hash bucket, so
+        a near-dup of a training doc can never land in test. The
+        composition of three oracle-exact operators (LSH pairs → connected
+        components → deterministic hash split), itself oracle-checked
+        end-to-end.
+
+        Scale notes: the split stays map-only for the (vast) singleton
+        majority; only pair-graph members take the representative join —
+        a broadcast at any realistic duplicate rate.
+        """
+        from etl_globalretail_spark.operators import dedup
+        from etl_globalretail_spark.operators.sampling import hash_bucket
+
+        d = load_table(spark, "documents", sf_dir)
+        pairs = dedup.QUERIES["q66_minhash_pairs_exact"](spark, sf_dir).persist()
+        held: list = []
+        try:
+            cc = connected_components(pairs, materialized=held)
+            comp = cc.select(
+                F.col("vertex").alias("doc_id"), F.col("component").alias("rep")
+            )
+            rows = comp.collect()  # pair-graph members only — small
+        finally:
+            pairs.unpersist()
+            for h in held:
+                try:
+                    h.unpersist(False)
+                except Exception:
+                    pass
+        spark_comp = spark.createDataFrame(rows, "doc_id long, rep long") if rows else None
+        keyed = d.select("doc_id", "lang")
+        if spark_comp is not None:
+            keyed = keyed.join(F.broadcast(spark_comp), "doc_id", "left")
+        else:
+            keyed = keyed.withColumn("rep", F.lit(None).cast("long"))
+        keyed = keyed.withColumn(
+            "split_key", F.coalesce("rep", "doc_id")
+        )
+        split = F.when(
+            hash_bucket(F.col("split_key"), salt="split") < 900000, "train"
+        ).otherwise("test")
+        return keyed.select("doc_id", "lang", split.alias("split")).groupBy(
+            "split", "lang"
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+        )
+
+
+_register_q86()

@@ -86,3 +86,39 @@ def test_q43_runs(spark, sf_dir):
     assert row.n_docs > 0
     assert row.n_kept + row.n_docs_clustered - row.n_clusters == row.n_docs
     assert row.max_cluster >= 2
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """No verified near-dup pair may straddle the train/test boundary —
+    the invariant q86 exists to provide."""
+    from pyspark.sql import functions as F
+
+    from etl_globalretail_spark.operators import dedup
+    from etl_globalretail_spark.operators.components import (
+        connected_components,
+    )
+    from etl_globalretail_spark.operators.sampling import hash_bucket
+    from etl_globalretail_spark.sources.readers import load_table
+
+    pairs = dedup.QUERIES["q66_minhash_pairs_exact"](spark, sf_dir).persist()
+    try:
+        cc = connected_components(pairs)
+        comp = {r.vertex: r.component for r in cc.collect()}
+        d = load_table(spark, "documents", sf_dir).select("doc_id")
+        buckets = {
+            r.doc_id: r.b
+            for r in d.select(
+                "doc_id", hash_bucket(F.col("doc_id"), salt="split").alias("b")
+            ).collect()
+        }
+
+        def split_of(doc):
+            key = comp.get(doc, doc)
+            # members inherit the REPRESENTATIVE's bucket
+            rep_bucket = buckets.get(key)
+            return "train" if rep_bucket < 900000 else "test"
+
+        for p in pairs.collect():
+            assert split_of(p.id_a) == split_of(p.id_b), (p.id_a, p.id_b)
+    finally:
+        pairs.unpersist()
