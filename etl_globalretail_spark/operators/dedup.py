@@ -975,3 +975,104 @@ def q80_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — catches the typo'd re-registrations exact hashing cannot."""
     c = load_table(spark, "customer", sf_dir)
     return fuzzy_pairs(c, "c_custkey", "c_name", ["c_nationkey"], 2)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination audit (decontamination's detection half).
+# ---------------------------------------------------------------------------
+
+_Q87_MIN_SHARED = 5
+
+
+def contamination_audit(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    min_shared: int = _Q87_MIN_SHARED,
+) -> DataFrame:
+    """(id, n_shared) for corpus docs sharing ≥ ``min_shared`` distinct
+    k-gram shingles with ANY benchmark document — the detection half of
+    benchmark decontamination (the removal half is an anti-join on the
+    flagged ids).
+
+    Scale shape: the benchmark's distinct shingle-hash set is tiny
+    relative to the corpus (benchmarks are small by definition) — it
+    broadcasts, so the corpus-side explode joins with NO shuffle of
+    corpus data; the per-doc overlap count is one aggregate.
+    """
+    def hashed(df):
+        return df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_shingles(F.col(text_col), k),
+                        lambda s: _md5_hash64(s),
+                    )
+                )
+            ).alias("h"),
+        )
+
+    bench_set = hashed(benchmark).select("h").distinct()
+    hits = (
+        hashed(corpus)
+        .join(F.broadcast(bench_set), "h")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return hits.select(F.col("doc").alias(id_col), "n_shared")
+
+
+@_register(
+    "q87_contamination_audit",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(list_transform(
+                   {_sql_shingles(2)},
+                   s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+               ))) AS h
+        FROM (SELECT doc_id, lang, {_sql_tokens("text")} AS __t
+              FROM documents)
+    ),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 17 = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN bench b ON c.h = b.h
+        GROUP BY c.doc_id
+        HAVING COUNT(*) >= {_Q87_MIN_SHARED}
+    ),
+    docs AS (
+        SELECT doc_id, lang FROM documents WHERE doc_id % 17 <> 0
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           COUNT(h.doc_id) AS n_contaminated,
+           SUM(CASE WHEN h.doc_id IS NOT NULL THEN d.doc_id END)
+               AS sum_contaminated_ids
+    FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    GROUP BY d.lang
+    """,
+)
+def q87_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination report per language: corpus docs (ids not ≡ 0 mod
+    17) sharing ≥ 5 distinct bigram shingles with the deterministic
+    benchmark slice (ids ≡ 0 mod 17), id-sum pinning the exact flagged
+    set. Removal is an anti-join on the flagged ids — audited here,
+    composable with q47/q86's split machinery."""
+    d = load_table(spark, "documents", sf_dir)
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    flagged = contamination_audit(corpus, bench, "doc_id", "text")
+    out = corpus.select("doc_id", "lang").join(flagged, "doc_id", "left")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_shared").alias("n_contaminated"),
+        F.sum(
+            F.when(F.col("n_shared").isNotNull(), F.col("doc_id"))
+        ).alias("sum_contaminated_ids"),
+    )

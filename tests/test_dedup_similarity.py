@@ -161,3 +161,23 @@ def test_fuzzy_pairs_blocked_and_symmetric_free(spark):
         for r in fuzzy_pairs(df, "id", "name", ["blk"], 2).collect()
     }
     assert pairs == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+
+
+def test_contamination_removal_is_clean(spark, sf_dir):
+    """Anti-joining the flagged ids leaves a corpus with NO doc sharing
+    >= min_shared shingles with the benchmark (re-audit finds nothing),
+    and the benchmark slice itself is 100% self-contaminated."""
+    from etl_globalretail_spark.operators.dedup import contamination_audit
+    from etl_globalretail_spark.sources.readers import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    flagged = contamination_audit(corpus, bench, "doc_id", "text")
+    clean = corpus.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    assert contamination_audit(clean, bench, "doc_id", "text").count() == 0
+
+    # every benchmark doc trivially matches itself past the threshold
+    self_hits = contamination_audit(bench, bench, "doc_id", "text")
+    long_enough = bench.filter(F.size(F.split(F.trim("text"), r"\s+")) > 5)
+    assert self_hits.count() == long_enough.count()
