@@ -279,7 +279,8 @@ def _q86_oracle() -> str:
                     THEN 'train' ELSE 'test' END AS split
         FROM keyed
     )
-    SELECT split, lang, COUNT(*) AS n_docs, SUM(doc_id) AS sum_ids
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
     FROM assigned GROUP BY split, lang
     """
 

@@ -1052,7 +1052,8 @@ def contamination_audit(
     SELECT d.lang,
            COUNT(*) AS n_docs,
            COUNT(h.doc_id) AS n_contaminated,
-           SUM(CASE WHEN h.doc_id IS NOT NULL THEN d.doc_id END)
+           CAST(COALESCE(SUM(CASE WHEN h.doc_id IS NOT NULL
+                                  THEN d.doc_id END), 0) AS BIGINT)
                AS sum_contaminated_ids
     FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
     GROUP BY d.lang
@@ -1072,7 +1073,8 @@ def q87_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count("n_shared").alias("n_contaminated"),
-        F.sum(
-            F.when(F.col("n_shared").isNotNull(), F.col("doc_id"))
+        F.coalesce(
+            F.sum(F.when(F.col("n_shared").isNotNull(), F.col("doc_id"))),
+            F.lit(0),
         ).alias("sum_contaminated_ids"),
     )

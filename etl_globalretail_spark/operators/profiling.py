@@ -162,7 +162,7 @@ def fixed_histogram(
         FROM events
     )
     SELECT event_type, bin,
-           0.0 + bin * 25.0 AS bin_lo,
+           CAST(0.0 + bin * 25.0 AS DOUBLE) AS bin_lo,
            COUNT(*) AS n
     FROM binned GROUP BY event_type, bin
     """,

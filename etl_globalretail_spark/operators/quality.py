@@ -199,8 +199,8 @@ def redact_pii(text_col, patterns: dict[str, str] | None = None):
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_emails) AS n_emails,
-           SUM(n_phones) AS n_phones,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
            bit_xor(CAST('0x' || substr(md5(clean), 1, 15) AS BIGINT))
                AS redacted_checksum
     FROM red GROUP BY lang

@@ -179,7 +179,7 @@ _Q64_SQL_CASE = (
     SELECT d.lang,
            COUNT(*) AS n_docs,
            COUNT(k.doc_id) AS n_sampled,
-           SUM(k.doc_id) AS sum_sampled_ids
+           CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS sum_sampled_ids
     FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
     GROUP BY d.lang
     """,
@@ -202,7 +202,7 @@ def q64_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
-        "sum_sampled_ids",
+        F.coalesce("sum_sampled_ids", F.lit(0)).alias("sum_sampled_ids"),
     )
 
 
@@ -216,7 +216,8 @@ def q64_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'test' END AS split
         FROM documents
     )
-    SELECT split, lang, COUNT(*) AS n_docs, SUM(doc_id) AS sum_ids
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
     FROM assigned GROUP BY split, lang
     """,
 )
@@ -244,7 +245,8 @@ def q47_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_docs,
            COUNT(*) FILTER (WHERE rn <= 15) AS n_kept,
-           SUM(doc_id) FILTER (WHERE rn <= 15) AS sum_kept_ids
+           CAST(COALESCE(SUM(doc_id) FILTER (WHERE rn <= 15), 0) AS BIGINT)
+               AS sum_kept_ids
     FROM ranked GROUP BY source
     """,
 )

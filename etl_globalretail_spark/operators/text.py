@@ -509,8 +509,8 @@ def pack_sequences(
     SELECT source,
            CAST(FLOOR(off / {_PACK_CAP}) AS BIGINT) AS bin,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS sum_tokens,
-           SUM(doc_id) AS sum_ids
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
     FROM placed
     GROUP BY source, bin
     """,

@@ -95,13 +95,13 @@ def q54_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_semi_anti_customers",
     oracle="""
     SELECT c_mktsegment, 'with_orders' AS cohort,
-           COUNT(*) AS n_customers, SUM(c_custkey) AS sum_keys
+           COUNT(*) AS n_customers, CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c_mktsegment
     UNION ALL
     SELECT c_mktsegment, 'no_orders',
-           COUNT(*), SUM(c_custkey)
+           COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c_mktsegment
@@ -155,7 +155,7 @@ def q55_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            COUNT(gap_us) AS n_gaps,
-           SUM(gap_us) AS sum_gap_us,
+           CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us,
            CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1000000.0
                AS avg_gap_s
     FROM gaps
@@ -186,7 +186,7 @@ def q56_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return gaps.groupBy("event_type").agg(
         F.count("gap_us").alias("n_gaps"),
-        F.sum("gap_us").alias("sum_gap_us"),
+        F.coalesce(F.sum("gap_us"), F.lit(0)).alias("sum_gap_us"),
         (
             F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1000000.0)
         ).alias("avg_gap_s"),
@@ -606,7 +606,7 @@ def q81_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            COUNT(k) AS n_parsed,
-           SUM(k) AS sum_k,
+           CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
            MIN(k) AS min_k,
            MAX(k) AS max_k
     FROM parsed GROUP BY event_type
@@ -633,7 +633,7 @@ def q78_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count("k").alias("n_parsed"),
-        F.sum("k").alias("sum_k"),
+        F.coalesce(F.sum("k"), F.lit(0)).alias("sum_k"),
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
@@ -712,13 +712,13 @@ def q77_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
          y96 AS (SELECT DISTINCT o_custkey FROM orders
                  WHERE year(o_orderdate) = 1996)
     SELECT 'retained' AS cohort, COUNT(*) AS n_customers,
-           SUM(o_custkey) AS sum_keys
+           CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT) AS sum_keys
     FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
     UNION ALL
-    SELECT 'churned', COUNT(*), SUM(o_custkey)
+    SELECT 'churned', COUNT(*), CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT)
     FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
     UNION ALL
-    SELECT 'acquired', COUNT(*), SUM(o_custkey)
+    SELECT 'acquired', COUNT(*), CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT)
     FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
     """,
 )
@@ -748,7 +748,7 @@ def q59_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     def tally(df: DataFrame, label: str) -> DataFrame:
         return df.agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("o_custkey").alias("sum_keys"),
+            F.coalesce(F.sum("o_custkey"), F.lit(0)).alias("sum_keys"),
         ).select(
             F.lit(label).alias("cohort"), "n_customers", "sum_keys"
         )

@@ -35,17 +35,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     oracle agree on column order; Catalyst still prunes unused ones at the
     physical scan.
 
-    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
-    has no native type for — read it as raw nanos (legacy long mode) and
-    convert to a microsecond TimestampType, matching DuckDB's ns→µs coercion
-    (truncation).
+    The events table has shipped ``ts`` both as parquet TIMESTAMP(NANOS)
+    (no native Spark type — read as raw nanos via legacy long mode and
+    truncate to µs, matching DuckDB's ns→µs coercion) and as plain
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ under Spark's NTZ inference).
+    Normalize either encoding to a session-UTC microsecond TimestampType so
+    every downstream ``unix_micros``/window expression sees one type.
     """
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type in ("long", "bigint"):  # TIMESTAMP(NANOS) read as raw nanos
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:  # timestamp_ntz or timestamp — value-preserving under UTC session tz
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     df = df.select(*[f.name for f in TESTDATA_SCHEMAS[name].fields])

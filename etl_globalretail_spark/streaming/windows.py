@@ -78,14 +78,21 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     single ``events.parquet`` file, so point the stream at the parent
     directory with a pathGlobFilter selecting just that file.
 
-    The testdata stores ts as parquet TIMESTAMP(NANOS) (no native Spark
-    type): declare it LongType under the nanos-as-long legacy conf and
-    convert — the same coercion the batch reader does.
+    The testdata has stored ts as parquet TIMESTAMP(NANOS) (no native Spark
+    type: declare LongType under the nanos-as-long legacy conf and truncate)
+    and as TIMESTAMP(MICROS). FileStreamSource needs a fixed schema up
+    front, so probe the actual footer type with a zero-cost batch schema
+    read and declare the matching stream schema — the same normalization
+    the batch reader does.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = spark.read.parquet(path).schema["ts"].dataType.simpleString()
+    nanos = probed in ("long", "bigint")
     base = TESTDATA_SCHEMAS["events"]
     fields = [
-        f"{f.name} LONG" if f.name == "ts" else f"{f.name} {f.dataType.simpleString()}"
+        f"{f.name} {'LONG' if nanos else probed.upper()}"
+        if f.name == "ts"
+        else f"{f.name} {f.dataType.simpleString()}"
         for f in base.fields
     ]
     reader = spark.readStream.schema(", ".join(fields)).format("parquet")
@@ -94,7 +101,9 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", fname)
         path = parent
     raw = reader.load(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def dedup_stream(

@@ -87,6 +87,26 @@ def main() -> int:
             res = con.execute(oracles[name])
             drows = res.fetchall()
             dcols = [d[0] for d in res.description]
+            # Portability lint: the driver may fetch DuckDB results via
+            # pandas/Arrow, where HUGEINT (e.g. SUM(BIGINT)) becomes
+            # decimal128/float64 and an int column containing NULL becomes
+            # float64 — silently diverging from Spark's int64 in the value
+            # hash even when fetchall() agrees. Demand BIGINT-safe,
+            # NULL-free numeric outputs from every oracle.
+            arr = con.execute(oracles[name]).arrow()
+            for field in arr.schema:
+                ts = str(field.type)
+                if ts.startswith("decimal"):
+                    raise AssertionError(
+                        f"oracle col {field.name!r} is {ts} (HUGEINT/DECIMAL"
+                        f") — CAST it to BIGINT/DOUBLE for pandas-safety"
+                    )
+                col = arr.column(field.name)
+                if ts.startswith(("int", "uint")) and col.null_count:
+                    raise AssertionError(
+                        f"oracle col {field.name!r} ({ts}) has NULLs — "
+                        f"COALESCE both sides (pandas turns it float64)"
+                    )
         except Exception as e:
             failed.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL {name}: duckdb error: {str(e)[:500]}")
