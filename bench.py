@@ -83,6 +83,12 @@ HEADLINE = [
     "q83_document_chunks",
     "q84_sequence_packing",
     "q85_pii_redaction",
+    "q88_weighted_sample",
+    "q89_rarity_bands",
+    "q90_repetition_filter",
+    "q91_event_outliers",
+    "q92_tfidf_terms",
+    "q93_normalized_dedup",
 ]
 
 

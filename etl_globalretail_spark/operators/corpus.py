@@ -1,0 +1,541 @@
+"""Corpus-curation statistics: the second tier of training-data operators.
+
+Where ``operators/text.py`` scores documents in isolation (language,
+length, fingerprints) and ``operators/sampling.py`` picks subsets by pure
+key hashes, this module covers the curation decisions that need *corpus
+context* or *weights*:
+
+- ``weighted_sample`` — inclusion probability proportional to a per-row
+  weight (chars/tokens), the standard way to sample "by volume" rather
+  than "by document" when mixing corpora. Map-only, deterministic
+  (md5-bucket vs an integer threshold — no ``rand()``), and nested:
+  raising the rate keeps every previously kept row.
+- ``rarity_bands`` — a unigram-frequency proxy for perplexity filtering:
+  each token's rarity is (corpus-max bit-length − its count's bit-length),
+  a doc's band is its floor-average rarity. All-integer arithmetic, so the
+  oracle is exact; the expensive join (occurrences ⨝ vocabulary) is the
+  frequency-table join every LM-data pipeline runs, shuffling on the token
+  or broadcasting the vocab when it fits.
+- ``repetition_stats`` — the Gopher-style repetition rule (fraction of the
+  doc covered by its most frequent bigram). Computed entirely map-side:
+  bigrams are sorted per document and the max run length is found with one
+  ``aggregate`` lambda — zero shuffle for the scoring pass, in contrast to
+  the naive explode + groupBy(doc, gram) plan whose shuffle carries every
+  bigram of a 100 TB corpus.
+- ``zscore_outliers`` — per-group statistical outlier flags for numeric
+  streams: two-pass (tiny exact-decimal moment aggregate, broadcast back).
+- ``tfidf_top_terms`` — corpus-weighted term relevance per language. The
+  idf ratio is computed from exact integer aggregates in one deterministic
+  double division, so ranks are reproducible across engines and retries.
+- ``normalized_text_key`` — canonicalization (lowercase, strip
+  non-alphanumerics, collapse whitespace) whose md5 is the cluster key for
+  "same text modulo formatting" dedup — the cheap tier between exact-hash
+  and MinHash dedup.
+
+The reference has no corpus surface at all (it is a row-at-a-time retail
+ETL, etl_completo.py:1110-1186); this family belongs to the 100 TB
+training-data mandate, alongside dedup/similarity/sampling.
+
+Cross-engine contract notes: every aggregate the oracles hash is either an
+exact integer (counts, id sums, bit-lengths, floor-divided permils) or a
+double produced by one correctly-rounded IEEE operation on exact integers
+(one division, one sqrt) — both engines are bit-identical on those, unlike
+order-dependent double sums (see plans/queries.py ``dsum``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_globalretail_spark.operators.sampling import N_BUCKETS, _sql_bucket, hash_bucket
+from etl_globalretail_spark.plans.queries import make_query_decorator
+from etl_globalretail_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Shared tokenization for corpus-frequency operators: lowercase pure-alpha
+# whitespace tokens. (Whitespace-only tokenization for the repetition rule,
+# which must see punctuation-bearing repeats too — each operator states its
+# contract, and its oracle mirrors it exactly.)
+# ---------------------------------------------------------------------------
+
+
+def alpha_tokens(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"),
+        lambda t: t.rlike("^[a-z]+$"),
+    )
+
+
+_SQL_ALPHA_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+    " t -> regexp_full_match(t, '[a-z]+'))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Weighted (volume-proportional) sampling.
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    rate_per_unit: int,
+    salt: str = "wsample",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Keep each row with probability min(weight × rate_per_unit / n_buckets, 1)
+    — deterministic Bernoulli sampling proportional to a size weight.
+
+    Sampling "by document" under-represents long documents when the unit of
+    interest is tokens; weighting by size makes the expected *volume* of
+    each stratum proportional to its corpus share. Pure map-side filter
+    (hash bucket < integer threshold): reproducible under retries and
+    incremental loads, and monotone in the rate (a higher-rate sample is a
+    superset — bucket thresholds only move up).
+    """
+    thr = F.least(
+        F.col(weight_col).cast("bigint") * rate_per_unit, F.lit(n_buckets)
+    )
+    return df.filter(hash_bucket(F.col(key_col), n_buckets, salt) < thr)
+
+
+_Q88_RATE = 200  # p = 1 at n_chars ≥ 5000; p = n_chars/5000 below
+
+
+@_register(
+    "q88_weighted_sample",
+    oracle=f"""
+    WITH kept AS (
+        SELECT lang, doc_id, n_chars FROM documents
+        WHERE {_sql_bucket("doc_id", salt="wsample")}
+              < LEAST(n_chars * {_Q88_RATE}, {N_BUCKETS})
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           COUNT(k.doc_id) AS n_kept,
+           CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS sum_kept_ids,
+           CAST(COALESCE(SUM(k.n_chars), 0) AS BIGINT) AS kept_chars
+    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.lang
+    """,
+)
+def q88_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-volume-proportional sample of the corpus, audited per language
+    (kept ids + kept char volume pin exact membership). The sample is a
+    map-only filter; only this audit aggregates."""
+    d = load_table(spark, "documents", sf_dir)
+    kept = weighted_sample(d, "doc_id", "n_chars", _Q88_RATE)
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    k = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    return totals.join(k, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("sum_kept_ids", F.lit(0)).alias("sum_kept_ids"),
+        F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-frequency rarity bands (perplexity-proxy quality scoring).
+# ---------------------------------------------------------------------------
+
+
+def rarity_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Score each document by the average rarity of its tokens against the
+    corpus unigram table, in bands of 0.1 average-rarity.
+
+    rarity(token) = bitlen(max corpus count) − bitlen(count) — an integer
+    ≈ log₂(max/count), so the doc score is a scaled negative-log-likelihood
+    under a unigram model: exactly the quantity perplexity filters
+    threshold, computable without any external LM and without any float.
+
+    band(doc) = (Σ rarity × 10) div n_tokens  (floor tenths of avg rarity).
+
+    Plan shape: explode → vocabulary aggregate → frequency join → per-doc
+    aggregate. The vocabulary is orders of magnitude smaller than the
+    occurrence stream (Zipf); Spark broadcasts it when it fits, else the
+    join shuffles on the token — either way the occurrence stream is
+    touched twice and never collected.
+    """
+    occ = docs.select(
+        F.col(id_col).alias("doc"),
+        "lang",
+        F.explode(alpha_tokens(F.col("text"))).alias("tok"),
+    )
+    vocab = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    maxlen = vocab.agg(
+        F.max(F.length(F.bin(F.col("cnt")))).alias("maxbits")
+    )
+    scored = (
+        occ.join(vocab, "tok")
+        .crossJoin(F.broadcast(maxlen))
+        .select(
+            "doc",
+            "lang",
+            (F.col("maxbits") - F.length(F.bin(F.col("cnt")))).alias("rarity"),
+        )
+    )
+    return scored.groupBy("doc", "lang").agg(
+        F.expr("(sum(rarity) * 10) div count(*)").alias("band"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+@_register(
+    "q89_rarity_bands",
+    oracle=f"""
+    WITH occ AS (
+        SELECT doc_id AS doc, lang, unnest({_SQL_ALPHA_TOKENS}) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM occ GROUP BY tok),
+    mx AS (SELECT MAX(length(bin(cnt))) AS maxbits FROM vocab),
+    scored AS (
+        SELECT o.doc, o.lang, mx.maxbits - length(bin(v.cnt)) AS rarity
+        FROM occ o JOIN vocab v USING (tok) CROSS JOIN mx
+    ),
+    perdoc AS (
+        SELECT doc, lang, (SUM(rarity) * 10) // COUNT(*) AS band
+        FROM scored GROUP BY doc, lang
+    )
+    SELECT lang, CAST(band AS BIGINT) AS band,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc) AS BIGINT) AS sum_ids
+    FROM perdoc GROUP BY lang, band
+    """,
+)
+def q89_rarity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality histogram: documents per (lang, avg-rarity
+    band) with id sums pinning exact band membership. Docs with zero alpha
+    tokens are unscored (excluded), matching the oracle."""
+    d = load_table(spark, "documents", sf_dir)
+    per_doc = rarity_bands(d)
+    return per_doc.groupBy("lang", "band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc").alias("sum_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition rule (Gopher): most-frequent-bigram coverage, map-side only.
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition score: (count of the most frequent word
+    bigram × 1000) div (total bigrams) — the permil of the doc its top
+    bigram covers. Docs with < 2 whitespace tokens are unscored.
+
+    Zero-shuffle scoring: bigrams are built and *sorted within the row*,
+    then the max run length of the sorted array (≡ max multiplicity) is
+    found by one ``aggregate`` lambda — all inside whole-stage projection.
+    The naive plan (explode → groupBy(doc, bigram) → max) shuffles every
+    bigram of the corpus; this one shuffles nothing at all.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.expr(
+        "transform(sequence(0, size(__toks) - 2),"
+        " i -> concat(__toks[i], ' ', __toks[i + 1]))"
+    )
+    max_run = F.expr(
+        "aggregate(array_sort(__bg),"
+        " struct(cast('' as string) as prev, 0L as run, 0L as best),"
+        " (a, x) -> struct(x,"
+        "              if(x = a.prev, a.run + 1, 1L),"
+        "              greatest(a.best, if(x = a.prev, a.run + 1, 1L))),"
+        " a -> a.best)"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"), "lang", toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .withColumn("__bg", bigrams)
+        .select(
+            "doc",
+            "lang",
+            F.size("__bg").cast("long").alias("n_grams"),
+            max_run.alias("max_cnt"),
+        )
+        .withColumn("rep_permil", F.expr("(max_cnt * 1000) div n_grams"))
+    )
+
+
+_Q90_THRESHOLD = 100  # flag docs whose top bigram covers ≥ 10% of the doc
+
+
+@_register(
+    "q90_repetition_filter",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id AS doc, lang,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2
+    ),
+    grams AS (
+        SELECT doc, lang,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM base
+    ),
+    counted AS (
+        SELECT doc, lang, bg, COUNT(*) AS c FROM grams GROUP BY doc, lang, bg
+    ),
+    perdoc AS (
+        SELECT doc, lang,
+               (MAX(c) * 1000) // SUM(c) AS rep_permil
+        FROM counted GROUP BY doc, lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_scored,
+           CAST(SUM(CASE WHEN rep_permil >= {_Q90_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(COALESCE(SUM(CASE WHEN rep_permil >= {_Q90_THRESHOLD}
+                                  THEN doc END), 0) AS BIGINT)
+               AS sum_flagged_ids
+    FROM perdoc GROUP BY lang
+    """,
+)
+def q90_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter audit: per language, how many docs
+    are flagged for top-bigram coverage ≥ 10%, with id sums pinning the
+    flagged set. The scoring pass itself is shuffle-free (see
+    repetition_stats); only this audit aggregates."""
+    d = load_table(spark, "documents", sf_dir)
+    scored = repetition_stats(d)
+    flagged = F.col("rep_permil") >= _Q90_THRESHOLD
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("long").alias("n_flagged"),
+        F.coalesce(
+            F.sum(F.when(flagged, F.col("doc"))), F.lit(0)
+        ).alias("sum_flagged_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group z-score outliers over a numeric stream.
+# ---------------------------------------------------------------------------
+
+
+def zscore_outliers(
+    df: DataFrame, group_col: str, value_col: str, k: float = 3.0
+) -> DataFrame:
+    """Flag rows whose value is > k standard deviations from their group
+    mean. Two passes: the per-group moment aggregate (n, Σv, Σv²) collapses
+    to |groups| rows and is broadcast back onto the stream — no window over
+    raw rows, no second shuffle of the data.
+
+    Moments are summed as exact decimals (order-independent); mean and
+    stddev come out of them via single correctly-rounded double ops, so the
+    flags are deterministic and oracle-matchable (population stddev).
+    """
+    v = F.col(value_col)
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v.cast("decimal(27,6)")).alias("__sv"),
+        F.sum((v * v).cast("decimal(27,6)")).alias("__svv"),
+    )
+    mean = F.col("__sv").cast("double") / F.col("__n")
+    meansq = F.col("__svv").cast("double") / F.col("__n")
+    enriched = df.join(F.broadcast(stats), group_col).withColumn(
+        "__mean", mean
+    ).withColumn("__std", F.sqrt(meansq - mean * mean))
+    return (
+        enriched.withColumn(
+            "is_outlier",
+            F.abs(v - F.col("__mean")) > F.lit(k) * F.col("__std"),
+        )
+        .drop("__n", "__sv", "__svv", "__mean", "__std")
+    )
+
+
+@_register(
+    "q91_event_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(27,6))) AS sv,
+               SUM(CAST(value * value AS DECIMAL(27,6))) AS svv
+        FROM events GROUP BY event_type
+    ),
+    flagged AS (
+        SELECT e.event_type, e.event_id,
+               ABS(e.value - CAST(s.sv AS DOUBLE) / s.n)
+                   > 3.0 * sqrt(CAST(s.svv AS DOUBLE) / s.n
+                                - (CAST(s.sv AS DOUBLE) / s.n)
+                                  * (CAST(s.sv AS DOUBLE) / s.n))
+                   AS is_out
+        FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           CAST(COALESCE(SUM(CASE WHEN is_out THEN event_id END), 0) AS BIGINT)
+               AS sum_outlier_ids
+    FROM flagged GROUP BY event_type
+    """,
+)
+def q91_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly flags on the events stream: per event type,
+    count and id-sum of >3σ outliers — the numeric-column face of quality
+    filtering (bad sensor rows, corrupted values) before training joins."""
+    e = load_table(spark, "events", sf_dir)
+    out = zscore_outliers(e, "event_type", "value", 3.0)
+    is_out = F.col("is_outlier")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.coalesce(
+            F.sum(F.when(is_out, F.col("event_id"))), F.lit(0)
+        ).alias("sum_outlier_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per language.
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = 5) -> DataFrame:
+    """Top-k most corpus-distinctive terms per language by TF-IDF.
+
+    score(lang, term) = total_tf(lang, term) × N / df(term), computed as
+    exactly two IEEE double ops over exact integer aggregates (product then
+    division) — bit-identical across engines and retries, so the ranking
+    (score DESC, term ASC) is stable. Document frequency is corpus-wide, so
+    terms common everywhere (stopwords) rank low in every language.
+
+    Plan: one explode feeds both the (lang, term) tf aggregate and the
+    per-term df aggregate; df (vocabulary-sized) broadcasts back; the final
+    rank is a window over |vocab × langs| aggregated rows, not raw
+    occurrences.
+    """
+    occ = docs.select(
+        F.col("doc_id").alias("doc"),
+        "lang",
+        F.explode(alpha_tokens(F.col("text"))).alias("tok"),
+    )
+    n_docs = occ.select("doc").distinct().count()
+    tf = occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("total_tf"))
+    df_ = occ.groupBy("tok").agg(F.countDistinct("doc").alias("df"))
+    scored = tf.join(F.broadcast(df_), "tok").withColumn(
+        "score",
+        (F.col("total_tf").cast("double") * F.lit(float(n_docs)))
+        / F.col("df").cast("double"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("lang", F.col("tok").alias("term"), "total_tf", "df", "score", "rank")
+    )
+
+
+@_register(
+    "q92_tfidf_terms",
+    oracle=f"""
+    WITH occ AS (
+        SELECT doc_id AS doc, lang, unnest({_SQL_ALPHA_TOKENS}) AS tok
+        FROM documents
+    ),
+    n AS (SELECT COUNT(DISTINCT doc) AS n_docs FROM occ),
+    tf AS (SELECT lang, tok, COUNT(*) AS total_tf FROM occ GROUP BY lang, tok),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc) AS df FROM occ GROUP BY tok),
+    scored AS (
+        SELECT tf.lang, tf.tok, tf.total_tf, dfreq.df,
+               (CAST(tf.total_tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+                   / CAST(dfreq.df AS DOUBLE) AS score
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY score DESC, tok ASC) AS rank
+        FROM scored
+    )
+    SELECT lang, tok AS term, CAST(total_tf AS BIGINT) AS total_tf,
+           CAST(df AS BIGINT) AS df, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q92_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per language — the corpus-relevance face of text
+    analysis (which terms characterize each language slice against the
+    whole corpus)."""
+    d = load_table(spark, "documents", sf_dir)
+    return tfidf_top_terms(d, top_k=5)
+
+
+# ---------------------------------------------------------------------------
+# Normalized-text dedup (canonicalization tier between exact and MinHash).
+# ---------------------------------------------------------------------------
+
+
+def normalized_text_key(text: Column) -> Column:
+    """Canonical form for formatting-insensitive dedup: lowercase, strip
+    every character outside [a-z0-9 ], collapse whitespace runs, trim.
+    md5 of this is the cluster key — catches re-encoded/re-wrapped copies
+    that exact-hash dedup misses, at zero similarity-join cost."""
+    canon = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")
+    canon = F.trim(F.regexp_replace(canon, " +", " "))
+    return F.md5(canon)
+
+
+@_register(
+    "q93_normalized_dedup",
+    oracle="""
+    WITH keyed AS (
+        SELECT lang, doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS k
+        FROM documents
+    ),
+    clusters AS (
+        SELECT lang, k, COUNT(*) AS sz, MIN(doc_id) AS keeper
+        FROM keyed GROUP BY lang, k
+    )
+    SELECT lang,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+               AS n_in_dup_clusters,
+           CAST(SUM(keeper) AS BIGINT) AS sum_keeper_ids
+    FROM clusters GROUP BY lang
+    """,
+)
+def q93_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formatting-insensitive dedup audit: cluster documents per language by
+    normalized-text md5; report cluster counts, docs in multi-doc clusters,
+    and keeper (min-id) sums pinning the exact clustering."""
+    d = load_table(spark, "documents", sf_dir)
+    keyed = d.select("lang", "doc_id", normalized_text_key(F.col("text")).alias("k"))
+    clusters = keyed.groupBy("lang", "k").agg(
+        F.count(F.lit(1)).alias("sz"), F.min("doc_id").alias("keeper")
+    )
+    return clusters.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("n_in_dup_clusters"),
+        F.sum("keeper").alias("sum_keeper_ids"),
+    )

@@ -1,0 +1,228 @@
+"""Unit tests for operators/corpus.py — corpus-curation statistics.
+
+Micro-fixtures with hand-computed expectations; the differential oracle
+(scripts/check_oracle.py) covers the full-table behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.operators.corpus import (
+    normalized_text_key,
+    q88_weighted_sample,
+    q89_rarity_bands,
+    q90_repetition_filter,
+    q91_event_outliers,
+    q92_tfidf_terms,
+    rarity_bands,
+    repetition_stats,
+    tfidf_top_terms,
+    weighted_sample,
+    zscore_outliers,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_certain_inclusion_at_cap(spark):
+    """weight × rate ≥ n_buckets ⇒ probability 1 ⇒ row always kept."""
+    d = _docs(spark, [(i, "x", "en", "s", 999_999) for i in range(50)])
+    kept = weighted_sample(d, "doc_id", "n_chars", 200)
+    assert kept.count() == 50
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    d = _docs(spark, [(i, "x", "en", "s", 0) for i in range(50)])
+    assert weighted_sample(d, "doc_id", "n_chars", 200).count() == 0
+
+
+def test_weighted_sample_monotone_in_rate(spark):
+    """Higher rate ⇒ superset: thresholds only move up under one salt."""
+    d = _docs(spark, [(i, "x", "en", "s", 1500 + 7 * i) for i in range(400)])
+    lo = {r.doc_id for r in weighted_sample(d, "doc_id", "n_chars", 100).collect()}
+    hi = {r.doc_id for r in weighted_sample(d, "doc_id", "n_chars", 300).collect()}
+    assert lo <= hi
+    assert len(lo) < len(hi) < 400
+
+
+def test_weighted_sample_deterministic(spark):
+    d = _docs(spark, [(i, "x", "en", "s", 2000) for i in range(300)])
+    a = {r.doc_id for r in weighted_sample(d, "doc_id", "n_chars", 150).collect()}
+    b = {r.doc_id for r in weighted_sample(d, "doc_id", "n_chars", 150).collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# rarity_bands
+# ---------------------------------------------------------------------------
+
+
+def test_rarity_bands_uniform_corpus_is_band_zero(spark):
+    """Every token equally frequent ⇒ rarity 0 everywhere ⇒ band 0."""
+    d = _docs(
+        spark,
+        [(1, "aa bb", "en", "s", 5), (2, "bb aa", "en", "s", 5)],
+    )
+    rows = rarity_bands(d).collect()
+    assert {r.band for r in rows} == {0}
+    assert {r.n_tokens for r in rows} == {2}
+
+
+def test_rarity_bands_rare_token_scores_higher(spark):
+    """doc2 holds a hapax among frequent tokens ⇒ strictly higher band."""
+    common = "the " * 15 + "the"  # 16 occurrences of 'the'
+    d = _docs(
+        spark,
+        [(1, common, "en", "s", 1), (2, "the zyzzyva", "en", "s", 1)],
+    )
+    got = {r.doc: r.band for r in rarity_bands(d).collect()}
+    # vocab: the=17 (bitlen 5), zyzzyva=1 (bitlen 1); rarity: the=0, zyz=4
+    assert got[1] == 0
+    assert got[2] == (0 + 4) * 10 // 2  # = 20
+
+
+def test_rarity_bands_skips_tokenless_docs(spark):
+    d = _docs(spark, [(1, "hello world", "en", "s", 1), (2, "123 456", "en", "s", 1)])
+    assert {r.doc for r in rarity_bands(d).collect()} == {1}
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_all_same_bigram_is_1000_permil(spark):
+    d = _docs(spark, [(1, "a a a a a", "en", "s", 9)])
+    r = repetition_stats(d).collect()[0]
+    assert r.n_grams == 4 and r.max_cnt == 4 and r.rep_permil == 1000
+
+
+def test_repetition_all_distinct_bigrams(spark):
+    d = _docs(spark, [(1, "a b c d e", "en", "s", 9)])
+    r = repetition_stats(d).collect()[0]
+    assert r.n_grams == 4 and r.max_cnt == 1 and r.rep_permil == 250
+
+
+def test_repetition_known_max_run(spark):
+    # bigrams: 'x y','y x','x y','y z' → top 'x y' ×2 of 4 → 500 permil
+    d = _docs(spark, [(1, "x y x y z", "en", "s", 9)])
+    r = repetition_stats(d).collect()[0]
+    assert r.max_cnt == 2 and r.rep_permil == 500
+
+
+def test_repetition_short_docs_unscored(spark):
+    d = _docs(spark, [(1, "single", "en", "s", 6), (2, "", "en", "s", 0)])
+    assert repetition_stats(d).count() == 0
+
+
+def test_repetition_scoring_is_shuffle_free(spark):
+    """The scoring pass must not shuffle: no Exchange below the audit agg."""
+    d = _docs(spark, [(1, "a b a b", "en", "s", 7)])
+    plan = repetition_stats(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# zscore_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_zscore_flags_planted_outlier(spark):
+    rows = [(i, "a", 10.0) for i in range(20)] + [(99, "a", 10_000.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {r.id: r.is_outlier for r in zscore_outliers(df, "g", "v").collect()}
+    assert got[99] is True
+    assert sum(got.values()) == 1
+
+
+def test_zscore_constant_group_flags_nothing(spark):
+    df = spark.createDataFrame(
+        [(i, "a", 5.0) for i in range(10)], "id long, g string, v double"
+    )
+    assert not any(r.is_outlier for r in zscore_outliers(df, "g", "v").collect())
+
+
+def test_zscore_groups_are_independent(spark):
+    rows = (
+        [(i, "a", 10.0) for i in range(20)]
+        + [(50, "a", 500.0)]
+        + [(100 + i, "b", 500.0) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    flagged = {r.id for r in zscore_outliers(df, "g", "v").collect() if r.is_outlier}
+    assert flagged == {50}  # 500.0 is normal in group b, anomalous in a
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_distinctive_term_outranks_stopword(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "the cat the cat", "en", "s", 1),
+            (2, "the chat the chat", "fr", "s", 1),
+            (3, "the cat sat", "en", "s", 1),
+        ],
+    )
+    top = tfidf_top_terms(d, top_k=1).collect()
+    by_lang = {r.lang: r.term for r in top}
+    # 'the' appears in every doc (df=3) → idf 1; 'cat'/'chat' concentrate.
+    assert by_lang == {"en": "cat", "fr": "chat"}
+
+
+def test_tfidf_rank_deterministic_tie_break(spark):
+    d = _docs(spark, [(1, "aa bb", "en", "s", 1), (2, "aa bb", "en", "s", 1)])
+    rows = tfidf_top_terms(d, top_k=2).orderBy("rank").collect()
+    # identical scores → lexicographic term order
+    assert [r.term for r in rows] == ["aa", "bb"]
+
+
+# ---------------------------------------------------------------------------
+# normalized_text_key
+# ---------------------------------------------------------------------------
+
+
+def test_normalized_key_ignores_formatting(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "HELLO ... WORLD")],
+        "id long, text string",
+    )
+    ks = df.select(normalized_text_key(F.col("text")).alias("k")).collect()
+    assert len({r.k for r in ks}) == 1
+
+
+def test_normalized_key_distinguishes_content(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello there")], "id long, text string"
+    )
+    ks = df.select(normalized_text_key(F.col("text")).alias("k")).collect()
+    assert len({r.k for r in ks}) == 2
+
+
+# ---------------------------------------------------------------------------
+# registered queries run end-to-end on the sf0.001 fixture
+# ---------------------------------------------------------------------------
+
+
+def test_registered_corpus_queries_run(spark, sf_dir):
+    for q in (
+        q88_weighted_sample,
+        q89_rarity_bands,
+        q90_repetition_filter,
+        q91_event_outliers,
+        q92_tfidf_terms,
+    ):
+        assert q(spark, sf_dir).count() > 0
