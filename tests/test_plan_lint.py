@@ -24,6 +24,8 @@ INTENTIONAL_CROSS = {
     # broadcast size use the LSH/IVF tiers (q28/q36) with the same verifier
     "q41_multimodal_pipeline",  # attaches a broadcast 1-row global
     # aggregate to the per-mime rows — bounded by construction
+    "q89_rarity_bands",  # attaches the broadcast 1-row corpus-max
+    # bit-length to occurrence rows — bounded by construction
 }
 
 FORBIDDEN = ("CartesianProduct",)
