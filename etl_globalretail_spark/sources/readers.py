@@ -19,6 +19,7 @@ column so a 1000-executor cluster reads in parallel) but is untested here
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +27,19 @@ from pyspark.sql import functions as F
 from etl_globalretail_spark.schemas import TABLE_NAMES, TESTDATA_SCHEMAS
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Analyzed-plan cache: (sf_dir, table) → DataFrame, scoped per SparkSession
+# (weak key — a stopped session's entries vanish with it). DataFrames are
+# immutable logical plans, so handing the same object to every caller is
+# safe; what this saves is the ~200 ms of driver-side analysis
+# (file listing + footer schema read) that `spark.read.parquet` pays on
+# EVERY call — load_table runs 1–6× per query and the driver runs 90+
+# queries per session, so re-analysis was multiple seconds of pure driver
+# latency per round. Executor-side work is unaffected (nothing is
+# persisted; each action still scans parquet).
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
@@ -44,6 +58,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    per_session = _PLAN_CACHE.setdefault(spark, {})
+    cached = per_session.get((sf_dir, name))
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -55,9 +73,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     df = df.select(*[f.name for f in TESTDATA_SCHEMAS[name].fields])
-    if name in _SPREAD_EXEMPT:
-        return df
-    return _spread(spark, df)
+    if name not in _SPREAD_EXEMPT:
+        df = _spread(spark, df, f"{sf_dir}/{name}.parquet")
+    per_session[(sf_dir, name)] = df
+    return df
 
 
 # Broadcast-bound micro-dimensions (≤25 rows): fanning them out just inserts
@@ -65,7 +84,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 _SPREAD_EXEMPT = frozenset({"region", "nation"})
 
 
-def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _spread(spark: SparkSession, df: DataFrame, path: str | None = None) -> DataFrame:
     """Fan a narrow scan out to the cluster's parallelism.
 
     The testdata ships each table as ONE single-row-group parquet file, so
@@ -75,11 +94,42 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     one exchange of a ≤11 MB table here; on a real corpus the scan already
     has thousands of splits and this is a no-op (guarded, not unconditional).
     Filters and column pruning still push into the scan below the exchange.
+
+    The split count is estimated from the file size with Spark's own
+    packing formula (maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, size / defaultParallelism))) — a 7 µs os.stat
+    instead of ``df.rdd.getNumPartitions()``, whose DataFrame→RDD
+    conversion plans the scan and was measured at ~180 ms PER TABLE LOAD
+    (load_table runs 1–6× per query; across the bench that probe alone
+    was seconds of driver time). Non-local paths fall back to the probe.
     """
     want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(want, 8):
+    splits: int | None = None
+    if path is not None:
+        try:
+            size = os.path.getsize(path)
+            mpb = _size_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+            open_cost = _size_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+            max_split = min(mpb, max(open_cost, size // max(want, 1)))
+            splits = max(1, -(-size // max(max_split, 1)))
+        except OSError:
+            splits = None
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    if splits < min(want, 8):
         return df.repartition(want)
     return df
+
+
+def _size_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a byte-size conf ('134217728', '128m', '4mb', '…b')."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    if raw and raw[-1] in units:
+        return int(float(raw[:-1]) * units[raw[-1]])
+    return int(raw)
 
 
 def load_tables(
