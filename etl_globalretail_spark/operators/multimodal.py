@@ -243,6 +243,106 @@ def q41_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(F.broadcast(f))
 
 
+@_register(
+    "q94_multimodal_digest",
+    oracle="""
+    WITH f AS (
+        SELECT lang, sha256(text) AS digest,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_media,
+           COUNT(DISTINCT digest) AS n_unique,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           bit_xor(CAST('0x' || substr(digest, 1, 15) AS BIGINT))
+               AS digest_checksum
+    FROM f GROUP BY lang
+    """,
+)
+def q94_multimodal_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked face of the mapInPandas featurizer: the Python
+    kernel's sha256 digests and byte counts, XOR-folded per language, are
+    replayed by DuckDB's sha256 over the same UTF-8 payload bytes —
+    upgrading the multimodal plumbing from rows-only (q29) to an exact
+    cross-engine content check of what the decode stage actually emitted.
+    (XOR-fold of the 60-bit digest prefix is order-independent and
+    overflow-free — the q85 checksum pattern.)"""
+    d = load_table(spark, "documents", sf_dir)
+    feats = extract_features(synthesize_media(d)).join(
+        d.select(F.col("doc_id").alias("media_id"), "lang"), "media_id"
+    )
+    checksum = F.conv(F.substring("digest", 1, 15), 16, 10).cast("bigint")
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.countDistinct("digest").alias("n_unique"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.bit_xor(checksum).alias("digest_checksum"),
+    )
+
+
+@_register(
+    "q95_multimodal_frames",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS b
+        FROM documents
+    ),
+    fr AS (
+        SELECT media_id,
+               GREATEST(1, (b + 255) // 256) AS nf
+        FROM m
+    ),
+    sampled AS (
+        SELECT media_id, nf, (nf + 3) // 4 AS k FROM fr
+    )
+    SELECT 'application/x-fake' AS mime,
+           COUNT(*) AS n_media,
+           CAST(COUNT(*) * 1024 AS BIGINT) AS resized_bytes,
+           CAST(SUM(k) AS BIGINT) AS n_frames_sampled,
+           CAST(SUM(2 * k * (k - 1)) AS BIGINT) AS sum_frame_idx,
+           CAST(SUM(nf) AS BIGINT) AS sum_frames_total
+    FROM sampled
+    """,
+)
+def q95_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked resize/frame-sample contract: the Python kernels'
+    fan-out arithmetic (frames = ceil(bytes/256), every 4th sampled, frame
+    indices 0,4,8,…; resized payloads exactly 32·32 bytes) is replayed as
+    closed-form integer SQL — the driver hash now pins the kernels' exact
+    row-explosion behavior, not just that rows came back (q41)."""
+    d = load_table(spark, "documents", sf_dir)
+    media = synthesize_media(d)
+    resized = resize_media(media, 32, 32)
+    frames = sample_frames(media, frame_bytes=256, every_nth=4)
+    per_media = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("frame_idx").cast("long").alias("sum_idx"),
+        F.first("n_frames_total").cast("long").alias("nf"),
+    )
+    r = resized.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.length("payload")).alias("resized_bytes"),
+    )
+    f = per_media.agg(
+        F.sum("k").alias("n_frames_sampled"),
+        F.sum("sum_idx").alias("sum_frame_idx"),
+        F.sum("nf").alias("sum_frames_total"),
+    )
+    return (
+        r.crossJoin(F.broadcast(f))
+        .select(
+            F.lit("application/x-fake").alias("mime"),
+            "n_media",
+            "resized_bytes",
+            "n_frames_sampled",
+            "sum_frame_idx",
+            "sum_frames_total",
+        )
+    )
+
+
 @_register("q29_multimodal_features")  # sha256-in-Python — rows-only check
 def q29_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary payloads from the

@@ -26,6 +26,8 @@ INTENTIONAL_CROSS = {
     # aggregate to the per-mime rows — bounded by construction
     "q89_rarity_bands",  # attaches the broadcast 1-row corpus-max
     # bit-length to occurrence rows — bounded by construction
+    "q95_multimodal_frames",  # joins two broadcast 1-row global
+    # aggregates (resize totals × frame totals) — bounded by construction
 }
 
 FORBIDDEN = ("CartesianProduct",)
