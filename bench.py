@@ -89,6 +89,8 @@ HEADLINE = [
     "q91_event_outliers",
     "q92_tfidf_terms",
     "q93_normalized_dedup",
+    "q94_multimodal_digest",
+    "q95_multimodal_frames",
 ]
 
 

@@ -107,3 +107,67 @@ def test_date_parse_roundtrip_both_formats(spark, dates, fmt):
     assert out == dates
     junk = ["Data Inválida", "N/A", "NULL", "", "31/31/2020", "2020-13-45"]
     assert _run(spark, parse_multiformat_date, junk) == [None] * len(junk)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation properties (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+from etl_globalretail_spark.operators.corpus import (  # noqa: E402
+    normalized_text_key,
+    repetition_stats,
+)
+
+
+@given(vals=batches)
+@settings(**_SETTINGS)
+def test_normalized_key_total_and_canonical(spark, vals):
+    """The canonicalization behind the key is idempotent (fixpoint), so the
+    md5 key of a doc equals the key of its own canonical form; and the key
+    is total (an md5 hex string even for null-normalizing inputs)."""
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("x")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    rows = df.select(
+        normalized_text_key(F.col("x")).alias("k1"),
+        normalized_text_key(canon).alias("k2"),
+    ).collect()
+    for r in rows:
+        assert (r.k1 is None) == (r.k2 is None)
+        if r.k1 is not None:
+            assert r.k1 == r.k2 and len(r.k1) == 32
+
+
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab x"),  # tiny alphabet → real repeats
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_repetition_permil_bounded_and_scored_set(spark, docs):
+    """rep_permil ∈ [1000/n_grams-ish floor, 1000]; docs with ≥2 tokens are
+    scored exactly once, shorter docs never appear."""
+    df = spark.createDataFrame(
+        [(i, t, "xx", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc: r for r in repetition_stats(df).collect()}
+    for i, t in enumerate(docs):
+        # split(trim, \s+) semantics: empty text → [''] (1 token)
+        n_toks = len(t.strip().split()) if t.strip() != "" else 1
+        if n_toks >= 2:
+            r = out[i]
+            assert 0 < r.rep_permil <= 1000
+            assert r.n_grams == n_toks - 1
+            assert 1 <= r.max_cnt <= r.n_grams
+        else:
+            assert i not in out
