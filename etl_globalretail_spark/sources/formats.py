@@ -55,6 +55,11 @@ def write_as(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> Non
         )
     elif fmt == "json":
         w.option("timestampFormat", _TS_FMT).json(path)
+    elif fmt == "orc":
+        # Native columnar alternative to parquet (built into Spark): same
+        # pushdown/pruning story, different footer format — offered because
+        # Hive-lineage estates interchange in ORC.
+        w.orc(path)
     else:
         raise ValueError(f"unknown format {fmt!r}")
 
@@ -88,6 +93,8 @@ def read_as(
         )
     if fmt == "json":
         return r.option("timestampFormat", _TS_FMT).json(path)
+    if fmt == "orc":
+        return r.orc(path)
     raise ValueError(f"unknown format {fmt!r}")
 
 

@@ -22,7 +22,7 @@ def test_csv_json_roundtrip_customer(spark, sf_dir, tmp_path):
     """customer survives CSV and JSON round-trips bit-identically under an
     explicit schema — including strings with embedded commas and doubles."""
     c = load_table(spark, "customer", sf_dir)
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "orc"):
         p = str(tmp_path / f"cust_{fmt}")
         write_as(c, p, fmt)
         back = read_as(spark, p, fmt, c.schema)
