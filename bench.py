@@ -91,6 +91,7 @@ HEADLINE = [
     "q93_normalized_dedup",
     "q94_multimodal_digest",
     "q95_multimodal_frames",
+    "q96_late_supplier_blame",
 ]
 
 

@@ -264,3 +264,92 @@ def q63_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(_rev(), "revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@_register(
+    "q96_late_supplier_blame",
+    oracle="""
+    WITH ranked AS (
+        SELECT s.s_name, COUNT(*) AS numwait,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, s.s_name ASC) AS rnk
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY s.s_name
+    )
+    SELECT s_name, numwait, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def q96_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept multi-supplier orders waiting),
+    adapted to this schema: within completed ('F') orders involving more
+    than one supplier, blame the SOLE supplier whose lines shipped > 90
+    days after the order date; top-10 suppliers by blamed line count.
+
+    The oracle states the textbook doubly-correlated form (EXISTS other
+    supplier + NOT EXISTS other late supplier — two correlated subqueries
+    per line). This plan DEcorrelates both into one aggregation pipeline:
+    collapse lines to (order, supplier, any_late, n_late_lines) grains,
+    derive per-order supplier/late-supplier counts with a second aggregate,
+    and keep blamed suppliers where n_suppliers > 1 AND n_late_suppliers=1.
+    Cost: two shuffles on l_orderkey (grain collapse + order profile) and
+    the broadcast supplier-name join — versus the correlated form's two
+    extra scans of lineitem per predicate. At 100 TB the collapsed
+    (order, supplier) grain is ~6× smaller than raw lines and the order
+    profile is broadcast-joined back onto it by AQE.
+    """
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    lines = (
+        l.join(
+            o.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90),
+        )
+    )
+    grain = lines.groupBy("o_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("any_late"),
+        F.sum(F.col("is_late").cast("long")).alias("n_late_lines"),
+    )
+    order_profile = grain.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("any_late").alias("n_late_suppliers"),
+    )
+    blamed = (
+        grain.join(order_profile, "o_orderkey")
+        .filter(
+            (F.col("n_suppliers") > 1)
+            & (F.col("n_late_suppliers") == 1)
+            & (F.col("any_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+    )
+    w = Window.orderBy(F.desc("numwait"), F.asc("s_name"))
+    return (
+        blamed.join(F.broadcast(s.select("s_suppkey", "s_name")),
+                    blamed.l_suppkey == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )
