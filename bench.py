@@ -92,6 +92,8 @@ HEADLINE = [
     "q94_multimodal_digest",
     "q95_multimodal_frames",
     "q96_late_supplier_blame",
+    "q97_custdist",
+    "q98_trailing_window_avg",
 ]
 
 

@@ -758,3 +758,103 @@ def q59_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tally(y95.exceptAll(y96), "churned"))
         .unionByName(tally(y96.exceptAll(y95), "acquired"))
     )
+
+
+@_register(
+    "q97_custdist",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q97_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers — the left-outer-join + double
+    aggregation every "engagement histogram" is.
+
+    Scale notes: COUNT(o_orderkey) over the outer join counts only matched
+    rows (null-skipping), so no-order customers land in the c_count=0
+    bucket without a separate anti-join pass. First aggregate collapses to
+    |customers| rows, second to |distinct counts| — the fact table is
+    shuffled once, on the join key.
+    """
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@_register(
+    "q98_trailing_window_avg",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type, ts, value FROM events
+    ),
+    framed AS (
+        SELECT event_type, event_id,
+               COUNT(*) OVER w AS n_trailing,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w AS avg_trailing
+        FROM e
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(n_trailing) AS BIGINT) AS sum_trailing_counts,
+           CAST(SUM(CAST(avg_trailing AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_trailing_avgs
+    FROM framed GROUP BY event_type
+    """,
+)
+def q98_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: for every event, the average value over
+    the trailing 1 hour within its event type (sensor smoothing / rate
+    features) — the frame is defined by TIME, not row count, so bursts
+    widen the frame and quiet periods shrink it.
+
+    Spark expresses time-range frames as ``rangeBetween`` over epoch
+    MICROseconds (-3.6e9 → 0) — epoch seconds would truncate and disagree
+    with the oracle's full-precision interval comparison on boundary rows.
+    The frame SUM runs over exact decimals and each
+    per-row average is one double division — deterministic despite FP;
+    the audit fold sums those averages as decimals again (order-free).
+    One shuffle (partition by type), one sort (ts) — the aggregate is
+    computed in a single running pass per partition, not per-frame rescans.
+    """
+    e = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    framed = e.select(
+        "event_type",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("avg_trailing"),
+    )
+    return framed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("n_trailing").alias("sum_trailing_counts"),
+        F.sum(F.col("avg_trailing").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sum_trailing_avgs"),
+    )
