@@ -94,6 +94,7 @@ HEADLINE = [
     "q96_late_supplier_blame",
     "q97_custdist",
     "q98_trailing_window_avg",
+    "q99_countmin_tokens",
 ]
 
 

@@ -281,3 +281,152 @@ def q50_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact profile; no SQL twin (sketch internals differ per engine)."""
     e = load_table(spark, "events", sf_dir)
     return sketch_profile(e, "event_type", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable heavy-hitter counts.
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 1024
+
+
+def countmin_build(
+    df: DataFrame, key_col: str, d: int = _CMS_D, w: int = _CMS_W
+) -> DataFrame:
+    """Build a count-min sketch over ``key_col``: a (row, bucket) → count
+    table of d·w cells, independent of input cardinality.
+
+    Each key increments one bucket per hash row (salted md5 buckets — the
+    engine's cross-engine hash, sampling.py); estimate(key) = min over
+    rows of its buckets' counts, an upper bound that never underestimates.
+    The build is one explode(d structs) + one hash aggregate whose shuffle
+    carries at most d·w cells per map task after partial aggregation —
+    corpus-size-independent, unlike the exact vocabulary aggregate whose
+    shuffle is vocabulary-sized. Sketches MERGE by element-wise cell sum:
+    per-day/per-shard sketches roll up without rescanning (the CM analog
+    of the HLL partials this module already ships).
+    """
+    from etl_globalretail_spark.operators.sampling import hash_bucket
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("row"),
+                hash_bucket(F.col(key_col), w, f"cms{i}").alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str, d: int = _CMS_D, w: int = _CMS_W
+) -> DataFrame:
+    """Point-estimate ``key_col`` frequencies from a built sketch: join each
+    probe's d (row, bucket) cells against the sketch (d·w rows — always
+    broadcastable) and take the min. Estimates never underestimate."""
+    from etl_globalretail_spark.operators.sampling import hash_bucket
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("row"),
+                hash_bucket(F.col(key_col), w, f"cms{i}").alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+    probe_cells = probes.select(
+        key_col, F.explode(cells).alias("rb")
+    ).select(key_col, "rb.row", "rb.bucket")
+    return (
+        probe_cells.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
+def _q99_oracle() -> str:
+    from etl_globalretail_spark.operators.sampling import _sql_bucket
+    from etl_globalretail_spark.operators.text import _sql_tokens
+
+    rows_union = "\n        UNION ALL\n".join(
+        f"        SELECT {i} AS row, {_sql_bucket('tok', _CMS_W, f'cms{i}')} AS bucket FROM occ"
+        for i in range(_CMS_D)
+    )
+    probe_union = "\n        UNION ALL\n".join(
+        f"        SELECT token, n, pos, {i} AS row,"
+        f" {_sql_bucket('token', _CMS_W, f'cms{i}')} AS bucket FROM top"
+        for i in range(_CMS_D)
+    )
+    return f"""
+    WITH occ AS (
+        SELECT unnest({_sql_tokens("text")}) AS tok FROM documents
+    ),
+    cells AS (
+        SELECT row, bucket, COUNT(*) AS cnt FROM (
+{rows_union}
+        ) GROUP BY row, bucket
+    ),
+    counts AS (
+        SELECT tok AS token, COUNT(*) AS n FROM occ GROUP BY tok
+    ),
+    top AS (
+        SELECT token, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS pos
+        FROM counts QUALIFY pos <= 10
+    ),
+    probes AS (
+{probe_union}
+    ),
+    est AS (
+        SELECT p.token, MIN(c.cnt) AS cms_estimate
+        FROM probes p JOIN cells c USING (row, bucket)
+        GROUP BY p.token
+    )
+    SELECT t.token, CAST(t.n AS BIGINT) AS exact_n,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           e.cms_estimate >= t.n AS never_underestimates,
+           CAST(t.pos AS BIGINT) AS pos
+    FROM top t JOIN est e USING (token)
+    """
+
+
+def _register_q99() -> None:
+    @_register("q99_countmin_tokens", oracle=_q99_oracle())
+    def q99_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Count-min sketch audit: build a 4×1024 sketch over corpus
+        tokens, estimate the exact top-10 tokens' frequencies from it, and
+        hash-check sketch cells' minima (plus the never-underestimates
+        invariant) against DuckDB replaying the identical salted-md5
+        sketch. The sketch is the mergeable, fixed-size alternative when
+        even the vocabulary aggregate is too wide to shuffle."""
+        from etl_globalretail_spark.operators.text import q72_top_tokens, tokens
+
+        d = load_table(spark, "documents", sf_dir)
+        occ = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        sketch = countmin_build(occ, "token")
+        top10 = (
+            q72_top_tokens(spark, sf_dir)
+            .filter(F.col("pos") <= 10)
+            .select("token", F.col("n").alias("exact_n"), "pos")
+        )
+        est = countmin_estimate(sketch, top10.select("token"), "token")
+        return top10.join(est, "token").select(
+            "token",
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_n")).alias(
+                "never_underestimates"
+            ),
+            "pos",
+        )
+
+
+_register_q99()

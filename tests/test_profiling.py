@@ -142,3 +142,39 @@ def test_fixed_histogram_tiles_and_clamps(spark, sf_dir):
     )
     got = {r.bin: r.n for r in fixed_histogram(oob, "v", 0.0, 100.0, 10).collect()}
     assert got == {0: 2, 9: 1}  # -5 and 0 clamp low, 999 clamps high
+
+
+def test_countmin_never_underestimates_and_merges(spark, sf_dir):
+    """CMS invariants: (a) estimate ≥ exact for every probed key; (b) a
+    sketch built on the full data equals the element-wise cell sum of
+    sketches built on disjoint halves (mergeability — the reason a
+    fixed-size sketch beats an exact vocabulary aggregate at 100 TB)."""
+    from etl_globalretail_spark.operators.profiling import (
+        countmin_build,
+        countmin_estimate,
+    )
+    from etl_globalretail_spark.operators.text import tokens
+    from etl_globalretail_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "documents", sf_dir)
+    occ = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+
+    sketch = countmin_build(occ, "token")
+    exact = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    probes = exact.orderBy(F.desc("n"), "token").limit(20).select("token", "n")
+    est = countmin_estimate(sketch, probes.select("token"), "token")
+    joined = probes.join(est, "token").collect()
+    assert len(joined) == 20
+    assert all(r.cms_estimate >= r.n for r in joined)
+
+    halves = [occ.filter(f"doc_id % 2 = {i}") for i in (0, 1)]
+    merged = (
+        countmin_build(halves[0], "token")
+        .unionByName(countmin_build(halves[1], "token"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r.row, r.bucket): r.cnt for r in sketch.collect()}
+    got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert got == full
