@@ -95,6 +95,7 @@ HEADLINE = [
     "q97_custdist",
     "q98_trailing_window_avg",
     "q99_countmin_tokens",
+    "q100_incremental_join",
 ]
 
 

@@ -361,3 +361,95 @@ def q71_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return upsert_frame(c, delta, ["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (the join-side complement of q81's
+# aggregate maintenance).
+# ---------------------------------------------------------------------------
+
+
+def incremental_join_refresh(
+    view_old: DataFrame,
+    a_old: DataFrame,
+    b_old: DataFrame,
+    delta_a: DataFrame,
+    delta_b: DataFrame,
+    keys: list[str],
+    out_cols: list[str],
+) -> DataFrame:
+    """Refresh a materialized inner-equi-join view V = A ⋈ B under
+    append-only deltas using the classic delta rule:
+
+        ΔV = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+        V'  = V ∪ ΔV
+
+    Every join touches at least one delta side, so per-batch cost is
+    Θ(|Δ| join-partners) — the base-table join (A_old ⋈ B_old) is NEVER
+    re-run; that is the entire point of maintaining the view. At scale
+    the deltas are broadcast-sized (a day against years) and AQE turns
+    all three terms into broadcast joins with zero shuffle of the base
+    tables beyond the ΔB-side probe. Append-only inputs only (upserts/
+    deletes need SCD2-style close-out first, q70).
+    """
+    d1 = delta_a.join(b_old, keys)
+    d2 = a_old.join(delta_b, keys)
+    d3 = delta_a.join(delta_b, keys)
+    parts = [df.select(*out_cols) for df in (view_old, d1, d2, d3)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_register(
+    "q100_incremental_join",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS ano,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def q100_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view maintenance identity, oracle-proven: split orders and
+    lineitem at 1995-01-01 into base/delta batches, refresh the
+    (order ⋈ line) view with the three delta joins, and aggregate the
+    refreshed view. The oracle recomputes the join from scratch — the
+    hash match proves refresh ≡ recompute row-for-row (in exact-decimal
+    revenue), which is the invariant that lets a 100 TB pipeline never
+    re-join its history."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    pivot = "1995-01-01"
+    a_old = o.filter(F.col("o_orderdate") < pivot)
+    delta_a = o.filter(F.col("o_orderdate") >= pivot)
+    b_old = l.filter(F.col("l_shipdate") < pivot).withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    delta_b = l.filter(F.col("l_shipdate") >= pivot).withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    out_cols = ["o_orderkey", "o_orderdate", "l_extendedprice", "l_discount"]
+    view_old = a_old.join(b_old, ["o_orderkey"]).select(*out_cols)
+    refreshed = incremental_join_refresh(
+        view_old, a_old, b_old, delta_a, delta_b, ["o_orderkey"], out_cols
+    )
+    return refreshed.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("ano")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(27,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

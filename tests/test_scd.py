@@ -108,3 +108,30 @@ def test_snapshot_diff_classes(spark):
     )
     got = {r.id: r.change for r in snapshot_diff(old, new, ["id"], ["v"]).collect()}
     assert got == {1: "deleted", 2: "changed", 4: "inserted"}  # 3 unchanged
+
+
+def test_incremental_join_refresh_equals_recompute(spark, sf_dir):
+    """Delta-rule refresh must equal the from-scratch join under any
+    base/delta partition of the inputs — including deltas that join rows
+    already in the base (the cross terms)."""
+    from etl_globalretail_spark.plans.scd import incremental_join_refresh
+    from etl_globalretail_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    l = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_linenumber")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    out_cols = ["o_orderkey", "o_orderdate", "l_linenumber"]
+    # split on unrelated keys so cross-batch matches are guaranteed
+    a_old, delta_a = o.filter("o_orderkey % 3 != 0"), o.filter("o_orderkey % 3 = 0")
+    b_old, delta_b = l.filter("l_linenumber % 2 = 0"), l.filter("l_linenumber % 2 = 1")
+    view_old = a_old.join(b_old, ["o_orderkey"]).select(*out_cols)
+    refreshed = incremental_join_refresh(
+        view_old, a_old, b_old, delta_a, delta_b, ["o_orderkey"], out_cols
+    )
+    full = o.join(l, ["o_orderkey"]).select(*out_cols)
+    sig = lambda df: sorted(map(tuple, df.collect()))
+    assert sig(refreshed) == sig(full)
