@@ -96,6 +96,7 @@ HEADLINE = [
     "q98_trailing_window_avg",
     "q99_countmin_tokens",
     "q100_incremental_join",
+    "q101_inverted_index",
 ]
 
 

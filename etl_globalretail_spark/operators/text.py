@@ -529,3 +529,78 @@ def q84_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("sum_tokens"),
         F.sum("doc_id").alias("sum_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (search-index posting lists).
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df: int = 10_000,
+) -> DataFrame:
+    """token → sorted posting list of doc ids, for tokens whose document
+    frequency lies in [min_df, max_df] — the index-build workload of a
+    search/retrieval pipeline.
+
+    Shape: explode → DISTINCT (a doc posts once per token) → collect_list
+    per token → sort within the row. The only shuffle carries (token,
+    doc_id) pairs — postings-sized. ``collect_list`` order is
+    nondeterministic under parallel merge, so the row-local
+    ``array_sort`` is what makes the output (and its hash) stable; the
+    df band drops both hapax noise (min_df) and stopword megaposts
+    (max_df), which is also what bounds the largest collected row at
+    scale — an uncapped stopword row would be |corpus|-sized.
+    """
+    posts = (
+        docs.select(
+            F.explode(tokens(F.col(text_col))).alias("token"),
+            F.col(id_col).alias("doc"),
+        )
+        .distinct()
+    )
+    return (
+        posts.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_sort(F.collect_list("doc")).alias("postings"),
+        )
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+
+
+@_register(
+    "q101_inverted_index",
+    oracle=f"""
+    WITH posts AS (
+        SELECT DISTINCT tok AS token, doc_id AS doc FROM (
+            SELECT unnest({_sql_tokens("text")}) AS tok, doc_id FROM documents
+        )
+    ),
+    idx AS (
+        SELECT token, COUNT(*) AS df,
+               list_sort(list(doc)) AS postings
+        FROM posts GROUP BY token
+        HAVING COUNT(*) BETWEEN 25 AND 500
+    )
+    SELECT token, CAST(df AS BIGINT) AS df,
+           md5(array_to_string(postings, ',')) AS postings_md5
+    FROM idx
+    """,
+)
+def q101_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index audit: build posting lists for mid-frequency tokens
+    (25 ≤ df ≤ 500) and pin each token's EXACT sorted posting list with an
+    md5 over its comma-joined ids — the driver hash then verifies index
+    contents, not just token counts."""
+    d = load_table(spark, "documents", sf_dir)
+    idx = inverted_index(d, "doc_id", "text", min_df=25, max_df=500)
+    return idx.select(
+        "token",
+        "df",
+        F.md5(F.concat_ws(",", F.col("postings"))).alias("postings_md5"),
+    )
