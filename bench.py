@@ -97,6 +97,8 @@ HEADLINE = [
     "q99_countmin_tokens",
     "q100_incremental_join",
     "q101_inverted_index",
+    "q102_idle_rich_customers",
+    "q103_cube_revenue",
 ]
 
 

@@ -858,3 +858,124 @@ def q98_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_trailing_avgs"),
     )
+
+
+@_register(
+    "q102_idle_rich_customers",
+    oracle="""
+    WITH thresh AS (
+        SELECT AVG(CAST(c_acctbal AS DECIMAL(27,6))) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(c.c_custkey) AS BIGINT) AS sum_keys,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+               AS total_balance
+    FROM customer c CROSS JOIN thresh
+    WHERE c.c_acctbal > CAST(thresh.avg_bal AS DOUBLE)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= DATE '2000-01-01'
+      )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q102_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    no RECENT orders (none since 2000-01-01) — the "reachable but lapsed"
+    audience query. Combines a global scalar threshold (exact-decimal AVG,
+    broadcast as a 1-row cross join in the oracle, a literal-free scalar
+    filter here) with an anti-join against the date-pruned fact slice.
+
+    Scale notes: the threshold aggregate collapses to one row before
+    anything joins (never a per-row correlated AVG); the anti-join
+    shuffles only the (custkey) column of orders, and the surviving
+    customer set is segment-aggregated in the same stage. The decimal AVG
+    keeps the threshold bit-stable, so the boundary set is deterministic
+    cross-engine.
+    """
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    thresh_row = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(27,6)"))
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+        .first()
+    )
+    rich = c.filter(
+        F.col("c_acctbal") > F.lit(float(thresh_row.avg_bal))
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01")
+    idle_rich = rich.join(
+        recent.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return idle_rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("c_custkey").alias("sum_keys"),
+        F.sum(F.col("c_acctbal").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("total_balance"),
+    )
+
+
+@_register(
+    "q103_cube_revenue",
+    oracle=f"""
+    SELECT COALESCE(r.r_name, 'ALL') AS regiao,
+           COALESCE(CAST(year(o.o_orderdate) AS VARCHAR), 'ALL') AS ano,
+           CAST(GROUPING(r.r_name) * 2 + GROUPING(year(o.o_orderdate))
+                AS BIGINT) AS grouping_id,
+           COUNT(*) AS n_orders,
+           {_osum("o.o_totalprice", "revenue")}
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE (r.r_name, year(o.o_orderdate))
+    """,
+)
+def q103_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, order year): all four grains — cell, per-region,
+    per-year, grand total — in ONE Expand pass over one fact scan, with
+    GROUPING() disambiguating genuine NULL keys from subtotal rows (the
+    reason COALESCE-to-'ALL' alone is not a correct rollup encoding).
+
+    Completes the grouping-sets family next to q54's ROLLUP: CUBE is the
+    cross-tab variant (2ⁿ grains). Same scale shape: Expand multiplies
+    rows by #grains BEFORE the single hash aggregate — no per-grain
+    rescans, one shuffle.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "r_name",
+            F.year("o_orderdate").alias("__ano"),
+            "o_totalprice",
+        )
+    )
+    cubed = base.cube("r_name", "__ano").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "revenue"),
+        F.grouping_id("r_name", "__ano").cast("bigint").alias("grouping_id"),
+    )
+    return cubed.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("regiao"),
+        F.coalesce(F.col("__ano").cast("string"), F.lit("ALL")).alias("ano"),
+        "grouping_id",
+        "n_orders",
+        "revenue",
+    )
