@@ -191,7 +191,14 @@ def q19_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct/total), stopword ratio, mean token length (chars incl.
     separators / tokens — cheap and monotone with the true mean). Ratios are
     single double divisions of exact integers — engine-identical."""
-    d = load_table(spark, "documents", sf_dir)
+    return quality_features(load_table(spark, "documents", sf_dir))
+
+
+def quality_features(d: DataFrame) -> DataFrame:
+    """The q19 feature block as a pure stateless transformation — the SAME
+    function serves batch profiling and the streaming ingest quality gate
+    (apply to a ``readStream`` frame and filter on the ratios; stateless
+    projection ⇒ no watermark, no state store). Parity is test-asserted."""
     tok = tokens(F.col("text"))
     feat = d.select(
         "doc_id",

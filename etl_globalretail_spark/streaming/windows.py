@@ -334,3 +334,39 @@ def purchases_with_recent_click(
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
     ).select("purchase_id", "user_id", "p_ts", "purchase_value", "click_id", "c_ts")
+
+
+def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the documents parquet (same
+    directory+glob mechanics as ``read_event_stream``); schema declared
+    from the canonical table schema — no inference on a stream, ever."""
+    base = TESTDATA_SCHEMAS["documents"]
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in base.fields)
+    reader = spark.readStream.schema(fields).format("parquet")
+    if path.endswith(".parquet"):
+        parent, _, fname = path.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        path = parent
+    return reader.load(path)
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    min_diversity: float = 0.3,
+    max_avg_token_len: float = 12.0,
+) -> DataFrame:
+    """Streaming ingest quality gate: score each arriving document with the
+    BATCH quality feature function (operators/text.quality_features — one
+    shared implementation, parity-tested) and keep only docs passing the
+    thresholds. Stateless projection + filter: no watermark, no state
+    store, scales as pure map work; the reject stream is the complement
+    (run with negated thresholds or route via foreachBatch)."""
+    from etl_globalretail_spark.operators.text import quality_features
+
+    scored = quality_features(docs)
+    return scored.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("lexical_diversity") >= min_diversity)
+        & (F.col("avg_token_len") <= max_avg_token_len)
+    )

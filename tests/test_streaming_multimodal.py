@@ -204,3 +204,35 @@ def test_stream_stream_join_parity(spark, sf_dir):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_quality_gate_parity(spark, sf_dir):
+    """The streaming quality gate must admit EXACTLY the docs the batch
+    quality features admit — one shared scoring function, two run modes."""
+    from etl_globalretail_spark.operators.text import quality_features
+    from etl_globalretail_spark.sources.readers import load_table
+    from etl_globalretail_spark.streaming.windows import (
+        quality_gate,
+        read_document_stream,
+    )
+
+    stream = read_document_stream(spark, f"{sf_dir}/documents.parquet")
+    q = (
+        quality_gate(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quality_gate_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.table("quality_gate_test").collect()}
+
+    batch = quality_features(load_table(spark, "documents", sf_dir))
+    want = {
+        r.doc_id
+        for r in batch.filter(
+            "n_tokens >= 5 AND lexical_diversity >= 0.3 AND avg_token_len <= 12.0"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
