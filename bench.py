@@ -99,6 +99,8 @@ HEADLINE = [
     "q101_inverted_index",
     "q102_idle_rich_customers",
     "q103_cube_revenue",
+    "q104_skew_profile",
+    "q105_value_positions",
 ]
 
 

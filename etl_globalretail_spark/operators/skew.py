@@ -29,6 +29,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_globalretail_spark.plans.queries import make_query_decorator
 from etl_globalretail_spark.sources.readers import load_table
@@ -134,3 +135,100 @@ def q42_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew profiler: the diagnostic that decides WHEN the salting above is
+# needed.
+# ---------------------------------------------------------------------------
+
+
+def skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew profile of a prospective join/agg key: total rows,
+    distinct keys, and how concentrated the heaviest keys are (top-1 and
+    top-10 share, in exact permil). A 100 TB pipeline runs this BEFORE
+    choosing a strategy: top1_share ≈ 1000/n_keys ⇒ uniform, plain
+    shuffle; top1_share ≫ that ⇒ salt the hot keys (salted_aggregate /
+    salted_join above) or rely on AQE skew splitting for sort-merge joins.
+
+    Cost: one hash aggregate to the key grain (the same shuffle the real
+    join would pay, but carrying only counters), then a tiny top-k over
+    |keys| rows. Integer permils keep the profile oracle-exact.
+    """
+    per_key = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("k"))
+    ranked = per_key.withColumn("rnk", F.row_number().over(w))
+    return ranked.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.expr("(max(case when rnk = 1 then cnt end) * 1000) div sum(cnt)")
+        .alias("top1_share_permil"),
+        F.expr(
+            "(sum(case when rnk <= 10 then cnt else 0 end) * 1000) div sum(cnt)"
+        ).alias("top10_share_permil"),
+        F.max(F.when(F.col("rnk") == 1, F.col("k").cast("string"))).alias(
+            "top1_key"
+        ),
+    )
+
+
+def _q104_oracle() -> str:
+    def one(table: str, key: str) -> str:
+        return f"""
+        SELECT '{table}.{key}' AS keyspace, n_rows, n_keys,
+               top1_share_permil, top10_share_permil, top1_key
+        FROM (
+            WITH per_key AS (
+                SELECT {key} AS k, COUNT(*) AS cnt FROM {table} GROUP BY {key}
+            ),
+            ranked AS (
+                SELECT k, cnt,
+                       ROW_NUMBER() OVER (ORDER BY cnt DESC, k ASC) AS rnk
+                FROM per_key
+            )
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_keys,
+                   CAST((MAX(CASE WHEN rnk = 1 THEN cnt END) * 1000)
+                        // SUM(cnt) AS BIGINT) AS top1_share_permil,
+                   CAST((SUM(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END) * 1000)
+                        // SUM(cnt) AS BIGINT) AS top10_share_permil,
+                   MAX(CASE WHEN rnk = 1 THEN CAST(k AS VARCHAR) END)
+                       AS top1_key
+            FROM ranked
+        )
+        """
+
+    parts = [
+        one("lineitem", "l_orderkey"),
+        one("orders", "o_custkey"),
+        one("events", "user_id"),
+        one("documents", "source"),
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _register_q104() -> None:
+    @_register("q104_skew_profile", oracle=_q104_oracle())
+    def q104_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Skew profiles of the four join/agg keyspaces this engine
+        actually shuffles on — rows, distinct keys, top-1/top-10 key
+        concentration in exact permil. The pre-flight diagnostic for the
+        salting/AQE decision (module docstring)."""
+        specs = [
+            ("lineitem", "l_orderkey"),
+            ("orders", "o_custkey"),
+            ("events", "user_id"),
+            ("documents", "source"),
+        ]
+        out = None
+        for table, key in specs:
+            prof = skew_profile(load_table(spark, table, sf_dir), key).select(
+                F.lit(f"{table}.{key}").alias("keyspace"), "*"
+            )
+            out = prof if out is None else out.unionByName(prof)
+        return out
+
+
+_register_q104()

@@ -979,3 +979,70 @@ def q103_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue",
     )
+
+
+@_register(
+    "q105_value_positions",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment, c.c_custkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS total_spend
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    pos AS (
+        SELECT c_mktsegment,
+               PERCENT_RANK() OVER w AS pr,
+               CUME_DIST() OVER w AS cd,
+               NTILE(10) OVER w AS decile
+        FROM spend
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY total_spend DESC, c_custkey ASC)
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(decile) AS BIGINT) AS sum_deciles,
+           CAST(SUM(CAST(pr AS DECIMAL(27,6))) AS DOUBLE) AS sum_pr,
+           CAST(SUM(CAST(cd AS DECIMAL(27,6))) AS DOUBLE) AS sum_cd
+    FROM pos GROUP BY c_mktsegment
+    """,
+)
+def q105_value_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions — percent_rank, cume_dist,
+    ntile(10) — over per-customer spend within each market segment,
+    completing the ranking family next to row_number (q10/q61) and rank
+    percentiles (q58). The window order is total (spend desc, custkey
+    asc), so positions are deterministic; the audit folds them through
+    exact decimals.
+
+    Scale notes: positions are computed over the customer-grain aggregate
+    (|customers| rows), never raw orders; one shuffle to the spend grain,
+    one segment-partitioned sort.
+    """
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_spend")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spend"), F.asc("c_custkey")
+    )
+    pos = spend.select(
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return pos.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("decile").cast("bigint").alias("sum_deciles"),
+        F.sum(F.col("pr").cast("decimal(27,6)")).cast("double").alias("sum_pr"),
+        F.sum(F.col("cd").cast("decimal(27,6)")).cast("double").alias("sum_cd"),
+    )
