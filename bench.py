@@ -101,6 +101,7 @@ HEADLINE = [
     "q103_cube_revenue",
     "q104_skew_profile",
     "q105_value_positions",
+    "q106_latest_order_profile",
 ]
 
 

@@ -1046,3 +1046,78 @@ def q105_value_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("pr").cast("decimal(27,6)")).cast("double").alias("sum_pr"),
         F.sum(F.col("cd").cast("decimal(27,6)")).cast("double").alias("sum_cd"),
     )
+
+
+@_register(
+    "q106_latest_order_profile",
+    oracle="""
+    WITH scored AS (
+        SELECT o_custkey,
+               o_orderkey,
+               o_totalprice,
+               (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                   * 1000000000000 + o_orderkey AS recency_key
+        FROM orders
+    ),
+    latest AS (
+        SELECT o_custkey,
+               arg_max(o_orderkey, recency_key) AS latest_orderkey,
+               arg_max(o_totalprice, recency_key) AS latest_totalprice,
+               COUNT(*) AS n_orders
+        FROM scored GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(l.n_orders) AS BIGINT) AS total_orders,
+           CAST(SUM(l.latest_orderkey) AS BIGINT) AS sum_latest_ids,
+           CAST(SUM(CAST(l.latest_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS latest_revenue
+    FROM latest l JOIN customer c ON c.c_custkey = l.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q106_latest_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregation (``max_by``): each customer's LATEST order in one
+    hash aggregate — no rank window, no self-join. The classic
+    latest-row-per-key problem solved the cheap way: max_by carries the
+    payload with the max of a totally-ordered recency key
+    (epoch-days·10¹² + orderkey breaks same-day ties deterministically, overflow-free: days < 10⁵, orderkey < 10¹²), so one
+    map-side-combinable aggregate replaces the row_number()==1 pattern
+    (which must SORT every partition). Latest-order ids and revenue are
+    then profiled per market segment.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    recency = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("bigint")
+        * F.lit(1_000_000_000_000)
+        + F.col("o_orderkey")
+    )
+    latest = (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            recency.alias("recency_key"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "recency_key").alias("latest_orderkey"),
+            F.max_by("o_totalprice", "recency_key").alias("latest_totalprice"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return (
+        latest.join(c, latest.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").alias("total_orders"),
+            F.sum("latest_orderkey").alias("sum_latest_ids"),
+            F.sum(F.col("latest_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("latest_revenue"),
+        )
+    )
