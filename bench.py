@@ -102,6 +102,7 @@ HEADLINE = [
     "q104_skew_profile",
     "q105_value_positions",
     "q106_latest_order_profile",
+    "q107_nation_rollcall",
 ]
 
 

@@ -1121,3 +1121,40 @@ def q106_latest_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("latest_revenue"),
         )
     )
+
+
+@_register(
+    "q107_nation_rollcall",
+    oracle="""
+    SELECT r.r_name,
+           COUNT(*) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           md5(string_agg(n.n_name, ',' ORDER BY n.n_name)) AS nations_md5
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q107_nation_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): the alphabetical nation roster
+    per region. ``collect_list`` order is nondeterministic under parallel
+    merge, so determinism comes from sorting WITHIN the collected row
+    (array_sort) before joining — the same discipline as q101's posting
+    lists; DuckDB replays it with ORDER BY inside string_agg. Rosters are
+    dimension-sized; a fact-sized rollcall would cap or sketch instead
+    (collect_list materializes the group in memory — never on raw facts).
+    """
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    rolled = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+        )
+    )
+    return rolled.select(
+        "r_name", "n_nations", "nations", F.md5("nations").alias("nations_md5")
+    )
