@@ -103,6 +103,18 @@ HEADLINE = [
     "q105_value_positions",
     "q106_latest_order_profile",
     "q107_nation_rollcall",
+    "q108_min_cost_supplier",
+    "q109_order_priority",
+    "q110_important_parts",
+    "q111_promo_share",
+    "q112_top_supplier",
+    "q113_supplier_cnt",
+    "q114_small_qty_revenue",
+    "q115_large_orders",
+    "q116_disjunctive_filter",
+    "q117_dominant_suppliers",
+    "q118_shipping_priority",
+    "q119_discount_revenue",
 ]
 
 

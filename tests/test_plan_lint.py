@@ -28,6 +28,10 @@ INTENTIONAL_CROSS = {
     # bit-length to occurrence rows — bounded by construction
     "q95_multimodal_frames",  # joins two broadcast 1-row global
     # aggregates (resize totals × frame totals) — bounded by construction
+    "q110_important_parts",  # attaches the broadcast 1-row national total
+    # to the per-part aggregate (TPC-H Q11 scalar subquery) — bounded
+    "q112_top_supplier",  # attaches the broadcast 1-row MAX(revenue)
+    # scalar to the per-supplier aggregate (TPC-H Q15) — bounded
 }
 
 FORBIDDEN = ("CartesianProduct",)

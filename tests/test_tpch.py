@@ -53,3 +53,85 @@ def test_local_supplier_equality_join(spark, sf_dir):
     plan = _plan(QUERIES["q63_local_supplier_volume"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-2 widening (q108–q119): each asserts the physical property that
+# motivates the query's shape.
+# ---------------------------------------------------------------------------
+
+
+def test_min_cost_supplier_prunes_then_ranks(spark, sf_dir):
+    """p_size filter reaches the part scan; argmin is a window above the
+    (part, supplier) aggregate, never a sort of raw lineitem."""
+    plan = _plan(QUERIES["q108_min_cost_supplier"](spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_size" in ln for ln in pushed), plan
+    assert plan.index("Window") < plan.index("Scan parquet"), plan
+
+
+def test_order_priority_semi_join_with_residual(spark, sf_dir):
+    """EXISTS compiles to one LeftSemi join whose residual carries the
+    late-ship inequality; date range pushed to the orders scan."""
+    plan = _plan(QUERIES["q109_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), plan
+
+
+def test_important_parts_single_fact_pass(spark, sf_dir):
+    """The scalar national total re-aggregates the CACHED per-part frame —
+    both consumers read the persisted aggregate (InMemoryTableScan), so
+    the lineitem parquet materializes it once."""
+    plan = _plan(QUERIES["q110_important_parts"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") == 2, plan
+
+
+def test_top_supplier_single_fact_pass(spark, sf_dir):
+    """Q15's scalar MAX reuses the CACHED per-supplier aggregate (both
+    branches are InMemoryTableScans over one materialization); quarter
+    filter pushed to the scan that fills the cache."""
+    plan = _plan(QUERIES["q112_top_supplier"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") == 2, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), plan
+
+
+def test_supplier_cnt_anti_join(spark, sf_dir):
+    """NOT IN blacklist compiles to LeftAnti; part predicates reach the
+    part scan."""
+    plan = _plan(QUERIES["q113_supplier_cnt"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln for ln in pushed), plan
+
+
+def test_disjunctive_filter_factored_pushdown(spark, sf_dir):
+    """Catalyst factors the OR-of-ANDs: the part-only disjunct reaches the
+    part scan AND the quantity-only disjunct reaches the lineitem scan."""
+    plan = _plan(QUERIES["q116_disjunctive_filter"](spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "DataFilters" in ln]
+    assert any("p_brand" in ln and "part.parquet" in ln for ln in pushed), plan
+    assert any(
+        "l_quantity" in ln and "lineitem.parquet" in ln for ln in pushed
+    ), plan
+
+
+def test_dominant_suppliers_reaggregates_grain(spark, sf_dir):
+    """Per-part totals derive from the CACHED (part, supplier) grain (two
+    InMemoryTableScans over one materialization), not a second lineitem
+    scan; ship-year filter pushed."""
+    plan = _plan(QUERIES["q117_dominant_suppliers"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") == 2, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), plan
+
+
+def test_discount_revenue_all_predicates_pushed(spark, sf_dir):
+    """Q6 probe: every predicate appears in the lineitem scan's pushed
+    filters and only the needed columns are read."""
+    plan = _plan(QUERIES["q119_discount_revenue"](spark, sf_dir))
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan, scan
+    assert "l_extendedprice" in scan and "l_orderkey" not in scan, scan
