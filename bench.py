@@ -115,6 +115,8 @@ HEADLINE = [
     "q117_dominant_suppliers",
     "q118_shipping_priority",
     "q119_discount_revenue",
+    "q120_ann_recall",
+    "q121_quality_percentile_filter",
 ]
 
 

@@ -606,3 +606,59 @@ def q82_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(
         scored.select("vec_id", cos.alias("cos_sim")), _ANN_K, "vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: how much of the exact top-k the LSH path retains.
+# ---------------------------------------------------------------------------
+
+
+def _register_q120() -> None:
+    bf_oracle = ORACLE["q27_ann_bruteforce"]
+    lsh_oracle = ORACLE["q82_ann_lsh_exact"]
+
+    @_register(
+        "q120_ann_recall",
+        oracle=f"""
+        WITH bf AS ({bf_oracle}),
+             lsh AS ({lsh_oracle}),
+             common AS (
+                 SELECT COUNT(*) AS n_common
+                 FROM bf JOIN lsh ON bf.vec_id = lsh.vec_id
+             )
+        SELECT CAST({_ANN_K} AS BIGINT) AS k,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(n_common AS DOUBLE) / {_ANN_K} AS recall_at_k
+        FROM common
+        """,
+    )
+    def q120_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recall@k of the sign-LSH ANN path (q82) against the brute-force
+        exact top-k (q27) for the same query vector — the evaluation loop
+        every ANN deployment needs before trusting the approximate tier.
+
+        Both inputs are the already-oracle-exact pipelines, so the recall
+        itself is oracle-checked end-to-end (the DuckDB twin recomputes
+        BOTH paths and intersects). Scale notes: each side is a top-k
+        (≤ k rows); the intersection is a broadcast join of two k-row
+        frames — the audit costs one extra scan of nothing. Single-probe
+        sign-LSH trades recall for a ~2^bits candidate cut; this query is
+        the measurement of that trade.
+        """
+        bf = QUERIES["q27_ann_bruteforce"](spark, sf_dir).select("vec_id")
+        lsh = QUERIES["q82_ann_lsh_exact"](spark, sf_dir).select(
+            F.col("vec_id").alias("lsh_vec_id")
+        )
+        common = bf.join(
+            F.broadcast(lsh), bf.vec_id == F.col("lsh_vec_id")
+        ).agg(F.count(F.lit(1)).alias("n_common"))
+        return common.select(
+            F.lit(_ANN_K).cast("long").alias("k"),
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("n_common").cast("double") / F.lit(_ANN_K)).alias(
+                "recall_at_k"
+            ),
+        )
+
+
+_register_q120()

@@ -611,3 +611,79 @@ def q101_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df",
         F.md5(F.concat_ws(",", F.col("postings"))).alias("postings_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-group quantile filtering: keep each language's top quality quartile.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q121_quality_percentile_filter",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               CAST(len(list_distinct({_sql_tokens()})) AS DOUBLE)
+                   / len({_sql_tokens()}) AS ld
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, ld,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY ld DESC, doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM feat
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rnk <= CEIL(n * 0.25) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rnk <= CEIL(n * 0.25) THEN doc_id ELSE 0 END)
+                AS BIGINT) AS sum_kept_ids
+    FROM ranked
+    GROUP BY lang
+    """,
+)
+def q121_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative (within-group) quality filtering: keep each language's top
+    quartile by lexical diversity — the curation policy "best 25% per
+    language" that an absolute threshold can't express, since quality
+    distributions differ per language.
+
+    The kept set is id-pinned (Σ kept doc_ids) so the oracle proves the
+    exact membership, not just the counts. Determinism: lexical diversity
+    is a single double division of exact integers (engine-identical);
+    ties break on doc_id; the quartile cut compares an integer rank
+    against CEIL(0.25·n) — no float accumulation anywhere.
+
+    Scale notes: one shuffle on lang (the window), one aggregation on the
+    same key — AQE reuses the exchange. The rank window is per-language;
+    for a language so dominant its partition overwhelms one executor, cut
+    by approx-quantile thresholds instead (two scans, no full sort).
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    tok = tokens(F.col("text"))
+    feat = d.select(
+        "doc_id",
+        "lang",
+        (
+            F.size(F.array_distinct(tok)).cast("double") / F.size(tok)
+        ).alias("ld"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("ld"), F.asc("doc_id"))
+    n = Window.partitionBy("lang")
+    keep = F.col("rnk") <= F.ceil(F.col("n") * 0.25)
+    return (
+        feat.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(n))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("doc_id")).otherwise(0))
+            .cast("long")
+            .alias("sum_kept_ids"),
+        )
+    )

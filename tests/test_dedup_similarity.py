@@ -181,3 +181,16 @@ def test_contamination_removal_is_clean(spark, sf_dir):
     self_hits = contamination_audit(bench, bench, "doc_id", "text")
     long_enough = bench.filter(F.size(F.split(F.trim("text"), r"\s+")) > 5)
     assert self_hits.count() == long_enough.count()
+
+
+def test_ann_recall_audit_consistent(spark, sf_dir):
+    """q120's n_common equals the independently-computed intersection of
+    the two top-k id sets, and recall is its k-normalized value."""
+    from etl_globalretail_spark.operators.similarity import QUERIES as SQ
+
+    bf = {r.vec_id for r in SQ["q27_ann_bruteforce"](spark, sf_dir).collect()}
+    lsh = {r.vec_id for r in SQ["q82_ann_lsh_exact"](spark, sf_dir).collect()}
+    row = SQ["q120_ann_recall"](spark, sf_dir).collect()[0]
+    assert row.n_common == len(bf & lsh)
+    assert row.recall_at_k == row.n_common / row.k
+    assert 0 <= row.n_common <= row.k == 10

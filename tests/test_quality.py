@@ -58,3 +58,36 @@ def test_redact_pii_replaces_all_matches(spark):
     out = [r.o for r in df.select(redact_pii(F.col("t")).alias("o")).collect()]
     assert out[0] == "mail [EMAIL] and [EMAIL], call [PHONE]"
     assert out[1] == "clean text with no pii at all"
+
+
+def test_quality_percentile_filter_quartile_cut(spark, sf_dir):
+    """q121 keeps exactly ⌈n/4⌉ docs per language, and the kept sum matches
+    the top quartile by (lexical diversity desc, doc_id) recomputed
+    driver-side."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_globalretail_spark.operators.text import (
+        QUERIES as TQ,
+        tokens,
+    )
+    from etl_globalretail_spark.sources.readers import load_table
+
+    rows = TQ["q121_quality_percentile_filter"](spark, sf_dir).collect()
+    d = load_table(spark, "documents", sf_dir)
+    tok = tokens(F.col("text"))
+    feats = d.select(
+        "doc_id", "lang",
+        (F.size(F.array_distinct(tok)).cast("double") / F.size(tok)).alias("ld"),
+    ).collect()
+    by_lang: dict = {}
+    for r in feats:
+        by_lang.setdefault(r.lang, []).append((-r.ld, r.doc_id))
+    for out in rows:
+        ordered = sorted(by_lang[out.lang])
+        n = len(ordered)
+        k = math.ceil(n * 0.25)
+        assert out.n_docs == n
+        assert out.n_kept == k
+        assert out.sum_kept_ids == sum(doc for _, doc in ordered[:k])
