@@ -118,6 +118,7 @@ HEADLINE = [
     "q120_ann_recall",
     "q121_quality_percentile_filter",
     "q122_kmeans_exact",
+    "q123_ann_ivf_exact",
 ]
 
 

@@ -662,3 +662,126 @@ def _register_q120() -> None:
 
 
 _register_q120()
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact IVF tier: per-label integer centroids, nprobe=2, exact rerank.
+# ---------------------------------------------------------------------------
+
+_Q123_NPROBE = 2
+_Q123_SCALE = 1000000
+
+
+@_register(
+    "q123_ann_ivf_exact",
+    oracle=f"""
+    WITH flat AS (
+        SELECT vec_id, label,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_Q123_SCALE})
+                    AS BIGINT) AS q
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT label, pos,
+               CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+        FROM flat GROUP BY label, pos
+    ),
+    qv AS (
+        SELECT pos, val AS qval, q AS qq FROM flat
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    cell_d AS (
+        SELECT c.label, SUM((v.qq - c.cq) * (v.qq - c.cq)) AS dist
+        FROM cents c JOIN qv v ON c.pos = v.pos
+        GROUP BY c.label
+    ),
+    probed AS (
+        SELECT label FROM (
+            SELECT label, ROW_NUMBER() OVER (ORDER BY dist, label) AS rn
+            FROM cell_d
+        ) WHERE rn <= {_Q123_NPROBE}
+    ),
+    scored AS (
+        SELECT f.vec_id,
+               CAST(SUM(CAST(FLOOR(f.val * v.qval * 1e12) AS BIGINT))
+                    AS DOUBLE) AS dp,
+               CAST(SUM(CAST(FLOOR(f.val * f.val * 1e12) AS BIGINT))
+                    AS DOUBLE) AS nf,
+               CAST(SUM(CAST(FLOOR(v.qval * v.qval * 1e12) AS BIGINT))
+                    AS DOUBLE) AS nq
+        FROM flat f
+        JOIN qv v ON f.pos = v.pos
+        WHERE f.label IN (SELECT label FROM probed)
+        GROUP BY f.vec_id
+    )
+    SELECT vec_id, cos_sim, rank FROM (
+        SELECT vec_id,
+               dp / (sqrt(nf) * sqrt(nq)) AS cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY dp / (sqrt(nf) * sqrt(nq)) DESC, vec_id
+               ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {_ANN_K}
+    """,
+)
+def q123_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN with the WHOLE path oracle-replayed: per-label quantized
+    integer centroids (the coarse quantizer), nprobe=2 nearest cells by
+    exact int64 distance, then the quantized-cosine rerank inside the
+    probed cells only. q36 is the float production twin (rows-only); this
+    proves the IVF design cross-engine — centroids, probe choice,
+    candidate set, and rerank all bit-for-bit.
+
+    Scale notes: centroids are |labels|×d integer partial sums (one
+    shuffle of k·d aggregates, never of vectors); the probe choice is a
+    driver-side argmin over k cells (kilobytes); candidates are an
+    equi-filter on label, so the rerank scans ~nprobe/k of the corpus.
+    Quantization (floor·1e6 for centroids, floor·1e12 for the rerank)
+    makes every accumulation associative int64 math.
+    """
+    e = load_table(spark, "embeddings", sf_dir)
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(_Q123_SCALE)).cast("long"),
+    )
+    base = e.select("vec_id", "label", "embedding", qv.alias("qv"))
+    cents = (
+        base.select("label", F.posexplode("qv").alias("pos0", "q"))
+        .groupBy("label", "pos0")
+        .agg(
+            F.floor(F.sum("q").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cq")
+        )
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos0", "cq"))).alias("p")
+        )
+        .select("label", F.transform("p", lambda s: s.cq).alias("cvec"))
+        .collect()
+    )
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    qvec = [float(x) for x in first["embedding"]]
+    import math
+
+    qq = [math.floor(x * _Q123_SCALE) for x in qvec]
+    ranked_cells = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qq, r["cvec"])), r["label"])
+        for r in cents
+    )
+    probed = [lbl for _, lbl in ranked_cells[:_Q123_NPROBE]]
+
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    cand = base.filter(F.col("label").isin(probed))
+    scored = cand.select(
+        "vec_id",
+        _qdot(F.col("embedding"), qcol).cast("double").alias("dp"),
+        _qdot(F.col("embedding"), F.col("embedding")).cast("double").alias("nf"),
+        _qdot(qcol, qcol).cast("double").alias("nq"),
+    )
+    cos = F.col("dp") / (F.sqrt(F.col("nf")) * F.sqrt(F.col("nq")))
+    return _ranked_topk(
+        scored.select("vec_id", cos.alias("cos_sim")), _ANN_K, "vec_id"
+    )

@@ -194,3 +194,18 @@ def test_ann_recall_audit_consistent(spark, sf_dir):
     assert row.n_common == len(bf & lsh)
     assert row.recall_at_k == row.n_common / row.k
     assert 0 <= row.n_common <= row.k == 10
+
+
+def test_ann_ivf_exact_subset_and_rank_contract(spark, sf_dir):
+    """q123's results come only from the probed cells, ranks are 1..k
+    dense, and every returned similarity is ≤ the brute-force best."""
+    from etl_globalretail_spark.operators.similarity import QUERIES as SQ
+
+    rows = SQ["q123_ann_ivf_exact"](spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(-1.001 <= r.cos_sim <= 1.001 for r in rows)
+    bf = SQ["q27_ann_bruteforce"](spark, sf_dir).collect()
+    # approximate tier can never beat the exact best (the self-match);
+    # whether it CONTAINS the self-match depends on the probed cells —
+    # labels are class ids, not geometric cells, so no containment claim.
+    assert rows[0].cos_sim <= bf[0].cos_sim + 1e-12
