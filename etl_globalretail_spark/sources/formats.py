@@ -181,3 +181,50 @@ def compact_partitions(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return before, len(parquet_files(path))
+
+
+def read_binary_assets(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Multimodal ingestion front door: scan raw image/audio/video files as
+    (path, modificationTime, length, content binary) via Spark's built-in
+    ``binaryFile`` source — the row shape operators/multimodal.py consumes
+    (opaque bytes + typed metadata; SURVEY §2's multimodal mandate).
+
+    ``glob`` filters at FILE-LISTING time (pathGlobFilter) — unmatched
+    files are never opened, the cheap first prune for mixed asset trees.
+    Scale notes: one row per file; Spark caps rows at
+    ``spark.sql.sources.binaryFile.maxLength`` (default 2 GB). Very large
+    assets should be chunked upstream; very SMALL files want compaction
+    (see ``compact_partitions``) because each costs a listing entry and a
+    task. The source is read-only by design — there is no binary writer;
+    derived features persist as parquet.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw-text corpus ingestion via the built-in ``text`` source.
+
+    Line mode (default): one row per line, ``value`` string — the shape
+    for line-delimited corpora (one document per line, the common LLM
+    dump format); files split across tasks at newline boundaries, so a
+    single huge file still parallelizes. ``whole_file=True``: one row per
+    FILE (wholetext) for document-per-file corpora — not splittable, same
+    caveat as multiline CSV. Both attach ``source_file`` (input file
+    provenance — the lineage column per-source quotas and mixtures key
+    on) and a within-source-deterministic ``line_id`` is the caller's
+    job via ``row_number`` when order matters (file order is not a
+    relational property).
+    """
+    from pyspark.sql import functions as F
+
+    return spark.read.text(path, wholetext=whole_file).select(
+        F.input_file_name().alias("source_file"),
+        F.col("value").alias("text"),
+    )

@@ -131,3 +131,34 @@ def test_range_sorted_layout_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
     # data intact
     back = spark.read.parquet(p)
     assert back.count() == o.count()
+
+
+def test_read_binary_assets_glob_and_content(spark, tmp_path):
+    """binaryFile scan returns exact bytes + metadata, and pathGlobFilter
+    prunes non-matching files at listing time."""
+    from etl_globalretail_spark.sources.formats import read_binary_assets
+
+    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8JPEGBYTES")
+    (tmp_path / "b.png").write_bytes(b"\x89PNGBYTES")
+    (tmp_path / "notes.txt").write_bytes(b"not an image")
+    df = read_binary_assets(spark, str(tmp_path), glob="*.{jpg,png}")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.jpg", "b.png"}
+    assert bytes(rows["a.jpg"].content) == b"\xff\xd8JPEGBYTES"
+    assert rows["b.png"].length == len(b"\x89PNGBYTES")
+
+
+def test_read_text_corpus_line_and_whole_file(spark, tmp_path):
+    from etl_globalretail_spark.sources.formats import read_text_corpus
+
+    (tmp_path / "d1.txt").write_text("alpha\nbeta\n")
+    (tmp_path / "d2.txt").write_text("gamma\n")
+    lines = read_text_corpus(spark, str(tmp_path))
+    got = {(r.source_file.rsplit("/", 1)[-1], r.text) for r in lines.collect()}
+    assert got == {("d1.txt", "alpha"), ("d1.txt", "beta"), ("d2.txt", "gamma")}
+
+    whole = read_text_corpus(spark, str(tmp_path), whole_file=True)
+    by_file = {
+        r.source_file.rsplit("/", 1)[-1]: r.text for r in whole.collect()
+    }
+    assert by_file == {"d1.txt": "alpha\nbeta\n", "d2.txt": "gamma\n"}
