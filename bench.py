@@ -119,6 +119,8 @@ HEADLINE = [
     "q121_quality_percentile_filter",
     "q122_kmeans_exact",
     "q123_ann_ivf_exact",
+    "q124_grouping_sets",
+    "q125_bag_set_ops",
 ]
 
 

@@ -1158,3 +1158,106 @@ def q107_nation_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.select(
         "r_name", "n_nations", "nations", F.md5("nations").alias("nations_md5")
     )
+
+
+@_register(
+    "q124_grouping_sets",
+    oracle=f"""
+    SELECT CAST(GROUPING(r.r_name) AS BIGINT) AS g_region,
+           CAST(GROUPING(c.c_mktsegment) AS BIGINT) AS g_segment,
+           r.r_name, c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {_osum("o.o_totalprice", "revenue")}
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment))
+    """,
+)
+def q124_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC grouping sets — order volume by region AND by market
+    segment in ONE pass: `GROUP BY GROUPING SETS ((region), (segment))`.
+    ROLLUP (q54) and CUBE (q103) cover the hierarchical/full-lattice
+    cases; this is the hand-picked-grains face of the same Expand
+    operator, the shape dashboard fan-out queries take when the grains
+    share no hierarchy.
+
+    Scale notes: one Expand doubles the fact stream pre-aggregation (2
+    sets), then one shuffle carries both grains' partials — versus two
+    full scans + two shuffles for the UNION ALL formulation. GROUPING()
+    flags disambiguate the all-NULL grain rows exactly as in the oracle.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupingSets(
+            [["r_name"], ["c_mktsegment"]], "r_name", "c_mktsegment"
+        )
+        .agg(
+            # grouping() is only resolvable INSIDE the grouping-sets
+            # aggregate (it reads the Expand's spill mask), not above it
+            F.grouping("r_name").cast("long").alias("g_region"),
+            F.grouping("c_mktsegment").cast("long").alias("g_segment"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .select(
+            "g_region",
+            "g_segment",
+            "r_name",
+            "c_mktsegment",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@_register(
+    "q125_bag_set_ops",
+    oracle="""
+    WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+         y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    SELECT 'common_demand' AS op, COUNT(*) AS n_rows,
+           CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT) AS sum_keys
+    FROM (SELECT o_custkey FROM y95 INTERSECT ALL SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'excess_95', COUNT(*), CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT)
+    FROM (SELECT o_custkey FROM y95 EXCEPT ALL SELECT o_custkey FROM y96)
+    """,
+)
+def q125_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set algebra (INTERSECT ALL / EXCEPT ALL) on yearly
+    order multisets: a customer with 5 orders in 1995 and 3 in 1996
+    contributes 3 rows to the intersection and 2 to the difference —
+    multiplicity is the signal (repeat-demand analysis), which the
+    DISTINCT set ops of q59 erase.
+
+    Scale notes: Spark's intersectAll/exceptAll aggregate each side to
+    (key, count) grains and join those — the shuffle carries one row per
+    DISTINCT key per side, not per duplicate, then re-expands by
+    min(m₁,m₂) / max(m₁−m₂,0). Same two-pruned-scans shape as q59.
+    """
+    o = load_table(spark, "orders", sf_dir)
+
+    def keys(year: int) -> DataFrame:
+        return o.filter(F.year("o_orderdate") == year).select("o_custkey")
+
+    y95, y96 = keys(1995), keys(1996)
+
+    def tally(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("o_custkey"), F.lit(0)).alias("sum_keys"),
+        ).select(F.lit(label).alias("op"), "n_rows", "sum_keys")
+
+    return tally(y95.intersectAll(y96), "common_demand").unionAll(
+        tally(y95.exceptAll(y96), "excess_95")
+    )
