@@ -121,6 +121,7 @@ HEADLINE = [
     "q123_ann_ivf_exact",
     "q124_grouping_sets",
     "q125_bag_set_ops",
+    "q126_temperature_mixture",
 ]
 
 

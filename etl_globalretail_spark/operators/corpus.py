@@ -539,3 +539,112 @@ def q93_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_in_dup_clusters"),
         F.sum("keeper").alias("sum_keeper_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-balanced mixture sampling (α = 0.5 source rebalancing).
+# ---------------------------------------------------------------------------
+
+_Q126_BUDGET = 200  # target corpus size after rebalancing (sf0.01 ≈ 40%)
+
+
+def temperature_mixture_rates(
+    docs: DataFrame, source_col: str = "source"
+) -> DataFrame:
+    """Per-source keep-rates implementing temperature-α=0.5 mixture
+    rebalancing: expected kept docs per source ∝ √n_source (rare sources
+    upweighted relative to volume, dominant sources downweighted) with a
+    total expected budget of ``_Q126_BUDGET``.
+
+    rate_s = B / (√n_s · Σ_t √n_t), capped at 1 (no duplication).
+
+    Cross-engine determinism: √ is IEEE-correctly-rounded (the ONE libm
+    function both engines must agree on bit-for-bit — pow/log/exp are
+    not), quantized to an exact int (floor·1e6) before the exact-int sum
+    Σ√, so no float accumulation order anywhere; the final rate is one
+    double division of exactly-representable operands, and the keep
+    threshold is its floor against the md5 bucket space.
+    """
+    spark = docs.sparkSession
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    qs = counts.withColumn(
+        "q", F.floor(F.sqrt(F.col("n")) * F.lit(1000000.0)).cast("long")
+    )
+    # Σ√ is one exact integer — a driver-side scalar (|sources| rows),
+    # the same kilobyte-scale synchronization point as IVF's probe choice.
+    s_total = qs.agg(F.sum("q")).collect()[0][0]
+    rate = F.least(
+        F.lit(float(_Q126_BUDGET) * 1e12)
+        / (F.col("q").cast("double") * F.lit(float(s_total))),
+        F.lit(1.0),
+    )
+    return qs.select(
+        source_col,
+        "n",
+        F.floor(rate * F.lit(float(N_BUCKETS))).cast("long").alias("thr"),
+    )
+
+
+@_register(
+    "q126_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    qs AS (
+        SELECT source, n,
+               CAST(FLOOR(SQRT(n) * 1000000.0) AS BIGINT) AS q
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(q) AS BIGINT) AS s FROM qs),
+    rates AS (
+        SELECT source, n,
+               CAST(FLOOR(LEAST(
+                   CAST({_Q126_BUDGET} AS DOUBLE) * 1e12
+                       / (CAST(q AS DOUBLE) * CAST(s AS DOUBLE)),
+                   1.0) * {N_BUCKETS}) AS BIGINT) AS thr
+        FROM qs, tot
+    ),
+    kept AS (
+        SELECT d.source, d.doc_id
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE {_sql_bucket("d.doc_id", salt="tmix")} < r.thr
+    )
+    SELECT r.source, CAST(r.n AS BIGINT) AS n_docs, r.thr,
+           COUNT(k.doc_id) AS n_kept,
+           CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS sum_kept_ids
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    GROUP BY r.source, r.n, r.thr
+    """,
+)
+def q126_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-α=0.5 mixture rebalancing audit: per source, the keep
+    threshold and the id-pinned kept set. The policy every multi-source
+    training mix needs — q88 samples ∝ volume (bigger docs win), q48 caps
+    hard quotas; this SMOOTHS the source distribution toward uniform
+    (expected kept ∝ √n) without starving dominant sources entirely.
+
+    Scale notes: the rate table is |sources| rows (broadcast); the keep
+    decision is a map-only md5-bucket filter — no shuffle of the corpus;
+    only the audit aggregates. The oracle recomputes rates and membership
+    independently in SQL.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    rates = temperature_mixture_rates(d, "source")
+    kept = d.join(
+        F.broadcast(rates.select("source", "thr")), "source"
+    ).filter(hash_bucket(F.col("doc_id"), N_BUCKETS, "tmix") < F.col("thr"))
+    k = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+    )
+    return (
+        rates.join(k, "source", "left")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            "thr",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("sum_kept_ids", F.lit(0)).alias("sum_kept_ids"),
+        )
+    )

@@ -226,3 +226,28 @@ def test_registered_corpus_queries_run(spark, sf_dir):
         q92_tfidf_terms,
     ):
         assert q(spark, sf_dir).count() > 0
+
+
+def test_temperature_mixture_smooths_toward_uniform(spark, sf_dir):
+    """α=0.5 rebalancing: expected kept ∝ √n, so the kept-share of a
+    2× larger source is < 2× (smoothing), every threshold is a valid
+    bucket cut, and kept sets are subsets of their source."""
+    from etl_globalretail_spark.operators.corpus import (
+        QUERIES as CQ,
+        _Q126_BUDGET,
+    )
+    from etl_globalretail_spark.operators.sampling import N_BUCKETS
+
+    rows = CQ["q126_temperature_mixture"](spark, sf_dir).collect()
+    assert all(0 <= r.thr <= N_BUCKETS for r in rows)
+    assert all(0 <= r.n_kept <= r.n_docs for r in rows)
+    total_kept = sum(r.n_kept for r in rows)
+    # expected budget holds loosely (hash noise): within ±50%
+    assert 0.5 * _Q126_BUDGET <= total_kept <= 1.5 * _Q126_BUDGET or all(
+        r.thr == N_BUCKETS for r in rows
+    )
+    # smoothing: keep-RATE decreases with source size (monotone thr)
+    by_n = sorted(rows, key=lambda r: r.n_docs)
+    for small, big in zip(by_n, by_n[1:]):
+        if small.n_docs < big.n_docs:
+            assert small.thr >= big.thr
