@@ -158,3 +158,37 @@ def test_q90_scoring_zero_shuffle_end_to_end(spark, sf_dir, qs):
     plan = _plan(qs["q90_repetition_filter"](spark, sf_dir))
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert all(e.strip().startswith("lang") for e in exchanges), exchanges
+
+
+def test_quality_percentile_filter_single_lang_exchange(spark, sf_dir):
+    """q121's window and audit aggregate share the lang partitioning —
+    exactly one shuffle of the feature frame (plus AQE reads), never a
+    second full sort or scan of documents."""
+    from etl_globalretail_spark.operators.text import QUERIES as TQ
+
+    plan = (
+        TQ["q121_quality_percentile_filter"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("documents.parquet") == 1, plan
+
+
+def test_temperature_mixture_map_only_keep(spark, sf_dir):
+    """q126's keep decision is a broadcast-joined filter — the corpus is
+    never shuffled before the audit aggregate (no Exchange below the
+    rate-table join on the doc side beyond the final groupBy)."""
+    from etl_globalretail_spark.operators.corpus import QUERIES as CQ
+
+    plan = (
+        CQ["q126_temperature_mixture"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # rate table joins onto docs via broadcast, not a sorted shuffle join
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
