@@ -330,6 +330,11 @@ def q122_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for _ in range(_Q122_ITERS - 1):
             assigned = assign(centroids)
+            # Update via posexplode → (cell, pos) partial sums — measured
+            # equal-or-faster than the d-flat-sums formulation at bench
+            # scale (0.5 s vs 0.7 s warm; far cheaper codegen cold), and
+            # identical math. At extreme N·d the flat form's smaller
+            # shuffle wins; integer associativity licenses either.
             rows = (
                 assigned.select(
                     "cell", F.posexplode("qv").alias("pos0", "q")
