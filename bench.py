@@ -122,6 +122,7 @@ HEADLINE = [
     "q124_grouping_sets",
     "q125_bag_set_ops",
     "q126_temperature_mixture",
+    "q127_pricing_summary",
 ]
 
 

@@ -246,3 +246,46 @@ def q85_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phones").alias("n_phones"),
         F.bit_xor(checksum).alias("redacted_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-flight pipeline metrics: df.observe() — validation WITHOUT extra jobs.
+# ---------------------------------------------------------------------------
+
+
+def observe_quality(
+    df: DataFrame,
+    name: str = "quality",
+    not_null_cols: tuple[str, ...] = (),
+    positive_cols: tuple[str, ...] = (),
+):
+    """Attach zero-cost quality counters to a frame: row count, per-column
+    null counts, and per-column non-positive counts, collected as
+    ``Observation`` metrics DURING whatever action next runs — unlike the
+    ``check_*`` report (a separate aggregation job), observation rides the
+    existing pass, so a 100 TB load pays nothing extra for its metrics.
+
+    Returns ``(df_with_observation, observation)``; read
+    ``observation.get`` AFTER an action. The same ``observe(name, ...)``
+    call on a streaming frame surfaces per-batch under
+    ``query.lastProgress["observedMetrics"][name]`` — one metrics
+    definition, both execution modes (the engine-wide batch↔stream
+    pattern, cf. quality_gate).
+    """
+    from pyspark.sql import Observation
+
+    exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null_cols:
+        exprs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"null_{c}"
+            )
+        )
+    for c in positive_cols:
+        exprs.append(
+            F.sum(F.when(F.col(c) <= 0, 1).otherwise(0)).alias(
+                f"nonpos_{c}"
+            )
+        )
+    obs = Observation(name)
+    return df.observe(obs, *exprs), obs

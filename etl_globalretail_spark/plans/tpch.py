@@ -998,3 +998,61 @@ def q119_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@_register(
+    "q127_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osum("l_quantity", "sum_qty")},
+           {_osum("l_extendedprice", "sum_base_price")},
+           {_osum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {_osum("l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+                  "sum_charge")},
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q127_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 — THE canonical pricing summary: per (returnflag,
+    linestatus), four decimal-exact sums, three exact-ratio averages, and
+    the order count over almost-all of lineitem.
+
+    Scale notes: this is the pure aggregation-throughput probe — no joins;
+    one shuffle of ~6 groups × 8 partials with map-side combine doing
+    ~all the work; the date cutoff and the 5 payload columns push to the
+    scan. The classic Q1 bottleneck is expression evaluation width, which
+    whole-stage codegen keeps in one fused loop.
+    """
+    l = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+
+    def dratio(col: str, alias: str):
+        return (
+            F.sum(F.col(col).cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias(alias)
+
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            dratio("l_quantity", "avg_qty"),
+            dratio("l_extendedprice", "avg_price"),
+            dratio("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

@@ -91,3 +91,22 @@ def test_quality_percentile_filter_quartile_cut(spark, sf_dir):
         assert out.n_docs == n
         assert out.n_kept == k
         assert out.sum_kept_ids == sum(doc for _, doc in ordered[:k])
+
+
+def test_observe_quality_rides_the_action(spark, sf_dir):
+    """Metrics arrive from the SAME action that consumed the frame — no
+    second job — and match an independent recount."""
+    from pyspark.sql import functions as F
+
+    from etl_globalretail_spark.operators.quality import observe_quality
+    from etl_globalretail_spark.sources.readers import load_table
+
+    l = load_table(spark, "lineitem", sf_dir)
+    observed, obs = observe_quality(
+        l, "li", not_null_cols=("l_shipdate",), positive_cols=("l_quantity",)
+    )
+    n_out = observed.filter(F.col("l_discount") >= 0).count()  # the action
+    m = obs.get
+    assert m["n_rows"] == l.count() == n_out
+    assert m["null_l_shipdate"] == 0
+    assert m["nonpos_l_quantity"] == l.filter(F.col("l_quantity") <= 0).count()
