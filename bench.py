@@ -123,6 +123,7 @@ HEADLINE = [
     "q125_bag_set_ops",
     "q126_temperature_mixture",
     "q127_pricing_summary",
+    "q128_streaming_hourly_exact",
 ]
 
 

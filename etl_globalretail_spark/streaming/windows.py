@@ -370,3 +370,50 @@ def quality_gate(
         & (F.col("lexical_diversity") >= min_diversity)
         & (F.col("avg_token_len") <= max_avg_token_len)
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked REAL streaming run: the memory-sink result hash-matches SQL.
+# ---------------------------------------------------------------------------
+
+_Q128_SEQ = [0]
+
+
+@_register(
+    "q128_streaming_hourly_exact",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {val}
+    FROM events
+    GROUP BY 1, 2, 3
+    """.format(val=_osum("value", "sum_value")),
+)
+def q128_streaming_hourly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An ACTUAL Structured Streaming execution, oracle-checked: the events
+    parquet is consumed through FileStreamSource (availableNow trigger),
+    aggregated by the SAME ``hourly_counts`` the batch face (q16) uses,
+    driven into a complete-mode memory sink, and the sink's content is what
+    DuckDB's batch SQL must hash-match. Upgrades streaming verification
+    from pytest-parity to the cross-engine oracle gate: watermark plumbing,
+    state-store aggregation, and sink semantics all sit on the verified
+    path.
+
+    Determinism: availableNow drains the (single-file) source and
+    complete mode emits every window at the final trigger — no
+    late-data/append-mode withholding; sums are decimal-exact.
+
+    Scale notes: identical plan to the batch face plus state-store
+    exchange; at production scale the same code runs continuously with
+    append mode + watermark eviction (bounded state), which the parity
+    tests exercise — the oracle needs the drained-source complete-mode
+    form because a hash gate needs a finished answer.
+    """
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = hourly_counts(stream)
+    _Q128_SEQ[0] += 1
+    sink = f"q128_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(agg, sink, mode="complete")
+    return spark.table(sink)
