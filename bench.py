@@ -124,6 +124,7 @@ HEADLINE = [
     "q126_temperature_mixture",
     "q127_pricing_summary",
     "q128_streaming_hourly_exact",
+    "q129_order_lifecycle",
 ]
 
 

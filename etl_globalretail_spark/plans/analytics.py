@@ -1261,3 +1261,70 @@ def q125_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tally(y95.intersectAll(y96), "common_demand").unionAll(
         tally(y95.exceptAll(y96), "excess_95")
     )
+
+
+@_register(
+    "q129_order_lifecycle",
+    oracle="""
+    WITH framed AS (
+        SELECT o_custkey,
+               ROW_NUMBER() OVER w AS rn,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+               FIRST_VALUE(o_orderkey) OVER w AS first_order,
+               LAST_VALUE(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS last_order,
+               COALESCE(NTH_VALUE(o_orderkey, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING), -1) AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, n_orders, first_order, last_order, second_order
+    FROM framed WHERE rn = 1
+    """,
+)
+def q129_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window frames — FIRST_VALUE / LAST_VALUE / NTH_VALUE over
+    each customer's chronological order history (the window face q105's
+    relative-position functions and q106's max_by argmax don't cover):
+    first, latest, and second-ever order per customer in ONE windowed pass.
+
+    Determinism: the frame order is (o_orderdate, o_orderkey) — a total
+    order. LAST/NTH use the explicit full frame (the default frame stops
+    at CURRENT ROW, silently returning the current row's value — the
+    classic positional-window bug, made explicit here for both engines).
+    Single-order customers yield second_order = -1 (COALESCE both sides;
+    a NULL int column would mutate to float64 through pandas).
+
+    Scale notes: one shuffle on o_custkey; all four functions share one
+    sort; the rn=1 filter collapses to one row per customer in the same
+    pass — no join-back, no second window.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    order_w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    full = order_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.row_number().over(order_w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("o_custkey"))
+            .alias("n_orders"),
+            F.first("o_orderkey").over(full).alias("first_order"),
+            F.last("o_orderkey").over(full).alias("last_order"),
+            F.coalesce(
+                F.nth_value("o_orderkey", 2).over(full), F.lit(-1)
+            ).alias("second_order"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey", "n_orders", "first_order", "last_order", "second_order"
+        )
+    )
