@@ -125,6 +125,7 @@ HEADLINE = [
     "q127_pricing_summary",
     "q128_streaming_hourly_exact",
     "q129_order_lifecycle",
+    "q130_product_profit",
 ]
 
 

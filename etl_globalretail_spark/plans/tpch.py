@@ -1,14 +1,22 @@
 """TPC-H-shaped multi-join analytics over the star schema — the classic
-decision-support shapes (volume shipping, returned-item ranking, market
-share, local-supplier volume) adapted to the driver testdata's columns.
+decision-support shapes adapted to the driver testdata's columns.
 
 The reference builds its DW explicitly for this kind of analysis
 (README.md:7) but ships none of it; these queries are the canonical
-workload an analytics engine over this schema must serve, and each one
-exercises a distinct physical pattern: two-dimension-role joins (the same
-nation table joined twice in different roles), conditional-share
-aggregation, filtered top-k with deterministic ranking, and
-nation-equality co-location. All oracle-paired.
+workload an analytics engine over this schema must serve, each
+exercising a distinct physical pattern. All oracle-paired.
+
+Coverage: 21 of the 22 classic TPC-H query shapes —
+Q1 q127, Q2 q108, Q3 q118, Q4 q109, Q5 q63, Q6 q119, Q7 q60, Q8 q62,
+Q9 q130, Q10 q61, Q11 q110, Q13 q97 (plans/analytics), Q14 q111,
+Q15 q112, Q16 q113, Q17 q114, Q18 q115, Q19 q116, Q20 q117, Q21 q96,
+Q22 q102 (plans/analytics). Q12 needs l_shipmode/l_commitdate/
+l_receiptdate, none of which exist in the driver schema; its physical
+pattern (conditional two-way counts by category over a date window) is
+covered by q57's pivot and q109's date-window semi-join. Queries that
+classically read partsupp (Q2/Q11/Q16/Q20/Q9) use lineitem as the
+part×supplier relation — the decorrelation / semi-join / scalar-subquery
+structure, which is what each shape exists to exercise, is preserved.
 """
 
 from __future__ import annotations
@@ -1054,5 +1062,70 @@ def q127_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dratio("l_extendedprice", "avg_price"),
             dratio("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q130_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS ano,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - p.p_retailprice * 0.7 * l.l_quantity
+                         AS DECIMAL(27,6))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%1%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q130_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue − estimated cost) on parts whose
+    name matches a substring, per supplier nation per order year — the
+    5-way join with a LIKE predicate and two-term measure arithmetic.
+    Cost uses the reference's own 0.7·retail rule (etl_completo.py:390,
+    the custo_estimado formula) in place of partsupp.ps_supplycost, which
+    this schema lacks.
+
+    Scale notes: the contains-LIKE pushes to the part scan as a string
+    predicate (row-group dictionary filtering applies even though a
+    leading-%% pattern defeats min/max skipping); the surviving part set
+    broadcasts, pruning lineitem before the orderkey shuffle — the one
+    large exchange. The profit expression folds into a single
+    decimal-exact sum, not revenue and cost aggregated separately.
+    """
+    l = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    profit = _rev() - F.col("p_retailprice") * 0.7 * F.col("l_quantity")
+    return (
+        l.join(
+            F.broadcast(
+                p.filter(F.col("p_name").like("%1%")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            l.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              l.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("ano"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(profit, "profit"),
         )
     )
