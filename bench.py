@@ -126,6 +126,7 @@ HEADLINE = [
     "q128_streaming_hourly_exact",
     "q129_order_lifecycle",
     "q130_product_profit",
+    "q131_sentence_stats",
 ]
 
 

@@ -209,3 +209,29 @@ def test_composite_id(spark):
     df = spark.createDataFrame([(1, 2)], "a int, b int")
     out = df.select(composite_id(F.col("a"), F.col("b")).alias("o")).collect()
     assert out[0].o == "1_2"
+
+
+def test_sentence_split_udtf_lateral(spark):
+    """The UDTF fans one row per sentence with stable ids, drops empties,
+    and handles NULL text (zero rows)."""
+    from etl_globalretail_spark.functions.tablefuncs import (
+        register_sentence_split,
+    )
+
+    register_sentence_split(spark, "t_sentence_split")
+    df = spark.createDataFrame(
+        [(1, "One. Two.  Three."), (2, None), (3, "NoPeriod")],
+        "id int, text string",
+    )
+    df.createOrReplaceTempView("t_udtf_docs")
+    rows = spark.sql(
+        "SELECT d.id, s.sent_id, s.sentence "
+        "FROM t_udtf_docs d, LATERAL t_sentence_split(d.text) s"
+    ).collect()
+    got = {(r.id, r.sent_id): r.sentence for r in rows}
+    assert got == {
+        (1, 0): "One",
+        (1, 1): "Two",
+        (1, 2): "Three.",
+        (3, 0): "NoPeriod",
+    }
