@@ -127,6 +127,7 @@ HEADLINE = [
     "q129_order_lifecycle",
     "q130_product_profit",
     "q131_sentence_stats",
+    "q132_incremental_neardup",
 ]
 
 

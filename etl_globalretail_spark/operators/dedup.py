@@ -1120,3 +1120,119 @@ def q87_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("sum_contaminated_ids"),
     )
+
+
+# --- q132: incremental near-dup — new batch vs existing index, no rebuild ---
+
+
+@_register(
+    "q132_incremental_neardup",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   {_sql_shingles(2)},
+                   s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                        & {_MASK32}
+               )) AS hs
+        FROM (SELECT doc_id, {_sql_tokens("text")} AS __t FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+    sigs AS (
+        SELECT doc_id,
+               {_Q66_MIN_AGGS}
+        FROM ex GROUP BY doc_id
+    ),
+    banded AS (
+{_Q66_BAND_SELECTS}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_new, y.doc_id AS id_index
+        FROM banded x
+        JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+        WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+    ),
+    verified AS (
+        SELECT id_new, id_index,
+               CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+               / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+                   AS jaccard
+        FROM cand
+        JOIN sh a ON cand.id_new = a.doc_id
+        JOIN sh b ON cand.id_index = b.doc_id
+    )
+    SELECT id_new, id_index, jaccard FROM verified
+    WHERE jaccard >= {_Q66_THRESHOLD}
+    """,
+)
+def q132_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: an arriving batch (doc_id ≡ 0 mod 10 stands in
+    for 'today's crawl') is checked against the EXISTING corpus index —
+    signatures band-join across the two sides only, never batch×batch or
+    index×index. This is the production shape of continuous curation: the
+    index's signatures/bands are a persisted artifact (cf. q81's
+    mergeable aggregates), and each increment costs |batch| signatures
+    plus a band probe, NOT a corpus rebuild — the difference between
+    O(batch) and O(corpus) per ingest cycle at 100 TB.
+
+    Same md5 pipeline as q66, so the whole incremental path (both sides'
+    signatures, the cross-side candidate join, the verification) is
+    replayed in SQL bit-for-bit.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    hs = F.array_distinct(
+        F.transform(
+            word_shingles(F.col("text"), 2),
+            lambda s: _md5_hash64(s).bitwiseAND(F.lit(_MASK32).cast("long")),
+        )
+    )
+    base = d.select(F.col("doc_id").alias("doc"), hs.alias("hs"))
+    sigs = minhash_signatures(
+        base, "doc", "hs", num_hashes=_Q66_NH, pre_hashed=True
+    )
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "/",
+                            *[
+                                F.element_at("sig", b * _Q66_ROWS + j + 1).cast(
+                                    "string"
+                                )
+                                for j in range(_Q66_ROWS)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(_Q66_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    new_side = banded.filter(F.col("doc") % 10 == 0)
+    index_side = banded.filter(F.col("doc") % 10 != 0)
+    cand = (
+        new_side.alias("x")
+        .join(index_side.alias("y"), ["band", "bucket"])
+        .select(
+            F.col("x.doc").alias("id_new"), F.col("y.doc").alias("id_index")
+        )
+        .distinct()
+    )
+    a = base.select(F.col("doc").alias("id_new"), F.col("hs").alias("hs_a"))
+    b = base.select(F.col("doc").alias("id_index"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        cand.join(a, "id_new")
+        .join(b, "id_index")
+        .withColumn(
+            "jaccard",
+            inter.cast("double")
+            / (F.size("hs_a") + F.size("hs_b") - inter),
+        )
+        .filter(F.col("jaccard") >= _Q66_THRESHOLD)
+        .select("id_new", "id_index", "jaccard")
+    )

@@ -209,3 +209,22 @@ def test_ann_ivf_exact_subset_and_rank_contract(spark, sf_dir):
     # whether it CONTAINS the self-match depends on the probed cells —
     # labels are class ids, not geometric cells, so no containment claim.
     assert rows[0].cos_sim <= bf[0].cos_sim + 1e-12
+
+
+def test_incremental_neardup_cross_side_only(spark, sf_dir):
+    """q132 pairs always have a batch-side (id % 10 == 0) left id and an
+    index-side right id, and the pair set equals q66's full pair set
+    restricted to cross-side pairs (incrementality loses nothing that
+    crosses the boundary)."""
+    from etl_globalretail_spark.operators.dedup import QUERIES as DQ
+
+    inc = DQ["q132_incremental_neardup"](spark, sf_dir).collect()
+    assert all(r.id_new % 10 == 0 and r.id_index % 10 != 0 for r in inc)
+    full = DQ["q66_minhash_pairs_exact"](spark, sf_dir).collect()
+    cross = {
+        (a, b)
+        for r in full
+        for a, b in [(r.id_a, r.id_b), (r.id_b, r.id_a)]
+        if a % 10 == 0 and b % 10 != 0
+    }
+    assert {(r.id_new, r.id_index) for r in inc} == cross
