@@ -128,6 +128,7 @@ HEADLINE = [
     "q130_product_profit",
     "q131_sentence_stats",
     "q132_incremental_neardup",
+    "q133_streaming_sliding_exact",
 ]
 
 

@@ -1186,53 +1186,73 @@ def q132_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: _md5_hash64(s).bitwiseAND(F.lit(_MASK32).cast("long")),
         )
     )
-    base = d.select(F.col("doc_id").alias("doc"), hs.alias("hs"))
-    sigs = minhash_signatures(
-        base, "doc", "hs", num_hashes=_Q66_NH, pre_hashed=True
-    )
-    banded = sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "/",
-                            *[
-                                F.element_at("sig", b * _Q66_ROWS + j + 1).cast(
-                                    "string"
-                                )
-                                for j in range(_Q66_ROWS)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for b in range(_Q66_BANDS)
-                ]
+    # md5-shingling is ~10× costlier than xxhash64 (string md5 + base-16
+    # conv per shingle) and feeds THREE consumers (signatures + both
+    # verification sides); the %10 side filters defeat exchange reuse, so
+    # without persists the shingle pass ran 3× (measured 8.5 s → 2.5 s at
+    # sf0.1). The verified pair set is tiny — materialize it and release
+    # the caches before returning, as q67 does.
+    base = d.select(F.col("doc_id").alias("doc"), hs.alias("hs")).persist()
+    try:
+        sigs = minhash_signatures(
+            base, "doc", "hs", num_hashes=_Q66_NH, pre_hashed=True
+        )
+        banded = sigs.select(
+            "doc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "/",
+                                *[
+                                    F.element_at(
+                                        "sig", b * _Q66_ROWS + j + 1
+                                    ).cast("string")
+                                    for j in range(_Q66_ROWS)
+                                ],
+                            ).alias("bucket"),
+                        )
+                        for b in range(_Q66_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc", "bb.band", "bb.bucket").persist()
+        new_side = banded.filter(F.col("doc") % 10 == 0)
+        index_side = banded.filter(F.col("doc") % 10 != 0)
+        cand = (
+            new_side.alias("x")
+            .join(index_side.alias("y"), ["band", "bucket"])
+            .select(
+                F.col("x.doc").alias("id_new"),
+                F.col("y.doc").alias("id_index"),
             )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
-    new_side = banded.filter(F.col("doc") % 10 == 0)
-    index_side = banded.filter(F.col("doc") % 10 != 0)
-    cand = (
-        new_side.alias("x")
-        .join(index_side.alias("y"), ["band", "bucket"])
-        .select(
-            F.col("x.doc").alias("id_new"), F.col("y.doc").alias("id_index")
+            .distinct()
         )
-        .distinct()
-    )
-    a = base.select(F.col("doc").alias("id_new"), F.col("hs").alias("hs_a"))
-    b = base.select(F.col("doc").alias("id_index"), F.col("hs").alias("hs_b"))
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    return (
-        cand.join(a, "id_new")
-        .join(b, "id_index")
-        .withColumn(
-            "jaccard",
-            inter.cast("double")
-            / (F.size("hs_a") + F.size("hs_b") - inter),
+        a = base.select(F.col("doc").alias("id_new"), F.col("hs").alias("hs_a"))
+        b = base.select(
+            F.col("doc").alias("id_index"), F.col("hs").alias("hs_b")
         )
-        .filter(F.col("jaccard") >= _Q66_THRESHOLD)
-        .select("id_new", "id_index", "jaccard")
-    )
+        inter = F.size(F.array_intersect("hs_a", "hs_b"))
+        rows = (
+            cand.join(a, "id_new")
+            .join(b, "id_index")
+            .withColumn(
+                "jaccard",
+                inter.cast("double")
+                / (F.size("hs_a") + F.size("hs_b") - inter),
+            )
+            .filter(F.col("jaccard") >= _Q66_THRESHOLD)
+            .select("id_new", "id_index", "jaccard")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "id_new long, id_index long, jaccard double"
+        )
+    finally:
+        base.unpersist()
+        try:
+            banded.unpersist()
+        except Exception:
+            pass

@@ -417,3 +417,43 @@ def q128_streaming_hourly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"q128_sink_{_Q128_SEQ[0]}"
     run_to_memory_sink(agg, sink, mode="complete")
     return spark.table(sink)
+
+
+@_register(
+    "q133_streaming_sliding_exact",
+    oracle="""
+    WITH slides AS (
+        SELECT e.*,
+               make_timestamp(
+                   (epoch_us(ts) // 1800000000 - CAST(g.s AS BIGINT))
+                   * 1800000000) AS window_start
+        FROM events e, (SELECT unnest(range(0, 2)) AS s) g
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(*) AS avg_value
+    FROM slides
+    GROUP BY window_start, event_type
+    """,
+)
+def q133_streaming_sliding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL streaming run on the oracle gate: 1-hour windows sliding
+    every 30 minutes (each event lands in exactly 2 overlapping frames),
+    through FileStreamSource → the shared ``sliding_value_avg`` → an
+    availableNow complete-mode memory sink. The sink's rows hash-match
+    DuckDB's enumerate-the-slides formulation — each event belongs to
+    EXACTLY the 2 windows whose starts are its 30-minute-aligned floor
+    and that floor minus one slide (both engines align slides to the
+    epoch in integer microseconds) — proving the overlap fan-out, not
+    just tumbling assignment (q128).
+
+    Determinism: window starts are exact integer µs arithmetic; averages
+    are exact-sum ratios.
+    """
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = sliding_value_avg(stream)
+    _Q128_SEQ[0] += 1
+    sink = f"q133_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(agg, sink, mode="complete")
+    return spark.table(sink)
