@@ -129,6 +129,9 @@ HEADLINE = [
     "q131_sentence_stats",
     "q132_incremental_neardup",
     "q133_streaming_sliding_exact",
+    "q134_rank_with_ties",
+    "q135_moving_average",
+    "q136_semantic_text_dedup",
 ]
 
 

@@ -785,3 +785,72 @@ def q123_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(
         scored.select("vec_id", cos.alias("cos_sim")), _ANN_K, "vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal dedup: embedding-cosine candidates verified by text Jaccard.
+# ---------------------------------------------------------------------------
+
+
+def _register_q136() -> None:
+    from etl_globalretail_spark.operators.dedup import (
+        _sql_shingles,
+        word_shingles,
+    )
+
+    emb_oracle = ORACLE["q33_embedding_neardup"]
+
+    @_register(
+        "q136_semantic_text_dedup",
+        oracle=f"""
+        WITH emb_pairs AS ({emb_oracle}),
+        sh AS (
+            SELECT doc_id, {_sql_shingles(2)} AS s
+            FROM (SELECT doc_id, {{toks}} AS __t FROM documents)
+        )
+        SELECT p.id_a, p.id_b, p.cos_sim,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                   AS jaccard
+        FROM emb_pairs p
+        JOIN sh a ON p.id_a = a.doc_id
+        JOIN sh b ON p.id_b = b.doc_id
+        """.format(toks="regexp_split_to_array(trim(text), '\\s+')"),
+    )
+    def q136_semantic_text_dedup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Cross-modal near-dup audit: embedding-cosine candidate pairs
+        (q33's quantized tier, doc_id ≡ vec_id in the fixtures) annotated
+        with their TEXT shingle-Jaccard — the composition that separates
+        true rewrites (high cos, low Jaccard) from verbatim copies (high
+        both), which neither modality alone can distinguish. This is the
+        routing signal a curation pipeline uses to send pairs to
+        drop-exact vs keep-paraphrase policies.
+
+        Scale notes: the expensive O(N²)-bounded step is the embedding
+        tier, already LSH/IVF-bounded at scale (q28/q36/q82/q123); the
+        Jaccard annotation joins only the surviving candidate ids back to
+        their shingle sets — |pairs| work, not corpus work.
+        """
+        emb_pairs = QUERIES["q33_embedding_neardup"](spark, sf_dir)
+        d = load_table(spark, "documents", sf_dir)
+        sh = d.select(
+            "doc_id", word_shingles(F.col("text"), 2).alias("s")
+        )
+        a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+        b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+        inter = F.size(F.array_intersect("s_a", "s_b"))
+        return (
+            emb_pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "jaccard",
+                inter.cast("double")
+                / (F.size("s_a") + F.size("s_b") - inter),
+            )
+            .select("id_a", "id_b", "cos_sim", "jaccard")
+        )
+
+
+_register_q136()

@@ -1328,3 +1328,128 @@ def q129_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey", "n_orders", "first_order", "last_order", "second_order"
         )
     )
+
+
+@_register(
+    "q134_rank_with_ties",
+    oracle="""
+    WITH per_cust AS (
+        SELECT n.n_name, c.c_custkey, COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, c.c_custkey
+    )
+    SELECT n_name, c_custkey, n_orders,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+    FROM per_cust
+    WINDOW w AS (PARTITION BY n_name ORDER BY n_orders DESC)
+    QUALIFY RANK() OVER w <= 3
+    """,
+)
+def q134_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3-per-nation customers by order count under TIE-INCLUSIVE
+    ranking — RANK (gaps) and DENSE_RANK (no gaps) semantics, which
+    row_number-based top-k (q10/q61) cannot express: order counts are
+    small integers, so ties are the NORM, and every tied customer
+    surfaces (group sizes exceed 3 where ties straddle the cut).
+
+    Determinism without a tiebreak column: the rank depends only on
+    n_orders (exact integers), and ALL rows at a surviving rank are kept
+    — so the result SET is deterministic even though peer order isn't.
+
+    Scale notes: one shuffle to the (nation, customer) grain, one window
+    shuffle on nation; the rank filter prunes before any further join.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("n_orders"))
+    return (
+        per_cust.select(
+            "n_name",
+            "c_custkey",
+            "n_orders",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@_register(
+    "q135_moving_average",
+    oracle="""
+    WITH monthly AS (
+        SELECT n.n_name,
+               CAST(year(o.o_orderdate) AS BIGINT) AS ano,
+               CAST(month(o.o_orderdate) AS BIGINT) AS mes,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate), month(o.o_orderdate)
+    )
+    SELECT n_name, ano, mes, revenue,
+           (revenue
+            + COALESCE(LAG(revenue, 1) OVER w, 0)
+            + COALESCE(LAG(revenue, 2) OVER w, 0))
+           / (1 + CASE WHEN LAG(revenue, 1) OVER w IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN LAG(revenue, 2) OVER w IS NULL THEN 0 ELSE 1 END)
+               AS trailing_3mo
+    FROM monthly
+    WINDOW w AS (PARTITION BY n_name ORDER BY ano, mes)
+    """,
+)
+def q135_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-month trailing revenue average per nation — the ROWS-frame moving
+    aggregate, expressed as explicit LAG terms rather than
+    ``avg().over(rowsBetween(-2, 0))``: windowed AVG accumulates in
+    frame-internal order (Spark: sliding accumulate; DuckDB: segment
+    tree), so its float sum is NOT cross-engine-deterministic — three
+    explicit lags added in one fixed expression order are. Same plan
+    shape (one window sort), bit-stable result.
+
+    Scale notes: aggregate to the (nation, month) grain FIRST (the moving
+    window then sorts ~|nations|·|months| rows, not orders); one shuffle
+    for the grain, one for the window partition.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").cast("bigint").alias("ano"),
+            F.month("o_orderdate").cast("bigint").alias("mes"),
+        )
+        .agg(dsum(F.col("o_totalprice"), "revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("ano", "mes")
+    l1 = F.lag("revenue", 1).over(w)
+    l2 = F.lag("revenue", 2).over(w)
+    denom = (
+        F.lit(1)
+        + F.when(l1.isNull(), 0).otherwise(1)
+        + F.when(l2.isNull(), 0).otherwise(1)
+    )
+    return monthly.select(
+        "n_name",
+        "ano",
+        "mes",
+        "revenue",
+        (
+            (F.col("revenue") + F.coalesce(l1, F.lit(0.0)) + F.coalesce(l2, F.lit(0.0)))
+            / denom
+        ).alias("trailing_3mo"),
+    )
