@@ -22,6 +22,9 @@ INTENTIONAL_CROSS = {
     "q33_embedding_neardup",  # the exact O(N²) dedup tier BY DEFINITION —
     # broadcast pair generation is its documented shape; corpora past
     # broadcast size use the LSH/IVF tiers (q28/q36) with the same verifier
+    "q136_semantic_text_dedup",  # composes q33's pair tier (above) and
+    # inherits its broadcast pair generation; the Jaccard annotation it
+    # adds is |pairs|-sized equi-joins only
     "q41_multimodal_pipeline",  # attaches a broadcast 1-row global
     # aggregate to the per-mime rows — bounded by construction
     "q89_rarity_bands",  # attaches the broadcast 1-row corpus-max
