@@ -132,6 +132,7 @@ HEADLINE = [
     "q134_rank_with_ties",
     "q135_moving_average",
     "q136_semantic_text_dedup",
+    "q137_quality_keeper_dedup",
 ]
 
 

@@ -345,3 +345,95 @@ def _register_q86() -> None:
 
 
 _register_q86()
+
+
+def _q137_oracle() -> str:
+    from etl_globalretail_spark.operators import dedup
+    from etl_globalretail_spark.operators.text import _sql_tokens
+
+    q66 = dedup.ORACLE["q66_minhash_pairs_exact"]
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({q66}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    reach AS (
+        SELECT v, v AS r FROM verts
+        UNION
+        SELECT e.dst AS v, reach.r AS r
+        FROM reach JOIN edges e ON reach.v = e.src
+    ),
+    cc AS (SELECT v AS vertex, MIN(r) AS component FROM reach GROUP BY v),
+    quality AS (
+        SELECT doc_id,
+               CAST(len(list_distinct({_sql_tokens()})) AS DOUBLE)
+                   / len({_sql_tokens()}) AS ld
+        FROM documents
+    ),
+    members AS (
+        SELECT cc.component, cc.vertex, q.ld
+        FROM cc JOIN quality q ON cc.vertex = q.doc_id
+    )
+    SELECT component, vertex AS keeper_id, ld AS keeper_ld, n_members
+    FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY component ORDER BY ld DESC, vertex) AS rn,
+               COUNT(*) OVER (PARTITION BY component) AS n_members
+        FROM members
+    ) WHERE rn = 1
+    """
+
+
+def _register_q137() -> None:
+    @_register("q137_quality_keeper_dedup", oracle=_q137_oracle())
+    def q137_quality_keeper_dedup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Quality-aware cluster dedup: per near-dup cluster (q67's exact
+        closure), keep the HIGHEST-lexical-diversity member — the policy
+        production pipelines actually run (min-id keepers throw away the
+        best copy whenever the dup with the cleanest text has a larger
+        id). Ties break to the lower id; diversity is an exact-integer
+        ratio, so the keeper choice is bit-deterministic cross-engine.
+
+        Scale notes: clusters come from the already-bounded LSH closure
+        (|pair-graph| ≪ corpus); the quality join touches only cluster
+        members (broadcast of the label frame); the keeper pick is a
+        window over cluster members — |clustered docs| rows.
+        """
+        from etl_globalretail_spark.operators.text import tokens
+        from pyspark.sql.window import Window
+
+        cc = QUERIES["q67_cluster_closure_exact"](spark, sf_dir)
+        d = load_table(spark, "documents", sf_dir)
+        tok = tokens(F.col("text"))
+        quality = d.select(
+            F.col("doc_id").alias("vertex"),
+            (
+                F.size(F.array_distinct(tok)).cast("double") / F.size(tok)
+            ).alias("ld"),
+        )
+        members = cc.join(F.broadcast(quality), "vertex")
+        w = Window.partitionBy("component").orderBy(
+            F.desc("ld"), F.asc("vertex")
+        )
+        n = Window.partitionBy("component")
+        return (
+            members.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_members", F.count(F.lit(1)).over(n))
+            .filter(F.col("rn") == 1)
+            .select(
+                "component",
+                F.col("vertex").alias("keeper_id"),
+                F.col("ld").alias("keeper_ld"),
+                "n_members",
+            )
+        )
+
+
+_register_q137()

@@ -162,3 +162,24 @@ def test_read_text_corpus_line_and_whole_file(spark, tmp_path):
         r.source_file.rsplit("/", 1)[-1]: r.text for r in whole.collect()
     }
     assert by_file == {"d1.txt": "alpha\nbeta\n", "d2.txt": "gamma\n"}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Accreting sinks evolve: files written before a column existed read
+    as NULL for it under an explicit evolved schema — no rewrite of old
+    files, no inference."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(p)
+    evolved = "id long, v string, score double"
+    out = {r.id: r for r in spark.read.schema(evolved).parquet(p).collect()}
+    assert out[1].score is None and out[2].score == 9.5
+    assert spark.read.schema(evolved).parquet(p).filter(
+        F.col("score").isNull()
+    ).count() == 1
