@@ -133,6 +133,7 @@ HEADLINE = [
     "q135_moving_average",
     "q136_semantic_text_dedup",
     "q137_quality_keeper_dedup",
+    "q138_yoy_growth",
 ]
 
 

@@ -1453,3 +1453,62 @@ def q135_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             / denom
         ).alias("trailing_3mo"),
     )
+
+
+@_register(
+    "q138_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+        SELECT n.n_name,
+               CAST(year(o.o_orderdate) AS BIGINT) AS ano,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+    )
+    SELECT n_name, ano, n_orders, revenue,
+           COALESCE(revenue / LAG(revenue) OVER (
+               PARTITION BY n_name ORDER BY ano) - 1.0, -999.0) AS yoy_growth
+    FROM yearly
+    """,
+)
+def q138_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the period-comparison
+    ratio (this/prev − 1) with an explicit −999 sentinel for each
+    nation's first year (a NULL double survives the hash, but the
+    sentinel keeps the growth column total so downstream filters never
+    need three-valued logic).
+
+    Determinism: yearly revenues are decimal-exact; the growth ratio is
+    one division of two identical doubles per row; LAG over (nation, ano)
+    is a total order.
+
+    Scale notes: aggregate to |nations|·|years| BEFORE the window — the
+    lag sorts dozens of rows per nation, not orders; one grain shuffle,
+    one window shuffle.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("ano"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("ano")
+    return yearly.select(
+        "n_name",
+        "ano",
+        "n_orders",
+        "revenue",
+        F.coalesce(
+            F.col("revenue") / F.lag("revenue").over(w) - 1.0, F.lit(-999.0)
+        ).alias("yoy_growth"),
+    )
