@@ -134,6 +134,8 @@ HEADLINE = [
     "q136_semantic_text_dedup",
     "q137_quality_keeper_dedup",
     "q138_yoy_growth",
+    "q139_dup_span_fraction",
+    "q140_bpe_pair_counts",
 ]
 
 

@@ -648,3 +648,192 @@ def q126_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sum_kept_ids", F.lit(0)).alias("sum_kept_ids"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span fraction (exact-substring-dedup signal, Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" approximated at
+# fixed word-window granularity, as RefinedWeb/Gopher do for dup_{n-gram}
+# quality signals). The reference has no corpus surface (etl_completo.py is
+# row-at-a-time retail ETL); this belongs to the 100 TB training-data
+# mandate.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5
+
+
+def span_hashes(text: Column, k: int = _SPAN_K) -> Column:
+    """All OVERLAPPING k-word span md5s of a document, positionally — unlike
+    ``word_shingles`` (distinct sets for Jaccard), this keeps one entry per
+    position so per-document *coverage* fractions are well-defined."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    spans = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.md5(F.concat_ws("\x1f", F.slice(toks, i, k))),
+    )
+    return F.when(n >= k, spans).otherwise(F.array().cast("array<string>"))
+
+
+def dup_span_stats(docs: DataFrame, id_col: str, text_col: str,
+                   k: int = _SPAN_K) -> DataFrame:
+    """Per-document duplicated-span statistics: how much of each document is
+    covered by k-word spans that ALSO appear in some other document.
+
+    Plan shape (scale-first): explode positional spans → ONE shuffle on the
+    span hash where a window min/max-over-partition marks cross-document
+    spans (no countDistinct, no second join back to a grouped frame — the
+    flag rides the same exchange) → ONE shuffle back to the document grain.
+    At 100 TB the span exchange is the cost; it carries (doc_id, 16-byte
+    md5) pairs only, never the text.
+    """
+    spans = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(span_hashes(F.col(text_col), k)).alias("h"),
+    )
+    w = Window.partitionBy("h")
+    flagged = spans.select(
+        "doc",
+        (F.min("doc").over(w) != F.max("doc").over(w)).cast("long").alias("dup"),
+    )
+    census = flagged.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("dup").alias("dup_spans"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(census, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0)
+            ).otherwise(
+                F.expr("(coalesce(dup_spans, 0) * 1000) div n_spans")
+            ).cast("long").alias("dup_permil"),
+        )
+    )
+
+
+@_register(
+    "q139_dup_span_fraction",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    dd AS (SELECT doc_id, len(toks) AS n_toks, toks FROM d),
+    pos AS (
+        SELECT doc_id, toks,
+               unnest(range(1, CAST(n_toks AS BIGINT) - {_SPAN_K - 2})) AS i
+        FROM dd
+    ),
+    spans AS (
+        SELECT doc_id,
+               md5(array_to_string(toks[CAST(i AS BIGINT):CAST(i AS BIGINT) + {_SPAN_K - 1}],
+                                   chr(31))) AS h
+        FROM pos
+    ),
+    flagged AS (
+        SELECT doc_id,
+               CASE WHEN MIN(doc_id) OVER (PARTITION BY h)
+                         <> MAX(doc_id) OVER (PARTITION BY h)
+                    THEN 1 ELSE 0 END AS dup
+        FROM spans
+    ),
+    census AS (
+        SELECT doc_id, COUNT(*) AS n_spans, SUM(dup) AS dup_spans
+        FROM flagged GROUP BY doc_id
+    )
+    SELECT dd.doc_id,
+           CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(c.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(CASE WHEN COALESCE(c.n_spans, 0) = 0 THEN 0
+                     ELSE (COALESCE(c.dup_spans, 0) * 1000) // c.n_spans
+                END AS BIGINT) AS dup_permil
+    FROM dd LEFT JOIN census c ON dd.doc_id = c.doc_id
+    """,
+)
+def q139_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated {k}-word-span coverage per document: the dup_ngram_frac
+    signal of RefinedWeb/Gopher-style filtering, and the fixed-window
+    approximation of exact-substring dedup. A span is "duplicated" iff it
+    occurs in ≥2 distinct documents; each doc reports span count, duplicated
+    span count, and the per-mil coverage (integer floor — portable).
+
+    The oracle replays the identical md5-span pipeline in DuckDB (same
+    window-over-hash trick); integer permil via // ≡ Spark's div on
+    non-negative ints.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    return dup_span_stats(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# BPE-style adjacent-pair frequency scan: the inner statistic of byte-pair-
+# encoding tokenizer training (Sennrich et al. 2016). One merge round =
+# "count all adjacent symbol pairs corpus-wide, take the argmax"; this
+# operator is that counting pass (top-k, total-ordered), which at 100 TB is
+# a classic map-side-explode + one-key-shuffle wordcount shape.
+# ---------------------------------------------------------------------------
+
+
+def adjacent_char_pairs(word: Column) -> Column:
+    """All adjacent character bigrams of a word (positional, overlapping).
+    1-char and empty words yield no pairs."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(word) - 1, F.lit(1))),
+        lambda i: word.substr(i, F.lit(2)),
+    )
+    return F.filter(pairs, lambda p: F.length(p) == 2)
+
+
+@_register(
+    "q140_bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    pos AS (
+        SELECT w, unnest(range(1, CAST(length(w) AS BIGINT))) AS i FROM w
+    ),
+    p AS (SELECT substr(w, CAST(i AS BIGINT), 2) AS pair FROM pos),
+    c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair),
+    ranked AS (
+        SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+                   AS rank
+        FROM c
+    )
+    SELECT pair, cnt, rank FROM ranked WHERE rank <= 20
+    """,
+)
+def q140_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent character-pair counts, top-20 total-ordered
+    (count desc, pair asc) — one BPE merge-selection round. Pure integer
+    counts over exact strings: trivially cross-engine.
+
+    Scale notes: the pair explode is map-side; the single shuffle carries
+    (2-char key, partial count) thanks to partial aggregation — the
+    canonical wordcount shape whose combiner reduces 100 TB of pair
+    occurrences to |alphabet|² grouped rows per partition before exchange.
+    Top-k via rank over the tiny grouped frame.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    pairs = words.select(F.explode(adjacent_char_pairs(F.col("w"))).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        counts.select(
+            "pair",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.row_number().over(wr).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 20)
+    )

@@ -251,3 +251,90 @@ def test_temperature_mixture_smooths_toward_uniform(spark, sf_dir):
     for small, big in zip(by_n, by_n[1:]):
         if small.n_docs < big.n_docs:
             assert small.thr >= big.thr
+
+
+# ---------------------------------------------------------------------------
+# dup_span_stats / span_hashes (q139)
+# ---------------------------------------------------------------------------
+
+
+def test_dup_span_verbatim_copy_fully_flagged(spark):
+    """Two identical 6-word docs: every span of each is duplicated
+    (dup_permil = 1000); an unrelated doc stays at 0."""
+    from etl_globalretail_spark.operators.corpus import dup_span_stats
+
+    t = "a b c d e f"
+    d = _docs(spark, [(1, t, "en", "s", 11), (2, t, "en", "s", 11),
+                      (3, "p q r s t u v", "en", "s", 13)])
+    rows = {r["doc_id"]: r for r in dup_span_stats(d, "doc_id", "text").collect()}
+    assert rows[1]["n_spans"] == 2 and rows[1]["dup_permil"] == 1000
+    assert rows[2]["dup_permil"] == 1000
+    assert rows[3]["n_spans"] == 3 and rows[3]["dup_spans"] == 0
+
+
+def test_dup_span_partial_overlap_counts_positions(spark):
+    """Doc 1 shares exactly its first 5-word span with doc 2; with 7 words it
+    has 3 spans, 1 duplicated → 333 permil (integer floor)."""
+    from etl_globalretail_spark.operators.corpus import dup_span_stats
+
+    d = _docs(spark, [
+        (1, "a b c d e x y", "en", "s", 13),
+        (2, "z z a b c d e", "en", "s", 13),
+    ])
+    rows = {r["doc_id"]: r for r in dup_span_stats(d, "doc_id", "text").collect()}
+    assert rows[1]["n_spans"] == 3 and rows[1]["dup_spans"] == 1
+    assert rows[1]["dup_permil"] == 333
+
+
+def test_dup_span_short_docs_zero_not_dropped(spark):
+    """Docs under k words have no spans but still appear with zeros."""
+    from etl_globalretail_spark.operators.corpus import dup_span_stats
+
+    d = _docs(spark, [(1, "a b", "en", "s", 3), (2, "a b", "en", "s", 3)])
+    rows = dup_span_stats(d, "doc_id", "text").collect()
+    assert len(rows) == 2
+    assert all(r["n_spans"] == 0 and r["dup_permil"] == 0 for r in rows)
+
+
+def test_dup_span_self_repeat_is_not_duplication(spark):
+    """A span repeated WITHIN one document is not cross-document duplication
+    (min == max over the hash partition)."""
+    from etl_globalretail_spark.operators.corpus import dup_span_stats
+
+    d = _docs(spark, [(1, "a b c d e a b c d e", "en", "s", 19),
+                      (2, "u v w x y z u v", "en", "s", 15)])
+    rows = {r["doc_id"]: r for r in dup_span_stats(d, "doc_id", "text").collect()}
+    assert rows[1]["dup_spans"] == 0 and rows[2]["dup_spans"] == 0
+
+
+# ---------------------------------------------------------------------------
+# adjacent_char_pairs (q140)
+# ---------------------------------------------------------------------------
+
+
+def test_adjacent_pairs_overlapping_positional(spark):
+    from etl_globalretail_spark.operators.corpus import adjacent_char_pairs
+
+    df = spark.createDataFrame([("abca",), ("x",), ("",)], "w string")
+    got = df.select(adjacent_char_pairs(F.col("w")).alias("p")).collect()
+    assert sorted(got[0]["p"]) == ["ab", "bc", "ca"]
+    assert got[1]["p"] == [] and got[2]["p"] == []
+
+
+def test_bpe_top_pair_is_corpus_argmax(spark, sf_dir):
+    """rank-1 pair of q140 really is the most frequent adjacent pair —
+    recounted driver-side from the raw text."""
+    from collections import Counter
+
+    from etl_globalretail_spark.operators.corpus import q140_bpe_pair_counts
+    from etl_globalretail_spark.sources.readers import load_table
+
+    top = q140_bpe_pair_counts(spark, sf_dir).orderBy("rank").first()
+    texts = [r["text"] for r in load_table(spark, "documents", sf_dir).collect()]
+    c = Counter()
+    for t in texts:
+        for w in t.strip().split():
+            for i in range(len(w) - 1):
+                c[w[i:i + 2]] += 1
+    best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (top["pair"], top["cnt"]) == best
