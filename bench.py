@@ -136,6 +136,7 @@ HEADLINE = [
     "q138_yoy_growth",
     "q139_dup_span_fraction",
     "q140_bpe_pair_counts",
+    "q141_zorder_layout",
 ]
 
 

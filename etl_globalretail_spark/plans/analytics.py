@@ -1512,3 +1512,79 @@ def q138_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue") / F.lag("revenue").over(w) - 1.0, F.lit(-999.0)
         ).alias("yoy_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — Z-order (Morton) layout audit: multi-dimensional data clustering
+# for file skipping. The reference's only physical tuning is 23 single-
+# column b-tree indexes (sql/cria_indices_dw.sql:9-37); at 100 TB the
+# columnar equivalent is LAYOUT, and Z-ordering is the standard answer when
+# queries filter on TWO high-cardinality columns (Delta OPTIMIZE ZORDER BY).
+# The query computes the interleave and audits per-bucket bounding boxes —
+# the oracle replays the identical bit arithmetic; sources/formats.py
+# write_zordered materializes the layout and the pytest checks real parquet
+# footers.
+# ---------------------------------------------------------------------------
+
+from etl_globalretail_spark.sources.formats import morton_key, morton_sql  # noqa: E402
+
+_Z_BUCKETS = 16
+
+
+@_register(
+    "q141_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+        SELECT l_partkey, l_suppkey,
+               {morton_sql('l_partkey', 'l_suppkey')} AS zval,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    b AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(NTILE({_Z_BUCKETS}) OVER (
+                   ORDER BY zval, l_orderkey, l_linenumber) AS BIGINT)
+                   AS bucket
+        FROM z
+    )
+    SELECT bucket,
+           COUNT(*) AS cnt,
+           CAST(MIN(l_partkey) AS BIGINT) AS p_min,
+           CAST(MAX(l_partkey) AS BIGINT) AS p_max,
+           CAST(MIN(l_suppkey) AS BIGINT) AS s_min,
+           CAST(MAX(l_suppkey) AS BIGINT) AS s_max,
+           CAST((MAX(l_partkey) - MIN(l_partkey) + 1)
+                * (MAX(l_suppkey) - MIN(l_suppkey) + 1) AS BIGINT) AS box_area
+    FROM b GROUP BY bucket
+    """,
+)
+def q141_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-curve bucket audit over lineitem (l_partkey × l_suppkey): each of
+    the {16} Z-ordered buckets reports its row count and (partkey, suppkey)
+    bounding box. Z-ordering makes every box SMALL IN BOTH dimensions —
+    Σ box_area ≪ buckets × global area — which is exactly why per-file
+    footer min/max can skip files for predicates on either column. A
+    single-column sort would give p-tight but full-range-s boxes.
+
+    Scale notes: the interleave is a map-side bit expression; production
+    placement uses ``repartitionByRange(z)`` (sampling-based, no global
+    sort). The audit's ntile window IS a global sort — acceptable here
+    because the driver compare needs a deterministic bucket id; the pytest
+    exercises the real sampled layout via ``write_zordered`` footers.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    z = li.withColumn("zval", morton_key("l_partkey", "l_suppkey"))
+    w = Window.orderBy("zval", "l_orderkey", "l_linenumber")
+    b = z.withColumn("bucket", F.ntile(_Z_BUCKETS).over(w).cast("long"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("l_partkey").cast("long").alias("p_min"),
+        F.max("l_partkey").cast("long").alias("p_max"),
+        F.min("l_suppkey").cast("long").alias("s_min"),
+        F.max("l_suppkey").cast("long").alias("s_max"),
+        ((F.max("l_partkey") - F.min("l_partkey") + 1)
+         * (F.max("l_suppkey") - F.min("l_suppkey") + 1))
+        .cast("long").alias("box_area"),
+    )

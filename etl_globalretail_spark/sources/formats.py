@@ -228,3 +228,59 @@ def read_text_corpus(
         F.input_file_name().alias("source_file"),
         F.col("value").alias("text"),
     )
+
+
+def morton_key(x, y, bits: int = 20):
+    """Z-order (Morton) interleave of two non-negative integer columns:
+    bit i of ``x`` lands at position 2i+1, bit i of ``y`` at 2i, giving a
+    single long whose ordering is the space-filling Z-curve over (x, y).
+
+    Sorting/range-partitioning by this key co-locates rows that are close
+    in BOTH dimensions, so per-file parquet min/max footers are tight
+    boxes in (x, y) space and a predicate on EITHER column skips files —
+    the multi-column generalization of ``write_range_sorted``'s single
+    -column clustering (Delta/Iceberg expose the same idea as OPTIMIZE
+    ZORDER BY). ``bits`` bounds the supported key range (2^bits − 1);
+    2·bits ≤ 62 keeps the result in a signed long.
+    """
+    z = F.lit(0).cast("long")
+    xc, yc = F.col(x).cast("long"), F.col(y).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def morton_sql(x: str, y: str, bits: int = 20) -> str:
+    """ANSI-SQL twin of ``morton_key`` (DuckDB-compatible bit operators),
+    generated from the same loop so both engines compute the identical
+    interleave."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame, path: str, x: str, y: str, n_files: int,
+    bits: int = 20, mode: str = "overwrite",
+) -> None:
+    """Two-dimensionally clustered parquet layout: range-partition and sort
+    by the Morton key of (x, y). Each output file covers a compact Z-curve
+    segment — a small bounding box in (x, y) — so footer min/max on BOTH
+    columns stay selective (cf. single-column ``write_range_sorted``,
+    whose files are tight on one column and cover the full range of every
+    other)."""
+    (
+        df.withColumn("__z", morton_key(x, y, bits))
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
