@@ -137,6 +137,7 @@ HEADLINE = [
     "q139_dup_span_fraction",
     "q140_bpe_pair_counts",
     "q141_zorder_layout",
+    "q142_int8_quantization",
 ]
 
 

@@ -854,3 +854,91 @@ def _register_q136() -> None:
 
 
 _register_q136()
+
+
+# ---------------------------------------------------------------------------
+# q142 — int8 scalar quantization audit: the compression step every
+# large-scale vector store applies before ANN serving (FAISS SQ8 / product
+# -quantizer front ends). Per vector: symmetric range [−maxabs, +maxabs]
+# mapped onto 256 integer cells; reconstruction at cell midpoints. All
+# arithmetic after the initial 1e-6 float quantization is associative int64
+# (offsets, integer division) so Spark and DuckDB agree bit-for-bit —
+# the portable-iterative-twin recipe of q122/q123 applied to compression.
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8_errors(emb: DataFrame) -> DataFrame:
+    """Per-coordinate int8 quantization error frame: (vec_id, label, err)
+    with err in 1e-6 value units.
+
+    Plan: posexplode (map-side) → ONE shuffle on vec_id where a window max
+    computes each vector's scale (no groupBy + join-back) → map-side cell
+    assignment / reconstruction. At 100 TB of vectors the exchange carries
+    (vec_id, int64) pairs; the scale could also ride ``aggregate`` over the
+    array with zero shuffle (the q33 fold-kernel trick) — kept columnar
+    here because the error census aggregates by label anyway.
+    """
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "valf")
+    ).select(
+        "vec_id", "label",
+        F.floor(F.col("valf").cast("double") * 1e6).cast("long").alias("vq"),
+    )
+    w = Window.partitionBy("vec_id")
+    scaled = flat.select(
+        "vec_id", "label", "vq",
+        F.greatest(F.max(F.abs(F.col("vq"))).over(w), F.lit(1)).alias("g"),
+    )
+    return scaled.select(
+        "vec_id", "label",
+        F.expr(
+            "abs((vq + g) - ((2 * (((vq + g) * 255) div (2 * g)) + 1) * g) div 255)"
+        ).alias("err"),
+    )
+
+
+@_register(
+    "q142_int8_quantization",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id, label,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+                   AS vq
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, label, vq,
+               GREATEST(MAX(ABS(vq)) OVER (PARTITION BY vec_id), 1) AS g
+        FROM flat
+    ),
+    err AS (
+        SELECT vec_id, label,
+               ABS((vq + g) - ((2 * (((vq + g) * 255) // (2 * g)) + 1) * g) // 255)
+                   AS err
+        FROM scaled
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           COUNT(*) AS n_vals,
+           CAST(SUM(err) AS BIGINT) AS sum_abs_err,
+           CAST(MAX(err) AS BIGINT) AS max_abs_err,
+           CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_err
+    FROM err GROUP BY label
+    """,
+)
+def q142_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization error census per label: how much
+    resolution each class's embeddings lose at 4× compression. Each
+    coordinate maps to one of 256 cells of its vector's [−maxabs, maxabs]
+    range and reconstructs at the cell midpoint; the census reports count,
+    total / max absolute error (in 1e-6 units) and the mean error (one
+    double division over exact integers — portable).
+    """
+    e = load_table(spark, "embeddings", sf_dir)
+    errs = quantize_int8_errors(e)
+    return errs.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum("err").cast("long").alias("sum_abs_err"),
+        F.max("err").cast("long").alias("max_abs_err"),
+        (F.sum("err").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("avg_err"),
+    )

@@ -228,3 +228,37 @@ def test_incremental_neardup_cross_side_only(spark, sf_dir):
         if a % 10 == 0 and b % 10 != 0
     }
     assert {(r.id_new, r.id_index) for r in inc} == cross
+
+
+def test_int8_quantization_errors_match_python_recompute(spark, sf_dir):
+    """quantize_int8_errors ≡ a driver-side integer replay on the real
+    fixture, and every error is within one quantization cell (2g/255 + 1)."""
+    from etl_globalretail_spark.operators.similarity import quantize_int8_errors
+    from etl_globalretail_spark.sources.readers import load_table
+
+    import math
+
+    e = load_table(spark, "embeddings", sf_dir)
+    rows = e.collect()
+    expected = {}
+    bounds = {}
+    for r in rows:
+        vq = [math.floor(float(v) * 1e6) for v in r["embedding"]]
+        g = max(max((abs(x) for x in vq), default=0), 1)
+        errs = []
+        for x in vq:
+            u = x + g
+            qu = (u * 255) // (2 * g)
+            deq = ((2 * qu + 1) * g) // 255
+            errs.append(abs(u - deq))
+        expected[r["vec_id"]] = sorted(errs)
+        bounds[r["vec_id"]] = 2 * g // 255 + 1
+
+    out = quantize_int8_errors(e).collect()
+    per_vec = {}
+    for r in out:
+        per_vec.setdefault(r["vec_id"], []).append(r["err"])
+    assert set(per_vec) == set(expected)
+    for vid, errs in per_vec.items():
+        assert sorted(errs) == expected[vid], vid
+        assert max(errs) <= bounds[vid], (vid, max(errs), bounds[vid])
