@@ -138,6 +138,7 @@ HEADLINE = [
     "q140_bpe_pair_counts",
     "q141_zorder_layout",
     "q142_int8_quantization",
+    "q143_streaming_sessions_exact",
 ]
 
 

@@ -457,3 +457,51 @@ def q133_streaming_sliding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"q133_sink_{_Q128_SEQ[0]}"
     run_to_memory_sink(agg, sink, mode="complete")
     return spark.table(sink)
+
+
+@_register(
+    "q143_streaming_sessions_exact",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {val}
+    FROM sess GROUP BY user_id, sid
+    """.format(val=_osum("value", "sum_value")),
+)
+def q143_streaming_sessions_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL streaming run on the oracle gate — STATEFUL session
+    windows: FileStreamSource → the shared ``sessionize`` (session_window,
+    the merging per-key state that tumbling/sliding assignment doesn't
+    exercise) → availableNow complete-mode memory sink, whose content must
+    hash-match DuckDB's gaps-and-islands batch formulation. With q128
+    (tumbling) and q133 (sliding) this puts all three window families'
+    streaming execution — including session MERGE semantics in the state
+    store — on the cross-engine gate, not just pytest parity.
+
+    Determinism: availableNow drains the single-file source; complete mode
+    emits every merged session at the final trigger; sums are
+    decimal-exact (same contract as the q34 batch face).
+    """
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = sessionize(stream)
+    _Q128_SEQ[0] += 1
+    sink = f"q143_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(agg, sink, mode="complete")
+    return spark.table(sink)
