@@ -139,6 +139,7 @@ HEADLINE = [
     "q141_zorder_layout",
     "q142_int8_quantization",
     "q143_streaming_sessions_exact",
+    "q144_bloom_join_reduction",
 ]
 
 

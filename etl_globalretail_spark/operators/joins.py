@@ -1,0 +1,156 @@
+"""Runtime join pre-filtering: a hand-rolled broadcast Bloom filter.
+
+Spark's own InjectRuntimeFilter does this automatically in some shapes
+(selective build side, shuffle join), but (a) its `bloom_filter_agg` is not
+exposed to SQL/PySpark, and (b) at local thresholds it rarely fires. This
+module implements the same idea as a first-class operator the engine can
+apply deliberately: aggregate the SMALL side's join keys into an m-bit
+Bloom bitmap (k salted xxhash64 probes), ship the bitmap to every task as
+a plan literal (the hand analogue of a broadcast variable), and discard
+big-side rows map-side BEFORE the shuffle/join. False positives are
+harmless — the real join still runs after the pre-filter — so the result
+is exact while the shuffle carries only ~selectivity·N + fp·N rows instead
+of N.
+
+At 100 TB this is the difference between shuffling a full fact table and
+shuffling the ~1% of it that can possibly match a selective dimension
+predicate: the classic "semi-join reduction" from distributed query
+processing, with the Bloom bitmap standing in for shipping the key set.
+
+The reference has no joins beyond point lookups (etl_completo.py:615-698
+issues one SELECT per fact row); this operator is part of the 100 TB
+mandate's scale toolkit.
+
+Cross-engine notes: the filter itself needs no oracle twin — correctness
+of q144 is the exact join result, which DuckDB recomputes from scratch;
+the Bloom pass only changes WHICH rows reach the join, never the output.
+Probes use xxhash64 (no DuckDB twin needed for the same reason).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.plans.queries import dsum, make_query_decorator
+from etl_globalretail_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+_MAX_BITS = 1 << 17  # 2048 long words as a plan literal — keeps plans small
+_MIN_BITS = 1 << 10
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int, salt: str) -> list[Column]:
+    """k salted non-negative probe positions in [0, m_bits) for a key."""
+    return [
+        (F.xxhash64(key, F.lit(f"{salt}:{i}")) % m_bits + m_bits) % m_bits
+        for i in range(k)
+    ]
+
+
+def bloom_bits_for(n_keys: int, bits_per_key: int = 16) -> int:
+    """Power-of-two bitmap size targeting ~bits_per_key·n bits (k=3 →
+    sub-percent false-positive rates), clamped to keep the literal array
+    bounded."""
+    m = _MIN_BITS
+    while m < n_keys * bits_per_key and m < _MAX_BITS:
+        m *= 2
+    return m
+
+
+def build_bloom(
+    df: DataFrame, key_col: str, m_bits: int, k: int = 3, salt: str = "bloom"
+) -> list[int]:
+    """Aggregate the small side's keys into an m_bits Bloom bitmap,
+    returned as m_bits/64 driver-side longs (a bounded scalar: ≤ 2048
+    words by construction — the broadcast-variable payload, not a
+    data-sized collect)."""
+    pos = df.select(
+        F.explode(F.array(*_bloom_positions(F.col(key_col), m_bits, k, salt)))
+        .alias("p")
+    ).distinct()
+    words = pos.groupBy(F.expr("p div 64").alias("w")).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(p % 64 AS INT))")).alias("mask")
+    )
+    got = {r["w"]: r["mask"] for r in words.collect()}
+    return [got.get(i, 0) for i in range(m_bits // 64)]
+
+
+def bloom_prefilter(
+    df: DataFrame, key_col: str, bitmap: list[int], k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Map-side Bloom membership filter: keeps every row whose key is in
+    the build set (NO false negatives), drops almost every row that is
+    not. Zero shuffle — the bitmap rides the plan as a constant array and
+    each probe is two bit ops."""
+    m_bits = len(bitmap) * 64
+    out = df.withColumn(
+        "__bf", F.array(*[F.lit(w).cast("long") for w in bitmap])
+    )
+    keep = F.lit(True)
+    for i, p in enumerate(_bloom_positions(F.col(key_col), m_bits, k, salt)):
+        out = out.withColumn(f"__bp{i}", p)
+        keep = keep & F.expr(
+            f"(element_at(__bf, CAST(__bp{i} div 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(__bp{i} % 64 AS INT))) != 0"
+        )
+    return out.filter(keep).drop("__bf", *[f"__bp{i}" for i in range(k)])
+
+
+_Q144_THRESHOLD = 470000.0
+
+
+@_register(
+    "q144_bloom_join_reduction",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > {_Q144_THRESHOLD}
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q144_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of line items belonging to high-value orders, with the fact
+    scan Bloom-pre-filtered on the selective order set BEFORE the join:
+    build bitmap from the ~6% of orders above the price threshold (one
+    tiny aggregation job), discard non-matching lineitem rows map-side,
+    then run the exact equi-join. The oracle recomputes the plain join —
+    hash equality certifies the pre-filter is transparent (no false
+    negatives; false positives eliminated by the join).
+
+    Scale notes: the shuffle after pre-filtering carries only matching
+    (+ <1%) lineitem rows; the bitmap is O(keys) bits, never the key set
+    itself. The two extra driver-side actions (count for sizing, bitmap
+    collect) are bounded scalars (documented per CLAUDE.md).
+    """
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_totalprice") > _Q144_THRESHOLD
+    )
+    hot = o.select("o_orderkey", "o_orderpriority")
+    m_bits = bloom_bits_for(hot.count())
+    bitmap = build_bloom(hot, "o_orderkey", m_bits)
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    li_f = bloom_prefilter(li, "l_orderkey", bitmap)
+
+    return (
+        li_f.join(hot, li_f.l_orderkey == hot.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                 "revenue"),
+        )
+    )
