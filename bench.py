@@ -140,6 +140,7 @@ HEADLINE = [
     "q142_int8_quantization",
     "q143_streaming_sessions_exact",
     "q144_bloom_join_reduction",
+    "q145_revenue_trend_ols",
 ]
 
 

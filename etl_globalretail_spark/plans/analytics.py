@@ -1588,3 +1588,114 @@ def q141_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
          * (F.max("l_suppkey") - F.min("l_suppkey") + 1))
         .cast("long").alias("box_area"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — group-wise OLS regression: the simplest "ML-ish" aggregate Spark
+# has no built-in for (regr_slope exists in ANSI SQL but not PySpark's
+# function surface, and its naive double accumulation isn't cross-engine
+# stable anyway). Sufficient statistics (n, Σx, Σy, Σxy, Σx²) are kept in
+# EXACT decimals end-to-end — x is a small year index, y a decimal revenue
+# sum — so the only floating-point operations are the final slope/intercept
+# divisions (single correctly-rounded IEEE ops, portable per the q26/q122
+# recipe). The same shape distributes trivially: one groupBy computes every
+# group's regression in a single pass, the 100 TB answer to "fit a line per
+# key" without per-group collect or MLlib.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q145_revenue_trend_ols",
+    oracle="""
+    WITH yearly AS (
+        SELECT n.n_name,
+               CAST(EXTRACT(year FROM o.o_orderdate) - 1992 AS BIGINT) AS x,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, x
+    ),
+    stats AS (
+        SELECT n_name,
+               COUNT(*) AS n,
+               SUM(x) AS sx,
+               SUM(x * x) AS sxx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM yearly GROUP BY n_name
+    ),
+    fit AS (
+        SELECT n_name, n, sx, sy,
+               CAST(n * sxy - sx * sy AS BIGINT) AS num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS den
+        FROM stats
+    )
+    SELECT n_name,
+           CAST(n AS BIGINT) AS n_years,
+           CAST(CASE WHEN den = 0 THEN 0.0
+                ELSE CAST(num AS DOUBLE) / CAST(den * 100 AS DOUBLE)
+           END AS DOUBLE) AS slope,
+           CAST(CASE WHEN den = 0 THEN 0.0
+                ELSE (CAST(sy AS DOUBLE) / 100.0
+                      - (CAST(num AS DOUBLE) / CAST(den * 100 AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+           END AS DOUBLE) AS intercept
+    FROM fit
+    """,
+)
+def q145_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation least-squares revenue trend over order years: slope and
+    intercept of yearly revenue vs year index, fitted for every nation in
+    ONE aggregation pass over sufficient statistics — the distributed
+    answer to "fit a line per key" without per-group collect or MLlib.
+
+    Determinism contract (learned the hard way): decimal×decimal products
+    here exceed precision 38, where Spark silently reduces scale and DuckDB
+    silently promotes to DOUBLE — a last-ulp slope divergence. So the
+    statistics live in integer floor-cents (floor(price·100) — floor, not
+    CAST, because double→int CAST truncates in Spark but rounds in DuckDB):
+    n, Σx,
+    Σx², Σy, Σxy and the regression numerator/denominator are all exact
+    int64; slope and intercept are then a fixed sequence of individually
+    correctly-rounded IEEE double ops, bit-identical across engines.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") - 1992).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("y")
+        )
+    )
+    stats = yearly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    fit = stats.select(
+        "n_name", "n", "sx", "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    slope = F.col("num").cast("double") / (F.col("den") * 100).cast("double")
+    intercept = (
+        F.col("sy").cast("double") / F.lit(100.0)
+        - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    zero = F.col("den") == 0
+    return fit.select(
+        "n_name",
+        F.col("n").cast("long").alias("n_years"),
+        F.when(zero, F.lit(0.0)).otherwise(slope).alias("slope"),
+        F.when(zero, F.lit(0.0)).otherwise(intercept).alias("intercept"),
+    )

@@ -280,3 +280,41 @@ def test_packing_bins_are_tight(spark, sf_dir):
         bins = sorted(r.bin for r in rs)
         assert bins == list(range(len(bins)))  # contiguous from 0
         assert sum(r.sum_tokens for r in rs) == totals[src]
+
+
+def test_revenue_trend_ols_matches_numpy(spark, sf_dir):
+    """q145's per-group slope/intercept agree with numpy.polyfit on the
+    same (year-index, yearly-revenue) points, to float tolerance."""
+    import numpy as np
+
+    from etl_globalretail_spark.plans.analytics import q145_revenue_trend_ols
+    from etl_globalretail_spark.sources.readers import load_table
+
+    got = {r["n_name"]: r for r in q145_revenue_trend_ols(spark, sf_dir).collect()}
+
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    pts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            (F.year("o_orderdate") - 1992).alias("x"),
+            F.floor(F.col("o_totalprice") * 100).alias("cents"),
+        )
+        .groupBy("n_name", "x")
+        .agg((F.sum("cents") / 100.0).alias("y"))
+        .collect()
+    )
+    series = {}
+    for r in pts:
+        series.setdefault(r["n_name"], []).append((r["x"], r["y"]))
+    for name, xy in series.items():
+        xy.sort()
+        xs = np.array([p[0] for p in xy], dtype=float)
+        ys = np.array([p[1] for p in xy], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert got[name]["n_years"] == len(xy)
+        assert abs(got[name]["slope"] - slope) < 1e-4 * max(1.0, abs(slope))
+        assert abs(got[name]["intercept"] - intercept) < 1e-4 * max(1.0, abs(intercept))
