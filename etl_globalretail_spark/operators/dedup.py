@@ -887,10 +887,14 @@ def q66_minhash_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: _md5_hash64(s).bitwiseAND(F.lit(_MASK32).cast("long")),
         )
     )
-    base = d.select(F.col("doc_id").alias("doc"), hs.alias("hs"))
-    sigs = minhash_signatures(
-        base, "doc", "hs", num_hashes=_Q66_NH, pre_hashed=True
-    )
+    # base feeds the signature pass AND both verification sides: without a
+    # persist the md5-shingle pass runs 3× (same ReuseExchange-defeating
+    # shape as q132 — measured ~9 s → ~3 s at sf0.1). The tiny pair result
+    # is localized before unpersist so nothing leaks past the call.
+    base = d.select(F.col("doc_id").alias("doc"), hs.alias("hs")).persist()
+    # Arrow signature kernel — bit-identical to the JVM grouped form
+    # (pytest-asserted) and map-only; measured ~3× on the sf0.1 corpus.
+    sigs = minhash_signatures_arrow(base, "doc", "hs", num_hashes=_Q66_NH)
     banded = sigs.select(
         "doc",
         F.explode(
@@ -923,7 +927,7 @@ def q66_minhash_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = base.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"))
     b = base.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    return (
+    verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
@@ -934,6 +938,11 @@ def q66_minhash_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _Q66_THRESHOLD)
         .select("id_a", "id_b", "jaccard")
     )
+    try:
+        rows = verified.collect()  # |verified pairs| — small by construction
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(rows, "id_a long, id_b long, jaccard double")
 
 
 @_register("q25_simhash_neardup")  # xxhash64-based — no SQL oracle (rows-only)

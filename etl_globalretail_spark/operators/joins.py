@@ -91,9 +91,10 @@ def bloom_prefilter(
     not. Zero shuffle — the bitmap rides the plan as a constant array and
     each probe is two bit ops."""
     m_bits = len(bitmap) * 64
-    out = df.withColumn(
-        "__bf", F.array(*[F.lit(w).cast("long") for w in bitmap])
-    )
+    # One array LITERAL (F.lit(list)), not F.array(*lits): CreateArray with
+    # 2048 children is rebuilt row-by-row in codegen (measured ~6 s on the
+    # sf0.1 lineitem scan); a Literal is materialized once.
+    out = df.withColumn("__bf", F.lit([int(w) for w in bitmap]).cast("array<long>"))
     keep = F.lit(True)
     for i, p in enumerate(_bloom_positions(F.col(key_col), m_bits, k, salt)):
         out = out.withColumn(f"__bp{i}", p)
@@ -137,8 +138,9 @@ def q144_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice") > _Q144_THRESHOLD
     )
     hot = o.select("o_orderkey", "o_orderpriority")
-    m_bits = bloom_bits_for(hot.count())
-    bitmap = build_bloom(hot, "o_orderkey", m_bits)
+    # Fixed max-size bitmap: skips the cardinality-probe job (a sparser
+    # bitmap only LOWERS the fp rate; 2048 literal longs either way).
+    bitmap = build_bloom(hot, "o_orderkey", _MAX_BITS)
 
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_extendedprice", "l_discount"

@@ -262,3 +262,24 @@ def test_int8_quantization_errors_match_python_recompute(spark, sf_dir):
     for vid, errs in per_vec.items():
         assert sorted(errs) == expected[vid], vid
         assert max(errs) <= bounds[vid], (vid, max(errs), bounds[vid])
+
+
+def test_embedding_neardup_arrow_matches_fold(spark, sf_dir):
+    """The numpy mapInPandas engine and the zip_with fold produce the
+    IDENTICAL pair set with bit-equal cosines (same floor-quantized
+    arithmetic, float64-exact accumulation)."""
+    from etl_globalretail_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+    from etl_globalretail_spark.sources.readers import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    fold = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_near_duplicates(e, arrow=False).collect()
+    )
+    arrow = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_near_duplicates(e, arrow=True).collect()
+    )
+    assert fold == arrow and len(fold) > 0
