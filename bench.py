@@ -141,6 +141,7 @@ HEADLINE = [
     "q143_streaming_sessions_exact",
     "q144_bloom_join_reduction",
     "q145_revenue_trend_ols",
+    "q146_mad_outliers",
 ]
 
 

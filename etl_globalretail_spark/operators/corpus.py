@@ -837,3 +837,111 @@ def q140_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier detection — the heavy-tail-safe sibling of
+# zscore_outliers (q91): mean/stddev are dragged by the very outliers they
+# are meant to flag; median ± k·MAD is not. Exact lower-median order
+# statistics (the q58 discrete-percentile recipe), so the flags are
+# cross-engine deterministic — no interpolation, no FP accumulation.
+# ---------------------------------------------------------------------------
+
+
+def mad_outlier_census(
+    df: DataFrame, group_col: str, value_col: str, k: float = 3.0
+) -> DataFrame:
+    """Per-group robust dispersion census: exact lower median, exact lower
+    median of absolute deviations (MAD), and how many rows fall outside
+    median ± k·MAD.
+
+    Plan: two window passes partitioned by the group (the second over the
+    deviation column), each reduced to a |groups|-row frame broadcast back
+    — the grain never leaves the group partitioning, and the only
+    arithmetic on doubles is subtraction/comparison (exact) plus the final
+    k·MAD product (one correctly-rounded multiply).
+    """
+    w_ord = Window.partitionBy(group_col).orderBy(value_col)
+    w_all = Window.partitionBy(group_col)
+    med = (
+        df.select(
+            group_col,
+            F.col(value_col).alias("__v"),
+            F.row_number().over(w_ord.orderBy(F.col(value_col))).alias("__rn"),
+            F.count(F.lit(1)).over(w_all).alias("__n"),
+        )
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(group_col, F.col("__v").alias("__med"), "__n")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    w_dev = Window.partitionBy(group_col).orderBy("__dev")
+    mad = (
+        dev.select(
+            group_col,
+            "__dev",
+            F.row_number().over(w_dev).alias("__rn"),
+            F.count(F.lit(1)).over(w_all).alias("__n"),
+        )
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(group_col, F.col("__dev").alias("__mad"))
+    )
+    flagged = dev.join(F.broadcast(mad), group_col).withColumn(
+        "__is_out", F.col("__dev") > F.lit(k) * F.col("__mad")
+    )
+    return flagged.groupBy(group_col).agg(
+        F.max("__med").alias("median"),
+        F.max("__mad").alias("mad"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("__is_out").cast("long")).alias("n_outliers"),
+    )
+
+
+@_register(
+    "q146_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, value AS m
+        FROM (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, ABS(e.value - med.m) AS d, med.m
+        FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, d AS mad
+        FROM (
+            SELECT event_type, d,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY d) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.event_type,
+           MAX(dev.m) AS median,
+           MAX(mad.mad) AS mad,
+           COUNT(*) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN dev.d > 3.0 * mad.mad
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def q146_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier census: median, MAD (both exact lower
+    medians — order statistics, not interpolation) and the count of events
+    outside median ± 3·MAD. The distribution-skew-proof data-quality gate
+    to q91's moment-based z-scores; identical median selection replayed in
+    the oracle's window form.
+    """
+    e = load_table(spark, "events", sf_dir).select("event_type", "value")
+    return mad_outlier_census(e, "event_type", "value")

@@ -338,3 +338,56 @@ def test_bpe_top_pair_is_corpus_argmax(spark, sf_dir):
                 c[w[i:i + 2]] += 1
     best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
     assert (top["pair"], top["cnt"]) == best
+
+
+# ---------------------------------------------------------------------------
+# mad_outlier_census (q146)
+# ---------------------------------------------------------------------------
+
+
+def test_mad_census_hand_computed(spark):
+    """Group [1..7, 100]: lower median 4, deviations {3,2,1,0,1,2,3,96},
+    MAD = lower-median(sorted devs)= 2, outliers = |v-4| > 6 → only 100."""
+    from etl_globalretail_spark.operators.corpus import mad_outlier_census
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 100]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outlier_census(df, "g", "v").collect()[0]
+    assert out["median"] == 4.0
+    assert out["mad"] == 2.0
+    assert out["n_rows"] == 8 and out["n_outliers"] == 1
+
+
+def test_mad_census_robust_where_zscore_is_not(spark):
+    """A 50%-contaminated-free group with one extreme value: MAD flags it;
+    the z-score gate (k=3) does NOT because the outlier inflates sigma —
+    the robustness claim, demonstrated."""
+    from etl_globalretail_spark.operators.corpus import (
+        mad_outlier_census,
+        zscore_outliers,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 30)] + [("a", 10000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    mad = mad_outlier_census(df, "g", "v").collect()[0]
+    assert mad["n_outliers"] == 1
+    z = zscore_outliers(df, "g", "v").filter("is_outlier").count()
+    assert z == 1  # z-score still catches THE extreme one...
+    rows2 = [("a", float(v)) for v in range(1, 10)] + [("a", 1000.0), ("a", -1000.0)]
+    df2 = spark.createDataFrame(rows2, "g string, v double")
+    # ...but with two opposing extremes sigma explodes and z misses both
+    z2 = zscore_outliers(df2, "g", "v").filter("is_outlier").count()
+    mad2 = mad_outlier_census(df2, "g", "v").collect()[0]
+    assert mad2["n_outliers"] == 2 and z2 == 0
+
+
+def test_mad_census_groups_independent(spark):
+    from etl_globalretail_spark.operators.corpus import mad_outlier_census
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 50]] + [
+        ("b", float(v)) for v in [100, 200, 300, 400]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in mad_outlier_census(df, "g", "v").collect()}
+    assert out["a"]["median"] == 2.0 and out["b"]["median"] == 200.0
+    assert out["a"]["n_outliers"] == 1 and out["b"]["n_outliers"] == 0
