@@ -144,6 +144,8 @@ HEADLINE = [
     "q146_mad_outliers",
     "q147_copurchase_pairs",
     "q148_event_transitions",
+    "q149_range_boundaries",
+    "q150_burst_collapse",
 ]
 
 

@@ -1824,3 +1824,77 @@ def q148_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — equi-depth range-boundary planner: the explicit version of what
+# repartitionByRange's sampling pass estimates. K−1 exact order-statistic
+# boundaries give perfectly balanced range buckets for layout
+# (write_range_sorted), range-shuffle planning, or histogram equi-depth
+# binning; the audit emits each boundary with its realized bucket count,
+# proving balance. Production uses the sampled estimate (one pass, no
+# global sort); this exact form is the ground truth it approximates AND a
+# usable boundary source when the column is already aggregated/small.
+# ---------------------------------------------------------------------------
+
+_Q149_K = 16
+
+
+@_register(
+    "q149_range_boundaries",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT l_extendedprice AS v,
+               ROW_NUMBER() OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lineitem
+    ),
+    b AS (
+        SELECT CAST((rn * {_Q149_K}) // n AS BIGINT) -
+               CASE WHEN (rn * {_Q149_K}) % n = 0 THEN 1 ELSE 0 END
+                   AS bucket,
+               v
+        FROM ranked
+    )
+    SELECT bucket, COUNT(*) AS cnt,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def q149_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth bucketing of lineitem prices into {K} buckets:
+    bucket(r) = ⌈r·K/n⌉−1 over the total order (value, orderkey,
+    linenumber); the output is each bucket's row count (within 1 of n/K by
+    construction) and its [lo, hi] value range — i.e. the K−1 boundary
+    values AND the balance proof in one frame.
+
+    The global row_number is the audit-tier cost (like q141's ntile);
+    the production path samples boundaries (repartitionByRange) and this
+    exact tier is its ground truth.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    bucket = (
+        F.expr(f"(rn * {_Q149_K}) div n")
+        - F.when(F.expr(f"(rn * {_Q149_K}) % n = 0"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_globalretail_spark.schemas import TESTDATA_SCHEMAS
 
@@ -505,3 +506,79 @@ def q143_streaming_sessions_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     sink = f"q143_sink_{_Q128_SEQ[0]}"
     run_to_memory_sink(agg, sink, mode="complete")
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Burst-collapse dedup: the batch face of bounded-window event dedup (the
+# streaming face is dedup_stream / dropDuplicatesWithinWatermark). An event
+# is a burst-repeat iff the SAME (user, type) fired within `gap` before it;
+# collapsing keeps the burst's first event. Exactly the rule used to
+# de-bounce trackers/sensors before sessionization.
+# ---------------------------------------------------------------------------
+
+BURST_GAP_MIN = 5
+
+
+def collapse_bursts(events: DataFrame, gap_minutes: int = BURST_GAP_MIN) -> DataFrame:
+    """Keep an event iff its predecessor on the (user_id, event_type) key is
+    absent or ≥ gap older. One shuffle (the key window); the comparison is
+    exact integer microseconds. Predecessor = previous EVENT (not previous
+    kept): a long burst collapses to evenly-spaced survivors, bounded
+    state — the same contract dropDuplicatesWithinWatermark keeps on
+    streams."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return events.withColumn(
+        "__keep",
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - prev >= gap_minutes * 60_000_000),
+    ).filter(F.col("__keep")).drop("__keep")
+
+
+@_register(
+    "q150_burst_collapse",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type, event_id,
+               epoch_us(ts) AS tus,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS prev_us
+        FROM events
+    ),
+    kept AS (
+        SELECT event_type, event_id FROM seq
+        WHERE prev_us IS NULL OR tus - prev_us >= {BURST_GAP_MIN} * 60000000
+    )
+    SELECT s.event_type,
+           COUNT(*) AS n_events,
+           CAST(COALESCE(SUM(CASE WHEN k.event_id IS NOT NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(CASE WHEN k.event_id IS NOT NULL
+                                  THEN s.event_id END), 0) AS BIGINT)
+               AS sum_kept_ids
+    FROM seq s LEFT JOIN kept k
+      ON s.event_type = k.event_type AND s.event_id = k.event_id
+    GROUP BY s.event_type
+    """,
+)
+def q150_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-collapse census per event type: events kept after 5-minute
+    same-(user, type) de-bouncing, with the kept set id-pinned. Exact
+    integer-µs lag arithmetic — the cross-engine-stable form of time
+    comparison (cookbook: never interval arithmetic on bare timestamps
+    across engines).
+    """
+    e = load_table(spark, "events", sf_dir)
+    kept = collapse_bursts(e).select("event_id")
+    marked = e.select("event_type", "event_id").join(
+        kept.withColumn("__k", F.lit(1)), "event_id", "left"
+    )
+    return marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(F.sum("__k"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("__k").isNotNull(), F.col("event_id"))),
+            F.lit(0),
+        ).cast("long").alias("sum_kept_ids"),
+    )

@@ -360,3 +360,19 @@ def test_event_transitions_rows_sum_to_one(spark, sf_dir):
     for prev, rs in by_prev.items():
         assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-9, prev
         assert all(r["n_transitions"] > 0 for r in rs)
+
+
+def test_range_boundaries_balanced(spark, sf_dir):
+    """Equi-depth buckets differ in size by at most 1 and tile the value
+    range in order."""
+    from etl_globalretail_spark.plans.analytics import q149_range_boundaries
+
+    rows = sorted(
+        q149_range_boundaries(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    counts = [r["cnt"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    assert [r["bucket"] for r in rows] == list(range(len(rows)))
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi"] <= cur["lo"]

@@ -236,3 +236,32 @@ def test_streaming_quality_gate_parity(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_collapse_bursts_hand_case(spark):
+    """Bursts within the gap collapse to their first event; a long burst
+    leaves evenly-spaced survivors (predecessor = previous EVENT)."""
+    import datetime as dt
+
+    from etl_globalretail_spark.streaming.windows import collapse_bursts
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1 'click': burst at +0s, +60s, +120s → only +0 kept? NO:
+        # each is 60s after its predecessor (< 5 min) → +0 kept only.
+        (1, 1, "click", t0),
+        (2, 1, "click", t0 + dt.timedelta(seconds=60)),
+        (3, 1, "click", t0 + dt.timedelta(seconds=120)),
+        # +10 min later: new burst
+        (4, 1, "click", t0 + dt.timedelta(minutes=12)),
+        # different type same user: independent
+        (5, 1, "view", t0 + dt.timedelta(seconds=30)),
+        # different user: independent
+        (6, 2, "click", t0 + dt.timedelta(seconds=90)),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, ty, ts) for (i, u, ty, ts) in rows],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    kept = sorted(r["event_id"] for r in collapse_bursts(df).collect())
+    assert kept == [1, 4, 5, 6]
