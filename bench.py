@@ -146,6 +146,7 @@ HEADLINE = [
     "q148_event_transitions",
     "q149_range_boundaries",
     "q150_burst_collapse",
+    "q151_python_datasource",
 ]
 
 

@@ -1,0 +1,144 @@
+"""Custom connector on the Spark 4 Python Data Source API.
+
+The reference's only "connector" is a psycopg2 cursor loop
+(etl_completo.py:27-43); Spark's pluggable-source surface is the engine
+-side generalization, and since Spark 4.0 a source can be written in pure
+Python (pyspark.sql.datasource). This module implements one end-to-end:
+
+- ``SyntheticEventsDataSource`` — a parallel, deterministic generator
+  source (``spark.read.format("synthetic_events")``): N rows split across
+  P input partitions, each row's payload derived from md5 of its index.
+  Generator sources are the standard testing/benchmarking front door
+  (cf. TPC data generators, Spark's own `rate` source) and double as the
+  template for real Python connectors (REST pagination, message queues):
+  ``partitions()`` declares the parallel splits, ``read(partition)``
+  yields that split's rows on the executor — the driver never touches the
+  data.
+
+The payload arithmetic is the repo's md5→15-hex→int64 recipe, so DuckDB
+replays the source's entire output from ``range(N)`` — the connector
+itself sits on the cross-engine oracle gate (q151), not just on pytest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from etl_globalretail_spark.plans.queries import make_query_decorator
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+_N_BUCKETS = 50
+_VAL_MOD = 1_000_000
+
+
+def _payload(i: int) -> tuple[int, int]:
+    """(bucket, val) for row index i: md5('evt:<i>') hex → first 15 hex
+    chars as int64 (% buckets), next 15 as int64 (% mod). Identical to the
+    SQL form in the q151 oracle."""
+    h = hashlib.md5(f"evt:{i}".encode()).hexdigest()
+    return int(h[:15], 16) % _N_BUCKETS, int(h[15:30], 16) % _VAL_MOD
+
+
+class _RangeSplit(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class _SyntheticReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 10_000))
+        self.parts = int(options.get("partitions", 8))
+
+    def partitions(self):
+        step = max(1, -(-self.n // self.parts))
+        return [
+            _RangeSplit(s, min(s + step, self.n))
+            for s in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _RangeSplit) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            b, v = _payload(i)
+            yield (i, b, v)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events").option("n", N)
+    .option("partitions", P).load()`` → (i, bucket, val)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "i BIGINT, bucket BIGINT, val BIGINT"
+
+    def reader(self, schema):
+        return _SyntheticReader(self.options)
+
+
+def register_synthetic_source(spark: SparkSession) -> None:
+    """Idempotent registration (re-registering the same name is allowed —
+    latest wins — but guard anyway for older minor versions)."""
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass
+
+
+def read_synthetic_events(
+    spark: SparkSession, n: int, partitions: int = 8
+) -> DataFrame:
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_events")
+        .option("n", n)
+        .option("partitions", partitions)
+        .load()
+    )
+
+
+_Q151_N = 20_000
+
+
+@_register(
+    "q151_python_datasource",
+    oracle=f"""
+    WITH src AS (
+        SELECT i,
+               CAST('0x' || substr(md5('evt:' || CAST(i AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {_N_BUCKETS} AS bucket,
+               CAST('0x' || substr(md5('evt:' || CAST(i AS VARCHAR)), 16, 15)
+                    AS BIGINT) % {_VAL_MOD} AS val
+        FROM (SELECT unnest(range({_Q151_N})) AS i)
+    )
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(SUM(i) AS BIGINT) AS sum_idx
+    FROM src GROUP BY bucket
+    """,
+)
+def q151_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a CUSTOM Python Data Source read: 20k generated
+    rows, 8 parallel input partitions, grouped per md5-derived bucket. The
+    oracle regenerates the source's full output in SQL — certifying the
+    connector's partitioning/yield path produces exactly the declared
+    dataset, not merely "some rows". (sf_dir is unused: the source IS the
+    data.)
+    """
+    df = read_synthetic_events(spark, _Q151_N)
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("val").cast("long").alias("sum_val"),
+        F.sum("i").cast("long").alias("sum_idx"),
+    )

@@ -1,0 +1,47 @@
+"""Tests for the Python Data Source connector (sources/pyds.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.sources.pyds import (
+    _payload,
+    read_synthetic_events,
+)
+
+
+def test_synthetic_source_complete_and_deterministic(spark):
+    """Exactly n rows, indices 0..n-1 once each, payloads matching the
+    driver-side hash recipe; re-reading yields the identical dataset."""
+    df = read_synthetic_events(spark, 1000, partitions=7)
+    rows = {r["i"]: (r["bucket"], r["val"]) for r in df.collect()}
+    assert set(rows) == set(range(1000))
+    for i in (0, 1, 500, 999):
+        assert rows[i] == _payload(i)
+    again = {r["i"]: (r["bucket"], r["val"]) for r in df.collect()}
+    assert again == rows
+
+
+def test_synthetic_source_parallel_splits(spark):
+    """The declared partition count reaches the physical scan (rows carry
+    P distinct spark_partition_ids, each a contiguous index range)."""
+    df = read_synthetic_events(spark, 800, partitions=4)
+    got = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("i").alias("lo"), F.max("i").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(got) == 4
+    spans = sorted((r["lo"], r["hi"], r["n"]) for r in got)
+    assert spans == [(0, 199, 200), (200, 399, 200),
+                     (400, 599, 200), (600, 799, 200)]
+
+
+def test_synthetic_source_ragged_tail(spark):
+    """n not divisible by partitions: the tail split is short, nothing is
+    lost or duplicated."""
+    df = read_synthetic_events(spark, 103, partitions=4)
+    assert df.count() == 103
+    assert df.select(F.sum("i")).collect()[0][0] == 103 * 102 // 2
