@@ -147,6 +147,7 @@ HEADLINE = [
     "q149_range_boundaries",
     "q150_burst_collapse",
     "q151_python_datasource",
+    "q152_table_fingerprint",
 ]
 
 

@@ -289,3 +289,94 @@ def observe_quality(
         )
     obs = Observation(name)
     return df.observe(obs, *exprs), obs
+
+
+# ---------------------------------------------------------------------------
+# q152 — distributed table fingerprint (anti-entropy checksum): ONE scan
+# reduces a table to a tiny bucketed digest (count, XOR-fold, sum of
+# 60-bit row hashes per bucket). Two copies of a dataset — before/after a
+# migration, across clusters, source vs replicated sink — compare by
+# diffing 64 rows instead of re-reading 100 TB twice through a join; a
+# mismatched bucket localizes WHERE to re-sync (the Merkle-leaf idea,
+# Cassandra-style anti-entropy, Iceberg snapshot checksums). Row identity
+# is the md5→15-hex→int64 recipe over an explicitly serialized row: every
+# numeric quantized to integers FIRST (floor-cents; epoch micros) because
+# double→string rendering is NOT portable across engines.
+# ---------------------------------------------------------------------------
+
+_FP_BUCKETS = 64
+_FP_MOD = (1 << 61) - 1
+
+
+def table_fingerprint(df: DataFrame, row_repr: F.Column, n_buckets: int = _FP_BUCKETS) -> DataFrame:
+    """(bucket, n_rows, xor_hash, sum_hash) digest of ``df`` under the
+    given serialized row representation. Map-side hash + one tiny
+    aggregation; XOR and SUM are order-independent, so any partitioning
+    (and any engine) produces the identical digest."""
+    h = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("bigint")
+    return (
+        df.select(h.alias("__h"))
+        .groupBy((F.col("__h") % n_buckets).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("__h").alias("xor_hash"),
+            # 60-bit hashes summed over row counts overflow int64: fold
+            # modulo the Mersenne 2^61-1 with an exact decimal accumulator
+            # (order-independent; DuckDB sums in HUGEINT and takes the
+            # same modulus).
+            (F.sum(F.col("__h").cast("decimal(38,0)")) % F.lit(_FP_MOD))
+            .cast("long").alias("sum_hash"),
+        )
+    )
+
+
+@_register(
+    "q152_table_fingerprint",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST('0x' || substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || '|' ||
+                   CAST(l_linenumber AS VARCHAR) || '|' ||
+                   CAST(l_partkey AS VARCHAR) || '|' ||
+                   CAST(l_suppkey AS VARCHAR) || '|' ||
+                   CAST(CAST(FLOOR(l_quantity * 100) AS BIGINT) AS VARCHAR) || '|' ||
+                   CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+                   CAST(CAST(FLOOR(l_discount * 100) AS BIGINT) AS VARCHAR) || '|' ||
+                   CAST(CAST(FLOOR(l_tax * 100) AS BIGINT) AS VARCHAR) || '|' ||
+                   l_returnflag || '|' || l_linestatus || '|' ||
+                   CAST(epoch_us(l_shipdate) AS VARCHAR)
+               ), 1, 15) AS BIGINT) AS hh
+        FROM lineitem
+    )
+    SELECT hh % {_FP_BUCKETS} AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(BIT_XOR(hh) AS BIGINT) AS xor_hash,
+           CAST(SUM(hh) % {_FP_MOD} AS BIGINT) AS sum_hash
+    FROM h GROUP BY bucket
+    """,
+)
+def q152_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bucket content fingerprint of lineitem. The oracle computing the
+    SAME digest from the same parquet IS the operator's use-case run live:
+    two independent engines agreeing bucket-for-bucket on count + XOR +
+    sum certifies byte-level content equality without shipping any rows.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = lambda c: F.floor(F.col(c) * 100).cast("long").cast("string")  # noqa: E731
+    row = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        cents("l_quantity"),
+        cents("l_extendedprice"),
+        cents("l_discount"),
+        cents("l_tax"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        # NTZ → micros via a timestamp cast under the UTC session TZ the
+        # @query wrapper pins (≡ DuckDB epoch_us of the naive timestamp).
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).cast("string"),
+    )
+    return table_fingerprint(li, row)

@@ -110,3 +110,30 @@ def test_observe_quality_rides_the_action(spark, sf_dir):
     assert m["n_rows"] == l.count() == n_out
     assert m["null_l_shipdate"] == 0
     assert m["nonpos_l_quantity"] == l.filter(F.col("l_quantity") <= 0).count()
+
+
+def test_fingerprint_partition_invariant_and_sensitive(spark):
+    """Identical content under different partitionings digests identically;
+    flipping ONE field changes exactly the affected buckets."""
+    from pyspark.sql import functions as F
+
+    from etl_globalretail_spark.operators.quality import table_fingerprint
+
+    rows = [(i, f"v{i}") for i in range(500)]
+    a = spark.createDataFrame(rows, "k long, v string").repartition(3)
+    b = spark.createDataFrame(list(reversed(rows)), "k long, v string").repartition(11)
+    rep = F.concat_ws("|", F.col("k").cast("string"), F.col("v"))
+
+    def digest(df):
+        return {
+            r["bucket"]: (r["n_rows"], r["xor_hash"], r["sum_hash"])
+            for r in table_fingerprint(df, rep).collect()
+        }
+
+    da, db = digest(a), digest(b)
+    assert da == db
+
+    mutated = [(i, f"v{i}" if i != 250 else "CORRUPT") for i in range(500)]
+    dm = digest(spark.createDataFrame(mutated, "k long, v string"))
+    diff = {bkt for bkt in set(da) | set(dm) if da.get(bkt) != dm.get(bkt)}
+    assert 1 <= len(diff) <= 2  # old row's bucket and/or new row's bucket
