@@ -148,6 +148,7 @@ HEADLINE = [
     "q150_burst_collapse",
     "q151_python_datasource",
     "q152_table_fingerprint",
+    "q153_sliding_distinct_users",
 ]
 
 

@@ -582,3 +582,43 @@ def q150_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("long").alias("sum_kept_ids"),
     )
+
+
+@_register(
+    "q153_sliding_distinct_users",
+    oracle="""
+    WITH slides AS (
+        SELECT e.*,
+               make_timestamp(
+                   (epoch_us(ts) // 1800000000 - CAST(g.s AS BIGINT))
+                   * 1800000000) AS window_start
+        FROM events e, (SELECT unnest(range(0, 2)) AS s) g
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM slides GROUP BY window_start
+    """,
+)
+def q153_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user cardinality per 1-hour window sliding every 30
+    minutes — the windowed COUNT DISTINCT every audience/abuse dashboard
+    runs. Spark's two-level distinct aggregation (partial sets per
+    (window, user), then counts) rides the 2× slide fan-out from q133's
+    verified window assignment; the oracle enumerates the same slides by
+    integer-µs floor arithmetic.
+
+    Scale notes: exact distinct shuffles the (window, user) grain once —
+    the HLL sketch tier (q50/`profiling.hll_partial`) is the
+    fixed-memory alternative when user cardinality per window explodes;
+    this exact form is its ground truth.
+    """
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+    )
