@@ -149,6 +149,7 @@ HEADLINE = [
     "q151_python_datasource",
     "q152_table_fingerprint",
     "q153_sliding_distinct_users",
+    "q154_triangle_count",
 ]
 
 

@@ -1898,3 +1898,90 @@ def q149_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — triangle counting: the canonical "joins as graph analytics"
+# workload (clustering-coefficient numerator, community cohesion). Input
+# graph: the co-purchase part graph (q147's pairs at support ≥ 2 — a real
+# derived graph, not a toy fixture). The count is the standard two-join
+# enumeration with the orientation trick: edges directed low→high id, so
+# each triangle {a<b<c} is counted EXACTLY once as (a→b, b→c, a→c) and the
+# join explosion is bounded by the out-degree of low-id endpoints.
+# ---------------------------------------------------------------------------
+
+
+def _q154_edges_sql() -> str:
+    return """
+        SELECT part_a AS u, part_b AS v
+        FROM (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS support
+            FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY part_a, part_b
+        ) WHERE support >= 2
+    """
+
+
+@_register(
+    "q154_triangle_count",
+    oracle=f"""
+    WITH e AS ({_q154_edges_sql()}),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(COALESCE(SUM(a + b + c), 0) AS BIGINT) AS vertex_checksum
+    FROM tri
+    """,
+)
+def q154_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the support≥2 co-purchase graph: one row with the
+    triangle count, edge count, and an id-pinned vertex checksum. Two
+    self-joins on the low→high-oriented edge list — each triangle counted
+    once; the wedge join (e1.v = e2.u) shuffles on the shared vertex and
+    the closing join verifies (e1.u, e2.v) ∈ E.
+
+    Scale notes: orientation bounds the wedge fan-out by low-endpoint
+    out-degree; production graph engines additionally order by TOTAL
+    degree (breaks high-degree hubs) — same plan shape, different edge
+    orientation rule.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+        .persist()  # consumed 3× (two join sides + edge count); tiny frame
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2"))
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    )
+    n_edges = edges.count()  # driver-side scalar (bounded: grouped graph)
+    out = tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.coalesce(
+            F.sum(F.col("a") + F.col("b") + F.col("c")), F.lit(0)
+        ).cast("long").alias("vertex_checksum"),
+    ).select(
+        "n_triangles",
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        "vertex_checksum",
+    )
+    return out

@@ -376,3 +376,38 @@ def test_range_boundaries_balanced(spark, sf_dir):
     assert [r["bucket"] for r in rows] == list(range(len(rows)))
     for prev, cur in zip(rows, rows[1:]):
         assert prev["hi"] <= cur["lo"]
+
+
+def test_triangle_count_matches_python_enumeration(spark, sf_dir):
+    """q154's triangle count and checksum equal a driver-side brute-force
+    enumeration of the same support>=2 co-purchase graph."""
+    from collections import Counter
+    from itertools import combinations
+
+    from etl_globalretail_spark.plans.analytics import q154_triangle_count
+    from etl_globalretail_spark.sources.readers import load_table
+
+    row = q154_triangle_count(spark, sf_dir).collect()[0]
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey").distinct().collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    support = Counter()
+    for parts in baskets.values():
+        for x, y in combinations(sorted(parts), 2):
+            support[(x, y)] += 1
+    edges = {p for p, s in support.items() if s >= 2}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    n_tri = 0
+    checksum = 0
+    for (u, v) in edges:
+        for w in adj.get(v, ()):
+            if w in adj.get(u, ()):
+                n_tri += 1
+                checksum += u + v + w
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == n_tri
+    assert row["vertex_checksum"] == checksum
