@@ -150,6 +150,7 @@ HEADLINE = [
     "q152_table_fingerprint",
     "q153_sliding_distinct_users",
     "q154_triangle_count",
+    "q155_user_activity_features",
 ]
 
 

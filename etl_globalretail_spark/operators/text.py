@@ -687,3 +687,96 @@ def q121_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("sum_kept_ids"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — grouped-map applyInPandas surface: per-key SEQUENTIAL feature
+# extraction, the API tier between pure-SQL windows and custom stateful
+# streaming. The kernel receives each user's complete, locally-sorted
+# event history as ONE pandas frame — the shape sequence featurizers,
+# per-entity model scoring, and sessionized feature vectors need, where
+# window functions get awkward. Arithmetic is integer-µs diffs only, so a
+# gaps-and-islands SQL replay certifies the Python kernel bit-for-bit
+# (the applyInPandas sibling of q131's UDTF-on-the-gate).
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+_BURST_GAP_US = 60 * 1_000_000
+
+
+def user_activity_features(events: DataFrame) -> DataFrame:
+    """(user_id, n_events, n_sessions, longest_burst, span_minutes) via one
+    ``applyInPandas`` pass: sessions split at ≥30-min gaps, a burst is a
+    maximal run of consecutive events < 60 s apart (length in events),
+    span is floor-minutes first→last. One shuffle on user_id; the kernel
+    is O(history) per key with no cross-key state."""
+    import pandas as pd
+
+    def feats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tus", "event_id"])
+        t = pdf["tus"].to_numpy()
+        d = t[1:] - t[:-1] if len(t) > 1 else []
+        n_sessions = 1 + int((d >= _SESSION_GAP_US).sum()) if len(t) > 1 else 1
+        burst, best = 1, 1
+        for gap in d:
+            burst = burst + 1 if gap < _BURST_GAP_US else 1
+            best = max(best, burst)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(t)],
+                "n_sessions": [n_sessions],
+                "longest_burst": [best],
+                "span_minutes": [int((t[-1] - t[0]) // 60_000_000)],
+            }
+        )
+
+    base = events.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("tus")
+    )
+    return base.groupBy("user_id").applyInPandas(
+        feats,
+        "user_id long, n_events long, n_sessions long, "
+        "longest_burst long, span_minutes long",
+    )
+
+
+@_register(
+    "q155_user_activity_features",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_id, tus,
+               SUM(CASE WHEN gap IS NULL OR gap >= {_BURST_GAP_US}
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS burst_id,
+               CASE WHEN gap >= {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+        FROM seq
+    ),
+    bursts AS (
+        SELECT user_id, burst_id, COUNT(*) AS blen
+        FROM runs GROUP BY user_id, burst_id
+    )
+    SELECT r.user_id,
+           COUNT(*) AS n_events,
+           CAST(1 + SUM(r.new_s) AS BIGINT) AS n_sessions,
+           CAST((SELECT MAX(blen) FROM bursts b
+                 WHERE b.user_id = r.user_id) AS BIGINT) AS longest_burst,
+           CAST((MAX(r.tus) - MIN(r.tus)) // 60000000 AS BIGINT)
+               AS span_minutes
+    FROM runs r GROUP BY r.user_id
+    """,
+)
+def q155_user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sequential activity features through the grouped-map
+    applyInPandas kernel, hash-matched against the gaps-and-islands SQL
+    formulation (sessions ≡ q34's rule; bursts ≡ maximal <60 s runs)."""
+    return user_activity_features(load_table(spark, "events", sf_dir))

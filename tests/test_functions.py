@@ -235,3 +235,35 @@ def test_sentence_split_udtf_lateral(spark):
         (1, 2): "Three.",
         (3, 0): "NoPeriod",
     }
+
+
+def test_user_activity_features_hand_case(spark):
+    """Sessions at 30-min gaps, bursts as <60 s runs, integer span."""
+    import datetime as dt
+
+    from etl_globalretail_spark.operators.text import user_activity_features
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    def ev(i, u, sec):
+        return (i, u, "e", t0 + dt.timedelta(seconds=sec))
+
+    rows = [
+        # user 1: burst of 3 (0,30,59s), then +45 min (new session),
+        # then single event +1s short burst of 2
+        ev(1, 1, 0), ev(2, 1, 30), ev(3, 1, 59),
+        ev(4, 1, 45 * 60), ev(5, 1, 45 * 60 + 1),
+        # user 2: one event
+        ev(6, 2, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r["user_id"]: r for r in user_activity_features(df).collect()}
+    u1 = out[1]
+    assert u1["n_events"] == 5 and u1["n_sessions"] == 2
+    assert u1["longest_burst"] == 3
+    assert u1["span_minutes"] == 45
+    u2 = out[2]
+    assert (u2["n_events"], u2["n_sessions"], u2["longest_burst"],
+            u2["span_minutes"]) == (1, 1, 1, 0)
