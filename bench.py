@@ -151,6 +151,7 @@ HEADLINE = [
     "q153_sliding_distinct_users",
     "q154_triangle_count",
     "q155_user_activity_features",
+    "q156_prefix_filter_join",
 ]
 
 

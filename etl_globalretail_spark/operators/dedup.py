@@ -1265,3 +1265,119 @@ def q132_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             banded.unpersist()
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Tier 2b: PREFIX-FILTERED exact similarity join (PPJoin's core filter,
+# Chaudhuri et al. / Xiao et al.). The inverted-index join (q23) posts
+# EVERY shingle; prefix filtering posts only each document's
+# (n − ⌈τ·n⌉ + 1) smallest shingle hashes — any pair with Jaccard ≥ τ
+# must share a prefix element, so the result is EXACT while the index
+# (and its shuffle, and the candidate fan-out) shrinks by ~τ. The
+# threshold algebra is kept in integers (τ = PCT/100; ⌈τn⌉ = (PCT·n+99)
+# div 100; J ≥ τ ⇔ 100·|∩| ≥ PCT·|∪|) so both the prefix length and the
+# verification bit agree across engines with no FP edge cases.
+# ---------------------------------------------------------------------------
+
+_Q156_PCT = 35  # τ = 0.35
+
+
+def prefix_filtered_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 2,
+    pct: int = _Q156_PCT,
+) -> DataFrame:
+    """All pairs with shingle Jaccard ≥ pct/100 — exact, via prefix
+    filtering: sort each doc's (md5-hashed) shingle set, post only the
+    prefix, self-join on the posted hash, verify candidates with the
+    integer cross-multiplied threshold."""
+    hs = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col(text_col), k),
+                lambda s: _md5_hash64(s).bitwiseAND(
+                    F.lit(_MASK32).cast("long")
+                ),
+            )
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc"), hs.alias("hs")).filter(
+        F.size("hs") > 0
+    ).persist()  # feeds the prefix index AND both verification sides
+    plen = (
+        F.size("hs")
+        - F.expr(f"({_Q156_PCT if pct is None else pct} * size(hs) + 99) div 100")
+        + 1
+    )
+    prefix = base.select(
+        "doc", F.explode(F.slice("hs", 1, plen)).alias("ph")
+    )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "ph")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+    a = base.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"))
+    b = base.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(inter * 100 >= F.lit(pct) * union)
+        .select(
+            "id_a", "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+    return verified, base
+
+
+@_register(
+    "q156_prefix_filter_join",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, len(hs) AS n, hs FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       {{shingles}},
+                       s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                            & {_MASK32}
+                   )) AS hs
+            FROM (SELECT doc_id, {{toks}} AS __t FROM documents)
+        ) WHERE len(hs) > 0
+    ),
+    ex AS (SELECT doc_id, n, unnest(hs) AS h FROM sh),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+           / CAST(a.n + b.n - len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+               AS jaccard
+    FROM cand
+    JOIN sh a ON cand.id_a = a.doc_id
+    JOIN sh b ON cand.id_b = b.doc_id
+    WHERE 100 * len(list_intersect(a.hs, b.hs))
+          >= {_Q156_PCT} * (a.n + b.n - len(list_intersect(a.hs, b.hs)))
+    """.format(
+        shingles=_sql_shingles(2).replace("__t", "__t"),
+        toks="regexp_split_to_array(trim(text), '\\s+')",
+    ),
+)
+def q156_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard-≥0.35 pair join via prefix filtering. The oracle runs
+    the BRUTE-FORCE inverted-index join (every shingle posted) — hash
+    equality proves the prefix filter loses nothing, which is precisely
+    the PPJoin correctness theorem exercised on real data. The pytest
+    additionally measures that the prefix index posts fewer entries.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    verified, base = prefix_filtered_pairs(d, "text", "doc_id")
+    try:
+        rows = verified.collect()
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(rows, "id_a long, id_b long, jaccard double")

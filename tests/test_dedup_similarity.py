@@ -283,3 +283,37 @@ def test_embedding_neardup_arrow_matches_fold(spark, sf_dir):
         for r in embedding_near_duplicates(e, arrow=True).collect()
     )
     assert fold == arrow and len(fold) > 0
+
+
+def test_prefix_filter_join_exact_and_cheaper(spark, sf_dir):
+    """Prefix filtering loses no pair vs the full inverted index at the
+    same threshold and posts strictly fewer index entries."""
+    from etl_globalretail_spark.operators.dedup import (
+        _MASK32,
+        _md5_hash64,
+        prefix_filtered_pairs,
+        word_shingles,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    verified, base = prefix_filtered_pairs(d, "text", "doc_id", pct=35)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+
+    # brute force on the same md5 shingle sets, driver-side
+    hs_rows = base.collect()
+    sets = {r["doc"]: set(r["hs"]) for r in hs_rows}
+    want = {}
+    ids = sorted(sets)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1:]:
+            inter = len(sets[x] & sets[y])
+            union = len(sets[x]) + len(sets[y]) - inter
+            if union and 100 * inter >= 35 * union:
+                want[(x, y)] = inter / union
+    base.unpersist()
+    assert got == want and len(got) > 0
+
+    # the efficiency claim: prefix postings < full postings
+    full = sum(len(s) for s in sets.values())
+    prefix = sum(len(s) - (35 * len(s) + 99) // 100 + 1 for s in sets.values())
+    assert prefix < 0.75 * full
