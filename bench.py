@@ -152,6 +152,7 @@ HEADLINE = [
     "q154_triangle_count",
     "q155_user_activity_features",
     "q156_prefix_filter_join",
+    "q157_weighted_median_udaf",
 ]
 
 

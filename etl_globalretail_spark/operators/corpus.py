@@ -945,3 +945,99 @@ def q146_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, "events", sf_dir).select("event_type", "value")
     return mad_outlier_census(e, "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# q157 — grouped-aggregate pandas UDF (the UDAF surface): exact WEIGHTED
+# lower median, an aggregate Spark has no built-in for (percentile_approx
+# is unweighted and approximate). Completes the Python-surface taxonomy:
+# scalar pandas_udf (clean_text_exact), grouped map (q155), UDTF (q131),
+# arbitrary stateful (transformWithState) — and now grouped agg. The
+# kernel is order-statistic selection on integer weights, so a window-SQL
+# replay certifies it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def weighted_median_udf():
+    """pandas GROUPED_AGG UDAF: smallest value v whose cumulative weight
+    (values ascending) reaches half the total — the exact weighted lower
+    median. Integer weights; ties in v collapse naturally (same v)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses
+    # `from __future__ import annotations`, which stringifies signature
+    # annotations and defeats pandas_udf's type inference.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(v, w):
+        f = pd.DataFrame({"v": v, "w": w}).sort_values("v")
+        cw = f["w"].cumsum()
+        tot = int(f["w"].sum())
+        hit = f["v"][(2 * cw) >= tot]
+        return float(hit.iloc[0])
+
+    return wmedian
+
+
+@_register(
+    "q157_weighted_median_udaf",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT flag, v, wt,
+               SUM(wt) OVER (
+                   PARTITION BY flag ORDER BY v
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cw,
+               SUM(wt) OVER (PARTITION BY flag) AS tot
+        FROM w
+    ),
+    med AS (
+        SELECT flag, MIN(v) AS wmedian
+        FROM cum WHERE 2 * cw >= tot GROUP BY flag
+    )
+    SELECT m.flag AS l_returnflag,
+           (SELECT COUNT(*) FROM w WHERE w.flag = m.flag) AS n_rows,
+           CAST((SELECT SUM(wt) FROM w WHERE w.flag = m.flag) AS BIGINT)
+               AS total_weight,
+           m.wmedian
+    FROM med m
+    """,
+)
+def q157_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag, computed by the
+    pandas GROUPED_AGG UDAF and hash-matched against the cumulative-weight
+    window SQL. The weighted median answers "the price at which half the
+    VOLUME trades" — the unweighted median (q58 machinery) misweights
+    multi-unit lines.
+
+    Scale notes: grouped-agg pandas UDFs don't do partial aggregation —
+    each group's full column pair crosses to Python. Fine at |groups|
+    ≪ rows with bounded group width; the pure-SQL window form (the
+    oracle's shape) is the escape hatch when groups are huge. That
+    trade-off is the documented cost of the UDAF surface.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    wmedian = weighted_median_udf()
+    base = li.select(
+        F.col("l_returnflag"),
+        F.col("l_extendedprice").alias("v"),
+        F.floor(F.col("l_quantity")).cast("long").alias("wt"),
+    )
+    # Grouped-agg pandas UDFs can't share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT): run the two aggregations separately
+    # and broadcast-join the |flags|-row results.
+    med = base.groupBy("l_returnflag").agg(
+        wmedian(F.col("v"), F.col("wt")).alias("wmedian")
+    )
+    stats = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("wt").cast("long").alias("total_weight"),
+    )
+    return stats.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "n_rows", "total_weight", "wmedian"
+    )

@@ -391,3 +391,19 @@ def test_mad_census_groups_independent(spark):
     out = {r["g"]: r for r in mad_outlier_census(df, "g", "v").collect()}
     assert out["a"]["median"] == 2.0 and out["b"]["median"] == 200.0
     assert out["a"]["n_outliers"] == 1 and out["b"]["n_outliers"] == 0
+
+
+def test_weighted_median_udaf_hand_case(spark):
+    """Weighted lower median: values 1..4 with weights (1,1,1,10) → 4
+    dominates; with uniform weights → lower median 2."""
+    from etl_globalretail_spark.operators.corpus import weighted_median_udf
+
+    wm = weighted_median_udf()
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1), (4.0, 10)], "v double, wt long"
+    )
+    assert df.agg(wm(F.col("v"), F.col("wt"))).collect()[0][0] == 4.0
+    df2 = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1), (4.0, 1)], "v double, wt long"
+    )
+    assert df2.agg(wm(F.col("v"), F.col("wt"))).collect()[0][0] == 2.0
