@@ -153,6 +153,8 @@ HEADLINE = [
     "q155_user_activity_features",
     "q156_prefix_filter_join",
     "q157_weighted_median_udaf",
+    "q158_shipmode_priority",
+    "q159_embedding_dim_stats",
 ]
 
 

@@ -1002,3 +1002,64 @@ def q142_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("err").cast("double") / F.count(F.lit(1)).cast("double"))
         .alias("avg_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — per-dimension embedding statistics: the feature-QA / drift-
+# detection pass (compare per-dim mean/var across snapshots to catch
+# encoder regressions or normalization bugs). Moments accumulate as exact
+# int64 over 1e-6-quantized values; mean/var come out via a fixed sequence
+# of correctly-rounded double ops — the same portability recipe as q26.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q159_embedding_dim_stats",
+    oracle="""
+    WITH flat AS (
+        SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+                   AS vq
+        FROM embeddings
+    ),
+    m AS (
+        SELECT pos, COUNT(*) AS n,
+               CAST(SUM(vq) AS BIGINT) AS s1,
+               CAST(SUM(vq * vq) AS BIGINT) AS s2
+        FROM flat GROUP BY pos
+    )
+    SELECT pos, n,
+           (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6 AS mean,
+           ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+            - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12 AS variance
+    FROM m
+    """,
+)
+def q159_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and population variance of every embedding dimension: one
+    posexplode + one |dims|-group aggregation. At 100 TB the shuffle
+    carries (pos, partial-moment) triples — |dims| groups with map-side
+    combine, not the vectors."""
+    e = load_table(spark, "embeddings", sf_dir)
+    flat = e.select(
+        F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.floor(F.col("valf").cast("double") * 1e6).cast("long").alias("vq"),
+    )
+    m = flat.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vq").alias("s1"),
+        F.sum(F.col("vq") * F.col("vq")).alias("s2"),
+    )
+    mean_q = F.col("s1").cast("double") / F.col("n").cast("double")
+    return m.select(
+        "pos",
+        "n",
+        (mean_q / F.lit(1e6)).alias("mean"),
+        (
+            (F.col("s2").cast("double") / F.col("n").cast("double")
+             - mean_q * mean_q) / F.lit(1e12)
+        ).alias("variance"),
+    )

@@ -317,3 +317,25 @@ def test_prefix_filter_join_exact_and_cheaper(spark, sf_dir):
     full = sum(len(s) for s in sets.values())
     prefix = sum(len(s) - (35 * len(s) + 99) // 100 + 1 for s in sets.values())
     assert prefix < 0.75 * full
+
+
+def test_embedding_dim_stats_match_numpy(spark, sf_dir):
+    """q159's per-dimension mean/variance agree with numpy on the quantized
+    values (population variance)."""
+    import numpy as np
+
+    from etl_globalretail_spark.operators.similarity import (
+        q159_embedding_dim_stats,
+    )
+
+    got = {r["pos"]: r for r in q159_embedding_dim_stats(spark, sf_dir).collect()}
+    e = load_table(spark, "embeddings", sf_dir).collect()
+    mat = np.floor(
+        np.array([r["embedding"] for r in e], dtype=np.float64) * 1e6
+    )
+    for d in range(mat.shape[1]):
+        col = mat[:, d]
+        r = got[d + 1]
+        assert r["n"] == len(col)
+        assert abs(r["mean"] - col.mean() / 1e6) < 1e-9
+        assert abs(r["variance"] - col.var() / 1e12) < 1e-6
