@@ -155,6 +155,7 @@ HEADLINE = [
     "q157_weighted_median_udaf",
     "q158_shipmode_priority",
     "q159_embedding_dim_stats",
+    "q160_winsorized_totals",
 ]
 
 

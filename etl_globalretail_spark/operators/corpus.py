@@ -1041,3 +1041,98 @@ def q157_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag", "n_rows", "total_weight", "wmedian"
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — winsorized aggregation: clip each group's values at its exact
+# p05/p95 order statistics before summing — the standard way to make a
+# revenue/metric total robust to fat-finger outliers without dropping
+# rows. Boundaries are ACTUAL data values (q58's discrete-percentile
+# recipe: rank ⌈p·n⌉, no interpolation), clipping is pure comparison, and
+# the winsorized total uses the exact-decimal sum — everything portable.
+# ---------------------------------------------------------------------------
+
+
+def winsorize_census(
+    df: DataFrame, group_col: str, value_col: str,
+    lo_pct: int = 5, hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorization report: bounds, clipped-row counts, raw and
+    winsorized exact-decimal sums. Two passes: one windowed rank pass
+    reduced to a |groups|-row bounds frame (broadcast back), one scoring
+    pass."""
+    w_all = Window.partitionBy(group_col)
+    ranked = df.select(
+        group_col,
+        F.col(value_col).alias("__v"),
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(F.col(value_col))
+        ).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("__rn") == F.expr(f"greatest(({lo_pct} * __n + 99) div 100, 1)"))
+            | (F.col("__rn") == F.expr(f"greatest(({hi_pct} * __n + 99) div 100, 1)"))
+        )
+        .groupBy(group_col)
+        .agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    )
+    scored = df.join(F.broadcast(bounds), group_col).select(
+        group_col,
+        F.col(value_col).alias("__v"),
+        "__lo", "__hi",
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+        .alias("__w"),
+    )
+    return scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("__v") < F.col("__lo")).cast("long")).alias("n_clip_lo"),
+        F.sum((F.col("__v") > F.col("__hi")).cast("long")).alias("n_clip_hi"),
+        F.max("__lo").alias("lo_bound"),
+        F.max("__hi").alias("hi_bound"),
+        F.sum(F.col("__v").cast("decimal(27,6)")).cast("double").alias("raw_sum"),
+        F.sum(F.col("__w").cast("decimal(27,6)")).cast("double").alias("wins_sum"),
+    )
+
+
+@_register(
+    "q160_winsorized_totals",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value AS v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    bounds AS (
+        SELECT event_type, MIN(v) AS lo, MAX(v) AS hi
+        FROM ranked
+        WHERE rn = GREATEST((5 * n + 99) // 100, 1)
+           OR rn = GREATEST((95 * n + 99) // 100, 1)
+        GROUP BY event_type
+    ),
+    scored AS (
+        SELECT e.event_type, e.value AS v, b.lo, b.hi,
+               LEAST(GREATEST(e.value, b.lo), b.hi) AS w
+        FROM events e JOIN bounds b USING (event_type)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_lo,
+           CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_hi,
+           MAX(lo) AS lo_bound,
+           MAX(hi) AS hi_bound,
+           CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS raw_sum,
+           CAST(SUM(CAST(w AS DECIMAL(27,6))) AS DOUBLE) AS wins_sum
+    FROM scored GROUP BY event_type
+    """,
+)
+def q160_winsorized_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized value totals per event type: p05/p95 exact-order-stat
+    clipping with clip censuses and raw-vs-winsorized exact sums."""
+    e = load_table(spark, "events", sf_dir).select("event_type", "value")
+    return winsorize_census(e, "event_type", "value")

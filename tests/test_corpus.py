@@ -407,3 +407,19 @@ def test_weighted_median_udaf_hand_case(spark):
         [(1.0, 1), (2.0, 1), (3.0, 1), (4.0, 1)], "v double, wt long"
     )
     assert df2.agg(wm(F.col("v"), F.col("wt"))).collect()[0][0] == 2.0
+
+
+def test_winsorize_census_hand_case(spark):
+    """Values 1..100 in one group: p05 bound = 5, p95 = 95; 4 low + 5 high
+    clipped; winsorized sum replaces them with the bounds."""
+    from etl_globalretail_spark.operators.corpus import winsorize_census
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)], "g string, v double"
+    )
+    r = winsorize_census(df, "g", "v").collect()[0]
+    assert (r["lo_bound"], r["hi_bound"]) == (5.0, 95.0)
+    assert (r["n_clip_lo"], r["n_clip_hi"]) == (4, 5)
+    raw = sum(range(1, 101))
+    wins = sum(max(5, min(95, v)) for v in range(1, 101))
+    assert r["raw_sum"] == float(raw) and r["wins_sum"] == float(wins)
