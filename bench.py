@@ -156,6 +156,7 @@ HEADLINE = [
     "q158_shipmode_priority",
     "q159_embedding_dim_stats",
     "q160_winsorized_totals",
+    "q161_sql_front_door",
 ]
 
 

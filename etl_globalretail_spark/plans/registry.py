@@ -29,7 +29,7 @@ _merge(_relational.QUERIES, _relational.ORACLE)
 for _mod in ("operators.dedup", "operators.similarity", "operators.text",
              "operators.multimodal", "operators.skew", "operators.components",
              "operators.sampling", "operators.profiling", "operators.asof",
-             "operators.joins", "sources.pyds",
+             "operators.joins", "sources.pyds", "sources.catalog",
              "operators.corpus",
              "operators.clustering", "operators.quality",
              "plans.star_schema", "plans.analytics", "plans.tpch", "plans.scd",

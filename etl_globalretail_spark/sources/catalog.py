@@ -112,3 +112,45 @@ def register_views(
     is reachable from plain ``spark.sql`` — the engine's SQL front door."""
     for t in names:
         load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# q161 — the SQL front door, certified with ONE shared string: the exact
+# same ANSI text executes through spark.sql over the registered views AND
+# as the DuckDB oracle. This is the migration claim made literal — a user
+# of the reference (whose queries are psycopg2-shipped SQL text,
+# etl_completo.py throughout) pastes their SQL unchanged; only the
+# engine underneath changes.
+# ---------------------------------------------------------------------------
+
+from collections.abc import Callable  # noqa: E402
+
+from pyspark.sql import DataFrame  # noqa: E402
+
+from etl_globalretail_spark.plans.queries import make_query_decorator  # noqa: E402
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+_Q161_SHARED_SQL = """
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@_register("q161_sql_front_door", oracle=_Q161_SHARED_SQL)
+def q161_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation through ``spark.sql`` over ``register_views`` —
+    the query text is the SAME Python string object the oracle runs in
+    DuckDB (dialect-shared ANSI subset). Catalyst still plans it like the
+    DataFrame queries: broadcast the dims, partial-aggregate the fact."""
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(_Q161_SHARED_SQL)
