@@ -157,6 +157,7 @@ HEADLINE = [
     "q159_embedding_dim_stats",
     "q160_winsorized_totals",
     "q161_sql_front_door",
+    "q162_type_weekday_contingency",
 ]
 
 

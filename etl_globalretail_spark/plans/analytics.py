@@ -1985,3 +1985,70 @@ def q154_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vertex_checksum",
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# q162 — contingency / independence audit (chi-square cells): is event
+# type independent of day-of-week? The workhorse sanity check for A/B
+# splits, time-based sampling bias, and scraper scheduling artifacts.
+# Output is PER CELL (observed, expected, contribution): cells are a
+# fixed sequence of IEEE ops on exact integers (portable), whereas a
+# summed χ² statistic would be an order-dependent double sum — the
+# per-cell frame is both more useful (which cell deviates) and
+# cross-engine stable; the driver can sum 35 rows if it wants the scalar.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q162_type_weekday_contingency",
+    oracle="""
+    WITH o AS (
+        -- DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based
+        SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+               COUNT(*) AS obs
+        FROM events GROUP BY event_type, dow
+    ),
+    r AS (SELECT event_type, SUM(obs) AS rt FROM o GROUP BY event_type),
+    c AS (SELECT dow, SUM(obs) AS ct FROM o GROUP BY dow),
+    n AS (SELECT SUM(obs) AS tot FROM o)
+    SELECT o.event_type, o.dow, CAST(o.obs AS BIGINT) AS observed,
+           CAST(r.rt * c.ct AS DOUBLE) / CAST(n.tot AS DOUBLE) AS expected,
+           (CAST(o.obs AS DOUBLE)
+            - CAST(r.rt * c.ct AS DOUBLE) / CAST(n.tot AS DOUBLE))
+           * (CAST(o.obs AS DOUBLE)
+              - CAST(r.rt * c.ct AS DOUBLE) / CAST(n.tot AS DOUBLE))
+           / (CAST(r.rt * c.ct AS DOUBLE) / CAST(n.tot AS DOUBLE))
+               AS contribution
+    FROM o JOIN r ON o.event_type = r.event_type
+           JOIN c ON o.dow = c.dow
+           CROSS JOIN n
+    """,
+)
+def q162_type_weekday_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square cells for event_type × day-of-week: observed counts,
+    expected under independence (row·col/N), and each cell's χ²
+    contribution. Marginals are broadcast back onto the |types|×|days|
+    cell frame; DuckDB dayofweek (1=Sunday) matches Spark dayofweek under
+    the pinned UTC session."""
+    e = load_table(spark, "events", sf_dir)
+    o = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    o = o.persist()  # feeds marginals AND the cell frame
+    r = o.groupBy("event_type").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("dow").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("tot"))
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("tot").cast("double")
+    dev = F.col("obs").cast("double") - exp
+    return (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            F.col("obs").cast("long").alias("observed"),
+            exp.alias("expected"),
+            (dev * dev / exp).alias("contribution"),
+        )
+    )

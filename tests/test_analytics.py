@@ -411,3 +411,22 @@ def test_triangle_count_matches_python_enumeration(spark, sf_dir):
     assert row["n_edges"] == len(edges)
     assert row["n_triangles"] == n_tri
     assert row["vertex_checksum"] == checksum
+
+
+def test_contingency_cells_consistent(spark, sf_dir):
+    """Observed totals reconcile with marginals; expected sums to N per
+    row/column; contributions are non-negative."""
+    from etl_globalretail_spark.plans.analytics import (
+        q162_type_weekday_contingency,
+    )
+
+    rows = q162_type_weekday_contingency(spark, sf_dir).collect()
+    n = sum(r["observed"] for r in rows)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+        assert r["contribution"] >= 0
+    for t, rs in by_type.items():
+        # expected row total == observed row total (marginal identity)
+        assert abs(sum(x["expected"] for x in rs) - sum(x["observed"] for x in rs)) < 1e-6
+    assert n > 0
