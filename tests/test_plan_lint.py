@@ -35,6 +35,8 @@ INTENTIONAL_CROSS = {
     # to the per-part aggregate (TPC-H Q11 scalar subquery) — bounded
     "q112_top_supplier",  # attaches the broadcast 1-row MAX(revenue)
     # scalar to the per-supplier aggregate (TPC-H Q15) — bounded
+    "q162_type_weekday_contingency",  # attaches the broadcast 1-row grand
+    # total N to the |types|×|days| cell frame — bounded by construction
 }
 
 FORBIDDEN = ("CartesianProduct",)
