@@ -284,3 +284,51 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots — minimal time travel on plain parquet. Delta/Iceberg
+# aren't in this container; the 80% use-case (read an older snapshot,
+# diff two loads, roll back a bad one) needs only an immutable
+# version-directory layout: every write lands in v=<n+1>/, reads resolve
+# "latest" or a pinned version, and nothing is ever mutated in place —
+# which also makes writes safe against concurrent readers (they hold an
+# older directory) and replays idempotent at the version level.
+# ---------------------------------------------------------------------------
+
+
+def list_versions(root: str) -> list[int]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("v="):
+            try:
+                out.append(int(d[2:]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def write_version(df: DataFrame, root: str) -> int:
+    """Write ``df`` as the next immutable snapshot under ``root`` and
+    return its version number. Writes to a temp dir first and renames —
+    a crashed write never becomes a visible version."""
+    n = (list_versions(root)[-1] + 1) if list_versions(root) else 1
+    tmp = os.path.join(root, f".tmp_v{n}_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(root, f"v={n}"))
+    return n
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned snapshot, or the latest when ``version`` is None."""
+    vs = list_versions(root)
+    if not vs:
+        raise FileNotFoundError(f"no versions under {root}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    return spark.read.parquet(os.path.join(root, f"v={v}"))

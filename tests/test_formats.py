@@ -285,3 +285,50 @@ def test_zordered_layout_boxes_tight_in_both_dims(spark, sf_dir, tmp_path):
     rl = str(tmp_path / "li_zorder_real")
     write_zordered(real, rl, "l_partkey", "l_suppkey", 4)
     assert spark.read.parquet(rl).count() == real.count()
+
+
+def test_versioned_snapshots_time_travel(spark, sf_dir, tmp_path):
+    """Immutable version directories: pinned reads see the old snapshot
+    after new writes; latest resolves to the newest; snapshot_diff over
+    two versions reports the change."""
+    from etl_globalretail_spark.plans.scd import snapshot_diff
+    from etl_globalretail_spark.sources.formats import (
+        list_versions,
+        read_version,
+        write_version,
+    )
+
+    root = str(tmp_path / "versioned_customer")
+    import os
+    os.makedirs(root)
+
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    v1 = write_version(c, root)
+    changed = c.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") == 1, F.lit(999999.0)).otherwise(
+            F.col("c_acctbal")
+        ),
+    ).filter(F.col("c_custkey") != 2)
+    v2 = write_version(changed, root)
+    assert (v1, v2) == (1, 2) and list_versions(root) == [1, 2]
+
+    old = read_version(spark, root, 1)
+    assert old.count() == c.count()
+    assert old.filter("c_custkey = 2").count() == 1  # time travel: row alive at v1
+
+    latest = read_version(spark, root)
+    assert latest.filter("c_custkey = 2").count() == 0
+
+    d = snapshot_diff(
+        read_version(spark, root, 1), read_version(spark, root, 2),
+        keys=["c_custkey"], attrs=["c_name", "c_acctbal"],
+    )
+    cls_col = next(c for c in d.columns if "change" in c or "class" in c)
+    by = {r[cls_col]: r["n_rows"] for r in
+          d.groupBy(cls_col).agg(F.count(F.lit(1)).alias("n_rows")).collect()}
+    deleted = by.get("deleted", by.get("DELETED"))
+    changed = by.get("changed", by.get("CHANGED"))
+    assert deleted == 1 and changed == 1
