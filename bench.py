@@ -158,6 +158,8 @@ HEADLINE = [
     "q160_winsorized_totals",
     "q161_sql_front_door",
     "q162_type_weekday_contingency",
+    "q163_discount_quantity_corr",
+    "q164_feature_hashing",
 ]
 
 

@@ -1136,3 +1136,79 @@ def q160_winsorized_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     clipping with clip censuses and raw-vs-winsorized exact sums."""
     e = load_table(spark, "events", sf_dir).select("event_type", "value")
     return winsorize_census(e, "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# q164 — feature hashing (the "hashing trick", Weinberger et al. 2009):
+# categorical features → fixed-width index space via a hash, no vocabulary
+# pass, no fit/transform state — THE encoder for streaming/100 TB feature
+# pipelines where a dictionary would itself be a shuffle + a sync point.
+# md5-based slot assignment so the oracle replays the identical encoding;
+# signed hashing (±1 by one hash bit) keeps collision bias zero-mean, as
+# in the original paper and sklearn's FeatureHasher.
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 32
+
+
+def _fh_slot_sign(c: str, dim: int):
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("=", F.lit(c), F.col(c).cast("string"))), 1, 15
+        ),
+        16, 10,
+    ).cast("bigint")
+    slot = h % dim
+    # sign bit = (h // dim) % 2, computed with INTEGER bit ops: h/dim as a
+    # double loses the low bits of a 60-bit hash and corrupts the parity.
+    assert dim & (dim - 1) == 0, "dim must be a power of two"
+    bit = dim.bit_length() - 1
+    sign = F.when(
+        F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return slot, sign
+
+
+@_register(
+    "q164_feature_hashing",
+    oracle=f"""
+    WITH feats AS (
+        SELECT CAST('0x' || substr(md5('event_type=' || event_type), 1, 15)
+                    AS BIGINT) AS h
+        FROM events
+        UNION ALL
+        SELECT CAST('0x' || substr(md5('lang=' || lang), 1, 15) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT CAST('0x' || substr(md5('source=' || source), 1, 15) AS BIGINT)
+        FROM documents
+    )
+    SELECT h % {_FH_DIM} AS slot,
+           COUNT(*) AS n_hits,
+           CAST(SUM(CASE WHEN (h // {_FH_DIM}) % 2 = 0 THEN 1 ELSE -1 END)
+                AS BIGINT) AS signed_sum
+    FROM feats GROUP BY slot
+    """,
+)
+def q164_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick encoding of three categorical features (event type,
+    document language, document source) into a {dim}-slot space: per slot,
+    raw occurrence count and the signed (±1) sum — the zero-mean encoding
+    actually used downstream. No vocabulary job exists anywhere in the
+    plan; the map-side hash IS the encoder."""
+    e = load_table(spark, "events", sf_dir)
+    d = load_table(spark, "documents", sf_dir)
+
+    def enc(df, col):
+        slot, sign = _fh_slot_sign(col, _FH_DIM)
+        return df.select(slot.alias("slot"), sign.alias("sign"))
+
+    feats = (
+        enc(e.select(F.col("event_type").alias("event_type")), "event_type")
+        .unionAll(enc(d.select("lang"), "lang"))
+        .unionAll(enc(d.select("source"), "source"))
+    )
+    return feats.groupBy("slot").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum("sign").cast("long").alias("signed_sum"),
+    )

@@ -2052,3 +2052,69 @@ def q162_type_weekday_contingency(spark: SparkSession, sf_dir: str) -> DataFrame
             (dev * dev / exp).alias("contribution"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — group-wise Pearson correlation, on q145's integer-sufficient-
+# statistics recipe (Spark's corr() accumulates doubles — order-dependent,
+# not oracle-matchable). r = (nΣxy − ΣxΣy) / √(nΣx²−(Σx)²) / √(nΣy²−(Σy)²)
+# with every Σ an exact int64 over floor-cent values; the three final ops
+# (two correctly-rounded sqrts, divisions) are bit-identical across
+# engines when written in the same order both sides.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q163_discount_quantity_corr",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+               CAST(FLOOR(l_discount * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT flag, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM q GROUP BY flag
+    )
+    SELECT flag AS l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                     THEN 0.0
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                     / SQRT(CAST(n * syy - sy * sy AS DOUBLE))
+           END AS DOUBLE) AS pearson_r
+    FROM s
+    """,
+)
+def q163_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs discount per return flag —
+    "do bigger lines get deeper discounts?" — computed distributively from
+    exact int64 moments in one aggregation pass (never Spark's
+    double-accumulating corr())."""
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity")).cast("long").alias("x"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    s = q.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = num.cast("double") / F.sqrt(dx.cast("double")) / F.sqrt(dy.cast("double"))
+    return s.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.when((dx == 0) | (dy == 0), F.lit(0.0)).otherwise(r)
+        .alias("pearson_r"),
+    )

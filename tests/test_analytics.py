@@ -430,3 +430,30 @@ def test_contingency_cells_consistent(spark, sf_dir):
         # expected row total == observed row total (marginal identity)
         assert abs(sum(x["expected"] for x in rs) - sum(x["observed"] for x in rs)) < 1e-6
     assert n > 0
+
+
+def test_pearson_corr_matches_numpy(spark, sf_dir):
+    """q163's per-group r agrees with numpy.corrcoef on the same quantized
+    pairs."""
+    import numpy as np
+
+    from etl_globalretail_spark.plans.analytics import (
+        q163_discount_quantity_corr,
+    )
+    from etl_globalretail_spark.sources.readers import load_table
+
+    got = {r["l_returnflag"]: r["pearson_r"]
+           for r in q163_discount_quantity_corr(spark, sf_dir).collect()}
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_quantity", "l_discount"
+    ).collect()
+    by = {}
+    for r in li:
+        by.setdefault(r["l_returnflag"], []).append(
+            (int(np.floor(r["l_quantity"])), int(np.floor(r["l_discount"] * 100)))
+        )
+    for flag, pts in by.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        want = float(np.corrcoef(xs, ys)[0, 1]) if len(pts) > 1 else 0.0
+        assert abs(got[flag] - want) < 1e-9, flag

@@ -423,3 +423,26 @@ def test_winsorize_census_hand_case(spark):
     raw = sum(range(1, 101))
     wins = sum(max(5, min(95, v)) for v in range(1, 101))
     assert r["raw_sum"] == float(raw) and r["wins_sum"] == float(wins)
+
+
+def test_feature_hashing_deterministic_and_zero_mean_shape(spark):
+    """Same value → same slot/sign everywhere; signed sums stay within the
+    raw counts; slots land in [0, dim)."""
+    import hashlib
+
+    from etl_globalretail_spark.operators.corpus import _FH_DIM, _fh_slot_sign
+
+    df = spark.createDataFrame(
+        [("click",), ("view",), ("click",)], "event_type string"
+    )
+    slot, sign = _fh_slot_sign("event_type", _FH_DIM)
+    got = df.select(slot.alias("s"), sign.alias("g")).collect()
+    # driver-side replay of the recipe
+    def replay(v):
+        h = int(hashlib.md5(f"event_type={v}".encode()).hexdigest()[:15], 16)
+        return h % _FH_DIM, 1 if (h // _FH_DIM) % 2 == 0 else -1
+
+    assert (got[0]["s"], got[0]["g"]) == replay("click")
+    assert (got[1]["s"], got[1]["g"]) == replay("view")
+    assert got[0]["s"] == got[2]["s"] and got[0]["g"] == got[2]["g"]
+    assert all(0 <= r["s"] < _FH_DIM and r["g"] in (1, -1) for r in got)
