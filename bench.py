@@ -160,6 +160,7 @@ HEADLINE = [
     "q162_type_weekday_contingency",
     "q163_discount_quantity_corr",
     "q164_feature_hashing",
+    "q165_median_imputation",
 ]
 
 

@@ -1212,3 +1212,90 @@ def q164_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hits"),
         F.sum("sign").cast("long").alias("signed_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — group-statistic imputation: fill missing numeric values with
+# their group's exact lower median — the robust default for feature
+# pipelines (mean imputation drags toward outliers; global stats leak
+# across strata). Missingness is synthesized deterministically
+# (event_id % 7) because the testdata ships NULL-free; the operator
+# itself is the real product.
+# ---------------------------------------------------------------------------
+
+
+def impute_group_median(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Replace NULLs in ``value_col`` with the group's exact lower median
+    of the non-null values: one windowed rank pass on the non-null subset
+    reduced to |groups| rows, broadcast back — no window over the full
+    stream, no approx quantiles."""
+    nn = df.filter(F.col(value_col).isNotNull())
+    med = (
+        nn.select(
+            group_col,
+            F.col(value_col).alias("__v"),
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy(F.col(value_col))
+            ).alias("__rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy(group_col)
+            ).alias("__n"),
+        )
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(group_col, F.col("__v").alias("__med"))
+    )
+    return (
+        df.join(F.broadcast(med), group_col, "left")
+        .withColumn(value_col, F.coalesce(F.col(value_col), F.col("__med")))
+        .drop("__med")
+    )
+
+
+@_register(
+    "q165_median_imputation",
+    oracle="""
+    WITH holes AS (
+        SELECT event_type, event_id,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, v AS m FROM (
+            SELECT event_type, v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM holes WHERE v IS NOT NULL
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT h.event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN h.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_imputed,
+           MAX(med.m) AS fill_value,
+           CAST(SUM(CAST(COALESCE(h.v, med.m) AS DECIMAL(27,6))) AS DOUBLE)
+               AS imputed_sum
+    FROM holes h JOIN med ON h.event_type = med.event_type
+    GROUP BY h.event_type
+    """,
+)
+def q165_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation census per event type over a deterministically
+    holed value column: rows, imputations, the fill value used, and the
+    decimal-exact post-imputation sum."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type", "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("v"),
+    )
+    filled = impute_group_median(e, "event_type", "v")
+    missing = F.col("event_id") % 7 == 0
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(missing.cast("long")).alias("n_imputed"),
+        F.max(F.when(missing, F.col("v"))).alias("fill_value"),
+        F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
+        .alias("imputed_sum"),
+    )

@@ -446,3 +446,20 @@ def test_feature_hashing_deterministic_and_zero_mean_shape(spark):
     assert (got[1]["s"], got[1]["g"]) == replay("view")
     assert got[0]["s"] == got[2]["s"] and got[0]["g"] == got[2]["g"]
     assert all(0 <= r["s"] < _FH_DIM and r["g"] in (1, -1) for r in got)
+
+
+def test_impute_group_median_hand_case(spark):
+    """NULLs get their group's lower median; non-nulls untouched; groups
+    independent."""
+    from etl_globalretail_spark.operators.corpus import impute_group_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None),
+         ("b", 10.0), ("b", None)],
+        "g string, v double",
+    )
+    out = impute_group_median(df, "g", "v").collect()
+    a_vals = sorted(r["v"] for r in out if r["g"] == "a")
+    b_vals = sorted(r["v"] for r in out if r["g"] == "b")
+    assert a_vals == [1.0, 2.0, 2.0, 3.0]   # NULL → lower median 2
+    assert b_vals == [10.0, 10.0]
