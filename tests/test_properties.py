@@ -171,3 +171,72 @@ def test_repetition_permil_bounded_and_scored_set(spark, docs):
             assert 1 <= r.max_cnt <= r.n_grams
         else:
             assert i not in out
+
+
+# ---------------------------------------------------------------------------
+# Morton interleave (sources/formats.py) — pure-python properties (the
+# Spark column is the same loop; tested for equality in test_formats).
+# ---------------------------------------------------------------------------
+
+
+def _py_morton(x: int, y: int, bits: int = 20) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i + 1)
+        z |= ((y >> i) & 1) << (2 * i)
+    return z
+
+
+@given(
+    x=st.integers(min_value=0, max_value=(1 << 20) - 1),
+    y=st.integers(min_value=0, max_value=(1 << 20) - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_morton_bijective_roundtrip(x, y):
+    """The interleave is invertible: de-interleaving the z-value recovers
+    (x, y) exactly — no two points share a key."""
+    z = _py_morton(x, y)
+    rx = sum(((z >> (2 * i + 1)) & 1) << i for i in range(20))
+    ry = sum(((z >> (2 * i)) & 1) << i for i in range(20))
+    assert (rx, ry) == (x, y)
+    assert 0 <= z < 1 << 40
+
+
+@given(
+    x=st.integers(min_value=0, max_value=(1 << 20) - 2),
+    y=st.integers(min_value=0, max_value=(1 << 20) - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_morton_monotone_in_each_dim(x, y):
+    """Fixing one coordinate, the key is strictly increasing in the other
+    — the property that makes per-file min/max selective per dimension."""
+    assert _py_morton(x + 1, y) > _py_morton(x, y)
+    if y < (1 << 20) - 1:
+        assert _py_morton(x, y + 1) > _py_morton(x, y)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (operators/joins.py) — the no-false-negative invariant under
+# arbitrary key sets, on a live Spark frame.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(1 << 40), max_value=1 << 40),
+        min_size=1, max_size=60, unique=True,
+    )
+)
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bloom_never_drops_build_keys(spark, keys):
+    from etl_globalretail_spark.operators.joins import (
+        bloom_prefilter,
+        build_bloom,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    bitmap = build_bloom(df, "k", 1024)
+    assert bloom_prefilter(df, "k", bitmap).count() == len(keys)
