@@ -1973,18 +1973,20 @@ def q154_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(
         e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
     )
-    n_edges = edges.count()  # driver-side scalar (bounded: grouped graph)
-    out = tri.agg(
-        F.count(F.lit(1)).alias("n_triangles"),
-        F.coalesce(
-            F.sum(F.col("a") + F.col("b") + F.col("c")), F.lit(0)
-        ).cast("long").alias("vertex_checksum"),
-    ).select(
-        "n_triangles",
-        F.lit(n_edges).cast("long").alias("n_edges"),
-        "vertex_checksum",
+    try:
+        n_edges = edges.count()  # driver-side scalar (bounded: grouped graph)
+        row = tri.agg(
+            F.count(F.lit(1)).alias("n_triangles"),
+            F.coalesce(
+                F.sum(F.col("a") + F.col("b") + F.col("c")), F.lit(0)
+            ).cast("long").alias("vertex_checksum"),
+        ).collect()[0]
+    finally:
+        edges.unpersist()
+    return spark.createDataFrame(
+        [(int(row["n_triangles"]), int(n_edges), int(row["vertex_checksum"]))],
+        "n_triangles long, n_edges long, vertex_checksum long",
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
