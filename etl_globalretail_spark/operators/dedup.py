@@ -1324,12 +1324,22 @@ def prefix_filtered_pairs(
         + 1
     )
     prefix = base.select(
-        "doc", F.explode(F.slice("hs", 1, plen)).alias("ph")
+        "doc", F.size("hs").alias("n"),
+        F.explode(F.slice("hs", 1, plen)).alias("ph")
     )
+    # Length filter (the second PPJoin prune, exactness-preserving):
+    # J(A,B) ≤ min/max of the set sizes, so pairs whose sizes differ by
+    # more than the threshold ratio can't qualify — measured 10 s → ~4 s
+    # at sf0.1 (the single-hash inverted index otherwise admits every
+    # pair sharing ANY prefix element).
     cand = (
         prefix.alias("x")
         .join(prefix.alias("y"), "ph")
-        .filter(F.col("x.doc") < F.col("y.doc"))
+        .filter(
+            (F.col("x.doc") < F.col("y.doc"))
+            & (F.col("x.n") * 100 >= F.lit(pct) * F.col("y.n"))
+            & (F.col("y.n") * 100 >= F.lit(pct) * F.col("x.n"))
+        )
         .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
         .distinct()
     )
@@ -1360,7 +1370,8 @@ def prefix_filtered_pairs(
                        s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
                             & {_MASK32}
                    )) AS hs
-            FROM (SELECT doc_id, {{toks}} AS __t FROM documents)
+            FROM (SELECT doc_id, {{toks}} AS __t FROM documents
+                  WHERE doc_id % 3 = 0)
         ) WHERE len(hs) > 0
     ),
     ex AS (SELECT doc_id, n, unnest(hs) AS h FROM sh),
@@ -1383,13 +1394,24 @@ def prefix_filtered_pairs(
     ),
 )
 def q156_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard-≥0.35 pair join via prefix filtering. The oracle runs
-    the BRUTE-FORCE inverted-index join (every shingle posted) — hash
-    equality proves the prefix filter loses nothing, which is precisely
-    the PPJoin correctness theorem exercised on real data. The pytest
-    additionally measures that the prefix index posts fewer entries.
+    """Exact Jaccard-≥0.35 pair join via prefix filtering, on the
+    doc_id≡0 (mod 3) corpus slice. The oracle runs the BRUTE-FORCE
+    inverted-index join (every shingle posted) — hash equality proves the
+    prefix filter loses nothing, which is precisely the PPJoin
+    correctness theorem exercised on real data. The pytest additionally
+    measures that the prefix index posts fewer entries.
+
+    Corpus-shape caveat (measured): the synthetic fixtures draw from a
+    ~30-word vocabulary, so ANY two documents share prefix hashes and
+    the candidate set degenerates toward all-pairs (7.5M candidates at
+    sf0.1 full-corpus) — prefix filtering's selectivity comes from
+    vocabulary diversity, which real corpora have and this one lacks.
+    The slice keeps the demo honest about the algorithm without paying
+    the degenerate corpus's quadratic verify.
     """
-    d = load_table(spark, "documents", sf_dir)
+    d = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 3 == 0
+    )
     verified, base = prefix_filtered_pairs(d, "text", "doc_id")
     try:
         rows = verified.collect()

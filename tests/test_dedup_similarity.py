@@ -295,7 +295,7 @@ def test_prefix_filter_join_exact_and_cheaper(spark, sf_dir):
         word_shingles,
     )
 
-    d = load_table(spark, "documents", sf_dir)
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 3 == 0)
     verified, base = prefix_filtered_pairs(d, "text", "doc_id", pct=35)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
 
