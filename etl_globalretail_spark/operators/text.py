@@ -712,30 +712,37 @@ def user_activity_features(events: DataFrame) -> DataFrame:
     is O(history) per key with no cross-key state."""
     import pandas as pd
 
-    def feats(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["tus", "event_id"])
-        t = pdf["tus"].to_numpy()
-        d = t[1:] - t[:-1] if len(t) > 1 else []
-        n_sessions = 1 + int((d >= _SESSION_GAP_US).sum()) if len(t) > 1 else 1
+    def one_user(t):
+        d = t[1:] - t[:-1] if len(t) > 1 else t[:0]
+        n_sessions = 1 + int((d >= _SESSION_GAP_US).sum())
         burst, best = 1, 1
         for gap in d:
             burst = burst + 1 if gap < _BURST_GAP_US else 1
             best = max(best, burst)
+        return len(t), n_sessions, best, int((t[-1] - t[0]) // 60_000_000)
+
+    def shard_feats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "tus", "event_id"])
+        rows = []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            n, ns, nb, span = one_user(g["tus"].to_numpy())
+            rows.append((int(uid), n, ns, nb, span))
         return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(t)],
-                "n_sessions": [n_sessions],
-                "longest_burst": [best],
-                "span_minutes": [int((t[-1] - t[0]) // 60_000_000)],
-            }
+            rows,
+            columns=["user_id", "n_events", "n_sessions",
+                     "longest_burst", "span_minutes"],
         )
 
     base = events.select(
         "user_id", "event_id", F.unix_micros(F.col("ts")).alias("tus")
     )
-    return base.groupBy("user_id").applyInPandas(
-        feats,
+    # Grouped map by a SHARD of keys, not the key: one-row-per-user
+    # groups are tiny and numerous, and applyInPandas pays per-invocation
+    # Arrow+Python overhead PER GROUP (measured ~5 s for ~1.5k users at
+    # sf0.1 → ~2 s sharded). user_id % 32 keeps every user whole within
+    # one shard, so semantics are identical; the kernel loops users.
+    return base.groupBy((F.col("user_id") % 32).alias("__shard")).applyInPandas(
+        shard_feats,
         "user_id long, n_events long, n_sessions long, "
         "longest_burst long, span_minutes long",
     )
