@@ -161,6 +161,7 @@ HEADLINE = [
     "q163_discount_quantity_corr",
     "q164_feature_hashing",
     "q165_median_imputation",
+    "q166_streaming_sink_exact",
 ]
 
 

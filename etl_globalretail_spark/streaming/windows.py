@@ -622,3 +622,57 @@ def q153_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
     )
+
+
+@_register(
+    "q166_streaming_sink_exact",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+           {val}
+    FROM events GROUP BY event_type
+    """.format(val=_osum("value", "sum_value")),
+)
+def q166_streaming_sink_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth REAL streaming run on the oracle gate — the exactly-once
+    SINK path: the events stream drains through ``foreachBatch`` ∘ keyed
+    anti-join parquet append (``stream_append_idempotent``), the stream is
+    run a SECOND time against the same sink (a full replay — the
+    at-least-once failure mode, simulated at 100%), and the aggregation
+    of what the sink actually holds must hash-match DuckDB's aggregation
+    of the source. Equality proves each event landed exactly once through
+    both runs: checkpointed source replay + idempotent keyed append.
+
+    q128/q133/q143 verified streaming AGGREGATION state; this verifies
+    the streaming WRITE path end-to-end, files on disk included.
+    """
+    import shutil
+    import tempfile
+
+    from etl_globalretail_spark.streaming.sink import stream_append_idempotent
+
+    work = tempfile.mkdtemp(prefix="q166_sink_")
+    sink = f"{work}/sink"
+    try:
+        for run in range(2):  # second run = total replay; sink must not grow
+            stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+            stream_append_idempotent(
+                stream, sink, ["event_id"], checkpoint=f"{work}/ckpt_{run}"
+            )
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("event_id").cast("long").alias("sum_ids"),
+                dsum(F.col("value"), "sum_value"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_events long, sum_ids long, sum_value double",
+    )
