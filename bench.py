@@ -162,6 +162,7 @@ HEADLINE = [
     "q164_feature_hashing",
     "q165_median_imputation",
     "q166_streaming_sink_exact",
+    "q167_group_auc",
 ]
 
 

@@ -2120,3 +2120,82 @@ def q163_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((dx == 0) | (dy == 0), F.lit(0.0)).otherwise(r)
         .alias("pearson_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — exact ROC-AUC per group, the Mann-Whitney way: AUC =
+# (Σ ranks(positives) − P(P+1)/2) / (P·N). Ranks over a shared total
+# order (score, id) make ties deterministic; every statistic is an exact
+# int64 and the final value is ONE double division — the model-eval
+# aggregate every scoring pipeline needs, computed distributively without
+# sklearn and without collecting scores.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q167_group_auc",
+    oracle="""
+    WITH scored AS (
+        SELECT event_type,
+               CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS label,
+               value AS score, event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, label,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY score, event_id
+               ) AS BIGINT) AS rnk
+        FROM scored
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(SUM(label) AS BIGINT) AS p,
+               CAST(COUNT(*) - SUM(label) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN label = 1 THEN rnk ELSE 0 END) AS BIGINT)
+                   AS rank_sum
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, p AS n_pos, n AS n_neg,
+           CAST(CASE WHEN p = 0 OR n = 0 THEN 0.0
+                ELSE CAST(rank_sum - (p * (p + 1)) / 2 AS DOUBLE)
+                     / CAST(p * n AS DOUBLE)
+           END AS DOUBLE) AS auc
+    FROM s
+    """,
+)
+def q167_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact AUC of `value` as a score against a
+    deterministic synthetic label (event_id % 5 — the fixtures carry no
+    labels; the operator is the product). Mann-Whitney rank formulation:
+    one window pass partitioned by group, integer rank sums, one
+    division. An AUC of ~0.5 everywhere is itself the correct answer for
+    an independent label — and the hash gate certifies the machinery."""
+    e = load_table(spark, "events", sf_dir)
+    scored = e.select(
+        "event_type",
+        (F.col("event_id") % 5 == 0).cast("long").alias("label"),
+        F.col("value").alias("score"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("score", "event_id")
+    ranked = scored.select(
+        "event_type", "label", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    s = ranked.groupBy("event_type").agg(
+        F.sum("label").cast("long").alias("p"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("n"),
+        F.sum(F.when(F.col("label") == 1, F.col("rnk")).otherwise(0))
+        .cast("long").alias("rank_sum"),
+    )
+    auc = (
+        (F.col("rank_sum") - (F.col("p") * (F.col("p") + 1)) / 2)
+        .cast("double") / (F.col("p") * F.col("n")).cast("double")
+    )
+    return s.select(
+        "event_type",
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.when((F.col("p") == 0) | (F.col("n") == 0), F.lit(0.0))
+        .otherwise(auc).alias("auc"),
+    )

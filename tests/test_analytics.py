@@ -457,3 +457,28 @@ def test_pearson_corr_matches_numpy(spark, sf_dir):
         ys = np.array([p[1] for p in pts], dtype=float)
         want = float(np.corrcoef(xs, ys)[0, 1]) if len(pts) > 1 else 0.0
         assert abs(got[flag] - want) < 1e-9, flag
+
+
+def test_group_auc_matches_driver_recompute(spark, sf_dir):
+    """q167's AUC equals the Mann-Whitney statistic recomputed driver-side
+    under the same (score, id) tie order."""
+    from etl_globalretail_spark.plans.analytics import q167_group_auc
+    from etl_globalretail_spark.sources.readers import load_table
+
+    got = {r["event_type"]: r for r in q167_group_auc(spark, sf_dir).collect()}
+    rows = load_table(spark, "events", sf_dir).select(
+        "event_type", "event_id", "value"
+    ).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["event_type"], []).append(
+            (r["value"], r["event_id"], 1 if r["event_id"] % 5 == 0 else 0)
+        )
+    for t, pts in by.items():
+        pts.sort()
+        p = sum(l for _, _, l in pts)
+        n = len(pts) - p
+        rank_sum = sum(i + 1 for i, (_, _, l) in enumerate(pts) if l == 1)
+        want = (rank_sum - p * (p + 1) / 2) / (p * n) if p and n else 0.0
+        assert got[t]["n_pos"] == p and got[t]["n_neg"] == n
+        assert abs(got[t]["auc"] - want) < 1e-12, t
