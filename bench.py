@@ -163,6 +163,7 @@ HEADLINE = [
     "q165_median_imputation",
     "q166_streaming_sink_exact",
     "q167_group_auc",
+    "q168_association_rules",
 ]
 
 

@@ -2199,3 +2199,90 @@ def q167_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("p") == 0) | (F.col("n") == 0), F.lit(0.0))
         .otherwise(auc).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — association rules from the pair supports (q147's second half):
+# confidence(a→b) = supp(a,b)/supp(a) and lift = N·supp(a,b)/
+# (supp(a)·supp(b)). All counts exact integers; each measure is one
+# double division (lift's numerator/denominator multiplied in int64
+# first) — the Apriori rule-generation step, distributively.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q168_association_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_b AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+    supp1 AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM items
+        GROUP BY l_partkey
+    ),
+    supp2 AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS s2
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        HAVING COUNT(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.s2 AS pair_support,
+           CAST(p.s2 AS DOUBLE) / CAST(sa.s AS DOUBLE) AS confidence,
+           CAST(n_b.n * p.s2 AS DOUBLE) / CAST(sa.s * sb.s AS DOUBLE)
+               AS lift
+    FROM supp2 p
+    JOIN supp1 sa ON p.part_a = sa.l_partkey
+    JOIN supp1 sb ON p.part_b = sb.l_partkey
+    CROSS JOIN n_b
+    """,
+)
+def q168_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a→b over baskets with pair support ≥ 3:
+    confidence and lift from exact integer supports. The single-item
+    support table is |parts| rows (broadcast); the basket count is a
+    broadcast 1-row scalar; lift >1 ⇔ positive association."""
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct().persist()
+    try:
+        n_baskets = items.select("l_orderkey").distinct().count()
+        supp1 = items.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).cast("long").alias("s")
+        )
+        a = items.select(F.col("l_orderkey").alias("ok"),
+                         F.col("l_partkey").alias("part_a"))
+        b = items.select(F.col("l_orderkey").alias("ok"),
+                         F.col("l_partkey").alias("part_b"))
+        supp2 = (
+            a.join(b, "ok")
+            .filter(F.col("part_a") < F.col("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("s2"))
+            .filter(F.col("s2") >= 3)
+        )
+        sa = supp1.select(F.col("l_partkey").alias("part_a"),
+                          F.col("s").alias("sa"))
+        sb = supp1.select(F.col("l_partkey").alias("part_b"),
+                          F.col("s").alias("sb"))
+        out = (
+            supp2.join(F.broadcast(sa), "part_a")
+            .join(F.broadcast(sb), "part_b")
+            .select(
+                "part_a", "part_b",
+                F.col("s2").alias("pair_support"),
+                (F.col("s2").cast("double") / F.col("sa").cast("double"))
+                .alias("confidence"),
+                ((F.lit(n_baskets) * F.col("s2")).cast("double")
+                 / (F.col("sa") * F.col("sb")).cast("double")).alias("lift"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        items.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "part_a long, part_b long, pair_support long, "
+        "confidence double, lift double",
+    )

@@ -482,3 +482,32 @@ def test_group_auc_matches_driver_recompute(spark, sf_dir):
         want = (rank_sum - p * (p + 1) / 2) / (p * n) if p and n else 0.0
         assert got[t]["n_pos"] == p and got[t]["n_neg"] == n
         assert abs(got[t]["auc"] - want) < 1e-12, t
+
+
+def test_association_rules_consistent_with_pair_mining(spark, sf_dir):
+    """Rules' supports agree with q147's counts where both exist, and
+    confidence = pair/antecedent support exactly."""
+    from etl_globalretail_spark.plans.analytics import (
+        q147_copurchase_pairs,
+        q168_association_rules,
+    )
+    from etl_globalretail_spark.sources.readers import load_table
+
+    rules = q168_association_rules(spark, sf_dir).collect()
+    items = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    supp1 = {
+        r["l_partkey"]: r["cnt"]
+        for r in items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for r in rules:
+        assert r["pair_support"] >= 3
+        assert abs(r["confidence"] - r["pair_support"] / supp1[r["part_a"]]) < 1e-12
+        assert r["lift"] > 0
+    top147 = {(r["part_a"], r["part_b"]): r["support"]
+              for r in q147_copurchase_pairs(spark, sf_dir).collect()}
+    for (a, b), s in top147.items():
+        if s >= 3:
+            match = [r for r in rules if (r["part_a"], r["part_b"]) == (a, b)]
+            assert match and match[0]["pair_support"] == s
