@@ -27,7 +27,13 @@ from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from etl_globalretail_spark.plans.queries import make_query_decorator
 
@@ -142,3 +148,78 @@ def q151_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("val").cast("long").alias("sum_val"),
         F.sum("i").cast("long").alias("sum_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Writer path: a JSON-Lines sink on the same Python Data Source API.
+# Each task writes its partition to a uniquely-named part file (executor-
+# side, no driver funnel); commit() runs on the driver after every task
+# reported success — the two-phase pattern real connectors use to get
+# all-or-nothing visibility (here: a _SUCCESS marker; an object-store
+# connector would move staged files instead).
+# ---------------------------------------------------------------------------
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path, self.n_rows = path, n_rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_py sink requires .option('path', ...)")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, rows) -> "_JsonlCommit":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(
+            self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.jsonl"
+        )
+        n = 0
+        with open(fname, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(dict(zip(self.fields, row))) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        total = sum(m.n_rows for m in messages)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(f"{total}\n")
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_py").option("path", dir).save()`` —
+    executor-parallel JSON-Lines files + driver-side two-phase commit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_py"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlWriter(self.options, schema)
+
+
+def register_jsonl_sink(spark: SparkSession) -> None:
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass

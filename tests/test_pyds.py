@@ -45,3 +45,29 @@ def test_synthetic_source_ragged_tail(spark):
     df = read_synthetic_events(spark, 103, partitions=4)
     assert df.count() == 103
     assert df.select(F.sum("i")).collect()[0][0] == 103 * 102 // 2
+
+
+def test_jsonl_sink_roundtrip_and_commit(spark, tmp_path):
+    """The Python writer path: parallel part files, a commit marker with
+    the total row count, and content that round-trips."""
+    import json
+    import os
+
+    from etl_globalretail_spark.sources.pyds import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    df = spark.range(0, 500, 1, 4).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "jsonl_out")
+    df.write.format("jsonl_py").option("path", out).mode("append").save()
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert open(os.path.join(out, "_SUCCESS")).read().strip() == "500"
+    parts = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(parts) == 4
+    rows = []
+    for f in parts:
+        with open(os.path.join(out, f)) as fh:
+            rows.extend(json.loads(line) for line in fh)
+    assert sorted((r["id"], r["v"]) for r in rows) == [
+        (i, 2 * i) for i in range(500)
+    ]
