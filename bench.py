@@ -164,6 +164,7 @@ HEADLINE = [
     "q166_streaming_sink_exact",
     "q167_group_auc",
     "q168_association_rules",
+    "q169_seasonality_index",
 ]
 
 

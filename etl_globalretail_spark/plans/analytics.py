@@ -2286,3 +2286,54 @@ def q168_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part_a long, part_b long, pair_support long, "
         "confidence double, lift double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — seasonality index: month-of-year revenue share vs the uniform
+# expectation, the classic retail planning statistic (a December index of
+# 1.4 = 40% over the average month). Ratio of two decimal-exact sums per
+# cell (never an order-dependent double mean), scaled by 12 in integer
+# space first.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q169_seasonality_index",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mes,
+               SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS rev,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY mes
+    ),
+    tot AS (SELECT SUM(rev) AS t FROM monthly)
+    SELECT mes,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(12 * rev AS DOUBLE) / CAST(t AS DOUBLE) AS season_index
+    FROM monthly, tot
+    """,
+)
+def q169_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonality of order revenue: per month-of-year, order
+    count, exact revenue, and the index 12·rev_m/Σrev (1.0 = an average
+    month). The monthly aggregate is 12 rows; the annual total attaches
+    as a broadcast scalar (whitelisted bounded cross join)."""
+    o = load_table(spark, "orders", sf_dir)
+    monthly = o.groupBy(
+        F.month("o_orderdate").cast("long").alias("mes")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).persist()  # rows AND the 1-row total — Catalyst won't dedupe
+    tot = monthly.agg(F.sum("rev").alias("t"))
+    return (
+        monthly.crossJoin(F.broadcast(tot))
+        .select(
+            "mes",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("rev").cast("double").alias("revenue"),
+            ((F.lit(12) * F.col("rev")).cast("double")
+             / F.col("t").cast("double")).alias("season_index"),
+        )
+    )

@@ -37,6 +37,8 @@ INTENTIONAL_CROSS = {
     # scalar to the per-supplier aggregate (TPC-H Q15) — bounded
     "q162_type_weekday_contingency",  # attaches the broadcast 1-row grand
     # total N to the |types|×|days| cell frame — bounded by construction
+    "q169_seasonality_index",  # attaches the broadcast 1-row annual total
+    # to the 12-row monthly frame — bounded by construction
 }
 
 FORBIDDEN = ("CartesianProduct",)
