@@ -165,6 +165,7 @@ HEADLINE = [
     "q167_group_auc",
     "q168_association_rules",
     "q169_seasonality_index",
+    "q170_clustering_coefficient",
 ]
 
 

@@ -2337,3 +2337,104 @@ def q169_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.col("t").cast("double")).alias("season_index"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — local clustering coefficient: per vertex, how close its
+# neighborhood is to a clique (triangles_at_v / C(deg_v, 2)) — the
+# node-level cohesion score under q154's global count. Triangles are
+# enumerated once on the oriented edge list and then un-oriented (each
+# triangle credits all three vertices); degrees come from the symmetric
+# view. Coefficients are one double division over exact integers.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q170_clustering_coefficient",
+    oracle=f"""
+    WITH e AS ({_q154_edges_sql()}),
+    sym AS (
+        SELECT u AS v, v AS w FROM e
+        UNION ALL
+        SELECT v AS v, u AS w FROM e
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY v),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tv AS (
+        SELECT x.v, CAST(COUNT(*) AS BIGINT) AS t
+        FROM (
+            SELECT a AS v FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) x GROUP BY x.v
+    )
+    SELECT deg.v AS vertex, deg.d AS degree,
+           CAST(COALESCE(tv.t, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN deg.d < 2 THEN 0.0
+                ELSE CAST(2 * COALESCE(tv.t, 0) AS DOUBLE)
+                     / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+           END AS DOUBLE) AS coefficient
+    FROM deg LEFT JOIN tv ON deg.v = tv.v
+    """,
+)
+def q170_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex clustering coefficient over the support≥2 co-purchase
+    graph: degree, triangle membership count, and 2t/(d(d−1))."""
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("u", "v")
+        .persist()
+    )
+    try:
+        sym = edges.select(F.col("u").alias("vx")).unionAll(
+            edges.select(F.col("v").alias("vx"))
+        )
+        deg = sym.groupBy("vx").agg(F.count(F.lit(1)).cast("long").alias("d"))
+        e1 = edges.select(F.col("u").alias("ta"), F.col("v").alias("tb"))
+        e2 = edges.select(F.col("u").alias("tb2"), F.col("v").alias("tc"))
+        e3 = edges.select(F.col("u").alias("ta3"), F.col("v").alias("tc3"))
+        tri = (
+            e1.join(e2, F.col("tb") == F.col("tb2"))
+            .join(e3, (F.col("ta") == F.col("ta3")) & (F.col("tc") == F.col("tc3")))
+            .select("ta", "tb", "tc")
+        )
+        tv = (
+            tri.select(F.col("ta").alias("vx"))
+            .unionAll(tri.select(F.col("tb").alias("vx")))
+            .unionAll(tri.select(F.col("tc").alias("vx")))
+            .groupBy("vx")
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        )
+        coef = (
+            (2 * F.coalesce(F.col("t"), F.lit(0))).cast("double")
+            / (F.col("d") * (F.col("d") - 1)).cast("double")
+        )
+        out = (
+            deg.join(tv, "vx", "left")
+            .select(
+                F.col("vx").alias("vertex"),
+                F.col("d").alias("degree"),
+                F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+                F.when(F.col("d") < 2, F.lit(0.0)).otherwise(coef)
+                .alias("coefficient"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        edges.unpersist()
+    return spark.createDataFrame(
+        rows, "vertex long, degree long, n_triangles long, coefficient double"
+    )

@@ -511,3 +511,20 @@ def test_association_rules_consistent_with_pair_mining(spark, sf_dir):
         if s >= 3:
             match = [r for r in rules if (r["part_a"], r["part_b"]) == (a, b)]
             assert match and match[0]["pair_support"] == s
+
+
+def test_clustering_coefficient_consistent_with_triangles(spark, sf_dir):
+    """Σ per-vertex triangle memberships = 3 × the global triangle count
+    (each triangle credits 3 vertices), and coefficients are in [0, 1]."""
+    from etl_globalretail_spark.plans.analytics import (
+        q154_triangle_count,
+        q170_clustering_coefficient,
+    )
+
+    rows = q170_clustering_coefficient(spark, sf_dir).collect()
+    glob = q154_triangle_count(spark, sf_dir).collect()[0]
+    assert sum(r["n_triangles"] for r in rows) == 3 * glob["n_triangles"]
+    for r in rows:
+        assert 0.0 <= r["coefficient"] <= 1.0
+        if r["degree"] < 2:
+            assert r["coefficient"] == 0.0
