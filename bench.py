@@ -166,6 +166,8 @@ HEADLINE = [
     "q168_association_rules",
     "q169_seasonality_index",
     "q170_clustering_coefficient",
+    "q171_session_paths",
+    "q172_length_drift",
 ]
 
 

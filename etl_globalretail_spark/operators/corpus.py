@@ -1299,3 +1299,80 @@ def q165_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
         .alias("imputed_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — distribution drift between two strata, exactly: the L1 (total
+# variation ×2) distance between normalized histograms, computed in PURE
+# INTEGERS by cross-multiplying the counts (|c1·N2 − c2·N1| summed, then
+# ONE division by N1·N2 at the very end). The drift gate every ingest
+# pipeline wants — "does today's length distribution match yesterday's?"
+# — without the non-portable log of KL/PSI.
+# ---------------------------------------------------------------------------
+
+_Q172_BIN = 100  # n_chars bin width
+
+
+def histogram_drift(
+    df: DataFrame, stratum_col: str, a, b, value_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Per-bin drift frame between strata ``a`` and ``b`` of one column:
+    counts, the exact integer cross term |c_a·N_b − c_b·N_a|, and the
+    scaled L1 total attached to every row (integer window sum; one double
+    division). l1 ∈ [0, 2]; 0 = identical distributions."""
+    binned = df.select(
+        F.col(stratum_col).alias("__s"),
+        F.floor(F.col(value_col) / bin_width).cast("long").alias("bin"),
+    ).filter(F.col("__s").isin(a, b))
+    counts = binned.groupBy("bin").agg(
+        F.sum((F.col("__s") == a).cast("long")).alias("c_a"),
+        F.sum((F.col("__s") == b).cast("long")).alias("c_b"),
+    )
+    w = Window.partitionBy()
+    na = F.sum("c_a").over(w)
+    nb = F.sum("c_b").over(w)
+    cross = F.abs(F.col("c_a") * nb - F.col("c_b") * na)
+    return counts.select(
+        "bin", "c_a", "c_b",
+        cross.cast("long").alias("cross_term"),
+        (
+            F.sum(cross).over(w).cast("double")
+            / (na * nb).cast("double")
+        ).alias("l1_distance"),
+    )
+
+
+@_register(
+    "q172_length_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT lang AS s, CAST(FLOOR(n_chars / {_Q172_BIN}) AS BIGINT) AS bin
+        FROM documents WHERE lang IN ('en', 'de')
+    ),
+    counts AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN s = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+               CAST(SUM(CASE WHEN s = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        FROM binned GROUP BY bin
+    ),
+    t AS (
+        SELECT bin, c_a, c_b,
+               SUM(c_a) OVER () AS na, SUM(c_b) OVER () AS nb,
+               ABS(c_a * (SUM(c_b) OVER ()) - c_b * (SUM(c_a) OVER ()))
+                   AS cross_term
+        FROM counts
+    )
+    SELECT bin, c_a, c_b,
+           CAST(cross_term AS BIGINT) AS cross_term,
+           CAST(SUM(cross_term) OVER () AS DOUBLE)
+               / CAST(na * nb AS DOUBLE) AS l1_distance
+    FROM t
+    """,
+)
+def q172_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution drift between the 'en' and 'de'
+    strata: per-100-char-bin counts, integer cross terms, and the exact
+    scaled L1 distance (identical on every row)."""
+    d = load_table(spark, "documents", sf_dir)
+    return histogram_drift(d, "lang", "en", "de", "n_chars", _Q172_BIN)

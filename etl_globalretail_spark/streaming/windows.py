@@ -676,3 +676,77 @@ def q166_streaming_sink_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "event_type string, n_events long, sum_ids long, sum_value double",
     )
+
+
+@_register(
+    "q171_session_paths",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    tri AS (
+        SELECT event_type AS c,
+               LAG(event_type, 1) OVER w AS b,
+               LAG(event_type, 2) OVER w AS a,
+               LAG(sid, 2) OVER w AS sid2, sid
+        FROM sess
+        WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT a || '>' || b || '>' || c AS path, COUNT(*) AS n
+        FROM tri WHERE a IS NOT NULL
+        GROUP BY path
+    )
+    SELECT path, CAST(n AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank
+    FROM paths QUALIFY rank <= 15
+    """,
+)
+def q171_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 in-session event-type trigram paths (a>b>c): sessions by the
+    q34 30-minute rule, lag-2 windows WITHIN a session so paths never span
+    a session boundary, total-ordered top-k. The sequence-mining census
+    behind 'what do users do next' dashboards, and q148's higher-order
+    sibling."""
+    e = load_table(spark, "events", sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(wu)
+            >= 30 * 60 * 1_000_000,
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.lag("event_type", 2).over(ws).alias("a"),
+        F.lag("event_type", 1).over(ws).alias("b"),
+        F.col("event_type").alias("c"),
+    ).filter(F.col("a").isNotNull())
+    paths = tri.groupBy(
+        F.concat_ws(">", "a", "b", "c").alias("path")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        paths.select("path", "n", F.row_number().over(wr).cast("long").alias("rank"))
+        .filter(F.col("rank") <= 15)
+    )

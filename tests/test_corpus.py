@@ -463,3 +463,21 @@ def test_impute_group_median_hand_case(spark):
     b_vals = sorted(r["v"] for r in out if r["g"] == "b")
     assert a_vals == [1.0, 2.0, 2.0, 3.0]   # NULL → lower median 2
     assert b_vals == [10.0, 10.0]
+
+
+def test_histogram_drift_bounds(spark):
+    """Identical distributions → L1 = 0; disjoint supports → L1 = 2."""
+    from etl_globalretail_spark.operators.corpus import histogram_drift
+
+    same = spark.createDataFrame(
+        [("a", v) for v in (10, 110, 210)] + [("b", v) for v in (10, 110, 210)],
+        "s string, v long",
+    )
+    r = histogram_drift(same, "s", "a", "b", "v", 100).collect()
+    assert all(row["l1_distance"] == 0.0 for row in r)
+
+    disjoint = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 500), ("b", 600)], "s string, v long"
+    )
+    r2 = histogram_drift(disjoint, "s", "a", "b", "v", 100).collect()
+    assert all(abs(row["l1_distance"] - 2.0) < 1e-12 for row in r2)

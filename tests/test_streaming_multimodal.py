@@ -265,3 +265,42 @@ def test_collapse_bursts_hand_case(spark):
     )
     kept = sorted(r["event_id"] for r in collapse_bursts(df).collect())
     assert kept == [1, 4, 5, 6]
+
+
+def test_session_paths_top1_matches_recount(spark, sf_dir):
+    """q171's rank-1 trigram equals a driver-side recount with identical
+    session and ordering rules."""
+    from collections import Counter
+
+    from etl_globalretail_spark.sources.readers import load_table
+    from etl_globalretail_spark.streaming.windows import q171_session_paths
+
+    out = q171_session_paths(spark, sf_dir).orderBy("rank").collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+    rows = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    c = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        sessions, cur = [], []
+        prev = None
+        for ts, eid, et in evs:
+            if prev is not None and (ts - prev).total_seconds() >= 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append(et)
+            prev = ts
+        sessions.append(cur)
+        for s in sessions:
+            for i in range(len(s) - 2):
+                c[f"{s[i]}>{s[i+1]}>{s[i+2]}"] += 1
+    if c:
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (out[0]["path"], out[0]["n"]) == best
