@@ -168,6 +168,7 @@ HEADLINE = [
     "q170_clustering_coefficient",
     "q171_session_paths",
     "q172_length_drift",
+    "q173_length_ks_test",
 ]
 
 

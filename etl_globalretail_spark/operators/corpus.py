@@ -1376,3 +1376,82 @@ def q172_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled L1 distance (identical on every row)."""
     d = load_table(spark, "documents", sf_dir)
     return histogram_drift(d, "lang", "en", "de", "n_chars", _Q172_BIN)
+
+
+# ---------------------------------------------------------------------------
+# q173 — exact two-sample Kolmogorov-Smirnov statistic, same integer
+# discipline as q172: KS = max over the merged support of
+# |cum_a·N_b − cum_b·N_a| / (N_a·N_b). Group by distinct value FIRST so
+# ties contribute their full mass before the ECDF is compared (the
+# classical definition); cumulative sums ride one value-ordered window;
+# the division happens once, on the final maximum.
+# ---------------------------------------------------------------------------
+
+
+def ks_statistic(
+    df: DataFrame, stratum_col: str, a, b, value_col: str
+) -> DataFrame:
+    """One-row frame: sample sizes, the integer KS numerator, and the KS
+    statistic for strata ``a`` vs ``b`` of one numeric column."""
+    counts = (
+        df.filter(F.col(stratum_col).isin(a, b))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum((F.col(stratum_col) == a).cast("long")).alias("c_a"),
+            F.sum((F.col(stratum_col) == b).cast("long")).alias("c_b"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    cum = counts.select(
+        F.sum("c_a").over(w).alias("ca"),
+        F.sum("c_b").over(w).alias("cb"),
+        F.sum("c_a").over(wall).alias("na"),
+        F.sum("c_b").over(wall).alias("nb"),
+    )
+    return cum.groupBy().agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+        .cast("long").alias("ks_numerator"),
+    ).select(
+        "n_a", "n_b", "ks_numerator",
+        (F.col("ks_numerator").cast("double")
+         / (F.col("n_a") * F.col("n_b")).cast("double")).alias("ks"),
+    )
+
+
+@_register(
+    "q173_length_ks_test",
+    oracle="""
+    WITH counts AS (
+        SELECT n_chars AS v,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_a,
+               CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_b
+        FROM documents WHERE lang IN ('en', 'de')
+        GROUP BY v
+    ),
+    cum AS (
+        SELECT SUM(c_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+               SUM(c_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+               SUM(c_a) OVER () AS na,
+               SUM(c_b) OVER () AS nb
+        FROM counts
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(MAX(ABS(ca * nb - cb * na)) AS BIGINT) AS ks_numerator,
+           CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE)
+               / CAST(MAX(na) * MAX(nb) AS DOUBLE) AS ks
+    FROM cum
+    """,
+)
+def q173_length_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KS statistic for document length, 'en' vs 'de' — the
+    rank-based drift test that needs no binning choice (q172's L1 needs a
+    bin width; KS is its parameter-free sibling). All-integer ECDF cross
+    terms; one final division."""
+    d = load_table(spark, "documents", sf_dir)
+    return ks_statistic(d, "lang", "en", "de", "n_chars")

@@ -481,3 +481,34 @@ def test_histogram_drift_bounds(spark):
     )
     r2 = histogram_drift(disjoint, "s", "a", "b", "v", 100).collect()
     assert all(abs(row["l1_distance"] - 2.0) < 1e-12 for row in r2)
+
+
+def test_ks_statistic_matches_scipy_free_recompute(spark):
+    """KS on a hand case equals the classical max-ECDF-gap computed
+    driver-side (ties handled by full-mass-at-value)."""
+    from etl_globalretail_spark.operators.corpus import ks_statistic
+
+    a_vals = [1, 2, 2, 3, 10]
+    b_vals = [2, 3, 3, 4]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "s string, v long")
+    r = ks_statistic(df, "s", "a", "b", "v").collect()[0]
+
+    support = sorted(set(a_vals) | set(b_vals))
+    na, nb = len(a_vals), len(b_vals)
+    best = 0
+    for t in support:
+        ca = sum(1 for v in a_vals if v <= t)
+        cb = sum(1 for v in b_vals if v <= t)
+        best = max(best, abs(ca * nb - cb * na))
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["ks_numerator"] == best
+    assert abs(r["ks"] - best / (na * nb)) < 1e-15
+
+
+def test_ks_zero_for_identical_samples(spark):
+    from etl_globalretail_spark.operators.corpus import ks_statistic
+
+    rows = [("a", v) for v in (1, 5, 9)] + [("b", v) for v in (1, 5, 9)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    assert ks_statistic(df, "s", "a", "b", "v").collect()[0]["ks"] == 0.0
