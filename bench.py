@@ -169,6 +169,8 @@ HEADLINE = [
     "q171_session_paths",
     "q172_length_drift",
     "q173_length_ks_test",
+    "q174_benford_audit",
+    "q175_revenue_gini",
 ]
 
 

@@ -2438,3 +2438,148 @@ def q170_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "vertex long, degree long, n_triangles long, coefficient double"
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — Benford first-digit audit: the forensic screen for fabricated or
+# systematically-generated amounts. Expected shares log10(1+1/d) are
+# pre-computed CONSTANTS (embedded identically in both engines — no
+# runtime log, which is not correctly-rounded-portable); observed shares
+# are one division over exact counts.
+# ---------------------------------------------------------------------------
+
+_BENFORD = {
+    1: 0.30102999566398120, 2: 0.17609125905568124,
+    3: 0.12493873660829993, 4: 0.09691001300805642,
+    5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+# E-notation forces DuckDB to parse each literal directly as a DOUBLE
+# (a plain decimal literal becomes DECIMAL(18,17) whose cast to double
+# rounds differently in the last ulp — observed).
+_BENFORD_SQL_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN {p!r}e0" for d, p in _BENFORD.items()
+) + " END"
+
+
+@_register(
+    "q174_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    t AS (SELECT SUM(n) AS tot FROM c)
+    SELECT c.d AS first_digit,
+           CAST(c.n AS BIGINT) AS n_amounts,
+           CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS observed_share,
+           CAST({_BENFORD_SQL_CASE.replace('CASE d', 'CASE c.d')}
+                AS DOUBLE) AS benford_share
+    FROM c CROSS JOIN t
+    """,
+)
+def q174_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First significant digit of order totals vs Benford's law: observed
+    share per digit next to the theoretical constant. Synthetic uniform
+    prices will NOT follow Benford — and showing that deviation is the
+    audit working. First digit via integer→string (exact); shares via one
+    division; expected values as shared literals."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        ).cast("long").alias("d")
+    )
+    c = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n")).persist()
+    t = c.agg(F.sum("n").alias("tot"))
+    benford = F.create_map(
+        *[x for d, p in _BENFORD.items() for x in (F.lit(d), F.lit(p))]
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.col("n").cast("long").alias("n_amounts"),
+            (F.col("n").cast("double") / F.col("tot").cast("double"))
+            .alias("observed_share"),
+            benford[F.col("d")].alias("benford_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q175 — Gini coefficient of revenue concentration per nation: how
+# unequal customer spend is. G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over
+# per-customer totals in exact floor-cents; the rank-weighted sum is
+# int64 and the final value is one double ratio. The concentration
+# metric behind "top-1% of customers drive X%" dashboards.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q175_revenue_gini",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY nk, ck
+    ),
+    ranked AS (
+        SELECT nk, x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY nk ORDER BY x, ck)
+                    AS BIGINT) AS r
+        FROM spend
+    ),
+    s AS (
+        SELECT nk, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(r * x) AS BIGINT) AS srx
+        FROM ranked GROUP BY nk
+    )
+    SELECT nk AS nationkey,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(CASE WHEN sx = 0 THEN 0.0
+                ELSE CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+                     / CAST(n * sx AS DOUBLE)
+           END AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def q175_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend within each nation, from
+    exact integer rank-weighted sums (ties broken on custkey — the shared
+    total order). 0 = everyone spends equally; →1 = one whale."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"), F.col("o_custkey").alias("ck")
+        )
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+             .cast("long").alias("x"))
+    )
+    wr = Window.partitionBy("nk").orderBy("x", "ck")
+    ranked = spend.select(
+        "nk", "x", F.row_number().over(wr).cast("long").alias("r")
+    )
+    s = ranked.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("r") * F.col("x")).cast("long").alias("srx"),
+    )
+    gini = (
+        (2 * F.col("srx") - (F.col("n") + 1) * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("sx")).cast("double")
+    )
+    return s.select(
+        F.col("nk").alias("nationkey"),
+        F.col("n").cast("long").alias("n_customers"),
+        F.when(F.col("sx") == 0, F.lit(0.0)).otherwise(gini).alias("gini"),
+    )
