@@ -39,6 +39,8 @@ INTENTIONAL_CROSS = {
     # total N to the |types|×|days| cell frame — bounded by construction
     "q169_seasonality_index",  # attaches the broadcast 1-row annual total
     # to the 12-row monthly frame — bounded by construction
+    "q174_benford_audit",  # attaches the broadcast 1-row grand total to
+    # the 9-row digit frame — bounded by construction
 }
 
 FORBIDDEN = ("CartesianProduct",)
