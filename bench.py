@@ -171,6 +171,7 @@ HEADLINE = [
     "q173_length_ks_test",
     "q174_benford_audit",
     "q175_revenue_gini",
+    "q176_customer_skyline",
 ]
 
 

@@ -2583,3 +2583,64 @@ def q175_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_customers"),
         F.when(F.col("sx") == 0, F.lit(0.0)).otherwise(gini).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — skyline (Pareto frontier): customers not dominated on
+# (total spend, last order date) — "no one both spends more AND ordered
+# more recently". Engines don't ship a skyline operator; the 2-D case
+# collapses to ONE window pass: over distinct points sorted by
+# (spend desc, day desc), a point is on the frontier iff its day exceeds
+# the running max of every preceding point (preceding = strictly more
+# spend, or equal spend and strictly later day — exactly the dominators).
+# The oracle runs the TEXTBOOK quadratic NOT EXISTS dominance predicate —
+# hash equality is the proof that the O(n log n) window form computes
+# dominance, the same decorrelation-style certificate as q96.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q176_customer_skyline",
+    oracle="""
+    WITH pts AS (
+        SELECT o_custkey AS ck,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS spend,
+               CAST(MAX(epoch_us(o_orderdate)) // 86400000000 AS BIGINT)
+                   AS last_day
+        FROM orders GROUP BY ck
+    )
+    SELECT p.ck AS custkey, p.spend, p.last_day
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.spend >= p.spend AND q.last_day >= p.last_day
+          AND (q.spend > p.spend OR q.last_day > p.last_day)
+    )
+    """,
+)
+def q176_customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal customers on (exact floor-cent spend, last order
+    day): the window-pass skyline. Distinct (spend, day) points carry
+    their member customers, the frontier test is one running max, and
+    frontier points re-expand to customers."""
+    o = load_table(spark, "orders", sf_dir)
+    pts = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("spend"),
+        F.expr("CAST(max(unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+               " div 86400000000 AS LONG)").alias("last_day"),
+    )
+    grain = pts.groupBy("spend", "last_day").agg(
+        F.collect_list("ck").alias("cks")
+    )
+    w = (
+        Window.orderBy(F.col("spend").desc(), F.col("last_day").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = grain.withColumn(
+        "__pm", F.max("last_day").over(w)
+    ).filter(F.col("__pm").isNull() | (F.col("last_day") > F.col("__pm")))
+    return frontier.select(
+        F.explode("cks").alias("custkey"), "spend", "last_day"
+    )

@@ -564,3 +564,40 @@ def test_gini_hand_cases(spark):
          for r in s}
     assert g[1] == 0.0
     assert 0.49 < g[2] < 0.5  # n=2 ceiling is 1/2
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark, sf_dir):
+    """Driver-side brute-force dominance over the same points equals
+    q176's frontier."""
+    from etl_globalretail_spark.plans.analytics import q176_customer_skyline
+    from etl_globalretail_spark.sources.readers import load_table
+
+    got = {r["custkey"] for r in q176_customer_skyline(spark, sf_dir).collect()}
+
+    import math
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    agg = {}
+    for r in o:
+        spend, day = agg.get(r["o_custkey"], (0, -1))
+        epoch_day = int(
+            r["o_orderdate"].replace(tzinfo=None).timestamp() // 86400
+            if hasattr(r["o_orderdate"], "timestamp") else 0
+        )
+        agg[r["o_custkey"]] = (
+            spend + math.floor(r["o_totalprice"] * 100),
+            max(day, epoch_day),
+        )
+    keys = list(agg)
+    want = set()
+    for k in keys:
+        s, d = agg[k]
+        dominated = any(
+            (agg[j][0] >= s and agg[j][1] >= d
+             and (agg[j][0] > s or agg[j][1] > d))
+            for j in keys if j != k
+        )
+        if not dominated:
+            want.add(k)
+    assert got == want and len(got) > 0
