@@ -172,6 +172,7 @@ HEADLINE = [
     "q174_benford_audit",
     "q175_revenue_gini",
     "q176_customer_skyline",
+    "q177_twap_per_user",
 ]
 
 

