@@ -173,6 +173,7 @@ HEADLINE = [
     "q175_revenue_gini",
     "q176_customer_skyline",
     "q177_twap_per_user",
+    "q178_dedup_tier_overlap",
 ]
 
 

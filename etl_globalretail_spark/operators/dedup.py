@@ -1418,3 +1418,100 @@ def q156_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         base.unpersist()
     return spark.createDataFrame(rows, "id_a long, id_b long, jaccard double")
+
+
+# ---------------------------------------------------------------------------
+# q178 — dedup-tier overlap census: given the three cheap-to-mid tiers
+# (exact token-stream hash, normalized-text hash, MinHash-verified
+# near-dup), how much do their FLAGGED sets overlap? The analysis a
+# curation team runs before paying for a tier: if normalized ⊇ exact adds
+# nothing here, or near-dup flags are 90% already caught, the ladder can
+# be shortened. Flag definitions (each doc vs the min of its group):
+# E = non-min per exact fingerprint; N = non-min per normalized key;
+# M = the larger id of any verified MinHash pair. One row: the 3 set
+# sizes, all pairwise/triple intersections, and the union.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q178_dedup_tier_overlap",
+    oracle=f"""
+    WITH e AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                PARTITION BY md5(array_to_string({{toks}}, ' '))
+                ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn > 1
+    ),
+    n AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                PARTITION BY md5(trim(regexp_replace(
+                    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                    ' +', ' ', 'g')))
+                ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn > 1
+    ),
+    pairs AS ({{q66}}),
+    m AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+    u AS (
+        SELECT doc_id, MAX(ine) AS ine, MAX(inn) AS inn, MAX(inm) AS inm
+        FROM (
+            SELECT doc_id, 1 AS ine, 0 AS inn, 0 AS inm FROM e
+            UNION ALL SELECT doc_id, 0, 1, 0 FROM n
+            UNION ALL SELECT doc_id, 0, 0, 1 FROM m
+        ) GROUP BY doc_id
+    )
+    SELECT CAST(COALESCE(SUM(ine), 0) AS BIGINT) AS n_exact,
+           CAST(COALESCE(SUM(inn), 0) AS BIGINT) AS n_norm,
+           CAST(COALESCE(SUM(inm), 0) AS BIGINT) AS n_minhash,
+           CAST(COALESCE(SUM(ine * inn), 0) AS BIGINT) AS exact_and_norm,
+           CAST(COALESCE(SUM(ine * inm), 0) AS BIGINT) AS exact_and_minhash,
+           CAST(COALESCE(SUM(inn * inm), 0) AS BIGINT) AS norm_and_minhash,
+           CAST(COALESCE(SUM(ine * inn * inm), 0) AS BIGINT) AS all_three,
+           COUNT(*) AS any_tier
+    FROM u
+    """.format(toks=_sql_tokens("text"),
+               q66=ORACLE["q66_minhash_pairs_exact"]),
+)
+def q178_dedup_tier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap census of the exact / normalized / MinHash flag sets."""
+    d = load_table(spark, "documents", sf_dir)
+
+    fp = F.md5(F.array_join(tokens(F.col("text")), " "))
+    we = Window.partitionBy(fp).orderBy("doc_id")
+    e = d.select("doc_id", F.row_number().over(we).alias("rn")).filter(
+        F.col("rn") > 1
+    ).select("doc_id")
+
+    from etl_globalretail_spark.operators.corpus import normalized_text_key
+
+    wn = Window.partitionBy(normalized_text_key(F.col("text"))).orderBy("doc_id")
+    nflag = d.select("doc_id", F.row_number().over(wn).alias("rn")).filter(
+        F.col("rn") > 1
+    ).select("doc_id")
+
+    pairs = QUERIES["q66_minhash_pairs_exact"](spark, sf_dir)
+    m = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+
+    u = (
+        e.withColumn("ine", F.lit(1)).withColumn("inn", F.lit(0)).withColumn("inm", F.lit(0))
+        .unionAll(nflag.withColumn("ine", F.lit(0)).withColumn("inn", F.lit(1)).withColumn("inm", F.lit(0)))
+        .unionAll(m.withColumn("ine", F.lit(0)).withColumn("inn", F.lit(0)).withColumn("inm", F.lit(1)))
+        .groupBy("doc_id")
+        .agg(F.max("ine").alias("ine"), F.max("inn").alias("inn"),
+             F.max("inm").alias("inm"))
+    )
+    z = F.lit(0)
+    return u.agg(
+        F.coalesce(F.sum("ine"), z).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("inn"), z).cast("long").alias("n_norm"),
+        F.coalesce(F.sum("inm"), z).cast("long").alias("n_minhash"),
+        F.coalesce(F.sum(F.col("ine") * F.col("inn")), z).cast("long").alias("exact_and_norm"),
+        F.coalesce(F.sum(F.col("ine") * F.col("inm")), z).cast("long").alias("exact_and_minhash"),
+        F.coalesce(F.sum(F.col("inn") * F.col("inm")), z).cast("long").alias("norm_and_minhash"),
+        F.coalesce(F.sum(F.col("ine") * F.col("inn") * F.col("inm")), z).cast("long").alias("all_three"),
+        F.count(F.lit(1)).alias("any_tier"),
+    )

@@ -339,3 +339,24 @@ def test_embedding_dim_stats_match_numpy(spark, sf_dir):
         assert r["n"] == len(col)
         assert abs(r["mean"] - col.mean() / 1e6) < 1e-9
         assert abs(r["variance"] - col.var() / 1e12) < 1e-6
+
+
+def test_dedup_tier_overlap_sanity(spark, sf_dir):
+    """Set algebra holds: every intersection ≤ its operands, the union
+    equals inclusion-exclusion, and exact-dups are a subset of
+    normalized-dups (normalization only merges MORE)."""
+    from etl_globalretail_spark.operators.dedup import q178_dedup_tier_overlap
+
+    r = q178_dedup_tier_overlap(spark, sf_dir).collect()[0]
+    assert r["exact_and_norm"] <= min(r["n_exact"], r["n_norm"])
+    assert r["all_three"] <= min(
+        r["exact_and_norm"], r["exact_and_minhash"], r["norm_and_minhash"]
+    )
+    ie = (
+        r["n_exact"] + r["n_norm"] + r["n_minhash"]
+        - r["exact_and_norm"] - r["exact_and_minhash"] - r["norm_and_minhash"]
+        + r["all_three"]
+    )
+    assert r["any_tier"] == ie
+    # identical token streams ⇒ identical normalized text ⇒ E ⊆ N
+    assert r["exact_and_norm"] == r["n_exact"]
