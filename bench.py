@@ -174,6 +174,11 @@ HEADLINE = [
     "q176_customer_skyline",
     "q177_twap_per_user",
     "q178_dedup_tier_overlap",
+    "q179_pagerank",
+    "q180_hll_users_exact",
+    "q181_ewma_recursive",
+    "q182_shard_manifest",
+    "q183_orderkey_islands",
 ]
 
 

@@ -430,3 +430,124 @@ def _register_q99() -> None:
 
 
 _register_q99()
+
+
+# ---------------------------------------------------------------------------
+# q180 — HyperLogLog on the hash gate: an md5-based HLL twin whose FULL
+# register pipeline (hash → bucket → rank → max-register → harmonic sum →
+# raw estimate) is replayed in DuckDB SQL, bit for bit. q50's production
+# sketch tier (Spark's HLL++ / approx_count_distinct) is rows-only because
+# its register states are engine-private; this twin puts the DESIGN on the
+# oracle, exactly as q65/q66 do for SimHash/MinHash.
+#
+# Construction (m = 256 registers, 60-bit md5 hash):
+#   bucket = h div 2^52            (top 8 bits)
+#   rho    = position of the first 1-bit in the remaining 52 bits
+#            (53 - bitlen(rem); rho = 53 for rem = 0)
+#   M_b    = max rho per bucket    -- the register
+#   S      = Σ_b 2^(53 - M_b)      -- harmonic sum, SCALED BY 2^53 so every
+#                                     term is an exact BIGINT (doubles would
+#                                     accumulate order-dependently)
+#   E_raw  = α_m·m²·2^53 / S       -- numerator is ONE shared literal
+#                                     (python repr, pasted into both
+#                                     engines — the q174 constant rule);
+#                                     one double division at the end.
+# Absent buckets contribute 2^53 each (rho-of-empty convention), counted
+# arithmetically as (m − present)·2^53 — no 256-row generator join.
+# Production estimators add the linear-counting small-range correction,
+# which needs ln() — NOT cross-engine portable (cookbook), so this twin
+# reports the raw estimator plus the zero-register count Z the correction
+# would key on; q50 remains the production tier.
+#
+# Scale notes: one partial/final aggregate pair — the shuffle carries at
+# most |groups|·m (register, max) cells after map-side combine, corpus-
+# size-INDEPENDENT, the same shape as q99's count-min. The exact
+# countDistinct companion (the audit column) is the only corpus-sized
+# shuffle in the query; at 100 TB you drop that column and keep the sketch.
+# ---------------------------------------------------------------------------
+
+_HLL_NUM = "4.2399330249068963e+20"  # 0.7213/(1+1.079/256) * 256^2 * 2^53
+_HLL_W = 4503599627370496  # 2^52
+_HLL_EMPTY = 9007199254740992  # 2^53
+
+
+def _q180_oracle() -> str:
+    return f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'hll'),
+                                   1, 15) AS BIGINT) AS hv,
+               user_id
+        FROM events
+    ),
+    rr AS (
+        SELECT event_type, hv // {_HLL_W} AS bucket,
+               CASE WHEN hv % {_HLL_W} = 0 THEN 53
+                    ELSE 53 - length(bin(hv % {_HLL_W})) END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT event_type, bucket, MAX(rho) AS m
+        FROM rr GROUP BY event_type, bucket
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(256 - COUNT(*) AS BIGINT) AS z_buckets,
+               CAST(SUM(CAST(1 AS BIGINT) << (53 - m))
+                    + (256 - COUNT(*)) * {_HLL_EMPTY} AS BIGINT)
+                   AS register_sum
+        FROM regs GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT a.event_type, ex.n_exact, a.z_buckets, a.register_sum,
+           {_HLL_NUM} / CAST(a.register_sum AS DOUBLE) AS hll_estimate
+    FROM agg a JOIN ex ON a.event_type = ex.event_type
+    """
+
+
+def _register_q180() -> None:
+    @_register("q180_hll_users_exact", oracle=_q180_oracle())
+    def q180_hll_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Distinct users per event type, three ways on one row: exact
+        countDistinct (the audit), the deterministic md5-HLL raw estimate
+        (the sketch, replayed in DuckDB), and the zero-register count the
+        small-range correction would key on."""
+        e = load_table(spark, "events", sf_dir)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("hll"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("bigint")
+        rr = e.select("event_type", h.alias("hv")).select(
+            "event_type",
+            F.expr(f"hv div {_HLL_W}").alias("bucket"),
+            F.when(F.col("hv") % _HLL_W == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin(F.col("hv") % _HLL_W)))
+            .alias("rho"),
+        )
+        regs = rr.groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
+        agg = regs.groupBy("event_type").agg(
+            (F.lit(256) - F.count(F.lit(1))).cast("long").alias("z_buckets"),
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)"))
+                + (F.lit(256) - F.count(F.lit(1))) * F.lit(_HLL_EMPTY)
+            ).cast("long").alias("register_sum"),
+        )
+        exact = e.groupBy("event_type").agg(
+            F.countDistinct("user_id").cast("long").alias("n_exact")
+        )
+        return (
+            agg.join(F.broadcast(exact), "event_type")
+            .select(
+                "event_type", "n_exact", "z_buckets", "register_sum",
+                (F.lit(float(_HLL_NUM)) / F.col("register_sum").cast("double"))
+                .alias("hll_estimate"),
+            )
+        )
+
+
+_register_q180()

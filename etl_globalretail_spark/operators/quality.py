@@ -380,3 +380,75 @@ def q152_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("l_shipdate").cast("timestamp")).cast("string"),
     )
     return table_fingerprint(li, row)
+
+
+# ---------------------------------------------------------------------------
+# q183 — key-continuity audit (gaps-and-islands over a surrogate-key
+# domain): the DQ check that catches dropped extraction batches, purged
+# ranges, and sequence-generator resets. The audited domain here is the
+# orderkeys of high-value orders (o_totalprice ≥ 150000) — a naturally
+# holey subset, so the island report is genuinely exercised (~thousands
+# of runs) rather than degenerating on the fixture's dense raw keys.
+# One contiguous run per output row (start, end, length) plus the gap to
+# the next run — integers only, NULL-free (last row's gap COALESCEd to 0).
+#
+# Scale notes: the window runs over the DISTINCT KEY COLUMN ONLY (pruned
+# scan → distinct → island grouping), the same global-order cost class as
+# q149's range-boundary planner. The island grouping key (id − rank) is
+# the textbook dense-rank trick; the heavy frame (one row per distinct
+# key) immediately collapses to one row per ISLAND before the lead()
+# pass, which runs over the island frame. At 100 TB you run this per
+# range partition (repartitionByRange on the key) and stitch the ≤P
+# boundary islands driver-side — same arithmetic, documented here rather
+# than coded because the fixture's domain is single-window-sized.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q183_orderkey_islands",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders
+              WHERE o_totalprice >= 150000),
+    ranked AS (
+        SELECT id, id - ROW_NUMBER() OVER (ORDER BY id) AS grp FROM ids
+    ),
+    islands AS (
+        SELECT MIN(id) AS island_start, MAX(id) AS island_end,
+               CAST(COUNT(*) AS BIGINT) AS island_len
+        FROM ranked GROUP BY grp
+    )
+    SELECT island_start, island_end, island_len,
+           CAST(COALESCE(LEAD(island_start) OVER (ORDER BY island_start)
+                         - island_end - 1, 0) AS BIGINT) AS gap_after
+    FROM islands
+    """,
+)
+def q183_orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous orderkey runs and the gap following each — the
+    missing-range detector for surrogate-key continuity audits."""
+    from pyspark.sql.window import Window
+
+    ids = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_totalprice") >= 150000)  # pushed to the scan
+        .select(F.col("o_orderkey").alias("id"))
+        .distinct()
+    )
+    w = Window.orderBy("id")
+    islands = (
+        ids.select("id", (F.col("id") - F.row_number().over(w)).alias("grp"))
+        .groupBy("grp")
+        .agg(
+            F.min("id").alias("island_start"),
+            F.max("id").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+    )
+    wi = Window.orderBy("island_start")
+    return islands.select(
+        "island_start", "island_end", "island_len",
+        F.coalesce(
+            F.lead("island_start").over(wi) - F.col("island_end") - 1,
+            F.lit(0),
+        ).cast("long").alias("gap_after"),
+    )

@@ -263,3 +263,69 @@ def q48_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.join(kept_agg, "source", "inner").select(
         "source", "n_docs", "n_kept", "sum_kept_ids"
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — deterministic training-shard manifest: the LAST step of every
+# corpus pipeline (write N shards + a manifest a trainer can trust).
+# Shard assignment is the same cross-engine md5 bucket as the splits
+# (salt-namespaced); the manifest row per shard carries the doc census,
+# token budget, id range, and an order/partition-invariant XOR content
+# fingerprint (the q152 anti-entropy device at shard grain) — enough to
+# verify a delivered shard without re-reading the corpus.
+#
+# Scale notes: assignment is map-only; the manifest is ONE aggregate with
+# map-side combine (16 groups). The actual shard write is
+# formats.write_partitioned(shard) — this query is its verification face.
+# A SUM of full-width 60-bit hashes would overflow int64 past ~8 docs;
+# XOR is closed on the domain (cookbook q85 note).
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+def _q182_oracle() -> str:
+    from etl_globalretail_spark.operators.text import _sql_tokens
+
+    return f"""
+    SELECT {_sql_bucket("doc_id", _N_SHARDS, "shard")} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_sql_tokens()})) AS BIGINT) AS sum_tokens,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(BIT_XOR(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+                AS BIGINT) AS content_xor
+    FROM documents
+    GROUP BY shard
+    """
+
+
+def _register_q182() -> None:
+    @_register("q182_shard_manifest", oracle=_q182_oracle())
+    def q182_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """16-shard manifest over documents: per-shard doc count, token
+        budget, doc-id range, and XOR content fingerprint — the
+        deliverable-verification face of a sharded corpus write."""
+        from etl_globalretail_spark.operators.text import token_count
+
+        docs = load_table(spark, "documents", sf_dir)
+        return (
+            docs.select(
+                hash_bucket(F.col("doc_id"), _N_SHARDS, "shard").alias("shard"),
+                "doc_id",
+                token_count(F.col("text")).alias("ntok"),
+                F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
+                .cast("bigint").alias("h"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("ntok").cast("long").alias("sum_tokens"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+                F.bit_xor("h").alias("content_xor"),
+            )
+        )
+
+
+_register_q182()

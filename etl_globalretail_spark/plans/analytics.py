@@ -2705,3 +2705,205 @@ def q177_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("wq").cast("double")
          / (F.sum("dt_s").cast("double") * F.lit(1e6))).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — PageRank, integer-quantized, fixed 3 iterations, oracle-exact.
+# The canonical iterative graph workload (importance over the co-purchase
+# part graph — "which parts anchor the catalog's basket structure"). The
+# reference has no graph surface (etl_completo.py is row-at-a-time retail
+# ETL); this extends the q154/q170 graph family from one-shot joins to a
+# CONVERGING ITERATION, cross-engine verified.
+#
+# Determinism device: ranks live in integer micro-units (start 1_000_000
+# per vertex). Each step is
+#     contrib(v)  = rank(v) div outdeg(v)          -- integer floor
+#     rank'(u)    = 150_000 + (85 * Σ contrib) div 100
+# i.e. damping 0.85 applied in exact integer arithmetic (Spark `div` ≡
+# DuckDB `//` on positive BIGINTs — the dialect-portable floor division
+# from the cookbook). No double ever enters the loop, so the fixpoint
+# trajectory is bit-identical across engines, partitionings, and retries.
+# The symmetric graph guarantees outdeg ≥ 1 (no dangling-mass term).
+#
+# Scale notes: the classic Pregel shape — the edge list is the big frame,
+# partitioned once and PERSISTED (re-read every superstep; re-shuffling it
+# per iteration is the textbook PageRank-on-Spark mistake); each iteration
+# shuffles only (dst, contrib) partial sums (map-side combine on the
+# groupBy) and the vertex-sized rank frame. Lineage is cut with
+# localCheckpoint before the persisted inputs are released, so the
+# returned frame never re-runs the loop. At 100 TB the rank frame is
+# |V| ≪ |E| and the per-iteration cost is one co-partitioned join — with
+# edges pre-bucketed by src the shuffle drops to the rank frame alone.
+# ---------------------------------------------------------------------------
+
+
+def _q179_oracle() -> str:
+    it = """
+    r{i} AS (
+        SELECT d.src AS v, d.outdeg,
+               CAST(150000 + (85 * COALESCE(s.contrib, 0)) // 100 AS BIGINT)
+                   AS rank
+        FROM deg d LEFT JOIN (
+            SELECT sym.dst AS v2, SUM(r.rank // r.outdeg) AS contrib
+            FROM sym JOIN r{p} r ON sym.src = r.v GROUP BY sym.dst
+        ) s ON d.src = s.v2
+    )"""
+    iters = ",".join(it.format(i=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+    WITH e AS ({_q154_edges_sql()}),
+    sym AS (SELECT u AS src, v AS dst FROM e
+            UNION ALL SELECT v AS src, u AS dst FROM e),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM sym GROUP BY src),
+    r0 AS (SELECT src AS v, outdeg, CAST(1000000 AS BIGINT) AS rank
+           FROM deg),
+    {iters}
+    SELECT v AS part, outdeg, rank AS pagerank FROM r3
+    """
+
+
+@_register("q179_pagerank", oracle=_q179_oracle())
+def q179_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank (3 supersteps, damping 0.85) over the
+    support≥2 co-purchase part graph; one row per vertex with its out-degree
+    and final rank in micro-units. The DuckDB oracle replays the identical
+    integer trajectory through unrolled CTEs — iterative algorithms sit on
+    the hash gate, not the weaker rows-only tier."""
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    sym = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .persist()  # re-read every superstep — the one frame that must not rebuild
+    )
+    deg = (
+        sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+        .persist()  # joined back every superstep (vertex-sized)
+    )
+    ranks = deg.select(
+        F.col("src").alias("v"), "outdeg", F.lit(1000000).cast("long").alias("rank")
+    )
+    try:
+        for _ in range(3):
+            contrib = (
+                sym.join(ranks, sym["src"] == ranks["v"])
+                .select(F.col("dst"), F.expr("rank div outdeg").alias("c"))
+                .groupBy("dst")  # map-side partial combine on (dst, Σc)
+                .agg(F.sum("c").alias("contrib"))
+            )
+            ranks = (
+                deg.join(contrib, deg["src"] == contrib["dst"], "left")
+                .select(
+                    deg["src"].alias("v"),
+                    "outdeg",
+                    (F.lit(150000)
+                     + F.expr("(85 * coalesce(contrib, 0)) div 100"))
+                    .cast("long").alias("rank"),
+                )
+            )
+        final = ranks.select(
+            F.col("v").alias("part"), "outdeg", F.col("rank").alias("pagerank")
+        ).localCheckpoint(eager=True)  # cut lineage before releasing inputs
+    finally:
+        sym.unpersist()
+        deg.unpersist()
+    return final
+
+
+# ---------------------------------------------------------------------------
+# q181 — a true RECURRENCE on the hash gate: integer EWMA (α = 1/2) over
+# each user's event-value stream. Windows cannot express s_t =
+# (s_{t-1} + x_t) div 2 — the state feeds back — so this is the honest
+# home of a grouped-map pandas kernel (the same surface as q155), and its
+# DuckDB twin is a RECURSIVE CTE stepping rn → rn+1 with the identical
+# integer update. A smoothed value + cumulative checksum per user are
+# hash-compared: the sequential kernel and the set-based recursion agree
+# bit for bit because the state space is exact int64 (values quantized to
+# micros BEFORE the loop; floor-divisions are the portable `div`/`//`).
+#
+# Scale notes: the kernel is sharded (user_id % 32) like q155 — grouped-map
+# pays Arrow+interpreter overhead per INVOCATION, so thousands of tiny
+# per-user groups are batched into 32 shard calls; each user's history is
+# contiguous after the in-shard sort. State is O(1) per user, the pass is
+# O(events); this is the batch face of what
+# streaming/stateful.running_user_totals does with per-key state across
+# micro-batches. The recursive CTE oracle is the VERIFIER, not the scale
+# path — its depth equals the longest per-user history.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q181_ewma_recursive",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 1e6) AS BIGINT) AS x,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    rec AS (
+        SELECT user_id, rn, x AS s FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT seq.user_id, seq.rn, (rec.s + seq.x) // 2 AS s
+        FROM rec JOIN seq
+          ON seq.user_id = rec.user_id AND seq.rn = rec.rn + 1
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(arg_max(s, rn) AS BIGINT) AS ewma_final,
+           CAST(SUM(s) AS BIGINT) AS ewma_checksum
+    FROM rec GROUP BY user_id
+    """,
+)
+def q181_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user integer EWMA (α = 1/2) over (ts, event_id)-ordered event
+    values in exact micro-units: final smoothed value + Σ of every
+    intermediate state (the trajectory checksum). Sharded applyInPandas
+    kernel vs a recursive-CTE oracle — the recurrence itself is verified."""
+    import pandas as pd
+
+    events = load_table(spark, "events", sf_dir)
+
+    def shard_ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "tus", "event_id"])
+        rows = []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            s = None
+            total = 0
+            n = 0
+            for x in g["x"]:
+                x = int(x)
+                if s is None:
+                    s = x
+                else:
+                    # engine `//`/`div` TRUNCATES toward zero; Python //
+                    # floors — branch so negative states stay portable
+                    t = s + x
+                    s = t // 2 if t >= 0 else -((-t) // 2)
+                total += s
+                n += 1
+            rows.append((int(uid), n, s, total))
+        return pd.DataFrame(
+            rows, columns=["user_id", "n_events", "ewma_final", "ewma_checksum"]
+        )
+
+    base = events.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts")).alias("tus"),
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("x"),
+    )
+    return base.groupBy((F.col("user_id") % 32).alias("__shard")).applyInPandas(
+        shard_ewma,
+        "user_id long, n_events long, ewma_final long, ewma_checksum long",
+    )
