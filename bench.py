@@ -179,6 +179,7 @@ HEADLINE = [
     "q181_ewma_recursive",
     "q182_shard_manifest",
     "q183_orderkey_islands",
+    "q184_welch_t_test",
 ]
 
 

@@ -2907,3 +2907,98 @@ def q181_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_ewma,
         "user_id long, n_events long, ewma_final long, ewma_checksum long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — Welch's unequal-variance t-test per event type (weekend vs
+# weekday values): the classic "did the metric move between strata"
+# gate, completing the drift/eval family (L1 q172, KS q173, χ² q162,
+# AUC q167, Pearson q163). Same portability recipe as all of them:
+# quantize to integer millis FIRST, aggregate exact moments (Σx as
+# int64; Σx² through DECIMAL(38,0) — at 100 TB row counts an int64 Σx²
+# overflows), then ONE fixed sequence of correctly-rounded double ops
+# (two means, two sample variances, one sqrt, one division) written
+# identically in both engines. sqrt IS portable (cookbook); pow/log are
+# not, which is why dof/p-value stay out — the t statistic itself is the
+# decision variable a pipeline thresholds on.
+#
+# Scale notes: one conditional-aggregation pass (q62's device) — no
+# per-stratum scans, no joins; the shuffle carries |event_type| moment
+# rows. The weekday split uses the documented dayofweek dialect offset
+# (Spark Sun=1 … Sat=7; DuckDB Sun=0 … Sat=6).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q184_welch_t_test",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk,
+               CAST(FLOOR(value * 1e3) AS BIGINT) AS x
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(SUM(wk) AS BIGINT) AS n_a,
+               CAST(SUM(1 - wk) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN wk = 1 THEN x ELSE 0 END) AS BIGINT) AS s_a,
+               CAST(SUM(CASE WHEN wk = 0 THEN x ELSE 0 END) AS BIGINT) AS s_b,
+               CAST(SUM(CASE WHEN wk = 1 THEN x * x ELSE 0 END) AS DOUBLE) AS q_a,
+               CAST(SUM(CASE WHEN wk = 0 THEN x * x ELSE 0 END) AS DOUBLE) AS q_b
+        FROM q GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b, s_a, s_b,
+           (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt(
+               ((CAST(n_a AS DOUBLE) * q_a
+                 - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+                / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1)))
+               / CAST(n_a AS DOUBLE)
+               +
+               ((CAST(n_b AS DOUBLE) * q_b
+                 - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+                / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1)))
+               / CAST(n_b AS DOUBLE)
+             ) AS welch_t
+    FROM m
+    """,
+)
+def q184_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic per event type between weekend (stratum a) and
+    weekday (stratum b) values, from exact integer-milli moments in one
+    conditional-aggregation pass; the identical IEEE op sequence runs in
+    DuckDB, so the statistic hash-matches bit for bit."""
+    e = load_table(spark, "events", sf_dir)
+    q = e.select(
+        "event_type",
+        F.when(F.dayofweek("ts").isin(1, 7), F.lit(1)).otherwise(F.lit(0))
+        .alias("wk"),
+        F.floor(F.col("value") * F.lit(1e3)).cast("long").alias("x"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.sum("wk").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("wk")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("wk") == 1, F.col("x")).otherwise(F.lit(0)))
+        .cast("long").alias("s_a"),
+        F.sum(F.when(F.col("wk") == 0, F.col("x")).otherwise(F.lit(0)))
+        .cast("long").alias("s_b"),
+        # Σx² exact through DECIMAL(38,0) — int64 overflows at 100 TB rows
+        F.sum(F.when(F.col("wk") == 1, (F.col("x") * F.col("x"))
+                     .cast("decimal(38,0)")).otherwise(F.lit(0)))
+        .cast("double").alias("q_a"),
+        F.sum(F.when(F.col("wk") == 0, (F.col("x") * F.col("x"))
+                     .cast("decimal(38,0)")).otherwise(F.lit(0)))
+        .cast("double").alias("q_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("s_a").cast("double")
+    sb = F.col("s_b").cast("double")
+    va = (na * F.col("q_a") - sa * sa) / (na * (na - F.lit(1.0)))
+    vb = (nb * F.col("q_b") - sb * sb) / (nb * (nb - F.lit(1.0)))
+    return m.select(
+        "event_type", "n_a", "n_b", "s_a", "s_b",
+        ((sa / na - sb / nb) / F.sqrt(va / na + vb / nb)).alias("welch_t"),
+    )

@@ -172,3 +172,31 @@ def test_islands_tile_the_domain(spark, sf_dir):
     assert rows[-1]["gap_after"] == 0  # NULL-free last row
     for r in rows:
         assert r["island_len"] == r["island_end"] - r["island_start"] + 1
+
+
+# ---------------------------------------------------------------------------
+# q184 Welch t cross-check
+# ---------------------------------------------------------------------------
+
+
+def test_welch_t_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    df = ALL_QUERIES["q184_welch_t_test"](spark, sf_dir)
+    got = {r["event_type"]: r for r in df.collect()}
+    events = load_table(spark, "events", sf_dir)
+    rows = events.select(
+        "event_type",
+        F.dayofweek("ts").isin(1, 7).alias("wk"),
+        F.floor(F.col("value") * 1e3).cast("long").alias("x"),
+    ).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], ([], []))[0 if r["wk"] else 1].append(r["x"])
+    for et, (a, b) in by_type.items():
+        a, b = np.array(a, float), np.array(b, float)
+        t = (a.mean() - b.mean()) / np.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+        assert abs(got[et]["welch_t"] - t) < 1e-9, et
+        assert got[et]["n_a"] == len(a) and got[et]["n_b"] == len(b)
