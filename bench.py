@@ -180,6 +180,7 @@ HEADLINE = [
     "q182_shard_manifest",
     "q183_orderkey_islands",
     "q184_welch_t_test",
+    "q185_span_scrub",
 ]
 
 

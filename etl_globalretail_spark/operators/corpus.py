@@ -1455,3 +1455,151 @@ def q173_length_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms; one final division."""
     d = load_table(spark, "documents", sf_dir)
     return ks_statistic(d, "lang", "en", "de", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q185 — span SCRUB: the removal face of q139's duplicated-span signal
+# (exact-substring dedup à la "Deduplicating Training Data Makes Language
+# Models Better" — drop every k-word span that also appears in another
+# document, report the surviving token budget). q139 *scores*; this
+# *cuts*, which needs the extra step q139 avoids: the union length of
+# overlapping duplicated spans per document. That union is computed with
+# the islands trick on span START positions — maximal runs of flagged
+# starts with inter-start gap ≤ k−1 merge into one covered interval of
+# length (last − first + k) — so no per-token explode and no interval
+# self-join ever materializes.
+#
+# Plan shape: ONE shuffle on the span hash (position rides alongside; the
+# cross-doc flag is the same min≠max window as q139), ONE shuffle back to
+# the document grain for the island windows (doc-sized partitions), then
+# a broadcast-sized per-source rollup. The corpus text itself is never
+# shuffled. Output is source-grain with exact token conservation
+# (kept + covered = total; pytest law).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q185_span_scrub",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    dd AS (SELECT doc_id, source, len(toks) AS n_toks, toks FROM d),
+    pos AS (
+        SELECT doc_id, toks,
+               unnest(range(1, CAST(n_toks AS BIGINT) - {_SPAN_K - 2})) AS i
+        FROM dd
+    ),
+    spans AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               md5(array_to_string(toks[CAST(i AS BIGINT):CAST(i AS BIGINT) + {_SPAN_K - 1}],
+                                   chr(31))) AS h
+        FROM pos
+    ),
+    flagged AS (
+        SELECT doc_id, i,
+               CASE WHEN MIN(doc_id) OVER (PARTITION BY h)
+                         <> MAX(doc_id) OVER (PARTITION BY h)
+                    THEN 1 ELSE 0 END AS dup
+        FROM spans
+    ),
+    starts AS (
+        SELECT doc_id, i,
+               CASE WHEN COALESCE(
+                        i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i),
+                        {_SPAN_K}) > {_SPAN_K - 1}
+                    THEN 1 ELSE 0 END AS new_island
+        FROM flagged WHERE dup = 1
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM starts
+    ),
+    cov AS (
+        SELECT doc_id,
+               SUM(mx - mn + {_SPAN_K}) AS covered
+        FROM (SELECT doc_id, island, MIN(i) AS mn, MAX(i) AS mx
+              FROM isl GROUP BY doc_id, island)
+        GROUP BY doc_id
+    )
+    SELECT dd.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dd.n_toks) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(c.covered), 0) AS BIGINT) AS covered_tokens,
+           CAST(SUM(dd.n_toks) - COALESCE(SUM(c.covered), 0) AS BIGINT)
+               AS kept_tokens
+    FROM dd LEFT JOIN cov c ON dd.doc_id = c.doc_id
+    GROUP BY dd.source
+    """,
+)
+def q185_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget after removing every cross-document
+    duplicated 5-word span: doc census, total tokens, covered (removed)
+    tokens via interval-union islands, and the surviving token count."""
+    return span_scrub(load_table(spark, "documents", sf_dir))
+
+
+def span_scrub(docs: DataFrame) -> DataFrame:
+    """The q185 pipeline on any (doc_id, source, text) frame — factored so
+    fixtures can exercise the interval-union semantics directly."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", "source", toks.alias("toks"),
+                       F.size(toks).cast("long").alias("n_toks"))
+    pos = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.col("n_toks") >= _SPAN_K,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_toks") - (_SPAN_K - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws("\x1f", F.slice(F.col("toks"), i, _SPAN_K))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("p", "h"),
+    ).select("doc_id", (F.col("p") + 1).cast("long").alias("i"), "h")
+    wh = Window.partitionBy("h")
+    starts = (
+        pos.select(
+            "doc_id", "i",
+            (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias("dup"),
+        )
+        .filter(F.col("dup"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    isl = starts.select(
+        "doc_id", "i",
+        F.sum(
+            F.when(
+                F.coalesce(
+                    F.col("i") - F.lag("i").over(wd), F.lit(_SPAN_K)
+                ) > _SPAN_K - 1,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    cov = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.max("i") - F.min("i") + _SPAN_K).alias("span_len"))
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("covered"))
+    )
+    return (
+        base.select("doc_id", "source", "n_toks")
+        .join(cov, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.coalesce(F.sum("covered"), F.lit(0)).cast("long")
+            .alias("covered_tokens"),
+            (F.sum("n_toks") - F.coalesce(F.sum("covered"), F.lit(0)))
+            .cast("long").alias("kept_tokens"),
+        )
+    )

@@ -200,3 +200,60 @@ def test_welch_t_matches_numpy(spark, sf_dir):
         )
         assert abs(got[et]["welch_t"] - t) < 1e-9, et
         assert got[et]["n_a"] == len(a) and got[et]["n_b"] == len(b)
+
+
+# ---------------------------------------------------------------------------
+# q185 span scrub laws
+# ---------------------------------------------------------------------------
+
+
+def test_span_scrub_conservation_and_hand_case(spark, sf_dir):
+    df = ALL_QUERIES["q185_span_scrub"](spark, sf_dir)
+    for r in df.collect():
+        assert r["kept_tokens"] + r["covered_tokens"] == r["total_tokens"]
+        assert 0 <= r["covered_tokens"] <= r["total_tokens"]
+
+    # hand case: interval UNION (not sum) of overlapping dup spans
+    from etl_globalretail_spark.operators.corpus import span_scrub
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            # doc1: the shared span sits at start 2 → covered = 5
+            (1, "a", f"x {shared} zeta"),
+            # doc2: "shared shared" — starts 1 and 6 are the shared span;
+            # starts 2..5 are unique rotations. Islands: {1} and {6} merge?
+            # gap = 5 > k-1=4 → two islands of one start each → 5+5 = 10
+            # covered (the whole doc) — brute-force checked below.
+            (2, "b", f"{shared} {shared}"),
+            # doc3: no cross-doc span → covered 0, kept 5
+            (3, "c", "totally unique words here none"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r for r in span_scrub(docs).collect()}
+
+    # brute-force recompute of the union semantics
+    texts = {1: f"x {shared} zeta", 2: f"{shared} {shared}",
+             3: "totally unique words here none"}
+    span_sets = {
+        d: {(i, " ".join(t.split()[i:i + 5]))
+            for i in range(len(t.split()) - 4)}
+        for d, t in texts.items()
+    }
+    all_by_text = {}
+    for d, ss in span_sets.items():
+        for _, txt in ss:
+            all_by_text.setdefault(txt, set()).add(d)
+    expected = {}
+    for d, t in texts.items():
+        n = len(t.split())
+        covered = set()
+        for i, txt in span_sets[d]:
+            if len(all_by_text[txt]) > 1:
+                covered |= set(range(i, i + 5))
+        expected[d] = (n, len(covered))
+    assert (got["a"]["total_tokens"], got["a"]["covered_tokens"]) == expected[1]
+    assert (got["b"]["total_tokens"], got["b"]["covered_tokens"]) == expected[2]
+    assert (got["c"]["total_tokens"], got["c"]["covered_tokens"]) == expected[3]
+    assert got["c"]["covered_tokens"] == 0
