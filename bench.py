@@ -181,6 +181,10 @@ HEADLINE = [
     "q183_orderkey_islands",
     "q184_welch_t_test",
     "q185_span_scrub",
+    "q186_bfs_hops",
+    "q187_template_prefixes",
+    "q188_merge_with_deletes",
+    "q189_vocab_coverage",
 ]
 
 

@@ -1603,3 +1603,145 @@ def span_scrub(docs: DataFrame) -> DataFrame:
             .cast("long").alias("kept_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — template-prefix boilerplate census: docs sharing their first
+# k words are template instances (scraper boilerplate, form letters,
+# generated pages) — a curation signal orthogonal to near-dup (template
+# instances differ in the BODY, so MinHash misses them; the prefix key
+# catches exactly the shared head). Key = md5 of the first 5 tokens;
+# groups with ≥2 docs are "templated". Per-language rollup: group count,
+# templated-doc census, id checksum.
+#
+# Scale notes: map-only key derivation (a 5-token slice — the text never
+# leaves the map side), one (lang, key) aggregate, one lang rollup over
+# the group-grain frame. The same shape as normalized-dedup (q93) with a
+# prefix key instead of a whole-text canonical key.
+# ---------------------------------------------------------------------------
+
+_PREFIX_K = 5
+
+
+@_register(
+    "q187_template_prefixes",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(toks[1:{_PREFIX_K}], chr(31))) AS pkey
+        FROM d WHERE len(toks) >= {_PREFIX_K}
+    ),
+    groups AS (
+        SELECT lang, pkey, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
+        FROM keyed GROUP BY lang, pkey
+    )
+    SELECT lang,
+           CAST(COUNT(*) FILTER (WHERE n_docs >= 2) AS BIGINT)
+               AS n_template_groups,
+           CAST(COALESCE(SUM(n_docs) FILTER (WHERE n_docs >= 2), 0) AS BIGINT)
+               AS n_templated_docs,
+           CAST(COALESCE(SUM(id_sum) FILTER (WHERE n_docs >= 2), 0) AS BIGINT)
+               AS templated_id_sum
+    FROM groups GROUP BY lang
+    """,
+)
+def q187_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language boilerplate census: how many distinct 5-token prefixes
+    are shared by ≥2 documents, how many documents carry one, and the
+    id-pinned checksum of those documents."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    keyed = d.select(
+        "doc_id", "lang", toks.alias("toks")
+    ).filter(F.size("toks") >= _PREFIX_K).select(
+        "doc_id", "lang",
+        F.md5(F.concat_ws("\x1f", F.slice(F.col("toks"), 1, _PREFIX_K)))
+        .alias("pkey"),
+    )
+    groups = keyed.groupBy("lang", "pkey").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    t = F.col("n_docs") >= 2
+    return groups.groupBy("lang").agg(
+        F.sum(t.cast("long")).cast("long").alias("n_template_groups"),
+        F.coalesce(F.sum(F.when(t, F.col("n_docs"))), F.lit(0))
+        .cast("long").alias("n_templated_docs"),
+        F.coalesce(F.sum(F.when(t, F.col("id_sum"))), F.lit(0))
+        .cast("long").alias("templated_id_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — vocabulary-coverage (OOV) audit: given the corpus's own top-K
+# token vocabulary, what fraction of each language's token stream falls
+# outside it? The go/no-go check before committing a tokenizer vocab —
+# high OOV in a language means the vocab under-serves it. All-integer
+# permil output; the vocabulary cut is a TOTAL order (count desc, token
+# asc), so both engines pick the identical K tokens.
+#
+# Scale notes: the vocabulary aggregate is the standard Zipf-small
+# wordcount (combiner-reduced); its top-K window runs over the
+# vocabulary frame, not the corpus. Coverage is ONE pass: explode →
+# broadcast-join the K-row vocab → per-language combine. The corpus is
+# never shuffled on the token — only (lang, counts) partials move.
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 20
+
+
+@_register(
+    "q189_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    ranked AS (
+        SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk FROM cnt
+    ),
+    vocab AS (SELECT t FROM ranked WHERE rnk <= {_VOCAB_K})
+    SELECT tok.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST((SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) * 1000)
+                // COUNT(*) AS BIGINT) AS oov_permil
+    FROM tok LEFT JOIN vocab v ON tok.t = v.t
+    GROUP BY tok.lang
+    """,
+)
+def q189_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language out-of-vocabulary census against the corpus's own
+    top-20 token vocabulary (total-ordered cut): token count, OOV count,
+    integer OOV permil."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "t")
+    vocab = (
+        cnt.select("t", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _VOCAB_K)
+        .select("t", F.lit(1).alias("iv"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("iv").isNull().cast("long")).cast("long").alias("n_oov"),
+        )
+        .select(
+            "lang", "n_tokens", "n_oov",
+            F.expr("(n_oov * 1000) div n_tokens").cast("long")
+            .alias("oov_permil"),
+        )
+    )

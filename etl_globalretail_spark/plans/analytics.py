@@ -2990,3 +2990,89 @@ def q184_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_a", "n_b", "s_a", "s_b",
         ((sa / na - sb / nb) / F.sqrt(va / na + vb / nb)).alias("welch_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — multi-source BFS hop distance: the MIN-propagation member of the
+# iterative family (PageRank q179 is SUM-propagation, the q43/q67 closure
+# is label-MIN over components; BFS is frontier-MIN over hops). "How far
+# is every part from the seeded promotion set" — reachability radius over
+# the co-purchase graph. Seeds are a deterministic arithmetic subset
+# (partkey % 101 = 0 — no hash needed); 3 bounded supersteps; vertices
+# unreached within the bound report -1 (NULL-free, via the standard
+# 999-as-infinity device: min() keeps it inert and bounded).
+#
+# Scale notes: per superstep one edges⨝distance join + MIN aggregate —
+# the distance frame is vertex-sized and broadcast-class beside the
+# edges; with the memoized edge artifact the whole run is |E|-sized.
+# Production BFS iterates to fixpoint with a frontier filter (only
+# changed vertices join); the bounded unroll keeps the oracle exact.
+# ---------------------------------------------------------------------------
+
+_BFS_INF = 999
+
+
+def _q186_oracle() -> str:
+    it = f"""
+    d{{i}} AS (
+        SELECT dv.v, LEAST(dv.d, COALESCE(m.md, {_BFS_INF})) AS d
+        FROM d{{p}} dv LEFT JOIN (
+            SELECT sym.dst AS v2, MIN(dp.d + 1) AS md
+            FROM sym JOIN d{{p}} dp ON sym.src = dp.v GROUP BY sym.dst
+        ) m ON dv.v = m.v2
+    )"""
+    iters = ",".join(it.format(i=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+    WITH e AS ({_q154_edges_sql()}),
+    sym AS (SELECT u AS src, v AS dst FROM e
+            UNION ALL SELECT v AS src, u AS dst FROM e),
+    verts AS (SELECT DISTINCT src AS v FROM sym),
+    d0 AS (SELECT v, CASE WHEN v % 101 = 0 THEN 0 ELSE {_BFS_INF} END AS d
+           FROM verts),
+    {iters}
+    SELECT v AS part,
+           CAST(CASE WHEN v % 101 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed,
+           CAST(CASE WHEN d >= {_BFS_INF} THEN -1 ELSE d END AS BIGINT)
+               AS hops
+    FROM d3
+    """
+
+
+@_register("q186_bfs_hops", oracle=_q186_oracle())
+def q186_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance (≤3 supersteps) from the seeded part set over the
+    co-purchase graph; unreached vertices report -1. The DuckDB oracle
+    unrolls the identical min-propagation — all-integer, hash-exact."""
+    und = co_purchase_edges(spark, sf_dir)  # memoized local artifact
+    sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    verts = sym.select(F.col("src").alias("v")).distinct()
+    dist = verts.select(
+        "v",
+        F.when(F.col("v") % 101 == 0, F.lit(0))
+        .otherwise(F.lit(_BFS_INF)).cast("long").alias("d"),
+    )
+    for _ in range(3):
+        md = (
+            sym.join(dist, sym["src"] == dist["v"])
+            .select(F.col("dst"), (F.col("d") + 1).alias("nd"))
+            .groupBy("dst")  # map-side partial MIN
+            .agg(F.min("nd").alias("md"))
+        )
+        dist = (
+            dist.join(md, dist["v"] == md["dst"], "left")
+            .select(
+                dist["v"],
+                F.least(
+                    F.col("d"), F.coalesce(F.col("md"), F.lit(_BFS_INF))
+                ).cast("long").alias("d"),
+            )
+        )
+    return dist.select(
+        F.col("v").alias("part"),
+        F.when(F.col("v") % 101 == 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("is_seed"),
+        F.when(F.col("d") >= _BFS_INF, F.lit(-1)).otherwise(F.col("d"))
+        .cast("long").alias("hops"),
+    )

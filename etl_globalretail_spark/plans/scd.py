@@ -453,3 +453,99 @@ def q100_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — op-coded CDC MERGE (the full MERGE INTO statement as set
+# algebra): a change batch tagged I/U/D applied in one pass —
+#   survivors = target ANTI-JOIN (U ∪ D keys)  ∪  batch rows (I ∪ U)
+# which is MERGE WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT
+# MATCHED INSERT without a transactional engine. q71 covers upserts
+# (I/U); the delete clause is what this adds — the piece replication
+# pipelines (GDPR erasure, tombstone streams) need. The batch is
+# synthesized DETERMINISTICALLY from the key domain (%-arithmetic), so
+# both engines construct the identical change set; the post-merge state
+# is audited at the segment grain with exact integer measures.
+#
+# Scale notes: one broadcast-class anti-join on the batch keys + one
+# union — Θ(|target| + |batch|), no full-outer pass (q79's diff is the
+# inspection face; MERGE apply never needs the change classification).
+# The floor-cents device keeps the balance audit int64-exact.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q188_merge_with_deletes",
+    oracle="""
+    WITH batch AS (
+        SELECT c_custkey AS k, 'D' AS op,
+               CAST(NULL AS VARCHAR) AS seg, CAST(0 AS BIGINT) AS bal_cents
+        FROM customer WHERE c_custkey % 13 = 0
+        UNION ALL
+        SELECT c_custkey, 'U', c_mktsegment,
+               CAST(FLOOR(c_acctbal * 100) + 10000 AS BIGINT)
+        FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 'I', 'NEWSEG', CAST(0 AS BIGINT)
+        FROM customer WHERE c_custkey % 17 = 0
+    ),
+    kept AS (
+        SELECT c_mktsegment AS seg,
+               c_custkey AS k,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM batch WHERE op IN ('U', 'D'))
+    ),
+    applied AS (
+        SELECT seg, k, bal_cents FROM kept
+        UNION ALL
+        SELECT seg, k, bal_cents FROM batch WHERE op IN ('I', 'U')
+    )
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents_sum
+    FROM applied GROUP BY seg
+    """,
+)
+def q188_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with delete clause over customer: deterministic I/U/D batch
+    applied as anti-join ∪ union; post-merge per-segment census with
+    exact key and floor-cent balance checksums."""
+    c = load_table(spark, "customer", sf_dir)
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+    deletes = c.filter(F.col("c_custkey") % 13 == 0).select(
+        F.col("c_custkey").alias("k"), F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("seg"),
+        F.lit(0).cast("long").alias("bal_cents"),
+    )
+    updates = c.filter(
+        (F.col("c_custkey") % 13 != 0) & (F.col("c_custkey") % 7 == 0)
+    ).select(
+        F.col("c_custkey").alias("k"), F.lit("U").alias("op"),
+        F.col("c_mktsegment").alias("seg"),
+        (cents + 10000).alias("bal_cents"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 17 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("k"), F.lit("I").alias("op"),
+        F.lit("NEWSEG").alias("seg"), F.lit(0).cast("long").alias("bal_cents"),
+    )
+    batch = deletes.unionAll(updates).unionAll(inserts)
+    matched_keys = batch.filter(F.col("op").isin("U", "D")).select("k")
+    kept = (
+        c.select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_custkey").alias("k"),
+            cents.alias("bal_cents"),
+        )
+        .join(F.broadcast(matched_keys), "k", "left_anti")
+    )
+    # the key-equijoin moves `k` to column 0 — re-project before the
+    # POSITIONAL union or seg/k misalign (observed: 'NEWSEG' cast to k)
+    applied = kept.select("seg", "k", "bal_cents").unionAll(
+        batch.filter(F.col("op").isin("I", "U")).select("seg", "k", "bal_cents")
+    )
+    return applied.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").cast("long").alias("key_sum"),
+        F.sum("bal_cents").cast("long").alias("bal_cents_sum"),
+    )

@@ -257,3 +257,102 @@ def test_span_scrub_conservation_and_hand_case(spark, sf_dir):
     assert (got["b"]["total_tokens"], got["b"]["covered_tokens"]) == expected[2]
     assert (got["c"]["total_tokens"], got["c"]["covered_tokens"]) == expected[3]
     assert got["c"]["covered_tokens"] == 0
+
+
+# ---------------------------------------------------------------------------
+# q186 BFS laws
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_laws(spark, sf_dir):
+    df = ALL_QUERIES["q186_bfs_hops"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    hops = {r["part"]: r["hops"] for r in rows}
+    for r in rows:
+        assert r["hops"] in (-1, 0, 1, 2, 3)
+        if r["is_seed"]:
+            assert r["hops"] == 0
+    # consistency: a vertex at hop h>0 must have a neighbor at h-1
+    from etl_globalretail_spark.plans.analytics import co_purchase_edges
+
+    edges = co_purchase_edges(spark, sf_dir).collect()
+    nbrs = {}
+    for e in edges:
+        nbrs.setdefault(e["u"], set()).add(e["v"])
+        nbrs.setdefault(e["v"], set()).add(e["u"])
+    for v, h in hops.items():
+        if h > 0:
+            assert min(hops[n] for n in nbrs[v] if hops[n] >= 0) == h - 1
+
+
+# ---------------------------------------------------------------------------
+# q187 template-prefix recompute
+# ---------------------------------------------------------------------------
+
+
+def test_template_prefixes_recompute(spark, sf_dir):
+    import collections
+
+    df = ALL_QUERIES["q187_template_prefixes"](spark, sf_dir)
+    got = {r["lang"]: r for r in df.collect()}
+    docs = load_table(spark, "documents", sf_dir).collect()
+    groups = collections.defaultdict(list)
+    for d in docs:
+        toks = d["text"].strip().split()
+        if len(toks) >= 5:
+            groups[(d["lang"], tuple(toks[:5]))].append(d["doc_id"])
+    expect = collections.defaultdict(lambda: [0, 0, 0])
+    for (lang, _), ids in groups.items():
+        if len(ids) >= 2:
+            e = expect[lang]
+            e[0] += 1
+            e[1] += len(ids)
+            e[2] += sum(ids)
+    for lang, (g, n, s) in expect.items():
+        r = got[lang]
+        assert (r["n_template_groups"], r["n_templated_docs"],
+                r["templated_id_sum"]) == (g, n, s)
+
+
+# ---------------------------------------------------------------------------
+# q188 merge laws
+# ---------------------------------------------------------------------------
+
+
+def test_merge_with_deletes_census(spark, sf_dir):
+    df = ALL_QUERIES["q188_merge_with_deletes"](spark, sf_dir)
+    rows = df.collect()
+    c = load_table(spark, "customer", sf_dir)
+    n = c.count()
+    n_del = c.filter((F.col("c_custkey") % 13) == 0).count()
+    n_ins = c.filter((F.col("c_custkey") % 17) == 0).count()
+    assert sum(r["n_rows"] for r in rows) == n - n_del + n_ins
+    newseg = {r["seg"]: r for r in rows}["NEWSEG"]
+    assert newseg["n_rows"] == n_ins  # all inserts land in the new segment
+
+
+# ---------------------------------------------------------------------------
+# q189 vocab coverage laws
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_bounds_and_recompute(spark, sf_dir):
+    import collections
+
+    df = ALL_QUERIES["q189_vocab_coverage"](spark, sf_dir)
+    got = {r["lang"]: r for r in df.collect()}
+    docs = load_table(spark, "documents", sf_dir).collect()
+    cnt = collections.Counter()
+    per_lang = collections.defaultdict(list)
+    for d in docs:
+        toks = d["text"].strip().split()
+        cnt.update(toks)
+        per_lang[d["lang"]].extend(toks)
+    vocab = {t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]}
+    for lang, toks in per_lang.items():
+        oov = sum(1 for t in toks if t not in vocab)
+        r = got[lang]
+        assert (r["n_tokens"], r["n_oov"]) == (len(toks), oov)
+        assert r["oov_permil"] == (oov * 1000) // len(toks)
+        assert 0 <= r["oov_permil"] <= 1000
