@@ -185,6 +185,8 @@ HEADLINE = [
     "q187_template_prefixes",
     "q188_merge_with_deletes",
     "q189_vocab_coverage",
+    "q190_global_index",
+    "q191_entity_resolution",
 ]
 
 

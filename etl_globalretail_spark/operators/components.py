@@ -437,3 +437,112 @@ def _register_q137() -> None:
 
 
 _register_q137()
+
+
+# ---------------------------------------------------------------------------
+# q191 — entity resolution end-to-end: block → match → cluster → census.
+# The full ER pipeline every CRM/MDM system runs, composed from parts
+# this engine already verifies separately: q80's blocked fuzzy matcher
+# (nation + exact-length blocks, Levenshtein ≤ 2) supplies the match
+# pairs; the hash-min closure (q43/q67 machinery) merges transitively
+# linked records into entities; the census reports the entity-size
+# distribution with an id-pinned checksum — every customer appears in
+# exactly one entity (singletons included arithmetically, never joined).
+#
+# Scale notes: blocking bounds the match join (Σ|block|², never N²); the
+# closure runs only over MATCHED vertices (pairs are sparse — the huge
+# singleton majority never enters the iteration); the census is a
+# two-level aggregate over the label frame. Oracle: q80's pair SQL
+# spliced into the q67 recursive-closure template — oracles compose.
+# ---------------------------------------------------------------------------
+
+
+def _q191_oracle() -> str:
+    from etl_globalretail_spark.operators import dedup
+
+    q80 = dedup.ORACLE["q80_fuzzy_name_pairs"]
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({q80}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    reach AS (
+        SELECT v, v AS r FROM verts
+        UNION
+        SELECT e.dst AS v, reach.r AS r
+        FROM reach JOIN edges e ON reach.v = e.src
+    ),
+    comp AS (SELECT v, MIN(r) AS rep FROM reach GROUP BY v),
+    sizes AS (SELECT rep, COUNT(*) AS sz, SUM(v) AS id_sum
+              FROM comp GROUP BY rep),
+    matched AS (
+        SELECT sz AS entity_size,
+               CAST(COUNT(*) AS BIGINT) AS n_entities,
+               CAST(SUM(id_sum) AS BIGINT) AS member_id_sum
+        FROM sizes GROUP BY sz
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(c_custkey) AS s FROM customer),
+    mtot AS (SELECT COALESCE(SUM(entity_size * n_entities), 0) AS n,
+                    COALESCE(SUM(member_id_sum), 0) AS s
+             FROM matched)
+    SELECT entity_size, n_entities, member_id_sum FROM matched
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           CAST(tot.n - mtot.n AS BIGINT),
+           CAST(tot.s - mtot.s AS BIGINT)
+    FROM tot, mtot
+    """
+
+
+def _register_q191() -> None:
+    @_register("q191_entity_resolution", oracle=_q191_oracle())
+    def q191_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Customer entity-size distribution after blocked fuzzy matching
+        (Levenshtein ≤ 2 within nation+length blocks) and transitive
+        closure: (entity_size, n_entities, member_id_sum). Singleton row
+        derived arithmetically from the customer totals (matched sizes
+        are ≥ 2 by construction, so the union never collides)."""
+        from etl_globalretail_spark.operators.dedup import fuzzy_pairs
+
+        c = load_table(spark, "customer", sf_dir)
+        pairs = fuzzy_pairs(
+            c, "c_custkey", "c_name", ["c_nationkey"], max_distance=2
+        )
+        held: list = []
+        cc = connected_components(pairs, materialized=held)
+        sizes = cc.groupBy("component").agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.sum("vertex").alias("id_sum"),
+        )
+        matched = sizes.groupBy(F.col("sz").alias("entity_size")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.sum("id_sum").cast("long").alias("member_id_sum"),
+        )
+        totals = c.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("c_custkey").alias("s")
+        ).collect()[0]
+        mrow = matched.agg(
+            F.coalesce(F.sum(F.col("entity_size") * F.col("n_entities")),
+                       F.lit(0)).alias("n"),
+            F.coalesce(F.sum("member_id_sum"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        singletons = spark.createDataFrame(
+            [(1, int(totals["n"]) - int(mrow["n"]),
+              int(totals["s"]) - int(mrow["s"]))],
+            "entity_size long, n_entities long, member_id_sum long",
+        )
+        try:
+            rows = matched.unionAll(singletons).collect()
+        finally:
+            for fr in held:
+                fr.unpersist()
+        return spark.createDataFrame(
+            rows, "entity_size long, n_entities long, member_id_sum long"
+        )
+
+
+_register_q191()

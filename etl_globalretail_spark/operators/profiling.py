@@ -551,3 +551,40 @@ def _register_q180() -> None:
 
 
 _register_q180()
+
+
+# ---------------------------------------------------------------------------
+# q190 — distributed contiguous surrogate keys: the scale path for W3
+# (SURVEY §7.4 names single-window row_number the 100 TB bottleneck —
+# every row through one partition). global_index (sources/readers) does
+# the classic two-phase assignment: range-partition + in-partition sort,
+# tiny per-partition count job, offsets broadcast as a literal map, then
+# a PARALLEL per-range window. The oracle is the textbook global
+# ROW_NUMBER — hash equality proves offset+rank ≡ the single window,
+# independent of where the sampled range boundaries fall.
+# ---------------------------------------------------------------------------
+
+
+def _register_q190() -> None:
+    @_register(
+        "q190_global_index",
+        oracle="""
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+                   AS global_idx
+        FROM documents
+        """,
+    )
+    def q190_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Contiguous 0-based surrogate keys for documents under the
+        doc_id total order, assigned by the two-phase range/offset scheme
+        (no single-partition window anywhere in the plan)."""
+        from etl_globalretail_spark.sources.readers import global_index
+
+        d = load_table(spark, "documents", sf_dir).select("doc_id")
+        return global_index(d, "doc_id").select(
+            "doc_id", F.col("__idx").alias("global_idx")
+        )
+
+
+_register_q190()

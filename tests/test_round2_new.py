@@ -356,3 +356,45 @@ def test_vocab_coverage_bounds_and_recompute(spark, sf_dir):
         assert (r["n_tokens"], r["n_oov"]) == (len(toks), oov)
         assert r["oov_permil"] == (oov * 1000) // len(toks)
         assert 0 <= r["oov_permil"] <= 1000
+
+
+# ---------------------------------------------------------------------------
+# q190 global index laws
+# ---------------------------------------------------------------------------
+
+
+def test_global_index_contiguous_and_ordered(spark, sf_dir):
+    df = ALL_QUERIES["q190_global_index"](spark, sf_dir)
+    rows = sorted(df.collect(), key=lambda r: r["doc_id"])
+    n = len(rows)
+    assert sorted(r["global_idx"] for r in rows) == list(range(n))  # contiguous
+    # order-preserving: idx increases with doc_id
+    idxs = [r["global_idx"] for r in rows]
+    assert idxs == sorted(idxs)
+
+
+def test_global_index_boundary_invariance(spark, sf_dir):
+    # different range counts must yield the identical assignment
+    from etl_globalretail_spark.sources.readers import global_index, load_table as lt
+
+    d = lt(spark, "documents", sf_dir).select("doc_id")
+    a = {r["doc_id"]: r["__idx"] for r in global_index(d, "doc_id", 3).collect()}
+    b = {r["doc_id"]: r["__idx"] for r in global_index(d, "doc_id", 11).collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# q191 entity resolution laws
+# ---------------------------------------------------------------------------
+
+
+def test_entity_resolution_partitions_customers(spark, sf_dir):
+    df = ALL_QUERIES["q191_entity_resolution"](spark, sf_dir)
+    rows = df.collect()
+    c = load_table(spark, "customer", sf_dir)
+    total = c.count()
+    id_total = c.agg(F.sum("c_custkey")).collect()[0][0]
+    assert sum(r["entity_size"] * r["n_entities"] for r in rows) == total
+    assert sum(r["member_id_sum"] for r in rows) == id_total
+    for r in rows:
+        assert r["entity_size"] >= 1 and r["n_entities"] >= 1
