@@ -187,6 +187,7 @@ HEADLINE = [
     "q189_vocab_coverage",
     "q190_global_index",
     "q191_entity_resolution",
+    "q192_linear_attribution",
 ]
 
 

@@ -228,3 +228,103 @@ def q51_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_ts"),
         F.col("asof_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — linear multi-touch attribution: each purchase's value is split
+# EQUALLY across the same user's clicks in the preceding hour (q51's
+# as-of join is the last-touch model; this is the linear model, the other
+# staple). Exactness device: credit in integer micro-units, per-click
+# share = credit div n, and the division remainder goes to the LAST
+# click under a total order (ts desc, event_id desc) — conservation is
+# exact (Σ shares ≡ purchase credit), not approximate, and both engines
+# compute the identical split. Output is per credited click (the grain
+# that actually exercises the split arithmetic).
+#
+# Scale notes: the purchase⨝click join is user-keyed with a 1-hour range
+# residual — per-user blocks, the batch face of the stream-stream join
+# (windows.purchases_with_recent_click); at corpus scale with heavy
+# users, q52's time-binning bounds the pair fan-out the same way. The
+# two windows (count, rank) share one (pid) partitioning — one shuffle.
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+@_register(
+    "q192_linear_attribution",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, epoch_us(ts) AS pts,
+               CAST(FLOOR(value * 1e6) AS BIGINT) AS credit
+        FROM events WHERE event_type = 'purchase'
+    ),
+    k AS (
+        SELECT event_id AS cid, user_id, epoch_us(ts) AS cts
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.pid, p.user_id, p.credit, k.cid, k.cts
+        FROM p JOIN k ON p.user_id = k.user_id
+         AND k.cts >= p.pts - {_ATTR_WINDOW_US} AND k.cts < p.pts
+    ),
+    ranked AS (
+        SELECT pid, user_id, credit, cid,
+               COUNT(*) OVER (PARTITION BY pid) AS n,
+               ROW_NUMBER() OVER (PARTITION BY pid
+                                  ORDER BY cts DESC, cid DESC) AS rn
+        FROM j
+    ),
+    shares AS (
+        SELECT user_id, cid,
+               credit // n
+               + CASE WHEN rn = 1 THEN credit - n * (credit // n)
+                      ELSE 0 END AS share
+        FROM ranked
+    )
+    SELECT cid AS click_id, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases_credited,
+           CAST(SUM(share) AS BIGINT) AS credit_micros
+    FROM shares GROUP BY cid, user_id
+    """,
+)
+def q192_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-click linear attribution credit (integer micro-units, exact
+    conservation via remainder-to-last) for purchases within one hour of
+    the click, per user."""
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.unix_micros("ts").alias("pts"),
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("credit"),
+    )
+    k = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("kuser"),
+        F.unix_micros("ts").alias("cts"),
+    )
+    j = p.join(
+        k,
+        (F.col("user_id") == F.col("kuser"))
+        & (F.col("cts") >= F.col("pts") - _ATTR_WINDOW_US)
+        & (F.col("cts") < F.col("pts")),
+    )
+    wp = Window.partitionBy("pid")
+    ranked = j.select(
+        "pid", "user_id", "credit", "cid",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number().over(
+            wp.orderBy(F.col("cts").desc(), F.col("cid").desc())
+        ).alias("rn"),
+    )
+    share = F.expr("credit div n") + F.when(
+        F.col("rn") == 1, F.col("credit") - F.col("n") * F.expr("credit div n")
+    ).otherwise(F.lit(0))
+    return (
+        ranked.select("user_id", "cid", share.alias("share"))
+        .groupBy(F.col("cid").alias("click_id"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases_credited"),
+            F.sum("share").cast("long").alias("credit_micros"),
+        )
+    )

@@ -398,3 +398,34 @@ def test_entity_resolution_partitions_customers(spark, sf_dir):
     assert sum(r["member_id_sum"] for r in rows) == id_total
     for r in rows:
         assert r["entity_size"] >= 1 and r["n_entities"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# q192 attribution conservation
+# ---------------------------------------------------------------------------
+
+
+def test_linear_attribution_conserves_credit(spark, sf_dir):
+    df = ALL_QUERIES["q192_linear_attribution"](spark, sf_dir)
+    total_credited = df.agg(F.sum("credit_micros")).collect()[0][0] or 0
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.unix_micros("ts").alias("pts"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("credit"),
+    )
+    k = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("kuser"), F.unix_micros("ts").alias("cts")
+    )
+    attributed = (
+        p.join(
+            k,
+            (F.col("user_id") == F.col("kuser"))
+            & (F.col("cts") >= F.col("pts") - 3_600_000_000)
+            & (F.col("cts") < F.col("pts")),
+            "left_semi",
+        )
+        .agg(F.sum("credit")).collect()[0][0] or 0
+    )
+    # every attributed purchase's credit lands fully on its clicks
+    assert total_credited == attributed
