@@ -188,6 +188,7 @@ HEADLINE = [
     "q190_global_index",
     "q191_entity_resolution",
     "q192_linear_attribution",
+    "q193_daily_gap_fill",
 ]
 
 

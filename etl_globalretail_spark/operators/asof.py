@@ -328,3 +328,97 @@ def q192_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("share").cast("long").alias("credit_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — time-series resampling with forward fill (gap-fill): every user's
+# irregular event stream resampled to a daily grid between their first
+# and last active day, carrying the last observed value across silent
+# days. The third temporal-join staple beside as-of (q51) and range
+# (q52) — feature stores and metric pipelines materialize exactly this
+# shape. Determinism: the per-day representative is a total-order
+# row_number (ts desc, event_id desc — max_by/arg_max tie-breaks are
+# engine luck); values quantized to integer micros BEFORE the fill so
+# the carried value is bit-stable.
+#
+# Scale notes: the daily collapse is a combiner-friendly aggregate; the
+# grid explode is map-side (sequence per user, span-bounded); the fill
+# is ONE window over (user, day) — same single-shuffle class as q51.
+# Silent-day fan-out is bounded by span/user, not corpus size.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q193_daily_gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(FLOOR(value * 1e6) AS BIGINT) AS x,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ),
+    last_per_day AS (
+        SELECT user_id, day, x FROM daily WHERE rn = 1
+    ),
+    span AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        FROM last_per_day GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM span
+    )
+    SELECT g.user_id, g.day,
+           CAST(last_value(l.x IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS value_micros,
+           CAST(CASE WHEN l.x IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS is_observed
+    FROM grid g LEFT JOIN last_per_day l
+      ON g.user_id = l.user_id AND g.day = l.day
+    """,
+)
+def q193_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily grid (first→last active day) with forward-filled
+    integer-micro values and an observation flag — the gap-fill /
+    resample operator."""
+    e = load_table(spark, "events", sf_dir)
+    daily = (
+        e.select(
+            "user_id", F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("x"),
+            F.row_number().over(
+                Window.partitionBy("user_id", F.to_date("ts"))
+                .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            ).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "x")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day",
+            F.last("x", ignorenulls=True).over(w).cast("long")
+            .alias("value_micros"),
+            F.when(F.col("x").isNull(), F.lit(0)).otherwise(F.lit(1))
+            .cast("long").alias("is_observed"),
+        )
+    )

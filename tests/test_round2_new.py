@@ -429,3 +429,30 @@ def test_linear_attribution_conserves_credit(spark, sf_dir):
     )
     # every attributed purchase's credit lands fully on its clicks
     assert total_credited == attributed
+
+
+# ---------------------------------------------------------------------------
+# q193 gap-fill laws
+# ---------------------------------------------------------------------------
+
+
+def test_gap_fill_grid_and_carry(spark, sf_dir):
+    import datetime as dt
+
+    df = ALL_QUERIES["q193_daily_gap_fill"](spark, sf_dir)
+    rows = df.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r["day"])
+        # complete daily tiling, no holes
+        for a, b in zip(rs, rs[1:]):
+            assert (b["day"] - a["day"]) == dt.timedelta(days=1)
+        # endpoints observed by construction
+        assert rs[0]["is_observed"] == 1 and rs[-1]["is_observed"] == 1
+        # carry: silent days repeat the previous value
+        for a, b in zip(rs, rs[1:]):
+            if b["is_observed"] == 0:
+                assert b["value_micros"] == a["value_micros"]
+        assert all(r["value_micros"] is not None for r in rs)
