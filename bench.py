@@ -189,6 +189,7 @@ HEADLINE = [
     "q191_entity_resolution",
     "q192_linear_attribution",
     "q193_daily_gap_fill",
+    "q194_streaming_dedup_exact",
 ]
 
 

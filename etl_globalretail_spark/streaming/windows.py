@@ -750,3 +750,60 @@ def q171_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         paths.select("path", "n", F.row_number().over(wr).cast("long").alias("rank"))
         .filter(F.col("rank") <= 15)
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — stateful streaming DEDUP on the oracle gate (fourth REAL
+# streaming execution after q128 tumbling / q133 sliding / q143
+# session): the events source is consumed TWICE (union of two file
+# streams — a 100% duplicated delivery, the retransmission worst case),
+# deduplicated in-flight by dropDuplicatesWithinWatermark keyed on
+# event_id, appended to a memory sink, and the SINK content's census is
+# what DuckDB's plain-distinct SQL must hash-match. This puts the
+# bounded-state dedup operator itself (not just its batch face) on the
+# cross-engine gate; q166 covers sink-side idempotency, this covers
+# source-side duplicate collapse.
+#
+# Scale notes: append mode — rows flow through as they arrive; per-key
+# state lives only until the watermark passes the key's event time, so
+# state tracks the duplication horizon, not stream lifetime. The census
+# aggregation runs as a BATCH query over the drained sink (chaining a
+# second stateful aggregate behind the dedup in one streaming query is
+# legal in Spark 4 but needlessly serializes two state stores here).
+# ---------------------------------------------------------------------------
+
+_Q194_SEQ = [0]
+
+
+@_register(
+    "q194_streaming_dedup_exact",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def q194_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real duplicated-delivery streaming run: two unioned file streams
+    over the same events source, collapsed by
+    dropDuplicatesWithinWatermark(event_id) into an append-mode memory
+    sink; the sink census hash-matches DuckDB's each-event-once SQL."""
+    path = f"{sf_dir}/events.parquet"
+    doubled = read_event_stream(spark, path).unionAll(
+        read_event_stream(spark, path)
+    )
+    deduped = dedup_stream(doubled, keys=("event_id",)).select(
+        "event_id", "event_type"
+    )
+    _Q194_SEQ[0] += 1
+    sink = f"q194_sink_{_Q194_SEQ[0]}"
+    run_to_memory_sink(deduped, sink, mode="append")
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+    )
