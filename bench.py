@@ -190,6 +190,7 @@ HEADLINE = [
     "q192_linear_attribution",
     "q193_daily_gap_fill",
     "q194_streaming_dedup_exact",
+    "q195_cogroup_asof",
 ]
 
 

@@ -422,3 +422,112 @@ def q193_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("is_observed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — the COGROUPED grouped-map surface (df.groupBy(k).cogroup(...)
+# .applyInPandas), the one Python execution surface the taxonomy was
+# missing (scalar/map/grouped-map/grouped-agg/UDTF/state/source are all
+# gate-checked elsewhere). The honest use case: per-key pandas
+# merge_asof between TWO keyed streams — each invocation receives the
+# user's purchases and clicks as two aligned pandas frames, exactly the
+# shape pandas' own as-of join wants. The DuckDB twin is the native
+# ASOF LEFT JOIN, so the kernel's backward-inclusive match rule is
+# cross-engine verified at the purchase grain.
+#
+# Determinism: clicks are pre-deduplicated to one per (user, timestamp)
+# under a total order (max event_id) IN BOTH ENGINES — asof ties on the
+# time key are otherwise engine luck. Unmatched purchases report -1
+# (NULL-free); gaps in whole seconds via integer div.
+#
+# Scale notes: cogroup shuffles each side once on the key; per-user
+# frames are session-sized. The JVM q51 as-of (union + one window) is
+# the scale path; this surface is for when the per-key logic is
+# genuinely pandas-shaped (merge_asof with tolerances, resample-join
+# chains) — and its Arrow batches are the per-invocation cost the q155
+# sharding lesson applies to.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q195_cogroup_asof",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS pid, epoch_us(ts) AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    k0 AS (
+        SELECT user_id, event_id AS cid, epoch_us(ts) AS cts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ),
+    k AS (SELECT user_id, cid, cts FROM k0 WHERE rn = 1)
+    SELECT p.user_id, p.pid,
+           CAST(COALESCE(k.cid, -1) AS BIGINT) AS click_id,
+           CAST(COALESCE((p.pts - k.cts) // 1000000, -1) AS BIGINT)
+               AS gap_seconds
+    FROM p ASOF LEFT JOIN k
+      ON p.user_id = k.user_id AND k.cts <= p.pts
+    """,
+)
+def q195_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase backward as-of match to the user's latest click, run
+    through the cogrouped applyInPandas surface (pandas merge_asof per
+    user) and verified against DuckDB's native ASOF LEFT JOIN."""
+    import pandas as pd
+
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"),
+        F.unix_micros("ts").alias("pts"),
+    )
+    k = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            "user_id", F.col("event_id").alias("cid"),
+            F.unix_micros("ts").alias("cts"),
+            F.row_number().over(
+                Window.partitionBy("user_id", F.unix_micros("ts"))
+                .orderBy(F.col("event_id").desc())
+            ).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "cid", "cts")
+    )
+
+    def asof_merge(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+        if purchases.empty:
+            return pd.DataFrame(
+                columns=["user_id", "pid", "click_id", "gap_seconds"]
+            )
+        purchases = purchases.sort_values("pts")
+        clicks = clicks.sort_values("cts")
+        if clicks.empty:
+            merged = purchases.assign(cid=pd.NA, cts=pd.NA)
+        else:
+            merged = pd.merge_asof(
+                purchases, clicks.drop(columns=["user_id"]),
+                left_on="pts", right_on="cts", direction="backward",
+            )
+        out = pd.DataFrame(
+            {
+                "user_id": merged["user_id"].astype("int64"),
+                "pid": merged["pid"].astype("int64"),
+                "click_id": merged["cid"].fillna(-1).astype("int64"),
+                "gap_seconds": [
+                    -1 if pd.isna(c) else int((int(t) - int(c)) // 1_000_000)
+                    for t, c in zip(merged["pts"], merged["cts"])
+                ],
+            }
+        )
+        return out
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(k.groupBy("user_id"))
+        .applyInPandas(
+            asof_merge,
+            "user_id long, pid long, click_id long, gap_seconds long",
+        )
+    )

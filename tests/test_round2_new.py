@@ -456,3 +456,43 @@ def test_gap_fill_grid_and_carry(spark, sf_dir):
             if b["is_observed"] == 0:
                 assert b["value_micros"] == a["value_micros"]
         assert all(r["value_micros"] is not None for r in rs)
+
+
+# ---------------------------------------------------------------------------
+# q195 cogroup as-of laws
+# ---------------------------------------------------------------------------
+
+
+def test_cogroup_asof_matches_jvm_asof(spark, sf_dir):
+    df = ALL_QUERIES["q195_cogroup_asof"](spark, sf_dir)
+    rows = {r["pid"]: r for r in df.collect()}
+    e = load_table(spark, "events", sf_dir)
+    # one output row per purchase
+    n_purch = e.filter(F.col("event_type") == "purchase").count()
+    assert len(rows) == n_purch
+    # driver-side recompute on a small user slice
+    ev = e.filter(F.col("user_id") < 5).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t"), "event_type"
+    ).collect()
+    clicks, purch = {}, []
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks.setdefault(r["user_id"], []).append((r["t"], r["event_id"]))
+        elif r["event_type"] == "purchase":
+            purch.append(r)
+    for u in clicks:
+        # same tie rule: one click per timestamp, max event_id
+        best = {}
+        for t, cid in clicks[u]:
+            best[t] = max(best.get(t, -1), cid)
+        clicks[u] = sorted(best.items())
+    for r in purch:
+        cand = [(t, cid) for t, cid in clicks.get(r["user_id"], [])
+                if t <= r["t"]]
+        got = rows[r["event_id"]]
+        if cand:
+            t, cid = cand[-1]
+            assert got["click_id"] == cid
+            assert got["gap_seconds"] == (r["t"] - t) // 1_000_000
+        else:
+            assert got["click_id"] == -1 and got["gap_seconds"] == -1
