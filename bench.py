@@ -191,6 +191,7 @@ HEADLINE = [
     "q193_daily_gap_fill",
     "q194_streaming_dedup_exact",
     "q195_cogroup_asof",
+    "q196_null_safe_join",
 ]
 
 

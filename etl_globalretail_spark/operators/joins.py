@@ -156,3 +156,61 @@ def q144_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — null-safe equality join: SQL equality treats NULL ≠ NULL, so a
+# plain equi-join silently DROPS every null-keyed row — the classic
+# silent-data-loss bug in CDC key matching and dedup on nullable
+# business keys. Spark's `<=>` (eqNullSafe) and DuckDB's IS NOT DISTINCT
+# FROM both make NULL match NULL; this query proves the two agree, pair
+# census by key over a deterministically nulled domain (every 11th
+# customer's key nulled — the fixture's columns are NULL-free, so the
+# missingness is synthesized identically in both engines).
+#
+# Scale notes: eqNullSafe compiles to a HASH join (null keys hash to one
+# value) — fine when nulls are rare; a heavily-null key column makes the
+# NULL bucket a skew key (all nulls co-locate), which is exactly the
+# q42 salting / AQE-skew regime. The census output keeps NULL-free
+# columns via the -1 sentinel.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q196_null_safe_join",
+    oracle="""
+    WITH keyed AS (
+        SELECT c_custkey AS id,
+               CASE WHEN c_custkey % 11 = 0 THEN NULL
+                    ELSE c_custkey % 50 END AS k
+        FROM customer
+    )
+    SELECT CAST(COALESCE(a.k, -1) AS BIGINT) AS join_key,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(a.id + b.id) AS BIGINT) AS id_sum
+    FROM keyed a JOIN keyed b
+      ON a.k IS NOT DISTINCT FROM b.k AND a.id < b.id
+    GROUP BY join_key
+    """,
+)
+def q196_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair census of a null-safe self-join on a deterministically nulled
+    key: NULL-keyed rows pair with each other (eqNullSafe ≡ IS NOT
+    DISTINCT FROM), reported under the -1 sentinel."""
+    c = load_table(spark, "customer", sf_dir)
+    keyed = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("c_custkey") % 50).alias("k"),
+    )
+    a = keyed.select(F.col("id").alias("id_a"), F.col("k").alias("k_a"))
+    b = keyed.select(F.col("id").alias("id_b"), F.col("k").alias("k_b"))
+    return (
+        a.join(b, F.col("k_a").eqNullSafe(F.col("k_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .groupBy(F.coalesce("k_a", F.lit(-1)).cast("long").alias("join_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_sum"),
+        )
+    )

@@ -496,3 +496,18 @@ def test_cogroup_asof_matches_jvm_asof(spark, sf_dir):
             assert got["gap_seconds"] == (r["t"] - t) // 1_000_000
         else:
             assert got["click_id"] == -1 and got["gap_seconds"] == -1
+
+
+# ---------------------------------------------------------------------------
+# q196 null-safe join laws
+# ---------------------------------------------------------------------------
+
+
+def test_null_safe_join_includes_null_bucket(spark, sf_dir):
+    df = ALL_QUERIES["q196_null_safe_join"](spark, sf_dir)
+    rows = {r["join_key"]: r for r in df.collect()}
+    c = load_table(spark, "customer", sf_dir)
+    n_null = c.filter((F.col("c_custkey") % 11) == 0).count()
+    # NULL-keyed rows pair among themselves: C(n,2) — a plain equi-join
+    # would have dropped them entirely
+    assert rows[-1]["n_pairs"] == n_null * (n_null - 1) // 2
