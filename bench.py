@@ -192,6 +192,7 @@ HEADLINE = [
     "q194_streaming_dedup_exact",
     "q195_cogroup_asof",
     "q196_null_safe_join",
+    "q197_sql_udf_revenue",
 ]
 
 

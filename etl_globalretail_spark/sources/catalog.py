@@ -154,3 +154,56 @@ def q161_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame queries: broadcast the dims, partial-aggregate the fact."""
     register_views(spark, sf_dir, ("orders", "customer", "nation"))
     return spark.sql(_Q161_SHARED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q197 — SQL-DEFINED function surface (CREATE TEMPORARY FUNCTION …
+# RETURN <expr>, the Spark 3.4+ SQL UDF): business logic shipped as a
+# catalog object rather than Python/JVM code — the form analysts extend
+# the engine with. ONE shared body template (exact floor-cents × integer
+# percent arithmetic) is both the Spark function's RETURN expression and
+# the oracle's inlined expression — the driver's DuckDB gate runs a
+# single SELECT, so the macro is expanded there (DuckDB's CREATE MACRO
+# would be the catalog twin in a session that allows DDL; pytest runs
+# that form for completeness).
+#
+# Scale notes: SQL UDFs inline into the plan at analysis time — full
+# codegen, no serialization boundary, unlike every Python surface. This
+# is the zero-cost extension path; q131/q155/q157 are the paid ones.
+# ---------------------------------------------------------------------------
+
+_NET_CENTS_BODY = (
+    "CAST(FLOOR({p} * 100) AS BIGINT) * (100 - CAST(FLOOR({d} * 100) AS BIGINT))"
+)
+
+
+@_register(
+    "q197_sql_udf_revenue",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM({_NET_CENTS_BODY.format(p="l_extendedprice",
+                                            d="l_discount")}) AS BIGINT)
+               AS net_cents_pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q197_sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue (exact cents × integer percent) per return flag,
+    computed through a CREATE TEMPORARY FUNCTION SQL UDF whose RETURN
+    body is the same template string the oracle inlines."""
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_cents_pct("
+        "p DOUBLE, d DOUBLE) RETURNS BIGINT RETURN "
+        + _NET_CENTS_BODY.format(p="p", d="d")
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(net_cents_pct(l_extendedprice, l_discount)) AS BIGINT)
+                   AS net_cents_pct
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )

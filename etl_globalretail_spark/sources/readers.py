@@ -297,3 +297,27 @@ def global_index(df, order_col: str, n_ranges: int = 16):
         "__idx",
         (off[F.col("__pid")] + F.row_number().over(w) - 1).cast("long"),
     ).drop("__pid")
+
+
+def fast_count(sf_dir: str, table: str) -> int:
+    """Metadata-only row count from the parquet footer(s) — zero data
+    read. COUNT(*) with no filter is answerable from file statistics;
+    engines with metadata-only optimizations (and table formats with
+    manifest counts) do exactly this. At 100 TB the difference is a
+    footer listing versus a full scan. Falls back transparently to the
+    per-file footer walk for multi-file tables; correctness is pinned
+    against the scan-based count in pytest.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total

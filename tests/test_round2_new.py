@@ -511,3 +511,41 @@ def test_null_safe_join_includes_null_bucket(spark, sf_dir):
     # NULL-keyed rows pair among themselves: C(n,2) — a plain equi-join
     # would have dropped them entirely
     assert rows[-1]["n_pairs"] == n_null * (n_null - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# fast_count (metadata-only) + the DuckDB CREATE MACRO twin of q197
+# ---------------------------------------------------------------------------
+
+
+def test_fast_count_matches_scan(spark, sf_dir):
+    from etl_globalretail_spark.sources.readers import fast_count
+
+    for t in ("region", "nation", "customer", "orders", "lineitem",
+              "documents", "embeddings", "events"):
+        assert fast_count(sf_dir, t) == load_table(spark, t, sf_dir).count()
+
+
+def test_q197_macro_twin_in_duckdb(sf_dir):
+    # the catalog-object form the single-SELECT oracle cannot use:
+    # CREATE MACRO from the same body template, then the same aggregate
+    import duckdb
+
+    from etl_globalretail_spark.sources.catalog import _NET_CENTS_BODY
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'")
+    con.execute(
+        "CREATE MACRO net_cents_pct(p, d) AS "
+        + _NET_CENTS_BODY.format(p="p", d="d")
+    )
+    via_macro = con.execute(
+        "SELECT l_returnflag, CAST(SUM(net_cents_pct(l_extendedprice,"
+        " l_discount)) AS BIGINT) FROM lineitem GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    inline = con.execute(
+        "SELECT l_returnflag, CAST(SUM("
+        + _NET_CENTS_BODY.format(p="l_extendedprice", d="l_discount")
+        + ") AS BIGINT) FROM lineitem GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    assert via_macro == inline
