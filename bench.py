@@ -193,6 +193,7 @@ HEADLINE = [
     "q195_cogroup_asof",
     "q196_null_safe_join",
     "q197_sql_udf_revenue",
+    "q198_decision_stump",
 ]
 
 

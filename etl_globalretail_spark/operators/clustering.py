@@ -378,3 +378,102 @@ def q122_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         base.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# q198 — decision-stump training (the boosting weak learner): find the
+# threshold on a numeric feature minimizing misclassification error for
+# a binary label, in ONE pass — per-value class counts, a cumulative
+# window over the value order, and an integer error argmin. The
+# criterion is deliberately the INTEGER misclassification count (Gini /
+# entropy need a division or log per candidate; the error count is
+# exact and totally ordered, so the argmin carries no FP tie luck —
+# tie-break on the smaller threshold).
+#
+# Feature: n_chars; label: lang = 'en'. Split rule: x ≤ t goes left.
+#
+# Scale notes: candidate thresholds = distinct feature values — the
+# grouped frame, not the corpus; the cumulative window runs over THAT
+# (same cost class as q149/q173's value-ordered scans). The corpus-sized
+# work is one combiner-friendly (value, class) count. This is exactly
+# how distributed tree learners (approx split finding) evaluate
+# candidate bins.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q198_decision_stump",
+    oracle="""
+    WITH pv AS (
+        SELECT n_chars AS v,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cp
+        FROM documents GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+               SUM(cp) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS pl,
+               SUM(c) OVER () AS n, SUM(cp) OVER () AS p
+        FROM pv
+    ),
+    scored AS (
+        SELECT v, nl, pl, n - nl AS nr, p - pl AS pr,
+               LEAST(pl, nl - pl) + LEAST(p - pl, (n - nl) - (p - pl))
+                   AS errors
+        FROM cum
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY errors, v) AS rn FROM scored
+    )
+    SELECT CAST(v AS BIGINT) AS threshold,
+           CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+           CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+           CAST(errors AS BIGINT) AS errors
+    FROM best WHERE rn = 1
+    """,
+)
+def q198_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-threshold split of n_chars for predicting lang='en',
+    by exact integer misclassification count with a total-order
+    tie-break — one grouped count plus one value-ordered window."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    pv = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("cp"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    wall = Window.partitionBy()
+    cum = pv.select(
+        "v",
+        F.sum("c").over(wc).alias("nl"),
+        F.sum("cp").over(wc).alias("pl"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum("cp").over(wall).alias("p"),
+    )
+    scored = cum.select(
+        "v", "nl", "pl",
+        (F.col("n") - F.col("nl")).alias("nr"),
+        (F.col("p") - F.col("pl")).alias("pr"),
+        (F.least("pl", F.col("nl") - F.col("pl"))
+         + F.least(F.col("p") - F.col("pl"),
+                   (F.col("n") - F.col("nl")) - (F.col("p") - F.col("pl"))))
+        .alias("errors"),
+    )
+    wr = Window.orderBy("errors", "v")
+    return (
+        scored.select("*", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("v").cast("long").alias("threshold"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("pl").cast("long").alias("pos_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.col("pr").cast("long").alias("pos_right"),
+            F.col("errors").cast("long").alias("errors"),
+        )
+    )

@@ -549,3 +549,26 @@ def test_q197_macro_twin_in_duckdb(sf_dir):
         + ") AS BIGINT) FROM lineitem GROUP BY 1 ORDER BY 1"
     ).fetchall()
     assert via_macro == inline
+
+
+# ---------------------------------------------------------------------------
+# q198 decision stump brute-force recompute
+# ---------------------------------------------------------------------------
+
+
+def test_decision_stump_is_argmin(spark, sf_dir):
+    df = ALL_QUERIES["q198_decision_stump"](spark, sf_dir)
+    r = df.collect()[0]
+    docs = load_table(spark, "documents", sf_dir).select("n_chars", "lang").collect()
+    pts = [(d["n_chars"], 1 if d["lang"] == "en" else 0) for d in docs]
+    n, p = len(pts), sum(l for _, l in pts)
+    best = None
+    for t in sorted({v for v, _ in pts}):
+        nl = sum(1 for v, _ in pts if v <= t)
+        pl = sum(l for v, l in pts if v <= t)
+        err = min(pl, nl - pl) + min(p - pl, (n - nl) - (p - pl))
+        if best is None or (err, t) < best:
+            best = (err, t)
+    assert (r["errors"], r["threshold"]) == best
+    assert r["n_left"] + r["n_right"] == n
+    assert r["pos_left"] + r["pos_right"] == p
