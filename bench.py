@@ -194,6 +194,7 @@ HEADLINE = [
     "q196_null_safe_join",
     "q197_sql_udf_revenue",
     "q198_decision_stump",
+    "q199_calibration_table",
 ]
 
 

@@ -477,3 +477,57 @@ def q198_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("errors").cast("long").alias("errors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — calibration / reliability table: exact score deciles × outcome
+# rate, the model-eval companion to AUC (q167) and KS (q173). Deciles
+# are NTILE(10) over a TOTAL order (score, then event_id — both engines
+# use the standard remainder-to-leading-buckets ntile, portability
+# established by q105); per-bucket outcome rate is one division over
+# exact counts; mean score is the exact integer-micro sum over the
+# bucket count.
+#
+# Scale notes: a global ntile is a total-order window (the q149/q198
+# cost class) — at corpus scale you'd ntile per stratum or reuse q149's
+# exact boundaries + a broadcast bucket join; the aggregate itself is
+# 10 rows of integer moments.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q199_calibration_table",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(FLOOR(value * 1e6) AS BIGINT) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               NTILE(10) OVER (ORDER BY value, event_id) AS decile
+        FROM events
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate,
+           CAST(SUM(s) AS BIGINT) AS score_micros_sum
+    FROM scored GROUP BY decile
+    """,
+)
+def q199_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table: purchase rate per exact score decile (value as
+    the score proxy), with integer-micro score sums — 10 rows, one
+    division each."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.orderBy("value", "event_id")
+    scored = e.select(
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("s"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return scored.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("pos_rate"),
+        F.sum("s").cast("long").alias("score_micros_sum"),
+    )

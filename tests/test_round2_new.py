@@ -572,3 +572,24 @@ def test_decision_stump_is_argmin(spark, sf_dir):
     assert (r["errors"], r["threshold"]) == best
     assert r["n_left"] + r["n_right"] == n
     assert r["pos_left"] + r["pos_right"] == p
+
+
+# ---------------------------------------------------------------------------
+# q199 calibration laws
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_deciles_balanced_and_total(spark, sf_dir):
+    df = ALL_QUERIES["q199_calibration_table"](spark, sf_dir)
+    rows = sorted(df.collect(), key=lambda r: r["decile"])
+    e = load_table(spark, "events", sf_dir)
+    n = e.count()
+    n_pos = e.filter(F.col("event_type") == "purchase").count()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert sum(r["n"] for r in rows) == n
+    assert sum(r["n_pos"] for r in rows) == n_pos
+    # ntile balance: sizes differ by at most 1
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert abs(r["pos_rate"] - r["n_pos"] / r["n"]) < 1e-12
