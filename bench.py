@@ -195,6 +195,7 @@ HEADLINE = [
     "q197_sql_udf_revenue",
     "q198_decision_stump",
     "q199_calibration_table",
+    "q200_curation_pipeline",
 ]
 
 

