@@ -196,6 +196,8 @@ HEADLINE = [
     "q198_decision_stump",
     "q199_calibration_table",
     "q200_curation_pipeline",
+    "q201_cumulative_users",
+    "q202_business_day_latency",
 ]
 
 

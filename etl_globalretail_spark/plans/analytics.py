@@ -3076,3 +3076,166 @@ def q186_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("d") >= _BFS_INF, F.lit(-1)).otherwise(F.col("d"))
         .cast("long").alias("hops"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — cumulative distinct (the growth curve): unique users ever seen,
+# by day. The naive formulation (COUNT(DISTINCT user) OVER growing
+# frames) re-scans every prefix — quadratic; the scalable identity is
+# first-seen collapse: cumulative_distinct(d) = Σ_{d' ≤ d} |{users whose
+# FIRST event day is d'}| — one user-grain aggregate, one day-grain
+# count, one prefix sum over the (tiny) day frame. New-vs-returning
+# falls out of the same frame.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q201_cumulative_users",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+        GROUP BY user_id
+    ),
+    actives AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY day
+    ),
+    news AS (SELECT d0 AS day, COUNT(*) AS new_users FROM firsts GROUP BY d0)
+    SELECT a.day,
+           CAST(a.dau AS BIGINT) AS active_users,
+           CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+               ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumulative_users
+    FROM actives a LEFT JOIN news n ON a.day = n.day
+    """,
+)
+def q201_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active, new, and cumulative-ever-seen user counts via the
+    first-seen collapse — no growing-frame COUNT DISTINCT anywhere."""
+    e = load_table(spark, "events", sf_dir)
+    day = F.to_date("ts")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("d0"))
+    actives = e.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    news = firsts.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return (
+        actives.join(F.broadcast(news), "day", "left")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("active_users"),
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+            F.sum(F.coalesce("new_users", F.lit(0))).over(w).cast("long")
+            .alias("cumulative_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q202 — business-day shipping latency: order → ship lag counted in
+# BUSINESS days via the calendar dimension (dim_tempo's weekend flag, S7/
+# F11) — the date arithmetic a retail DW actually reports ("ships in 3
+# business days"), not raw datediff. Exact integers: the lag is a COUNT
+# of weekday calendar rows inside the (orderdate, shipdate] interval,
+# computed with the q52 range-join device (calendar rows joined by
+# year-bucket, filtered by the exact interval) — never a per-row loop
+# and never a quadratic nested-loop plan.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q202_business_day_latency",
+    oracle="""
+    WITH li AS (
+        SELECT l.l_orderkey, o.o_orderpriority,
+               o.o_orderdate AS d0, l.l_shipdate AS d1
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cal AS (
+        SELECT CAST(r.d AS DATE) AS day
+        FROM (SELECT unnest(generate_series(DATE '1992-01-01',
+                                            DATE '1998-12-31',
+                                            INTERVAL 1 DAY)) AS d) r
+        WHERE dayofweek(CAST(r.d AS DATE)) NOT IN (0, 6)
+    ),
+    lags AS (
+        SELECT li.l_orderkey, li.o_orderpriority,
+               (SELECT COUNT(*) FROM cal
+                WHERE cal.day > li.d0 AND cal.day <= li.d1) AS bdays
+        FROM li
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(bdays) AS BIGINT) AS sum_business_days,
+           CAST(SUM(bdays) AS DOUBLE) / COUNT(*) AS avg_business_days
+    FROM lags GROUP BY o_orderpriority
+    """,
+)
+def q202_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average order→ship latency in business days per order priority:
+    weekday-calendar interval counts via a year-bucketed range join (no
+    nested loop), then exact integer aggregation."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.col("o_orderdate").alias("d0"),
+        F.col("l_shipdate").alias("d1"),
+    )
+    cal = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1992-01-01").cast("date"),
+                    F.lit("1998-12-31").cast("date"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("day")
+        )
+        .filter(~F.dayofweek("day").isin(1, 7))  # Spark Sun=1, Sat=7
+        .select("day", F.year("day").alias("ybkt"))
+    )
+    # year-bucketed equi-join bounds the fan-out (≤ ~261 weekdays/year);
+    # each lag row probes EVERY year its interval touches (replication =
+    # span/⟨bucket⟩, the q52 binning rule; dedup-free because the year
+    # buckets partition the calendar, so a weekday is counted by exactly
+    # one bucket row)
+    # collapse to the DISTINCT (priority, d0, d1) grain BEFORE probing —
+    # probing per-line rows would multiply each grain's calendar matches
+    # by its duplicate-line count (observed 0.4% overcount)
+    grain = j.groupBy("o_orderpriority", "d0", "d1").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    probes = grain.select(
+        "o_orderpriority", "d0", "d1",
+        F.explode(
+            F.sequence(F.year("d0"), F.greatest(F.year("d0"), F.year("d1")))
+        ).alias("ybkt"),
+    )
+    counted = (
+        probes.join(F.broadcast(cal), "ybkt")
+        .filter((F.col("day") > F.col("d0")) & (F.col("day") <= F.col("d1")))
+        .groupBy("o_orderpriority", "d0", "d1")
+        .agg(F.count(F.lit(1)).alias("bdays"))
+    )
+    # grains whose interval contains NO weekday (same-day ship) vanish
+    # from the join — restore them with bdays = 0 via the left join
+    per = grain.join(counted, ["o_orderpriority", "d0", "d1"], "left").select(
+        "o_orderpriority", "n",
+        F.coalesce("bdays", F.lit(0)).alias("bdays"),
+    )
+    return per.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("long").alias("n_lines"),
+        F.sum(F.col("bdays") * F.col("n")).cast("long")
+        .alias("sum_business_days"),
+        (F.sum(F.col("bdays") * F.col("n")).cast("double")
+         / F.sum("n").cast("double")).alias("avg_business_days"),
+    )

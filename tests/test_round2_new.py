@@ -616,3 +616,34 @@ def test_curation_pipeline_is_nonempty_proper_subset(spark, sf_dir):
     for r in rows:
         assert r["n_docs"] >= 1 and r["sum_tokens"] >= 30 * r["n_docs"]
     assert bench_ids  # fixture sanity
+
+
+# ---------------------------------------------------------------------------
+# q201 growth-curve laws / q202 business-day recompute
+# ---------------------------------------------------------------------------
+
+
+def test_cumulative_users_laws(spark, sf_dir):
+    df = ALL_QUERIES["q201_cumulative_users"](spark, sf_dir)
+    rows = sorted(df.collect(), key=lambda r: r["day"])
+    e = load_table(spark, "events", sf_dir)
+    total_users = e.select("user_id").distinct().count()
+    assert rows[-1]["cumulative_users"] == total_users
+    cum = 0
+    for r in rows:
+        cum += r["new_users"]
+        assert r["cumulative_users"] == cum
+        assert r["new_users"] <= r["active_users"] <= cum
+
+
+def test_business_days_hand_case():
+    import datetime as dt
+
+    # Mon 2024-01-01 → Mon 2024-01-08: (d0, d1] = Tue..Mon = 5 weekdays
+    d0, d1 = dt.date(2024, 1, 1), dt.date(2024, 1, 8)
+    n = sum(
+        1
+        for i in range(1, (d1 - d0).days + 1)
+        if (d0 + dt.timedelta(days=i)).weekday() < 5
+    )
+    assert n == 5
