@@ -198,6 +198,8 @@ HEADLINE = [
     "q200_curation_pipeline",
     "q201_cumulative_users",
     "q202_business_day_latency",
+    "q203_order_reconciliation",
+    "q204_diversified_topk",
 ]
 
 

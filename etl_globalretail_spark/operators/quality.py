@@ -452,3 +452,71 @@ def q183_orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("long").alias("gap_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 — financial reconciliation: does each order's header total agree
+# with the sum of its line-level net amounts? The retail-DW closing
+# check (the reference's fact math — F12's valor arithmetic — exists to
+# make these columns consistent; this query is the audit that catches
+# when they are not). Everything in exact floor-cents: per-line net =
+# floor(extprice·(1−disc)·(1+tax)·100) — ONE fixed double product chain
+# then FLOOR (portable), header total likewise — so the mismatch census
+# and the absolute-drift sum are integer-exact, not tolerance-fuzzy.
+#
+# Scale notes: one line-grain map + one orderkey combine + one broadcast
+# header join + one priority rollup; the same single-shuffle class as
+# the fact build it audits.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q203_order_reconciliation",
+    oracle="""
+    WITH line_net AS (
+        SELECT l_orderkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax) * 100) AS BIGINT)) AS net_cents
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    recon AS (
+        SELECT o.o_orderpriority,
+               CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+                   - COALESCE(l.net_cents, 0) AS diff_cents
+        FROM orders o LEFT JOIN line_net l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN abs(diff_cents) > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           CAST(SUM(abs(diff_cents)) AS BIGINT) AS sum_abs_diff_cents
+    FROM recon GROUP BY o_orderpriority
+    """,
+)
+def q203_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-lines reconciliation per order priority: orders whose
+    floor-cent total drifts more than one cent from the sum of line
+    nets, plus the exact total drift."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    line_net = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")) * 100
+            ).cast("long")
+        ).alias("net_cents")
+    )
+    recon = o.join(
+        line_net, o["o_orderkey"] == line_net["l_orderkey"], "left"
+    ).select(
+        "o_orderpriority",
+        (F.floor(F.col("o_totalprice") * 100).cast("long")
+         - F.coalesce("net_cents", F.lit(0))).alias("diff_cents"),
+    )
+    return recon.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.abs("diff_cents") > 1).cast("long")).cast("long")
+        .alias("n_mismatched"),
+        F.sum(F.abs("diff_cents")).cast("long").alias("sum_abs_diff_cents"),
+    )

@@ -3239,3 +3239,82 @@ def q202_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("bdays") * F.col("n")).cast("double")
          / F.sum("n").cast("double")).alias("avg_business_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q204 — diversified top-k (group-quota ranking): "the top 20 parts by
+# revenue, but at most 2 per brand" — the search/recommendation
+# diversity pattern a plain top-k window can't express. Two chained
+# windows on the SAME aggregate frame: an in-brand rank (quota filter)
+# then a global rank over the survivors. Both total-ordered (decimal-
+# exact revenue, partkey tie-break) so the selected set is bit-stable.
+#
+# Scale notes: both windows run over the part-grain AGGREGATE (|parts|
+# rows), never the fact table; the in-brand window partitions by brand
+# (parallel), and the global pass ranks only quota survivors. At
+# extreme |parts| the global rank becomes TakeOrderedAndProject via the
+# q27 LIMIT device; the quota window stays partition-parallel.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q204_diversified_topk",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand, l.l_partkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, l.l_partkey
+    ),
+    quota AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY revenue DESC, l_partkey) AS brand_rank
+        FROM rev
+    ),
+    survivors AS (SELECT * FROM quota WHERE brand_rank <= 2)
+    SELECT p_brand, CAST(l_partkey AS BIGINT) AS partkey, revenue,
+           CAST(brand_rank AS BIGINT) AS brand_rank,
+           CAST(rnk AS BIGINT) AS global_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_partkey)
+                      AS rnk
+        FROM survivors
+    ) WHERE rnk <= 20
+    """,
+)
+def q204_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by decimal-exact revenue with a ≤2-per-brand quota:
+    in-brand rank filter, then a global rank over the survivors."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(27,6)")
+            ).cast("double").alias("revenue")
+        )
+    )
+    wb = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), "l_partkey"
+    )
+    survivors = (
+        rev.select("*", F.row_number().over(wb).alias("brand_rank"))
+        .filter(F.col("brand_rank") <= 2)
+    )
+    wg = Window.orderBy(F.col("revenue").desc(), "l_partkey")
+    return (
+        survivors.select("*", F.row_number().over(wg).alias("rnk"))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "p_brand",
+            F.col("l_partkey").cast("long").alias("partkey"),
+            "revenue",
+            F.col("brand_rank").cast("long").alias("brand_rank"),
+            F.col("rnk").cast("long").alias("global_rank"),
+        )
+    )

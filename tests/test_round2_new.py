@@ -647,3 +647,32 @@ def test_business_days_hand_case():
         if (d0 + dt.timedelta(days=i)).weekday() < 5
     )
     assert n == 5
+
+
+# ---------------------------------------------------------------------------
+# q203 reconciliation / q204 diversity laws
+# ---------------------------------------------------------------------------
+
+
+def test_reconciliation_covers_all_orders(spark, sf_dir):
+    df = ALL_QUERIES["q203_order_reconciliation"](spark, sf_dir)
+    rows = df.collect()
+    n = load_table(spark, "orders", sf_dir).count()
+    assert sum(r["n_orders"] for r in rows) == n
+    for r in rows:
+        assert 0 <= r["n_mismatched"] <= r["n_orders"]
+        assert r["sum_abs_diff_cents"] >= 0
+
+
+def test_diversified_topk_quota_holds(spark, sf_dir):
+    import collections
+
+    df = ALL_QUERIES["q204_diversified_topk"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 20
+    per_brand = collections.Counter(r["p_brand"] for r in rows)
+    assert max(per_brand.values()) <= 2  # the quota
+    ranks = sorted(r["global_rank"] for r in rows)
+    assert ranks == list(range(1, 21))
+    revs = [r["revenue"] for r in sorted(rows, key=lambda r: r["global_rank"])]
+    assert revs == sorted(revs, reverse=True)
