@@ -200,6 +200,8 @@ HEADLINE = [
     "q202_business_day_latency",
     "q203_order_reconciliation",
     "q204_diversified_topk",
+    "q205_funnel_latency",
+    "q206_latency_histogram",
 ]
 
 

@@ -3318,3 +3318,145 @@ def q204_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("global_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — funnel latency percentiles: exact p50/p90 of the signup →
+# first-subsequent-purchase delay. q75 counts who converts; this
+# measures HOW FAST — the product-analytics companion. Stage times are
+# conditional min-aggregates per user (the q75 device, no window over
+# raw events); gaps live in integer seconds; percentiles are the q58
+# exact order statistic (rank ⌈p·n⌉ under a total order with user_id
+# tie-break — no interpolation arithmetic to diverge cross-engine).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q205_funnel_latency",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+                   AS s_ts
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT st.user_id,
+               (MIN(epoch_us(e.ts)) - st.s_ts) // 1000000 AS gap_s
+        FROM stages st
+        JOIN events e ON e.user_id = st.user_id
+         AND e.event_type = 'purchase' AND epoch_us(e.ts) >= st.s_ts
+        WHERE st.s_ts IS NOT NULL
+        GROUP BY st.user_id, st.s_ts
+    ),
+    ranked AS (
+        SELECT gap_s, user_id,
+               ROW_NUMBER() OVER (ORDER BY gap_s, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM conv
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                         THEN gap_s END) AS BIGINT) AS p50_seconds,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                         THEN gap_s END) AS BIGINT) AS p90_seconds
+    FROM ranked
+    """,
+)
+def q205_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How fast users convert: exact p50/p90 seconds from first signup to
+    first subsequent purchase (order-statistic percentiles, integer
+    gaps)."""
+    e = load_table(spark, "events", sf_dir)
+    stages = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        ).alias("s_ts")
+    ).filter(F.col("s_ts").isNotNull())
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.unix_micros("ts").alias("p_ts")
+    )
+    conv = (
+        stages.join(
+            purch,
+            (F.col("user_id") == F.col("pu")) & (F.col("p_ts") >= F.col("s_ts")),
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.expr("(min(p_ts) - s_ts) div 1000000").alias("gap_s"))
+        .select("user_id", "gap_s")
+    )
+    w = Window.orderBy("gap_s", "user_id")
+    wall = Window.partitionBy()
+    ranked = conv.select(
+        "gap_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")), F.col("gap_s"))
+        ).cast("long").alias("p50_seconds"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.9 * F.col("n")), F.col("gap_s"))
+        ).cast("long").alias("p90_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206 — power-of-two latency histogram: inter-purchase gaps bucketed by
+# bit length (bucket k ⇔ gap ∈ [2^(k−1), 2^k)) — the log2 bucketing of
+# every ops/latency dashboard (hdr-histogram's coarse tier), computed
+# with ZERO floating log: bitlen = length(bin(x)) is the q89 integer
+# device, exact in both engines. Gaps via one lag window per user in
+# integer seconds; zero-gaps land in their own bucket 0.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q206_latency_histogram",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+        SELECT (t - LAG(t) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id)) // 1000000 AS g
+        FROM p
+    ),
+    b AS (
+        SELECT CASE WHEN g = 0 THEN 0
+                    ELSE length(bin(g)) END AS bucket, g
+        FROM gaps WHERE g IS NOT NULL
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(g) AS BIGINT) AS min_gap_s,
+           CAST(MAX(g) AS BIGINT) AS max_gap_s
+    FROM b GROUP BY bucket
+    """,
+)
+def q206_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap histogram in power-of-two second buckets
+    (bucket = bit length of the gap), with per-bucket min/max — log2
+    binning without any floating log."""
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = p.select(
+        F.expr("(t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id))"
+               " div 1000000").alias("g")
+    ).filter(F.col("g").isNotNull())
+    b = gaps.select(
+        F.when(F.col("g") == 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("g")))).alias("bucket"),
+        "g",
+    )
+    return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("g").cast("long").alias("min_gap_s"),
+        F.max("g").cast("long").alias("max_gap_s"),
+    )

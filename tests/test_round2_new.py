@@ -676,3 +676,27 @@ def test_diversified_topk_quota_holds(spark, sf_dir):
     assert ranks == list(range(1, 21))
     revs = [r["revenue"] for r in sorted(rows, key=lambda r: r["global_rank"])]
     assert revs == sorted(revs, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# q205 funnel latency / q206 log2 histogram laws
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_latency_percentile_order(spark, sf_dir):
+    r = ALL_QUERIES["q205_funnel_latency"](spark, sf_dir).collect()[0]
+    assert r["n_converted"] > 0
+    assert 0 <= r["p50_seconds"] <= r["p90_seconds"]
+
+
+def test_latency_histogram_bucket_bounds(spark, sf_dir):
+    rows = ALL_QUERIES["q206_latency_histogram"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        b = r["bucket"]
+        if b == 0:
+            assert r["min_gap_s"] == r["max_gap_s"] == 0
+        else:
+            # bucket k holds gaps in [2^(k-1), 2^k)
+            assert 2 ** (b - 1) <= r["min_gap_s"]
+            assert r["max_gap_s"] < 2 ** b
