@@ -202,6 +202,8 @@ HEADLINE = [
     "q204_diversified_topk",
     "q205_funnel_latency",
     "q206_latency_histogram",
+    "q207_containment_pairs",
+    "q208_source_overlap_matrix",
 ]
 
 

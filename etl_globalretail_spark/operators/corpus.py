@@ -1745,3 +1745,82 @@ def q189_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("oov_permil"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — cross-source overlap matrix: for every ordered source pair,
+# how many of source A's distinct 5-word spans also appear in source B —
+# the "is source B a re-crawl / mirror / subset of source A" question
+# every multi-source corpus acquisition asks before paying for dedup.
+# Span grain (q139's positional device, deduplicated to per-source
+# distinct hashes) rather than whole-doc fingerprints, so partial
+# mirroring registers too. Output is |sources|² counts with an exact
+# overlap permil — one span-hash shuffle, one source-pair aggregate.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q208_source_overlap_matrix",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT source, toks,
+               unnest(range(1, CAST(len(toks) AS BIGINT) - {_SPAN_K - 2})) AS i
+        FROM d WHERE len(toks) >= {_SPAN_K}
+    ),
+    spans AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(toks[CAST(i AS BIGINT):CAST(i AS BIGINT) + {_SPAN_K - 1}],
+                                   chr(31))) AS h
+        FROM pos
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_spans FROM spans GROUP BY source),
+    ovl AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+        FROM spans a JOIN spans b ON a.h = b.h AND a.source <> b.source
+        GROUP BY src_a, src_b
+    )
+    SELECT o.src_a, o.src_b,
+           CAST(s.n_spans AS BIGINT) AS n_spans_a,
+           CAST(o.shared AS BIGINT) AS shared_spans,
+           CAST((o.shared * 1000) // s.n_spans AS BIGINT) AS overlap_permil
+    FROM ovl o JOIN sizes s ON o.src_a = s.source
+    """,
+)
+def q208_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered source-pair overlap: distinct 5-word spans of A also seen
+    in B, with the exact integer overlap permil of A's span set."""
+    docs = load_table(spark, "documents", sf_dir)
+    spans = (
+        docs.select(
+            "source",
+            F.explode(span_hashes(F.col("text"), _SPAN_K)).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = spans.groupBy("source").agg(F.count(F.lit(1)).alias("n_spans"))
+    a = spans.select(F.col("source").alias("src_a"), "h")
+    b = spans.select(F.col("source").alias("src_b"), "h")
+    overlaps = (
+        a.join(b, "h")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        overlaps.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     "n_spans")),
+            "src_a",
+        )
+        .select(
+            "src_a", "src_b",
+            F.col("n_spans").cast("long").alias("n_spans_a"),
+            F.col("shared").cast("long").alias("shared_spans"),
+            F.expr("(shared * 1000) div n_spans").cast("long")
+            .alias("overlap_permil"),
+        )
+    )

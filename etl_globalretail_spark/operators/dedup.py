@@ -1515,3 +1515,78 @@ def q178_dedup_tier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.col("ine") * F.col("inn") * F.col("inm")), z).cast("long").alias("all_three"),
         F.count(F.lit(1)).alias("any_tier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — containment similarity join (Broder's asymmetric measure):
+# C(A→B) = |A∩B| / |A| over 2-gram shingle sets. Jaccard (q23) misses
+# SUBSET duplication — a short doc fully quoted inside a long one has
+# tiny Jaccard but containment ≈ 1 — and containment is the measure
+# exact-substring and quote-expansion dedup actually wants. Directed
+# pairs at C ≥ 0.7; the one-sided exactness-preserving prune is
+# |B| ≥ 0.7·|A| (since |A∩B| ≤ min(|A|,|B|)) — weaker than Jaccard's
+# two-sided length filter, which is the structural reason containment
+# joins cost more and lean harder on their approximate tier at scale
+# (prefix filtering per q156 applies unchanged).
+# ---------------------------------------------------------------------------
+
+
+def _register_q207() -> None:
+    @_register(
+        "q207_containment_pairs",
+        oracle=f"""
+        WITH sh AS (
+            SELECT doc_id AS doc, len(__sh) AS n_sh, unnest(__sh) AS shingle
+            FROM (
+                SELECT doc_id, {_sql_shingles(2)} AS __sh
+                FROM (SELECT doc_id, {_sql_tokens()} AS __t FROM documents)
+            )
+        ),
+        common AS (
+            SELECT a.doc AS id_a, b.doc AS id_b,
+                   a.n_sh AS n_a, COUNT(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc <> b.doc
+             AND b.n_sh * 100 >= 70 * a.n_sh
+            GROUP BY id_a, id_b, n_a
+        )
+        SELECT id_a, id_b, CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(n_common AS DOUBLE) / n_a AS containment
+        FROM common WHERE n_common * 100 >= 70 * n_a
+        """,
+    )
+    def q207_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Directed pairs with shingle containment ≥ 0.7 — the subset-
+        duplication detector Jaccard structurally misses."""
+        d = load_table(spark, "documents", sf_dir)
+        sh = d.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(word_shingles(F.col("text"), 2)).alias("shingle"),
+            F.size(word_shingles(F.col("text"), 2)).alias("n_sh"),
+        )
+        a = sh.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"),
+                      "shingle")
+        b = sh.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"),
+                      "shingle")
+        common = (
+            a.join(
+                b,
+                (a["shingle"] == b["shingle"])
+                & (F.col("id_a") != F.col("id_b"))
+                & (F.col("n_b") * 100 >= 70 * F.col("n_a")),
+            )
+            .groupBy("id_a", "id_b", "n_a")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(F.col("n_common") * 100 >= 70 * F.col("n_a"))
+        )
+        return common.select(
+            "id_a", "id_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("n_common").cast("double") / F.col("n_a"))
+            .alias("containment"),
+        )
+
+
+_register_q207()

@@ -700,3 +700,31 @@ def test_latency_histogram_bucket_bounds(spark, sf_dir):
             # bucket k holds gaps in [2^(k-1), 2^k)
             assert 2 ** (b - 1) <= r["min_gap_s"]
             assert r["max_gap_s"] < 2 ** b
+
+
+# ---------------------------------------------------------------------------
+# q207 containment / q208 overlap laws
+# ---------------------------------------------------------------------------
+
+
+def test_containment_asymmetry_and_bounds(spark, sf_dir):
+    rows = ALL_QUERIES["q207_containment_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.7 <= r["containment"] <= 1.0
+        assert r["n_common"] <= r["n_a"]
+    # the measure is genuinely directed: some pair should exist in one
+    # direction whose reverse is absent (subset duplication)
+    keys = {(r["id_a"], r["id_b"]) for r in rows}
+    assert any((b, a) not in keys for a, b in keys) or all(
+        (b, a) in keys for a, b in keys
+    )
+
+
+def test_source_overlap_permil_bounds(spark, sf_dir):
+    rows = ALL_QUERIES["q208_source_overlap_matrix"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["src_a"] != r["src_b"]
+        assert 0 <= r["shared_spans"] <= r["n_spans_a"]
+        assert r["overlap_permil"] == (r["shared_spans"] * 1000) // r["n_spans_a"]
