@@ -204,6 +204,8 @@ HEADLINE = [
     "q206_latency_histogram",
     "q207_containment_pairs",
     "q208_source_overlap_matrix",
+    "q209_weighted_pagerank",
+    "q210_degree_assortativity",
 ]
 
 

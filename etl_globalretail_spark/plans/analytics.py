@@ -1956,10 +1956,20 @@ def co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("pa").alias("u"), F.col("pb").alias("v"))
             .agg(F.count(F.lit(1)).alias("support"))
             .filter(F.col("support") >= 2)
-            .select("u", "v")
         )
         _EDGE_MEMO[key] = und.collect()
-    return spark.createDataFrame(_EDGE_MEMO[key], "u long, v long")
+    return spark.createDataFrame(
+        _EDGE_MEMO[key], "u long, v long, support long"
+    ).select("u", "v")
+
+
+def co_purchase_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, support) face of the same memoized artifact — the weighted
+    graph consumers (q209) read the basket-support edge weight."""
+    co_purchase_edges(spark, sf_dir)  # ensure the memo exists
+    return spark.createDataFrame(
+        _EDGE_MEMO[(id(spark), sf_dir)], "u long, v long, support long"
+    )
 
 
 @_register(
@@ -3459,4 +3469,171 @@ def q206_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_gaps"),
         F.min("g").cast("long").alias("min_gap_s"),
         F.max("g").cast("long").alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q209 — WEIGHTED PageRank: the q179 trajectory with basket-support edge
+# weights — contributions proportional to co-purchase strength, the form
+# recommendation graphs actually run. Integer-exact throughout:
+#     contrib(v→u) = (rank(v) · w_vu) div strength(v),
+#     strength(v)  = Σ_out w — so Σ contribs ≤ rank(v) (floors shave),
+#     rank'(u)     = 150000 + (85 · Σ contrib) div 100.
+# Same persisted-artifact economics as q179 (the weighted face of the
+# memoized edge list); the oracle unrolls the weighted recurrence.
+# ---------------------------------------------------------------------------
+
+
+def _q209_oracle() -> str:
+    it = """
+    r{i} AS (
+        SELECT d.src AS v, d.strength,
+               CAST(150000 + (85 * COALESCE(s.contrib, 0)) // 100 AS BIGINT)
+                   AS rank
+        FROM deg d LEFT JOIN (
+            SELECT sym.dst AS v2,
+                   SUM((r.rank * sym.w) // r.strength) AS contrib
+            FROM sym JOIN r{p} r ON sym.src = r.v GROUP BY sym.dst
+        ) s ON d.src = s.v2
+    )"""
+    iters = ",".join(it.format(i=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+    WITH e AS (
+        SELECT part_a AS u, part_b AS v, support AS w
+        FROM (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS support
+            FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY part_a, part_b
+        ) WHERE support >= 2
+    ),
+    sym AS (SELECT u AS src, v AS dst, w FROM e
+            UNION ALL SELECT v AS src, u AS dst, w FROM e),
+    deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS strength
+            FROM sym GROUP BY src),
+    r0 AS (SELECT src AS v, strength, CAST(1000000 AS BIGINT) AS rank
+           FROM deg),
+    {iters}
+    SELECT v AS part, strength, rank AS pagerank FROM r3
+    """
+
+
+@_register("q209_weighted_pagerank", oracle=_q209_oracle())
+def q209_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-weighted PageRank (3 supersteps) over the co-purchase
+    graph; per-vertex strength and final integer rank."""
+    und = co_purchase_edges_weighted(spark, sf_dir)
+    sym = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        F.col("support").alias("w"),
+    ).unionAll(
+        und.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"),
+            F.col("support").alias("w"),
+        )
+    )
+    deg = sym.groupBy("src").agg(F.sum("w").cast("long").alias("strength"))
+    ranks = deg.select(
+        F.col("src").alias("v"), "strength",
+        F.lit(1000000).cast("long").alias("rank"),
+    )
+    for _ in range(3):
+        contrib = (
+            sym.join(ranks, sym["src"] == ranks["v"])
+            .select(F.col("dst"),
+                    F.expr("(rank * w) div strength").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            deg.join(contrib, deg["src"] == contrib["dst"], "left")
+            .select(
+                deg["src"].alias("v"),
+                "strength",
+                (F.lit(150000)
+                 + F.expr("(85 * coalesce(contrib, 0)) div 100"))
+                .cast("long").alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("v").alias("part"), "strength", F.col("rank").alias("pagerank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q210 — degree assortativity: Pearson correlation of endpoint degrees
+# over the directed edge list — do hub parts co-purchase with other hubs
+# (r > 0) or with the periphery (r < 0)? One scalar that summarizes the
+# co-purchase topology. The q163 exact-moment recipe verbatim: degree
+# sums are integers, every moment is an exact BIGINT, and r is one fixed
+# double op sequence (two sqrts, one division) — bit-identical.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q210_degree_assortativity",
+    oracle=f"""
+    WITH e AS ({_q154_edges_sql()}),
+    sym AS (SELECT u AS src, v AS dst FROM e
+            UNION ALL SELECT v AS src, u AS dst FROM e),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src),
+    pairs AS (
+        SELECT da.d AS x, db.d AS y
+        FROM sym JOIN deg da ON sym.src = da.src
+                 JOIN deg db ON sym.dst = db.src
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs
+    )
+    SELECT n AS n_directed_edges,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS assortativity
+    FROM m
+    """,
+)
+def q210_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of endpoint degrees over the symmetric
+    co-purchase edge list — the hub-mixing scalar, from exact integer
+    moments."""
+    und = co_purchase_edges(spark, sf_dir)
+    sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    da = deg.select(F.col("src").alias("sa"), F.col("d").alias("x"))
+    db = deg.select(F.col("src").alias("sb"), F.col("d").alias("y"))
+    pairs = (
+        sym.join(da, sym["src"] == da["sa"])
+        .join(db, sym["dst"] == db["sb"])
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        ((n * F.col("sxy").cast("double") - sx * sy)
+         / (F.sqrt(n * F.col("sxx").cast("double") - sx * sx)
+            * F.sqrt(n * F.col("syy").cast("double") - sy * sy)))
+        .alias("assortativity"),
     )

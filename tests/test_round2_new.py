@@ -728,3 +728,37 @@ def test_source_overlap_permil_bounds(spark, sf_dir):
         assert r["src_a"] != r["src_b"]
         assert 0 <= r["shared_spans"] <= r["n_spans_a"]
         assert r["overlap_permil"] == (r["shared_spans"] * 1000) // r["n_spans_a"]
+
+
+# ---------------------------------------------------------------------------
+# q209 weighted PageRank / q210 assortativity laws
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_pagerank_mass_bound(spark, sf_dir):
+    rows = ALL_QUERIES["q209_weighted_pagerank"](spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    total = sum(r["pagerank"] for r in rows)
+    assert total <= n * 1_000_000
+    assert all(r["pagerank"] >= 150_000 for r in rows)
+
+
+def test_assortativity_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    r = ALL_QUERIES["q210_degree_assortativity"](spark, sf_dir).collect()[0]
+    from etl_globalretail_spark.plans.analytics import co_purchase_edges
+
+    edges = co_purchase_edges(spark, sf_dir).collect()
+    deg = {}
+    for e in edges:
+        deg[e["u"]] = deg.get(e["u"], 0) + 1
+        deg[e["v"]] = deg.get(e["v"], 0) + 1
+    xs, ys = [], []
+    for e in edges:
+        xs += [deg[e["u"]], deg[e["v"]]]
+        ys += [deg[e["v"]], deg[e["u"]]]
+    expect = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
+    assert abs(r["assortativity"] - expect) < 1e-9
+    assert -1.0 <= r["assortativity"] <= 1.0
