@@ -206,6 +206,7 @@ HEADLINE = [
     "q208_source_overlap_matrix",
     "q209_weighted_pagerank",
     "q210_degree_assortativity",
+    "q211_peak_concurrency",
 ]
 
 

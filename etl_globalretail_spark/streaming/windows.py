@@ -807,3 +807,113 @@ def q194_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("long").alias("id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — peak concurrency via sweep-line: the maximum number of
+# simultaneously-open sessions, and the first moment it is reached —
+# capacity planning's headline number, and the textbook interval
+# max-overlap problem. Sessions come from the SAME gap rule q34 uses;
+# the sweep is +1/−1 deltas at session starts/ends, a prefix sum over
+# the (ts, delta) total order (ends sort BEFORE starts at equal ts —
+# half-open [start, end) sessions, stated identically in both engines),
+# and an argmin-of-first-peak under a total order.
+#
+# Scale notes: deltas are 2 rows per session (session-grain, not
+# event-grain); the prefix sum is one value-ordered window over that
+# frame (q149/q173 cost class). At extreme session counts the sweep
+# shards by time range with per-range offsets — the q190 two-phase
+# device applied to prefix sums.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q211_peak_concurrency",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, epoch_us(ts) AS t,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > {30 * 60 * 1_000_000} THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid, t
+        FROM seq
+    ),
+    bounds AS (
+        SELECT MIN(t) AS t0, MAX(t) + 1 AS t1
+        FROM sess GROUP BY user_id, sid
+    ),
+    deltas AS (
+        SELECT t0 AS t, 1 AS delta FROM bounds
+        UNION ALL
+        SELECT t1 AS t, -1 AS delta FROM bounds
+    ),
+    swept AS (
+        SELECT t, delta,
+               SUM(delta) OVER (ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS open_now
+        FROM deltas
+    ),
+    ranked AS (
+        SELECT open_now, t,
+               ROW_NUMBER() OVER (ORDER BY open_now DESC, t, delta) AS rn
+        FROM swept
+    )
+    SELECT CAST(open_now AS BIGINT) AS peak_concurrency,
+           CAST(t AS BIGINT) AS at_epoch_us,
+           CAST((SELECT COUNT(*) FROM bounds) AS BIGINT) AS n_sessions
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q211_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum simultaneously-open sessions (q34's 30-minute gap rule,
+    half-open bounds) and the first microsecond it is reached, by
+    sweep-line prefix sum over session-grain deltas."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, "events", sf_dir)
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", F.unix_micros("ts").alias("t"),
+        F.when(
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(wseq) > 30 * 60 * 1_000_000,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_s"),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = seq.select("user_id", F.sum("new_s").over(wcum).alias("sid"), "t")
+    bounds = sess.groupBy("user_id", "sid").agg(
+        F.min("t").alias("t0"), (F.max("t") + 1).alias("t1")
+    ).persist()  # consumed by both delta sides + the session count
+    deltas = bounds.select(F.col("t0").alias("t"), F.lit(1).alias("delta")).unionAll(
+        bounds.select(F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    wsweep = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = deltas.select(
+        "t", "delta", F.sum("delta").over(wsweep).alias("open_now")
+    )
+    wr = Window.orderBy(F.col("open_now").desc(), "t", "delta")
+    n_sessions = bounds.count()  # driver-side scalar (session-grain)
+    out = (
+        swept.select("open_now", "t", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("open_now").cast("long").alias("peak_concurrency"),
+            F.col("t").cast("long").alias("at_epoch_us"),
+            F.lit(n_sessions).cast("long").alias("n_sessions"),
+        )
+    )
+    rows = out.collect()
+    bounds.unpersist()
+    return spark.createDataFrame(
+        rows, "peak_concurrency long, at_epoch_us long, n_sessions long"
+    )

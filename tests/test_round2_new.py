@@ -762,3 +762,38 @@ def test_assortativity_matches_numpy(spark, sf_dir):
     expect = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
     assert abs(r["assortativity"] - expect) < 1e-9
     assert -1.0 <= r["assortativity"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# q211 sweep-line laws
+# ---------------------------------------------------------------------------
+
+
+def test_peak_concurrency_brute_force(spark, sf_dir):
+    r = ALL_QUERIES["q211_peak_concurrency"](spark, sf_dir).collect()[0]
+    e = load_table(spark, "events", sf_dir)
+    rows = e.select("user_id", F.unix_micros("ts").alias("t"),
+                    "event_id").collect()
+    by_user = {}
+    for x in sorted(rows, key=lambda x: (x["t"], x["event_id"])):
+        by_user.setdefault(x["user_id"], []).append(x["t"])
+    sessions = []
+    for ts in by_user.values():
+        start = prev = ts[0]
+        for t in ts[1:]:
+            if t - prev > 30 * 60 * 1_000_000:
+                sessions.append((start, prev + 1))
+                start = t
+            prev = t
+        sessions.append((start, prev + 1))
+    assert r["n_sessions"] == len(sessions)
+    deltas = sorted(
+        [(s, 1) for s, _ in sessions] + [(t1, -1) for _, t1 in sessions]
+    )
+    cur = peak = 0
+    peak_t = None
+    for t, d in deltas:
+        cur += d
+        if cur > peak:
+            peak, peak_t = cur, t
+    assert (r["peak_concurrency"], r["at_epoch_us"]) == (peak, peak_t)
