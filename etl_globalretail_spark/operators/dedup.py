@@ -1519,16 +1519,24 @@ def q178_dedup_tier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q207 — containment similarity join (Broder's asymmetric measure):
-# C(A→B) = |A∩B| / |A| over 2-gram shingle sets. Jaccard (q23) misses
-# SUBSET duplication — a short doc fully quoted inside a long one has
-# tiny Jaccard but containment ≈ 1 — and containment is the measure
-# exact-substring and quote-expansion dedup actually wants. Directed
-# pairs at C ≥ 0.7; the one-sided exactness-preserving prune is
-# |B| ≥ 0.7·|A| (since |A∩B| ≤ min(|A|,|B|)) — weaker than Jaccard's
-# two-sided length filter, which is the structural reason containment
-# joins cost more and lean harder on their approximate tier at scale
-# (prefix filtering per q156 applies unchanged).
+# C(A→B) = |A∩B| / |A| over hashed 2-gram shingle sets. Jaccard (q23/
+# q156) misses SUBSET duplication — a short doc fully quoted inside a
+# long one has tiny Jaccard but containment ≈ 1 — and containment is
+# what quote-expansion dedup actually wants. Directed pairs at C ≥ 0.7.
+#
+# The Spark side applies the ONE-SIDED prefix filter (post only A's
+# |A| − ⌈τ|A|⌉ + 1 smallest hashes; B posts everything — if B missed
+# all of them the intersection is < τ|A|) plus the one-sided length
+# prune |B| ≥ τ|A|; the oracle is the BRUTE-FORCE posting join, so hash
+# equality proves the asymmetric prefix filter lossless (the q156
+# proof, containment edition). Like q156 the exact tier runs on the
+# doc_id ≡ 0 (mod 3) slice: this fixture's ~30-word vocabulary makes
+# every doc pair share shingles, so the exact join is quadratic BY
+# CONSTRUCTION (41 s corpus-wide at sf0.1) — slicing keeps the ground
+# truth testable; LSH remains the whole-corpus path.
 # ---------------------------------------------------------------------------
+
+_Q207_PCT = 70
 
 
 def _register_q207() -> None:
@@ -1536,57 +1544,98 @@ def _register_q207() -> None:
         "q207_containment_pairs",
         oracle=f"""
         WITH sh AS (
-            SELECT doc_id AS doc, len(__sh) AS n_sh, unnest(__sh) AS shingle
-            FROM (
-                SELECT doc_id, {_sql_shingles(2)} AS __sh
-                FROM (SELECT doc_id, {_sql_tokens()} AS __t FROM documents)
-            )
+            SELECT doc_id, len(hs) AS n, hs FROM (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           {_sql_shingles(2)},
+                           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                                & {_MASK32}
+                       )) AS hs
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\\s+') AS __t
+                      FROM documents WHERE doc_id % 3 = 0)
+            ) WHERE len(hs) > 0
         ),
-        common AS (
-            SELECT a.doc AS id_a, b.doc AS id_b,
-                   a.n_sh AS n_a, COUNT(*) AS n_common
-            FROM sh a JOIN sh b
-              ON a.shingle = b.shingle AND a.doc <> b.doc
-             AND b.n_sh * 100 >= 70 * a.n_sh
-            GROUP BY id_a, id_b, n_a
+        ex AS (SELECT doc_id, n, unnest(hs) AS h FROM sh),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id <> y.doc_id
         )
-        SELECT id_a, id_b, CAST(n_a AS BIGINT) AS n_a,
-               CAST(n_common AS BIGINT) AS n_common,
-               CAST(n_common AS DOUBLE) / n_a AS containment
-        FROM common WHERE n_common * 100 >= 70 * n_a
+        SELECT id_a, id_b, CAST(a.n AS BIGINT) AS n_a,
+               CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_common,
+               CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+               / CAST(a.n AS DOUBLE) AS containment
+        FROM cand
+        JOIN sh a ON cand.id_a = a.doc_id
+        JOIN sh b ON cand.id_b = b.doc_id
+        WHERE 100 * len(list_intersect(a.hs, b.hs)) >= {_Q207_PCT} * a.n
         """,
     )
     def q207_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Directed pairs with shingle containment ≥ 0.7 — the subset-
-        duplication detector Jaccard structurally misses."""
-        d = load_table(spark, "documents", sf_dir)
-        sh = d.select(
-            F.col("doc_id").alias("doc"),
-            F.explode(word_shingles(F.col("text"), 2)).alias("shingle"),
-            F.size(word_shingles(F.col("text"), 2)).alias("n_sh"),
+        """Directed pairs with hashed-shingle containment ≥ 0.7 on the
+        mod-3 corpus slice — one-sided prefix-filtered, proven lossless
+        against the brute-force posting join."""
+        d = load_table(spark, "documents", sf_dir).filter(
+            F.col("doc_id") % 3 == 0
         )
-        a = sh.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"),
-                      "shingle")
-        b = sh.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"),
-                      "shingle")
-        common = (
-            a.join(
-                b,
-                (a["shingle"] == b["shingle"])
-                & (F.col("id_a") != F.col("id_b"))
-                & (F.col("n_b") * 100 >= 70 * F.col("n_a")),
+        hs = F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col("text"), 2),
+                    lambda x: _md5_hash64(x).bitwiseAND(
+                        F.lit(_MASK32).cast("long")
+                    ),
+                )
             )
-            .groupBy("id_a", "id_b", "n_a")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-            .filter(F.col("n_common") * 100 >= 70 * F.col("n_a"))
         )
-        return common.select(
-            "id_a", "id_b",
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_common").cast("long").alias("n_common"),
-            (F.col("n_common").cast("double") / F.col("n_a"))
-            .alias("containment"),
+        base = d.select(F.col("doc_id").alias("doc"), hs.alias("hs")).filter(
+            F.size("hs") > 0
+        ).persist()  # feeds the prefix index, the full index, and verify
+        plen = (
+            F.size("hs")
+            - F.expr(f"({_Q207_PCT} * size(hs) + 99) div 100") + 1
         )
+        prefix = base.select(
+            "doc", F.size("hs").alias("n"),
+            F.explode(F.slice("hs", 1, plen)).alias("ph"),
+        )
+        full = base.select(
+            F.col("doc").alias("doc_b"), F.size("hs").alias("n_b"),
+            F.explode("hs").alias("ph"),
+        )
+        cand = (
+            prefix.join(
+                full,
+                (prefix["ph"] == full["ph"])
+                & (F.col("doc") != F.col("doc_b"))
+                & (F.col("n_b") * 100 >= F.lit(_Q207_PCT) * F.col("n")),
+            )
+            .select(F.col("doc").alias("id_a"), F.col("doc_b").alias("id_b"))
+            .distinct()
+        )
+        a = base.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"))
+        b = base.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"))
+        inter = F.size(F.array_intersect("hs_a", "hs_b"))
+        out = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .filter(inter * 100 >= F.lit(_Q207_PCT) * F.size("hs_a"))
+            .select(
+                "id_a", "id_b",
+                F.size("hs_a").cast("long").alias("n_a"),
+                inter.cast("long").alias("n_common"),
+                (inter.cast("double") / F.size("hs_a").cast("double"))
+                .alias("containment"),
+            )
+        )
+        rows = out.collect()
+        base.unpersist()
+        return spark.createDataFrame(
+            rows,
+            "id_a long, id_b long, n_a long, n_common long, containment double",
+        )
+
+
 
 
 _register_q207()
