@@ -207,6 +207,7 @@ HEADLINE = [
     "q209_weighted_pagerank",
     "q210_degree_assortativity",
     "q211_peak_concurrency",
+    "q212_kcore_peeling",
 ]
 
 

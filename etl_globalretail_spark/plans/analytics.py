@@ -3637,3 +3637,96 @@ def q210_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt(n * F.col("syy").cast("double") - sy * sy)))
         .alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — k-core peeling (k = 3, three bounded rounds): iteratively
+# remove vertices of degree < 3 from the co-purchase graph — the
+# density-core extraction that separates structural product clusters
+# from incidental co-purchases. Completes the graph family's iteration
+# taxonomy: SUM-propagation (q179/q209), MIN-propagation (q186, q43
+# closure), and now SUBGRAPH-CONTRACTION. Three peel rounds are
+# unrolled in the oracle (production peels to fixpoint with the same
+# per-round plan; the bounded unroll keeps the gate exact — the q186
+# stance). Census output: surviving vertex/edge counts + id checksum
+# per round so the trajectory itself is verified, not just the end.
+#
+# Scale notes: each round is one degree aggregate + two semi-joins of
+# the edge list against the surviving vertex set — |E|-sized work per
+# round on the memoized artifact.
+# ---------------------------------------------------------------------------
+
+
+def _q212_oracle() -> str:
+    # MATERIALIZED CTEs: each round feeds the next round AND its census
+    # row — left inline, DuckDB re-evaluates the whole peel chain per
+    # reference (measured 15 s at sf0.01; materialized: sub-second).
+    rnd = """
+    v{i} AS MATERIALIZED (
+        SELECT src AS v FROM e{p} GROUP BY src HAVING COUNT(*) >= 3
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e{p} e
+        JOIN v{i} a ON e.src = a.v
+        JOIN v{i} b ON e.dst = b.v
+    )"""
+    rounds = ",".join(rnd.format(i=i, p=i - 1) for i in (1, 2, 3))
+    stats = " UNION ALL ".join(
+        f"""SELECT {i} AS round,
+               CAST(COUNT(DISTINCT src) AS BIGINT) AS n_vertices,
+               CAST(COUNT(*) // 2 AS BIGINT) AS n_edges,
+               CAST(COALESCE(SUM(DISTINCT src), 0) AS BIGINT)
+                   AS vertex_id_sum
+           FROM e{i}"""
+        for i in (1, 2, 3)
+    )
+    return f"""
+    WITH e AS MATERIALIZED ({_q154_edges_sql()}),
+    e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+           UNION ALL SELECT v AS src, u AS dst FROM e),
+    {rounds}
+    SELECT CAST(round AS BIGINT) AS round, n_vertices, n_edges,
+           vertex_id_sum
+    FROM ({stats})
+    """
+
+
+@_register("q212_kcore_peeling", oracle=_q212_oracle())
+def q212_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of 3-core peeling over the co-purchase graph; one
+    census row per round (vertices, undirected edges, id checksum) —
+    the contraction trajectory on the hash gate."""
+    und = co_purchase_edges(spark, sf_dir)
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    out_rows = []
+    for rnd in (1, 2, 3):
+        surv = (
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 3)
+            .select(F.col("src").alias("v"))
+        )
+        edges = (
+            edges.join(surv.select(F.col("v").alias("src")), "src", "left_semi")
+            .join(
+                surv.select(F.col("v").alias("dst")), "dst", "left_semi"
+            )
+            # cut the lineage: without this each round's collect re-runs
+            # every previous round's joins (chained-iteration trap, q43)
+            .localCheckpoint(eager=True)
+        )
+        stats = edges.agg(
+            F.countDistinct("src").cast("long").alias("n_vertices"),
+            F.expr("count(1) div 2").alias("n_edges"),
+            F.coalesce(F.sum_distinct(F.col("src")), F.lit(0)).cast("long")
+            .alias("vertex_id_sum"),
+        ).collect()[0]
+        out_rows.append(
+            (rnd, stats["n_vertices"], stats["n_edges"],
+             stats["vertex_id_sum"])
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "round long, n_vertices long, n_edges long, vertex_id_sum long",
+    )

@@ -797,3 +797,31 @@ def test_peak_concurrency_brute_force(spark, sf_dir):
         if cur > peak:
             peak, peak_t = cur, t
     assert (r["peak_concurrency"], r["at_epoch_us"]) == (peak, peak_t)
+
+
+# ---------------------------------------------------------------------------
+# q212 k-core laws
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peeling_monotone(spark, sf_dir):
+    rows = sorted(ALL_QUERIES["q212_kcore_peeling"](spark, sf_dir).collect(),
+                  key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_vertices"] <= a["n_vertices"]  # contraction is monotone
+        assert b["n_edges"] <= a["n_edges"]
+    # brute-force recompute of round 1
+    from etl_globalretail_spark.plans.analytics import co_purchase_edges
+
+    edges = co_purchase_edges(spark, sf_dir).collect()
+    deg = {}
+    for e in edges:
+        deg[e["u"]] = deg.get(e["u"], 0) + 1
+        deg[e["v"]] = deg.get(e["v"], 0) + 1
+    keep = {v for v, d in deg.items() if d >= 3}
+    surv = [(e["u"], e["v"]) for e in edges if e["u"] in keep and e["v"] in keep]
+    verts = {x for e in surv for x in e}
+    assert rows[0]["n_vertices"] == len(verts)
+    assert rows[0]["n_edges"] == len(surv)
+    assert rows[0]["vertex_id_sum"] == sum(verts)
