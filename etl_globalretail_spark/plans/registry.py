@@ -64,8 +64,8 @@ _SHOWCASE = [
     "q18_dedup_exact", "q93_normalized_dedup", "q66_minhash_pairs_exact",
     "q65_simhash_pairs_exact", "q67_cluster_closure_exact",
     "q86_leakage_safe_split", "q87_contamination_audit",
-    "q178_dedup_tier_overlap", "q156_prefix_filter_join",
-    "q80_fuzzy_name_pairs",
+    "q178_dedup_tier_overlap", "q200_curation_pipeline",
+    "q156_prefix_filter_join", "q80_fuzzy_name_pairs",
     # similarity search / embeddings
     "q27_ann_bruteforce", "q82_ann_lsh_exact", "q123_ann_ivf_exact",
     "q120_ann_recall", "q122_kmeans_exact", "q26_embedding_centroids",
@@ -77,7 +77,7 @@ _SHOWCASE = [
     "q92_tfidf_terms", "q126_temperature_mixture",
     # sampling / splits / shards
     "q47_hash_split", "q64_stratified_sample", "q48_source_quota",
-    "q88_weighted_sample", "q182_shard_manifest",
+    "q88_weighted_sample", "q182_shard_manifest", "q190_global_index",
     # graph + iterative + recurrence + sketches
     "q179_pagerank", "q154_triangle_count", "q181_ewma_recursive",
     "q180_hll_users_exact", "q99_countmin_tokens", "q152_table_fingerprint",
