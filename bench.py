@@ -208,6 +208,7 @@ HEADLINE = [
     "q210_degree_assortativity",
     "q211_peak_concurrency",
     "q212_kcore_peeling",
+    "q213_rollup_rank",
 ]
 
 

@@ -3730,3 +3730,92 @@ def q212_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "round long, n_vertices long, n_edges long, vertex_id_sum long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — ranking ACROSS grouping sets (the TPC-DS Q67 shape): one ROLLUP
+# pass produces every grain, then a window partitioned by the GROUPING
+# ID ranks rows WITHIN their grain — "top regions, top nations within
+# region, and the grand total, from one scan". Combines the q54 single-
+# Expand rollup with the q134 ranking discipline: decimal-exact revenue
+# sort keys, name tie-breaks, NULL grain cells COALESCEd to 'ALL' so the
+# output is NULL-free (DuckDB nullable strings mutate through Arrow).
+# Top-3 per grain level.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q213_rollup_rank",
+    oracle="""
+    WITH base AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               l.l_extendedprice * (1 - l.l_discount) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    grains AS (
+        SELECT COALESCE(region, 'ALL') AS region,
+               COALESCE(nation, 'ALL') AS nation,
+               CAST(GROUPING(region) * 2 + GROUPING(nation) AS BIGINT)
+                   AS gid,
+               CAST(SUM(CAST(rev AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM base GROUP BY ROLLUP (region, nation)
+    )
+    SELECT region, nation, gid, revenue,
+           CAST(rnk AS BIGINT) AS grain_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY gid
+                   ORDER BY revenue DESC, region, nation) AS rnk
+        FROM grains
+    ) WHERE rnk <= 3
+    """,
+)
+def q213_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 rows per rollup grain (nation-in-region detail, region
+    subtotals, grand total) ranked within their GROUPING-ID partition —
+    every grain from one Expand pass, decimal-exact sort keys."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    base = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    grains = (
+        base.rollup("region", "nation")
+        .agg(
+            F.sum(F.col("rev").cast("decimal(27,6)")).cast("double")
+            .alias("revenue"),
+            # grouping() is only legal inside the rollup's own aggregate
+            (F.grouping("region") * 2 + F.grouping("nation")).cast("long")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("region", F.lit("ALL")).alias("region"),
+            F.coalesce("nation", F.lit("ALL")).alias("nation"),
+            "gid",
+            "revenue",
+        )
+    )
+    w = Window.partitionBy("gid").orderBy(
+        F.col("revenue").desc(), "region", "nation"
+    )
+    return (
+        grains.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select("region", "nation", "gid", "revenue",
+                F.col("rnk").cast("long").alias("grain_rank"))
+    )

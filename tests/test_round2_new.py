@@ -825,3 +825,29 @@ def test_kcore_peeling_monotone(spark, sf_dir):
     assert rows[0]["n_vertices"] == len(verts)
     assert rows[0]["n_edges"] == len(surv)
     assert rows[0]["vertex_id_sum"] == sum(verts)
+
+
+# ---------------------------------------------------------------------------
+# q213 rollup-rank laws
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_rank_grains(spark, sf_dir):
+    rows = ALL_QUERIES["q213_rollup_rank"](spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # detail grain (gid 0): ranks 1..3; region grain (gid 1): 1..3;
+    # grand total (gid 3): exactly one row, rank 1, both cells 'ALL'
+    assert sorted(by_gid) == [0, 1, 3]
+    assert len(by_gid[3]) == 1
+    g = by_gid[3][0]
+    assert (g["region"], g["nation"], g["grain_rank"]) == ("ALL", "ALL", 1)
+    for gid in (0, 1):
+        ranks = sorted(r["grain_rank"] for r in by_gid[gid])
+        assert ranks == list(range(1, len(ranks) + 1))
+        revs = [r["revenue"] for r in
+                sorted(by_gid[gid], key=lambda r: r["grain_rank"])]
+        assert revs == sorted(revs, reverse=True)
+    for r in by_gid[1]:
+        assert r["nation"] == "ALL" and r["region"] != "ALL"
