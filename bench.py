@@ -209,6 +209,7 @@ HEADLINE = [
     "q211_peak_concurrency",
     "q212_kcore_peeling",
     "q213_rollup_rank",
+    "q214_fifo_allocation",
 ]
 
 

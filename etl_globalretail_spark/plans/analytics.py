@@ -3819,3 +3819,103 @@ def q213_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("region", "nation", "gid", "revenue",
                 F.col("rnk").cast("long").alias("grain_rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q214 — FIFO inventory matching WITHOUT recursion: the classic "hard in
+# SQL" allocation (which receipt lot does each sale consume?) solved as
+# a cumulative-interval overlap join. Per part, receipts and sales each
+# get exact cumulative-quantity intervals [c_{i-1}, c_i) under a total
+# order; FIFO allocation is EXACTLY their interval overlap:
+#     alloc(i, j) = min(cr_i, cs_j) − max(cr_{i-1}, cs_{j-1})  (if > 0)
+# — no loop, no recursion, one window per side plus one part-keyed join
+# with a range residual (per-part blocks are lineitem-count-sized; at
+# scale the q52 quantity-bin device bounds the pair fan-out). Receipts =
+# even line numbers, sales = odd (a deterministic split of the same
+# fact stream, standing in for a receipts feed). COGS in exact integer
+# cents: per-unit cost = floor-cents div quantity (integer division —
+# the portable floor), alloc × unit never leaves int64.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q214_fifo_allocation",
+    oracle="""
+    WITH base AS (
+        SELECT l_partkey AS pk, l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                   // CAST(l_quantity AS BIGINT) AS unit_cents,
+               l_shipdate
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    r AS (
+        SELECT pk, qty, unit_cents,
+               SUM(qty) OVER (PARTITION BY pk
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber
+                              ROWS UNBOUNDED PRECEDING) AS cr
+        FROM base WHERE l_linenumber % 2 = 0
+    ),
+    s AS (
+        SELECT pk, qty,
+               SUM(qty) OVER (PARTITION BY pk
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber
+                              ROWS UNBOUNDED PRECEDING) AS cs
+        FROM base WHERE l_linenumber % 2 = 1
+    ),
+    alloc AS (
+        SELECT r.pk,
+               LEAST(r.cr, s.cs)
+               - GREATEST(r.cr - r.qty, s.cs - s.qty) AS a,
+               r.unit_cents
+        FROM r JOIN s ON r.pk = s.pk
+         AND r.cr > s.cs - s.qty AND s.cs > r.cr - r.qty
+    )
+    SELECT pk AS partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(SUM(a) AS BIGINT) AS matched_qty,
+           CAST(SUM(a * unit_cents) AS BIGINT) AS cogs_cents
+    FROM alloc GROUP BY pk
+    """,
+)
+def q214_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part FIFO allocation of sales (odd line numbers) against
+    receipt lots (even line numbers): match count, matched quantity, and
+    exact integer-cent cost of goods sold — the interval-overlap
+    formulation, loop-free."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 0)
+    base = li.select(
+        F.col("l_partkey").alias("pk"), "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"
+               " div CAST(l_quantity AS BIGINT)").alias("unit_cents"),
+        "l_shipdate",
+    )
+    w = Window.partitionBy("pk").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = base.filter(F.col("l_linenumber") % 2 == 0).select(
+        "pk", "qty", "unit_cents", F.sum("qty").over(w).alias("cr")
+    ).select(F.col("pk").alias("rpk"), F.col("qty").alias("rqty"),
+             "unit_cents", "cr")
+    sl = base.filter(F.col("l_linenumber") % 2 == 1).select(
+        "pk", "qty", F.sum("qty").over(w).alias("cs")
+    ).select(F.col("pk").alias("spk"), F.col("qty").alias("sqty"), "cs")
+    alloc = r.join(
+        sl,
+        (F.col("rpk") == F.col("spk"))
+        & (F.col("cr") > F.col("cs") - F.col("sqty"))
+        & (F.col("cs") > F.col("cr") - F.col("rqty")),
+    ).select(
+        F.col("rpk").alias("pk"),
+        (F.least("cr", "cs")
+         - F.greatest(F.col("cr") - F.col("rqty"),
+                      F.col("cs") - F.col("sqty"))).alias("a"),
+        "unit_cents",
+    )
+    return alloc.groupBy(F.col("pk").alias("partkey")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum("a").cast("long").alias("matched_qty"),
+        F.sum(F.col("a") * F.col("unit_cents")).cast("long")
+        .alias("cogs_cents"),
+    )

@@ -851,3 +851,39 @@ def test_rollup_rank_grains(spark, sf_dir):
         assert revs == sorted(revs, reverse=True)
     for r in by_gid[1]:
         assert r["nation"] == "ALL" and r["region"] != "ALL"
+
+
+# ---------------------------------------------------------------------------
+# q214 FIFO laws
+# ---------------------------------------------------------------------------
+
+
+def test_fifo_allocation_conservation_and_hand_case(spark, sf_dir):
+    rows = ALL_QUERIES["q214_fifo_allocation"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["matched_qty"] >= 0 and r["n_matches"] >= 1
+    # hand case: receipts [5, 10], sales [3, 4, 8] →
+    # sale1: 3 from lot1; sale2: 2 from lot1 + 2 from lot2; sale3: 8 lot2
+    rec = [(1, 5, 100), (1, 10, 200)]  # (pk, qty, unit)
+    sal = [(1, 3), (1, 4), (1, 8)]
+    cr = 0
+    r_iv = []
+    for _, q, u in rec:
+        r_iv.append((cr, cr + q, u))
+        cr += q
+    cs = 0
+    s_iv = []
+    for _, q in sal:
+        s_iv.append((cs, cs + q))
+        cs += q
+    allocs = []
+    for r0, r1, u in r_iv:
+        for s0, s1 in s_iv:
+            a = min(r1, s1) - max(r0, s0)
+            if a > 0:
+                allocs.append((a, u))
+    assert sum(a for a, _ in allocs) == 15  # min(15, 15)
+    assert sum(a * u for a, u in allocs) == 5 * 100 + 10 * 200
+    # matched per FIFO: lot1 fully consumed before lot2 starts
+    assert allocs == [(3, 100), (2, 100), (2, 200), (8, 200)]
