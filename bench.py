@@ -210,6 +210,7 @@ HEADLINE = [
     "q212_kcore_peeling",
     "q213_rollup_rank",
     "q214_fifo_allocation",
+    "q215_bom_explosion",
 ]
 
 

@@ -3919,3 +3919,94 @@ def q214_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("a") * F.col("unit_cents")).cast("long")
         .alias("cogs_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — bill-of-materials explosion (hierarchy flatten with
+# multiplicative quantity rollup): the classic recursive-hierarchy
+# workload (BOM costing, org rollups, category trees). The hierarchy is
+# synthesized deterministically from the part keyspace — parent(p) =
+# p div 10 — giving a bounded 4-level tree both engines construct
+# identically; per-edge assembly quantity = p % 5 + 1. The explosion
+# multiplies quantities ALONG each ancestor path (the BOM semantics a
+# plain additive rollup cannot express); Spark unrolls the bounded
+# depth as three self-joins (the q179/q186 bounded-iteration stance),
+# the oracle as a recursive CTE carrying the running product. All
+# integers (products ≤ 5⁴), id-pinned census per root.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q215_bom_explosion",
+    oracle="""
+    WITH RECURSIVE parts AS (
+        SELECT p_partkey AS pk, p_partkey // 10 AS parent,
+               CAST(p_partkey % 5 + 1 AS BIGINT) AS edge_qty
+        FROM part
+    ),
+    reach AS (
+        SELECT pk AS root, pk AS node, CAST(1 AS BIGINT) AS path_qty,
+               CAST(0 AS BIGINT) AS depth
+        FROM parts
+        UNION ALL
+        SELECT r.root, p.pk AS node, r.path_qty * p.edge_qty,
+               r.depth + 1
+        FROM reach r JOIN parts p ON p.parent = r.node
+        WHERE p.pk <> r.node AND r.depth < 4
+    )
+    SELECT root,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_descendants,
+           CAST(SUM(path_qty) - 1 AS BIGINT) AS exploded_qty,
+           CAST(MAX(depth) AS BIGINT) AS max_depth
+    FROM reach GROUP BY root
+    HAVING COUNT(*) > 1
+    """,
+)
+def q215_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-assembly explosion census over the synthesized part hierarchy
+    (parent = key div 10): descendant count, path-multiplied exploded
+    quantity, and subtree depth — bounded-depth unrolled joins vs the
+    oracle's recursive CTE."""
+    p = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("pk"),
+        F.expr("p_partkey div 10").alias("parent"),
+        (F.col("p_partkey") % 5 + 1).cast("long").alias("edge_qty"),
+    ).persist()  # probed once per unrolled level
+    reach = p.select(
+        F.col("pk").alias("root"), F.col("pk").alias("node"),
+        F.lit(1).cast("long").alias("path_qty"),
+        F.lit(0).cast("long").alias("depth"),
+    )
+    # fresh column names per level avoid the chained self-join ambiguity
+    pj = p.select(
+        F.col("pk").alias("c_pk"), F.col("parent").alias("c_parent"),
+        F.col("edge_qty").alias("c_qty"),
+    )
+    frontier = reach
+    for _ in range(4):
+        nxt = (
+            frontier.join(pj, F.col("c_parent") == F.col("node"))
+            .filter((F.col("c_pk") != F.col("node")) & (F.col("depth") < 4))
+            .select(
+                "root",
+                F.col("c_pk").alias("node"),
+                (F.col("path_qty") * F.col("c_qty")).alias("path_qty"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+        )
+        reach = reach.unionAll(nxt)
+        frontier = nxt
+    out = (
+        reach.groupBy("root")
+        .agg(
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_descendants"),
+            (F.sum("path_qty") - 1).cast("long").alias("exploded_qty"),
+            F.max("depth").cast("long").alias("max_depth"),
+        )
+        .filter(F.col("n_descendants") > 0)
+    )
+    rows = out.collect()
+    p.unpersist()
+    return spark.createDataFrame(
+        rows, "root long, n_descendants long, exploded_qty long, max_depth long"
+    )

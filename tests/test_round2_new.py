@@ -887,3 +887,38 @@ def test_fifo_allocation_conservation_and_hand_case(spark, sf_dir):
     assert sum(a * u for a, u in allocs) == 5 * 100 + 10 * 200
     # matched per FIFO: lot1 fully consumed before lot2 starts
     assert allocs == [(3, 100), (2, 100), (2, 200), (8, 200)]
+
+
+# ---------------------------------------------------------------------------
+# q215 BOM laws
+# ---------------------------------------------------------------------------
+
+
+def test_bom_explosion_brute_force(spark, sf_dir):
+    rows = {r["root"]: r for r in
+            ALL_QUERIES["q215_bom_explosion"](spark, sf_dir).collect()}
+    parts = [r["p_partkey"] for r in
+             load_table(spark, "part", sf_dir).select("p_partkey").collect()]
+    kids = {}
+    for pk in parts:
+        kids.setdefault(pk // 10, []).append(pk)
+    import random
+
+    sample = sorted(rows)[:5] + sorted(rows)[-3:]
+    for root in sample:
+        total_desc, total_qty, max_d = 0, 0, 0
+        stack = [(root, 1, 0)]
+        while stack:
+            node, q, d = stack.pop()
+            if d > 0:
+                total_desc += 1
+                total_qty += q
+                max_d = max(max_d, d)
+            if d < 4:
+                for ch in kids.get(node, []):
+                    if ch != node:
+                        stack.append((ch, q * (ch % 5 + 1), d + 1))
+        r = rows[root]
+        assert (r["n_descendants"], r["exploded_qty"], r["max_depth"]) == (
+            total_desc, total_qty, max_d
+        ), root
