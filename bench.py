@@ -211,6 +211,7 @@ HEADLINE = [
     "q213_rollup_rank",
     "q214_fifo_allocation",
     "q215_bom_explosion",
+    "q216_budget_apportionment",
 ]
 
 

@@ -1824,3 +1824,81 @@ def q208_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_permil"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — largest-remainder apportionment: split an indivisible budget
+# (N = 1000 training-document slots) across sources in proportion to
+# their token mass, exactly — floor quotas + the largest-remainder rule
+# (Hamilton's method). The integer sibling of q126's temperature
+# sampling: where q126 computes RATES, this allocates UNITS, and the
+# allocation must sum to N exactly (pytest law). Everything is integer
+# cross-multiplication: quota = (N·t) div T, remainder rank = (N·t) mod
+# T under a total order (remainder desc, source asc) — no double ever
+# appears, so the per-source allocation is bit-identical.
+#
+# Scale notes: one corpus aggregate (source grain) and one window over
+# the |sources| frame — the allocation math never touches corpus rows.
+# ---------------------------------------------------------------------------
+
+_Q216_BUDGET = 1000
+
+
+@_register(
+    "q216_budget_apportionment",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                    AS BIGINT) AS toks
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(toks) AS tt FROM t),
+    q AS (
+        SELECT t.source, t.toks,
+               ({_Q216_BUDGET} * t.toks) // tot.tt AS floor_quota,
+               ({_Q216_BUDGET} * t.toks) % tot.tt AS rem
+        FROM t, tot
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+               {_Q216_BUDGET} - SUM(floor_quota) OVER () AS leftover
+        FROM q
+    )
+    SELECT source, toks,
+           CAST(floor_quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocation
+    FROM ranked
+    """,
+)
+def q216_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer allocation of a 1000-slot budget across sources
+    proportional to token mass, by floor quotas plus largest remainders
+    under a total order — sums to the budget exactly."""
+    d = load_table(spark, "documents", sf_dir)
+    t = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long").alias("toks")
+    )
+    wall = Window.partitionBy()
+    q = t.select(
+        "source", "toks",
+        F.sum("toks").over(wall).alias("tt"),
+    ).select(
+        "source", "toks",
+        F.expr(f"({_Q216_BUDGET} * toks) div tt").alias("floor_quota"),
+        (F.lit(_Q216_BUDGET) * F.col("toks") % F.col("tt")).alias("rem"),
+    )
+    wr = Window.orderBy(F.col("rem").desc(), "source")
+    ranked = q.select(
+        "*",
+        F.row_number().over(wr).alias("rr"),
+        (F.lit(_Q216_BUDGET) - F.sum("floor_quota").over(wall))
+        .alias("leftover"),
+    )
+    return ranked.select(
+        "source", "toks",
+        (F.col("floor_quota")
+         + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long").alias("allocation"),
+    )

@@ -922,3 +922,18 @@ def test_bom_explosion_brute_force(spark, sf_dir):
         assert (r["n_descendants"], r["exploded_qty"], r["max_depth"]) == (
             total_desc, total_qty, max_d
         ), root
+
+
+# ---------------------------------------------------------------------------
+# q216 apportionment laws
+# ---------------------------------------------------------------------------
+
+
+def test_apportionment_sums_to_budget(spark, sf_dir):
+    rows = ALL_QUERIES["q216_budget_apportionment"](spark, sf_dir).collect()
+    assert sum(r["allocation"] for r in rows) == 1000  # exactness, not ≈
+    total = sum(r["toks"] for r in rows)
+    for r in rows:
+        ideal = 1000 * r["toks"] / total
+        # Hamilton's method never strays more than 1 from the ideal share
+        assert abs(r["allocation"] - ideal) < 1.0
