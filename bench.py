@@ -212,6 +212,7 @@ HEADLINE = [
     "q214_fifo_allocation",
     "q215_bom_explosion",
     "q216_budget_apportionment",
+    "q217_spearman_corr",
 ]
 
 

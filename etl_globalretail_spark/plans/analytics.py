@@ -4010,3 +4010,110 @@ def q215_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "root long, n_descendants long, exploded_qty long, max_depth long"
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 — exact Spearman rank correlation (tie-corrected) per group: the
+# robust sibling of q163's Pearson on the SAME (quantity, discount)
+# pairs, so the two statistics are directly comparable. Tie handling is
+# the textbook average rank, kept EXACT with the doubled-rank device:
+# 2·avg_rank(v) = 2·|{x < v}| + |{x = v}| + 1 is an INTEGER, so Spearman
+# = Pearson over doubled ranks runs on the q163 exact-integer-moment
+# recipe unchanged (doubling cancels in the correlation). Rank moments
+# come from per-value count frames (value-grain windows), never a
+# per-row sort.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q217_spearman_corr",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+               CAST(FLOOR(l_discount * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    rx AS (
+        SELECT flag, x,
+               2 * (SUM(COUNT(*)) OVER (PARTITION BY flag ORDER BY x
+                                        ROWS UNBOUNDED PRECEDING)
+                    - COUNT(*)) + COUNT(*) + 1 AS drx
+        FROM q GROUP BY flag, x
+    ),
+    ry AS (
+        SELECT flag, y,
+               2 * (SUM(COUNT(*)) OVER (PARTITION BY flag ORDER BY y
+                                        ROWS UNBOUNDED PRECEDING)
+                    - COUNT(*)) + COUNT(*) + 1 AS dry
+        FROM q GROUP BY flag, y
+    ),
+    j AS (
+        SELECT q.flag, rx.drx AS a, ry.dry AS b
+        FROM q JOIN rx ON q.flag = rx.flag AND q.x = rx.x
+               JOIN ry ON q.flag = ry.flag AND q.y = ry.y
+    ),
+    m AS (
+        SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+               CAST(SUM(a * b) AS BIGINT) AS sab,
+               CAST(SUM(a * a) AS BIGINT) AS saa,
+               CAST(SUM(b * b) AS BIGINT) AS sbb
+        FROM j GROUP BY flag
+    )
+    SELECT flag, n,
+           (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+            - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+               AS spearman
+    FROM m
+    """,
+)
+def q217_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman correlation of quantity vs discount per
+    return flag via exact doubled average ranks — Pearson over integer
+    rank moments, q163's recipe on the rank scale."""
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+
+    def doubled_ranks(col):
+        cnts = q.groupBy("flag", col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("flag").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return cnts.select(
+            "flag", col,
+            (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1)
+            .alias(f"dr_{col}"),
+        )
+
+    j = (
+        q.join(doubled_ranks("x"), ["flag", "x"])
+        .join(doubled_ranks("y"), ["flag", "y"])
+        .select("flag", F.col("dr_x").alias("a"), F.col("dr_y").alias("b"))
+    )
+    m = j.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+    )
+    n = F.col("n").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    return m.select(
+        "flag", "n",
+        ((n * F.col("sab").cast("double") - sa * sb)
+         / (F.sqrt(n * F.col("saa").cast("double") - sa * sa)
+            * F.sqrt(n * F.col("sbb").cast("double") - sb * sb)))
+        .alias("spearman"),
+    )

@@ -937,3 +937,40 @@ def test_apportionment_sums_to_budget(spark, sf_dir):
         ideal = 1000 * r["toks"] / total
         # Hamilton's method never strays more than 1 from the ideal share
         assert abs(r["allocation"] - ideal) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# q217 Spearman cross-check
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_matches_scipy_style_recompute(spark, sf_dir):
+    import numpy as np
+
+    got = {r["flag"]: r for r in
+           ALL_QUERIES["q217_spearman_corr"](spark, sf_dir).collect()}
+    li = load_table(spark, "lineitem", sf_dir)
+    rows = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("y"),
+    ).collect()
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r["flag"], ([], []))
+        by_flag[r["flag"]][0].append(r["x"])
+        by_flag[r["flag"]][1].append(r["y"])
+
+    def avg_ranks(vals):
+        import collections
+
+        order = sorted(collections.Counter(vals).items())
+        out, below = {}, 0
+        for v, c in order:
+            out[v] = below + (c + 1) / 2  # average rank
+            below += c
+        return np.array([out[v] for v in vals])
+
+    for flag, (xs, ys) in by_flag.items():
+        rho = np.corrcoef(avg_ranks(xs), avg_ranks(ys))[0, 1]
+        assert abs(got[flag]["spearman"] - rho) < 1e-9, flag
