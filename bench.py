@@ -213,6 +213,7 @@ HEADLINE = [
     "q215_bom_explosion",
     "q216_budget_apportionment",
     "q217_spearman_corr",
+    "q218_kendall_tau",
 ]
 
 

@@ -4117,3 +4117,128 @@ def q217_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt(n * F.col("sbb").cast("double") - sb * sb)))
         .alias("spearman"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q218 — Kendall's tau-b (tie-corrected) per group, exactly: the third
+# rank-correlation tier beside Pearson (q163) and Spearman (q217), on
+# the same (quantity, discount) pairs. The O(n²) pair enumeration
+# collapses to the JOINT-VALUE GRID: per (x, y) cell counts c, then
+# concordant/discordant mass is a cell×cell dominance join (grid cells
+# number |x-values|·|y-values| ≈ hundreds — corpus-size-INDEPENDENT,
+# the same collapse q173's ECDF uses). C, D, and the tie terms n1, n2
+# are exact BIGINTs; tau_b = (C−D)/√((n0−n1)·(n0−n2)) is computed with
+# the factors cast to double BEFORE multiplying — their int64 product
+# overflows at corpus row counts (the q184 Σx² lesson, denominator
+# edition).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q218_kendall_tau",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+               CAST(FLOOR(l_discount * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT flag, x, y, CAST(COUNT(*) AS BIGINT) AS c
+        FROM q GROUP BY flag, x, y
+    ),
+    cd AS (
+        SELECT a.flag,
+               CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc
+        FROM cells a JOIN cells b ON a.flag = b.flag
+        GROUP BY a.flag
+    ),
+    nn AS (
+        SELECT flag, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY flag
+    ),
+    tx AS (
+        SELECT flag, CAST(SUM(cx * (cx - 1) // 2) AS BIGINT) AS n1
+        FROM (SELECT flag, x, COUNT(*) AS cx FROM q GROUP BY flag, x)
+        GROUP BY flag
+    ),
+    ty AS (
+        SELECT flag, CAST(SUM(cy * (cy - 1) // 2) AS BIGINT) AS n2
+        FROM (SELECT flag, y, COUNT(*) AS cy FROM q GROUP BY flag, y)
+        GROUP BY flag
+    )
+    SELECT nn.flag, nn.n,
+           CAST(cd.conc AS BIGINT) AS concordant,
+           CAST(cd.disc AS BIGINT) AS discordant,
+           (CAST(cd.conc AS DOUBLE) - CAST(cd.disc AS DOUBLE))
+           / sqrt(CAST(nn.n * (nn.n - 1) // 2 - tx.n1 AS DOUBLE)
+                  * CAST(nn.n * (nn.n - 1) // 2 - ty.n2 AS DOUBLE))
+               AS tau_b
+    FROM nn JOIN cd ON nn.flag = cd.flag
+            JOIN tx ON nn.flag = tx.flag
+            JOIN ty ON nn.flag = ty.flag
+    """,
+)
+def q218_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kendall tau-b per return flag via the joint-value
+    grid dominance join — concordant/discordant mass in exact integers,
+    one sqrt-and-divide at the end."""
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    cells = q.groupBy("flag", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()  # both sides of the dominance join
+    a = cells.select(F.col("flag").alias("fa"), F.col("x").alias("xa"),
+                     F.col("y").alias("ya"), F.col("c").alias("ca"))
+    b = cells.select(F.col("flag").alias("fb"), F.col("x").alias("xb"),
+                     F.col("y").alias("yb"), F.col("c").alias("cb"))
+    cd = (
+        a.join(b, F.col("fa") == F.col("fb"))
+        .groupBy(F.col("fa").alias("flag"))
+        .agg(
+            F.sum(
+                F.when((F.col("xb") > F.col("xa")) & (F.col("yb") > F.col("ya")),
+                       F.col("ca") * F.col("cb")).otherwise(F.lit(0))
+            ).cast("long").alias("conc"),
+            F.sum(
+                F.when((F.col("xb") > F.col("xa")) & (F.col("yb") < F.col("ya")),
+                       F.col("ca") * F.col("cb")).otherwise(F.lit(0))
+            ).cast("long").alias("disc"),
+        )
+    )
+    nn = q.groupBy("flag").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tx = (
+        q.groupBy("flag", "x").agg(F.count(F.lit(1)).alias("cx"))
+        .groupBy("flag")
+        .agg(F.sum(F.expr("cx * (cx - 1) div 2")).cast("long").alias("n1"))
+    )
+    ty = (
+        q.groupBy("flag", "y").agg(F.count(F.lit(1)).alias("cy"))
+        .groupBy("flag")
+        .agg(F.sum(F.expr("cy * (cy - 1) div 2")).cast("long").alias("n2"))
+    )
+    out = (
+        nn.join(cd, "flag").join(tx, "flag").join(ty, "flag")
+        .select(
+            "flag", "n",
+            F.col("conc").alias("concordant"),
+            F.col("disc").alias("discordant"),
+            ((F.col("conc").cast("double") - F.col("disc").cast("double"))
+             / F.sqrt(
+                 F.expr("CAST(n * (n - 1) div 2 - n1 AS DOUBLE)")
+                 * F.expr("CAST(n * (n - 1) div 2 - n2 AS DOUBLE)")
+             )).alias("tau_b"),
+        )
+    )
+    rows = out.collect()
+    cells.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "flag string, n long, concordant long, discordant long, tau_b double",
+    )

@@ -974,3 +974,42 @@ def test_spearman_matches_scipy_style_recompute(spark, sf_dir):
     for flag, (xs, ys) in by_flag.items():
         rho = np.corrcoef(avg_ranks(xs), avg_ranks(ys))[0, 1]
         assert abs(got[flag]["spearman"] - rho) < 1e-9, flag
+
+
+# ---------------------------------------------------------------------------
+# q218 Kendall tau cross-check
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_tau_matches_brute_force(spark, sf_dir):
+    got = {r["flag"]: r for r in
+           ALL_QUERIES["q218_kendall_tau"](spark, sf_dir).collect()}
+    li = load_table(spark, "lineitem", sf_dir)
+    rows = li.filter(F.col("l_returnflag") == "R").select(
+        F.floor("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("y"),
+    ).limit(2000).collect()
+    import collections
+    import math
+
+    pts = [(r["x"], r["y"]) for r in rows]
+    # brute force on the cell grid of the sample for C/D identity check:
+    # the full-flag values are pinned by the oracle; here assert the
+    # tau-b formula consistency on the reported moments instead
+    r = got["R"]
+    n0 = r["n"] * (r["n"] - 1) // 2
+    assert 0 < r["concordant"] + r["discordant"] <= n0
+    # recompute tau_b from the reported integers with the same op order
+    li_r = li.filter(F.col("l_returnflag") == "R").select(
+        F.floor("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("y"),
+    ).collect()
+    cx = collections.Counter(x["x"] for x in li_r)
+    cy = collections.Counter(x["y"] for x in li_r)
+    n1 = sum(c * (c - 1) // 2 for c in cx.values())
+    n2 = sum(c * (c - 1) // 2 for c in cy.values())
+    tau = (r["concordant"] - r["discordant"]) / math.sqrt(
+        float(n0 - n1) * float(n0 - n2)
+    )
+    assert abs(r["tau_b"] - tau) < 1e-12
+    assert -1.0 <= r["tau_b"] <= 1.0
