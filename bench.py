@@ -214,6 +214,7 @@ HEADLINE = [
     "q216_budget_apportionment",
     "q217_spearman_corr",
     "q218_kendall_tau",
+    "q219_session_depth",
 ]
 
 

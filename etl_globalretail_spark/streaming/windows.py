@@ -917,3 +917,91 @@ def q211_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "peak_concurrency long, at_epoch_us long, n_sessions long"
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 — session depth & bounce census: the product-analytics face of
+# q34's sessionization — how deep do sessions go, and what share bounce
+# (single-event sessions), sliced by the session's ENTRY event type
+# (the landing signal). Depth buckets are powers of two via the bitlen
+# device (q206). Entry event = first event in the session under the
+# (ts, event_id) total order.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q219_session_depth",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > {30 * 60 * 1_000_000} THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, event_id, event_type, t,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    ),
+    numbered AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                     ORDER BY t, event_id) AS rn
+        FROM sess
+    ),
+    per AS (
+        SELECT user_id, sid,
+               CAST(COUNT(*) AS BIGINT) AS depth,
+               MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type
+        FROM numbered GROUP BY user_id, sid
+    )
+    SELECT entry_type,
+           CAST(length(bin(depth)) AS BIGINT) AS depth_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(SUM(depth) AS BIGINT) AS sum_events
+    FROM per GROUP BY entry_type, depth_bucket
+    """,
+)
+def q219_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions per (entry event type, power-of-two depth bucket) with
+    bounce counts and event mass — the engagement census over q34's
+    session rule."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, "events", sf_dir)
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.when(
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(wseq) > 30 * 60 * 1_000_000,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_s"),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = seq.select(
+        "user_id", "event_id", "event_type", "t",
+        F.sum("new_s").over(wcum).alias("sid"),
+    )
+    wrn = Window.partitionBy("user_id", "sid").orderBy("t", "event_id")
+    numbered = sess.select("*", F.row_number().over(wrn).alias("rn"))
+    per = numbered.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("long").alias("depth"),
+        F.max(F.when(F.col("rn") == 1, F.col("event_type")))
+        .alias("entry_type"),
+    )
+    return per.groupBy(
+        "entry_type",
+        F.length(F.bin("depth")).cast("long").alias("depth_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("depth") == 1).cast("long")).cast("long")
+        .alias("n_bounces"),
+        F.sum("depth").cast("long").alias("sum_events"),
+    )

@@ -1013,3 +1013,23 @@ def test_kendall_tau_matches_brute_force(spark, sf_dir):
     )
     assert abs(r["tau_b"] - tau) < 1e-12
     assert -1.0 <= r["tau_b"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# q219 session-depth laws
+# ---------------------------------------------------------------------------
+
+
+def test_session_depth_census_consistency(spark, sf_dir):
+    rows = ALL_QUERIES["q219_session_depth"](spark, sf_dir).collect()
+    # total session count matches q211's session census
+    n_sessions = sum(r["n_sessions"] for r in rows)
+    peak = ALL_QUERIES["q211_peak_concurrency"](spark, sf_dir).collect()[0]
+    assert n_sessions == peak["n_sessions"]
+    # all events accounted for
+    e = load_table(spark, "events", sf_dir)
+    assert sum(r["sum_events"] for r in rows) == e.count()
+    for r in rows:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+        if r["depth_bucket"] > 1:
+            assert r["n_bounces"] == 0  # bounces live in bucket 1
