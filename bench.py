@@ -215,6 +215,7 @@ HEADLINE = [
     "q217_spearman_corr",
     "q218_kendall_tau",
     "q219_session_depth",
+    "q220_cohort_ltv",
 ]
 
 

@@ -4242,3 +4242,104 @@ def q218_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "flag string, n long, concordant long, discordant long, tau_b double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — cohort LTV curve: cumulative purchase revenue per first-touch
+# cohort as it ages — the growth-accounting companion to q77's
+# retention counts (WHO comes back) and q201's user curve (HOW MANY are
+# new): this is HOW MUCH each acquisition vintage has produced by age
+# N. Cohort = first-event epoch week (integer div on micros — no
+# calendar/timezone surface at all); revenue in exact floor-micros; the
+# cumulative runs over the (cohort, age) aggregate, never event rows.
+# NULL-free: cohort-age cells with no purchases appear with zero via
+# the cohort×age grid (bounded: weeks² — the q193 densification stance).
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@_register(
+    "q220_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id, MIN(epoch_us(ts)) // {_WEEK_US} AS cohort_w
+        FROM events GROUP BY user_id
+    ),
+    purch AS (
+        SELECT e.user_id,
+               epoch_us(e.ts) // {_WEEK_US} AS w,
+               CAST(FLOOR(e.value * 1e6) AS BIGINT) AS rev
+        FROM events e WHERE e.event_type = 'purchase'
+    ),
+    cells AS (
+        SELECT f.cohort_w, p.w - f.cohort_w AS age_w,
+               CAST(SUM(p.rev) AS BIGINT) AS rev,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM purch p JOIN firsts f ON p.user_id = f.user_id
+        GROUP BY f.cohort_w, age_w
+    ),
+    grid AS (
+        SELECT c.cohort_w, CAST(g.a AS BIGINT) AS age_w
+        FROM (SELECT DISTINCT cohort_w FROM firsts) c,
+             (SELECT unnest(range(0, (SELECT CAST(MAX(age_w) AS BIGINT) + 1
+                                      FROM cells))) AS a) g
+    )
+    SELECT g.cohort_w, g.age_w,
+           CAST(COALESCE(c.n_purchases, 0) AS BIGINT) AS n_purchases,
+           CAST(SUM(COALESCE(c.rev, 0)) OVER (
+               PARTITION BY g.cohort_w ORDER BY g.age_w
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_micros
+    FROM grid g LEFT JOIN cells c
+      ON g.cohort_w = c.cohort_w AND g.age_w = c.age_w
+    """,
+)
+def q220_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative purchase revenue (exact micros) per first-touch weekly
+    cohort and age-in-weeks, densified over the cohort×age grid."""
+    e = load_table(spark, "events", sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.expr(f"min(unix_micros(ts)) div {_WEEK_US}").alias("cohort_w")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("w"),
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("rev"),
+    )
+    cells = (
+        purch.join(firsts, "user_id")
+        .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("age_w"))
+        .agg(
+            F.sum("rev").cast("long").alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        )
+        .persist()  # feeds the grid bound AND the left join
+    )
+    max_age = cells.agg(F.max("age_w")).collect()[0][0] or 0
+    grid = (  # bounded by construction: |weeks| × |weeks| cells
+        firsts.select("cohort_w").distinct()
+        .crossJoin(
+            spark.range(0, int(max_age) + 1).select(
+                F.col("id").alias("age_w")
+            )
+        )
+    )
+    w = Window.partitionBy("cohort_w").orderBy("age_w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        grid.join(cells, ["cohort_w", "age_w"], "left")
+        .select(
+            "cohort_w", "age_w",
+            F.coalesce("n_purchases", F.lit(0)).cast("long")
+            .alias("n_purchases"),
+            F.sum(F.coalesce("rev", F.lit(0))).over(w).cast("long")
+            .alias("cum_revenue_micros"),
+        )
+    )
+    rows = out.collect()
+    cells.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "cohort_w long, age_w long, n_purchases long, cum_revenue_micros long",
+    )

@@ -1033,3 +1033,29 @@ def test_session_depth_census_consistency(spark, sf_dir):
         assert 0 <= r["n_bounces"] <= r["n_sessions"]
         if r["depth_bucket"] > 1:
             assert r["n_bounces"] == 0  # bounces live in bucket 1
+
+
+# ---------------------------------------------------------------------------
+# q220 LTV laws
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_monotone_and_total(spark, sf_dir):
+    rows = ALL_QUERIES["q220_cohort_ltv"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_w"], []).append(r)
+    e = load_table(spark, "events", sf_dir)
+    total_rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.floor(F.col("value") * 1e6).cast("long")))
+        .collect()[0][0]
+    )
+    final_sum = 0
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_w"])
+        cums = [r["cum_revenue_micros"] for r in rs]
+        assert cums == sorted(cums)  # cumulative is monotone
+        final_sum += cums[-1]
+    assert final_sum == total_rev  # every purchase lands in some cohort
