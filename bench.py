@@ -216,6 +216,7 @@ HEADLINE = [
     "q218_kendall_tau",
     "q219_session_depth",
     "q220_cohort_ltv",
+    "q221_source_drift_matrix",
 ]
 
 

@@ -1902,3 +1902,95 @@ def q216_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0))
         .cast("long").alias("allocation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q221 — pairwise drift matrix: exact L1 distance between every source
+# pair's n_chars distributions — q172's two-strata gate generalized to
+# the full monitoring matrix (which feeds clustering/alerting over
+# sources). The disjoint-support mass needs no outer join: for values
+# absent from B, Σ cA·NB = NB·(NA − Σ_shared cA), so ONE inner join on
+# the value plus per-source totals yields the exact numerator
+#     Σ_shared |cA·NB − cB·NA| + NB·(NA−shA) + NA·(NB−shB)
+# and pairs with fully disjoint support fall out as L1 = 2 via the
+# totals cross frame (|sources|² — broadcast-class). One division at
+# the end; at 100 TB row counts the cross products need per-mil
+# normalized counts first (int64 headroom), noted here.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q221_source_drift_matrix",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, v
+    ),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt
+            GROUP BY source),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(SUM(abs(a.c * tb.n - b.c * ta.n)) AS BIGINT) AS sh_abs,
+               CAST(SUM(a.c) AS BIGINT) AS sh_a,
+               CAST(SUM(b.c) AS BIGINT) AS sh_b
+        FROM cnt a JOIN cnt b ON a.v = b.v AND a.source < b.source
+        JOIN tot ta ON a.source = ta.source
+        JOIN tot tb ON b.source = tb.source
+        GROUP BY src_a, src_b
+    )
+    SELECT ta.source AS src_a, tb.source AS src_b,
+           CAST(COALESCE(s.sh_abs, 0)
+                + tb.n * (ta.n - COALESCE(s.sh_a, 0))
+                + ta.n * (tb.n - COALESCE(s.sh_b, 0)) AS BIGINT)
+               AS l1_numerator,
+           CAST(COALESCE(s.sh_abs, 0)
+                + tb.n * (ta.n - COALESCE(s.sh_a, 0))
+                + ta.n * (tb.n - COALESCE(s.sh_b, 0)) AS DOUBLE)
+           / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)) AS l1
+    FROM tot ta JOIN tot tb ON ta.source < tb.source
+    LEFT JOIN shared s ON s.src_a = ta.source AND s.src_b = tb.source
+    """,
+)
+def q221_source_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L1 distance between every ordered source pair's n_chars
+    distributions — one value-keyed inner join plus totals; disjoint
+    mass derived arithmetically, never an outer join."""
+    d = load_table(spark, "documents", sf_dir)
+    cnt = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = cnt.select(F.col("source").alias("src_a"), "v", F.col("c").alias("ca"))
+    b = cnt.select(F.col("source").alias("src_b"), "v", F.col("c").alias("cb"))
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    shared = (
+        a.join(b, "v")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+            .cast("long").alias("sh_abs"),
+            F.sum("ca").cast("long").alias("sh_a"),
+            F.sum("cb").cast("long").alias("sh_b"),
+        )
+    )
+    pairs = (
+        ta.crossJoin(tb)  # bounded by construction: |sources|² rows
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(shared, ["src_a", "src_b"], "left")
+    )
+    num = (
+        F.coalesce("sh_abs", F.lit(0))
+        + F.col("nb") * (F.col("na") - F.coalesce("sh_a", F.lit(0)))
+        + F.col("na") * (F.col("nb") - F.coalesce("sh_b", F.lit(0)))
+    )
+    return pairs.select(
+        "src_a", "src_b",
+        num.cast("long").alias("l1_numerator"),
+        (num.cast("double")
+         / (F.col("na").cast("double") * F.col("nb").cast("double")))
+        .alias("l1"),
+    )

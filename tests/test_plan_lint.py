@@ -37,6 +37,9 @@ INTENTIONAL_CROSS = {
     # scalar to the per-supplier aggregate (TPC-H Q15) — bounded
     "q162_type_weekday_contingency",  # attaches the broadcast 1-row grand
     # total N to the |types|×|days| cell frame — bounded by construction
+    "q221_source_drift_matrix",  # crosses the two per-source TOTALS frames
+    # (|sources|² pairs — broadcast-class by construction); the value-keyed
+    # inner join carries all data-sized work
     "q169_seasonality_index",  # attaches the broadcast 1-row annual total
     # to the 12-row monthly frame — bounded by construction
     "q174_benford_audit",  # attaches the broadcast 1-row grand total to

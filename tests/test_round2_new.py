@@ -1059,3 +1059,32 @@ def test_cohort_ltv_monotone_and_total(spark, sf_dir):
         assert cums == sorted(cums)  # cumulative is monotone
         final_sum += cums[-1]
     assert final_sum == total_rev  # every purchase lands in some cohort
+
+
+# ---------------------------------------------------------------------------
+# q221 drift matrix laws
+# ---------------------------------------------------------------------------
+
+
+def test_drift_matrix_bounds_and_recompute(spark, sf_dir):
+    import collections
+
+    rows = ALL_QUERIES["q221_source_drift_matrix"](spark, sf_dir).collect()
+    n_sources = load_table(spark, "documents", sf_dir).select(
+        "source").distinct().count()
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert 0.0 <= r["l1"] <= 2.0
+    # recompute one pair driver-side
+    r0 = rows[0]
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", "n_chars").collect()
+    da = collections.Counter(d["n_chars"] for d in docs
+                             if d["source"] == r0["src_a"])
+    db = collections.Counter(d["n_chars"] for d in docs
+                             if d["source"] == r0["src_b"])
+    na, nb = sum(da.values()), sum(db.values())
+    num = sum(abs(da.get(v, 0) * nb - db.get(v, 0) * na)
+              for v in set(da) | set(db))
+    assert r0["l1_numerator"] == num
+    assert abs(r0["l1"] - num / (na * nb)) < 1e-12
