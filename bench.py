@@ -217,6 +217,7 @@ HEADLINE = [
     "q219_session_depth",
     "q220_cohort_ltv",
     "q221_source_drift_matrix",
+    "q222_group_mode",
 ]
 
 

@@ -4343,3 +4343,54 @@ def q220_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "cohort_w long, age_w long, n_purchases long, cum_revenue_micros long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 — deterministic MODE per group: the everyday aggregate whose
+# built-in forms are tie-luck in both engines (DuckDB mode() and a
+# max_by over counts each pick an arbitrary tied winner). The portable
+# form is counts → total-order rank (count desc, value asc) → rank 1,
+# plus the runner-up and its count so the margin (how modal is the
+# mode) rides along. Value grain = floor(value) buckets.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q222_group_mode",
+    oracle="""
+    WITH cnt AS (
+        SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, v
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY c DESC, v) AS rnk
+        FROM cnt
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rnk = 1 THEN v END) AS mode_value,
+           MAX(CASE WHEN rnk = 1 THEN c END) AS mode_count,
+           CAST(COALESCE(MAX(CASE WHEN rnk = 2 THEN c END), 0) AS BIGINT)
+               AS runner_up_count
+    FROM ranked WHERE rnk <= 2 GROUP BY event_type
+    """,
+)
+def q222_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal floor(value) bucket per event type with its count and the
+    runner-up count — mode under a total order, never tie luck."""
+    e = load_table(spark, "events", sf_dir)
+    cnt = e.groupBy(
+        "event_type", F.floor("value").cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy(F.col("c").desc(), "v")
+    ranked = cnt.select("*", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= 2
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rnk") == 1, F.col("v"))).alias("mode_value"),
+        F.max(F.when(F.col("rnk") == 1, F.col("c"))).alias("mode_count"),
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == 2, F.col("c"))), F.lit(0)
+        ).cast("long").alias("runner_up_count"),
+    )

@@ -1088,3 +1088,26 @@ def test_drift_matrix_bounds_and_recompute(spark, sf_dir):
               for v in set(da) | set(db))
     assert r0["l1_numerator"] == num
     assert abs(r0["l1"] - num / (na * nb)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q222 mode laws
+# ---------------------------------------------------------------------------
+
+
+def test_group_mode_recompute(spark, sf_dir):
+    import collections
+
+    got = {r["event_type"]: r for r in
+           ALL_QUERIES["q222_group_mode"](spark, sf_dir).collect()}
+    e = load_table(spark, "events", sf_dir)
+    rows = e.select("event_type", F.floor("value").cast("long").alias("v")).collect()
+    by_type = collections.defaultdict(collections.Counter)
+    for r in rows:
+        by_type[r["event_type"]][r["v"]] += 1
+    for et, cnt in by_type.items():
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = got[et]
+        assert (r["mode_value"], r["mode_count"]) == best[0]
+        assert r["runner_up_count"] == (best[1][1] if len(best) > 1 else 0)
+        assert r["mode_count"] >= r["runner_up_count"]
