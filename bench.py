@@ -218,6 +218,7 @@ HEADLINE = [
     "q220_cohort_ltv",
     "q221_source_drift_matrix",
     "q222_group_mode",
+    "q223_audience_overlap",
 ]
 
 

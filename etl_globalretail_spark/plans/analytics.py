@@ -4394,3 +4394,77 @@ def q222_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rnk") == 2, F.col("c"))), F.lit(0)
         ).cast("long").alias("runner_up_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — audience overlap matrix: Jaccard similarity between every pair
+# of event-type user cohorts (|both| / |either|) — the segment-overlap
+# question behind campaign targeting and funnel design, and the set-
+# similarity machinery (q23's measure) applied at the BEHAVIORAL-COHORT
+# grain rather than the document grain. Distinct (type, user) pairs
+# self-join on the user (intersections), cohort sizes broadcast back,
+# union by inclusion-exclusion — all integers, one division.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q223_audience_overlap",
+    oracle="""
+    WITH cu AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM cu
+              GROUP BY event_type),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS both_users
+        FROM cu a JOIN cu b ON a.user_id = b.user_id
+         AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+           CAST(COALESCE(i.both_users, 0) AS BIGINT) AS both_users,
+           CAST(sa.n + sb.n - COALESCE(i.both_users, 0) AS BIGINT)
+               AS either_users,
+           CAST(COALESCE(i.both_users, 0) AS DOUBLE)
+           / CAST(sa.n + sb.n - COALESCE(i.both_users, 0) AS DOUBLE)
+               AS jaccard
+    FROM sizes sa JOIN sizes sb ON sa.event_type < sb.event_type
+    LEFT JOIN inter i
+      ON i.type_a = sa.event_type AND i.type_b = sb.event_type
+    """,
+)
+def q223_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard overlap between every event-type user cohort pair —
+    intersections via a user-keyed self-join of the distinct cohort
+    frame, unions by inclusion-exclusion."""
+    e = load_table(spark, "events", sf_dir)
+    cu = e.select("event_type", "user_id").distinct()
+    sizes = cu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = cu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = cu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("both_users"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("nb"))
+    pairs = (
+        sa.crossJoin(sb)  # bounded by construction: |event types|² rows
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(inter, ["type_a", "type_b"], "left")
+    )
+    both = F.coalesce("both_users", F.lit(0))
+    either = F.col("na") + F.col("nb") - both
+    return pairs.select(
+        "type_a", "type_b",
+        both.cast("long").alias("both_users"),
+        either.cast("long").alias("either_users"),
+        (both.cast("double") / either.cast("double")).alias("jaccard"),
+    )

@@ -40,6 +40,9 @@ INTENTIONAL_CROSS = {
     "q221_source_drift_matrix",  # crosses the two per-source TOTALS frames
     # (|sources|² pairs — broadcast-class by construction); the value-keyed
     # inner join carries all data-sized work
+    "q223_audience_overlap",  # crosses the two per-type cohort-SIZE frames
+    # (|event types|² pairs — bounded); intersections ride the user-keyed
+    # equi-join
     "q169_seasonality_index",  # attaches the broadcast 1-row annual total
     # to the 12-row monthly frame — bounded by construction
     "q174_benford_audit",  # attaches the broadcast 1-row grand total to

@@ -1111,3 +1111,27 @@ def test_group_mode_recompute(spark, sf_dir):
         assert (r["mode_value"], r["mode_count"]) == best[0]
         assert r["runner_up_count"] == (best[1][1] if len(best) > 1 else 0)
         assert r["mode_count"] >= r["runner_up_count"]
+
+
+# ---------------------------------------------------------------------------
+# q223 audience overlap laws
+# ---------------------------------------------------------------------------
+
+
+def test_audience_overlap_recompute(spark, sf_dir):
+    got = {(r["type_a"], r["type_b"]): r for r in
+           ALL_QUERIES["q223_audience_overlap"](spark, sf_dir).collect()}
+    e = load_table(spark, "events", sf_dir)
+    rows = e.select("event_type", "user_id").distinct().collect()
+    cohorts = {}
+    for r in rows:
+        cohorts.setdefault(r["event_type"], set()).add(r["user_id"])
+    types = sorted(cohorts)
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = len(cohorts[a] & cohorts[b])
+            union = len(cohorts[a] | cohorts[b])
+            r = got[(a, b)]
+            assert (r["both_users"], r["either_users"]) == (inter, union)
+            assert abs(r["jaccard"] - inter / union) < 1e-12
