@@ -65,8 +65,12 @@ def test_clean_text_idempotent_and_total(spark, vals):
     # whitespace-ONLY input passes its `if not valor` sentinel check,
     # then collapses to '' — which the SECOND pass maps to 'N/A'. The
     # fixpoint is reached by pass two; assert exactly that behavior.
+    # "whitespace" here must be JAVA's \s ([ \t\n\x0B\f\r]) — Python's
+    # str.strip()/isspace() also strips \x1c-\x1f etc., which the Spark
+    # regexp does NOT treat as whitespace (hypothesis found '\x1f')
+    java_ws = set(" \t\n\x0b\f\r")
     for v, o1, o2 in zip(vals, once, twice):
-        if v is not None and v.strip() == "" and v != "":
+        if v is not None and v != "" and all(ch in java_ws for ch in v):
             assert (o1, o2) == ("", "N/A")
         else:
             assert o2 == o1
