@@ -219,6 +219,7 @@ HEADLINE = [
     "q221_source_drift_matrix",
     "q222_group_mode",
     "q223_audience_overlap",
+    "q224_cuped_uplift",
 ]
 
 

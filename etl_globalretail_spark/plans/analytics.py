@@ -4468,3 +4468,123 @@ def q223_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         either.cast("long").alias("either_users"),
         (both.cast("double") / either.cast("double")).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q224 — CUPED-adjusted A/B arm means: the experimentation-analytics
+# workhorse (variance reduction via the pre-period covariate:
+# Y_adj = Y − θ·(X − X̄), θ = cov(X,Y)/var(X)). Arms are the q47 md5
+# hash split of users; pre/post periods split at a fixed literal date.
+# Everything before the final op sequence is exact integers: per-user
+# X/Y in floor-DOLLAR units (milli-quantization overflows int64 in the
+# pooled ΣXY at these magnitudes — the q184 overflow discipline applied
+# to covariates), pooled moments as BIGINTs, then θ and the adjusted
+# means as one fixed chain of correctly-rounded double ops written
+# identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q224_cuped_uplift",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'ab'),
+                                   1, 15) AS BIGINT) % 2 AS arm,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                             THEN CAST(FLOOR(value) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                             THEN CAST(FLOOR(value) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    pooled AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM per_user
+    ),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS BIGINT) AS arm_sx,
+               CAST(SUM(y) AS BIGINT) AS arm_sy
+        FROM per_user GROUP BY arm
+    )
+    SELECT a.arm, a.n_users, a.arm_sx, a.arm_sy,
+           (CAST(p.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+            - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+           / (CAST(p.n AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+              - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE)) AS theta,
+           CAST(a.arm_sy AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+           - ((CAST(p.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+               - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+              / (CAST(p.n AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                 - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE)))
+             * (CAST(a.arm_sx AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+                - CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE))
+               AS adjusted_mean
+    FROM arms a, pooled p
+    """,
+)
+def q224_cuped_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm CUPED-adjusted post-period means over an md5 user split:
+    exact integer covariate moments, one fixed double chain for θ and
+    the adjustment — the experimentation readout, bit-stable."""
+    e = load_table(spark, "events", sf_dir)
+    cut = F.lit("2024-01-15").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < cut, F.floor("value").cast("long"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.floor("value").cast("long"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("y"),
+    ).select(
+        (F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("ab"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("bigint") % 2).alias("arm"),
+        "x", "y",
+    )
+    per_user = per_user.persist()  # pooled moments + arm aggregates
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("arm_sx"),
+        F.sum("y").cast("long").alias("arm_sy"),
+    )
+    pn = F.col("n").cast("double")
+    psx = F.col("sx").cast("double")
+    psy = F.col("sy").cast("double")
+    theta = (pn * F.col("sxy").cast("double") - psx * psy) / (
+        pn * F.col("sxx").cast("double") - psx * psx
+    )
+    adj = (
+        F.col("arm_sy").cast("double") / F.col("n_users").cast("double")
+        - theta
+        * (F.col("arm_sx").cast("double") / F.col("n_users").cast("double")
+           - psx / pn)
+    )
+    out = arms.crossJoin(F.broadcast(pooled)).select(  # 1-row pooled scalar
+        "arm", "n_users", "arm_sx", "arm_sy",
+        theta.alias("theta"), adj.alias("adjusted_mean"),
+    )
+    rows = out.collect()
+    per_user.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "arm long, n_users long, arm_sx long, arm_sy long, "
+        "theta double, adjusted_mean double",
+    )

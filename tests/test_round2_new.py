@@ -1135,3 +1135,44 @@ def test_audience_overlap_recompute(spark, sf_dir):
             r = got[(a, b)]
             assert (r["both_users"], r["either_users"]) == (inter, union)
             assert abs(r["jaccard"] - inter / union) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q224 CUPED laws
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = ALL_QUERIES["q224_cuped_uplift"](spark, sf_dir).collect()
+    assert {r["arm"] for r in rows} == {0, 1}
+    e = load_table(spark, "events", sf_dir)
+    import hashlib
+
+    per = {}
+    for r in e.select("user_id", "ts", F.floor("value").cast("long")
+                      .alias("v")).collect():
+        x, y = per.setdefault(r["user_id"], [0, 0])
+        if str(r["ts"]) < "2024-01-15":
+            per[r["user_id"]][0] += r["v"]
+        else:
+            per[r["user_id"]][1] += r["v"]
+    xs = np.array([v[0] for v in per.values()], float)
+    ys = np.array([v[1] for v in per.values()], float)
+    n = len(xs)
+    theta = (n * (xs * ys).sum() - xs.sum() * ys.sum()) / (
+        n * (xs * xs).sum() - xs.sum() ** 2
+    )
+    for r in rows:
+        assert abs(r["theta"] - theta) < 1e-9
+    arms = {0: ([], []), 1: ([], [])}
+    for uid, (x, y) in per.items():
+        h = int(hashlib.md5(f"{uid}ab".encode()).hexdigest()[:15], 16) % 2
+        arms[h][0].append(x)
+        arms[h][1].append(y)
+    for r in rows:
+        ax, ay = arms[r["arm"]]
+        adj = np.mean(ay) - theta * (np.mean(ax) - xs.mean())
+        assert abs(r["adjusted_mean"] - adj) < 1e-9
+        assert r["n_users"] == len(ax)
