@@ -220,6 +220,7 @@ HEADLINE = [
     "q222_group_mode",
     "q223_audience_overlap",
     "q224_cuped_uplift",
+    "q225_decayed_popularity",
 ]
 
 

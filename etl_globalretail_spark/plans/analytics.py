@@ -4588,3 +4588,80 @@ def q224_cuped_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arm long, n_users long, arm_sx long, arm_sy long, "
         "theta double, adjusted_mean double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — time-decayed popularity with an EXACT half-life: recency-
+# weighted scores (the reco/trending staple) computed without pow() —
+# with a one-week half-life, weight(age) = 2^(max_age − age) in integer
+# units (the most recent week's unit = 2^max_age), so the decayed sum
+# is an exact BIGINT of value-millis and every engine/partitioning
+# computes the identical score. Shifts via the portable `<<`/shiftleft
+# on the small age range (the q180 register device). One aggregate per
+# (event_type, week) then a weighted combine over the tiny grid.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q225_decayed_popularity",
+    oracle=f"""
+    WITH wk AS (
+        SELECT event_type,
+               epoch_us(ts) // {7 * 86400 * 1_000_000} AS w,
+               CAST(FLOOR(value * 1e3) AS BIGINT) AS v
+        FROM events
+    ),
+    per AS (
+        SELECT event_type, w, CAST(SUM(v) AS BIGINT) AS wv,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM wk GROUP BY event_type, w
+    ),
+    mx AS (SELECT MAX(w) AS wmax, MIN(w) AS wmin FROM per)
+    SELECT p.event_type,
+           CAST(SUM(p.n) AS BIGINT) AS n_events,
+           CAST(SUM(p.wv * (CAST(1 AS BIGINT)
+                            << CAST(p.w - mx.wmin AS INTEGER)))
+                AS BIGINT) AS scaled_decayed_millis,
+           CAST(SUM(p.wv * (CAST(1 AS BIGINT)
+                            << CAST(p.w - mx.wmin AS INTEGER))) AS DOUBLE)
+           / CAST(CAST(1 AS BIGINT)
+                  << CAST(mx.wmax - mx.wmin AS INTEGER) AS DOUBLE)
+               AS decayed_score
+    FROM per p, mx
+    GROUP BY p.event_type, mx.wmax, mx.wmin
+    """,
+)
+def q225_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed value mass per event type: weight doubles every
+    week of recency (2^(w − wmin) integer units, exact), and the double
+    score renormalizes so the newest week has weight 1."""
+    e = load_table(spark, "events", sf_dir)
+    wk = e.select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {7 * 86400 * 1_000_000}").alias("w"),
+        F.floor(F.col("value") * F.lit(1e3)).cast("long").alias("v"),
+    )
+    per = wk.groupBy("event_type", "w").agg(
+        F.sum("v").cast("long").alias("wv"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    mx = per.agg(F.max("w").alias("wmax"), F.min("w").alias("wmin"))
+    return (
+        per.crossJoin(F.broadcast(mx))  # 1-row global scalar
+        .groupBy("event_type", "wmax", "wmin")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum(
+                F.col("wv")
+                * F.expr("shiftleft(CAST(1 AS BIGINT),"
+                         " CAST(w - wmin AS INT))")
+            ).cast("long").alias("scaled_decayed_millis"),
+        )
+        .select(
+            "event_type", "n_events", "scaled_decayed_millis",
+            (F.col("scaled_decayed_millis").cast("double")
+             / F.expr("CAST(shiftleft(CAST(1 AS BIGINT),"
+                      " CAST(wmax - wmin AS INT)) AS DOUBLE)"))
+            .alias("decayed_score"),
+        )
+    )

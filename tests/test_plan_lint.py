@@ -43,6 +43,8 @@ INTENTIONAL_CROSS = {
     "q223_audience_overlap",  # crosses the two per-type cohort-SIZE frames
     # (|event types|² pairs — bounded); intersections ride the user-keyed
     # equi-join
+    "q225_decayed_popularity",  # attaches the broadcast 1-row week-span
+    # scalar to the (type, week) grid — bounded by construction
     "q169_seasonality_index",  # attaches the broadcast 1-row annual total
     # to the 12-row monthly frame — bounded by construction
     "q174_benford_audit",  # attaches the broadcast 1-row grand total to

@@ -1176,3 +1176,33 @@ def test_cuped_matches_numpy(spark, sf_dir):
         adj = np.mean(ay) - theta * (np.mean(ax) - xs.mean())
         assert abs(r["adjusted_mean"] - adj) < 1e-9
         assert r["n_users"] == len(ax)
+
+
+# ---------------------------------------------------------------------------
+# q225 decay laws
+# ---------------------------------------------------------------------------
+
+
+def test_decayed_popularity_recompute(spark, sf_dir):
+    import collections
+
+    got = {r["event_type"]: r for r in
+           ALL_QUERIES["q225_decayed_popularity"](spark, sf_dir).collect()}
+    e = load_table(spark, "events", sf_dir)
+    rows = e.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 604800000000").alias("w"),
+        F.floor(F.col("value") * 1e3).cast("long").alias("v"),
+    ).collect()
+    wmin = min(r["w"] for r in rows)
+    wmax = max(r["w"] for r in rows)
+    acc = collections.Counter()
+    cnt = collections.Counter()
+    for r in rows:
+        acc[r["event_type"]] += r["v"] * (1 << (r["w"] - wmin))
+        cnt[r["event_type"]] += 1
+    for et, tot in acc.items():
+        r = got[et]
+        assert r["scaled_decayed_millis"] == tot
+        assert r["n_events"] == cnt[et]
+        assert abs(r["decayed_score"] - tot / (1 << (wmax - wmin))) < 1e-9
