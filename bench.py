@@ -221,6 +221,7 @@ HEADLINE = [
     "q223_audience_overlap",
     "q224_cuped_uplift",
     "q225_decayed_popularity",
+    "q226_keyword_search",
 ]
 
 

@@ -1994,3 +1994,81 @@ def q221_source_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
          / (F.col("na").cast("double") * F.col("nb").cast("double")))
         .alias("l1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — keyword search scoring (the retrieval face of the corpus
+# tooling): rank documents for a fixed query by Σ_term tf(term, doc) ·
+# rarity(term) — a BM25-shaped score with q89's integer bit-length
+# rarity standing in for the log-idf (no floating log, oracle-exact).
+# Top-10 under a total order. The plan is the inverted-probe shape:
+# explode ONLY matching tokens (the filter pushes the query literals
+# into the scan side), aggregate per doc, rank the tiny scored frame.
+# ---------------------------------------------------------------------------
+
+_Q226_QUERY = ("spark", "join", "window")
+
+
+@_register(
+    "q226_keyword_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    vocab AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY t
+    ),
+    mx AS (SELECT MAX(length(bin(cnt))) AS maxbits FROM vocab),
+    qterms AS (
+        SELECT v.t, CAST(mx.maxbits - length(bin(v.cnt)) + 1 AS BIGINT)
+                   AS rarity
+        FROM vocab v, mx
+        WHERE v.t IN {_Q226_QUERY!r}
+    ),
+    scored AS (
+        SELECT tok.doc_id,
+               CAST(SUM(q.rarity) AS BIGINT) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM tok JOIN qterms q ON tok.t = q.t
+        GROUP BY tok.doc_id
+    )
+    SELECT doc_id, score, n_hits,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def q226_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the fixed query terms by tf × integer-rarity
+    score (bit-length idf proxy) — inverted-probe plan, total-ordered
+    rank."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    mx = vocab.agg(F.max(F.length(F.bin("cnt"))).alias("maxbits"))
+    qterms = (
+        vocab.filter(F.col("t").isin(*_Q226_QUERY))
+        .crossJoin(F.broadcast(mx))  # 1-row corpus-max scalar
+        .select(
+            "t",
+            (F.col("maxbits") - F.length(F.bin("cnt")) + 1).cast("long")
+            .alias("rarity"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(qterms), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("rarity").cast("long").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= 10)
+    )

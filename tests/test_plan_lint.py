@@ -45,6 +45,8 @@ INTENTIONAL_CROSS = {
     # equi-join
     "q225_decayed_popularity",  # attaches the broadcast 1-row week-span
     # scalar to the (type, week) grid — bounded by construction
+    "q226_keyword_search",  # attaches the broadcast 1-row corpus-max
+    # bit-length to the |query|-row term frame — bounded by construction
     "q169_seasonality_index",  # attaches the broadcast 1-row annual total
     # to the 12-row monthly frame — bounded by construction
     "q174_benford_audit",  # attaches the broadcast 1-row grand total to

@@ -1206,3 +1206,34 @@ def test_decayed_popularity_recompute(spark, sf_dir):
         assert r["scaled_decayed_millis"] == tot
         assert r["n_events"] == cnt[et]
         assert abs(r["decayed_score"] - tot / (1 << (wmax - wmin))) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q226 search laws
+# ---------------------------------------------------------------------------
+
+
+def test_keyword_search_scores(spark, sf_dir):
+    import collections
+
+    rows = ALL_QUERIES["q226_keyword_search"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r["score"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+    # recompute the top score driver-side
+    docs = load_table(spark, "documents", sf_dir).collect()
+    cnt = collections.Counter()
+    for d in docs:
+        cnt.update(d["text"].strip().split())
+    maxbits = max(c.bit_length() for c in cnt.values())
+    rarity = {t: maxbits - cnt[t].bit_length() + 1
+              for t in ("spark", "join", "window") if t in cnt}
+    best = {}
+    for d in docs:
+        s = sum(rarity.get(t, 0) for t in d["text"].strip().split())
+        if s:
+            best[d["doc_id"]] = s
+    expect = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["doc_id"], r["score"]) for r in
+           sorted(rows, key=lambda r: r["rank"])]
+    assert got == expect
