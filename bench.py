@@ -222,6 +222,8 @@ HEADLINE = [
     "q224_cuped_uplift",
     "q225_decayed_popularity",
     "q226_keyword_search",
+    "q227_weighted_shortest_path",
+    "q228_interpolated_median",
 ]
 
 

@@ -4665,3 +4665,157 @@ def q225_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decayed_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q227 — weighted shortest paths (bounded Bellman-Ford): min-PLUS
+# propagation over the weighted co-purchase graph — the third iteration
+# algebra beside q186's min-hop and q179's damped sum. Edge cost =
+# 101 − min(support, 100) (strong co-purchase = cheap hop, floor 1), so
+# costs are small exact integers. Three relaxation rounds from the
+# q186 seed set; 10^6-as-infinity keeps the frame NULL-free and inert
+# under MIN. Unreached report -1.
+# ---------------------------------------------------------------------------
+
+_SP_INF = 1_000_000
+
+
+def _q227_oracle() -> str:
+    it = f"""
+    d{{i}} AS (
+        SELECT dv.v, LEAST(dv.d, COALESCE(m.md, {_SP_INF})) AS d
+        FROM d{{p}} dv LEFT JOIN (
+            SELECT sym.dst AS v2, MIN(dp.d + sym.cost) AS md
+            FROM sym JOIN d{{p}} dp ON sym.src = dp.v GROUP BY sym.dst
+        ) m ON dv.v = m.v2
+    )"""
+    iters = ",".join(it.format(i=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+    WITH e AS (
+        SELECT part_a AS u, part_b AS v,
+               101 - LEAST(support, 100) AS cost
+        FROM (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS support
+            FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY part_a, part_b
+        ) WHERE support >= 2
+    ),
+    sym AS (SELECT u AS src, v AS dst, cost FROM e
+            UNION ALL SELECT v AS src, u AS dst, cost FROM e),
+    verts AS (SELECT DISTINCT src AS v FROM sym),
+    d0 AS (SELECT v, CASE WHEN v % 101 = 0 THEN 0 ELSE {_SP_INF} END AS d
+           FROM verts),
+    {iters}
+    SELECT v AS part,
+           CAST(CASE WHEN d >= {_SP_INF} THEN -1 ELSE d END AS BIGINT)
+               AS cost_to_seed
+    FROM d3
+    """
+
+
+@_register("q227_weighted_shortest_path", oracle=_q227_oracle())
+def q227_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-plus distance (≤3 relaxation rounds) from the seeded part set
+    over support-derived edge costs; unreached report -1."""
+    und = co_purchase_edges_weighted(spark, sf_dir)
+    cost = (F.lit(101) - F.least(F.col("support"), F.lit(100))).alias("cost")
+    sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst"),
+                     cost).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"), cost)
+    )
+    verts = sym.select(F.col("src").alias("v")).distinct()
+    dist = verts.select(
+        "v",
+        F.when(F.col("v") % 101 == 0, F.lit(0))
+        .otherwise(F.lit(_SP_INF)).cast("long").alias("d"),
+    )
+    for _ in range(3):
+        md = (
+            sym.join(dist, sym["src"] == dist["v"])
+            .select(F.col("dst"), (F.col("d") + F.col("cost")).alias("nd"))
+            .groupBy("dst")
+            .agg(F.min("nd").alias("md"))
+        )
+        dist = (
+            dist.join(md, dist["v"] == md["dst"], "left")
+            .select(
+                dist["v"],
+                F.least(
+                    F.col("d"), F.coalesce(F.col("md"), F.lit(_SP_INF))
+                ).cast("long").alias("d"),
+            )
+        )
+    return dist.select(
+        F.col("v").alias("part"),
+        F.when(F.col("d") >= _SP_INF, F.lit(-1)).otherwise(F.col("d"))
+        .cast("long").alias("cost_to_seed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228 — interpolated median, the portable special case: the cookbook
+# bans percentile_cont-style interpolation because arbitrary-fraction
+# lerps compound FP ops differently across engines — but the MEDIAN's
+# interpolation is (lo + hi) / 2 of two exact integer order statistics:
+# ONE addition and ONE division by two, identical everywhere. This
+# fills the exact-percentile family's last gap (q58 returns discrete
+# order stats; q157 weights them): per event type, the true interpolated
+# median of value-millis. Both middle elements come from one rank
+# window over value-grain counts... kept simple here: rank the rows,
+# pick ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉ under the total order.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q228_interpolated_median",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(FLOOR(value * 1e3) AS BIGINT) AS x, event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY x, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN x END) AS BIGINT)
+               AS lo_millis,
+           CAST(MAX(CASE WHEN rn = (n + 2) // 2 THEN x END) AS BIGINT)
+               AS hi_millis,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN x END)
+                + MAX(CASE WHEN rn = (n + 2) // 2 THEN x END) AS DOUBLE)
+           / 2 AS median_millis
+    FROM ranked GROUP BY event_type
+    """,
+)
+def q228_interpolated_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True interpolated median of value-millis per event type: the two
+    middle order statistics under a total order, averaged with the one
+    FP-safe interpolation (sum of two exact ints, one division by 2)."""
+    e = load_table(spark, "events", sf_dir)
+    v = e.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e3)).cast("long").alias("x"),
+        "event_id",
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type", "x",
+        F.row_number().over(wp.orderBy("x", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    lo = F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("x")))
+    hi = F.max(F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("x")))
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        lo.cast("long").alias("lo_millis"),
+        hi.cast("long").alias("hi_millis"),
+        ((lo + hi).cast("double") / 2).alias("median_millis"),
+    )

@@ -1237,3 +1237,44 @@ def test_keyword_search_scores(spark, sf_dir):
     got = [(r["doc_id"], r["score"]) for r in
            sorted(rows, key=lambda r: r["rank"])]
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# q227 weighted shortest path / q228 interpolated median laws
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sp_dominates_hops(spark, sf_dir):
+    sp = {r["part"]: r["cost_to_seed"] for r in
+          ALL_QUERIES["q227_weighted_shortest_path"](spark, sf_dir).collect()}
+    hops = {r["part"]: r["hops"] for r in
+            ALL_QUERIES["q186_bfs_hops"](spark, sf_dir).collect()}
+    assert set(sp) == set(hops)
+    for v, c in sp.items():
+        h = hops[v]
+        # cost ≥ number of hops (each edge costs ≥ 1); reachability within
+        # 3 rounds coincides for both propagations
+        if h == -1:
+            assert c == -1
+        else:
+            assert c >= h
+
+
+def test_interpolated_median_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    got = {r["event_type"]: r for r in
+           ALL_QUERIES["q228_interpolated_median"](spark, sf_dir).collect()}
+    e = load_table(spark, "events", sf_dir)
+    rows = e.select("event_type",
+                    F.floor(F.col("value") * 1e3).cast("long").alias("x")
+                    ).collect()
+    import collections
+
+    by = collections.defaultdict(list)
+    for r in rows:
+        by[r["event_type"]].append(r["x"])
+    for et, xs in by.items():
+        med = float(np.median(np.array(xs, dtype=float)))
+        assert abs(got[et]["median_millis"] - med) < 1e-9, et
+        assert got[et]["lo_millis"] <= got[et]["hi_millis"]
