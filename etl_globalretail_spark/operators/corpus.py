@@ -1794,12 +1794,15 @@ def q208_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered source-pair overlap: distinct 5-word spans of A also seen
     in B, with the exact integer overlap permil of A's span set."""
     docs = load_table(spark, "documents", sf_dir)
+    # Checkpoint: the span set feeds sizes AND both self-join sides — the
+    # expensive explode+distinct runs once, consumers read executor blocks.
     spans = (
         docs.select(
             "source",
             F.explode(span_hashes(F.col("text"), _SPAN_K)).alias("h"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = spans.groupBy("source").agg(F.count(F.lit(1)).alias("n_spans"))
     a = spans.select(F.col("source").alias("src_a"), "h")
@@ -1956,9 +1959,11 @@ def q221_source_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions — one value-keyed inner join plus totals; disjoint
     mass derived arithmetically, never an outer join."""
     d = load_table(spark, "documents", sf_dir)
+    # Checkpoint: cnt feeds the totals AND both join sides — the corpus
+    # groupBy runs once; consumers read the (source × value)-grain blocks.
     cnt = d.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     a = cnt.select(F.col("source").alias("src_a"), "v", F.col("c").alias("ca"))
     b = cnt.select(F.col("source").alias("src_b"), "v", F.col("c").alias("cb"))
@@ -2045,10 +2050,17 @@ def q226_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     score (bit-length idf proxy) — inverted-probe plan, total-ordered
     rank."""
     d = load_table(spark, "documents", sf_dir)
+    # Checkpoint: tok feeds the vocabulary build AND the probe join —
+    # the explode runs once. (At extreme corpus sizes re-scanning can
+    # beat materializing the token stream; the inverted-probe shape is
+    # unchanged either way.)
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
-    )
-    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ).localCheckpoint(eager=True)
+    # vocab is vocabulary-sized and consumed by mx AND the query filter.
+    vocab = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint(eager=True)
     mx = vocab.agg(F.max(F.length(F.bin("cnt"))).alias("maxbits"))
     qterms = (
         vocab.filter(F.col("t").isin(*_Q226_QUERY))

@@ -1588,9 +1588,14 @@ def _register_q207() -> None:
                 )
             )
         )
+        # Executor-resident materialization: base feeds the prefix index,
+        # the full index, and both verify sides — checkpoint once; blocks
+        # are freed by the ContextCleaner when the frame is dropped. The
+        # pair set is returned LAZY (it is data-sized; a driver collect
+        # here would bottleneck at scale).
         base = d.select(F.col("doc_id").alias("doc"), hs.alias("hs")).filter(
             F.size("hs") > 0
-        ).persist()  # feeds the prefix index, the full index, and verify
+        ).localCheckpoint(eager=True)
         plen = (
             F.size("hs")
             - F.expr(f"({_Q207_PCT} * size(hs) + 99) div 100") + 1
@@ -1616,23 +1621,18 @@ def _register_q207() -> None:
         a = base.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"))
         b = base.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"))
         inter = F.size(F.array_intersect("hs_a", "hs_b"))
-        out = (
+        return (
             cand.join(a, "id_a")
             .join(b, "id_b")
             .filter(inter * 100 >= F.lit(_Q207_PCT) * F.size("hs_a"))
             .select(
-                "id_a", "id_b",
+                F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"),
                 F.size("hs_a").cast("long").alias("n_a"),
                 inter.cast("long").alias("n_common"),
                 (inter.cast("double") / F.size("hs_a").cast("double"))
-                .alias("containment"),
+                .cast("double").alias("containment"),
             )
-        )
-        rows = out.collect()
-        base.unpersist()
-        return spark.createDataFrame(
-            rows,
-            "id_a long, id_b long, n_a long, n_common long, containment double",
         )
 
 

@@ -310,30 +310,41 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     threshold: float = _NEARDUP_TAU,
     arrow: bool = True,
+    engine: str | None = None,
 ) -> DataFrame:
-    """All vector pairs with cosine ≥ threshold — exact. Two bit-identical
-    engines:
+    """All vector pairs with cosine ≥ threshold — exact. Three
+    bit-identical engines (``engine`` ∈ {'blocked', 'arrow', 'join'};
+    the legacy ``arrow`` flag maps True→'blocked', False→'join'):
 
-    - ``arrow=True`` (default): a vectorized numpy kernel under
-      ``mapInPandas``. One side is collected driver-side (bounded by the
-      same requirement the broadcast form has: the exact tier needs one
-      side resident) and each task scores its partition block against it.
-      The quantized products floor(x·y·1e12) are exact integers < 2^53, so
-      accumulating them in float64 per dimension is EXACT and order-free —
-      the numpy path reproduces the fold bit-for-bit (pytest-asserted)
-      while replacing ~N²·d interpreted lambda evaluations with ~d dense
-      numpy passes (measured ~8× on the 2000-vector bench corpus).
-    - ``arrow=False``: the pure-DataFrame broadcast self-join with one
-      zip_with fold per pair — the form whose arithmetic the DuckDB oracle
-      replays positionally, kept as the cross-check reference.
+    - ``'blocked'`` (default, the scale path): co-partitioned
+      block-pair generation. Vectors are hashed to B blocks; the
+      B·(B+1)/2 unordered block pairs are a bounded-by-construction
+      broadcast relation; a cogrouped ``applyInPandas`` task scores one
+      block×block tile with the dense numpy kernel. NOTHING is resident
+      on the driver — each task holds two blocks (~2N/B vectors), so
+      the exact tier survives corpora far past driver memory; B is the
+      memory/parallelism dial (tasks = B(B+1)/2, replication = B+1).
+    - ``'arrow'``: the earlier driver-resident variant — one side
+      collected driver-side, each task scores its partition against it.
+      Kept as the bit-equality cross-check for the blocked path.
+    - ``'join'``: the pure-DataFrame broadcast self-join with one
+      zip_with fold per pair — the form whose arithmetic the DuckDB
+      oracle replays positionally.
 
-    Scale shape: O(N²) pairs is intrinsic to the exact tier (this is the
-    ground truth the LSH/IVF tiers approximate); the pair generation never
-    shuffles either way. For corpora past resident size, swap in
-    ``ann_lsh_topk``-style bucketed candidates and reuse the same
-    verification expression.
+    All three share the same arithmetic: quantized per-dimension
+    products floor(x·y·1e12) are exact integers < 2^53, accumulated in
+    float64 in dimension order — EXACT and order-free, so the engines
+    agree bit-for-bit (pytest-asserted).
+
+    Scale shape: O(N²) pair scoring is intrinsic to the exact tier
+    (this is the ground truth the LSH/IVF tiers approximate); 'blocked'
+    spreads it as O(N²/B²) work per task with O(N·B) communication.
     """
-    if arrow:
+    if engine is None:
+        engine = "blocked" if arrow else "join"
+    if engine == "blocked":
+        return _neardup_pairs_blocked(df, vec_col, id_col, threshold)
+    if engine == "arrow":
         return _neardup_pairs_arrow(df, vec_col, id_col, threshold)
     nrm = F.sqrt(_qdot(F.col(vec_col), F.col(vec_col)).cast("double"))
     side = df.select(F.col(id_col), F.col(vec_col), nrm.alias("__n"))
@@ -400,6 +411,91 @@ def _neardup_pairs_arrow(
 
     return df.select(id_col, vec_col).mapInPandas(
         score, "id_a long, id_b long, cos_sim double"
+    )
+
+
+def _neardup_pairs_blocked(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Co-partitioned block-pair engine for ``embedding_near_duplicates``
+    — the 100 TB face of the exact tier. Vectors hash to ``n_blocks``
+    blocks by id; the B·(B+1)/2 unordered block pairs form a broadcast
+    tile relation (bounded by construction: B is a parameter, 36 rows at
+    B=8); a cogrouped ``applyInPandas`` task scores one block×block tile.
+    The driver never holds vectors; each task holds ~2N/B of them.
+
+    Arithmetic is IDENTICAL to ``_neardup_pairs_arrow``: per-dimension
+    floor(x·y·1e12) products (exact < 2^53 integers in float64, so the
+    d-ascending accumulation is order-free), IEEE sqrt norms, one double
+    division per pair — bit-equality across engines is pytest-asserted.
+
+    Pair completeness: blocking is a function of the id, so every
+    unordered pair {x, y} lands in exactly one tile (blk(x), blk(y))
+    with bi ≤ bj — diagonal tiles dedupe with id_a < id_b, off-diagonal
+    tiles contain each pair once (ids in different blocks are distinct)
+    and emit it (min, max)-oriented.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    tiles = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    e = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    left = e.join(F.broadcast(tiles), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", "vid", "vec"
+    )
+    # Fresh attribute ids on the right side (alias every column): both
+    # tile sides descend from the same e/tiles plans and Spark's
+    # ambiguous-self-join check rejects shared attributes across cogroup
+    # inputs. Cogroup keys match by position/type, not by name.
+    right = e.join(F.broadcast(tiles), F.col("blk") == F.col("bj")).select(
+        F.col("bi").alias("rbi"), F.col("bj").alias("rbj"),
+        F.col("vid").alias("rvid"), F.col("vec").alias("rvec"),
+    )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+
+    def score_tile(key, lpdf, rpdf):
+        if lpdf.empty or rpdf.empty:
+            return empty
+        a_ids = lpdf["vid"].to_numpy(dtype=np.int64)
+        b_ids = rpdf["rvid"].to_numpy(dtype=np.int64)
+        amat = np.array(list(lpdf["vec"]), dtype=np.float64)
+        bmat = np.array(list(rpdf["rvec"]), dtype=np.float64)
+        a_norm = np.sqrt(np.floor(amat * amat * 1e12).sum(axis=1))
+        b_norm = np.sqrt(np.floor(bmat * bmat * 1e12).sum(axis=1))
+        dp = np.zeros((len(a_ids), len(b_ids)), dtype=np.float64)
+        for d in range(amat.shape[1]):
+            dp += np.floor(amat[:, d, None] * bmat[None, :, d] * 1e12)
+        cos = dp / (a_norm[:, None] * b_norm[None, :])
+        if key[0] == key[1]:  # diagonal tile: dedupe the mirrored pairs
+            keep = (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
+        else:  # off-diagonal: each unordered pair present exactly once
+            keep = cos >= threshold
+        ai, bi = np.nonzero(keep)
+        ida, idb = a_ids[ai], b_ids[bi]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ida, idb),
+                "id_b": np.maximum(ida, idb),
+                "cos_sim": cos[ai, bi],
+            }
+        )
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("rbi", "rbj"))
+        .applyInPandas(score_tile, "id_a long, id_b long, cos_sim double")
     )
 
 

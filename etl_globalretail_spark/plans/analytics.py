@@ -1926,24 +1926,33 @@ def _q154_edges_sql() -> str:
 
 
 
-_EDGE_MEMO: dict = {}
+_EDGE_MEMO_ATTR = "_etl_globalretail_edge_memo"
 
 
-def co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Support≥2 co-purchase edge list (u < v) as a session-memoized
-    derived artifact — the q66 verified-pairs stance applied to the graph
-    family. The basket self-join + support aggregate (the expensive part:
-    quadratic in basket size) runs ONCE per (session, corpus); q154
-    triangles, q170 coefficients, and q179 PageRank then pay |E|-sized
-    work only (measured ~2.5–5 s → sub-second each at sf0.1). |E| is
-    grouped-graph-sized (≈3.5k rows at sf0.1 — bounded by support≥2
-    co-purchase structure, not corpus rows), so the local artifact is
-    broadcast-class; at 100 TB the same artifact is a bucketed TABLE
-    written once (sources/readers.write_bucketed), not a driver collect —
-    the memo is the single-session face of that materialization.
+def co_purchase_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support≥2 co-purchase edge list (u < v, support) as a
+    session-memoized EXECUTOR-RESIDENT artifact — the q66 verified-pairs
+    stance applied to the graph family. The basket self-join + support
+    aggregate (the expensive part: quadratic in basket size) runs ONCE
+    per (session, corpus); q154 triangles, q170 coefficients, q179
+    PageRank etc. then pay |E|-sized work only.
+
+    The artifact is a `localCheckpoint(eager=True)` DataFrame: the edge
+    rows live in executor block storage (never on the driver), lineage
+    to the corpus scan is truncated so every downstream graph job starts
+    from the materialized blocks, and the blocks are released by the
+    ContextCleaner when the memoized frame is dropped with the session.
+    This is the single-session face of the 100 TB answer (a bucketed
+    edge TABLE written once via sources/readers.write_bucketed) — same
+    plan shape, storage swapped for the cluster tier. The memo lives on
+    the SparkSession object itself (not a module dict keyed by
+    `id(spark)`), so a GC'd session can never alias a stale artifact.
     """
-    key = (id(spark), sf_dir)
-    if key not in _EDGE_MEMO:
+    memo = getattr(spark, _EDGE_MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _EDGE_MEMO_ATTR, memo)
+    if sf_dir not in memo:
         li = load_table(spark, "lineitem", sf_dir)
         items = li.select("l_orderkey", "l_partkey").distinct()
         a = items.select(F.col("l_orderkey").alias("ok"),
@@ -1954,22 +1963,21 @@ def co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             a.join(b, "ok")
             .filter(F.col("pa") < F.col("pb"))
             .groupBy(F.col("pa").alias("u"), F.col("pb").alias("v"))
-            .agg(F.count(F.lit(1)).alias("support"))
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
             .filter(F.col("support") >= 2)
+            .select(
+                F.col("u").cast("long").alias("u"),
+                F.col("v").cast("long").alias("v"),
+                F.col("support"),
+            )
         )
-        _EDGE_MEMO[key] = und.collect()
-    return spark.createDataFrame(
-        _EDGE_MEMO[key], "u long, v long, support long"
-    ).select("u", "v")
+        memo[sf_dir] = und.localCheckpoint(eager=True)
+    return memo[sf_dir]
 
 
-def co_purchase_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(u, v, support) face of the same memoized artifact — the weighted
-    graph consumers (q209) read the basket-support edge weight."""
-    co_purchase_edges(spark, sf_dir)  # ensure the memo exists
-    return spark.createDataFrame(
-        _EDGE_MEMO[(id(spark), sf_dir)], "u long, v long, support long"
-    )
+def co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v) face of the same memoized executor-resident artifact."""
+    return co_purchase_edges_weighted(spark, sf_dir).select("u", "v")
 
 
 @_register(
@@ -2000,7 +2008,7 @@ def q154_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree (breaks high-degree hubs) — same plan shape, different edge
     orientation rule.
     """
-    edges = co_purchase_edges(spark, sf_dir)  # memoized local artifact
+    edges = co_purchase_edges(spark, sf_dir)  # memoized checkpointed artifact
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
@@ -2008,7 +2016,7 @@ def q154_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(
         e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
     )
-    n_edges = edges.count()  # local relation — no job against the corpus
+    n_edges = edges.count()  # reads the checkpointed blocks, not the corpus
     row = tri.agg(
         F.count(F.lit(1)).alias("n_triangles"),
         F.coalesce(
@@ -2277,46 +2285,45 @@ def q168_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     support table is |parts| rows (broadcast); the basket count is a
     broadcast 1-row scalar; lift >1 ⇔ positive association."""
     li = load_table(spark, "lineitem", sf_dir)
-    items = li.select("l_orderkey", "l_partkey").distinct().persist()
-    try:
-        n_baskets = items.select("l_orderkey").distinct().count()
-        supp1 = items.groupBy("l_partkey").agg(
-            F.count(F.lit(1)).cast("long").alias("s")
+    # Executor-resident materialization: the distinct item set feeds the
+    # basket count, supp1, and both self-join sides — checkpoint once so
+    # none of the four consumers re-scans the corpus, and the rule set is
+    # returned LAZY (pair-set outputs are data-sized; no driver collect).
+    items = (
+        li.select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_baskets = items.select("l_orderkey").distinct().count()
+    supp1 = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("part_b"))
+    supp2 = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("s2"))
+        .filter(F.col("s2") >= 3)
+    )
+    sa = supp1.select(F.col("l_partkey").alias("part_a"),
+                      F.col("s").alias("sa"))
+    sb = supp1.select(F.col("l_partkey").alias("part_b"),
+                      F.col("s").alias("sb"))
+    return (
+        supp2.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select(
+            F.col("part_a").cast("long").alias("part_a"),
+            F.col("part_b").cast("long").alias("part_b"),
+            F.col("s2").alias("pair_support"),
+            (F.col("s2").cast("double") / F.col("sa").cast("double"))
+            .alias("confidence"),
+            ((F.lit(n_baskets) * F.col("s2")).cast("double")
+             / (F.col("sa") * F.col("sb")).cast("double")).alias("lift"),
         )
-        a = items.select(F.col("l_orderkey").alias("ok"),
-                         F.col("l_partkey").alias("part_a"))
-        b = items.select(F.col("l_orderkey").alias("ok"),
-                         F.col("l_partkey").alias("part_b"))
-        supp2 = (
-            a.join(b, "ok")
-            .filter(F.col("part_a") < F.col("part_b"))
-            .groupBy("part_a", "part_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("s2"))
-            .filter(F.col("s2") >= 3)
-        )
-        sa = supp1.select(F.col("l_partkey").alias("part_a"),
-                          F.col("s").alias("sa"))
-        sb = supp1.select(F.col("l_partkey").alias("part_b"),
-                          F.col("s").alias("sb"))
-        out = (
-            supp2.join(F.broadcast(sa), "part_a")
-            .join(F.broadcast(sb), "part_b")
-            .select(
-                "part_a", "part_b",
-                F.col("s2").alias("pair_support"),
-                (F.col("s2").cast("double") / F.col("sa").cast("double"))
-                .alias("confidence"),
-                ((F.lit(n_baskets) * F.col("s2")).cast("double")
-                 / (F.col("sa") * F.col("sb")).cast("double")).alias("lift"),
-            )
-        )
-        rows = out.collect()
-    finally:
-        items.unpersist()
-    return spark.createDataFrame(
-        rows,
-        "part_a long, part_b long, pair_support long, "
-        "confidence double, lift double",
     )
 
 
@@ -2417,7 +2424,7 @@ def q169_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q170_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex clustering coefficient over the support≥2 co-purchase
     graph: degree, triangle membership count, and 2t/(d(d−1))."""
-    edges = co_purchase_edges(spark, sf_dir)  # memoized local artifact
+    edges = co_purchase_edges(spark, sf_dir)  # memoized checkpointed artifact
     sym = edges.select(F.col("u").alias("vx")).unionAll(
         edges.select(F.col("v").alias("vx"))
     )
@@ -2441,19 +2448,16 @@ def q170_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.coalesce(F.col("t"), F.lit(0))).cast("double")
         / (F.col("d") * (F.col("d") - 1)).cast("double")
     )
-    out = (
+    # Per-vertex output is graph-sized — returned lazy, no driver collect.
+    return (
         deg.join(tv, "vx", "left")
         .select(
-            F.col("vx").alias("vertex"),
-            F.col("d").alias("degree"),
+            F.col("vx").cast("long").alias("vertex"),
+            F.col("d").cast("long").alias("degree"),
             F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
             F.when(F.col("d") < 2, F.lit(0.0)).otherwise(coef)
-            .alias("coefficient"),
+            .cast("double").alias("coefficient"),
         )
-    )
-    rows = out.collect()
-    return spark.createDataFrame(
-        rows, "vertex long, degree long, n_triangles long, coefficient double"
     )
 
 
@@ -2786,7 +2790,7 @@ def q179_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and final rank in micro-units. The DuckDB oracle replays the identical
     integer trajectory through unrolled CTEs — iterative algorithms sit on
     the hash gate, not the weaker rows-only tier."""
-    und = co_purchase_edges(spark, sf_dir)  # memoized local artifact
+    und = co_purchase_edges(spark, sf_dir)  # memoized checkpointed artifact
     sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
@@ -3053,7 +3057,7 @@ def q186_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distance (≤3 supersteps) from the seeded part set over the
     co-purchase graph; unreached vertices report -1. The DuckDB oracle
     unrolls the identical min-propagation — all-integer, hash-exact."""
-    und = co_purchase_edges(spark, sf_dir)  # memoized local artifact
+    und = co_purchase_edges(spark, sf_dir)  # memoized checkpointed artifact
     sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
@@ -4005,8 +4009,10 @@ def q215_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_descendants") > 0)
     )
-    rows = out.collect()
-    p.unpersist()
+    try:
+        rows = out.collect()
+    finally:
+        p.unpersist()
     return spark.createDataFrame(
         rows, "root long, n_descendants long, exploded_qty long, max_depth long"
     )
@@ -4077,11 +4083,13 @@ def q217_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag via exact doubled average ranks — Pearson over integer
     rank moments, q163's recipe on the rank scale."""
     li = load_table(spark, "lineitem", sf_dir)
+    # Checkpoint: q feeds both rank-count aggregates AND the join base —
+    # one corpus scan instead of three.
     q = li.select(
         F.col("l_returnflag").alias("flag"),
         F.floor("l_quantity").cast("long").alias("x"),
         F.floor(F.col("l_discount") * 100).cast("long").alias("y"),
-    )
+    ).localCheckpoint(eager=True)
 
     def doubled_ranks(col):
         cnts = q.groupBy("flag", col).agg(F.count(F.lit(1)).alias("c"))
@@ -4236,8 +4244,10 @@ def q218_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
              )).alias("tau_b"),
         )
     )
-    rows = out.collect()
-    cells.unpersist()
+    try:
+        rows = out.collect()
+    finally:
+        cells.unpersist()
     return spark.createDataFrame(
         rows,
         "flag string, n long, concordant long, discordant long, tau_b double",
@@ -4337,8 +4347,10 @@ def q220_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_revenue_micros"),
         )
     )
-    rows = out.collect()
-    cells.unpersist()
+    try:
+        rows = out.collect()
+    finally:
+        cells.unpersist()
     return spark.createDataFrame(
         rows,
         "cohort_w long, age_w long, n_purchases long, cum_revenue_micros long",
@@ -4581,8 +4593,10 @@ def q224_cuped_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arm", "n_users", "arm_sx", "arm_sy",
         theta.alias("theta"), adj.alias("adjusted_mean"),
     )
-    rows = out.collect()
-    per_user.unpersist()
+    try:
+        rows = out.collect()
+    finally:
+        per_user.unpersist()
     return spark.createDataFrame(
         rows,
         "arm long, n_users long, arm_sx long, arm_sy long, "

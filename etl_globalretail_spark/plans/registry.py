@@ -42,53 +42,48 @@ for _mod in ("operators.dedup", "operators.similarity", "operators.text",
 
 
 # ---------------------------------------------------------------------------
-# Showcase-first iteration order. The driver's differential snapshot
-# examines the registry in ITERATION order (round-1 snapshot recorded a
-# 50-entry prefix), so any prefix of this dict should be a representative
-# cross-section of the engine — one exemplar per family (ETL, streaming,
-# dedup ladder, ANN, text/corpus, sampling, graph, sketches, recurrences,
-# SCD/CDC, TPC-H shapes, DQ) — rather than whatever module happened to
-# import first. Membership and implementations are untouched: every query
-# stays registered and oracle-paired; this is a reordering only.
+# Rotated iteration order (round 3). The driver's differential snapshot
+# examines the registry in ITERATION order and records a 50-entry prefix,
+# so the prefix is ROTATED each round to put never-yet-sampled queries on
+# the driver's correctness gate (VERDICT r2 item 3): rounds 1–2 sampled
+# 76 distinct names; this prefix is 50 queries absent from r01∪r02 —
+# the ETL dim family, the TPC-H sweep, the SQL/bloom/layout tier, and
+# q195–q228 — including every query whose plan changed in round 3
+# (edge-artifact checkpoint + lazy pair-set returns), so the driver
+# re-verifies exactly what moved. Membership and implementations are
+# untouched: every query stays registered and oracle-paired; this is a
+# reordering only.
 # ---------------------------------------------------------------------------
 
 _SHOWCASE = [
-    # ETL core: star join, full fact build, cleansing, calendar
-    "q01_revenue_by_region", "q32_fato_vendas", "q12_dirty_date_parse",
-    "q15_dim_tempo",
-    # streaming (REAL executions on the hash gate) + windows
-    "q16_events_hourly", "q34_sessions", "q128_streaming_hourly_exact",
-    "q143_streaming_sessions_exact", "q166_streaming_sink_exact",
-    # dedup ladder (exact → normalized → MinHash → SimHash → closure →
-    # decontamination → tier census)
-    "q18_dedup_exact", "q93_normalized_dedup", "q66_minhash_pairs_exact",
-    "q65_simhash_pairs_exact", "q67_cluster_closure_exact",
-    "q86_leakage_safe_split", "q87_contamination_audit",
-    "q178_dedup_tier_overlap", "q200_curation_pipeline",
-    "q156_prefix_filter_join", "q80_fuzzy_name_pairs",
-    # similarity search / embeddings
-    "q27_ann_bruteforce", "q82_ann_lsh_exact", "q123_ann_ivf_exact",
-    "q120_ann_recall", "q122_kmeans_exact", "q26_embedding_centroids",
-    "q33_embedding_neardup", "q142_int8_quantization",
-    # text / corpus curation
-    "q19_quality_scores", "q21_lang_id", "q40_bpe_token_stats",
-    "q72_top_tokens", "q83_document_chunks", "q84_sequence_packing",
-    "q85_pii_redaction", "q89_rarity_bands", "q90_repetition_filter",
-    "q92_tfidf_terms", "q126_temperature_mixture",
-    # sampling / splits / shards
-    "q47_hash_split", "q64_stratified_sample", "q48_source_quota",
-    "q88_weighted_sample", "q182_shard_manifest", "q190_global_index",
-    # graph + iterative + recurrence + sketches
-    "q179_pagerank", "q154_triangle_count", "q181_ewma_recursive",
-    "q180_hll_users_exact", "q99_countmin_tokens", "q152_table_fingerprint",
-    # temporal joins, SCD/IVM, TPC-H shapes, Python surfaces, stats, DQ
-    "q51_asof_attribution", "q52_range_join", "q70_scd2_merge",
-    "q100_incremental_join", "q127_pricing_summary",
-    "q96_late_supplier_blame", "q151_python_datasource",
-    "q131_sentence_stats", "q155_user_activity_features",
-    "q157_weighted_median_udaf", "q184_welch_t_test", "q173_length_ks_test",
-    "q167_group_auc", "q183_orderkey_islands", "q76_dq_expectations",
-    "q53_null_audit", "q42_salted_agg",
+    # ETL dimension family (reference parity — never driver-sampled)
+    "q30_dim_cliente", "q31_dim_produto", "q37_dim_fornecedor",
+    "q38_dim_categoria_cliente", "q39_promo_fact", "q44_dim_loja",
+    "q45_dim_promocao", "q46_dim_localidade",
+    # TPC-H sweep
+    "q96_late_supplier_blame", "q97_custdist", "q98_trailing_window_avg",
+    "q102_idle_rich_customers", "q103_cube_revenue",
+    "q108_min_cost_supplier", "q109_order_priority", "q110_important_parts",
+    "q112_top_supplier", "q114_small_qty_revenue", "q116_disjunctive_filter",
+    "q117_dominant_suppliers", "q118_shipping_priority",
+    "q119_discount_revenue",
+    # layout / join-reduction / SQL front door / Python surfaces
+    "q141_zorder_layout", "q144_bloom_join_reduction",
+    "q151_python_datasource", "q155_user_activity_features",
+    "q161_sql_front_door",
+    # round-3 plan changes: checkpointed edge artifact + lazy pair sets
+    "q168_association_rules", "q170_clustering_coefficient",
+    "q207_containment_pairs", "q186_bfs_hops", "q209_weighted_pagerank",
+    "q210_degree_assortativity", "q212_kcore_peeling",
+    "q227_weighted_shortest_path",
+    # q195–q228 tier (never driver-sampled)
+    "q195_cogroup_asof", "q196_null_safe_join", "q197_sql_udf_revenue",
+    "q198_decision_stump", "q199_calibration_table",
+    "q201_cumulative_users", "q202_business_day_latency",
+    "q203_order_reconciliation", "q204_diversified_topk",
+    "q205_funnel_latency", "q208_source_overlap_matrix",
+    "q211_peak_concurrency", "q216_budget_apportionment",
+    "q219_session_depth", "q228_interpolated_median",
 ]
 
 assert set(_SHOWCASE) <= set(ALL_QUERIES), sorted(

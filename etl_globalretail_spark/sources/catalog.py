@@ -207,3 +207,69 @@ def q197_sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 — JDBC round-trip on the hash gate (S1's database leg, no longer
+# shape-only): the reference reads every source table through a live
+# DBMS connection (etl_completo.py:32-46, 154-160); this query drives
+# Spark's REAL JDBC read/write stack end-to-end against the embedded
+# Derby engine that ships inside the Spark distribution (no external
+# server, no installs). A dim is written THROUGH JDBC, read back through
+# ``jdbc_table``'s partitioned scan (numPartitions range predicates — the
+# parallel-cursor shape the reference's single sequential cursor lacks),
+# and aggregated; the oracle computes the same aggregate on the parquet
+# source directly, so the hash gate proves the round-trip is lossless.
+#
+# Scale notes: the partitioned read is the point — at production scale
+# the same call fans one table into numPartitions concurrent range
+# queries, one per executor slot, instead of one driver-side cursor.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q229_jdbc_roundtrip",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q229_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region nation census computed through a live JDBC round-trip
+    (write nation → embedded Derby → partitioned JDBC read → aggregate);
+    hash-equal to the oracle's direct aggregate ⇔ the JDBC leg is
+    lossless."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_globalretail_spark.sources.readers import jdbc_table
+
+    # Keep Derby's boot log out of the repo/cwd.
+    spark._jvm.System.setProperty("derby.stream.error.file",
+                                  tempfile.gettempdir() + "/derby.log")
+    db = tempfile.mkdtemp(prefix="jdbc_rt_") + "/derbydb"
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    n = load_table(spark, "nation", sf_dir)
+    (
+        n.write.format("jdbc").option("url", url)
+        .option("dbtable", "nation").option("driver", driver)
+        .mode("overwrite").save()
+    )
+    back = jdbc_table(
+        spark, url, "nation",
+        partition_column="n_nationkey", num_partitions=4,
+        lower_bound=0, upper_bound=25, driver=driver,
+    )
+    return (
+        back.groupBy(F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+    )
+
+

@@ -170,7 +170,10 @@ def jdbc_table(
     With ``partition_column`` bounds, Spark issues ``num_partitions`` range
     predicates so the scan parallelizes across executors instead of a single
     cursor (the reference reads every table through one sequential cursor,
-    etl_completo.py:154-160). Untested in this environment (no JDBC server).
+    etl_completo.py:154-160). Exercised end-to-end against the embedded
+    Derby engine bundled with Spark — q229_jdbc_roundtrip puts the full
+    write→read→aggregate loop on the DuckDB hash gate, and pytest asserts
+    the partitioned read really splits into range tasks.
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
@@ -273,6 +276,14 @@ def global_index(df, order_col: str, n_ranges: int = 16):
     sampling, but offset+rank composes to the same global index as the
     single-window form regardless of where the boundaries fall (pytest +
     the q190 oracle assert exactly this equivalence).
+
+    The ranged frame is materialized ONCE (``localCheckpoint(eager=True)``)
+    before either consumer: ``repartitionByRange`` samples boundaries with
+    a per-execution seed (RDD id), so without the pin the counts job (2)
+    and the window job (3) could re-plan DIFFERENT boundaries and compose
+    offsets from one partitioning with ranks from another — silently
+    non-contiguous indexes. Checkpointing freezes one partitioning that
+    both jobs read.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -281,6 +292,7 @@ def global_index(df, order_col: str, n_ranges: int = 16):
         df.repartitionByRange(n_ranges, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = sorted(
         ranged.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]

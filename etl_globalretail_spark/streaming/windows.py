@@ -831,15 +831,17 @@ def q194_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q211_peak_concurrency",
     oracle=f"""
     WITH seq AS (
-        SELECT user_id, epoch_us(ts) AS t,
+        SELECT user_id, epoch_us(ts) AS t, event_id,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id)
                         > {30 * 60 * 1_000_000} THEN 1 ELSE 0 END AS new_s
         FROM events
     ),
     sess AS (
+        -- (t, event_id) total order: with duplicate (user_id, ts) rows a
+        -- t-only ROWS-frame prefix sum is tie-order dependent (cookbook).
         SELECT user_id,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid, t
         FROM seq
     ),
@@ -878,14 +880,15 @@ def q211_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
-        "user_id", F.unix_micros("ts").alias("t"),
+        "user_id", F.unix_micros("ts").alias("t"), "event_id",
         F.when(
             F.unix_micros("ts")
             - F.lag(F.unix_micros("ts")).over(wseq) > 30 * 60 * 1_000_000,
             F.lit(1),
         ).otherwise(F.lit(0)).alias("new_s"),
     )
-    wcum = Window.partitionBy("user_id").orderBy("t").rowsBetween(
+    # (t, event_id) total order — tie-safe prefix sum (cookbook rule).
+    wcum = Window.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = seq.select("user_id", F.sum("new_s").over(wcum).alias("sid"), "t")
@@ -912,8 +915,10 @@ def q211_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_sessions).cast("long").alias("n_sessions"),
         )
     )
-    rows = out.collect()
-    bounds.unpersist()
+    try:
+        rows = out.collect()
+    finally:
+        bounds.unpersist()
     return spark.createDataFrame(
         rows, "peak_concurrency long, at_epoch_us long, n_sessions long"
     )
@@ -1005,3 +1010,149 @@ def q219_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bounces"),
         F.sum("depth").cast("long").alias("sum_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 — LATE / OUT-OF-ORDER data through the watermark, on the hash
+# gate (fifth REAL streaming execution): the one streaming behavior the
+# q128/q133/q143/q166/q194 ladder had not yet oracle-verified is
+# lateness accounting — which late rows the watermark ACCEPTS (arrive
+# while their window is still open), which it DROPS, and which windows
+# append mode withholds as not-yet-final. The events table is replayed
+# as three single-file micro-batches in a controlled arrival order
+# (maxFilesPerTrigger=1, mtime-ordered):
+#
+#   wave 0  "on time"  — 3/4 of rows, PLUS every row carrying the global
+#                        max timestamp (moved in by construction so the
+#                        watermark is final after wave 0 — see below);
+#   wave 1  "late, accepted" — half the held-back rows: they arrive one
+#                        batch later, out of order, but merge into their
+#                        (still-open) windows and appear in the output;
+#   wave 2  "late, dropped"  — the other half: by now the data filter
+#                        watermark has advanced past (almost all of)
+#                        their windows, so they are dropped — and the
+#                        few survivors sit in windows newer than the
+#                        final watermark, which append mode withholds.
+#
+# Empirically pinned Structured Streaming semantics this query encodes
+# (and the pytest below re-derives from StreamingQueryProgress so a
+# behavior change in a future Spark fails loudly rather than silently):
+#   - the EVICTION/EMIT watermark of batch N is max event time over
+#     batches 0..N-1 (ms-truncated) minus the delay; a trailing no-data
+#     batch runs with the final watermark (noDataMicroBatches default);
+#   - the late-data FILTER of batch N lags one batch further: it uses
+#     max over batches 0..N-2 (observed: wave-1 rows are never filtered,
+#     wave-2 rows are filtered against wave-0's max);
+#   - both compare window.end (µs) against (max_ms − delay_ms)·1000.
+#
+# Moving the global-max rows into wave 0 makes filter wm = eviction wm =
+# final wm for every batch that matters, so the oracle is exact: emitted
+# = (wave0 ∪ wave1) grouped by hour window where window_end ≤ final wm.
+# Wave 2 rows past the watermark are dropped (their absence is the
+# audit); wave-2 survivors land above the final watermark and are
+# withheld. DuckDB replays the same arithmetic in integer µs/ms.
+#
+# Scale notes: identical plan to q128 plus the state-store exchange;
+# arrival waves stand in for the out-of-order shard arrivals a real
+# ingestion tier produces. State is bounded by the watermark horizon.
+# ---------------------------------------------------------------------------
+
+_Q230_DELAY_MS = 30 * 60 * 1000
+
+
+@_register(
+    "q230_streaming_late_drop_exact",
+    oracle=f"""
+    WITH mx AS (
+        SELECT MAX(epoch_us(ts) // 1000) AS max_ms FROM events
+    ),
+    kept AS (
+        -- wave 2 (dropped/withheld) = late half with event_id %% 8 = 0,
+        -- except rows carrying the global max ts (moved into wave 0)
+        SELECT e.* FROM events e, mx
+        WHERE NOT (e.event_id % 8 = 0
+                   AND epoch_us(e.ts) // 1000 <> mx.max_ms)
+    )
+    SELECT make_timestamp((epoch_us(k.ts) // 3600000000) * 3600000000)
+               AS window_start,
+           k.event_type,
+           COUNT(*) AS n_events,
+           {{val}}
+    FROM kept k, mx
+    WHERE ((epoch_us(k.ts) // 3600000000) + 1) * 3600000000
+          <= (mx.max_ms - {_Q230_DELAY_MS}) * 1000
+    GROUP BY 1, 2
+    """.format(val=_osum("k.value", "sum_value")),
+)
+def q230_streaming_late_drop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly counts/sums through a REAL 3-micro-batch streaming replay
+    with out-of-order arrival: late-but-open rows accepted, late-beyond-
+    watermark rows dropped, unfinalized windows withheld — the sink is
+    hash-matched against DuckDB's replay of the same watermark
+    arithmetic."""
+    waves = stage_arrival_waves(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(waves.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(waves.directory)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    _Q128_SEQ[0] += 1
+    sink = f"q230_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(agg, sink, mode="append")
+    return spark.table(sink)
+
+
+class _StagedWaves:
+    def __init__(self, directory, schema):
+        self.directory = directory
+        self.schema = schema
+
+
+def stage_arrival_waves(spark: SparkSession, sf_dir: str) -> "_StagedWaves":
+    """Materialize the events table as three mtime-ordered single-file
+    parquet waves (the controlled arrival order q230 replays).
+
+    Wave membership is a pure function of the row (event_id mod 8) with
+    one exception computed as a driver-side 1-value scalar (documented):
+    rows carrying the global max timestamp always ride wave 0, so the
+    watermark reaches its final value in the first batch and the late
+    waves are judged against ONE deterministic horizon in both engines.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, "events", sf_dir)
+    max_ts = e.agg(F.max("ts")).collect()[0][0]  # driver scalar (1 value)
+    is_max = F.col("ts") == F.lit(max_ts)
+    m8 = F.pmod(F.col("event_id"), 8)
+    late1 = (m8 == 4) & ~is_max
+    late2 = (m8 == 0) & ~is_max
+    work = tempfile.mkdtemp(prefix="q230_waves_")
+    sdir = os.path.join(work, "stream")
+    os.makedirs(sdir)
+    for i, cond in enumerate(
+        [~late1 & ~late2, late1, late2]
+    ):
+        tmp = os.path.join(work, f"w{i}")
+        e.filter(cond).coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = os.path.join(sdir, f"wave_{i}.parquet")
+        shutil.move(part, dst)
+        # FileStreamSource batches in modification-time order; pin it.
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    return _StagedWaves(sdir, e.schema)

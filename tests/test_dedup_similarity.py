@@ -280,9 +280,53 @@ def test_embedding_neardup_arrow_matches_fold(spark, sf_dir):
     )
     arrow = sorted(
         (r["id_a"], r["id_b"], r["cos_sim"])
-        for r in embedding_near_duplicates(e, arrow=True).collect()
+        for r in embedding_near_duplicates(e, engine="arrow").collect()
     )
     assert fold == arrow and len(fold) > 0
+
+
+def test_embedding_neardup_blocked_matches_arrow(spark, sf_dir):
+    """The co-partitioned block-pair engine (no driver-resident side, the
+    100 TB path and the q33 default) is bit-identical to the
+    driver-resident arrow kernel — same pairs, same cosine bits — at
+    several block counts, including B larger than the id range's spread."""
+    from etl_globalretail_spark.operators.similarity import (
+        _neardup_pairs_blocked,
+        _NEARDUP_TAU,
+        embedding_near_duplicates,
+    )
+    from etl_globalretail_spark.sources.readers import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    arrow = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_near_duplicates(e, engine="arrow").collect()
+    )
+    for n_blocks in (1, 3, 8):
+        blocked = sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in _neardup_pairs_blocked(
+                e, "embedding", "vec_id", _NEARDUP_TAU, n_blocks=n_blocks
+            ).collect()
+        )
+        assert blocked == arrow, n_blocks
+    assert len(arrow) > 0
+
+
+def test_embedding_neardup_default_is_blocked_no_collect(spark, sf_dir):
+    """q33's default engine returns a lazy cogroup plan (FlatMapCoGroups),
+    not a driver-collected local relation."""
+    from etl_globalretail_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+    from etl_globalretail_spark.sources.readers import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    df = embedding_near_duplicates(e)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "FlatMapCoGroupsInPandas" in plan
 
 
 def test_prefix_filter_join_exact_and_cheaper(spark, sf_dir):
