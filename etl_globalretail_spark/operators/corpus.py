@@ -2084,3 +2084,103 @@ def q226_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
         .filter(F.col("rank") <= 10)
     )
+
+# ---------------------------------------------------------------------------
+# q232 — bigram language-model document scoring: the conditional-probability
+# tier above q89's unigram rarity bands. Every LM-data pipeline scores
+# candidate documents under a cheap n-gram model trained on the corpus
+# itself (KenLM-style perplexity filtering); this is that operator with the
+# model kept in exact integer space so the oracle hash-matches:
+#
+#   cond(w1,w2) = (1e6 · c(w1,w2)) div c(w1,·)   — conditional prob in ppm
+#   score(doc)  = (Σ cond over the doc's bigrams) div n_bigrams
+#
+# i.e. a floor-average per-bigram likelihood (the monotone twin of mean
+# log-prob: the quantity perplexity filters threshold), no log/exp (libm
+# is not portable across engines — cookbook), no floats anywhere.
+#
+# Plan shape: one explode pass produces the bigram stream (checkpointed —
+# it feeds BOTH the model build and the scoring join); the model is
+# bigram-vocabulary-sized (Zipf: orders smaller than the stream), built by
+# two partial-agg groupBys, then the stream joins the model on (w1,w2) and
+# collapses to the doc grain. At 100 TB the model join shuffles on the
+# bigram key (vocab too big to broadcast is the safe default; AQE
+# broadcasts it when it fits) — the stream is never collected and the
+# per-doc aggregate is map-side-combinable. Reference has no corpus
+# surface (etl_completo.py is row-at-a-time retail ETL); 100 TB mandate.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q232_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_SQL_ALPHA_TOKENS} AS tk FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang,
+               tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT)+1] AS w2
+        FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(cnt2) AS cnt1 FROM c2 GROUP BY w1),
+    model AS (
+        SELECT c2.w1, c2.w2,
+               CAST((1000000 * c2.cnt2) // c1.cnt1 AS BIGINT) AS cond_ppm
+        FROM c2 JOIN c1 USING (w1)
+    )
+    SELECT bg.doc_id, bg.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(m.cond_ppm) AS BIGINT) AS sum_cond_ppm,
+           CAST(SUM(m.cond_ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
+    FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+    GROUP BY bg.doc_id, bg.lang
+    """,
+)
+def q232_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram conditional probability (ppm, all-integer)
+    under the corpus's own bigram model — the n-gram perplexity-filter
+    operator. Model and scores are exact integers, so the DuckDB twin
+    hash-matches."""
+    d = load_table(spark, "documents", sf_dir)
+    # Bigram stream: one explode pass, checkpointed — consumed by the
+    # model build AND the scoring join (plan-discipline rule).
+    bg = (
+        d.select("doc_id", "lang", alpha_tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 2)  # sequence(1,0) would descend — guard
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(element_at(tk, i) AS w1,"
+                    "             element_at(tk, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "lang", "b.w1", "b.w2")
+        .localCheckpoint(eager=True)
+    )
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt2")
+    )
+    # cnt1 = bigram-prefix count, derived from the (small) model table,
+    # NOT by re-aggregating the stream. c2 feeds c1 and the join below —
+    # vocabulary-sized, checkpoint.
+    c2 = c2.localCheckpoint(eager=True)
+    c1 = c2.groupBy("w1").agg(F.sum("cnt2").cast("long").alias("cnt1"))
+    model = c2.join(c1, "w1").select(
+        "w1", "w2",
+        F.expr("(1000000 * cnt2) div cnt1").cast("long").alias("cond_ppm"),
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("cond_ppm").cast("long").alias("sum_cond_ppm"),
+            F.expr("sum(cond_ppm) div count(*)").cast("long")
+            .alias("lm_score_ppm"),
+        )
+    )

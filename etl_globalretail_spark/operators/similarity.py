@@ -1159,3 +1159,137 @@ def q159_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              - mean_q * mean_q) / F.lit(1e12)
         ).alias("variance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 — exact quantized Gram matrix of the embedding corpus: G[i,j] =
+# Σ_vec q(v_i)·q(v_j) with q = floor(1e6·x) int64 — the d×d second-moment
+# matrix that PCA / whitening / OPQ rotation all start from. This is the
+# canonical "tall-skinny AᵀA" pattern: each Arrow batch contributes a d×d
+# partial product (numpy int64 matmul — exact, |q|≤1e6 so a batch of
+# ≤9e6 rows stays under 2⁶³), batches emit only their d(d+1)/2 upper
+# triangle, and one (i,j)-grouped SUM merges partials. The data-sized
+# matrix never moves: the shuffle carries |partitions|·d² tiny rows.
+# DuckDB replays the same integer arithmetic by double-unnesting vector
+# positions — the verifier, not the scale path.
+#
+# Sums are decimal(38,0) at the merge so corpus growth hits a loud
+# overflow wall, not silent int64 wraparound; the fixture output is cast
+# back to BIGINT (exact — see the CAST guard).
+# ---------------------------------------------------------------------------
+
+
+def _gram_partials(dim: int):
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu = np.triu_indices(dim)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            q = np.floor(m * 1e6).astype("int64")
+            g = q.T @ q  # exact: |q|≤~1e6 → batch rows × 1e12 ≪ 2⁶³
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int64"),
+                    "j": (iu[1] + 1).astype("int64"),
+                    "psum": g[iu],
+                }
+            )
+
+    return kernel
+
+
+def gram_matrix(e: DataFrame, dim: int) -> DataFrame:
+    """Upper-triangle exact quantized Gram matrix (1-based dims)."""
+    parts = e.select("embedding").mapInPandas(
+        _gram_partials(dim), "i long, j long, psum long"
+    )
+    return (
+        parts.groupBy("i", "j")
+        .agg(F.sum(F.col("psum").cast("decimal(38,0)")).alias("g"))
+        .select("i", "j", F.col("g").cast("long").alias("gram"))
+    )
+
+
+_EMB_DIM = 64  # testdata embedding width (TESTDATA.md); asserted at runtime
+
+
+@_register(
+    "q234_embedding_gram",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(SUM(
+               CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1e6)
+                    AS BIGINT)
+             * CAST(FLOOR(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * 1e6)
+                    AS BIGINT)
+           ) AS BIGINT) AS gram
+    FROM embeddings,
+         UNNEST(range(1, len(embedding) + 1)) AS a(i),
+         UNNEST(range(1, len(embedding) + 1)) AS b(j)
+    WHERE i <= j
+    GROUP BY i, j
+    """,
+)
+def q234_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact int64 Gram (second-moment) matrix of the quantized embedding
+    corpus — tall-skinny AᵀA via per-batch numpy partials; only d² tiny
+    partial rows shuffle."""
+    e = load_table(spark, "embeddings", sf_dir)
+    dim = len(e.select("embedding").first()[0])  # driver scalar (1 value)
+    assert dim == _EMB_DIM, f"unexpected embedding width {dim}"
+    return gram_matrix(e, dim)
+
+
+# ---------------------------------------------------------------------------
+# q235 — top principal direction by power iteration on q234's exact Gram
+# matrix. The heavy half (the corpus pass) is q234's distributed partial-
+# product pipeline; the iteration itself is a d×d driver-side solve
+# (documented driver scalars: d(d+1)/2 = 2080 int64 cells — NOT data-
+# sized), the same split Lloyd's q74/q122 uses for its k centroids. 300
+# fixed iterations from the fixed all-ones start (the fixture's spectral
+# gap is ~0.93, so 300 max-norm-renormalized rounds give ~1e-9 angular
+# error — convergence is checked against numpy eigh in pytest),
+# deterministic IEEE ops on an exact integer matrix → bit-stable output
+# across runs/engines.
+#
+# Rows-only tier by design: the eigenvector is the fixpoint of a 300-step
+# float recurrence — not SQL-expressible without replaying the steps
+# over a d²-cell recursive CTE; its exact-integer base q234 is the
+# oracle-paired twin that pins the corpus pass (registry convention for
+# rows-only tiers, cf. q24/q66).
+# ---------------------------------------------------------------------------
+
+
+@_register("q235_pca_power_iteration")
+def q235_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading eigenvector/eigenvalue of the quantized Gram matrix: q234's
+    distributed AᵀA + a deterministic 300-step driver-side power iteration
+    (d×d — bounded by construction)."""
+    import numpy as np
+
+    e = load_table(spark, "embeddings", sf_dir)
+    dim = len(e.select("embedding").first()[0])  # driver scalar (1 value)
+    rows = gram_matrix(e, dim).collect()  # d(d+1)/2 cells — bounded
+    g = np.zeros((dim, dim), dtype="float64")
+    for r in rows:
+        g[r["i"] - 1, r["j"] - 1] = float(r["gram"])
+        g[r["j"] - 1, r["i"] - 1] = float(r["gram"])
+    v = np.ones(dim, dtype="float64")
+    for _ in range(300):
+        v = g @ v
+        v = v / np.abs(v).max()  # max-norm: deterministic, no sqrt drift
+    lam = float(v @ (g @ v)) / float(v @ v)  # Rayleigh quotient
+    nrm = v / np.sqrt(v @ v)
+    if nrm[0] < 0:  # sign convention: first component non-negative
+        nrm = -nrm
+    out = [
+        (int(i + 1), int(np.floor(nrm[i] * 1e6)), float(lam))
+        for i in range(dim)
+    ]
+    return spark.createDataFrame(
+        out, "pos long, component_micros long, eigenvalue double"
+    )

@@ -4833,3 +4833,204 @@ def q228_interpolated_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.cast("long").alias("hi_millis"),
         ((lo + hi).cast("double") / 2).alias("median_millis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q233 — CUSUM changepoint statistic per user: sequential drift detection
+# (Page 1954) over each user's event-value stream — "has this user's
+# spend level shifted up from its own baseline, and by how much at the
+# peak?" The recurrence s_i = max(0, s_{i-1} + dev_i) looks like another
+# q181-style grouped-map kernel, but it has a closed form the engines can
+# both evaluate SET-WISE:
+#
+#     s_i = ps_i − min(0, min_{j≤i} ps_j),   ps = prefix sum of dev
+#
+# (the clip-at-zero restarts are exactly "subtract the lowest prefix seen
+# so far"). Two stacked windows over ONE (user, ts, event_id) sort — no
+# recursion, no Python, no per-row state.
+#
+# Integer exactness without division: deviations are scaled by the user's
+# event count, dev_i = n·x_i − S (x in micros, S the user's exact micro
+# sum), so the baseline subtraction needs no mean and the whole statistic
+# lives in int64 (|ps| ≤ n²·max_x ≈ 1e4²·5e8 ≪ 2⁶³ at sf1; re-scale the
+# quantum before n² growth bites at larger per-user histories).
+#
+# Scale notes: one shuffle on user_id, one in-partition sort shared by
+# both window operators (same WindowSpec ⇒ single Sort + two Window nodes,
+# no second exchange), then a map-side-combinable final aggregate. The
+# streaming face of this statistic is per-key state (streaming/stateful);
+# this is the batch audit that backfills it.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q233_cusum_changepoint",
+    oracle="""
+    WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * 1e6) AS BIGINT) AS x
+        FROM events
+    ),
+    base AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               SUM(x) AS s
+        FROM q GROUP BY user_id
+    ),
+    dev AS (
+        SELECT q.user_id,
+               CAST(base.n AS BIGINT) AS n,
+               CAST(base.n * q.x - base.s AS BIGINT) AS dev,
+               q.ts, q.event_id
+        FROM q JOIN base USING (user_id)
+    ),
+    pref0 AS (
+        SELECT user_id, n, ts, event_id,
+               SUM(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS ps
+        FROM dev
+    ),
+    pref AS (
+        SELECT user_id, n, ps,
+               MIN(ps) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS runmin
+        FROM pref0
+    ),
+    st AS (
+        SELECT user_id, n,
+               CAST(ps - LEAST(0, runmin) AS BIGINT) AS s
+        FROM pref
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MAX(s) AS BIGINT) AS peak_cusum,
+           CAST(SUM(s) AS BIGINT) AS cusum_checksum,
+           CAST(CASE WHEN MAX(s) > MAX(n) * MAX(n) * 100000000
+                     THEN 1 ELSE 0 END AS BIGINT) AS drift_alarm
+    FROM st GROUP BY user_id
+    """,
+)
+def q233_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak CUSUM drift statistic per user via the prefix-min closed form
+    (two stacked windows over one sort — no recursion), deviations scaled
+    to exact int64 so the DuckDB twin hash-matches."""
+    e = load_table(spark, "events", sf_dir)
+    q = e.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("x"),
+    )
+    base = q.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = q.join(base, "user_id").select(
+        "user_id", "n", "ts", "event_id",
+        (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("dev"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = dev.select(
+        "user_id", "n", "ts", "event_id", F.sum("dev").over(w).alias("ps")
+    ).select("user_id", "n", "ps", F.min("ps").over(w).alias("runmin"))
+    st = pref.select(
+        "user_id", "n",
+        (F.col("ps") - F.least(F.lit(0).cast("long"), F.col("runmin")))
+        .cast("long").alias("s"),
+    )
+    peak = F.max("s").cast("long")
+    return st.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        peak.alias("peak_cusum"),
+        F.sum("s").cast("long").alias("cusum_checksum"),
+        F.when(
+            peak > F.max("n") * F.max("n") * F.lit(100000000), F.lit(1)
+        ).otherwise(F.lit(0)).cast("long").alias("drift_alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q236 — community detection by synchronous label propagation (Raghavan
+# 2007) over the co-purchase graph: the clustering member of the iterative
+# graph family (q186 is frontier-MIN, q179 is SUM-propagation, q67 is
+# label-MIN closure; LPA is neighbor-MAJORITY). Three synchronous rounds,
+# deterministic update — new_label(v) = the neighbor label with the
+# highest count, ties broken by smallest label — so both engines walk the
+# identical trajectory (asynchronous/randomized LPA variants are not
+# reproducible; this one is, and stays on the hash gate).
+#
+# Per round: one edges⨝labels join (labels are vertex-sized — broadcast-
+# class beside the edge stream at scale), one (dst,label)-grouped count
+# with map-side combine, one per-vertex top-1 window. The DuckDB oracle
+# unrolls the same three rounds as CTEs.
+# ---------------------------------------------------------------------------
+
+
+def _q236_round(i: int, p: int) -> str:
+    return f"""
+    l{i} AS (
+        SELECT dst AS v, label FROM (
+            SELECT s.dst, lp.label,
+                   ROW_NUMBER() OVER (PARTITION BY s.dst
+                                      ORDER BY COUNT(*) DESC, lp.label) AS rn
+            FROM sym s JOIN l{p} lp ON s.src = lp.v
+            GROUP BY s.dst, lp.label
+        ) WHERE rn = 1
+    )"""
+
+
+def _q236_oracle() -> str:
+    rounds = ",".join(_q236_round(i, i - 1) for i in (1, 2, 3))
+    return f"""
+    WITH e AS ({_q154_edges_sql()}),
+    sym AS (SELECT u AS src, v AS dst FROM e
+            UNION ALL SELECT v AS src, u AS dst FROM e),
+    l0 AS (SELECT DISTINCT src AS v, src AS label FROM sym),
+    {rounds},
+    sizes AS (SELECT label, COUNT(*) AS csize FROM l3 GROUP BY label)
+    SELECT l3.v AS part,
+           CAST(l3.label AS BIGINT) AS community,
+           CAST(s.csize AS BIGINT) AS community_size
+    FROM l3 JOIN sizes s ON l3.label = s.label
+    """
+
+
+@_register("q236_label_propagation", oracle=_q236_oracle())
+def q236_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-round synchronous label propagation (majority
+    neighbor label, min-label tie-break) over the co-purchase graph;
+    output is each part's community and the community size — the DuckDB
+    twin replays the identical trajectory."""
+    und = co_purchase_edges(spark, sf_dir)  # memoized checkpointed artifact
+    sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    lab = sym.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(3):
+        cnt = (
+            sym.join(lab, sym["src"] == lab["v"])
+            .groupBy("dst", "label")  # map-side partial combine
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        lab = (
+            cnt.select(
+                "dst", "label", F.row_number().over(w).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("v"), "label")
+        )
+    sizes = lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return lab.join(sizes, "label").select(
+        F.col("v").alias("part"),
+        F.col("label").cast("long").alias("community"),
+        "community_size",
+    )

@@ -1156,3 +1156,87 @@ def stage_arrival_waves(spark: SparkSession, sf_dir: str) -> "_StagedWaves":
         # FileStreamSource batches in modification-time order; pin it.
         os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
     return _StagedWaves(sdir, e.schema)
+
+
+# ---------------------------------------------------------------------------
+# q231 — the stream-stream interval join ON THE HASH GATE, through a real
+# streaming run: purchases_with_recent_click (symmetric state-store join,
+# bounded state from watermark + time-range condition) driven over the
+# events table as an actual micro-batch query, its pair output appended
+# to a memory sink, then collapsed to an hourly audit grain that DuckDB
+# reproduces with the equivalent batch interval join.
+#
+# Replay discipline: one availableNow wave (the whole table in a single
+# file) — with a single micro-batch the watermark never advances mid-run,
+# so no input-drop/state-eviction arithmetic enters the result and the
+# batch join is the exact semantics. The eviction/lateness side of the
+# state store is covered by q230's multi-wave replay; this query pins the
+# JOIN side: Spark runs the real symmetric-hash stream-stream join
+# (state-store backed), not a batch shortcut — the parity pytest
+# (test_stream_stream_join_parity) already checks plan equivalence, this
+# puts the executed result on the driver's differential gate.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q231_streaming_join_exact",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.purchase_id, p.p_ts, p.value, c.click_id
+        FROM p JOIN c
+          ON p.user_id = c.user_id
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT make_timestamp((epoch_us(p_ts) // 3600000000) * 3600000000)
+               AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           CAST(SUM(click_id) AS BIGINT) AS click_checksum,
+           {val}
+    FROM j GROUP BY 1
+    """.format(val=_osum("value", "sum_value")),
+)
+def q231_streaming_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly audit of the purchase⨝recent-click stream-stream join, run
+    through the real state-store join in one availableNow micro-batch and
+    hash-matched against DuckDB's batch interval join."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, "events", sf_dir)
+    work = tempfile.mkdtemp(prefix="q231_stream_")
+    sdir = os.path.join(work, "stream")
+    os.makedirs(sdir)
+    tmp = os.path.join(work, "w0")
+    e.coalesce(1).write.parquet(tmp)
+    shutil.move(
+        glob.glob(tmp + "/part-*.parquet")[0],
+        os.path.join(sdir, "wave_0.parquet"),
+    )
+    stream = spark.readStream.schema(e.schema).parquet(sdir)
+    pairs = purchases_with_recent_click(stream)
+    _Q128_SEQ[0] += 1
+    sink = f"q231_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(pairs, sink, mode="append")
+    return (
+        spark.table(sink)
+        .groupBy(F.date_trunc("hour", F.col("p_ts")).alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("purchase_id").cast("long").alias("n_purchases"),
+            F.sum("click_id").cast("long").alias("click_checksum"),
+            F.sum(F.col("purchase_value").cast("decimal(27,6)"))
+            .cast("double").alias("sum_value"),
+        )
+    )
