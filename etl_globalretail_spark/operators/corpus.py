@@ -2184,3 +2184,207 @@ def q232_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lm_score_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q237 — hybrid retrieval fusion by Reciprocal Rank Fusion (Cormack 2009):
+# the RAG-stack primitive that merges a LEXICAL ranking (q226's tf×rarity
+# keyword probe over documents) with a VECTOR ranking (q27's brute-force
+# cosine top-k over embeddings) into one list. RRF is rank-only — immune
+# to the two scorers' incomparable scales — and made hash-exact by
+# keeping contributions integer: contrib = 1e9 div (60 + rank).
+#
+# Both inputs are the already-oracle-exact pipelines (same composition
+# device as q120's recall audit), joined full-outer on the shared id
+# space; the join touches ≤ 2k rows (two top-k lists — bounded by
+# construction), so the fusion itself is driver-trivial while the heavy
+# legs keep their own distributed plans.
+# ---------------------------------------------------------------------------
+
+
+def _q237_oracle() -> str:
+    from etl_globalretail_spark.operators import similarity as _sim
+
+    kw = ORACLE["q226_keyword_search"]
+    ann = _sim.ORACLE["q27_ann_bruteforce"]
+    return f"""
+    WITH kw AS ({kw}),
+    ann AS ({ann}),
+    fused AS (
+        SELECT COALESCE(kw.doc_id, ann.vec_id) AS id,
+               COALESCE(kw.rank, -1) AS kw_rank,
+               COALESCE(ann.rank, -1) AS ann_rank,
+               COALESCE(1000000000 // (60 + kw.rank), 0)
+               + COALESCE(1000000000 // (60 + ann.rank), 0) AS rrf_score
+        FROM kw FULL JOIN ann ON kw.doc_id = ann.vec_id
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(kw_rank AS BIGINT) AS kw_rank,
+           CAST(ann_rank AS BIGINT) AS ann_rank,
+           CAST(rrf_score AS BIGINT) AS rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, id) AS BIGINT)
+               AS fused_rank
+    FROM fused
+    """
+
+
+@_register("q237_rrf_fusion", oracle=_q237_oracle())
+def q237_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the keyword top-10 (q226) and the cosine
+    top-10 (q27) — integer contributions, total-ordered fused rank."""
+    from etl_globalretail_spark.operators.similarity import q27_ann_bruteforce
+
+    kw = q226_keyword_search(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("kw_rank")
+    )
+    ann = q27_ann_bruteforce(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), F.col("rank").alias("ann_rank")
+    )
+    fused = kw.join(ann, "id", "full").select(
+        "id",
+        F.coalesce("kw_rank", F.lit(-1)).cast("long").alias("kw_rank"),
+        F.coalesce("ann_rank", F.lit(-1)).cast("long").alias("ann_rank"),
+        (
+            F.coalesce(F.expr("1000000000 div (60 + kw_rank)"), F.lit(0))
+            + F.coalesce(F.expr("1000000000 div (60 + ann_rank)"), F.lit(0))
+        ).cast("long").alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), "id")
+    return fused.select(
+        "*", F.row_number().over(w).cast("long").alias("fused_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q239 — cross-document duplicated-span COVERAGE: the positional tier of
+# exact-substring dedup (the "ExactSubstr" operator of Lee et al. 2022).
+# q139 counts how many of a doc's k-gram spans also occur elsewhere; this
+# operator answers the question trimming actually needs — how many TOKEN
+# POSITIONS are covered by the UNION of those spans (overlapping spans
+# must not double-count). The union is computed with the gap-island
+# device, all-integer:
+#
+#   duplicated span starts, sorted per doc → island break where
+#   start − prev_start ≥ k (no overlap) → island covers
+#   (max_start − min_start + k) tokens → coverage = Σ islands.
+#
+# Plan: one positional explode, one span-hash window for the cross-doc
+# flag (shuffles on the span hash — the frequency-table exchange every
+# dedup tier pays), then per-doc windows on the (much smaller) duplicated
+# subset. The oracle replays the identical islands in SQL windows.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q239_dup_span_coverage",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, toks FROM d),
+    pos AS (
+        SELECT doc_id, toks,
+               unnest(range(1, CAST(n_toks AS BIGINT) - {_SPAN_K - 2})) AS s
+        FROM dd
+    ),
+    spans AS (
+        SELECT doc_id, CAST(s AS BIGINT) AS s,
+               md5(array_to_string(
+                   toks[CAST(s AS BIGINT):CAST(s AS BIGINT) + {_SPAN_K - 1}],
+                   chr(31))) AS h
+        FROM pos
+    ),
+    flagged AS (
+        SELECT doc_id, s,
+               CASE WHEN MIN(doc_id) OVER (PARTITION BY h)
+                         <> MAX(doc_id) OVER (PARTITION BY h)
+                    THEN 1 ELSE 0 END AS dup
+        FROM spans
+    ),
+    dups AS (
+        SELECT doc_id, s,
+               CASE WHEN s - LAG(s) OVER w >= {_SPAN_K}
+                         OR LAG(s) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS brk
+        FROM flagged WHERE dup = 1
+        WINDOW w AS (PARTITION BY doc_id ORDER BY s)
+    ),
+    isl AS (
+        SELECT doc_id, s,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+        FROM dups
+    ),
+    per_island AS (
+        SELECT doc_id, island,
+               MAX(s) - MIN(s) + {_SPAN_K} AS cov
+        FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id, SUM(cov) AS covered
+        FROM per_island GROUP BY doc_id
+    )
+    SELECT dd.doc_id, dd.n_toks,
+           CAST(COALESCE(p.covered, 0) AS BIGINT) AS covered_tokens,
+           CAST((COALESCE(p.covered, 0) * 1000) // dd.n_toks AS BIGINT)
+               AS coverage_permil
+    FROM dd LEFT JOIN per_doc p ON dd.doc_id = p.doc_id
+    """,
+)
+def q239_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token coverage of the UNION of cross-doc duplicated
+    k-gram spans (gap-island interval merge, all-integer) — the
+    positional statistic exact-substring trimming thresholds."""
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+        .alias("n_toks"),
+        span_hashes(F.col("text")).alias("spans"),
+    )
+    starts = base.select(
+        "doc_id", F.posexplode("spans").alias("p0", "h")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("s"), "h")
+    wh = Window.partitionBy("h")
+    dups = (
+        starts.select(
+            "doc_id", "s",
+            (F.min("doc_id").over(wh) != F.max("doc_id").over(wh))
+            .alias("dup"),
+        )
+        .filter(F.col("dup"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("s")
+    brk = dups.select(
+        "doc_id", "s",
+        F.when(
+            F.lag("s").over(wd).isNull()
+            | (F.col("s") - F.lag("s").over(wd) >= F.lit(_SPAN_K)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("brk"),
+    )
+    isl = brk.select(
+        "doc_id", "s",
+        F.sum("brk").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("island"),
+    )
+    per_island = isl.groupBy("doc_id", "island").agg(
+        (F.max("s") - F.min("s") + F.lit(_SPAN_K)).alias("cov")
+    )
+    per_doc = per_island.groupBy("doc_id").agg(
+        F.sum("cov").cast("long").alias("covered")
+    )
+    return (
+        base.select("doc_id", "n_toks")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_toks",
+            F.coalesce("covered", F.lit(0)).cast("long")
+            .alias("covered_tokens"),
+            F.expr("(coalesce(covered, 0) * 1000) div n_toks").cast("long")
+            .alias("coverage_permil"),
+        )
+    )

@@ -329,3 +329,138 @@ def _register_q182() -> None:
 
 
 _register_q182()
+
+
+# ---------------------------------------------------------------------------
+# q238 — metric uncertainty by DETERMINISTIC bootstrap: 32 half-sample
+# replicas of mean order value per priority class, with the CI read off
+# the sorted replica means. Every training-data pipeline reports metrics
+# off samples; this is the error-bar operator, made reproducible (and
+# hash-checkable) by replacing RNG resampling with keyed half-sampling:
+# replica r keeps order o iff md5(o_orderkey ∥ "boot" ∥ r) lands in the
+# lower half of the bucket space — independent 50% subsamples, stable
+# across runs, engines, and cluster layouts (the same device as q47's
+# hash split; subsample means are the classic m-out-of-n bootstrap).
+#
+# Replica means are exact integers (cent sums, floor division), the CI
+# bounds are the 2nd and 31st order statistics of the 32 means under a
+# (mean, replica) total order — nearest-rank 5%/95%, no interpolation.
+#
+# Plan: the orders scan explodes ×32 map-side (a projection, not a
+# shuffle), aggregates to (priority, replica) partials with map-side
+# combine — the exchange carries 5×32 groups regardless of data size —
+# then one tiny window picks the order statistics. Full-sample means ride
+# the same frame as replica -1 (always-true membership) so the scan runs
+# once.
+# ---------------------------------------------------------------------------
+
+_Q238_R = 32
+_Q238_HALF = N_BUCKETS // 2
+
+
+def _q238_bucket_sql() -> str:
+    return (
+        "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 'boot'"
+        " || CAST(u.r AS VARCHAR)), 1, 15) AS BIGINT)"
+        f" % {N_BUCKETS}"
+    )
+
+
+@_register(
+    "q238_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority AS priority, o_orderkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    member AS (
+        SELECT base.priority, CAST(u.r AS BIGINT) AS r, base.cents
+        FROM base, UNNEST(range(-1, {_Q238_R})) AS u(r)
+        WHERE u.r = -1 OR {_q238_bucket_sql()} < {_Q238_HALF}
+    ),
+    rep AS (
+        SELECT priority, r,
+               COUNT(*) AS n,
+               SUM(cents) // COUNT(*) AS mean_cents
+        FROM member GROUP BY priority, r
+    ),
+    ranked AS (
+        SELECT priority, r, n, mean_cents,
+               ROW_NUMBER() OVER (PARTITION BY priority
+                                  ORDER BY mean_cents, r) AS rn
+        FROM rep WHERE r >= 0
+    )
+    SELECT rk.priority,
+           CAST({_Q238_R} AS BIGINT) AS n_replicas,
+           CAST(MAX(CASE WHEN rk.rn = 2 THEN rk.mean_cents END) AS BIGINT)
+               AS lo_cents,
+           CAST(MAX(CASE WHEN rk.rn = {_Q238_R - 1} THEN rk.mean_cents END)
+               AS BIGINT) AS hi_cents,
+           CAST(MAX(f.mean_cents) AS BIGINT) AS full_mean_cents,
+           CAST(MAX(f.n) AS BIGINT) AS n_orders
+    FROM ranked rk
+    JOIN (SELECT priority, n, mean_cents FROM rep WHERE r = -1) f
+      ON rk.priority = f.priority
+    GROUP BY rk.priority
+    """,
+)
+def q238_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-rank 5%/95% bootstrap CI of mean order value per priority,
+    from 32 deterministic keyed half-samples (replica −1 = the full
+    sample, sharing the single scan)."""
+    o = load_table(spark, "orders", sf_dir)
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    member = (
+        base.select(
+            "priority", "cents",
+            F.explode(F.sequence(F.lit(-1), F.lit(_Q238_R - 1))).alias("r"),
+            "o_orderkey",
+        )
+        .filter(
+            (F.col("r") == -1)
+            | (
+                hash_bucket(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("boot"),
+                        F.col("r").cast("string"),
+                    )
+                )
+                < _Q238_HALF
+            )
+        )
+    )
+    rep = member.groupBy("priority", F.col("r").cast("long").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(cents) div count(*)").cast("long").alias("mean_cents"),
+    )
+    # rep feeds the replica ranking AND the full-sample row — tiny
+    # (5 priorities × 33), checkpoint not needed but persist-by-rule:
+    rep = rep.localCheckpoint(eager=True)
+    wr = Window.partitionBy("priority").orderBy("mean_cents", "r")
+    ranked = (
+        rep.filter(F.col("r") >= 0)
+        .select("priority", "mean_cents", F.row_number().over(wr).alias("rn"))
+    )
+    full = rep.filter(F.col("r") == -1).select(
+        "priority",
+        F.col("mean_cents").alias("full_mean_cents"),
+        F.col("n").alias("n_orders"),
+    )
+    ci = ranked.groupBy("priority").agg(
+        F.lit(_Q238_R).cast("long").alias("n_replicas"),
+        F.max(F.when(F.col("rn") == 2, F.col("mean_cents")))
+        .cast("long").alias("lo_cents"),
+        F.max(F.when(F.col("rn") == _Q238_R - 1, F.col("mean_cents")))
+        .cast("long").alias("hi_cents"),
+    )
+    return ci.join(full, "priority").select(
+        "priority", "n_replicas", "lo_cents", "hi_cents",
+        F.col("full_mean_cents").cast("long"),
+        F.col("n_orders").cast("long"),
+    )

@@ -184,3 +184,91 @@ def test_q231_stream_join_matches_batch_join(spark, sf_dir):
             b["n_purchases"],
             b["click_checksum"],
         )
+
+
+def test_q237_rrf_recompute(spark, sf_dir):
+    from etl_globalretail_spark.operators.corpus import q226_keyword_search
+    from etl_globalretail_spark.operators.similarity import q27_ann_bruteforce
+
+    kw = {r["doc_id"]: r["rank"] for r in q226_keyword_search(spark, sf_dir).collect()}
+    ann = {r["vec_id"]: r["rank"] for r in q27_ann_bruteforce(spark, sf_dir).collect()}
+    expect = {}
+    for i in set(kw) | set(ann):
+        s = 0
+        if i in kw:
+            s += 1_000_000_000 // (60 + kw[i])
+        if i in ann:
+            s += 1_000_000_000 // (60 + ann[i])
+        expect[i] = (kw.get(i, -1), ann.get(i, -1), s)
+    out = QUERIES["q237_rrf_fusion"](spark, sf_dir).collect()
+    assert len(out) == len(expect)
+    order = sorted(expect, key=lambda i: (-expect[i][2], i))
+    for r in out:
+        kwr, annr, s = expect[r["id"]]
+        assert (r["kw_rank"], r["ann_rank"], r["rrf_score"]) == (kwr, annr, s)
+        assert order[r["fused_rank"] - 1] == r["id"]
+
+
+def test_q238_bootstrap_bounds_and_membership(spark, sf_dir):
+    import hashlib
+    import math
+
+    rows = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    reps: dict[tuple, list] = defaultdict(list)
+    full: dict[str, list] = defaultdict(list)
+    for r in rows:
+        cents = math.floor(r["o_totalprice"] * 100)
+        full[r["o_orderpriority"]].append(cents)
+        for rep in range(32):
+            h = hashlib.md5(f"{r['o_orderkey']}boot{rep}".encode()).hexdigest()
+            if int(h[:15], 16) % 1_000_000 < 500_000:
+                reps[(r["o_orderpriority"], rep)].append(cents)
+    out = {r["priority"]: r for r in QUERIES["q238_bootstrap_ci"](spark, sf_dir).collect()}
+    for prio, vals in full.items():
+        means = sorted(
+            (sum(reps[(prio, i)]) // len(reps[(prio, i)]), i) for i in range(32)
+        )
+        row = out[prio]
+        assert row["lo_cents"] == means[1][0]      # rank 2 of 32
+        assert row["hi_cents"] == means[30][0]     # rank 31 of 32
+        assert row["lo_cents"] <= row["hi_cents"]
+        assert row["full_mean_cents"] == sum(vals) // len(vals)
+        assert row["n_orders"] == len(vals)
+
+
+def test_q239_interval_union_recompute(spark, sf_dir):
+    import hashlib
+    import re
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text"
+    ).collect()
+    K = 5
+    span_docs: dict[str, set] = defaultdict(set)
+    doc_spans: dict[int, list] = {}
+    toks_n: dict[int, int] = {}
+    for r in docs:
+        toks = re.split(r"\s+", r["text"].strip())
+        toks_n[r["doc_id"]] = len(toks)
+        spans = []
+        for i in range(len(toks) - K + 1):
+            h = hashlib.md5("\x1f".join(toks[i : i + K]).encode()).hexdigest()
+            spans.append((i + 1, h))
+            span_docs[h].add(r["doc_id"])
+        doc_spans[r["doc_id"]] = spans
+    out = {r["doc_id"]: r for r in QUERIES["q239_dup_span_coverage"](spark, sf_dir).collect()}
+    n_with_dups = 0
+    for doc_id, spans in doc_spans.items():
+        covered: set[int] = set()
+        for s, h in spans:
+            if len(span_docs[h]) > 1:
+                covered.update(range(s, s + K))
+        row = out[doc_id]
+        assert row["covered_tokens"] == len(covered), doc_id
+        assert row["n_toks"] == toks_n[doc_id]
+        assert row["coverage_permil"] == (len(covered) * 1000) // toks_n[doc_id]
+        if covered:
+            n_with_dups += 1
+    assert n_with_dups > 0, "fixture has no cross-doc duplicated spans?"
