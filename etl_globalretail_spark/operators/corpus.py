@@ -2388,3 +2388,244 @@ def q239_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_permil"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q241 — inverted-index build: token → (df, sorted posting-list prefix,
+# id checksum). The retrieval-infrastructure face of the corpus family:
+# q226 scores queries against an implicit index; this materializes the
+# index itself, the artifact a 100 TB search/dedup/contamination stack
+# ships to serving.
+#
+# Plan discipline: the full posting LIST is data-sized per token (the
+# fixture's 31-token vocabulary each hits ~80% of documents), so the
+# frame returns (a) bounded aggregates over the whole list — df and the
+# exact doc-id sum, the delta-encoding checksum — computed with plain
+# map-side-combinable aggregates (NO collect_list of the full list:
+# unbounded agg state), and (b) the first 20 postings — a window rank
+# over (tok, doc) prefix-pruned BEFORE the collect, so the only list
+# state built is 20 ids per token. At 100 TB the same plan emits the
+# full list sharded: rank div 10_000 becomes a second grouping key and
+# each shard is one bounded row (the q190 two-phase device).
+# ---------------------------------------------------------------------------
+
+_POSTING_PREFIX = 20
+
+
+def _register_q241() -> None:
+    @_register(
+        "q241_inverted_index",
+        oracle=f"""
+        WITH occ AS (
+            SELECT DISTINCT tok, doc_id AS doc
+            FROM (
+                SELECT doc_id, unnest({_SQL_ALPHA_TOKENS}) AS tok
+                FROM documents
+            )
+        ),
+        agg AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(doc) AS BIGINT) AS doc_checksum
+            FROM occ GROUP BY tok
+        ),
+        pre AS (
+            SELECT tok,
+                   string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc)
+                       AS postings_prefix
+            FROM (
+                SELECT tok, doc,
+                       ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc) AS rk
+                FROM occ
+            ) WHERE rk <= {_POSTING_PREFIX}
+            GROUP BY tok
+        )
+        SELECT a.tok, a.df, a.doc_checksum, p.postings_prefix
+        FROM agg a JOIN pre p ON a.tok = p.tok
+        """,
+    )
+    def q241_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Inverted index over the alpha-token vocabulary: per token, the
+        document frequency, exact doc-id checksum of the FULL posting
+        list (bounded aggregates), and the sorted first-20 posting
+        prefix (rank-pruned before any list is built)."""
+        docs = load_table(spark, "documents", sf_dir)
+        occ = (
+            docs.select(
+                F.col("doc_id").alias("doc"),
+                F.explode(alpha_tokens(F.col("text"))).alias("tok"),
+            )
+            .distinct()
+        )
+        agg = occ.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("doc").cast("long").alias("doc_checksum"),
+        )
+        w = Window.partitionBy("tok").orderBy("doc")
+        pre = (
+            occ.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _POSTING_PREFIX)
+            .groupBy("tok")
+            .agg(
+                F.array_join(
+                    F.array_sort(F.collect_list("doc")), ","
+                ).alias("postings_prefix")
+            )
+        )
+        return agg.join(pre, "tok").select(
+            "tok", "df", "doc_checksum", "postings_prefix"
+        )
+
+
+_register_q241()
+
+
+# ---------------------------------------------------------------------------
+# q242 — BPE merge learning (tokenizer training, the Sennrich/GPT-2
+# algorithm's core loop): from the corpus-frequency-weighted vocabulary,
+# repeatedly (a) count all adjacent symbol pairs, (b) pick the most
+# frequent pair under a TOTAL order (count desc, then pair bytes — tie
+# luck is a different tokenizer), (c) merge it greedily leftmost-first,
+# non-overlapping, everywhere. 3 rounds, fully unrolled in the DuckDB
+# oracle (the q212/q236 iterative-twin convention).
+#
+# Two devices make the cross-engine semantics exact:
+# - every merged pair is re-encoded as ONE marker character ('1','2','3'
+#   — outside the [a-z] symbol alphabet), so symbols stay single chars
+#   and pair extraction stays a uniform substr(word,i,1) in every round;
+# - the merge itself is replace(word, l||r, marker): literal
+#   (non-regex) replace is leftmost-first non-overlapping in Spark,
+#   DuckDB, and Python alike — exactly BPE's greedy rule ("aaa" with
+#   pair (a,a) → "1a", one merge, not two).
+#
+# Plan shape: the corpus is touched ONCE (vocabulary build: token
+# explode + count, the q89 shuffle class) and persisted; each learning
+# round then runs on the |V|-row vocabulary — pair explode is Σ|word|
+# rows over |V| words, NOT over the corpus. The per-round best pair is
+# a 1-row driver scalar (the q74-centroid convention: bounded by
+# construction, k=3 rounds). At 100 TB |V| is millions of rows — still
+# dim-sized; the plan is unchanged.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_pairs(vocab: DataFrame) -> DataFrame:
+    """All adjacent symbol pairs with corpus-frequency weights.
+    length>=2 guard replicates generate_series(1, len-1) emptiness
+    (Spark's sequence(1, 0) would DESCEND)."""
+    pos = vocab.filter(F.length("word") >= 2).select(
+        "word", "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word") - F.lit(1))).alias("i"),
+    )
+    return (
+        pos.select(
+            F.expr("substring(word, i, 1)").alias("l"),
+            F.expr("substring(word, i + 1, 1)").alias("r"),
+            "freq",
+        )
+        .groupBy("l", "r")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def _q242_oracle() -> str:
+    vocab = f"""
+        SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_SQL_ALPHA_TOKENS}) AS tok FROM documents)
+        GROUP BY tok
+    """
+
+    def pairs(v: str) -> str:
+        return f"""
+        SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+               CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (
+            SELECT word, freq,
+                   unnest(generate_series(1, length(word) - 1)) AS i
+            FROM {v}
+        ) GROUP BY 1, 2
+        """
+
+    ctes = [f"v1 AS ({vocab})"]
+    for rnd in (1, 2, 3):
+        ctes.append(f"p{rnd} AS ({pairs(f'v{rnd}')})")
+        ctes.append(
+            f"b{rnd} AS (SELECT l, r, cnt FROM p{rnd}"
+            f" ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        if rnd < 3:
+            ctes.append(
+                f"v{rnd + 1} AS (SELECT replace(word,"
+                f" (SELECT l || r FROM b{rnd}), '{rnd}') AS word, freq"
+                f" FROM v{rnd})"
+            )
+    # Marker-free expansions: e1 is round 1's raw pair; later rounds
+    # substitute earlier markers (expansions are pure alpha, so the
+    # substitution order cannot cascade).
+    sel = """
+    , e1 AS (SELECT (SELECT l || r FROM b1) AS m)
+    , e2 AS (SELECT replace((SELECT l || r FROM b2), '1', (SELECT m FROM e1)) AS m)
+    , e3 AS (SELECT replace(replace((SELECT l || r FROM b3), '2',
+                 (SELECT m FROM e2)), '1', (SELECT m FROM e1)) AS m)
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS round, l AS left_sym, r AS right_sym,
+               (SELECT m FROM e1) AS merged, cnt AS pair_count FROM b1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), l, r, (SELECT m FROM e2), cnt FROM b2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), l, r, (SELECT m FROM e3), cnt FROM b3
+    )
+    """
+    return "WITH " + ",\n".join(ctes) + sel
+
+
+def _register_q242() -> None:
+    @_register("q242_bpe_merges", oracle=_q242_oracle())
+    def q242_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The first 3 learned BPE merges over the corpus vocabulary:
+        (round, pair in marker space, fully-expanded merged token,
+        weighted pair count). Corpus scanned once; rounds iterate on the
+        persisted vocabulary only."""
+        docs = load_table(spark, "documents", sf_dir)
+        vocab = (
+            docs.select(F.explode(alpha_tokens(F.col("text"))).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+            .persist()
+        )
+        try:
+            vocab.count()
+            expansion: dict[str, str] = {}
+            out: list[tuple[int, str, str, str, int]] = []
+            cur = vocab
+            for rnd in range(1, _BPE_ROUNDS + 1):
+                best = (
+                    _bpe_pairs(cur)
+                    .orderBy(F.desc("cnt"), "l", "r")
+                    .first()
+                )  # 1-row driver scalar, bounded by construction
+                marker = str(rnd)
+                merged = (best["l"] + best["r"])
+                for m, exp in sorted(expansion.items(), reverse=True):
+                    merged = merged.replace(m, exp)
+                expansion[marker] = merged
+                out.append(
+                    (rnd, best["l"], best["r"], merged, int(best["cnt"]))
+                )
+                cur = cur.select(
+                    F.expr(
+                        "replace(word, "
+                        f"'{best['l'] + best['r']}', '{marker}') AS word"
+                    ),
+                    "freq",
+                )
+            return spark.createDataFrame(
+                out,
+                "round long, left_sym string, right_sym string,"
+                " merged string, pair_count long",
+            )
+        finally:
+            vocab.unpersist()
+
+
+_register_q242()

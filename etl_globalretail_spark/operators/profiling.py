@@ -588,3 +588,140 @@ def _register_q190() -> None:
 
 
 _register_q190()
+
+
+# ---------------------------------------------------------------------------
+# q240 — KMV (k-minimum-values) distinct sketch: the third mergeable
+# cardinality device after HLL (q180) and count-min (q99), and the one
+# whose state is a plain SET of integers — trivially mergeable (union,
+# re-take-k), exactly representable in both engines, and convertible to
+# an unbiased estimate with ONE integer division:
+#
+#   E = (k-1) * H / h_(k)      (h_(k) = k-th smallest distinct hash,
+#                               H = hash-space size)
+#
+# Hash space is 2^52 (13 hex chars of md5) so (k-1)*H = 63*2^52 ≈ 2.8e17
+# fits signed-64 and the whole estimator stays in BIGINT in BOTH engines
+# (the 60-bit space q180 uses would overflow the numerator; at 100 TB
+# cardinalities you widen to 60 bits + decimal numerator — same plan).
+#
+# Scale plan (the reason KMV exists): the corpus NEVER shuffles.
+# An Arrow-batched mapInPandas partial keeps the k smallest DISTINCT
+# hashes per (group, batch) — ≤ k rows emitted per group per batch —
+# and the final aggregate unions those bounded survivor sets
+# (collect_set → sort → slice k). The union of per-batch k-minima is a
+# superset of the global k-minima, so the sketch is EXACT, while the
+# only corpus-sized aggregation in the query is the n_exact audit
+# column (dropped at 100 TB, as in q180). The merge law (sketch(A∪B) =
+# take_k(sketch(A) ∪ sketch(B))) is pytest-pinned.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_H = 4503599627370496  # 2^52 hash space (13 hex chars)
+
+
+def kmv_hash(key: Column, salt: str = "kmv") -> Column:
+    """Uniform 52-bit integer hash of a key (md5 prefix, BIGINT-safe)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint")
+
+
+def kmv_partials(df: DataFrame, group_col: str, hash_col: str, k: int = _KMV_K) -> DataFrame:
+    """Per-Arrow-batch KMV partials: the k smallest distinct hashes per
+    group per batch. Output is ≤ k·n_batches rows per group — bounded
+    state for the final union, no corpus-sized shuffle."""
+    import pandas as pd  # noqa: F401 — executor-side
+
+    def part(batches):
+        for pdf in batches:
+            yield (
+                pdf.drop_duplicates([group_col, hash_col])
+                .sort_values([group_col, hash_col])
+                .groupby(group_col, sort=False)
+                .head(k)[[group_col, hash_col]]
+            )
+
+    return df.select(group_col, hash_col).mapInPandas(
+        part, f"{group_col} string, {hash_col} long"
+    )
+
+
+def kmv_sketch(partials: DataFrame, group_col: str, hash_col: str, k: int = _KMV_K) -> DataFrame:
+    """Merge KMV partials into the final per-group sketch: union the
+    bounded survivor sets, dedupe, keep the k smallest."""
+    return partials.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.collect_set(hash_col)), 1, k).alias("mins")
+    )
+
+
+def _register_q240() -> None:
+    @_register(
+        "q240_kmv_distinct",
+        oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'kmv'),
+                                       1, 13) AS BIGINT) AS hv
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, hv,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+            FROM h
+        ),
+        k AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(MAX(hv) AS BIGINT) AS kth_min
+            FROM r WHERE rk <= {_KMV_K} GROUP BY event_type
+        ),
+        e AS (
+            SELECT k.event_type, k.n_kept, k.kth_min,
+                   CAST(CASE WHEN k.n_kept < {_KMV_K} THEN k.n_kept
+                             ELSE (63 * {_KMV_H}) // k.kth_min END AS BIGINT)
+                       AS est_distinct
+            FROM k
+        ),
+        ex AS (
+            SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, e.n_kept, e.kth_min, e.est_distinct, ex.n_exact,
+               CAST(abs(e.est_distinct - ex.n_exact) * 1000 // ex.n_exact
+                    AS BIGINT) AS err_permil
+        FROM e JOIN ex ON e.event_type = ex.event_type
+        """,
+    )
+    def q240_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Distinct users per event type by KMV sketch: bounded per-batch
+        partials → union-merge → (k-1)·H div h_(k) estimate, all BIGINT,
+        beside the exact audit column. See block comment for the scale
+        contract (corpus never shuffles; audit column dropped at 100 TB)."""
+        ev = load_table(spark, "events", sf_dir)
+        hashed = ev.select(
+            "event_type", kmv_hash(F.col("user_id")).alias("hv")
+        )
+        sk = kmv_sketch(
+            kmv_partials(hashed, "event_type", "hv"), "event_type", "hv"
+        ).select(
+            "event_type",
+            F.size("mins").cast("long").alias("n_kept"),
+            F.element_at("mins", F.size("mins")).cast("long").alias("kth_min"),
+        ).withColumn(
+            "est_distinct",
+            F.expr(
+                f"CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept"
+                f" ELSE (63 * {_KMV_H}) div kth_min END AS BIGINT)"
+            ),
+        )
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").cast("long").alias("n_exact")
+        )
+        return sk.join(exact, "event_type").select(
+            "event_type", "n_kept", "kth_min", "est_distinct", "n_exact",
+            F.expr("CAST(abs(est_distinct - n_exact) * 1000 div n_exact"
+                   " AS BIGINT)").alias("err_permil"),
+        )
+
+
+_register_q240()

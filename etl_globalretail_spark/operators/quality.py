@@ -520,3 +520,98 @@ def q203_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_mismatched"),
         F.sum(F.abs("diff_cents")).cast("long").alias("sum_abs_diff_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q243 — k-anonymity audit: the privacy-governance gate a training corpus
+# passes before release. Rows are grouped by their quasi-identifier tuple
+# (the columns an adversary could link on — here nation × market segment
+# × account-balance band); every equivalence class smaller than k is a
+# re-identification risk, and the release rule is "suppress or coarsen
+# until min class size ≥ k".
+#
+# Output grain is the class-SIZE histogram (size band → classes, rows,
+# rows-at-risk under k=5), one row per band — the shape auditors read —
+# plus each band's minimum class size so the k-anonymity number itself
+# (global min) rides the frame.
+#
+# Scale shape: groupBy(QI) is one map-side-combinable aggregate over the
+# table; the histogram is a second aggregate over the |classes|-sized
+# class frame. No joins, no windows — the 100 TB cost is one shuffle of
+# the QI keys. Banding acctbal into $1000 buckets is the COARSENING
+# device itself (floor division — exact in both engines on the
+# non-negative fixture balances; negatives would floor vs truncate
+# differently, so the band quantizes floor((bal+10000)·100) cents
+# offset positive first).
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+def _register_q243() -> None:
+    @_register(
+        "q243_k_anonymity",
+        oracle=f"""
+        WITH qi AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(FLOOR(c_acctbal * 100 + 1000000) AS BIGINT)
+                       // 100000 AS bal_band,
+                   c_custkey
+            FROM customer
+        ),
+        cls AS (
+            SELECT c_nationkey, c_mktsegment, bal_band,
+                   CAST(COUNT(*) AS BIGINT) AS class_size
+            FROM qi GROUP BY 1, 2, 3
+        )
+        SELECT
+            CASE WHEN class_size >= {_K_ANON} THEN 'safe'
+                 WHEN class_size > 1 THEN 'small'
+                 ELSE 'singleton' END AS size_band,
+            CAST(COUNT(*) AS BIGINT) AS n_classes,
+            CAST(SUM(class_size) AS BIGINT) AS n_rows,
+            CAST(SUM(CASE WHEN class_size < {_K_ANON}
+                          THEN class_size ELSE 0 END) AS BIGINT)
+                AS rows_at_risk,
+            CAST(MIN(class_size) AS BIGINT) AS min_class_size
+        FROM cls GROUP BY 1
+        """,
+    )
+    def q243_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """k-anonymity census over customer quasi-identifiers
+        (nation, segment, $1000 balance band): per size band, the class
+        count, row count, rows at risk under k=5, and min class size."""
+        cust = load_table(spark, "customer", sf_dir)
+        cls = (
+            cust.select(
+                "c_nationkey", "c_mktsegment",
+                F.expr(
+                    "CAST(FLOOR(c_acctbal * 100 + 1000000) AS BIGINT)"
+                    " div 100000"
+                ).alias("bal_band"),
+            )
+            .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+            .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        )
+        return (
+            cls.select(
+                F.when(F.col("class_size") >= _K_ANON, "safe")
+                .when(F.col("class_size") > 1, "small")
+                .otherwise("singleton")
+                .alias("size_band"),
+                "class_size",
+            )
+            .groupBy("size_band")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+                F.sum("class_size").cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("class_size") < _K_ANON,
+                           F.col("class_size")).otherwise(0)
+                ).cast("long").alias("rows_at_risk"),
+                F.min("class_size").cast("long").alias("min_class_size"),
+            )
+        )
+
+
+_register_q243()

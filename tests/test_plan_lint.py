@@ -47,6 +47,9 @@ INTENTIONAL_CROSS = {
     # scalar to the (type, week) grid — bounded by construction
     "q226_keyword_search",  # attaches the broadcast 1-row corpus-max
     # bit-length to the |query|-row term frame — bounded by construction
+    "q237_rrf_fusion",  # composes q226 (above) and inherits its broadcast
+    # 1-row corpus-max scalar attach; everything the fusion adds is
+    # rank-10-bounded equi-joins
     "q169_seasonality_index",  # attaches the broadcast 1-row annual total
     # to the 12-row monthly frame — bounded by construction
     "q174_benford_audit",  # attaches the broadcast 1-row grand total to
