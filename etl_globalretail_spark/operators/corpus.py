@@ -2579,53 +2579,156 @@ def _q242_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + sel
 
 
+def bpe_learn(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+) -> list[tuple[int, str, str, str, int]]:
+    """Run the BPE learning loop; returns (round, left, right, expanded
+    merged token, weighted pair count) per round. Corpus scanned once
+    (vocabulary build); rounds iterate on the persisted |V|-row
+    vocabulary; each round's best pair is a 1-row driver scalar
+    (bounded by construction, the q74-centroid convention)."""
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = (
+        docs.select(F.explode(alpha_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .persist()
+    )
+    try:
+        vocab.count()
+        expansion: dict[str, str] = {}
+        out: list[tuple[int, str, str, str, int]] = []
+        cur = vocab
+        for rnd in range(1, rounds + 1):
+            best = (
+                _bpe_pairs(cur)
+                .orderBy(F.desc("cnt"), "l", "r")
+                .first()
+            )  # 1-row driver scalar, bounded by construction
+            marker = str(rnd)
+            merged = best["l"] + best["r"]
+            for m, exp in sorted(expansion.items(), reverse=True):
+                merged = merged.replace(m, exp)
+            expansion[marker] = merged
+            out.append((rnd, best["l"], best["r"], merged, int(best["cnt"])))
+            cur = cur.select(
+                F.expr(
+                    "replace(word, "
+                    f"'{best['l'] + best['r']}', '{marker}') AS word"
+                ),
+                "freq",
+            )
+        return out
+    finally:
+        vocab.unpersist()
+
+
 def _register_q242() -> None:
     @_register("q242_bpe_merges", oracle=_q242_oracle())
     def q242_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The first 3 learned BPE merges over the corpus vocabulary:
         (round, pair in marker space, fully-expanded merged token,
-        weighted pair count). Corpus scanned once; rounds iterate on the
-        persisted vocabulary only."""
-        docs = load_table(spark, "documents", sf_dir)
-        vocab = (
-            docs.select(F.explode(alpha_tokens(F.col("text"))).alias("word"))
-            .groupBy("word")
-            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-            .persist()
+        weighted pair count)."""
+        return spark.createDataFrame(
+            bpe_learn(spark, sf_dir),
+            "round long, left_sym string, right_sym string,"
+            " merged string, pair_count long",
         )
-        try:
-            vocab.count()
-            expansion: dict[str, str] = {}
-            out: list[tuple[int, str, str, str, int]] = []
-            cur = vocab
-            for rnd in range(1, _BPE_ROUNDS + 1):
-                best = (
-                    _bpe_pairs(cur)
-                    .orderBy(F.desc("cnt"), "l", "r")
-                    .first()
-                )  # 1-row driver scalar, bounded by construction
-                marker = str(rnd)
-                merged = (best["l"] + best["r"])
-                for m, exp in sorted(expansion.items(), reverse=True):
-                    merged = merged.replace(m, exp)
-                expansion[marker] = merged
-                out.append(
-                    (rnd, best["l"], best["r"], merged, int(best["cnt"]))
-                )
-                cur = cur.select(
-                    F.expr(
-                        "replace(word, "
-                        f"'{best['l'] + best['r']}', '{marker}') AS word"
-                    ),
-                    "freq",
-                )
-            return spark.createDataFrame(
-                out,
-                "round long, left_sym string, right_sym string,"
-                " merged string, pair_count long",
-            )
-        finally:
-            vocab.unpersist()
 
 
 _register_q242()
+
+
+# ---------------------------------------------------------------------------
+# q244 — BPE tokenizer APPLY: encode the whole corpus with the 3 learned
+# merges and report per-source compression. The production split every
+# tokenizer pipeline has — LEARN is iterative and vocabulary-sized
+# (q242); APPLY is embarrassingly parallel and corpus-sized. Here apply
+# is a pure map: the learned patterns are three driver-scalar string
+# literals folded into a native replace() chain inside a higher-order
+# transform over the token array — no UDF, no join, no shuffle before
+# the final |sources|-row aggregate. At 100 TB the encode pass is the
+# scan itself; the learned-merge table rides the closure exactly as it
+# would ride a broadcast.
+#
+# Oracle: the learning CTEs are re-unrolled (same trajectory as q242's
+# oracle), the three patterns land in a 1-row constants CTE, and the
+# encode is the identical replace chain inside list_transform — DuckDB
+# lambdas capture the cross-joined 1-row scalars.
+# ---------------------------------------------------------------------------
+
+
+def _q244_oracle() -> str:
+    learn = _q242_oracle()
+    # reuse the learning CTE prefix: everything up to the final SELECT
+    prefix = learn[: learn.index("SELECT * FROM (")]
+    return f"""
+    {prefix}
+    , pat AS (
+        SELECT (SELECT l || r FROM b1) AS p1,
+               (SELECT l || r FROM b2) AS p2,
+               (SELECT l || r FROM b3) AS p3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(before_syms) AS BIGINT) AS symbols_before,
+           CAST(SUM(after_syms) AS BIGINT) AS symbols_after,
+           CAST(CASE WHEN SUM(before_syms) = 0 THEN 0
+                     ELSE (SUM(before_syms) - SUM(after_syms)) * 1000
+                          // SUM(before_syms) END AS BIGINT) AS saved_permil
+    FROM (
+        SELECT source,
+               COALESCE(list_sum(list_transform({_SQL_ALPHA_TOKENS},
+                   t -> length(t))), 0) AS before_syms,
+               COALESCE(list_sum(list_transform({_SQL_ALPHA_TOKENS},
+                   t -> length(replace(replace(replace(t, pat.p1, '1'),
+                                pat.p2, '2'), pat.p3, '3')))), 0) AS after_syms
+        FROM documents, pat
+    ) GROUP BY source
+    """
+
+
+def _register_q244() -> None:
+    @_register("q244_bpe_encode", oracle=_q244_oracle())
+    def q244_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source BPE compression: symbol counts before/after
+        applying the 3 learned merges as a map-only native replace chain
+        over each document's token array."""
+        merges = bpe_learn(spark, sf_dir)
+        p1, p2, p3 = (m[1] + m[2] for m in merges)
+        docs = load_table(spark, "documents", sf_dir)
+        toks = alpha_tokens(F.col("text"))
+        enc = (
+            f"transform(filter(split(lower(trim(text)), '\\\\s+'),"
+            f" t -> t rlike '^[a-z]+$'),"
+            f" t -> length(replace(replace(replace(t, '{p1}', '1'),"
+            f" '{p2}', '2'), '{p3}', '3')))"
+        )
+        per_doc = docs.select(
+            "source",
+            F.coalesce(
+                F.aggregate(
+                    toks, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t),
+                ),
+                F.lit(0),
+            ).alias("before_syms"),
+            F.coalesce(
+                F.expr(f"aggregate({enc}, CAST(0 AS BIGINT),"
+                       " (acc, x) -> acc + x)"),
+                F.lit(0),
+            ).alias("after_syms"),
+        )
+        return per_doc.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("before_syms").cast("long").alias("symbols_before"),
+            F.sum("after_syms").cast("long").alias("symbols_after"),
+            F.expr(
+                "CAST(CASE WHEN SUM(before_syms) = 0 THEN 0"
+                " ELSE (SUM(before_syms) - SUM(after_syms)) * 1000"
+                " div SUM(before_syms) END AS BIGINT)"
+            ).alias("saved_permil"),
+        )
+
+
+_register_q244()

@@ -464,3 +464,116 @@ def q238_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("full_mean_cents").cast("long"),
         F.col("n_orders").cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q245 — mixture / data-budget planning: given per-source token
+# inventories and a total training budget, allocate tokens per source
+# toward an equal-share mixture target under a 1-epoch cap (no source is
+# upsampled past its inventory), then redistribute the shortfall from
+# capped sources to the others proportionally to remaining headroom —
+# one unrolled round of water-filling, the allocation every multi-corpus
+# pretraining run plans before sharding. The synthetic sources are
+# near-uniform, so roughly half sit below the equal-share target and the
+# cap genuinely binds.
+#
+# All-integer arithmetic (token counts, floor divisions); integer-
+# division remainders are reported, not hidden (the final fill_permil
+# column shows sub-1000 fills on uncapped sources when the leftover
+# does not divide evenly). At 100 TB inventories the redistribution
+# product (leftover × headroom) exceeds int64 — the same expression
+# moves to DECIMAL(38,0) with div unchanged; fixture magnitudes stay
+# far inside int64 and both engines multiply in BIGINT here.
+#
+# Plan shape: one corpus scan → |sources|-row aggregate (persisted — it
+# is consumed by both global-total reductions and the final row set);
+# the two global totals attach as broadcast 1-row frames (bounded by
+# construction, plan-lint whitelisted).
+# ---------------------------------------------------------------------------
+
+
+def _register_q245() -> None:
+    @_register(
+        "q245_mixture_plan",
+        oracle="""
+        WITH a AS (
+            SELECT source,
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                        AS BIGINT) AS avail
+            FROM documents GROUP BY source
+        ),
+        t AS (
+            SELECT CAST(SUM(avail) AS BIGINT) AS budget,
+                   CAST(COUNT(*) AS BIGINT) AS n_src
+            FROM a
+        ),
+        r1 AS (
+            SELECT source, avail, budget // n_src AS target,
+                   least(avail, budget // n_src) AS planned1, budget
+            FROM a, t
+        ),
+        t2 AS (
+            SELECT CAST(SUM(planned1) AS BIGINT) AS sum1,
+                   CAST(SUM(avail - planned1) AS BIGINT) AS headroom
+            FROM r1
+        )
+        SELECT source,
+               avail AS avail_tokens,
+               CAST(target AS BIGINT) AS target_tokens,
+               CAST(planned1 AS BIGINT) AS planned_r1,
+               CAST(planned1 + CASE WHEN headroom = 0 THEN 0
+                    ELSE (budget - sum1) * (avail - planned1) // headroom
+                    END AS BIGINT) AS planned_final,
+               CAST((planned1 + CASE WHEN headroom = 0 THEN 0
+                    ELSE (budget - sum1) * (avail - planned1) // headroom
+                    END) * 1000 // avail AS BIGINT) AS fill_permil
+        FROM r1, t2
+        """,
+    )
+    def q245_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Equal-share mixture allocation under a 1-epoch cap with one
+        proportional-headroom redistribution round; see block comment."""
+        docs = load_table(spark, "documents", sf_dir)
+        avail = (
+            docs.select(
+                "source",
+                F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+            )
+            .groupBy("source")
+            .agg(F.sum("n_tok").cast("long").alias("avail"))
+            .persist()  # consumed by both totals and the final row set
+        )
+        tot = avail.agg(
+            F.sum("avail").cast("long").alias("budget"),
+            F.count(F.lit(1)).cast("long").alias("n_src"),
+        )
+        r1 = avail.crossJoin(F.broadcast(tot)).select(
+            "source", "avail", "budget",
+            F.expr("budget div n_src").alias("target"),
+            F.expr("least(avail, budget div n_src)").alias("planned1"),
+        )
+        tot2 = r1.agg(
+            F.sum("planned1").cast("long").alias("sum1"),
+            F.sum(F.col("avail") - F.col("planned1")).cast("long")
+            .alias("headroom"),
+        )
+        fin = r1.crossJoin(F.broadcast(tot2)).withColumn(
+            "planned_final",
+            F.expr(
+                "CAST(planned1 + CASE WHEN headroom = 0 THEN 0"
+                " ELSE (budget - sum1) * (avail - planned1) div headroom"
+                " END AS BIGINT)"
+            ),
+        )
+        return fin.select(
+            "source",
+            F.col("avail").alias("avail_tokens"),
+            F.col("target").cast("long").alias("target_tokens"),
+            F.col("planned1").cast("long").alias("planned_r1"),
+            "planned_final",
+            F.expr("CAST(planned_final * 1000 div avail AS BIGINT)")
+            .alias("fill_permil"),
+        )
+
+
+_register_q245()

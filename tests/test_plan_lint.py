@@ -54,6 +54,9 @@ INTENTIONAL_CROSS = {
     # to the 12-row monthly frame — bounded by construction
     "q174_benford_audit",  # attaches the broadcast 1-row grand total to
     # the 9-row digit frame — bounded by construction
+    "q245_mixture_plan",  # attaches two broadcast 1-row global totals
+    # (budget, then post-cap headroom) to the |sources|-row inventory —
+    # bounded by construction
 }
 
 FORBIDDEN = ("CartesianProduct",)

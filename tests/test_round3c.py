@@ -1,4 +1,4 @@
-"""Round-3 additions, wave 2: independent recomputes for q240–q243.
+"""Round-3 additions, wave 2: independent recomputes for q240–q245.
 
 Each test re-derives the operator with a driver-side reference
 implementation (plain Python over the collected sf0.001 fixture) so the
@@ -172,3 +172,94 @@ def test_q243_k_anonymity_recompute(spark, sf_dir):
         assert row["min_class_size"] == min(sizes)
     # conservation: every customer lands in exactly one class
     assert sum(r["n_rows"] for r in out.values()) == len(cust)
+
+
+def test_q244_bpe_encode_recompute(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", "text"
+    ).collect()
+    freq: Counter = Counter()
+    per_doc_toks = []
+    for r in docs:
+        toks = [
+            t
+            for t in re.split(r"\s+", r["text"].strip().lower())
+            if re.fullmatch("[a-z]+", t)
+        ]
+        per_doc_toks.append((r["source"], toks))
+        freq.update(toks)
+    # learn 3 merges with the reference implementation
+    vocab = dict(freq)
+    pats = []
+    for rnd in (1, 2, 3):
+        pairs: Counter = Counter()
+        for w, f in vocab.items():
+            for i in range(len(w) - 1):
+                pairs[(w[i], w[i + 1])] += f
+        (l, r), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        pats.append(l + r)
+        vocab = _apply_merge(vocab, l + r, str(rnd))
+    expected: dict[str, list[int]] = {}
+    for src, toks in per_doc_toks:
+        before = sum(len(t) for t in toks)
+        after = 0
+        for t in toks:
+            for i, p in enumerate(pats, start=1):
+                t = t.replace(p, str(i))
+            after += len(t)
+        agg = expected.setdefault(src, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += before
+        agg[2] += after
+    out = {
+        r["source"]: r
+        for r in QUERIES["q244_bpe_encode"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(expected)
+    for src, (n, before, after) in expected.items():
+        row = out[src]
+        assert row["n_docs"] == n
+        assert row["symbols_before"] == before
+        assert row["symbols_after"] == after
+        assert row["saved_permil"] == (
+            0 if before == 0 else (before - after) * 1000 // before
+        )
+        assert row["symbols_after"] < row["symbols_before"]  # merges fired
+
+
+def test_q245_mixture_plan_recompute(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", "text"
+    ).collect()
+    avail: Counter = Counter()
+    for r in docs:
+        avail[r["source"]] += len(re.split(r"\s+", r["text"].strip()))
+    budget = sum(avail.values())
+    n_src = len(avail)
+    target = budget // n_src
+    planned1 = {s: min(a, target) for s, a in avail.items()}
+    sum1 = sum(planned1.values())
+    headroom = sum(avail[s] - planned1[s] for s in avail)
+    out = {
+        r["source"]: r
+        for r in QUERIES["q245_mixture_plan"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(avail)
+    total_final = 0
+    for s, a in avail.items():
+        row = out[s]
+        add = (
+            0 if headroom == 0
+            else (budget - sum1) * (a - planned1[s]) // headroom
+        )
+        final = planned1[s] + add
+        total_final += final
+        assert row["avail_tokens"] == a
+        assert row["target_tokens"] == target
+        assert row["planned_r1"] == planned1[s]
+        assert row["planned_final"] == final
+        assert row["fill_permil"] == final * 1000 // a
+        assert final <= a  # the 1-epoch cap holds after redistribution
+    assert total_final <= budget  # never over-allocates
+    # the cap must genuinely bind somewhere for the test to mean anything
+    assert any(planned1[s] < target for s in avail) or headroom == 0
