@@ -4983,28 +4983,22 @@ def _q236_round(i: int, p: int) -> str:
     )"""
 
 
-def _q236_oracle() -> str:
+def _q236_cte_prefix() -> str:
+    """Shared oracle CTE prefix: edges, symmetric adjacency, and the
+    3-round label-propagation trajectory ending at l3(v, label)."""
     rounds = ",".join(_q236_round(i, i - 1) for i in (1, 2, 3))
     return f"""
     WITH e AS ({_q154_edges_sql()}),
     sym AS (SELECT u AS src, v AS dst FROM e
             UNION ALL SELECT v AS src, u AS dst FROM e),
     l0 AS (SELECT DISTINCT src AS v, src AS label FROM sym),
-    {rounds},
-    sizes AS (SELECT label, COUNT(*) AS csize FROM l3 GROUP BY label)
-    SELECT l3.v AS part,
-           CAST(l3.label AS BIGINT) AS community,
-           CAST(s.csize AS BIGINT) AS community_size
-    FROM l3 JOIN sizes s ON l3.label = s.label
-    """
+    {rounds}"""
 
 
-@_register("q236_label_propagation", oracle=_q236_oracle())
-def q236_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 3-round synchronous label propagation (majority
-    neighbor label, min-label tie-break) over the co-purchase graph;
-    output is each part's community and the community size — the DuckDB
-    twin replays the identical trajectory."""
+def lp_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round synchronous label-propagation assignment (v, label) over
+    the co-purchase graph — the deterministic trajectory both q236 and
+    the q246 modularity audit consume."""
     und = co_purchase_edges(spark, sf_dir)  # memoized checkpointed artifact
     sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
@@ -5026,6 +5020,27 @@ def q236_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(F.col("dst").alias("v"), "label")
         )
+    return lab
+
+
+def _q236_oracle() -> str:
+    return f"""
+    {_q236_cte_prefix()},
+    sizes AS (SELECT label, COUNT(*) AS csize FROM l3 GROUP BY label)
+    SELECT l3.v AS part,
+           CAST(l3.label AS BIGINT) AS community,
+           CAST(s.csize AS BIGINT) AS community_size
+    FROM l3 JOIN sizes s ON l3.label = s.label
+    """
+
+
+@_register("q236_label_propagation", oracle=_q236_oracle())
+def q236_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-round synchronous label propagation (majority
+    neighbor label, min-label tie-break) over the co-purchase graph;
+    output is each part's community and the community size — the DuckDB
+    twin replays the identical trajectory."""
+    lab = lp_labels(spark, sf_dir)
     sizes = lab.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("community_size")
     )
@@ -5033,4 +5048,96 @@ def q236_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("part"),
         F.col("label").cast("long").alias("community"),
         "community_size",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q246 — modularity of the label-propagation partition: the quality
+# score that turns q236's communities from an artifact into an audited
+# one (Newman 2004; the objective Louvain greedily climbs). Kept EXACT
+# by clearing denominators: with m = |E|, e_c = intra-community edges,
+# d_c = community degree sum,
+#
+#   Q = Σ_c (e_c/m − (d_c/2m)²)  =  [Σ_c (4·m·e_c − d_c²)] / (4m²)
+#
+# so the frame carries the integer numerator and denominator, plus the
+# floor-scaled q_millionths (Spark div ≡ DuckDB // — both truncate
+# toward zero, cookbook rule, and Q here is provably > 0 only when
+# communities beat chance — the sign rides the exact numerator either
+# way). Magnitudes: d_c ≤ 2m, so the numerator is bounded by 4m² —
+# int64-safe through m ≈ 1.5e9 edges; past that the two columns widen
+# to DECIMAL(38,0) with the same expressions.
+#
+# Plan shape: the label assignment (vertex-sized) is persisted — it is
+# consumed three times (both endpoint attachments and the degree sum);
+# edges come from the checkpointed artifact; everything aggregates to
+# |communities| rows before the final 1-row reduction.
+# ---------------------------------------------------------------------------
+
+
+def _q246_oracle() -> str:
+    return f"""
+    {_q236_cte_prefix()},
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    intra AS (
+        SELECT a.label, CAST(COUNT(*) AS BIGINT) AS ec
+        FROM e JOIN l3 a ON e.u = a.v JOIN l3 b ON e.v = b.v
+        WHERE a.label = b.label
+        GROUP BY a.label
+    ),
+    deg AS (
+        SELECT a.label, CAST(COUNT(*) AS BIGINT) AS dc
+        FROM sym s JOIN l3 a ON s.src = a.v
+        GROUP BY a.label
+    ),
+    comm AS (
+        SELECT d.label, COALESCE(i.ec, 0) AS ec, d.dc
+        FROM deg d LEFT JOIN intra i ON d.label = i.label
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(mm.m AS BIGINT) AS n_edges,
+           CAST(SUM(4 * mm.m * ec - dc * dc) AS BIGINT) AS q_numerator,
+           CAST(4 * mm.m * mm.m AS BIGINT) AS q_denominator,
+           CAST(SUM(4 * mm.m * ec - dc * dc) * 1000000
+                // (4 * mm.m * mm.m) AS BIGINT) AS q_millionths
+    FROM comm, mm
+    GROUP BY mm.m
+    """
+
+
+@_register("q246_modularity", oracle=_q246_oracle())
+def q246_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-rational modularity of the q236 partition on the
+    co-purchase graph: one row with the community count, edge count,
+    integer numerator/denominator, and floor-scaled millionths."""
+    edges = co_purchase_edges(spark, sf_dir)  # checkpointed artifact
+    lab = lp_labels(spark, sf_dir).persist()  # consumed 3× below
+    m = edges.count()  # driver scalar from the checkpointed blocks
+    a = lab.select(F.col("v").alias("u"), F.col("label").alias("la"))
+    b = lab.select(F.col("v").alias("v"), F.col("label").alias("lb"))
+    intra = (
+        edges.join(a, "u").join(b, "v")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ec"))
+    )
+    sym = edges.select(F.col("u").alias("src")).unionAll(
+        edges.select(F.col("v").alias("src"))
+    )
+    deg = (
+        sym.join(lab, sym["src"] == lab["v"])
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("dc"))
+    )
+    comm = deg.join(intra, "label", "left").select(
+        "label", F.coalesce("ec", F.lit(0)).cast("long").alias("ec"), "dc"
+    )
+    return comm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.lit(m).cast("long").alias("n_edges"),
+        F.sum(4 * F.lit(m) * F.col("ec") - F.col("dc") * F.col("dc"))
+        .cast("long").alias("q_numerator"),
+        F.lit(4 * m * m).cast("long").alias("q_denominator"),
+        F.expr(f"CAST(SUM(4 * {m} * ec - dc * dc) * 1000000"
+               f" div (4 * {m} * {m}) AS BIGINT)").alias("q_millionths"),
     )

@@ -263,3 +263,49 @@ def test_q245_mixture_plan_recompute(spark, sf_dir):
     assert total_final <= budget  # never over-allocates
     # the cap must genuinely bind somewhere for the test to mean anything
     assert any(planned1[s] < target for s in avail) or headroom == 0
+
+
+def test_q246_modularity_recompute(spark, sf_dir):
+    from itertools import combinations
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict[int, set[int]] = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    support: Counter = Counter()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            support[(a, b)] += 1
+    edges = [p for p, s in support.items() if s >= 2]
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    # 3 synchronous LPA rounds: majority neighbor label, min-label ties
+    label = {v: v for v in adj}
+    for _ in range(3):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt: Counter = Counter(label[n] for n in nbrs)
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        label = new
+    m = len(edges)
+    ec: Counter = Counter()
+    for u, v in edges:
+        if label[u] == label[v]:
+            ec[label[u]] += 1
+    dc: Counter = Counter()
+    for v, nbrs in adj.items():
+        dc[label[v]] += len(nbrs)
+    q_num = sum(4 * m * ec[c] - dc[c] * dc[c] for c in dc)
+    row = QUERIES["q246_modularity"](spark, sf_dir).collect()[0]
+    assert row["n_communities"] == len(dc)
+    assert row["n_edges"] == m
+    assert row["q_numerator"] == q_num
+    assert row["q_denominator"] == 4 * m * m
+    # both engines truncate toward zero (int() does too for positives;
+    # the fixture partition has positive modularity, asserted)
+    assert q_num > 0
+    assert row["q_millionths"] == (q_num * 1000000) // (4 * m * m)
