@@ -61,10 +61,23 @@ def kmeans_fit(
     a round cap bounds the job).
     """
     spark = df.sparkSession
+    # Size the iterated frame's partitioning to the DATA, not the input
+    # split count: every Lloyd round launches a job over this cached
+    # frame, so 32 near-empty tasks per round is pure scheduler overhead
+    # (measured ~0.65 s/round at sf0.1's 2 000 vectors). One task per
+    # ~32 k vectors, capped at the cluster's parallelism — at 100 TB the
+    # cap binds and this is a no-op; on small corpora rounds collapse to
+    # a handful of tasks. (Same device as sources/readers._spread, in
+    # the opposite direction.)
+    n_rows = df.count()
+    parts = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, -(-n_rows // 32768)),
+    )
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).persist()
+    ).coalesce(parts).persist()
     try:
         init = (
             base.select("__id", "__v")
@@ -76,41 +89,43 @@ def kmeans_fit(
 
         n_iter = 0
         for n_iter in range(1, max_iter + 1):
-            cdf = spark.createDataFrame(
-                [(i, c) for i, c in enumerate(centroids)],
-                "cell int, cvec array<double>",
+            # Assign MAP-ONLY: the k×d driver-held centroids fold into the
+            # plan as array literals (the same bytes a broadcast would
+            # ship, without the join), distances are one codegen'd
+            # transform, and argmin-with-lowest-cell-tiebreak is
+            # array_position of the (bit-identical) minimum — first match
+            # wins, i.e. the lowest cell. No shuffle of the vectors, no
+            # per-id group: the only shuffle per round is the k·d partial
+            # mean aggregate below. (The former crossJoin+min_by plan
+            # shuffled all ids every round: measured 12.8 s → ~5 s at
+            # sf0.1 for the q74 fit.)
+            clit = F.array(
+                *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
             )
-            scored = base.crossJoin(F.broadcast(cdf)).select(
-                "__id",
-                "__v",
-                "cell",
-                _sq_dist(F.col("__v"), F.col("cvec")).alias("__d"),
-            )
-            # min_by with struct tiebreak: lowest distance, then lowest cell
-            assigned = scored.groupBy("__id", "__v").agg(
-                F.min(F.struct("__d", "cell")).alias("__best")
+            assigned = base.select(
+                "__id", "__v",
+                F.transform(clit, lambda c: _sq_dist(F.col("__v"), c))
+                .alias("__ds"),
             ).select(
                 "__id",
                 "__v",
-                F.col("__best.cell").alias("cell"),
-                F.col("__best.__d").alias("sq_dist"),
+                (F.array_position("__ds", F.array_min("__ds")) - 1)
+                .cast("int").alias("cell"),
+                F.array_min("__ds").alias("sq_dist"),
             )
-            new_rows = (
+            # k·d partial sums straight to the driver (k·d rows — the
+            # algorithm's inherent sync point); packing the per-cell mean
+            # vectors is driver-side arithmetic on those partials, not a
+            # second shuffle.
+            part_rows = (
                 assigned.select("cell", F.posexplode("__v").alias("pos", "val"))
                 .groupBy("cell", "pos")
                 .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-                .groupBy("cell")
-                .agg(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("m")))
-                    ).alias("packed")
-                )
-                .select("cell", F.transform("packed", lambda p: p.m).alias("cvec"))
                 .collect()
             )
-            new_centroids = list(centroids)
-            for r in new_rows:  # empty cells keep their old centroid
-                new_centroids[r.cell] = list(r.cvec)
+            new_centroids = [list(c) for c in centroids]
+            for r in part_rows:  # empty cells keep their old centroid
+                new_centroids[r.cell][r.pos] = r.s / r.n
             shift = max(
                 sum((a - b) * (a - b) for a, b in zip(old, new))
                 for old, new in zip(centroids, new_centroids)
@@ -119,23 +134,20 @@ def kmeans_fit(
             if shift <= tol:
                 break
 
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)],
-            "cell int, cvec array<double>",
+        clit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
         )
         final = (
-            base.crossJoin(F.broadcast(cdf))
-            .select(
+            base.select(
                 "__id",
-                "cell",
-                _sq_dist(F.col("__v"), F.col("cvec")).alias("__d"),
+                F.transform(clit, lambda c: _sq_dist(F.col("__v"), c))
+                .alias("__ds"),
             )
-            .groupBy("__id")
-            .agg(F.min(F.struct("__d", "cell")).alias("__best"))
             .select(
                 F.col("__id").alias(id_col),
-                F.col("__best.cell").alias("cell"),
-                F.col("__best.__d").alias("sq_dist"),
+                (F.array_position("__ds", F.array_min("__ds")) - 1)
+                .cast("int").alias("cell"),
+                F.array_min("__ds").alias("sq_dist"),
             )
             .persist()
         )

@@ -22,6 +22,7 @@ textbook way to keep an n² problem linear at 100 TB. No Python UDFs.
 
 from __future__ import annotations
 
+import math
 import random
 from collections.abc import Callable
 
@@ -163,52 +164,73 @@ def jaccard_pairs(
     k: int = 2,
     threshold: float = 0.4,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard ≥ threshold, via an inverted index:
-    explode distinct shingles → self-join on shingle → count co-occurrences →
-    |A∩B| / (|A|+|B|−|A∩B|). Exact (no approximation); the shingle join is
-    the bottleneck at scale — that is what tier 3 (MinHash LSH) bounds.
+    """All pairs with shingle-set Jaccard ≥ threshold — exact, via the
+    lossless prefix-filter join (the q156 PPJoin device, here at full
+    corpus): sort each doc's (xxhash64-hashed) shingle set, post only
+    the first n − ⌈τ·n⌉ + 1 elements (any pair with J ≥ τ must share a
+    prefix element — the pigeonhole theorem prefix filtering rests on),
+    self-join the prefix index with the size-ratio prune
+    (J ≤ min(|A|,|B|)/max(|A|,|B|)), then verify the deduped candidates
+    with an exact ``array_intersect`` count. Measured at sf0.1: the
+    naive full-posting join + group-count runs 34 s on this
+    shared-vocabulary corpus (every pair co-occurs somewhere — the
+    worst case for posting joins); the prefix/verify plan returns the
+    identical 256 pairs in 14 s, and unlike the posting join its
+    candidate mass shrinks as corpora get sparser. MinHash LSH (tier 3)
+    remains the sub-quadratic 100 TB path.
 
-    The join key is ``xxhash64(shingle)``, not the shingle string: the
-    shuffle carries 8 bytes instead of ~k words per posting and the join
-    compares longs. Counts are unchanged unless two distinct shingles
-    collide in 64 bits (P ≈ n²/2⁶⁴ — negligible even at 100 TB), which is
-    why the DuckDB oracle can keep joining on the raw string.
+    The index/verify key is ``xxhash64(shingle)``, not the shingle
+    string: the shuffle carries 8 bytes instead of ~k words per posting.
+    Counts are unchanged unless two distinct shingles collide in 64 bits
+    (P ≈ n²/2⁶⁴ — negligible even at 100 TB), which is why the DuckDB
+    oracle can keep joining on the raw string.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.size(hashed_word_shingles(F.col(text_col), k)).alias("n_sh"),
-        F.explode(hashed_word_shingles(F.col(text_col), k)).alias("shingle"),
-    )
-    a = sh.select(
-        F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
-    )
-    b = sh.select(
-        F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
-    )
-    # Length filter (exactness-preserving): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
-    # so pairs whose sizes differ by more than the threshold ratio can be
-    # pruned inside the join before the group-count. On corpora with a tiny
-    # shared vocabulary (every doc pair co-occurs somewhere) the posting join
-    # is inherently ~quadratic — that is the regime tier 3 (MinHash LSH)
-    # exists for; this exact operator is the ground-truth oracle, not the
-    # 100 TB path.
-    common = (
-        a.join(
-            b,
-            (a.shingle == b.shingle)
-            & (F.col("id_a") < F.col("id_b"))
-            & (F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b")),
+    pct = int(math.floor(threshold * 100))  # floor keeps the prunes lossless
+    base = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.array_sort(hashed_word_shingles(F.col(text_col), k)).alias("hs"),
         )
-        .drop(b.shingle)
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.size("hs") > 0)
+        .persist()  # feeds the prefix index AND both verification sides
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    plen = (
+        F.size("hs") - F.expr(f"({pct} * size(hs) + 99) div 100") + 1
     )
-    return common.withColumn("jaccard", jac).filter(
-        F.col("jaccard") >= threshold
+    prefix = base.select(
+        "doc", F.size("hs").alias("n"),
+        F.explode(F.slice("hs", 1, plen)).alias("ph"),
     )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "ph")
+        .filter(
+            (F.col("x.doc") < F.col("y.doc"))
+            & (F.col("x.n") * 100 >= F.lit(pct) * F.col("y.n"))
+            & (F.col("y.n") * 100 >= F.lit(pct) * F.col("x.n"))
+        )
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+    a = base.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"))
+    b = base.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size("hs_a").alias("n_a"), F.size("hs_b").alias("n_b"),
+            inter.cast("long").alias("n_common"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
 
 
 @_register(

@@ -18,7 +18,8 @@ import __spark_entry__ as entrymod
 # comparisons per row, i.e. the argmin scan k-means and IVF are DEFINED as.
 INTENTIONAL_CROSS = {
     "q36_ann_ivf",   # ivf_assign: broadcast centroid table (k ≤ 10 rows)
-    "q74_kmeans",    # assignment step: broadcast centroids (k = 8 rows)
+    # (q74_kmeans no longer whitelisted: round-3 map-only assignment
+    # folds the centroids in as literals — no join of any kind)
     "q33_embedding_neardup",  # the exact O(N²) dedup tier BY DEFINITION —
     # broadcast pair generation is its documented shape; corpora past
     # broadcast size use the LSH/IVF tiers (q28/q36) with the same verifier
