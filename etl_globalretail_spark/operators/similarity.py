@@ -1293,3 +1293,156 @@ def q235_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "pos long, component_micros long, eigenvalue double"
     )
+
+
+# ---------------------------------------------------------------------------
+# q248 — embedding-truncation (Matryoshka) audit: how much retrieval
+# fidelity survives keeping only the first 16 of 64 dimensions? The
+# compression decision every embedding store faces (MRL-style nested
+# embeddings, dimension-sliced ANN tiers) needs this number measured,
+# not assumed. For 4 deterministic probes (smallest md5(vec_id) — the
+# q74 seeded-init convention), rank the corpus by exact integer inner
+# product at full dimension and at the 16-dim prefix, and report top-10
+# overlap plus id checksums of both rankings.
+#
+# Integer-exact throughout: vectors quantize to floor(x·1e6) int64
+# (the q122 device), dots are Σ q_i·p_i ≤ 64·1e12 — int64-safe — and
+# ranks are total-ordered by (dot desc, vec_id). Inner product stands
+# in for cosine: comparing cosines across candidates for one probe
+# would need cross-multiplied norm products past int64 (the q142 note);
+# MIPS is itself a standard retrieval mode and keeps the audit on the
+# hash gate.
+#
+# Plan shape: probes are 4 driver-held k·d scalars folded in as
+# literals (bounded by construction); the scoring pass is MAP-ONLY
+# (4× row multiplier, no join); one |corpus|·4-row window ranks per
+# probe; the report is a 4-row aggregate. At 100 TB the same plan
+# shards the window by probe — which is already its partition key.
+# ---------------------------------------------------------------------------
+
+_Q248_PROBES = 4
+_Q248_PREFIX = 16
+_Q248_TOPK = 10
+
+
+def _register_q248() -> None:
+    @_register(
+        "q248_truncation_audit",
+        oracle=f"""
+        WITH pid AS (
+            SELECT vec_id FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_Q248_PROBES}
+        ),
+        ev AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS q
+            FROM embeddings
+        ),
+        pv AS (
+            SELECT ev.vec_id AS probe_id, ev.pos, ev.q
+            FROM ev JOIN pid ON ev.vec_id = pid.vec_id
+        ),
+        dots AS (
+            SELECT p.probe_id, e.vec_id,
+                   CAST(SUM(p.q * e.q) AS BIGINT) AS dot_full,
+                   CAST(SUM(CASE WHEN e.pos <= {_Q248_PREFIX}
+                                 THEN p.q * e.q ELSE 0 END) AS BIGINT)
+                       AS dot_pre
+            FROM ev e JOIN pv p ON e.pos = p.pos
+            WHERE e.vec_id <> p.probe_id
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT probe_id, vec_id, dot_full,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY dot_full DESC, vec_id) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY dot_pre DESC, vec_id) AS rp
+            FROM dots
+        )
+        SELECT probe_id,
+               CAST(COUNT(CASE WHEN rf <= {_Q248_TOPK}
+                                AND rp <= {_Q248_TOPK} THEN 1 END) AS BIGINT)
+                   AS n_overlap,
+               CAST(SUM(CASE WHEN rf <= {_Q248_TOPK} THEN vec_id ELSE 0 END)
+                    AS BIGINT) AS full_checksum,
+               CAST(SUM(CASE WHEN rp <= {_Q248_TOPK} THEN vec_id ELSE 0 END)
+                    AS BIGINT) AS trunc_checksum,
+               CAST(MIN(CASE WHEN rf <= {_Q248_TOPK} THEN dot_full END)
+                    AS BIGINT) AS min10_dot_full
+        FROM ranked GROUP BY probe_id
+        """,
+    )
+    def q248_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-10 MIPS overlap between full-dimension and 16-dim-prefix
+        rankings for 4 hash-seeded probes; exact integer dots, total-
+        ordered ranks. See block comment for the scale contract."""
+        e = load_table(spark, "embeddings", sf_dir).select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * F.lit(1000000.0))
+                .cast("long"),
+            ).alias("qv"),
+        )
+        probes = (
+            e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(_Q248_PROBES)
+            .collect()
+        )  # 4 k·d driver scalars — bounded by construction
+        plit = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["vec_id"])).cast("long").alias("probe_id"),
+                    F.array(*[F.lit(int(x)) for x in r["qv"]]).alias("pq"),
+                )
+                for r in probes
+            ]
+        )
+        idot = lambda a, b: F.aggregate(  # noqa: E731
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        scored = (
+            e.select("vec_id", "qv", F.explode(plit).alias("p"))
+            .filter(F.col("vec_id") != F.col("p.probe_id"))
+            .select(
+                F.col("p.probe_id").alias("probe_id"),
+                "vec_id",
+                idot(F.col("qv"), F.col("p.pq")).alias("dot_full"),
+                idot(
+                    F.slice("qv", 1, _Q248_PREFIX),
+                    F.slice("p.pq", 1, _Q248_PREFIX),
+                ).alias("dot_pre"),
+            )
+        )
+        wf = Window.partitionBy("probe_id").orderBy(
+            F.desc("dot_full"), F.asc("vec_id")
+        )
+        wp = Window.partitionBy("probe_id").orderBy(
+            F.desc("dot_pre"), F.asc("vec_id")
+        )
+        ranked = scored.select(
+            "probe_id", "vec_id", "dot_full",
+            F.row_number().over(wf).alias("rf"),
+            F.row_number().over(wp).alias("rp"),
+        )
+        k = _Q248_TOPK
+        return ranked.groupBy("probe_id").agg(
+            F.count(
+                F.when((F.col("rf") <= k) & (F.col("rp") <= k), 1)
+            ).cast("long").alias("n_overlap"),
+            F.sum(F.when(F.col("rf") <= k, F.col("vec_id")).otherwise(0))
+            .cast("long").alias("full_checksum"),
+            F.sum(F.when(F.col("rp") <= k, F.col("vec_id")).otherwise(0))
+            .cast("long").alias("trunc_checksum"),
+            F.min(F.when(F.col("rf") <= k, F.col("dot_full")))
+            .cast("long").alias("min10_dot_full"),
+        )
+
+
+_register_q248()

@@ -1240,3 +1240,116 @@ def q231_streaming_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q247 — INCREMENTAL sketch maintenance on the hash gate (seventh real
+# streaming execution): q240's KMV distinct sketch maintained across a
+# real 3-micro-batch replay via foreachBatch. Each micro-batch computes
+# its bounded k-min partials (≤ k rows per group per Arrow batch — the
+# same kmv_partials kernel) and APPENDS them to a partial store; the
+# final merge (union → distinct → k smallest) produces the estimate.
+#
+# What the oracle proves: union-of-per-batch-k-minima ⊇ global k-minima
+# — the KMV merge law — executed through the actual streaming engine
+# over out-of-order arrival waves (q230's staged waves, so the batches
+# partition the corpus in a scrambled order), hash-equal to DuckDB's
+# single-pass k-min over the whole table. This is the Lambda-free
+# pattern for streaming cardinality at 100 TB: per-batch state is k·|G|
+# rows, the store grows by that per batch, and compaction (re-merging
+# the store back to ≤ k rows per group) is the same kmv_sketch call.
+# ---------------------------------------------------------------------------
+
+
+def _register_q247() -> None:
+    from etl_globalretail_spark.operators.profiling import (
+        _KMV_H,
+        _KMV_K,
+        kmv_hash,
+        kmv_partials,
+        kmv_sketch,
+    )
+
+    @_register(
+        "q247_streaming_kmv",
+        oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'kmv'),
+                                       1, 13) AS BIGINT) AS hv
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, hv,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+            FROM h
+        ),
+        k AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(MAX(hv) AS BIGINT) AS kth_min
+            FROM r WHERE rk <= {_KMV_K} GROUP BY event_type
+        )
+        SELECT event_type, n_kept, kth_min,
+               CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept
+                         ELSE (63 * {_KMV_H}) // kth_min END AS BIGINT)
+                   AS est_distinct,
+               CAST(3 AS BIGINT) AS n_batches
+        FROM k
+        """,
+    )
+    def q247_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """KMV distinct-user sketch maintained incrementally over a real
+        3-micro-batch replay (foreachBatch partial store → final merge);
+        the estimate hash-matches DuckDB's whole-table single pass."""
+        import os
+        import tempfile
+
+        waves = stage_arrival_waves(spark, sf_dir)
+        accdir = os.path.join(
+            tempfile.mkdtemp(prefix="q247_kmv_"), "partials"
+        )
+
+        def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+            hashed = batch_df.select(
+                "event_type", kmv_hash(F.col("user_id")).alias("hv")
+            )
+            kmv_partials(hashed, "event_type", "hv").withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").parquet(accdir)
+
+        stream = (
+            spark.readStream.schema(waves.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves.directory)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(accdir), "ckpt"),
+            )
+            .start()
+        )
+        q.awaitTermination()
+
+        acc = spark.read.parquet(accdir)
+        n_batches = acc.select("batch_id").distinct().count()  # driver
+        # scalar (≤ #waves values) — run-audit column, oracle pins 3
+        sk = kmv_sketch(acc, "event_type", "hv")
+        return sk.select(
+            "event_type",
+            F.size("mins").cast("long").alias("n_kept"),
+            F.element_at("mins", F.size("mins")).cast("long")
+            .alias("kth_min"),
+        ).withColumn(
+            "est_distinct",
+            F.expr(
+                f"CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept"
+                f" ELSE (63 * {_KMV_H}) div kth_min END AS BIGINT)"
+            ),
+        ).withColumn("n_batches", F.lit(n_batches).cast("long"))
+
+
+_register_q247()

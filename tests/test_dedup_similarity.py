@@ -404,3 +404,57 @@ def test_dedup_tier_overlap_sanity(spark, sf_dir):
     assert r["any_tier"] == ie
     # identical token streams ⇒ identical normalized text ⇒ E ⊆ N
     assert r["exact_and_norm"] == r["n_exact"]
+
+
+def test_jaccard_prefix_plan_matches_brute_force(spark, sf_dir):
+    """The round-3 prefix-filter jaccard_pairs plan is LOSSLESS: its pair
+    set, intersection counts, and jaccard values equal the naive
+    full-posting inverted-index join recomputed here, and the prefix
+    index posts strictly fewer entries than the full index."""
+    from etl_globalretail_spark.operators.dedup import hashed_word_shingles
+
+    d = load_table(spark, "documents", sf_dir)
+    got = {
+        (r.id_a, r.id_b): (r.n_a, r.n_b, r.n_common, r.jaccard)
+        for r in jaccard_pairs(d, "text", "doc_id", 2, 0.4).collect()
+    }
+    # naive reference: full posting join + group-count (the old plan)
+    sh = d.select(
+        F.col("doc_id").alias("doc"),
+        F.size(hashed_word_shingles(F.col("text"), 2)).alias("n"),
+        F.explode(hashed_word_shingles(F.col("text"), 2)).alias("h"),
+    )
+    a = sh.select(F.col("doc").alias("id_a"), F.col("n").alias("n_a"), "h")
+    b = sh.select(F.col("doc").alias("id_b"), F.col("n").alias("n_b"), "h")
+    ref = {}
+    rows = (
+        a.join(b, ["h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    for r in rows:
+        j = r.c / (r.n_a + r.n_b - r.c)
+        if j >= 0.4:
+            ref[(r.id_a, r.id_b)] = (r.n_a, r.n_b, r.c, j)
+    assert set(got) == set(ref)
+    for k, (n_a, n_b, c, j) in ref.items():
+        gn_a, gn_b, gc, gj = got[k]
+        assert (gn_a, gn_b, gc) == (n_a, n_b, c)
+        assert gj == pytest.approx(j, abs=0)
+    # economy: the prefix index is strictly smaller than the full index
+    full_postings = sh.count()
+    pct = 40
+    plen = (
+        F.size("hs") - F.expr(f"({pct} * size(hs) + 99) div 100") + 1
+    )
+    prefix_postings = (
+        d.select(
+            F.array_sort(hashed_word_shingles(F.col("text"), 2)).alias("hs")
+        )
+        .filter(F.size("hs") > 0)
+        .select(F.explode(F.slice("hs", 1, plen)))
+        .count()
+    )
+    assert prefix_postings < full_postings

@@ -309,3 +309,60 @@ def test_q246_modularity_recompute(spark, sf_dir):
     # the fixture partition has positive modularity, asserted)
     assert q_num > 0
     assert row["q_millionths"] == (q_num * 1000000) // (4 * m * m)
+
+
+def test_q247_streaming_kmv_equals_batch_sketch(spark, sf_dir):
+    """The incrementally-maintained sketch (real 3-micro-batch replay,
+    foreachBatch partial store) equals the whole-corpus batch sketch
+    q240 computes — the merge law through the actual streaming engine."""
+    batch = {
+        (r["event_type"]): (r["n_kept"], r["kth_min"], r["est_distinct"])
+        for r in QUERIES["q240_kmv_distinct"](spark, sf_dir).collect()
+    }
+    stream = {}
+    for r in QUERIES["q247_streaming_kmv"](spark, sf_dir).collect():
+        assert r["n_batches"] == 3
+        stream[r["event_type"]] = (
+            r["n_kept"], r["kth_min"], r["est_distinct"]
+        )
+    assert stream == batch
+
+
+def test_q248_truncation_audit_recompute(spark, sf_dir):
+    import math
+
+    rows = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    ).collect()
+    qv = {
+        r["vec_id"]: [int(math.floor(float(x) * 1000000.0)) for x in r["embedding"]]
+        for r in rows
+    }
+    probes = sorted(
+        qv, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:4]
+    out = {
+        r["probe_id"]: r
+        for r in QUERIES["q248_truncation_audit"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(probes)
+    for p in probes:
+        pq = qv[p]
+        dots = [
+            (
+                v,
+                sum(a * b for a, b in zip(vec, pq)),
+                sum(a * b for a, b in zip(vec[:16], pq[:16])),
+            )
+            for v, vec in qv.items()
+            if v != p
+        ]
+        topf = [v for v, df_, _ in sorted(dots, key=lambda t: (-t[1], t[0]))[:10]]
+        topp = [v for v, _, dp in sorted(dots, key=lambda t: (-t[2], t[0]))[:10]]
+        row = out[p]
+        assert row["n_overlap"] == len(set(topf) & set(topp))
+        assert row["full_checksum"] == sum(topf)
+        assert row["trunc_checksum"] == sum(topp)
+        assert row["min10_dot_full"] == min(
+            d for v, d, _ in dots if v in topf
+        )
