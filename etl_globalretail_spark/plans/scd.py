@@ -549,3 +549,72 @@ def q188_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("long").alias("key_sum"),
         F.sum("bal_cents").cast("long").alias("bal_cents_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — incremental view maintenance (self-maintainable aggregate):
+# the warehouse pattern where a materialized revenue cube is kept
+# current by merging each load's PARTIAL aggregate into the stored
+# state — never re-reading the history. Valid exactly when every
+# measure is a commutative monoid (SUM/COUNT here; MIN/MAX on inserts;
+# AVG carried as sum+count), which is also why the same states shuffle
+# map-side-combined inside one Spark job — IVM is partial aggregation
+# across LOADS instead of across partitions.
+#
+# The query executes the maintenance, not just its algebra: state =
+# agg(orders with o_orderkey mod 4 ≠ 0) materialized to executor blocks
+# (localCheckpoint — the stored view), delta = agg(mod-4 slice), merged
+# on the VIEW grain (|groups| rows, not |orders|). The oracle computes
+# the view from scratch over the whole table — hash equality proves the
+# incremental path ≡ full recompute. Sums in cents (int64) so the merge
+# is order-free; the revenue DOUBLE is derived once at the end from the
+# exact cents (one IEEE division, cross-engine stable).
+# ---------------------------------------------------------------------------
+
+
+def _ivm_state(orders: DataFrame) -> DataFrame:
+    return orders.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("rev_cents"),
+    )
+
+
+@_register(
+    "q249_incremental_view",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q249_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status×year revenue view maintained incrementally: stored state
+    (3/4 of orders, checkpointed) merged with the delta load's partial
+    aggregate on the view grain; hash-equal to the from-scratch view."""
+    o = load_table(spark, "orders", sf_dir)
+    is_delta = F.pmod(F.col("o_orderkey"), 4) == 0
+    # the "previously materialized" view: executor-resident, lineage cut
+    state = _ivm_state(o.filter(~is_delta)).localCheckpoint(eager=True)
+    delta = _ivm_state(o.filter(is_delta))
+    merged = (
+        state.unionAll(delta)
+        .groupBy("status", "yr")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("rev_cents").cast("long").alias("rev_cents"),
+        )
+    )
+    return merged.select(
+        "status", "yr", "n_orders", "rev_cents",
+        (F.col("rev_cents").cast("double") / F.lit(100.0)).alias("revenue"),
+    )

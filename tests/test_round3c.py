@@ -366,3 +366,29 @@ def test_q248_truncation_audit_recompute(spark, sf_dir):
         assert row["min10_dot_full"] == min(
             d for v, d, _ in dots if v in topf
         )
+
+
+def test_q249_incremental_equals_full_and_state_is_checkpointed(spark, sf_dir):
+    """The merged incremental view equals a driver-side full recompute,
+    and the stored state is executor-resident (lineage cut — the plan
+    reads checkpoint blocks, not the orders scan, for the state side)."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    ).collect()
+    ref: dict = {}
+    for r in o:
+        key = (r["o_orderstatus"], r["o_orderdate"].year)
+        n, c = ref.get(key, (0, 0))
+        import math
+        ref[key] = (n + 1, c + int(math.floor(r["o_totalprice"] * 100)))
+    out = QUERIES["q249_incremental_view"](spark, sf_dir)
+    got = {
+        (r["status"], r["yr"]): (r["n_orders"], r["rev_cents"], r["revenue"])
+        for r in out.collect()
+    }
+    assert set(got) == set(ref)
+    for k, (n, c) in ref.items():
+        assert got[k] == (n, c, c / 100.0)
+    # lineage audit: the state side is an ExistingRDD (checkpoint blocks)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
