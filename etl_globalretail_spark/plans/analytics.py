@@ -5141,3 +5141,98 @@ def q246_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(SUM(4 * {m} * ec - dc * dc) * 1000000"
                f" div (4 * {m} * {m}) AS BIGINT)").alias("q_millionths"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — Theil–Sen robust trend per user: the median of all pairwise
+# slopes, the estimator that shrugs off the outliers OLS (q176-family)
+# chases. Kept exact by quantizing BEFORE the division: values floor to
+# cents, timestamps to epoch seconds, and each pair's slope becomes
+# (Δcents · 1e6) div Δsec — int64, truncation identical in Spark's div
+# and DuckDB's // (cookbook rule; the pytest recompute must truncate,
+# not floor, on negative Δcents). The median is the nearest-rank lower
+# median of that integer multiset under a total order, so ties carry no
+# engine luck.
+#
+# Plan shape: one window (per-user total order) + one per-user rank
+# self-join — pair mass is Σ n_u², bounded by session length (~70
+# events/user here). At 100 TB event counts per user are capped first
+# (trailing-window slice or per-user sampling — the standard Theil–Sen
+# scaling move); the join stays user-keyed either way, one shuffle.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q250_theil_sen_trend",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) // 1000000 AS sec,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    pairs AS (
+        SELECT a.user_id,
+               (b.cents - a.cents) * 1000000 // (b.sec - a.sec) AS slope,
+               a.rn AS ra, b.rn AS rb
+        FROM ev a JOIN ev b
+          ON a.user_id = b.user_id AND a.rn < b.rn AND a.sec < b.sec
+    ),
+    ranked AS (
+        SELECT user_id, slope,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY slope, ra, rb) AS rnk,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_pairs
+        FROM pairs
+    )
+    SELECT user_id,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(slope AS BIGINT) AS median_slope_micro
+    FROM ranked
+    WHERE rnk = (n_pairs + 1) // 2
+    """,
+)
+def q250_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil–Sen trend: nearest-rank lower median of all
+    pairwise integer slopes (Δcents·1e6 div Δsec). See block comment."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("rn"),
+    )
+    a = ev.select(
+        "user_id", F.col("sec").alias("sa"), F.col("cents").alias("ca"),
+        F.col("rn").alias("ra"),
+    )
+    b = ev.select(
+        "user_id", F.col("sec").alias("sb"), F.col("cents").alias("cb"),
+        F.col("rn").alias("rb"),
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter((F.col("ra") < F.col("rb")) & (F.col("sa") < F.col("sb")))
+        .select(
+            "user_id",
+            F.expr("(cb - ca) * 1000000 div (sb - sa)").alias("slope"),
+            "ra", "rb",
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("slope", "ra", "rb")
+    wc = Window.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id", "slope",
+        F.row_number().over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(wc).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rnk") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        "user_id",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("slope").cast("long").alias("median_slope_micro"),
+    )

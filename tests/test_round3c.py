@@ -392,3 +392,45 @@ def test_q249_incremental_equals_full_and_state_is_checkpointed(spark, sf_dir):
     # lineage audit: the state side is an ExistingRDD (checkpoint blocks)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan
+
+
+def test_q250_theil_sen_recompute(spark, sf_dir):
+    import math
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"],
+             int(r["ts"].timestamp()), int(math.floor(r["value"] * 100)))
+        )
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    out = {
+        r["user_id"]: (r["n_pairs"], r["median_slope_micro"])
+        for r in QUERIES["q250_theil_sen_trend"](spark, sf_dir).collect()
+    }
+    checked = 0
+    for u, rows in per_user.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        slopes = []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if rows[j][2] > rows[i][2]:
+                    slopes.append(
+                        trunc_div((rows[j][3] - rows[i][3]) * 1000000,
+                                  rows[j][2] - rows[i][2])
+                    )
+        if not slopes:
+            assert u not in out
+            continue
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1]
+        assert out[u] == (len(slopes), med)
+        checked += 1
+    assert checked >= 10  # sf0.001 fixture has ~15 users
