@@ -5236,3 +5236,72 @@ def q250_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.col("slope").cast("long").alias("median_slope_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 — the full decile table (D1…D9 per order priority): closes the
+# percentile family around q228's single median with the whole
+# distribution profile BI tooling actually renders. Nearest-rank
+# definition throughout — decile d = the value at rank ⌈d·n/10⌉ under
+# the (cents, orderkey) total order — so every output is an exact
+# int64 cent value picked by an integer rank: no interpolation, no FP,
+# no tie luck.
+#
+# Plan shape: one per-priority window pass (rank + count), then a 9×
+# literal explode filtered to the nine target ranks — the multiplier is
+# applied BEFORE the filter but after the window, so the extra rows are
+# a projection, never a shuffle. At 100 TB the same query swaps the
+# full sort for the two-phase range-offset device (q190) per group —
+# rank selection is unchanged.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q251_decile_table",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority AS priority,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+                            o_orderkey
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT priority,
+           CAST(d AS BIGINT) AS decile,
+           CAST(rn AS BIGINT) AS at_rank,
+           CAST(n AS BIGINT) AS n_orders,
+           cents AS value_cents
+    FROM (SELECT *, unnest(generate_series(1, 9)) AS d FROM ranked)
+    WHERE rn = (d * n + 9) // 10
+    """,
+)
+def q251_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-rank deciles of order value per priority, exact cents;
+    see block comment for the total order and the 100 TB rank device."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    wr = Window.partitionBy("priority").orderBy("cents", "o_orderkey")
+    wc = Window.partitionBy("priority")
+    ranked = o.select(
+        "priority", "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        ranked.withColumn("d", F.explode(F.sequence(F.lit(1), F.lit(9))))
+        .filter(F.col("rn") == F.expr("(d * n + 9) div 10"))
+        .select(
+            "priority",
+            F.col("d").cast("long").alias("decile"),
+            F.col("rn").cast("long").alias("at_rank"),
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("cents").alias("value_cents"),
+        )
+    )

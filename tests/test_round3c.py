@@ -434,3 +434,34 @@ def test_q250_theil_sen_recompute(spark, sf_dir):
         assert out[u] == (len(slopes), med)
         checked += 1
     assert checked >= 10  # sf0.001 fixture has ~15 users
+
+
+def test_q251_decile_table_recompute(spark, sf_dir):
+    import math
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in o:
+        groups.setdefault(r["o_orderpriority"], []).append(
+            (int(math.floor(r["o_totalprice"] * 100)), r["o_orderkey"])
+        )
+    out: dict = {}
+    for r in QUERIES["q251_decile_table"](spark, sf_dir).collect():
+        out[(r["priority"], r["decile"])] = (
+            r["at_rank"], r["n_orders"], r["value_cents"]
+        )
+    expect_keys = set()
+    for p, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for d in range(1, 10):
+            rank = (d * n + 9) // 10
+            expect_keys.add((p, d))
+            assert out[(p, d)] == (rank, n, vals[rank - 1][0])
+    assert set(out) == expect_keys
+    # monotone: deciles never decrease within a priority
+    for p in groups:
+        ds = [out[(p, d)][2] for d in range(1, 10)]
+        assert ds == sorted(ds)
