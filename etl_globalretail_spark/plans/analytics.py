@@ -5305,3 +5305,137 @@ def q251_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").alias("value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q252 — HITS hubs & authorities (Kleinberg) on the customer→part
+# purchase bipartite graph: hubs = customers whose baskets concentrate
+# on widely-bought parts, authorities = parts bought by the broadest
+# hubs — the mutual-reinforcement member of the iterative family
+# (q179/q209 damped-sum, q186 frontier-min, q236 neighbor-majority,
+# q227 min-plus). Two full iterations, unrolled in the oracle.
+#
+# Exactness device: after every half-step the raw integer scores
+# (Σ over neighbors of the previous side's score) renormalize by the
+# side's MAXIMUM — score·1e6 div max — the q235 max-norm in int64
+# instead of the L2 norm HITS papers use (L2 needs sqrt of a sum of
+# products ≥ 2⁶³; max-norm keeps the fixpoint direction and the
+# iteration order). Bounds: scores ≤ 1e6, raw sums ≤ degree·1e6
+# ≤ ~1e11, renorm numerator ≤ 1e17 — all int64.
+#
+# Plan shape: the distinct (cust, part) edge frame is built once and
+# persisted (consumed by all four half-steps); each half-step is one
+# edge-keyed aggregate + a broadcast 1-row MAX attach (bounded by
+# construction — whitelisted); output is the total-ordered top-10 of
+# each side. At 100 TB: same aggregates, the max is AQE's favorite
+# 1-row broadcast, and the persist becomes a checkpointed artifact
+# like co_purchase_edges.
+# ---------------------------------------------------------------------------
+
+
+def _q252_oracle() -> str:
+    return """
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    a1r AS (SELECT p, CAST(COUNT(*) AS BIGINT) * 1000000 AS r FROM e GROUP BY p),
+    a1 AS (SELECT p, r * 1000000 // (SELECT MAX(r) FROM a1r) AS s FROM a1r),
+    h1r AS (
+        SELECT e.c, CAST(SUM(a1.s) AS BIGINT) AS r
+        FROM e JOIN a1 ON e.p = a1.p GROUP BY e.c
+    ),
+    h1 AS (SELECT c, r * 1000000 // (SELECT MAX(r) FROM h1r) AS s FROM h1r),
+    a2r AS (
+        SELECT e.p, CAST(SUM(h1.s) AS BIGINT) AS r
+        FROM e JOIN h1 ON e.c = h1.c GROUP BY e.p
+    ),
+    a2 AS (SELECT p, r * 1000000 // (SELECT MAX(r) FROM a2r) AS s FROM a2r),
+    h2r AS (
+        SELECT e.c, CAST(SUM(a2.s) AS BIGINT) AS r
+        FROM e JOIN a2 ON e.p = a2.p GROUP BY e.c
+    ),
+    h2 AS (SELECT c, r * 1000000 // (SELECT MAX(r) FROM h2r) AS s FROM h2r),
+    top_a AS (
+        SELECT 'authority' AS kind, p AS node_id, s,
+               ROW_NUMBER() OVER (ORDER BY s DESC, p) AS rnk
+        FROM a2
+    ),
+    top_h AS (
+        SELECT 'hub' AS kind, c AS node_id, s,
+               ROW_NUMBER() OVER (ORDER BY s DESC, c) AS rnk
+        FROM h2
+    )
+    SELECT kind, CAST(rnk AS BIGINT) AS rank,
+           CAST(node_id AS BIGINT) AS node_id,
+           CAST(s AS BIGINT) AS score_ppm
+    FROM (SELECT * FROM top_a WHERE rnk <= 10
+          UNION ALL SELECT * FROM top_h WHERE rnk <= 10)
+    """
+
+
+def _maxnorm(df: DataFrame, key: str) -> DataFrame:
+    """score·1e6 div max(score) — broadcast 1-row max attach (bounded).
+    The raw-score frame feeds both the max aggregate and the row side,
+    so it persists (|nodes|-sized — the cookbook twice-consumed rule);
+    blocks are reclaimed by the ContextCleaner with the plan."""
+    df = df.persist()
+    mx = df.agg(F.max("r").alias("mx"))
+    return df.crossJoin(F.broadcast(mx)).select(
+        key, F.expr("r * 1000000 div mx").cast("long").alias("s")
+    )
+
+
+@_register("q252_hits_scores", oracle=_q252_oracle())
+def q252_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hubs and authorities after 2 max-norm integer HITS
+    rounds on the customer→part graph; see block comment."""
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    )
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()  # consumed by all four half-steps
+    )
+    # Unrolled trajectory (matches the oracle CTE chain exactly):
+    # a1 = normalized degree counts; h1 = hubs against a1; a2 =
+    # authorities against h1; h2 = hubs against a2.
+    a1 = _maxnorm(
+        e.groupBy("p").agg(
+            (F.count(F.lit(1)) * 1000000).cast("long").alias("r")
+        ),
+        "p",
+    )
+    h1 = _maxnorm(
+        e.join(a1, "p").groupBy("c").agg(F.sum("s").cast("long").alias("r")),
+        "c",
+    )
+    a2 = _maxnorm(
+        e.join(h1, "c").groupBy("p").agg(F.sum("s").cast("long").alias("r")),
+        "p",
+    )
+    h2 = _maxnorm(
+        e.join(a2, "p").groupBy("c").agg(F.sum("s").cast("long").alias("r")),
+        "c",
+    )
+    top_a = a2.select(
+        F.lit("authority").alias("kind"), F.col("p").alias("node_id"), "s",
+        F.row_number().over(
+            Window.orderBy(F.desc("s"), F.asc("p"))
+        ).alias("rnk"),
+    ).filter(F.col("rnk") <= 10)
+    top_h = h2.select(
+        F.lit("hub").alias("kind"), F.col("c").alias("node_id"), "s",
+        F.row_number().over(
+            Window.orderBy(F.desc("s"), F.asc("c"))
+        ).alias("rnk"),
+    ).filter(F.col("rnk") <= 10)
+    return top_a.unionAll(top_h).select(
+        "kind",
+        F.col("rnk").cast("long").alias("rank"),
+        F.col("node_id").cast("long").alias("node_id"),
+        F.col("s").cast("long").alias("score_ppm"),
+    )

@@ -58,6 +58,9 @@ INTENTIONAL_CROSS = {
     "q245_mixture_plan",  # attaches two broadcast 1-row global totals
     # (budget, then post-cap headroom) to the |sources|-row inventory —
     # bounded by construction
+    "q252_hits_scores",  # four broadcast 1-row MAX attaches (the
+    # max-norm half-steps) on |nodes|-grain score frames — bounded by
+    # construction
 }
 
 FORBIDDEN = ("CartesianProduct",)

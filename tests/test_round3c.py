@@ -465,3 +465,39 @@ def test_q251_decile_table_recompute(spark, sf_dir):
     for p in groups:
         ds = [out[(p, d)][2] for d in range(1, 10)]
         assert ds == sorted(ds)
+
+
+def test_q252_hits_recompute(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    cust_of = {r["o_orderkey"]: r["o_custkey"] for r in o}
+    edges = {(cust_of[r["l_orderkey"]], r["l_partkey"]) for r in li}
+    parts_of: dict[int, set] = {}
+    custs_of: dict[int, set] = {}
+    for c, p in edges:
+        parts_of.setdefault(c, set()).add(p)
+        custs_of.setdefault(p, set()).add(c)
+
+    def norm(d: dict) -> dict:
+        mx = max(d.values())
+        return {k: v * 1000000 // mx for k, v in d.items()}
+
+    a = norm({p: len(cs) * 1000000 for p, cs in custs_of.items()})
+    h = norm({c: sum(a[p] for p in ps) for c, ps in parts_of.items()})
+    a2 = norm({p: sum(h[c] for c in cs) for p, cs in custs_of.items()})
+    h2 = norm({c: sum(a2[p] for p in ps) for c, ps in parts_of.items()})
+    top_a = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    top_h = sorted(h2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    out = {
+        (r["kind"], r["rank"]): (r["node_id"], r["score_ppm"])
+        for r in QUERIES["q252_hits_scores"](spark, sf_dir).collect()
+    }
+    assert len(out) == 20
+    for i, (p, s) in enumerate(top_a, start=1):
+        assert out[("authority", i)] == (p, s)
+    for i, (c, s) in enumerate(top_h, start=1):
+        assert out[("hub", i)] == (c, s)
