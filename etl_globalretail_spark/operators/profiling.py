@@ -725,3 +725,248 @@ def _register_q240() -> None:
 
 
 _register_q240()
+
+
+# ---------------------------------------------------------------------------
+# q253 — CDC snapshot diff ON THE GATE: the added/removed/changed census
+# between two dimension snapshots — what `sources/formats.snapshot_diff`
+# does for on-disk versions, here as an oracle-checked query over two
+# deterministically DERIVED snapshots of customer (v2 = v1 with every
+# mod-7 key's balance bumped one dollar, every mod-11 key dropped), so
+# both engines build bit-identical inputs without touching disk.
+#
+# The diff is ONE full-outer join on the key with three disjoint
+# predicates — the canonical CDC shape; counts and key checksums ride
+# per change class. Scale: key-partitioned join, |keys| rows, map-side
+# agg. (Balances compare in exact cents.)
+# ---------------------------------------------------------------------------
+
+
+def _register_q253() -> None:
+    @_register(
+        "q253_cdc_snapshot_diff",
+        oracle="""
+        WITH v1 AS (
+            SELECT c_custkey AS k,
+                   CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal
+            FROM customer
+        ),
+        v2 AS (
+            SELECT k, CASE WHEN k % 7 = 0 THEN bal + 100 ELSE bal END AS bal
+            FROM v1 WHERE k % 11 <> 0
+            UNION ALL
+            SELECT k + 10000000 AS k, bal FROM v1 WHERE k % 13 = 0
+        ),
+        d AS (
+            SELECT COALESCE(a.k, b.k) AS k,
+                   CASE WHEN a.k IS NULL THEN 'added'
+                        WHEN b.k IS NULL THEN 'removed'
+                        WHEN a.bal <> b.bal THEN 'changed'
+                        ELSE 'unchanged' END AS op
+            FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
+        )
+        SELECT op, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(k) AS BIGINT) AS key_checksum
+        FROM d GROUP BY op
+        """,
+    )
+    def q253_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Added/removed/changed/unchanged census between two derived
+        customer snapshots via one full-outer key join."""
+        v1 = load_table(spark, "customer", sf_dir).select(
+            F.col("c_custkey").alias("k"),
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+        )
+        v2 = v1.filter(F.col("k") % 11 != 0).select(
+            "k",
+            F.when(F.col("k") % 7 == 0, F.col("bal") + 100)
+            .otherwise(F.col("bal")).alias("bal"),
+        ).unionAll(
+            v1.filter(F.col("k") % 13 == 0).select(
+                (F.col("k") + 10000000).alias("k"), "bal"
+            )
+        )
+        d = v1.alias("a").join(
+            v2.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer"
+        ).select(
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+            F.when(F.col("a.k").isNull(), "added")
+            .when(F.col("b.k").isNull(), "removed")
+            .when(F.col("a.bal") != F.col("b.bal"), "changed")
+            .otherwise("unchanged").alias("op"),
+        )
+        return d.groupBy("op").agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("k").cast("long").alias("key_checksum"),
+        )
+
+
+_register_q253()
+
+
+# ---------------------------------------------------------------------------
+# q254 — inclusion-dependency (foreign-key) discovery: which column
+# pairs actually satisfy child ⊆ parent on the data? The metadata-
+# discovery pass every lakehouse catalog runs before it can trust (or
+# propose) join paths — parquet has no FK constraints, so containment
+# must be MEASURED (the S1-side twin of quality.check_fk, which
+# enforces a declared FK; this one profiles candidate FKs, including a
+# deliberately false candidate to prove the audit can fail).
+#
+# Per candidate (child_col → parent_col): distinct child values, how
+# many appear in the parent, containment in permil. Each candidate is
+# a distinct-project + left-semi count — key-partitioned, map-side
+# combined; candidates run as independent branches of one union job.
+# ---------------------------------------------------------------------------
+
+_Q254_CANDS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    # deliberately false candidate: customer keys are not nation keys
+    ("customer", "c_custkey", "nation", "n_nationkey"),
+)
+
+
+def _register_q254() -> None:
+    sqls = []
+    for ct, cc, pt, pc in _Q254_CANDS:
+        sqls.append(f"""
+        SELECT '{ct}.{cc}->{pt}.{pc}' AS candidate,
+               CAST(COUNT(*) AS BIGINT) AS n_child_distinct,
+               CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contained,
+               CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) * 1000
+                    // COUNT(*) AS BIGINT) AS containment_permil
+        FROM (SELECT DISTINCT {cc} AS v FROM {ct}) c
+        LEFT JOIN (SELECT DISTINCT {pc} AS v FROM {pt}) p ON c.v = p.v
+        """)
+    @_register(
+        "q254_inclusion_dependencies",
+        oracle=" UNION ALL ".join(sqls),
+    )
+    def q254_inclusion_dependencies(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Containment audit for five candidate FK paths (one false by
+        construction); distinct-project + left join per candidate."""
+        outs = []
+        for ct, cc, pt, pc in _Q254_CANDS:
+            c = load_table(spark, ct, sf_dir).select(
+                F.col(cc).alias("v")
+            ).distinct()
+            p = load_table(spark, pt, sf_dir).select(
+                F.col(pc).alias("pv")
+            ).distinct()
+            j = c.join(p, c["v"] == p["pv"], "left")
+            outs.append(
+                j.agg(
+                    F.lit(f"{ct}.{cc}->{pt}.{pc}").alias("candidate"),
+                    F.count(F.lit(1)).cast("long")
+                    .alias("n_child_distinct"),
+                    F.sum(F.col("pv").isNotNull().cast("long"))
+                    .cast("long").alias("n_contained"),
+                    F.expr(
+                        "CAST(SUM(CAST(pv IS NOT NULL AS LONG)) * 1000"
+                        " div COUNT(*) AS BIGINT)"
+                    ).alias("containment_permil"),
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionAll(o)
+        return out
+
+
+_register_q254()
+
+
+# ---------------------------------------------------------------------------
+# q255 — functional-dependency audit: does X determine Y on the data?
+# The other half of schema discovery (candidate keys, normalization
+# opportunities, denormalization safety). A dependency X→Y holds iff no
+# X value maps to two Y values; the audit counts violating X values and
+# the rows they cover, per declared candidate — including one
+# dependency false by construction (order date does NOT determine
+# status). One groupBy(X) with countDistinct(Y) per candidate —
+# map-side partial, |X| rows shuffled.
+# ---------------------------------------------------------------------------
+
+
+def _register_q255() -> None:
+    @_register(
+        "q255_functional_dependencies",
+        oracle="""
+        SELECT * FROM (
+            SELECT 'nation->region' AS dependency,
+                   CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                   CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating_lhs,
+                   CAST(SUM(CASE WHEN nd > 1 THEN nr ELSE 0 END) AS BIGINT)
+                       AS n_rows_in_violation
+            FROM (
+                SELECT n_nationkey, COUNT(DISTINCT n_regionkey) AS nd,
+                       COUNT(*) AS nr
+                FROM nation GROUP BY n_nationkey
+            )
+            UNION ALL
+            SELECT 'custkey->mktsegment',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN nd > 1 THEN nr ELSE 0 END) AS BIGINT)
+            FROM (
+                SELECT c_custkey, COUNT(DISTINCT c_mktsegment) AS nd,
+                       COUNT(*) AS nr
+                FROM customer GROUP BY c_custkey
+            )
+            UNION ALL
+            SELECT 'orderdate->orderstatus',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN nd > 1 THEN nr ELSE 0 END) AS BIGINT)
+            FROM (
+                SELECT o_orderdate, COUNT(DISTINCT o_orderstatus) AS nd,
+                       COUNT(*) AS nr
+                FROM orders GROUP BY o_orderdate
+            )
+        )
+        """,
+    )
+    def q255_functional_dependencies(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Violation census for three declared FDs (one false by
+        construction); one grouped countDistinct per candidate."""
+        def fd(table: str, lhs: str, rhs: str, name: str) -> DataFrame:
+            g = (
+                load_table(spark, table, sf_dir)
+                .groupBy(lhs)
+                .agg(
+                    F.countDistinct(rhs).alias("nd"),
+                    F.count(F.lit(1)).alias("nr"),
+                )
+            )
+            return g.agg(
+                F.lit(name).alias("dependency"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                F.sum((F.col("nd") > 1).cast("long")).cast("long")
+                .alias("n_violating_lhs"),
+                F.sum(F.when(F.col("nd") > 1, F.col("nr")).otherwise(0))
+                .cast("long").alias("n_rows_in_violation"),
+            )
+
+        return (
+            fd("nation", "n_nationkey", "n_regionkey", "nation->region")
+            .unionAll(
+                fd("customer", "c_custkey", "c_mktsegment",
+                   "custkey->mktsegment")
+            )
+            .unionAll(
+                fd("orders", "o_orderdate", "o_orderstatus",
+                   "orderdate->orderstatus")
+            )
+        )
+
+
+_register_q255()

@@ -501,3 +501,61 @@ def test_q252_hits_recompute(spark, sf_dir):
         assert out[("authority", i)] == (p, s)
     for i, (c, s) in enumerate(top_h, start=1):
         assert out[("hub", i)] == (c, s)
+
+
+def test_q253_cdc_diff_recompute(spark, sf_dir):
+    import math
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_acctbal"
+    ).collect()
+    v1 = {
+        r["c_custkey"]: int(math.floor(r["c_acctbal"] * 100)) for r in cust
+    }
+    v2 = {
+        k: (b + 100 if k % 7 == 0 else b)
+        for k, b in v1.items()
+        if k % 11 != 0
+    }
+    for k, b in v1.items():
+        if k % 13 == 0:
+            v2[k + 10000000] = b
+    ref = {"added": [], "removed": [], "changed": [], "unchanged": []}
+    for k in set(v1) | set(v2):
+        if k not in v1:
+            ref["added"].append(k)
+        elif k not in v2:
+            ref["removed"].append(k)
+        elif v1[k] != v2[k]:
+            ref["changed"].append(k)
+        else:
+            ref["unchanged"].append(k)
+    out = {
+        r["op"]: (r["n_keys"], r["key_checksum"])
+        for r in QUERIES["q253_cdc_snapshot_diff"](spark, sf_dir).collect()
+    }
+    for op, keys in ref.items():
+        assert keys, f"class {op} must be non-empty by construction"
+        assert out[op] == (len(keys), sum(keys))
+
+
+def test_q254_q255_discover_true_and_false_candidates(spark, sf_dir):
+    inc = {
+        r["candidate"]: r["containment_permil"]
+        for r in QUERIES["q254_inclusion_dependencies"](spark, sf_dir)
+        .collect()
+    }
+    assert inc["lineitem.l_orderkey->orders.o_orderkey"] == 1000
+    assert inc["orders.o_custkey->customer.c_custkey"] == 1000
+    assert inc["customer.c_nationkey->nation.n_nationkey"] == 1000
+    assert inc["lineitem.l_suppkey->supplier.s_suppkey"] == 1000
+    assert inc["customer.c_custkey->nation.n_nationkey"] < 1000  # false FK
+    fd = {
+        r["dependency"]: (r["n_violating_lhs"], r["n_rows_in_violation"])
+        for r in QUERIES["q255_functional_dependencies"](spark, sf_dir)
+        .collect()
+    }
+    assert fd["nation->region"] == (0, 0)
+    assert fd["custkey->mktsegment"] == (0, 0)
+    v, rows = fd["orderdate->orderstatus"]
+    assert v > 0 and rows > v  # false FD violated on real data
