@@ -1446,3 +1446,101 @@ def _register_q248() -> None:
 
 
 _register_q248()
+
+
+# ---------------------------------------------------------------------------
+# q256 — embedding drift monitor: per label, the squared L2 distance
+# between the centroid of the even-vec_id half and the odd-vec_id half
+# — the statistic a feature store alarms on when an upstream encoder
+# or data mix shifts (here the halves stand in for week-over-week
+# snapshots; identical distribution, so drift is small — the pytest
+# pins that each label's drift is far below the between-label centroid
+# spread, i.e. the monitor separates noise from signal).
+#
+# Exactness: per-dim sums of floor-1e6-quantized values are exact
+# int64; each half's per-dim mean is ONE truncating division to
+# micro-units (s·1e6 div (n·1e6) = s div n — done at micro grain:
+# mean_micro = s div n); the drift is Σ (mean1−mean2)² ≤ 64·(2e6)²
+# ≈ 2.6e14 — int64-safe. Truncation is engine-identical (div ≡ //).
+#
+# Plan: one (label, half, pos)-grain aggregate from a posexplode
+# projection — map-side combined, |labels|·2·64 rows shuffle — then a
+# self-join on (label, pos) at that bounded grain and a |labels|-row
+# reduce. No corpus-sized join anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _register_q256() -> None:
+    @_register(
+        "q256_embedding_drift",
+        oracle="""
+        WITH flat AS (
+            SELECT label, vec_id % 2 AS half,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS q
+            FROM embeddings
+        ),
+        g AS (
+            SELECT label, half, pos,
+                   CAST(SUM(q) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM flat GROUP BY 1, 2, 3
+        ),
+        m AS (SELECT label, half, pos, s // n AS mean_micro FROM g),
+        d AS (
+            SELECT a.label, a.pos,
+                   (a.mean_micro - b.mean_micro) AS dd
+            FROM m a JOIN m b
+              ON a.label = b.label AND a.pos = b.pos
+             AND a.half = 0 AND b.half = 1
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_dims,
+               CAST(SUM(dd * dd) AS BIGINT) AS drift_musq,
+               CAST(MAX(abs(dd)) AS BIGINT) AS max_dim_drift_micro
+        FROM d GROUP BY label
+        """,
+    )
+    def q256_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-label squared centroid drift between the even/odd vec_id
+        halves, exact micro-unit integers; see block comment."""
+        e = load_table(spark, "embeddings", sf_dir)
+        flat = e.select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * F.lit(1000000.0))
+                    .cast("long"),
+                )
+            ).alias("pos0", "q"),
+        )
+        g = (
+            flat.groupBy("label", "half", F.col("pos0").alias("pos"))
+            .agg(
+                F.sum("q").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .select(
+                "label", "half", "pos", F.expr("s div n").alias("mean_micro")
+            )
+        )
+        a = g.filter(F.col("half") == 0).select(
+            "label", "pos", F.col("mean_micro").alias("m0")
+        )
+        b = g.filter(F.col("half") == 1).select(
+            "label", "pos", F.col("mean_micro").alias("m1")
+        )
+        d = a.join(b, ["label", "pos"]).select(
+            "label", (F.col("m0") - F.col("m1")).alias("dd")
+        )
+        return d.groupBy(F.col("label").cast("long").alias("label")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.sum(F.col("dd") * F.col("dd")).cast("long").alias("drift_musq"),
+            F.max(F.abs("dd")).cast("long").alias("max_dim_drift_micro"),
+        )
+
+
+_register_q256()

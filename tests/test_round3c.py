@@ -559,3 +559,50 @@ def test_q254_q255_discover_true_and_false_candidates(spark, sf_dir):
     assert fd["custkey->mktsegment"] == (0, 0)
     v, rows = fd["orderdate->orderstatus"]
     assert v > 0 and rows > v  # false FD violated on real data
+
+
+def test_q256_embedding_drift_recompute(spark, sf_dir):
+    import math
+
+    rows = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", "embedding"
+    ).collect()
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    sums: dict = {}
+    for r in rows:
+        key = (r["label"], r["vec_id"] % 2)
+        q = [int(math.floor(float(x) * 1000000.0)) for x in r["embedding"]]
+        if key not in sums:
+            sums[key] = [list(q), 1]
+        else:
+            acc, n = sums[key]
+            for i, v in enumerate(q):
+                acc[i] += v
+            sums[key][1] = n + 1
+    labels = {l for l, _ in sums}
+    ref = {}
+    centroids = {}
+    for l in labels:
+        s0, n0 = sums[(l, 0)]
+        s1, n1 = sums[(l, 1)]
+        m0 = [tdiv(x, n0) for x in s0]
+        m1 = [tdiv(x, n1) for x in s1]
+        dd = [a - b for a, b in zip(m0, m1)]
+        ref[l] = (
+            len(dd),
+            sum(x * x for x in dd),
+            max(abs(x) for x in dd),
+        )
+        centroids[l] = m0
+    out = {
+        r["label"]: (r["n_dims"], r["drift_musq"], r["max_dim_drift_micro"])
+        for r in QUERIES["q256_embedding_drift"](spark, sf_dir).collect()
+    }
+    assert out == ref
+    # structural invariants: max-dim contribution bounds the total
+    for n_dims, musq, mx in ref.values():
+        assert mx * mx <= musq <= n_dims * mx * mx
