@@ -2732,3 +2732,205 @@ def _register_q244() -> None:
 
 
 _register_q244()
+
+
+# ---------------------------------------------------------------------------
+# q258 — collocation mining by lift (log-free PMI): which token BIGRAMS
+# occur far more often than their unigram frequencies predict? The
+# phrase-detection pass (word2vec-style phrase joining, index phrase
+# extraction) in exact integers: lift·1e3 = (n_ab · N_bigrams · 1000)
+# div (n_a · n_b) — the PMI exponent without the log, same ranking.
+# Magnitudes: n_ab·N ≈ 1e5·1e5 = 1e10, ×1000 = 1e13 — int64-safe
+# (at 100 TB counts the numerator moves to DECIMAL(38,0), expressions
+# unchanged). Top-20 under the (lift desc, pair) total order.
+#
+# Plan: one bigram explode → (a, b) count; two broadcast joins against
+# the |V|-row unigram table; |V|²-bounded matrix, then global top-k on
+# that aggregated grain.
+# ---------------------------------------------------------------------------
+
+
+def _register_q258() -> None:
+    @_register(
+        "q258_collocation_lift",
+        oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_ALPHA_TOKENS} AS t FROM documents
+        ),
+        bg AS (
+            SELECT t[i] AS a, t[i + 1] AS b
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 1)) AS i
+                  FROM toks)
+        ),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg),
+        pair AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM bg GROUP BY a, b
+        ),
+        uni AS (
+            SELECT a AS w, CAST(COUNT(*) AS BIGINT) AS n_w
+            FROM (SELECT a FROM bg UNION ALL SELECT b FROM bg)
+            GROUP BY a
+        ),
+        lifted AS (
+            SELECT p.a, p.b, p.n_ab,
+                   CAST(p.n_ab * nb.n * 1000 // (ua.n_w * ub.n_w) AS BIGINT)
+                       AS lift_permil
+            FROM pair p
+            JOIN uni ua ON p.a = ua.w
+            JOIN uni ub ON p.b = ub.w
+            CROSS JOIN nb
+        )
+        SELECT a, b, n_ab, lift_permil,
+               CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY lift_permil DESC, a, b) AS rnk
+            FROM lifted
+        ) WHERE rnk <= 20
+        """,
+    )
+    def q258_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-20 token bigrams by integer lift (log-free PMI); unigram
+        counts taken over bigram SLOTS so numerator and denominator
+        share one sample space. See block comment."""
+        docs = load_table(spark, "documents", sf_dir)
+        toks = alpha_tokens(F.col("text"))
+        pos = docs.select(toks.alias("t")).filter(F.size("t") >= 2).select(
+            "t", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i")
+        )
+        bg = pos.select(
+            F.expr("t[i - 1]").alias("a"), F.expr("t[i]").alias("b")
+        ).persist()  # feeds the pair count, both unigram slots, and N
+        nb = bg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        pair = bg.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("n_ab")
+        )
+        uni = (
+            bg.select(F.col("a").alias("w"))
+            .unionAll(bg.select(F.col("b").alias("w")))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+        )
+        ua = uni.select(F.col("w").alias("a"), F.col("n_w").alias("na"))
+        ub = uni.select(F.col("w").alias("b"), F.col("n_w").alias("nb_"))
+        lifted = (
+            pair.join(F.broadcast(ua), "a")
+            .join(F.broadcast(ub), "b")
+            .crossJoin(F.broadcast(nb))
+            .select(
+                "a", "b", "n_ab",
+                F.expr("CAST(n_ab * n * 1000 div (na * nb_) AS BIGINT)")
+                .alias("lift_permil"),
+            )
+        )
+        wr = Window.orderBy(F.desc("lift_permil"), "a", "b")
+        return (
+            lifted.select(
+                "a", "b", "n_ab", "lift_permil",
+                F.row_number().over(wr).alias("rnk"),
+            )
+            .filter(F.col("rnk") <= 20)
+            .select(
+                "a", "b", "n_ab", "lift_permil",
+                F.col("rnk").cast("long").alias("rank"),
+            )
+        )
+
+
+_register_q258()
+
+
+# ---------------------------------------------------------------------------
+# q259 — the dataset card: one row a release pipeline stamps on a
+# corpus drop (the quantitative half of a datasheet/model-card data
+# section). Everything exact-integer: doc/source/lang counts, token
+# totals (whitespace and alpha), character volume, vocabulary size,
+# exact-duplicate census (md5 text groups), and derived permil ratios
+# via truncating division.
+#
+# Plan: three independent 1-row aggregates (per-doc stats; md5-group
+# dup census at the |distinct texts| grain; |V|-row vocabulary count)
+# composed by broadcast 1-row crosses (bounded by construction,
+# whitelisted). Each leg is one scan + map-side combine; Spark runs
+# the legs as concurrent jobs under the single collecting action.
+# ---------------------------------------------------------------------------
+
+
+def _register_q259() -> None:
+    @_register(
+        "q259_dataset_card",
+        oracle=f"""
+        WITH base AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                        AS BIGINT) AS n_tokens,
+                   CAST(SUM(len({_SQL_ALPHA_TOKENS})) AS BIGINT)
+                       AS n_alpha_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM documents
+        ),
+        dup AS (
+            SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS dup_docs,
+                   CAST(COUNT(*) AS BIGINT) AS dup_groups
+            FROM (
+                SELECT COUNT(*) AS c FROM documents
+                GROUP BY md5(text) HAVING COUNT(*) > 1
+            )
+        ),
+        voc AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_size
+            FROM (SELECT unnest({_SQL_ALPHA_TOKENS}) AS tok FROM documents)
+        )
+        SELECT base.*, dup.dup_docs, dup.dup_groups, voc.vocab_size,
+               CAST(base.n_tokens * 1000 // base.n_docs AS BIGINT)
+                   AS mean_doc_tokens_milli,
+               CAST(dup.dup_docs * 1000 // base.n_docs AS BIGINT)
+                   AS dup_permil
+        FROM base, dup, voc
+        """,
+    )
+    def q259_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """One-row corpus datasheet; see block comment for the legs."""
+        d = load_table(spark, "documents", sf_dir)
+        base = d.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+            .cast("long").alias("n_tokens"),
+            F.sum(F.size(alpha_tokens(F.col("text"))))
+            .cast("long").alias("n_alpha_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        dup = (
+            d.groupBy(F.md5("text").alias("h"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                .alias("dup_docs"),
+                F.count(F.lit(1)).cast("long").alias("dup_groups"),
+            )
+        )
+        voc = (
+            d.select(F.explode(alpha_tokens(F.col("text"))).alias("tok"))
+            .agg(F.countDistinct("tok").cast("long").alias("vocab_size"))
+        )
+        return (
+            base.crossJoin(F.broadcast(dup))
+            .crossJoin(F.broadcast(voc))
+            .select(
+                "*",
+                F.expr("CAST(n_tokens * 1000 div n_docs AS BIGINT)")
+                .alias("mean_doc_tokens_milli"),
+                F.expr("CAST(dup_docs * 1000 div n_docs AS BIGINT)")
+                .alias("dup_permil"),
+            )
+        )
+
+
+_register_q259()

@@ -5439,3 +5439,63 @@ def q252_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node_id").cast("long").alias("node_id"),
         F.col("s").cast("long").alias("score_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q257 — first-order Markov transition matrix over event types: the
+# behavioral model behind next-action prediction, anomaly scoring, and
+# bot detection. Per user, consecutive events (under the (ts, event_id)
+# total order) yield (from → to) transitions; the matrix row-normalizes
+# to permil with one truncating division — the log-free, integer-exact
+# face of a stochastic matrix (rows sum to ≤ 1000 with the remainder
+# being truncation dust — reported, not hidden, via row_total).
+#
+# Plan: one per-user window lag (event-grain, key-partitioned) and one
+# (from, to) aggregate with map-side combine; the |types|²-grain matrix
+# then self-attaches its row totals by a broadcast-size join.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q257_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    t AS (
+        SELECT prev AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rt AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+        FROM t GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n, rt.row_total,
+           CAST(t.n * 1000 // rt.row_total AS BIGINT) AS p_permil
+    FROM t JOIN rt ON t.from_type = rt.from_type
+    """,
+)
+def q257_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts and row-normalized permil under the
+    per-user (ts, event_id) total order; see block comment."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    t = seq.groupBy(
+        F.col("prev").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rt = t.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    return t.join(F.broadcast(rt), "from_type").select(
+        "from_type", "to_type", "n", "row_total",
+        F.expr("CAST(n * 1000 div row_total AS BIGINT)").alias("p_permil"),
+    )

@@ -606,3 +606,98 @@ def test_q256_embedding_drift_recompute(spark, sf_dir):
     # structural invariants: max-dim contribution bounds the total
     for n_dims, musq, mx in ref.values():
         assert mx * mx <= musq <= n_dims * mx * mx
+
+
+def test_q257_markov_recompute(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    ).collect()
+    per_user: dict = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    trans: Counter = Counter()
+    for rows in per_user.values():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            trans[(a, b)] += 1
+    row_tot: Counter = Counter()
+    for (a, _), n in trans.items():
+        row_tot[a] += n
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["row_total"], r["p_permil"])
+        for r in QUERIES["q257_markov_transitions"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(trans)
+    for (a, b), n in trans.items():
+        assert out[(a, b)] == (n, row_tot[a], n * 1000 // row_tot[a])
+    # permil rows sum to ≤ 1000 (truncation dust only)
+    by_from: dict = {}
+    for (a, _), (_, _, p) in out.items():
+        by_from[a] = by_from.get(a, 0) + p
+    assert all(990 <= s <= 1000 for s in by_from.values())
+
+
+def test_q258_collocation_recompute(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select("text").collect()
+    bigrams: Counter = Counter()
+    uni: Counter = Counter()
+    total = 0
+    for r in docs:
+        toks = [
+            t
+            for t in re.split(r"\s+", r["text"].strip().lower())
+            if re.fullmatch("[a-z]+", t)
+        ]
+        for a, b in zip(toks, toks[1:]):
+            bigrams[(a, b)] += 1
+            uni[a] += 1
+            uni[b] += 1
+            total += 1
+    lifted = sorted(
+        (
+            (-(n * total * 1000 // (uni[a] * uni[b])), a, b, n)
+            for (a, b), n in bigrams.items()
+        )
+    )[:20]
+    out = [
+        (r["a"], r["b"], r["n_ab"], r["lift_permil"])
+        for r in QUERIES["q258_collocation_lift"](spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert out == [(a, b, n, -neg) for neg, a, b, n in lifted]
+
+
+def test_q259_dataset_card_recompute(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).collect()
+    n_docs = len(docs)
+    srcs = {r["source"] for r in docs}
+    langs = {r["lang"] for r in docs}
+    n_tokens = sum(len(re.split(r"\s+", r["text"].strip())) for r in docs)
+    vocab = set()
+    n_alpha = 0
+    for r in docs:
+        ts = [
+            t
+            for t in re.split(r"\s+", r["text"].strip().lower())
+            if re.fullmatch("[a-z]+", t)
+        ]
+        n_alpha += len(ts)
+        vocab.update(ts)
+    texts: Counter = Counter(r["text"] for r in docs)
+    dup_docs = sum(c for c in texts.values() if c > 1)
+    dup_groups = sum(1 for c in texts.values() if c > 1)
+    row = QUERIES["q259_dataset_card"](spark, sf_dir).collect()[0]
+    assert row["n_docs"] == n_docs
+    assert row["n_sources"] == len(srcs)
+    assert row["n_langs"] == len(langs)
+    assert row["n_tokens"] == n_tokens
+    assert row["n_alpha_tokens"] == n_alpha
+    assert row["n_chars"] == sum(r["n_chars"] for r in docs)
+    assert row["vocab_size"] == len(vocab)
+    assert row["dup_docs"] == dup_docs
+    assert row["dup_groups"] == dup_groups
+    assert row["mean_doc_tokens_milli"] == n_tokens * 1000 // n_docs
+    assert row["dup_permil"] == dup_docs * 1000 // n_docs
