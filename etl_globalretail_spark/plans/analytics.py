@@ -5499,3 +5499,91 @@ def q257_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type", "to_type", "n", "row_total",
         F.expr("CAST(n * 1000 div row_total AS BIGINT)").alias("p_permil"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q260 — skyline / Pareto frontier: the orders no other order dominates
+# (later-or-equal date AND cheaper-or-equal price, strictly better in
+# at least one) — the multi-objective shortlist operator (best
+# price-recency tradeoffs) that has no native Spark form. The naive
+# dominance test is an O(n²) self-join; the 2-D skyline instead falls
+# out of ONE window pass: scan in (date DESC, price ASC, key ASC)
+# total order and keep rows strictly below the running price minimum
+# of everything EARLIER in that order (previous rows all have
+# later-or-equal dates, and equal-date-cheaper rows sort first, so
+# "running min beaten" ⇔ "undominated") — the textbook sort-scan
+# skyline, expressed relationally. First frontier row (no
+# predecessor) guards the NULL running min.
+#
+# Plan: one window over the (date, price, key) sort — no join at all.
+# At 100 TB the sort shards by date range with per-range min carry-in
+# (the q190 two-phase device applied to a running MIN).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q260_pareto_frontier",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS k, o_orderdate AS d,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    combos AS (SELECT DISTINCT d, cents FROM o),
+    scan AS (
+        SELECT d, cents,
+               MIN(cents) OVER (
+                   ORDER BY d DESC, cents ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prior_min
+        FROM combos
+    ),
+    -- the scan runs at the DISTINCT (d, cents) grain: rows sharing the
+    -- exact combination do not dominate each other (dominance needs one
+    -- strict inequality), so an undominated combination admits ALL its
+    -- rows — the join-back below restores them
+    sky AS (
+        SELECT o.k, o.d, o.cents
+        FROM o JOIN (
+            SELECT d, cents FROM scan
+            WHERE prior_min IS NULL OR cents < prior_min
+        ) f ON o.d = f.d AND o.cents = f.cents
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY d DESC, cents, k) AS BIGINT)
+               AS rank,
+           CAST(k AS BIGINT) AS o_orderkey,
+           d AS o_orderdate,
+           cents AS price_cents
+    FROM sky
+    """,
+)
+def q260_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/recency Pareto frontier of orders via the one-pass
+    sort-scan skyline; see block comment."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # scan at the DISTINCT (d, cents) grain — equal combinations never
+    # dominate each other (strictness), so the frontier combination
+    # admits all its rows via the join-back
+    combos = o.select("d", "cents").distinct()
+    ws = (
+        Window.orderBy(F.desc("d"), F.asc("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scan = combos.select(
+        "d", "cents", F.min("cents").over(ws).alias("prior_min")
+    )
+    frontier = scan.filter(
+        F.col("prior_min").isNull() | (F.col("cents") < F.col("prior_min"))
+    ).select("d", "cents")
+    sky = o.join(F.broadcast(frontier), ["d", "cents"])
+    wr = Window.orderBy(F.desc("d"), "cents", "k")
+    return sky.select(
+        F.row_number().over(wr).cast("long").alias("rank"),
+        F.col("k").cast("long").alias("o_orderkey"),
+        F.col("d").alias("o_orderdate"),
+        F.col("cents").alias("price_cents"),
+    )

@@ -701,3 +701,32 @@ def test_q259_dataset_card_recompute(spark, sf_dir):
     assert row["dup_groups"] == dup_groups
     assert row["mean_doc_tokens_milli"] == n_tokens * 1000 // n_docs
     assert row["dup_permil"] == dup_docs * 1000 // n_docs
+
+
+def test_q260_pareto_frontier_is_exact_skyline(spark, sf_dir):
+    import math
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    pts = [
+        (r["o_orderkey"], r["o_orderdate"],
+         int(math.floor(r["o_totalprice"] * 100)))
+        for r in o
+    ]
+    # brute-force dominance: y dominates x if y.date >= x.date and
+    # y.price <= x.price with at least one strict
+    sky = set()
+    for k, d, c in pts:
+        dominated = any(
+            (d2 >= d and c2 <= c and (d2 > d or c2 < c))
+            for k2, d2, c2 in pts
+            if k2 != k
+        )
+        if not dominated:
+            sky.add((k, d, c))
+    got = {
+        (r["o_orderkey"], r["o_orderdate"], r["price_cents"])
+        for r in QUERIES["q260_pareto_frontier"](spark, sf_dir).collect()
+    }
+    assert got == sky and len(sky) > 0
