@@ -2934,3 +2934,99 @@ def _register_q259() -> None:
 
 
 _register_q259()
+
+
+# ---------------------------------------------------------------------------
+# q261 — greedy decoding from the corpus bigram model: start at the
+# most frequent first-slot token and repeatedly emit the argmax
+# continuation (count desc, token asc — a total order, so the decode
+# is a pure function of the corpus). The generation face of the LM
+# family (q232 scores documents under this model; q261 samples its
+# mode path), and the loop pattern of every decode stack: per step,
+# one bounded argmax against a PERSISTED model artifact — the model is
+# built once (the corpus-sized work), steps touch only the |V|²-bounded
+# bigram table. Greedy decodes cycle quickly on a small vocabulary —
+# expected, deterministic, and exactly what the unrolled DuckDB
+# trajectory reproduces.
+#
+# Scale notes: the 10 per-step argmaxes are driver-scalar decisions
+# (the q74-centroid convention) over the persisted model — at 100 TB
+# the model build is the only pass over data; serving-side decode would
+# hold the (dim-sized) model in a store, exactly this shape.
+# ---------------------------------------------------------------------------
+
+_Q261_STEPS = 10
+
+
+def _q261_oracle() -> str:
+    ctes = [f"""
+    bg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM (SELECT {_SQL_ALPHA_TOKENS} AS t FROM documents)
+        ) GROUP BY 1, 2
+    )""",
+        """s0 AS (
+        SELECT w1 AS tok, CAST(SUM(c) AS BIGINT) AS c
+        FROM bg GROUP BY w1 ORDER BY c DESC, tok LIMIT 1
+    )""",
+    ]
+    for i in range(1, _Q261_STEPS + 1):
+        ctes.append(f"""s{i} AS (
+        SELECT w2 AS tok, c FROM bg
+        WHERE w1 = (SELECT tok FROM s{i - 1})
+        ORDER BY c DESC, w2 LIMIT 1
+    )""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, tok, c AS count_used FROM s{i}"
+        for i in range(_Q261_STEPS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+def _register_q261() -> None:
+    @_register("q261_greedy_decode", oracle=_q261_oracle())
+    def q261_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The 11-token greedy mode path of the corpus bigram model
+        (step 0 = most frequent first-slot token); see block comment."""
+        docs = load_table(spark, "documents", sf_dir)
+        toks = alpha_tokens(F.col("text"))
+        pos = docs.select(toks.alias("t")).filter(F.size("t") >= 2).select(
+            "t", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i")
+        )
+        bg = (
+            pos.select(
+                F.expr("t[i - 1]").alias("w1"), F.expr("t[i]").alias("w2")
+            )
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .persist()  # the model artifact: built once, probed per step
+        )
+        try:
+            start = (
+                bg.groupBy("w1")
+                .agg(F.sum("c").cast("long").alias("c"))
+                .orderBy(F.desc("c"), "w1")
+                .first()
+            )
+            out = [(0, start["w1"], int(start["c"]))]
+            cur = start["w1"]
+            for step in range(1, _Q261_STEPS + 1):
+                nxt = (
+                    bg.filter(F.col("w1") == cur)
+                    .orderBy(F.desc("c"), "w2")
+                    .first()
+                )  # 1-row driver scalar per step, bounded by construction
+                if nxt is None:
+                    break
+                out.append((step, nxt["w2"], int(nxt["c"])))
+                cur = nxt["w2"]
+            return spark.createDataFrame(
+                out, "step long, tok string, count_used long"
+            )
+        finally:
+            bg.unpersist()
+
+
+_register_q261()

@@ -730,3 +730,34 @@ def test_q260_pareto_frontier_is_exact_skyline(spark, sf_dir):
         for r in QUERIES["q260_pareto_frontier"](spark, sf_dir).collect()
     }
     assert got == sky and len(sky) > 0
+
+
+def test_q261_greedy_decode_recompute(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select("text").collect()
+    bg: Counter = Counter()
+    for r in docs:
+        toks = [
+            t
+            for t in re.split(r"\s+", r["text"].strip().lower())
+            if re.fullmatch("[a-z]+", t)
+        ]
+        bg.update(zip(toks, toks[1:]))
+    first: Counter = Counter()
+    for (a, _), c in bg.items():
+        first[a] += c
+    cur = min(first.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    expected = [(0, cur, first[cur])]
+    for step in range(1, 11):
+        cands = [(w2, c) for (w1, w2), c in bg.items() if w1 == cur]
+        if not cands:
+            break
+        w2, c = min(cands, key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, w2, c))
+        cur = w2
+    got = [
+        (r["step"], r["tok"], r["count_used"])
+        for r in QUERIES["q261_greedy_decode"](spark, sf_dir)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == expected and len(got) == 11
