@@ -61,11 +61,12 @@ _SHOWCASE = [
     "q38_dim_categoria_cliente", "q39_promo_fact", "q44_dim_loja",
     "q45_dim_promocao", "q46_dim_localidade",
     # TPC-H sweep
-    "q96_late_supplier_blame", "q97_custdist", "q98_trailing_window_avg",
-    "q102_idle_rich_customers", "q103_cube_revenue",
-    "q108_min_cost_supplier", "q112_top_supplier", "q116_disjunctive_filter",
-    "q117_dominant_suppliers", "q118_shipping_priority",
-    "q119_discount_revenue",
+    "q96_late_supplier_blame", "q108_min_cost_supplier",
+    "q112_top_supplier", "q116_disjunctive_filter",
+    "q118_shipping_priority", "q119_discount_revenue",
+    # round-3 new operator families (never driver-sampled)
+    "q242_bpe_merges", "q247_streaming_kmv", "q249_incremental_view",
+    "q252_hits_scores", "q260_pareto_frontier",
     # layout / join-reduction / SQL front door / Python surfaces
     "q141_zorder_layout", "q144_bloom_join_reduction",
     "q151_python_datasource", "q155_user_activity_features",
