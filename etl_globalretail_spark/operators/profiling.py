@@ -970,3 +970,168 @@ def _register_q255() -> None:
 
 
 _register_q255()
+
+
+# ---------------------------------------------------------------------------
+# q262 — sketch ALGEBRA on the gate: HLL union and intersection
+# estimates for every event-type pair, from the same deterministic
+# md5-HLL registers q180 pins. Union is the sketch-native operation
+# (per-bucket register MAX — exactly how mergeable HLL states compose
+# across shards/days); intersection comes by inclusion–exclusion
+# (est_a + est_b − est_union), the standard overlap estimator whose
+# error the exact audit column exposes. This is the capability that
+# lets a 100 TB profile answer "how many users do segments A and B
+# share?" from kilobyte states instead of a corpus-sized distinct join.
+#
+# Cross-engine exactness: registers are integers (q180's construction);
+# each estimate is ONE double division of the shared literal numerator;
+# the intersection is the fixed chain est_a + est_b − est_union written
+# identically in both engines. The |types|²-pair register frame is
+# ≤ pairs·256 rows — bounded.
+# ---------------------------------------------------------------------------
+
+
+def _q262_oracle() -> str:
+    return f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'hll'),
+                                   1, 15) AS BIGINT) AS hv
+        FROM events
+    ),
+    rr AS (
+        SELECT event_type, hv // {_HLL_W} AS bucket,
+               CASE WHEN hv % {_HLL_W} = 0 THEN 53
+                    ELSE 53 - length(bin(hv % {_HLL_W})) END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT event_type, bucket, MAX(rho) AS m
+        FROM rr GROUP BY event_type, bucket
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(SUM(CAST(1 AS BIGINT) << (53 - m))
+                    + (256 - COUNT(*)) * {_HLL_EMPTY} AS BIGINT) AS rsum
+        FROM regs GROUP BY event_type
+    ),
+    tp AS (
+        SELECT a.event_type AS t1, b.event_type AS t2
+        FROM sums a JOIN sums b ON a.event_type < b.event_type
+    ),
+    pu AS (
+        SELECT tp.t1, tp.t2, r.bucket, MAX(r.m) AS m
+        FROM tp JOIN regs r
+          ON r.event_type = tp.t1 OR r.event_type = tp.t2
+        GROUP BY tp.t1, tp.t2, r.bucket
+    ),
+    usum AS (
+        SELECT t1, t2,
+               CAST(SUM(CAST(1 AS BIGINT) << (53 - m))
+                    + (256 - COUNT(*)) * {_HLL_EMPTY} AS BIGINT) AS rsum
+        FROM pu GROUP BY t1, t2
+    ),
+    ex AS (
+        SELECT a.event_type AS t1, b.event_type AS t2,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_exact_inter
+        FROM (SELECT DISTINCT event_type, user_id FROM events) a
+        JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT u.t1, u.t2,
+           {_HLL_NUM} / CAST(sa.rsum AS DOUBLE) AS est_a,
+           {_HLL_NUM} / CAST(sb.rsum AS DOUBLE) AS est_b,
+           {_HLL_NUM} / CAST(u.rsum AS DOUBLE) AS est_union,
+           {_HLL_NUM} / CAST(sa.rsum AS DOUBLE)
+             + {_HLL_NUM} / CAST(sb.rsum AS DOUBLE)
+             - {_HLL_NUM} / CAST(u.rsum AS DOUBLE) AS est_intersection,
+           ex.n_exact_inter
+    FROM usum u
+    JOIN sums sa ON sa.event_type = u.t1
+    JOIN sums sb ON sb.event_type = u.t2
+    JOIN ex ON ex.t1 = u.t1 AND ex.t2 = u.t2
+    """
+
+
+def _register_q262() -> None:
+    @_register("q262_hll_set_algebra", oracle=_q262_oracle())
+    def q262_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pairwise HLL union / inclusion-exclusion intersection
+        estimates over event types, beside the exact overlap audit."""
+        e = load_table(spark, "events", sf_dir)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"),
+                               F.lit("hll"))), 1, 15,
+            ), 16, 10,
+        ).cast("bigint")
+        rr = e.select("event_type", h.alias("hv")).select(
+            "event_type",
+            F.expr(f"hv div {_HLL_W}").alias("bucket"),
+            F.when(F.col("hv") % _HLL_W == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin(F.col("hv") % _HLL_W)))
+            .alias("rho"),
+        )
+        regs = rr.groupBy("event_type", "bucket").agg(
+            F.max("rho").alias("m")
+        ).persist()  # |types|·256 rows: feeds per-type sums AND pair unions
+        rsum = (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)"))
+            + (F.lit(256) - F.count(F.lit(1))) * F.lit(_HLL_EMPTY)
+        ).cast("long")
+        sums = regs.groupBy("event_type").agg(rsum.alias("rsum"))
+        tp = (
+            sums.select(F.col("event_type").alias("t1"))
+            .join(
+                sums.select(F.col("event_type").alias("t2")),
+                F.col("t1") < F.col("t2"),
+            )
+        )
+        pu = (
+            tp.join(regs, regs["event_type"] == tp["t1"])
+            .select("t1", "t2", "bucket", "m")
+            .unionAll(
+                tp.join(regs, regs["event_type"] == tp["t2"])
+                .select("t1", "t2", "bucket", "m")
+            )
+            .groupBy("t1", "t2", "bucket")
+            .agg(F.max("m").alias("m"))
+        )
+        usum = pu.groupBy("t1", "t2").agg(rsum.alias("rsum"))
+        du = e.select("event_type", "user_id").distinct()
+        ex = (
+            du.select(F.col("event_type").alias("t1"),
+                      F.col("user_id").alias("u"))
+            .join(
+                du.select(F.col("event_type").alias("t2"),
+                          F.col("user_id").alias("u")),
+                ["u"],
+            )
+            .filter(F.col("t1") < F.col("t2"))
+            .groupBy("t1", "t2")
+            .agg(F.countDistinct("u").cast("long").alias("n_exact_inter"))
+        )
+        num = float(_HLL_NUM)
+        sa = sums.select(F.col("event_type").alias("t1"),
+                         F.col("rsum").alias("ra"))
+        sb = sums.select(F.col("event_type").alias("t2"),
+                         F.col("rsum").alias("rb"))
+        est = lambda c: F.lit(num) / F.col(c).cast("double")  # noqa: E731
+        return (
+            usum.join(F.broadcast(sa), "t1")
+            .join(F.broadcast(sb), "t2")
+            .join(F.broadcast(ex), ["t1", "t2"])
+            .select(
+                "t1", "t2",
+                est("ra").alias("est_a"),
+                est("rb").alias("est_b"),
+                est("rsum").alias("est_union"),
+                (est("ra") + est("rb") - est("rsum"))
+                .alias("est_intersection"),
+                "n_exact_inter",
+            )
+        )
+
+
+_register_q262()

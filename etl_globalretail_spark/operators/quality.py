@@ -615,3 +615,74 @@ def _register_q243() -> None:
 
 
 _register_q243()
+
+
+# ---------------------------------------------------------------------------
+# q263 — l-diversity audit: k-anonymity's necessary complement (q243
+# counts CLASS SIZES; a class can be large yet still leak if everyone
+# in it shares the sensitive value — the homogeneity attack). Here the
+# quasi-identifier is (nation, segment) and the sensitive attribute is
+# the $1000 balance band; a class's l is its count of DISTINCT
+# sensitive values, and the release rule pairs min-class-size ≥ k with
+# min-l ≥ l. Output is the l histogram plus rows in classes below
+# l = 3. Two aggregates: (QI, sensitive)-grain distinct collapse, then
+# the per-class l — both map-side-combinable.
+# ---------------------------------------------------------------------------
+
+_L_DIVERSE = 3
+
+
+def _register_q263() -> None:
+    @_register(
+        "q263_l_diversity",
+        oracle=f"""
+        WITH qi AS (
+            SELECT c_nationkey AS nk, c_mktsegment AS seg,
+                   CAST(FLOOR(c_acctbal * 100 + 1000000) AS BIGINT)
+                       // 100000 AS sens
+            FROM customer
+        ),
+        cls AS (
+            SELECT nk, seg,
+                   CAST(COUNT(*) AS BIGINT) AS class_size,
+                   CAST(COUNT(DISTINCT sens) AS BIGINT) AS l
+            FROM qi GROUP BY nk, seg
+        )
+        SELECT l,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(class_size) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l < {_L_DIVERSE} THEN class_size
+                             ELSE 0 END) AS BIGINT) AS rows_below_l
+        FROM cls GROUP BY l
+        """,
+    )
+    def q263_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """l-diversity histogram over (nation, segment) classes with the
+        $1000 balance band as the sensitive attribute."""
+        cust = load_table(spark, "customer", sf_dir)
+        cls = (
+            cust.select(
+                F.col("c_nationkey").alias("nk"),
+                F.col("c_mktsegment").alias("seg"),
+                F.expr(
+                    "CAST(FLOOR(c_acctbal * 100 + 1000000) AS BIGINT)"
+                    " div 100000"
+                ).alias("sens"),
+            )
+            .groupBy("nk", "seg")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("class_size"),
+                F.countDistinct("sens").cast("long").alias("l"),
+            )
+        )
+        return cls.groupBy("l").agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("class_size").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("l") < _L_DIVERSE, F.col("class_size"))
+                .otherwise(0)
+            ).cast("long").alias("rows_below_l"),
+        )
+
+
+_register_q263()

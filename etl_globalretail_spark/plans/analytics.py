@@ -5587,3 +5587,67 @@ def q260_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("o_orderdate"),
         F.col("cents").alias("price_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q264 — time-weighted average (TWAP): the mean of a signal weighted by
+# how LONG each reading was in force — the correct average for
+# irregularly-sampled telemetry and the standard execution benchmark in
+# finance (a plain AVG over-weights bursts). Right-open intervals: each
+# event's value holds until the user's next event; the last reading has
+# no duration and drops out (stated, matching both engines).
+#
+# Exact integers end to end: value floors to cents, durations are
+# epoch-second deltas from ONE lead() window, and the TWAP is a single
+# truncating division of Σ cents·Δt by ΣΔt (products ≤ 1e5·1e6 per
+# interval, summed ≈ 1e13 per user — int64-safe; DECIMAL(38,0) is the
+# stated widening at year-scale horizons).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q264_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) // 1000000 AS sec,
+               LEAD(epoch_us(ts) // 1000000) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(nxt - sec) AS BIGINT) AS total_sec,
+           CAST(SUM(cents * (nxt - sec)) // SUM(nxt - sec) AS BIGINT)
+               AS twap_cents
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(nxt - sec) > 0
+    """,
+)
+def q264_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TWAP of event value over right-open holding intervals;
+    exact cents·seconds integers, one lead() window + one aggregate."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.lead(F.unix_timestamp("ts").cast("long")).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum(F.col("nxt") - F.col("sec")).cast("long")
+            .alias("total_sec"),
+            F.expr(
+                "CAST(SUM(cents * (nxt - sec)) div SUM(nxt - sec)"
+                " AS BIGINT)"
+            ).alias("twap_cents"),
+        )
+        .filter(F.col("total_sec") > 0)
+    )

@@ -761,3 +761,116 @@ def test_q261_greedy_decode_recompute(spark, sf_dir):
         .collect()
     ]
     assert got == expected and len(got) == 11
+
+
+def test_q262_hll_algebra_recompute(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "user_id"
+    ).collect()
+    users: dict = {}
+    for r in ev:
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+
+    W = 4503599627370496  # 2^52
+    EMPTY = 9007199254740992  # 2^53
+    NUM = 4.2399330249068963e20
+
+    def regs_of(us: set) -> dict:
+        regs: dict = {}
+        for u in us:
+            hv = int(
+                hashlib.md5(f"{u}hll".encode()).hexdigest()[:15], 16
+            )
+            b, rem = hv // W, hv % W
+            rho = 53 if rem == 0 else 53 - rem.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        return regs
+
+    def est(regs: dict) -> float:
+        s = sum(1 << (53 - m) for m in regs.values())
+        s += (256 - len(regs)) * EMPTY
+        return NUM / float(s)
+
+    out = {
+        (r["t1"], r["t2"]): r
+        for r in QUERIES["q262_hll_set_algebra"](spark, sf_dir).collect()
+    }
+    types = sorted(users)
+    import itertools
+
+    for t1, t2 in itertools.combinations(types, 2):
+        ra, rb = regs_of(users[t1]), regs_of(users[t2])
+        ru = {b: max(ra.get(b, 0), rb.get(b, 0)) for b in set(ra) | set(rb)}
+        row = out[(t1, t2)]
+        assert row["est_a"] == est(ra)
+        assert row["est_b"] == est(rb)
+        assert row["est_union"] == est(ru)
+        assert row["est_intersection"] == est(ra) + est(rb) - est(ru)
+        assert row["n_exact_inter"] == len(users[t1] & users[t2])
+        # algebraic invariant: union registers dominate both sides, so
+        # the union estimate is >= each side's (raw HLL is biased at the
+        # fixture's tiny cardinalities — q180 documents the omitted
+        # linear-counting correction — so no accuracy bound is pinned)
+        assert row["est_union"] >= max(row["est_a"], row["est_b"])
+
+
+def test_q263_l_diversity_recompute(spark, sf_dir):
+    import math
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    classes: dict = {}
+    for r in cust:
+        band = int(math.floor(r["c_acctbal"] * 100 + 1000000)) // 100000
+        classes.setdefault(
+            (r["c_nationkey"], r["c_mktsegment"]), []
+        ).append(band)
+    hist: dict = {}
+    for vals in classes.values():
+        l = len(set(vals))
+        n, rows, below = hist.get(l, (0, 0, 0))
+        hist[l] = (
+            n + 1, rows + len(vals),
+            below + (len(vals) if l < 3 else 0),
+        )
+    out = {
+        r["l"]: (r["n_classes"], r["n_rows"], r["rows_below_l"])
+        for r in QUERIES["q263_l_diversity"](spark, sf_dir).collect()
+    }
+    assert out == hist
+
+
+def test_q264_twap_recompute(spark, sf_dir):
+    import math
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    per_user: dict = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], int(r["ts"].timestamp()),
+             int(math.floor(r["value"] * 100)))
+        )
+    out = {
+        r["user_id"]: (r["n_intervals"], r["total_sec"], r["twap_cents"])
+        for r in QUERIES["q264_time_weighted_avg"](spark, sf_dir).collect()
+    }
+    for u, rows in per_user.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        ivs = [
+            (c, rows[i + 1][2] - s)
+            for i, (_, _, s, c) in enumerate(rows[:-1])
+        ]
+        tot = sum(d for _, d in ivs)
+        if tot <= 0:
+            assert u not in out
+            continue
+        num = sum(c * d for c, d in ivs)
+        q = abs(num) // tot if num >= 0 else -(abs(num) // tot)
+        assert out[u] == (len(ivs), tot, q)
+        # TWAP lies within the value range it averages
+        lo = min(c for c, _ in ivs)
+        hi = max(c for c, _ in ivs)
+        assert lo - 1 <= out[u][2] <= hi
