@@ -577,3 +577,69 @@ def _register_q245() -> None:
 
 
 _register_q245()
+
+
+# ---------------------------------------------------------------------------
+# q266 — priority (weighted bottom-k) sampling: a fixed-size sample
+# where inclusion probability tracks a per-row weight — the
+# fixed-budget companion to weighted_sample's fixed-RATE keep (q88).
+# Priority = hash(id)·1000 div weight (u uniform on the 52-bit md5
+# space ⇒ P[priority < τ] ≈ τ·w/2⁵²·10⁻³ — proportional to w), sample
+# = the k smallest priorities under a (priority, id) total order. All
+# integers: u·1000 ≤ 4.5e18 stays in int64.
+#
+# Bottom-k-by-priority is mergeable exactly like KMV (union partials,
+# re-take-k — the q240 device applied to weighted inclusion), which is
+# what makes the fixed-size WEIGHTED sample distributable at 100 TB:
+# per-shard bottom-k, tiny merge. Spark plan here: map-only priority
+# projection + one rank window at the |corpus| grain (the q190
+# two-phase device is the stated sort shard at scale).
+# ---------------------------------------------------------------------------
+
+_Q266_K = 50
+
+
+def _register_q266() -> None:
+    @_register(
+        "q266_priority_sample",
+        oracle=f"""
+        WITH pri AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                           || 'prio'), 1, 13) AS BIGINT)
+                       * 1000 // CAST(n_chars AS BIGINT) AS priority
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id)
+                    AS BIGINT) AS rank,
+               doc_id, w, CAST(priority AS BIGINT) AS priority
+        FROM pri
+        ORDER BY priority, doc_id LIMIT {_Q266_K}
+        """,
+    )
+    def q266_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The k=50 smallest hash-priorities (weight-proportional
+        inclusion); see block comment for the bottom-k merge law."""
+        d = load_table(spark, "documents", sf_dir).filter(
+            F.col("n_chars") > 0
+        )
+        pri = d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("w"),
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+                " 'prio')), 1, 13), 16, 10) AS BIGINT) * 1000"
+                " div CAST(n_chars AS BIGINT)"
+            ).alias("priority"),
+        )
+        wr = Window.orderBy("priority", "doc_id")
+        return (
+            pri.select(
+                F.row_number().over(wr).cast("long").alias("rank"),
+                "doc_id", "w", F.col("priority").cast("long").alias("priority"),
+            )
+            .filter(F.col("rank") <= _Q266_K)
+        )
+
+
+_register_q266()

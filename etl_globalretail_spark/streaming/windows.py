@@ -1353,3 +1353,114 @@ def _register_q247() -> None:
 
 
 _register_q247()
+
+
+# ---------------------------------------------------------------------------
+# q265 — sequence-pattern matching over sessions (MATCH_RECOGNIZE-lite):
+# does a session contain the ordered subsequence view → click →
+# purchase? The row-pattern operator SQL:2016 standardized and Spark
+# still lacks; here the session's event-type sequence (under the
+# (ts, event_id) total order) collapses to a compact symbol string and
+# the pattern becomes one regex over it — map-side after the
+# sessionize window, engine-portable because both regex engines agree
+# on this POSIX-simple pattern class (greedy .*, single chars).
+# Output: per entry-symbol funnel census — sessions, matches, and the
+# match rate in permil.
+#
+# Scale: symbol strings are session-length (bounded by the session
+# horizon), built by one window pass + one groupBy collect at session
+# grain; the regex is a projection. The same device generalizes to any
+# regular pattern (A B+ C, negations via character classes) — the
+# full MATCH_RECOGNIZE surface minus per-row measures.
+# ---------------------------------------------------------------------------
+
+
+def _register_q265() -> None:
+    @_register(
+        "q265_sequence_match",
+        oracle=f"""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                             > {30 * 60 * 1000000} OR
+                             LAG(epoch_us(ts)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(brk) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM seq
+        ),
+        strs AS (
+            SELECT user_id, sid,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS sym
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT substr(sym, 1, 1) AS entry_symbol,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN regexp_matches(sym, 'v.*c.*p')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel,
+               CAST(SUM(CASE WHEN regexp_matches(sym, 'v.*c.*p')
+                             THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+                    AS BIGINT) AS funnel_permil
+        FROM strs GROUP BY 1
+        """,
+    )
+    def q265_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """view→click→purchase ordered-subsequence census per session
+        entry symbol, via symbol-string collapse + one regex."""
+        ev = load_table(spark, "events", sf_dir)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap_us = 30 * 60 * 1000000
+        seq = ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.when(
+                F.lag(F.unix_micros("ts")).over(w).isNull()
+                | (
+                    F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                    > gap_us
+                ),
+                1,
+            ).otherwise(0).alias("brk"),
+        )
+        sess = seq.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("sid"),
+        )
+        strs = (
+            sess.groupBy("user_id", "sid")
+            .agg(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: F.substring(s["event_type"], 1, 1),
+                    ),
+                ).alias("sym")
+            )
+        )
+        matched = F.col("sym").rlike("v.*c.*p").cast("long")
+        return strs.groupBy(
+            F.substring("sym", 1, 1).alias("entry_symbol")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(matched).cast("long").alias("n_funnel"),
+            F.expr(
+                "CAST(SUM(CAST(sym RLIKE 'v.*c.*p' AS LONG)) * 1000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("funnel_permil"),
+        )
+
+
+_register_q265()

@@ -874,3 +874,72 @@ def test_q264_twap_recompute(spark, sf_dir):
         lo = min(c for c, _ in ivs)
         hi = max(c for c, _ in ivs)
         assert lo - 1 <= out[u][2] <= hi
+
+
+def test_q265_sequence_match_recompute(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    ).collect()
+    import re as _re
+
+    per_user: dict = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    strs = []
+    for rows in per_user.values():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        cur = []
+        prev = None
+        for ts, eid, et in rows:
+            us = int(ts.timestamp() * 1000000)
+            if prev is not None and us - prev <= 30 * 60 * 1000000:
+                cur.append(et[0])
+            else:
+                if cur:
+                    strs.append("".join(cur))
+                cur = [et[0]]
+            prev = us
+        if cur:
+            strs.append("".join(cur))
+    ref: dict = {}
+    for s in strs:
+        n, m = ref.get(s[0], (0, 0))
+        ref[s[0]] = (n + 1, m + (1 if _re.search("v.*c.*p", s) else 0))
+    out = {
+        r["entry_symbol"]: (r["n_sessions"], r["n_funnel"], r["funnel_permil"])
+        for r in QUERIES["q265_sequence_match"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(ref)
+    for sym, (n, m) in ref.items():
+        assert out[sym] == (n, m, m * 1000 // n)
+    total_sessions = sum(n for n, _, _ in out.values())
+    assert total_sessions == len(strs) > 0
+    if total_sessions > 2000:  # sf0.001's short sessions rarely funnel
+        assert sum(m for _, m, _ in out.values()) > 0
+
+
+def test_q266_priority_sample_recompute(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "n_chars"
+    ).collect()
+    pri = sorted(
+        (
+            (
+                int(hashlib.md5(f"{r['doc_id']}prio".encode())
+                    .hexdigest()[:13], 16) * 1000 // r["n_chars"],
+                r["doc_id"],
+                r["n_chars"],
+            )
+            for r in docs
+            if r["n_chars"] > 0
+        )
+    )[:50]
+    got = [
+        (r["priority"], r["doc_id"], r["w"])
+        for r in QUERIES["q266_priority_sample"](spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == pri
