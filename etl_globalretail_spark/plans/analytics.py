@@ -5651,3 +5651,103 @@ def q264_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_sec") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# q267 — life table (discrete-time survival / churn analysis): time
+# from a user's first event to their first PURCHASE, day-bucketed, with
+# right-censoring at the user's observation end — the retention
+# statistic product teams read as "how fast do users convert, and how
+# many never do (yet)". The cross-engine face is the LIFE TABLE itself
+# (n_risk, events, censored, hazard in permil per day bucket): the
+# Kaplan–Meier curve is a cumulative PRODUCT over these rows — an
+# ordered FP chain both engines could disagree on — so the product
+# stays a driver/BI-layer fold over this exact integer table (stated,
+# the q50/q180 convention of gating the portable face).
+#
+# Plan: one per-user aggregate (first event, first purchase, last
+# event), a day-bucket projection, then the risk-set sweep as ONE
+# descending cumulative-sum window over the |buckets|-grain frame —
+# n_risk(d) = Σ_{d' ≥ d} (events + censored)(d') — no per-user join
+# against day grids.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q267_life_table",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) AS t0,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+               MAX(ts) AS tend
+        FROM events GROUP BY user_id
+    ),
+    durs AS (
+        SELECT user_id,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS converted,
+               CASE WHEN tp IS NOT NULL
+                    THEN (epoch_us(tp) - epoch_us(t0)) // 86400000000
+                    ELSE (epoch_us(tend) - epoch_us(t0)) // 86400000000
+               END AS day
+        FROM per_user
+    ),
+    buckets AS (
+        SELECT day, CAST(SUM(converted) AS BIGINT) AS d_events,
+               CAST(SUM(1 - converted) AS BIGINT) AS d_censored
+        FROM durs GROUP BY day
+    ),
+    risk AS (
+        SELECT day, d_events, d_censored,
+               SUM(d_events + d_censored) OVER (
+                   ORDER BY day DESC ROWS UNBOUNDED PRECEDING
+               ) AS n_risk
+        FROM buckets
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d_events, d_censored,
+           CAST(d_events * 1000 // n_risk AS BIGINT) AS hazard_permil
+    FROM risk
+    """,
+)
+def q267_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-bucketed first-purchase life table with right censoring;
+    see block comment for why the KM product stays off the hash gate."""
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tend"),
+    )
+    durs = per_user.select(
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("converted"),
+        F.when(
+            F.col("tp").isNotNull(),
+            F.expr("(unix_micros(tp) - unix_micros(t0)) div 86400000000"),
+        ).otherwise(
+            F.expr("(unix_micros(tend) - unix_micros(t0)) div 86400000000")
+        ).alias("day"),
+    )
+    buckets = durs.groupBy("day").agg(
+        F.sum("converted").cast("long").alias("d_events"),
+        F.sum(F.lit(1) - F.col("converted")).cast("long")
+        .alias("d_censored"),
+    )
+    wr = Window.orderBy(F.desc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = buckets.select(
+        "day", "d_events", "d_censored",
+        F.sum(F.col("d_events") + F.col("d_censored")).over(wr)
+        .alias("n_risk"),
+    )
+    return risk.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "d_events", "d_censored",
+        F.expr("CAST(d_events * 1000 div n_risk AS BIGINT)")
+        .alias("hazard_permil"),
+    )

@@ -1464,3 +1464,99 @@ def _register_q265() -> None:
 
 
 _register_q265()
+
+
+# ---------------------------------------------------------------------------
+# q268 — streaming MERGE (eighth real streaming execution): a customer-
+# update stream applied to a parquet dimension sink through foreachBatch
+# ∘ merge_upsert — the lakehouse "streaming upsert into a table" pattern
+# (Delta/Iceberg MERGE's dataflow, with the atomic-commit swap standing
+# in for the metadata commit, as plans/scd.py documents). Three
+# mtime-ordered waves: the base load, then two update waves whose key
+# sets overlap (mod-3 and mod-5), so later batches genuinely OVERWRITE
+# earlier upserts — the census hash-matches DuckDB's closed-form final
+# state (last-writer-wins arithmetic on the key classes).
+#
+# availableNow + maxFilesPerTrigger=1 serializes the batches in mtime
+# order, so the merge order is deterministic; each merge touches the
+# sink at the KEY grain (anti-join + union — scd.upsert_frame), which
+# is the scale contract: per-batch cost tracks |sink| + |delta|, never
+# history.
+# ---------------------------------------------------------------------------
+
+
+def _register_q268() -> None:
+    @_register(
+        "q268_streaming_upsert",
+        oracle="""
+        SELECT c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+                        + CASE WHEN c_custkey % 5 = 0 THEN 700
+                               WHEN c_custkey % 3 = 0 THEN 500
+                               ELSE 0 END) AS BIGINT) AS sum_cents
+        FROM customer GROUP BY c_mktsegment
+        """,
+    )
+    def q268_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Customer dim maintained by a real 3-wave streaming upsert
+        (foreachBatch ∘ merge_upsert); final census on the hash gate."""
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        from etl_globalretail_spark.plans.scd import merge_upsert
+
+        cust = load_table(spark, "customer", sf_dir).select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+        waves = [
+            cust,
+            cust.filter(F.col("k") % 3 == 0).withColumn(
+                "cents", F.col("cents") + 500
+            ),
+            cust.filter(F.col("k") % 5 == 0).withColumn(
+                "cents", F.col("cents") + 700
+            ),
+        ]
+        work = tempfile.mkdtemp(prefix="q268_upsert_")
+        sdir = os.path.join(work, "stream")
+        os.makedirs(sdir)
+        for i, w in enumerate(waves):
+            tmp = os.path.join(work, f"w{i}")
+            w.coalesce(1).write.parquet(tmp)
+            dst = os.path.join(sdir, f"wave_{i}.parquet")
+            shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+            os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+        sink = os.path.join(work, "dim_sink")
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            merge_upsert(spark, batch_df, sink, keys=["k"])
+
+        stream = (
+            spark.readStream.schema(waves[0].schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sdir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+
+        return (
+            spark.read.parquet(sink)
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_customers"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+        )
+
+
+_register_q268()

@@ -943,3 +943,63 @@ def test_q266_priority_sample_recompute(spark, sf_dir):
         .collect()
     ]
     assert got == pri
+
+
+def test_q267_life_table_recompute(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    per_user: dict = {}
+    for r in ev:
+        t0, tp, tend = per_user.get(r["user_id"], (None, None, None))
+        us = int(r["ts"].timestamp() * 1000000)
+        t0 = us if t0 is None else min(t0, us)
+        tend = us if tend is None else max(tend, us)
+        if r["event_type"] == "purchase":
+            tp = us if tp is None else min(tp, us)
+        per_user[r["user_id"]] = (t0, tp, tend)
+    buckets: dict = {}
+    for t0, tp, tend in per_user.values():
+        if tp is not None:
+            day, conv = (tp - t0) // 86400000000, 1
+        else:
+            day, conv = (tend - t0) // 86400000000, 0
+        e, c = buckets.get(day, (0, 0))
+        buckets[day] = (e + conv, c + (1 - conv))
+    out = {
+        r["day"]: (r["n_risk"], r["d_events"], r["d_censored"],
+                   r["hazard_permil"])
+        for r in QUERIES["q267_life_table"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(buckets)
+    total = len(per_user)
+    for day in sorted(buckets):
+        n_risk = sum(
+            e + c for d, (e, c) in buckets.items() if d >= day
+        )
+        e, c = buckets[day]
+        assert out[day] == (n_risk, e, c, e * 1000 // n_risk)
+    # the risk set at the earliest bucket covers every user
+    assert out[min(buckets)][0] == total
+
+
+def test_q268_streaming_upsert_recompute(spark, sf_dir):
+    import math
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    ref: dict = {}
+    for r in cust:
+        cents = int(math.floor(r["c_acctbal"] * 100))
+        if r["c_custkey"] % 5 == 0:
+            cents += 700
+        elif r["c_custkey"] % 3 == 0:
+            cents += 500
+        n, s = ref.get(r["c_mktsegment"], (0, 0))
+        ref[r["c_mktsegment"]] = (n + 1, s + cents)
+    out = {
+        r["segment"]: (r["n_customers"], r["sum_cents"])
+        for r in QUERIES["q268_streaming_upsert"](spark, sf_dir).collect()
+    }
+    assert out == ref
