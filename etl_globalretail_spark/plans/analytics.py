@@ -5751,3 +5751,123 @@ def q267_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(d_events * 1000 div n_risk AS BIGINT)")
         .alias("hazard_permil"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q269 — split-conformal prediction intervals: the distribution-free
+# way to turn ANY point predictor into an interval with finite-sample
+# coverage (Vovk; the calibration layer modern ML ships on top of
+# models). Three md5-hash splits of orders (train/cal/test — the q47
+# device); the predictor is the train split's per-priority mean price
+# (integer cents, truncating division); the interval half-width is the
+# nearest-rank ⌈0.9·(n+1)⌉-th absolute residual on the calibration
+# split; coverage is then MEASURED on the held-out test split. All
+# integers end to end, so both the quantile pick and the coverage
+# census hash-match.
+#
+# Plan: one grouped aggregate for the predictor (broadcast back — the
+# q91 two-pass device), a per-priority rank window on the calibration
+# residuals, and a broadcast join onto the test split. The conformal
+# guarantee (coverage ≥ 90% in expectation over splits) is asserted
+# with slack in pytest — it is a property of the construction, not of
+# one draw.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q269_conformal_interval",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                       || 'conf'), 1, 15) AS BIGINT)
+                   % 1000 AS b
+        FROM orders
+    ),
+    pred AS (
+        SELECT pri, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS yhat
+        FROM o WHERE b < 600 GROUP BY pri
+    ),
+    cal AS (
+        SELECT o.pri, abs(o.cents - p.yhat) AS r
+        FROM o JOIN pred p ON o.pri = p.pri
+        WHERE o.b >= 600 AND o.b < 800
+    ),
+    qs AS (
+        SELECT pri, r AS q_cents FROM (
+            SELECT pri, r,
+                   ROW_NUMBER() OVER (PARTITION BY pri ORDER BY r) AS rn,
+                   COUNT(*) OVER (PARTITION BY pri) AS n
+            FROM cal
+        ) WHERE rn = least(n, (9 * (n + 1) + 9) // 10)
+    )
+    SELECT o.pri AS priority,
+           CAST(q.q_cents AS BIGINT) AS q_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN abs(o.cents - p.yhat) <= q.q_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN abs(o.cents - p.yhat) <= q.q_cents
+                         THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+               AS coverage_permil
+    FROM o
+    JOIN pred p ON o.pri = p.pri
+    JOIN qs q ON o.pri = q.pri
+    WHERE o.b >= 800
+    GROUP BY o.pri, q.q_cents
+    """,
+)
+def q269_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% intervals around the per-priority train-mean
+    predictor, with measured test coverage; see block comment."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("o_orderkey").cast("string"),
+                                   F.lit("conf"))), 1, 15,
+                ), 16, 10,
+            ).cast("bigint") % 1000
+        ).alias("b"),
+    )
+    pred = (
+        o.filter(F.col("b") < 600)
+        .groupBy("pri")
+        .agg(F.expr("CAST(SUM(cents) div COUNT(*) AS BIGINT)").alias("yhat"))
+    )
+    cal = (
+        o.filter((F.col("b") >= 600) & (F.col("b") < 800))
+        .join(F.broadcast(pred), "pri")
+        .select("pri", F.abs(F.col("cents") - F.col("yhat")).alias("r"))
+    )
+    wr = Window.partitionBy("pri").orderBy("r")
+    wc = Window.partitionBy("pri")
+    qs = (
+        cal.select(
+            "pri", "r",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("least(n, (9 * (n + 1) + 9) div 10)"))
+        .select("pri", F.col("r").alias("q_cents"))
+    )
+    test = o.filter(F.col("b") >= 800).join(F.broadcast(pred), "pri").join(
+        F.broadcast(qs), "pri"
+    )
+    covered = (
+        F.abs(F.col("cents") - F.col("yhat")) <= F.col("q_cents")
+    ).cast("long")
+    return test.groupBy(F.col("pri").alias("priority"), "q_cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(covered).cast("long").alias("n_covered"),
+        F.expr(
+            "CAST(SUM(CAST(abs(cents - yhat) <= q_cents AS LONG)) * 1000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("coverage_permil"),
+    ).select(
+        "priority", F.col("q_cents").cast("long").alias("q_cents"),
+        "n_test", "n_covered", "coverage_permil",
+    )

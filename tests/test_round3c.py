@@ -1003,3 +1003,41 @@ def test_q268_streaming_upsert_recompute(spark, sf_dir):
         for r in QUERIES["q268_streaming_upsert"](spark, sf_dir).collect()
     }
     assert out == ref
+
+
+def test_q269_conformal_recompute_and_coverage(spark, sf_dir):
+    import math
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    rows = [
+        (
+            r["o_orderpriority"],
+            int(math.floor(r["o_totalprice"] * 100)),
+            int(hashlib.md5(f"{r['o_orderkey']}conf".encode())
+                .hexdigest()[:15], 16) % 1000,
+        )
+        for r in o
+    ]
+    pris = sorted({p for p, _, _ in rows})
+    out = {
+        r["priority"]: (r["q_cents"], r["n_test"], r["n_covered"],
+                        r["coverage_permil"])
+        for r in QUERIES["q269_conformal_interval"](spark, sf_dir).collect()
+    }
+    for pri in pris:
+        train = [c for p, c, b in rows if p == pri and b < 600]
+        cal = [c for p, c, b in rows if p == pri and 600 <= b < 800]
+        test = [c for p, c, b in rows if p == pri and b >= 800]
+        if not (train and cal and test):
+            assert pri not in out
+            continue
+        yhat = sum(train) // len(train)
+        rs = sorted(abs(c - yhat) for c in cal)
+        n = len(rs)
+        q = rs[min(n, (9 * (n + 1) + 9) // 10) - 1]
+        ncov = sum(1 for c in test if abs(c - yhat) <= q)
+        assert out[pri] == (q, len(test), ncov, ncov * 1000 // len(test))
+        # finite-sample conformal guarantee, with slack for one draw
+        assert out[pri][3] >= 800
