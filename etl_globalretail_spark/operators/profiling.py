@@ -1135,3 +1135,202 @@ def _register_q262() -> None:
 
 
 _register_q262()
+
+
+# ---------------------------------------------------------------------------
+# q270 — dirty-shard census: the incremental-reprocessing planner. A
+# release pipeline over a sharded 100 TB corpus must answer "which
+# shards changed since the last release?" WITHOUT diffing rows: each
+# shard gets an order-free content fingerprint (the SUM of per-row
+# md5 integers — commutative, so partition order cannot move it; the
+# q152 table-fingerprint device at shard grain), and only shards whose
+# fingerprints differ are reprocessed. Here v2 derives from v1
+# deterministically (every mod-17 doc's text edited), shards are
+# doc_id div 64, and the census reports clean/dirty shards plus the
+# exact rows-to-reprocess — the number the scheduler budgets.
+# ---------------------------------------------------------------------------
+
+
+def _register_q270() -> None:
+    @_register(
+        "q270_dirty_shard_census",
+        oracle="""
+        WITH v1 AS (
+            SELECT doc_id, doc_id // 64 AS shard, text FROM documents
+        ),
+        v2 AS (
+            SELECT doc_id, shard,
+                   CASE WHEN doc_id % 17 = 0 THEN text || ' edited'
+                        ELSE text END AS text
+            FROM v1
+        ),
+        f1 AS (
+            SELECT shard,
+                   CAST(SUM(CAST('0x' || substr(md5(text), 1, 13)
+                                AS BIGINT)) AS BIGINT) AS fp,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM v1 GROUP BY shard
+        ),
+        f2 AS (
+            SELECT shard,
+                   CAST(SUM(CAST('0x' || substr(md5(text), 1, 13)
+                                AS BIGINT)) AS BIGINT) AS fp
+            FROM v2 GROUP BY shard
+        ),
+        d AS (
+            SELECT f1.shard, f1.n_rows,
+                   CASE WHEN f1.fp <> f2.fp THEN 1 ELSE 0 END AS dirty
+            FROM f1 JOIN f2 ON f1.shard = f2.shard
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+               CAST(SUM(dirty) AS BIGINT) AS n_dirty,
+               CAST(SUM(CASE WHEN dirty = 1 THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_to_reprocess,
+               CAST(SUM(dirty) * 1000 // COUNT(*) AS BIGINT)
+                   AS dirty_permil
+        FROM d
+        """,
+    )
+    def q270_dirty_shard_census(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Changed-shard census between two corpus versions via
+        order-free shard fingerprints; see block comment."""
+        d = load_table(spark, "documents", sf_dir)
+        # 52-bit per-row hashes (13 hex chars, the q240 convention): the
+        # per-shard SUM stays int64-safe to ~2000 rows/shard; wider
+        # shards widen the fingerprint to DECIMAL(38,0), same algebra
+        fp_of = lambda text_col: F.sum(  # noqa: E731
+            F.conv(F.substring(F.md5(text_col), 1, 13), 16, 10)
+            .cast("bigint")
+        ).cast("long")
+        v1 = d.select(
+            F.expr("doc_id div 64").alias("shard"), "text"
+        )
+        v2 = d.select(
+            F.expr("doc_id div 64").alias("shard"),
+            F.when(
+                F.col("doc_id") % 17 == 0, F.concat("text", F.lit(" edited"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        f1 = v1.groupBy("shard").agg(
+            fp_of(F.col("text")).alias("fp1"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        f2 = v2.groupBy("shard").agg(fp_of(F.col("text")).alias("fp2"))
+        dd = f1.join(f2, "shard").select(
+            "n_rows",
+            (F.col("fp1") != F.col("fp2")).cast("long").alias("dirty"),
+        )
+        return dd.agg(
+            F.count(F.lit(1)).cast("long").alias("n_shards"),
+            F.sum("dirty").cast("long").alias("n_dirty"),
+            F.sum(F.when(F.col("dirty") == 1, F.col("n_rows")).otherwise(0))
+            .cast("long").alias("rows_to_reprocess"),
+            F.expr("CAST(SUM(dirty) * 1000 div COUNT(*) AS BIGINT)")
+            .alias("dirty_permil"),
+        )
+
+
+_register_q270()
+
+
+# ---------------------------------------------------------------------------
+# q271 — selectivity-estimate audit (optimizer-statistics quality): how
+# well does the 20-bin equi-width histogram q73 maintains predict the
+# selectivity of range predicates? The question every cost-based
+# optimizer implicitly answers at plan time; measuring its error
+# against ground truth is how an engine decides its statistics are
+# stale. Estimator: full interior bins count whole, the boundary bin
+# contributes by linear interpolation — all in integer micro-rows
+# (count·1e6 scaled fractions, truncating division), so the audit
+# hash-matches. Three predicates probe below-range, interior, and
+# wide-range cases.
+# ---------------------------------------------------------------------------
+
+_Q271_PREDS = ((0.0, 100.0), (130.0, 310.0), (250.0, 500.0))
+
+
+def _register_q271() -> None:
+    bins = """
+        SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19)
+                    AS BIGINT) AS bin, COUNT(*) AS n
+        FROM events GROUP BY 1
+    """
+    legs = []
+    for lo, hi in _Q271_PREDS:
+        b_lo, b_hi = int(lo // 25), min(int(hi // 25), 19)
+        legs.append(f"""
+        SELECT '{lo:g}-{hi:g}' AS predicate,
+               CAST((SELECT COALESCE(SUM(
+                   CASE
+                     WHEN bin > {b_lo} AND bin < {b_hi} THEN n * 1000000
+                     WHEN bin = {b_lo} AND bin = {b_hi} THEN
+                        n * CAST(({hi} - {lo}) * 40000 AS BIGINT)
+                     WHEN bin = {b_lo} THEN
+                        n * CAST(((({b_lo} + 1) * 25.0) - {lo}) * 40000 AS BIGINT)
+                     WHEN bin = {b_hi} THEN
+                        n * CAST(({hi} - ({b_hi} * 25.0)) * 40000 AS BIGINT)
+                     ELSE 0
+                   END), 0) // 1000000 FROM ({bins})) AS BIGINT) AS est_rows,
+               CAST((SELECT COUNT(*) FROM events
+                     WHERE value >= {lo} AND value < {hi}) AS BIGINT)
+                   AS actual_rows
+        """)
+    sql = " UNION ALL ".join(legs)
+
+    @_register(
+        "q271_selectivity_audit",
+        oracle=f"""
+        SELECT predicate, est_rows, actual_rows,
+               CAST(abs(est_rows - actual_rows) * 1000
+                    // greatest(actual_rows, 1) AS BIGINT) AS err_permil
+        FROM ({sql})
+        """,
+    )
+    def q271_selectivity_audit(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Histogram-estimated vs actual selectivity for three range
+        predicates over event value; integer interpolation. The
+        histogram is |bins|-sized state; both the estimate and the
+        truth are one aggregate each."""
+        e = load_table(spark, "events", sf_dir)
+        hist = {
+            int(r["bin"]): int(r["n"])
+            for r in e.groupBy(
+                F.least(
+                    F.greatest(
+                        F.floor((F.col("value") - 0.0) / 25.0), F.lit(0)
+                    ),
+                    F.lit(19),
+                ).cast("long").alias("bin")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        }  # |bins| driver rows — the optimizer's own statistics table
+        outs = []
+        for lo, hi in _Q271_PREDS:
+            b_lo, b_hi = int(lo // 25), min(int(hi // 25), 19)
+            est_micro = 0
+            for b, n in hist.items():
+                if b_lo < b < b_hi:
+                    est_micro += n * 1000000
+                elif b == b_lo == b_hi:
+                    est_micro += n * int((hi - lo) * 40000)
+                elif b == b_lo:
+                    est_micro += n * int((((b_lo + 1) * 25.0) - lo) * 40000)
+                elif b == b_hi:
+                    est_micro += n * int((hi - (b_hi * 25.0)) * 40000)
+            est = est_micro // 1000000
+            actual = e.filter(
+                (F.col("value") >= lo) & (F.col("value") < hi)
+            ).count()
+            outs.append((f"{lo:g}-{hi:g}", est, actual,
+                         abs(est - actual) * 1000 // max(actual, 1)))
+        return spark.createDataFrame(
+            outs,
+            "predicate string, est_rows long, actual_rows long,"
+            " err_permil long",
+        )
+
+
+_register_q271()

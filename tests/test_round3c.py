@@ -1041,3 +1041,65 @@ def test_q269_conformal_recompute_and_coverage(spark, sf_dir):
         assert out[pri] == (q, len(test), ncov, ncov * 1000 // len(test))
         # finite-sample conformal guarantee, with slack for one draw
         assert out[pri][3] >= 800
+
+
+def test_q270_dirty_shard_recompute(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text"
+    ).collect()
+
+    def h(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:13], 16)
+
+    f1: dict = {}
+    f2: dict = {}
+    nrows: Counter = Counter()
+    for r in docs:
+        s = r["doc_id"] // 64
+        nrows[s] += 1
+        f1[s] = f1.get(s, 0) + h(r["text"])
+        t2 = r["text"] + " edited" if r["doc_id"] % 17 == 0 else r["text"]
+        f2[s] = f2.get(s, 0) + h(t2)
+    dirty = {s for s in f1 if f1[s] != f2[s]}
+    # every shard containing a mod-17 doc must be dirty (append changes md5)
+    expected_dirty = {r["doc_id"] // 64 for r in docs if r["doc_id"] % 17 == 0}
+    assert dirty == expected_dirty
+    row = QUERIES["q270_dirty_shard_census"](spark, sf_dir).collect()[0]
+    assert row["n_shards"] == len(f1)
+    assert row["n_dirty"] == len(dirty)
+    assert row["rows_to_reprocess"] == sum(nrows[s] for s in dirty)
+    assert row["dirty_permil"] == len(dirty) * 1000 // len(f1)
+
+
+def test_q271_selectivity_recompute(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select("value").collect()
+    vals = [r["value"] for r in ev]
+    import math
+
+    hist: Counter = Counter()
+    for v in vals:
+        hist[min(max(int(math.floor((v - 0.0) / 25.0)), 0), 19)] += 1
+    out = {
+        r["predicate"]: (r["est_rows"], r["actual_rows"], r["err_permil"])
+        for r in QUERIES["q271_selectivity_audit"](spark, sf_dir).collect()
+    }
+    for lo, hi in ((0.0, 100.0), (130.0, 310.0), (250.0, 500.0)):
+        b_lo, b_hi = int(lo // 25), min(int(hi // 25), 19)
+        est_micro = 0
+        for b, n in hist.items():
+            if b_lo < b < b_hi:
+                est_micro += n * 1000000
+            elif b == b_lo == b_hi:
+                est_micro += n * int((hi - lo) * 40000)
+            elif b == b_lo:
+                est_micro += n * int((((b_lo + 1) * 25.0) - lo) * 40000)
+            elif b == b_hi:
+                est_micro += n * int((hi - (b_hi * 25.0)) * 40000)
+        est = est_micro // 1000000
+        actual = sum(1 for v in vals if lo <= v < hi)
+        key = f"{lo:g}-{hi:g}"
+        assert out[key] == (
+            est, actual, abs(est - actual) * 1000 // max(actual, 1)
+        )
+        # the histogram estimate should be within 25% of truth here
+        assert abs(est - actual) <= max(actual, 1) * 0.25 + 25
