@@ -543,3 +543,103 @@ def q199_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("y").cast("double") / F.count(F.lit(1))).alias("pos_rate"),
         F.sum("s").cast("long").alias("score_micros_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q272 — cumulative gains / lift table: the model-evaluation face next
+# to AUC (q184) and calibration (q199) — "if we act on the top d
+# deciles by score, what fraction of positives do we capture, and at
+# what lift over random?" Scored by n_chars (the q198 stump's feature)
+# against the lang='en' label; the MECHANICS are the deliverable:
+# deciles are assigned by the explicit ⌈10·rank/n⌉ formula in BOTH
+# engines (NTILE's boundary rule is engine-defined — the cookbook
+# total-order principle applied to bucketing), and every measure is an
+# integer or a truncating-permil ratio.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q272_gains_table",
+    oracle="""
+    WITH ranked AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+               COUNT(*) OVER () AS n,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) OVER ()
+                   AS total_pos
+        FROM documents
+    ),
+    dec AS (
+        SELECT (rn * 10 + n - 1) // n AS decile, pos, n, total_pos
+        FROM ranked
+    ),
+    per AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               MAX(n) AS n, MAX(total_pos) AS total_pos
+        FROM dec GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
+           CAST(SUM(n_pos) OVER (ORDER BY decile
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_pos,
+           CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                * 1000 // total_pos AS BIGINT) AS capture_permil,
+           CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                * n * 1000
+                // (SUM(n_rows) OVER (ORDER BY decile
+                                      ROWS UNBOUNDED PRECEDING)
+                    * total_pos) AS BIGINT) AS lift_permil
+    FROM per
+    """,
+)
+def q272_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift for the n_chars score vs the lang='en' label;
+    engine-identical explicit decile formula, integer measures."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    wall = Window.partitionBy()
+    ranked = d.select(
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        F.row_number().over(
+            Window.orderBy(F.desc("n_chars"), "doc_id")
+        ).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum((F.col("lang") == "en").cast("long")).over(wall)
+        .alias("total_pos"),
+    )
+    per = (
+        ranked.select(
+            F.expr("(rn * 10 + n - 1) div n").alias("decile"),
+            "pos", "n", "total_pos",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.max("n").alias("n"),
+            F.max("total_pos").alias("total_pos"),
+        )
+    )
+    wd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_rows", "n_pos",
+        F.sum("n_pos").over(wd).cast("long").alias("cum_pos"),
+        F.expr(
+            "CAST(SUM(n_pos) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " * 1000 div total_pos AS BIGINT)"
+        ).alias("capture_permil"),
+        F.expr(
+            "CAST(SUM(n_pos) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " * n * 1000 div"
+            " (SUM(n_rows) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " * total_pos) AS BIGINT)"
+        ).alias("lift_permil"),
+    )

@@ -5871,3 +5871,77 @@ def q269_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority", F.col("q_cents").cast("long").alias("q_cents"),
         "n_test", "n_covered", "coverage_permil",
     )
+
+
+# ---------------------------------------------------------------------------
+# q273 — forecast backtest (naive vs seasonal-naive, MASE-style): the
+# baseline every demand/traffic forecasting system must beat, measured
+# the way backtests actually run — per horizon day, forecast(t) =
+# actual(t−1) (naive) and actual(t−7) (seasonal), errors in exact
+# cents. Predecessors are found by CALENDAR self-joins on the daily
+# revenue grain (lag-over-rows would silently skip across gaps);
+# only days with BOTH predecessors score (inner joins, stated in both
+# engines). The headline number is the MASE-like ratio
+# Σ|e_seasonal|·1000 div Σ|e_naive| — < 1000 means weekly seasonality
+# is real and a model exploiting it has signal to beat.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q273_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY o_orderdate
+    ),
+    scored AS (
+        SELECT t.d, t.rev,
+               abs(t.rev - n.rev) AS e_naive,
+               abs(t.rev - s.rev) AS e_seasonal
+        FROM daily t
+        JOIN daily n ON n.d = t.d - INTERVAL 1 DAY
+        JOIN daily s ON s.d = t.d - INTERVAL 7 DAY
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(e_naive) // COUNT(*) AS BIGINT) AS mae_naive_cents,
+           CAST(SUM(e_seasonal) // COUNT(*) AS BIGINT)
+               AS mae_seasonal_cents,
+           CAST(SUM(e_seasonal) * 1000 // SUM(e_naive) AS BIGINT)
+               AS mase_permil
+    FROM scored
+    """,
+)
+def q273_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue backtest of the two universal baselines; exact
+    cents, calendar predecessor joins. See block comment."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("rev")
+    ).persist()  # consumed as target and both predecessor sides
+    t = daily
+    n = daily.select(
+        F.col("d").alias("dn"), F.col("rev").alias("rev_n")
+    )
+    s = daily.select(
+        F.col("d").alias("ds"), F.col("rev").alias("rev_s")
+    )
+    scored = (
+        t.join(n, F.expr("dn = d - INTERVAL 1 DAY"))
+        .join(s, F.expr("ds = d - INTERVAL 7 DAY"))
+        .select(
+            F.abs(F.col("rev") - F.col("rev_n")).alias("e_naive"),
+            F.abs(F.col("rev") - F.col("rev_s")).alias("e_seasonal"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("CAST(SUM(e_naive) div COUNT(*) AS BIGINT)")
+        .alias("mae_naive_cents"),
+        F.expr("CAST(SUM(e_seasonal) div COUNT(*) AS BIGINT)")
+        .alias("mae_seasonal_cents"),
+        F.expr("CAST(SUM(e_seasonal) * 1000 div SUM(e_naive) AS BIGINT)")
+        .alias("mase_permil"),
+    )

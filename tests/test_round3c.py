@@ -1103,3 +1103,60 @@ def test_q271_selectivity_recompute(spark, sf_dir):
         )
         # the histogram estimate should be within 25% of truth here
         assert abs(est - actual) <= max(actual, 1) * 0.25 + 25
+
+
+def test_q272_gains_table_recompute(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    ranked = sorted(docs, key=lambda r: (-r["n_chars"], r["doc_id"]))
+    n = len(ranked)
+    total_pos = sum(1 for r in ranked if r["lang"] == "en")
+    per: dict = {}
+    for i, r in enumerate(ranked, start=1):
+        d = (i * 10 + n - 1) // n
+        nr, np_ = per.get(d, (0, 0))
+        per[d] = (nr + 1, np_ + (1 if r["lang"] == "en" else 0))
+    out = {
+        r["decile"]: r
+        for r in QUERIES["q272_gains_table"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(per)
+    cum_pos = cum_n = 0
+    for d in sorted(per):
+        nr, np_ = per[d]
+        cum_pos += np_
+        cum_n += nr
+        row = out[d]
+        assert (row["n_rows"], row["n_pos"], row["cum_pos"]) == (nr, np_, cum_pos)
+        assert row["capture_permil"] == cum_pos * 1000 // total_pos
+        assert row["lift_permil"] == cum_pos * n * 1000 // (cum_n * total_pos)
+    # the last decile closes the book: capture = 1000, lift = 1000
+    last = out[max(per)]
+    assert last["capture_permil"] == 1000 and last["lift_permil"] == 1000
+
+
+def test_q273_forecast_backtest_recompute(spark, sf_dir):
+    import datetime
+    import math
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    daily: dict = {}
+    for r in o:
+        d = r["o_orderdate"]
+        daily[d] = daily.get(d, 0) + int(math.floor(r["o_totalprice"] * 100))
+    e_n, e_s, cnt = 0, 0, 0
+    for d, rev in daily.items():
+        p1 = daily.get(d - datetime.timedelta(days=1))
+        p7 = daily.get(d - datetime.timedelta(days=7))
+        if p1 is not None and p7 is not None:
+            e_n += abs(rev - p1)
+            e_s += abs(rev - p7)
+            cnt += 1
+    row = QUERIES["q273_forecast_backtest"](spark, sf_dir).collect()[0]
+    assert row["n_days"] == cnt > 0
+    assert row["mae_naive_cents"] == e_n // cnt
+    assert row["mae_seasonal_cents"] == e_s // cnt
+    assert row["mase_permil"] == e_s * 1000 // e_n
