@@ -5945,3 +5945,89 @@ def q273_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(e_seasonal) * 1000 div SUM(e_naive) AS BIGINT)")
         .alias("mase_permil"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q275 — rolling correlation between two activity series: the 7-day
+# windowed Pearson between daily 'view' and 'purchase' counts — the
+# co-movement monitor behind "are purchases still tracking traffic?".
+# Kept deterministic by the cookbook split: every windowed SUM is an
+# exact INTEGER (counts and their products over a RANGE frame keyed on
+# epoch days), and each row's r is one fixed IEEE chain on those
+# integers — (nΣxy−ΣxΣy) / (√(nΣx²−Σx²ᵗᵒᵗ)·√(nΣy²−Σy²ᵗᵒᵗ)) — with sqrt
+# correctly rounded in both engines and zero-variance windows mapped to
+# 0 by an integer guard BEFORE any division.
+#
+# Plan: events → (day, views, purchases) grain (map-side combine), one
+# RANGE window (6 preceding days) carrying five integer sums, then the
+# scalar chain. |days| rows end to end after the first aggregate.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q275_rolling_correlation",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT day, x, y,
+               COUNT(*) OVER w AS n,
+               SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+               SUM(x * y) OVER w AS sxy,
+               SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(n AS BIGINT) AS n_days, x, y,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN CAST(0 AS DOUBLE)
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS r
+    FROM win
+    """,
+)
+def q275_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson between daily view and purchase counts;
+    integer window sums, one IEEE chain per row. See block comment."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(
+        F.sum((F.col("event_type") == "view").cast("long")).cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).cast("long")
+        .alias("y"),
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    win = daily.select(
+        "day", "x", "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return win.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n").cast("long").alias("n_days"),
+        "x", "y",
+        F.when((vx == 0) | (vy == 0), F.lit(0.0))
+        .otherwise(
+            cov.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        )
+        .alias("r"),
+    )

@@ -618,3 +618,96 @@ def q249_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status", "yr", "n_orders", "rev_cents",
         (F.col("rev_cents").cast("double") / F.lit(100.0)).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q274 — multi-source survivorship (MDM consensus merge): three replicas
+# of the customer dimension disagree — the golden record takes the
+# 2-of-3 field-level majority, and keys where all three differ are
+# routed to stewardship. Replicas derive deterministically from the
+# base (r2 corrupts mod-7 balances by +111 cents, r3 corrupts mod-11
+# by −222), so both engines build identical inputs and the consensus
+# arithmetic has a closed form the oracle states directly: mod-77 keys
+# are the genuinely conflicted ones (both corruptions hit, three
+# distinct values); every other key has a 2-of-3 majority at the clean
+# value or better.
+#
+# Plan: one 3-way key-aligned projection (no joins — the replicas are
+# column derivations of one scan here; real feeds would be a 3-way
+# key join at the same grain), a per-key majority expression, and the
+# class census.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q274_survivorship_consensus",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS k,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v1,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+                 + CASE WHEN c_custkey % 7 = 0 THEN 111 ELSE 0 END AS v2,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+                 - CASE WHEN c_custkey % 11 = 0 THEN 222 ELSE 0 END AS v3
+        FROM customer
+    ),
+    voted AS (
+        SELECT k,
+               CASE WHEN v1 = v2 OR v1 = v3 THEN v1
+                    WHEN v2 = v3 THEN v2
+                    ELSE NULL END AS gold,
+               CASE WHEN v1 = v2 AND v2 = v3 THEN 'unanimous'
+                    WHEN v1 = v2 OR v1 = v3 OR v2 = v3 THEN 'majority'
+                    ELSE 'conflict' END AS verdict
+        FROM base
+    )
+    SELECT verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(k) AS BIGINT) AS key_checksum,
+           CAST(COALESCE(SUM(gold), 0) AS BIGINT) AS gold_cents_sum
+    FROM voted GROUP BY verdict
+    """,
+)
+def q274_survivorship_consensus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """2-of-3 field-level majority merge of three derived customer
+    replicas; census of unanimous / majority / conflict keys."""
+    cust = load_table(spark, "customer", sf_dir)
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("v1"),
+        (
+            F.floor(F.col("c_acctbal") * 100).cast("long")
+            + F.when(F.col("c_custkey") % 7 == 0, 111).otherwise(0)
+        ).alias("v2"),
+        (
+            F.floor(F.col("c_acctbal") * 100).cast("long")
+            - F.when(F.col("c_custkey") % 11 == 0, 222).otherwise(0)
+        ).alias("v3"),
+    )
+    voted = base.select(
+        "k",
+        F.when(
+            (F.col("v1") == F.col("v2")) | (F.col("v1") == F.col("v3")),
+            F.col("v1"),
+        ).when(F.col("v2") == F.col("v3"), F.col("v2")).alias("gold"),
+        F.when(
+            (F.col("v1") == F.col("v2")) & (F.col("v2") == F.col("v3")),
+            "unanimous",
+        )
+        .when(
+            (F.col("v1") == F.col("v2"))
+            | (F.col("v1") == F.col("v3"))
+            | (F.col("v2") == F.col("v3")),
+            "majority",
+        )
+        .otherwise("conflict")
+        .alias("verdict"),
+    )
+    return voted.groupBy("verdict").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("k").cast("long").alias("key_checksum"),
+        F.coalesce(F.sum("gold"), F.lit(0)).cast("long")
+        .alias("gold_cents_sum"),
+    )

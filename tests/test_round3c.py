@@ -1160,3 +1160,78 @@ def test_q273_forecast_backtest_recompute(spark, sf_dir):
     assert row["mae_naive_cents"] == e_n // cnt
     assert row["mae_seasonal_cents"] == e_s // cnt
     assert row["mase_permil"] == e_s * 1000 // e_n
+
+
+def test_q274_survivorship_recompute(spark, sf_dir):
+    import math
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_acctbal"
+    ).collect()
+    ref: dict = {}
+    for r in cust:
+        k = r["c_custkey"]
+        v1 = int(math.floor(r["c_acctbal"] * 100))
+        v2 = v1 + (111 if k % 7 == 0 else 0)
+        v3 = v1 - (222 if k % 11 == 0 else 0)
+        if v1 == v2 and v2 == v3:
+            verdict, gold = "unanimous", v1
+        elif v1 == v2 or v1 == v3:
+            verdict, gold = "majority", v1
+        elif v2 == v3:
+            verdict, gold = "majority", v2
+        else:
+            verdict, gold = "conflict", 0
+        n, ks, gs = ref.get(verdict, (0, 0, 0))
+        ref[verdict] = (n + 1, ks + k, gs + gold)
+    out = {
+        r["verdict"]: (r["n_keys"], r["key_checksum"], r["gold_cents_sum"])
+        for r in QUERIES["q274_survivorship_consensus"](spark, sf_dir)
+        .collect()
+    }
+    assert out == ref
+    # conflicts are exactly the mod-77 keys (both corruptions fired)
+    conflicts = [r["c_custkey"] for r in cust if r["c_custkey"] % 77 == 0]
+    if conflicts:
+        assert out["conflict"][0] == len(conflicts)
+
+
+def test_q275_rolling_correlation_recompute(spark, sf_dir):
+    import math
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "ts", "event_type"
+    ).collect()
+    daily: dict = {}
+    for r in ev:
+        d = int(r["ts"].timestamp() * 1000000) // 86400000000
+        x, y = daily.get(d, (0, 0))
+        daily[d] = (
+            x + (1 if r["event_type"] == "view" else 0),
+            y + (1 if r["event_type"] == "purchase" else 0),
+        )
+    out = {
+        r["day"]: r
+        for r in QUERIES["q275_rolling_correlation"](spark, sf_dir)
+        .collect()
+    }
+    assert set(out) == set(daily)
+    for d in daily:
+        win = [(daily[d2]) for d2 in daily if d - 6 <= d2 <= d]
+        n = len(win)
+        sx = sum(x for x, _ in win)
+        sy = sum(y for _, y in win)
+        sxy = sum(x * y for x, y in win)
+        sxx = sum(x * x for x, _ in win)
+        syy = sum(y * y for _, y in win)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        r_ref = (
+            0.0 if vx == 0 or vy == 0
+            else (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))
+        )
+        row = out[d]
+        assert (row["n_days"], row["x"], row["y"]) == (
+            n, daily[d][0], daily[d][1]
+        )
+        assert row["r"] == r_ref
+        assert -1.0 <= row["r"] <= 1.0
