@@ -3030,3 +3030,100 @@ def _register_q261() -> None:
 
 
 _register_q261()
+
+
+# ---------------------------------------------------------------------------
+# q277 — retrieval evaluation (MRR / Hits@10): the scorecard of the
+# search stack (q226 keyword, q237 fusion) measured the way IR evals
+# run — a query set, graded relevance, rank-based metrics. Queries are
+# the 10 rarest corpus tokens (rarity is where ranking quality shows);
+# qrels are deterministic (doc relevant to q iff tf(q, doc) ≥ 2);
+# ranking is tf desc with a doc_id tie-break (total order, cookbook).
+# Reciprocal ranks are exact integers (1e6 div first_rel_rank), so MRR
+# aggregation upstream is a plain integer mean.
+#
+# Plan: one (token, doc, tf) aggregate; the 10-row query set broadcast-
+# joins it; one per-query rank window over that restricted posting set;
+# a |queries|-row metric aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _register_q277() -> None:
+    @_register(
+        "q277_retrieval_eval",
+        oracle=f"""
+        WITH occ AS (
+            SELECT tok, doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (
+                SELECT doc_id, unnest({_SQL_ALPHA_TOKENS}) AS tok
+                FROM documents
+            ) GROUP BY tok, doc_id
+        ),
+        qset AS (
+            SELECT tok FROM (
+                SELECT tok, SUM(tf) AS c FROM occ GROUP BY tok
+            ) ORDER BY c, tok LIMIT 10
+        ),
+        ranked AS (
+            SELECT o.tok, o.doc, o.tf,
+                   ROW_NUMBER() OVER (PARTITION BY o.tok
+                                      ORDER BY o.tf DESC, o.doc) AS rnk
+            FROM occ o JOIN qset q ON o.tok = q.tok
+        )
+        SELECT tok AS query,
+               CAST(SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_relevant,
+               CAST(MIN(CASE WHEN tf >= 2 THEN rnk END) AS BIGINT)
+                   AS first_rel_rank,
+               CAST(1000000 // MIN(CASE WHEN tf >= 2 THEN rnk END)
+                    AS BIGINT) AS rr_ppm,
+               CAST(SUM(CASE WHEN tf >= 2 AND rnk <= 10 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits_at_10
+        FROM ranked
+        GROUP BY tok
+        HAVING SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) > 0
+        """,
+    )
+    def q277_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MRR / Hits@10 for tf-ranked retrieval over the 10 rarest
+        query tokens with tf≥2 qrels; see block comment."""
+        docs = load_table(spark, "documents", sf_dir)
+        occ = (
+            docs.select(
+                F.col("doc_id").alias("doc"),
+                F.explode(alpha_tokens(F.col("text"))).alias("tok"),
+            )
+            .groupBy("tok", "doc")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .persist()  # feeds the query-set choice AND the ranking
+        )
+        qset = (
+            occ.groupBy("tok")
+            .agg(F.sum("tf").alias("c"))
+            .orderBy("c", "tok")
+            .limit(10)
+            .select("tok")
+        )
+        wr = Window.partitionBy("tok").orderBy(F.desc("tf"), "doc")
+        ranked = occ.join(F.broadcast(qset), "tok").select(
+            "tok", "doc", "tf", F.row_number().over(wr).alias("rnk")
+        )
+        rel = F.col("tf") >= 2
+        return (
+            ranked.groupBy(F.col("tok").alias("query"))
+            .agg(
+                F.sum(rel.cast("long")).cast("long").alias("n_relevant"),
+                F.min(F.when(rel, F.col("rnk"))).cast("long")
+                .alias("first_rel_rank"),
+                F.expr(
+                    "CAST(1000000 div MIN(CASE WHEN tf >= 2 THEN rnk END)"
+                    " AS BIGINT)"
+                ).alias("rr_ppm"),
+                F.sum((rel & (F.col("rnk") <= 10)).cast("long"))
+                .cast("long").alias("hits_at_10"),
+            )
+            .filter(F.col("n_relevant") > 0)
+        )
+
+
+_register_q277()

@@ -643,3 +643,108 @@ def _register_q266() -> None:
 
 
 _register_q266()
+
+
+# ---------------------------------------------------------------------------
+# q276 — sample-ratio-mismatch (SRM) check: the first thing an
+# experimentation platform audits — did the 50/50 hash split actually
+# deliver 50/50? A skewed ratio invalidates every downstream readout
+# (q224's CUPED included, which uses this exact md5 arm assignment).
+# The statistic is the 1-dof chi-square for equal split, kept integer:
+# chi2_micro = (o_a − o_b)²·1e6 div n; the 3.84 threshold (p≈0.05)
+# becomes the integer comparison chi2_micro > 3841459 — no FP anywhere.
+#
+# Unit-of-analysis discipline (the classic SRM pitfall, demonstrated on
+# purpose): assignment is per USER, so the audit counts DISTINCT USERS
+# per arm — per event type and pooled. A '__pooled_events__' row runs
+# the same statistic at EVENT grain, where per-user event clustering
+# inflates chi-square and falsely flags a perfectly healthy split;
+# the pytest pins healthy-at-user-grain AND inflated-at-event-grain.
+# ---------------------------------------------------------------------------
+
+
+def _register_q276() -> None:
+    arm_sql = ("CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)"
+               " || 'cuped-arm'), 1, 15) AS BIGINT) % 2")
+
+    @_register(
+        "q276_srm_check",
+        oracle=f"""
+        WITH armed AS (
+            SELECT DISTINCT event_type, user_id, {arm_sql} AS arm
+            FROM events
+        ),
+        cells AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS o_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS o_b
+            FROM armed GROUP BY event_type
+            UNION ALL
+            SELECT '__pooled_users__',
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM (SELECT DISTINCT user_id, arm FROM armed)
+            UNION ALL
+            SELECT '__pooled_events__',
+                   CAST(SUM(CASE WHEN {arm_sql} = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(SUM(CASE WHEN {arm_sql} = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM events
+        )
+        SELECT event_type, o_a, o_b,
+               CAST((o_a - o_b) * (o_a - o_b) * 1000000 // (o_a + o_b)
+                    AS BIGINT) AS chi2_micro,
+               CAST(CASE WHEN (o_a - o_b) * (o_a - o_b) * 1000000
+                              // (o_a + o_b) > 3841459
+                         THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        FROM cells
+        """,
+    )
+    def q276_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Integer chi-square SRM audit of the md5 50/50 split at USER
+        grain (the assignment unit), plus the deliberately-wrong
+        event-grain pooled row; see block comment."""
+        ev = load_table(spark, "events", sf_dir)
+        arm = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"),
+                                   F.lit("cuped-arm"))), 1, 15,
+                ), 16, 10,
+            ).cast("bigint") % 2
+        )
+        armed = ev.select("event_type", "user_id", arm.alias("arm")).distinct()
+        def cells(df, label=None):
+            g = df.groupBy("event_type") if label is None else df
+            aggs = [
+                F.sum((F.col("arm") == 0).cast("long")).cast("long")
+                .alias("o_a"),
+                F.sum((F.col("arm") == 1).cast("long")).cast("long")
+                .alias("o_b"),
+            ]
+            if label is None:
+                return g.agg(*aggs)
+            return df.agg(F.lit(label).alias("event_type"), *aggs)
+        per = cells(armed)
+        pooled_u = cells(
+            armed.select("user_id", "arm").distinct(), "__pooled_users__"
+        )
+        pooled_e = cells(
+            ev.select(arm.alias("arm")), "__pooled_events__"
+        )
+        out = per.unionAll(pooled_u).unionAll(pooled_e)
+        chi2 = F.expr(
+            "CAST((o_a - o_b) * (o_a - o_b) * 1000000 div (o_a + o_b)"
+            " AS BIGINT)"
+        )
+        return out.select(
+            "event_type", "o_a", "o_b",
+            chi2.alias("chi2_micro"),
+            (chi2 > 3841459).cast("long").alias("srm_flag"),
+        )
+
+
+_register_q276()

@@ -1235,3 +1235,83 @@ def test_q275_rolling_correlation_recompute(spark, sf_dir):
         )
         assert row["r"] == r_ref
         assert -1.0 <= row["r"] <= 1.0
+
+
+def test_q276_srm_recompute(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "user_id"
+    ).collect()
+
+    def arm_of(u: int) -> int:
+        return int(
+            hashlib.md5(f"{u}cuped-arm".encode()).hexdigest()[:15], 16
+        ) % 2
+
+    cells: dict = {}
+    users: set = set()
+    ev_pool = [0, 0]
+    for r in ev:
+        a = arm_of(r["user_id"])
+        cells.setdefault(r["event_type"], set()).add((r["user_id"], a))
+        users.add((r["user_id"], a))
+        ev_pool[a] += 1
+    ref = {
+        t: (
+            sum(1 for _, a in us if a == 0),
+            sum(1 for _, a in us if a == 1),
+        )
+        for t, us in cells.items()
+    }
+    ref["__pooled_users__"] = (
+        sum(1 for _, a in users if a == 0),
+        sum(1 for _, a in users if a == 1),
+    )
+    ref["__pooled_events__"] = tuple(ev_pool)
+    out = {
+        r["event_type"]: (r["o_a"], r["o_b"], r["chi2_micro"], r["srm_flag"])
+        for r in QUERIES["q276_srm_check"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(ref)
+    for t, (a, b) in ref.items():
+        chi2 = (a - b) * (a - b) * 1000000 // (a + b)
+        assert out[t] == (a, b, chi2, 1 if chi2 > 3841459 else 0)
+    # healthy at the assignment unit; inflated at event grain (the
+    # unit-of-analysis pitfall this query demonstrates on purpose)
+    assert out["__pooled_users__"][3] == 0
+    assert out["__pooled_events__"][3] == 1
+
+
+def test_q277_retrieval_eval_recompute(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text"
+    ).collect()
+    occ: Counter = Counter()
+    for r in docs:
+        for t in re.split(r"\s+", r["text"].strip().lower()):
+            if re.fullmatch("[a-z]+", t):
+                occ[(t, r["doc_id"])] += 1
+    tok_total: Counter = Counter()
+    for (t, _), c in occ.items():
+        tok_total[t] += c
+    qset = [t for t, _ in sorted(tok_total.items(),
+                                 key=lambda kv: (kv[1], kv[0]))[:10]]
+    out = {
+        r["query"]: (r["n_relevant"], r["first_rel_rank"], r["rr_ppm"],
+                     r["hits_at_10"])
+        for r in QUERIES["q277_retrieval_eval"](spark, sf_dir).collect()
+    }
+    for q in qset:
+        postings = sorted(
+            ((d, c) for (t, d), c in occ.items() if t == q),
+            key=lambda dc: (-dc[1], dc[0]),
+        )
+        rel_ranks = [i for i, (_, c) in enumerate(postings, 1) if c >= 2]
+        if not rel_ranks:
+            assert q not in out
+            continue
+        fr = rel_ranks[0]
+        assert out[q] == (
+            len(rel_ranks), fr, 1000000 // fr,
+            sum(1 for r_ in rel_ranks if r_ <= 10),
+        )
+    assert set(out) <= set(qset)
