@@ -1661,3 +1661,159 @@ def _register_q207() -> None:
 
 
 _register_q207()
+
+
+# ---------------------------------------------------------------------------
+# q278 — MinHash calibration curve: does signature agreement actually
+# track Jaccard? The estimator's defining property (E[agreement/k] = J)
+# audited on real candidates: every band-collision pair (NO threshold —
+# the raw candidate stream q66 then filters) gets its 24-slot signature
+# agreement and its exact Jaccard, and the curve is the per-agreement-
+# bin census with integer mean-Jaccard permil. A sketch whose curve is
+# flat is broken; the pytest pins the top bin's mean above the bottom
+# bin's. Same md5 pipeline as q66 — the oracle replays signatures,
+# banding, agreement counting, and the exact verification bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _register_q278() -> None:
+    agree_sql = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(_Q66_NH)
+    )
+
+    @_register(
+        "q278_minhash_calibration",
+        oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       {_sql_shingles(2)},
+                       s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                            & {_MASK32}
+                   )) AS hs
+            FROM (SELECT doc_id, {_sql_tokens("text")} AS __t FROM documents)
+        ),
+        ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+        sigs AS (
+            SELECT doc_id,
+                   {_Q66_MIN_AGGS}
+            FROM ex GROUP BY doc_id
+        ),
+        banded AS (
+{_Q66_BAND_SELECTS}
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM banded x
+            JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+            WHERE x.doc_id < y.doc_id
+        ),
+        scored AS (
+            SELECT c.id_a, c.id_b,
+                   ({agree_sql}) AS agree,
+                   len(list_intersect(a.hs, b.hs)) * 1000
+                     // (len(a.hs) + len(b.hs)
+                         - len(list_intersect(a.hs, b.hs))) AS j_permil
+            FROM cand c
+            JOIN sigs sa ON c.id_a = sa.doc_id
+            JOIN sigs sb ON c.id_b = sb.doc_id
+            JOIN sh a ON c.id_a = a.doc_id
+            JOIN sh b ON c.id_b = b.doc_id
+        )
+        SELECT CAST(agree AS BIGINT) AS agreement,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(j_permil) // COUNT(*) AS BIGINT)
+                   AS mean_jaccard_permil,
+               CAST(MIN(j_permil) AS BIGINT) AS min_jaccard_permil,
+               CAST(MAX(j_permil) AS BIGINT) AS max_jaccard_permil
+        FROM scored GROUP BY agree
+        """,
+    )
+    def q278_minhash_calibration(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Signature-agreement → true-Jaccard calibration bins over the
+        raw band-collision candidates; see block comment."""
+        d = load_table(spark, "documents", sf_dir)
+        hs = F.array_distinct(
+            F.transform(
+                word_shingles(F.col("text"), 2),
+                lambda s: _md5_hash64(s).bitwiseAND(
+                    F.lit(_MASK32).cast("long")
+                ),
+            )
+        )
+        base = d.select(
+            F.col("doc_id").alias("doc"), hs.alias("hs")
+        ).persist()  # feeds signatures AND both verification sides
+        sigs = minhash_signatures_arrow(
+            base, "doc", "hs", num_hashes=_Q66_NH
+        ).persist()  # feeds banding AND both agreement sides
+        banded = sigs.select(
+            "doc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "/",
+                                *[
+                                    F.element_at(
+                                        "sig", b * _Q66_ROWS + j + 1
+                                    ).cast("string")
+                                    for j in range(_Q66_ROWS)
+                                ],
+                            ).alias("bucket"),
+                        )
+                        for b in range(_Q66_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc", "bb.band", "bb.bucket")
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["band", "bucket"])
+            .filter(F.col("x.doc") < F.col("y.doc"))
+            .select(
+                F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b")
+            )
+            .distinct()
+        )
+        sa = sigs.select(F.col("doc").alias("id_a"),
+                         F.col("sig").alias("sig_a"))
+        sb = sigs.select(F.col("doc").alias("id_b"),
+                         F.col("sig").alias("sig_b"))
+        a = base.select(F.col("doc").alias("id_a"),
+                        F.col("hs").alias("hs_a"))
+        b = base.select(F.col("doc").alias("id_b"),
+                        F.col("hs").alias("hs_b"))
+        inter = F.size(F.array_intersect("hs_a", "hs_b"))
+        scored = (
+            cand.join(sa, "id_a").join(sb, "id_b")
+            .join(a, "id_a").join(b, "id_b")
+            .select(
+                F.expr(
+                    "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
+                    " v -> v))"
+                ).alias("agree"),
+                F.expr(
+                    "size(array_intersect(hs_a, hs_b)) * 1000 div"
+                    " (size(hs_a) + size(hs_b)"
+                    " - size(array_intersect(hs_a, hs_b)))"
+                ).cast("long").alias("j_permil"),
+            )
+        )
+        return scored.groupBy(
+            F.col("agree").cast("long").alias("agreement")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("CAST(SUM(j_permil) div COUNT(*) AS BIGINT)")
+            .alias("mean_jaccard_permil"),
+            F.min("j_permil").cast("long").alias("min_jaccard_permil"),
+            F.max("j_permil").cast("long").alias("max_jaccard_permil"),
+        )
+
+
+_register_q278()

