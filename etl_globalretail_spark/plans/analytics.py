@@ -5154,40 +5154,55 @@ def q246_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # median of that integer multiset under a total order, so ties carry no
 # engine luck.
 #
-# Plan shape: one window (per-user total order) + one per-user rank
-# self-join — pair mass is Σ n_u², bounded by session length (~70
-# events/user here). At 100 TB event counts per user are capped first
-# (trailing-window slice or per-user sampling — the standard Theil–Sen
-# scaling move); the join stays user-keyed either way, one shuffle.
+# Plan shape: a recency cap FIRST — each user contributes only their
+# K=64 most-recent events under the (ts, event_id) total order — then
+# one per-user rank self-join over the capped slice. Pair mass per key
+# is therefore ≤ K(K-1)/2 = 2016 BY CONSTRUCTION, independent of how
+# hot the user is: a 10⁶-event whale at 100 TB costs the same 2016
+# pairs as anyone else (the standard Theil–Sen scaling move — trend is
+# a recent-window notion anyway). The cap is surfaced in the output
+# (`n_events_used`, ≤ 64) so consumers see exactly how much history
+# fed each estimate. One user-keyed shuffle end to end; the cap window
+# and the count ride the same partitioning.
 # ---------------------------------------------------------------------------
+
+_Q250_CAP_K = 64  # most-recent events per user fed to the estimator
 
 
 @_register(
     "q250_theil_sen_trend",
-    oracle="""
-    WITH ev AS (
+    oracle=f"""
+    WITH recent AS (
         SELECT user_id, event_id,
                epoch_us(ts) // 1000000 AS sec,
                CAST(FLOOR(value * 100) AS BIGINT) AS cents,
                ROW_NUMBER() OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS rn
+                                  ORDER BY ts DESC, event_id DESC) AS rev
         FROM events
     ),
+    ev AS (
+        SELECT user_id, event_id, sec, cents,
+               COUNT(*) OVER (PARTITION BY user_id) - rev + 1 AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_used
+        FROM recent
+        WHERE rev <= {_Q250_CAP_K}
+    ),
     pairs AS (
-        SELECT a.user_id,
+        SELECT a.user_id, a.n_used,
                (b.cents - a.cents) * 1000000 // (b.sec - a.sec) AS slope,
                a.rn AS ra, b.rn AS rb
         FROM ev a JOIN ev b
           ON a.user_id = b.user_id AND a.rn < b.rn AND a.sec < b.sec
     ),
     ranked AS (
-        SELECT user_id, slope,
+        SELECT user_id, n_used, slope,
                ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY slope, ra, rb) AS rnk,
                COUNT(*) OVER (PARTITION BY user_id) AS n_pairs
         FROM pairs
     )
     SELECT user_id,
+           CAST(n_used AS BIGINT) AS n_events_used,
            CAST(n_pairs AS BIGINT) AS n_pairs,
            CAST(slope AS BIGINT) AS median_slope_micro
     FROM ranked
@@ -5195,19 +5210,35 @@ def q246_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q250_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user Theil–Sen trend: nearest-rank lower median of all
-    pairwise integer slopes (Δcents·1e6 div Δsec). See block comment."""
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id", "event_id",
-        F.unix_timestamp("ts").cast("long").alias("sec"),
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
-        F.row_number().over(
-            Window.partitionBy("user_id").orderBy("ts", "event_id")
-        ).alias("rn"),
+    """Per-user Theil–Sen trend over the K=64 most-recent events:
+    nearest-rank lower median of all pairwise integer slopes
+    (Δcents·1e6 div Δsec). Per-key pair mass ≤ K(K-1)/2 by
+    construction; the cap is surfaced as `n_events_used`."""
+    k = _Q250_CAP_K
+    w_recent = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w_user = Window.partitionBy("user_id")
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "user_id", "event_id", "ts",
+            F.unix_timestamp("ts").cast("long").alias("sec"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            F.row_number().over(w_recent).alias("rev"),
+        )
+        .filter(F.col("rev") <= k)
+        # rn = ascending (ts, event_id) rank within the capped slice,
+        # derived from the descending rank + count so no second sort.
+        .select(
+            "user_id", "sec", "cents",
+            (F.count(F.lit(1)).over(w_user) - F.col("rev") + 1).alias("rn"),
+            F.count(F.lit(1)).over(w_user).alias("n_used"),
+        )
     )
     a = ev.select(
         "user_id", F.col("sec").alias("sa"), F.col("cents").alias("ca"),
-        F.col("rn").alias("ra"),
+        F.col("rn").alias("ra"), "n_used",
     )
     b = ev.select(
         "user_id", F.col("sec").alias("sb"), F.col("cents").alias("cb"),
@@ -5217,7 +5248,7 @@ def q250_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "user_id")
         .filter((F.col("ra") < F.col("rb")) & (F.col("sa") < F.col("sb")))
         .select(
-            "user_id",
+            "user_id", "n_used",
             F.expr("(cb - ca) * 1000000 div (sb - sa)").alias("slope"),
             "ra", "rb",
         )
@@ -5225,7 +5256,7 @@ def q250_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("user_id").orderBy("slope", "ra", "rb")
     wc = Window.partitionBy("user_id")
     ranked = pairs.select(
-        "user_id", "slope",
+        "user_id", "n_used", "slope",
         F.row_number().over(wr).alias("rnk"),
         F.count(F.lit(1)).over(wc).alias("n_pairs"),
     )
@@ -5233,6 +5264,7 @@ def q250_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk") == F.expr("(n_pairs + 1) div 2")
     ).select(
         "user_id",
+        F.col("n_used").cast("long").alias("n_events_used"),
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.col("slope").cast("long").alias("median_slope_micro"),
     )

@@ -26,8 +26,11 @@ def main() -> None:
     print(f"rows-only: {len(rows_only)} -> {sorted(rows_only)}")
     import bench
 
-    print(f"bench HEADLINE: {len(bench.HEADLINE)}")
-    missing_bench = [k for k in bench.HEADLINE if k not in qs]
+    # HEADLINE = None means "bench the whole registry" (round 3+).
+    headline = bench.HEADLINE if bench.HEADLINE is not None else list(qs)
+    print(f"bench HEADLINE: {len(headline)}"
+          + (" (None -> full registry)" if bench.HEADLINE is None else ""))
+    missing_bench = [k for k in headline if k not in qs]
     assert not missing_bench, f"bench names not registered: {missing_bench}"
 
 

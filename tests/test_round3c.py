@@ -412,12 +412,16 @@ def test_q250_theil_sen_recompute(spark, sf_dir):
         return q if (a >= 0) == (b >= 0) else -q
 
     out = {
-        r["user_id"]: (r["n_pairs"], r["median_slope_micro"])
+        r["user_id"]: (r["n_events_used"], r["n_pairs"],
+                       r["median_slope_micro"])
         for r in QUERIES["q250_theil_sen_trend"](spark, sf_dir).collect()
     }
     checked = 0
     for u, rows in per_user.items():
+        # recency cap: only the K=64 most-recent (ts, event_id) rows
+        # feed the estimator (q250's by-construction pair-mass bound).
         rows.sort(key=lambda t: (t[0], t[1]))
+        rows = rows[-64:]
         slopes = []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
@@ -431,7 +435,7 @@ def test_q250_theil_sen_recompute(spark, sf_dir):
             continue
         slopes.sort()
         med = slopes[(len(slopes) + 1) // 2 - 1]
-        assert out[u] == (len(slopes), med)
+        assert out[u] == (len(rows), len(slopes), med)
         checked += 1
     assert checked >= 10  # sf0.001 fixture has ~15 users
 
