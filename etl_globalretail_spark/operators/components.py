@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_globalretail_spark.plans.queries import make_query_decorator
+from etl_globalretail_spark.sources.artifacts import materialize, reliable_enabled
 from etl_globalretail_spark.sources.readers import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -67,7 +68,16 @@ def connected_components(
     sc = pairs.sparkSession.sparkContext
 
     def _checkpoint(df: DataFrame):
-        """localCheckpoint + handles of the java RDD blocks it pinned."""
+        """Materialize one round + handles of any java RDD blocks pinned.
+
+        Local tier: localCheckpoint pins executor blocks — capture their
+        handles so superseded rounds can be released. Reliable tier
+        (SPARK_GRAFT_RELIABLE_ARTIFACTS=1): rounds go to the checkpoint
+        dir as files; nothing is pinned, so there is nothing to release
+        (the dir is session-scoped).
+        """
+        if reliable_enabled():
+            return materialize(df), []
         pre = set(sc._jsc.getPersistentRDDs().keySet().toArray())
         out = df.localCheckpoint()
         post = sc._jsc.getPersistentRDDs()

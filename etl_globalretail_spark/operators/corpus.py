@@ -54,6 +54,7 @@ from pyspark.sql.window import Window
 from etl_globalretail_spark.operators.sampling import N_BUCKETS, _sql_bucket, hash_bucket
 from etl_globalretail_spark.plans.queries import make_query_decorator
 from etl_globalretail_spark.sources.readers import load_table
+from etl_globalretail_spark.sources.artifacts import materialize
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -1802,7 +1803,7 @@ def q208_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(span_hashes(F.col("text"), _SPAN_K)).alias("h"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     sizes = spans.groupBy("source").agg(F.count(F.lit(1)).alias("n_spans"))
     a = spans.select(F.col("source").alias("src_a"), "h")
@@ -1963,7 +1964,7 @@ def q221_source_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy runs once; consumers read the (source × value)-grain blocks.
     cnt = d.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     a = cnt.select(F.col("source").alias("src_a"), "v", F.col("c").alias("ca"))
     b = cnt.select(F.col("source").alias("src_b"), "v", F.col("c").alias("cb"))
@@ -2056,11 +2057,11 @@ def q226_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unchanged either way.)
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # vocab is vocabulary-sized and consumed by mx AND the query filter.
     vocab = tok.groupBy("t").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     mx = vocab.agg(F.max(F.length(F.bin("cnt"))).alias("maxbits"))
     qterms = (
         vocab.filter(F.col("t").isin(*_Q226_QUERY))
@@ -2160,7 +2161,7 @@ def q232_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
         .select("doc_id", "lang", "b.w1", "b.w2")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     c2 = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("cnt2")
@@ -2168,7 +2169,7 @@ def q232_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cnt1 = bigram-prefix count, derived from the (small) model table,
     # NOT by re-aggregating the stream. c2 feeds c1 and the join below —
     # vocabulary-sized, checkpoint.
-    c2 = c2.localCheckpoint(eager=True)
+    c2 = c2.transform(materialize)
     c1 = c2.groupBy("w1").agg(F.sum("cnt2").cast("long").alias("cnt1"))
     model = c2.join(c1, "w1").select(
         "w1", "w2",

@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 from etl_globalretail_spark.operators.text import _sql_tokens, tokens
 from etl_globalretail_spark.plans.queries import make_query_decorator
 from etl_globalretail_spark.sources.readers import load_table
+from etl_globalretail_spark.sources.artifacts import materialize
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -1617,7 +1618,7 @@ def _register_q207() -> None:
         # here would bottleneck at scale).
         base = d.select(F.col("doc_id").alias("doc"), hs.alias("hs")).filter(
             F.size("hs") > 0
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         plen = (
             F.size("hs")
             - F.expr(f"({_Q207_PCT} * size(hs) + 99) div 100") + 1

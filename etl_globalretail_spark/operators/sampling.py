@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 
 from etl_globalretail_spark.plans.queries import make_query_decorator
 from etl_globalretail_spark.sources.readers import load_table
+from etl_globalretail_spark.sources.artifacts import materialize
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -441,7 +442,7 @@ def q238_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rep feeds the replica ranking AND the full-sample row — tiny
     # (5 priorities × 33), checkpoint not needed but persist-by-rule:
-    rep = rep.localCheckpoint(eager=True)
+    rep = rep.transform(materialize)
     wr = Window.partitionBy("priority").orderBy("mean_cents", "r")
     ranked = (
         rep.filter(F.col("r") >= 0)

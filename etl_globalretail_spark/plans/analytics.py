@@ -1527,6 +1527,7 @@ def q138_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from etl_globalretail_spark.sources.formats import morton_key, morton_sql  # noqa: E402
+from etl_globalretail_spark.sources.artifacts import materialize
 
 _Z_BUCKETS = 16
 
@@ -1971,7 +1972,7 @@ def co_purchase_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("support"),
             )
         )
-        memo[sf_dir] = und.localCheckpoint(eager=True)
+        memo[sf_dir] = und.transform(materialize)
     return memo[sf_dir]
 
 
@@ -2291,7 +2292,7 @@ def q168_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned LAZY (pair-set outputs are data-sized; no driver collect).
     items = (
         li.select("l_orderkey", "l_partkey").distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n_baskets = items.select("l_orderkey").distinct().count()
     supp1 = items.groupBy("l_partkey").agg(
@@ -3718,7 +3719,7 @@ def q212_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # cut the lineage: without this each round's collect re-runs
             # every previous round's joins (chained-iteration trap, q43)
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         stats = edges.agg(
             F.countDistinct("src").cast("long").alias("n_vertices"),
@@ -4089,7 +4090,7 @@ def q217_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
         F.floor("l_quantity").cast("long").alias("x"),
         F.floor(F.col("l_discount") * 100).cast("long").alias("y"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     def doubled_ranks(col):
         cnts = q.groupBy("flag", col).agg(F.count(F.lit(1)).alias("c"))

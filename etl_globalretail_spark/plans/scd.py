@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from etl_globalretail_spark.plans.queries import make_query_decorator
 from etl_globalretail_spark.sources.readers import load_table
+from etl_globalretail_spark.sources.artifacts import materialize
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -604,7 +605,7 @@ def q249_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     is_delta = F.pmod(F.col("o_orderkey"), 4) == 0
     # the "previously materialized" view: executor-resident, lineage cut
-    state = _ivm_state(o.filter(~is_delta)).localCheckpoint(eager=True)
+    state = _ivm_state(o.filter(~is_delta)).transform(materialize)
     delta = _ivm_state(o.filter(is_delta))
     merged = (
         state.unionAll(delta)

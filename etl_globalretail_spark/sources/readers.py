@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_globalretail_spark.schemas import TABLE_NAMES, TESTDATA_SCHEMAS
+from etl_globalretail_spark.sources.artifacts import materialize
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -292,7 +293,7 @@ def global_index(df, order_col: str, n_ranges: int = 16):
         df.repartitionByRange(n_ranges, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     counts = sorted(
         ranged.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
