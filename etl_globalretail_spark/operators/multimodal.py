@@ -12,16 +12,20 @@ Design (the part that must be right at 100 TB):
 - partitioning guidance: repartition by a size-balanced key before heavy
   decode so one giant video doesn't serialize a partition.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so the
-decode kernels are stubbed: ``decode_image`` raises NotImplementedError by
-contract, and ``fake_decode_features`` is the deterministic stand-in the
-tests and demo queries run — the Spark-side plumbing (schema, batching,
-partitioning) is real and tested either way.
+Compressed codecs (libjpeg/ffmpeg/soundfile) are NOT in this container,
+so ``decode_image`` handles the two uncompressed container formats it
+can parse from first principles — BMP (24-bit BI_RGB, bottom-up or
+top-down, row padding) and binary PPM (P6) — with a NotImplementedError
+contract for anything compressed. q279 runs the decode leg on REAL
+pixels end-to-end (synthesize → encode container → parse container →
+pixel digest) under a DuckDB oracle; ``fake_decode_features`` remains
+the deterministic stand-in for mimes without a bundled codec.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,12 +74,113 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decode kernel — requires an image codec library, absent in this
-    environment by design. See module docstring."""
+# ---------------------------------------------------------------------------
+# Real image codecs (pure Python + numpy — no external library).
+# BMP: BITMAPFILEHEADER (14B) + BITMAPINFOHEADER (40B), 24-bit BI_RGB,
+# rows 4-byte padded, stored bottom-up (negative height = top-down).
+# PPM: the P6 binary variant — ASCII header (magic, width, height,
+# maxval, '#' comments) then raw RGB. Both decode to row-major top-down
+# RGB bytes; encode(decode(x)) and decode(encode(x)) are identities,
+# proven in tests/test_multimodal_decode.py.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Pack row-major top-down RGB bytes into a 24-bit BI_RGB BMP."""
+    import numpy as np
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    bgr = a[::-1, :, ::-1]  # bottom-up row order, RGB→BGR
+    rows = bgr.reshape(height, width * 3)
+    pad = (-(width * 3)) % 4
+    if pad:
+        rows = np.concatenate(
+            [rows, np.zeros((height, pad), np.uint8)], axis=1
+        )
+    pixel_data = rows.tobytes()
+    offset = 14 + 40
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    return file_header + info_header + pixel_data
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Pack row-major top-down RGB bytes into a binary PPM (P6)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    import numpy as np
+
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    bpp, compression = struct.unpack_from("<HI", payload, 28)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, np.uint8, count=stride * height, offset=offset
+    ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return width, height, rows[:, :, ::-1].tobytes()  # BGR→RGB
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    if payload[:2] != b"P6":
+        raise NotImplementedError("only binary PPM (P6) supported")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        c = payload[pos : pos + 1]
+        if c == b"#":  # comment: skip to end of line
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval, then raw data
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    n = width * height * 3
+    rgb = payload[pos : pos + n]
+    if len(rgb) != n:
+        raise ValueError("truncated PPM payload")
+    return width, height, rgb
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an uncompressed image container to ``(width, height,
+    row-major top-down RGB bytes)``. Dispatches on magic bytes: BMP
+    (``BM``) and binary PPM (``P6``) are parsed from first principles;
+    compressed formats raise NotImplementedError (no codec library in
+    this container — see module docstring)."""
+    payload = bytes(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
     raise NotImplementedError(
-        "image decode requires PIL/libjpeg, not present in this container; "
-        "use fake_decode_features for the plumbing path"
+        "no bundled codec for this format; BMP/P6-PPM are supported, "
+        "compressed formats need libjpeg/ffmpeg (absent by design)"
     )
 
 
@@ -340,6 +445,132 @@ def q95_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_frame_idx",
             "sum_frames_total",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q279 — the decode leg on REAL pixels, oracle-checked. Pixel content is
+# the ASCII bytes of repeat(md5(text), 96) truncated to W·H·3 (an
+# alphabet DuckDB can reproduce byte-for-byte with VARCHAR functions, so
+# the oracle md5s the exact same blob). Spark takes the long way round:
+# JVM-side pattern → encode into a REAL container (BMP for even doc_ids
+# — bottom-up rows, BGR, 2 bytes of row padding at W=30 — P6 PPM for
+# odd) → parse the container back with the pure-Python codecs → md5 the
+# decoded pixels. Any bug in padding, row order, channel order, header
+# arithmetic, or the P6 tokenizer changes every digest. Both kernels
+# are Arrow-batched mapInPandas; the heavy payload column never
+# transits a shuffle (map-only until the final small agg).
+# ---------------------------------------------------------------------------
+
+_Q279_W, _Q279_H = 30, 34  # 90-byte BMP rows -> 2 pad bytes per row
+_Q279_NPIX = _Q279_W * _Q279_H * 3  # 3060
+_Q279_REPS = -(-_Q279_NPIX // 32)  # md5 hex is 32 chars -> 96 reps
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("lang", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("lang", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def _encode_image_kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    enc = {"image/bmp": encode_bmp, "image/x-portable-pixmap": encode_ppm}
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "lang": pdf["lang"],
+                "mime": pdf["mime"],
+                "payload": [
+                    enc[m](_Q279_W, _Q279_H, bytes(p))
+                    for m, p in zip(pdf["mime"], pdf["pix"])
+                ],
+            }
+        )
+
+
+def _decode_image_kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    for pdf in batches:
+        decoded = [decode_image(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "lang": pdf["lang"],
+                "mime": pdf["mime"],
+                "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                "pixels": [d[2] for d in decoded],
+            }
+        )
+
+
+@_register(
+    "q279_image_decode",
+    oracle=f"""
+    WITH f AS (
+        SELECT lang,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                    ELSE 'image/x-portable-pixmap' END AS mime,
+               md5(substr(repeat(md5(text), {_Q279_REPS}), 1, {_Q279_NPIX}))
+                   AS pix_md5
+        FROM documents
+    )
+    SELECT lang, mime,
+           COUNT(*) AS n_images,
+           CAST(COUNT(*) * {_Q279_NPIX} AS BIGINT) AS pixel_bytes,
+           CAST({_Q279_W} AS BIGINT) AS width,
+           CAST({_Q279_H} AS BIGINT) AS height,
+           bit_xor(CAST('0x' || substr(pix_md5, 1, 15) AS BIGINT))
+               AS pixel_checksum
+    FROM f GROUP BY lang, mime
+    """,
+)
+def q279_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode end-to-end: deterministic pixels → real BMP/PPM
+    containers (Python encoders) → pure-Python parse back → per-(lang,
+    mime) digest fold over the DECODED pixel bytes. See block comment."""
+    d = load_table(spark, "documents", sf_dir)
+    pattern = F.substring(
+        F.repeat(F.md5(F.encode("text", "UTF-8")), _Q279_REPS),
+        1, _Q279_NPIX,
+    )
+    src = d.select(
+        F.col("doc_id").alias("media_id"),
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/bmp"))
+        .otherwise(F.lit("image/x-portable-pixmap"))
+        .alias("mime"),
+        F.encode(pattern, "UTF-8").alias("pix"),
+    )
+    media = src.mapInPandas(_encode_image_kernel, schema=IMAGE_SCHEMA)
+    decoded = media.mapInPandas(_decode_image_kernel, schema=DECODED_SCHEMA)
+    checksum = F.conv(
+        F.substring(F.md5("pixels"), 1, 15), 16, 10
+    ).cast("bigint")
+    return decoded.groupBy("lang", "mime").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.length("pixels")).cast("long").alias("pixel_bytes"),
+        F.max("width").cast("long").alias("width"),
+        F.max("height").cast("long").alias("height"),
+        F.bit_xor(checksum).alias("pixel_checksum"),
     )
 
 
