@@ -69,15 +69,19 @@ def kmeans_fit(
     # cap binds and this is a no-op; on small corpora rounds collapse to
     # a handful of tasks. (Same device as sources/readers._spread, in
     # the opposite direction.)
-    n_rows = df.count()
+    raw = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).persist()
+    # The sizing count materializes the cache, so the input is scanned
+    # exactly ONCE; every Lloyd round below then reads cached blocks
+    # through the narrow coalesce.
+    n_rows = raw.count()
     parts = max(
         1,
         min(spark.sparkContext.defaultParallelism, -(-n_rows // 32768)),
     )
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).coalesce(parts).persist()
+    base = raw.coalesce(parts)
     try:
         init = (
             base.select("__id", "__v")
@@ -154,7 +158,7 @@ def kmeans_fit(
         inertia = final.agg(F.sum("sq_dist")).collect()[0][0]
         return final, centroids, n_iter, float(inertia)
     finally:
-        base.unpersist()
+        raw.unpersist()
 
 
 @_register("q74_kmeans")  # iterative, driver-held centroids — rows-only

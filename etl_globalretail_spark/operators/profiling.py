@@ -1266,11 +1266,11 @@ def _register_q271() -> None:
                    CASE
                      WHEN bin > {b_lo} AND bin < {b_hi} THEN n * 1000000
                      WHEN bin = {b_lo} AND bin = {b_hi} THEN
-                        n * CAST(({hi} - {lo}) * 40000 AS BIGINT)
+                        n * CAST(FLOOR(({hi} - {lo}) * 40000) AS BIGINT)
                      WHEN bin = {b_lo} THEN
-                        n * CAST(((({b_lo} + 1) * 25.0) - {lo}) * 40000 AS BIGINT)
+                        n * CAST(FLOOR(((({b_lo} + 1) * 25.0) - {lo}) * 40000) AS BIGINT)
                      WHEN bin = {b_hi} THEN
-                        n * CAST(({hi} - ({b_hi} * 25.0)) * 40000 AS BIGINT)
+                        n * CAST(FLOOR(({hi} - ({b_hi} * 25.0)) * 40000) AS BIGINT)
                      ELSE 0
                    END), 0) // 1000000 FROM ({bins})) AS BIGINT) AS est_rows,
                CAST((SELECT COUNT(*) FROM events

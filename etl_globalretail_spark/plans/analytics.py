@@ -5407,12 +5407,13 @@ def _q252_oracle() -> str:
     """
 
 
-def _maxnorm(df: DataFrame, key: str) -> DataFrame:
+def _maxnorm(df: DataFrame, key: str, persisted: list) -> DataFrame:
     """score·1e6 div max(score) — broadcast 1-row max attach (bounded).
     The raw-score frame feeds both the max aggregate and the row side,
     so it persists (|nodes|-sized — the cookbook twice-consumed rule);
-    blocks are reclaimed by the ContextCleaner with the plan."""
+    handles are appended to ``persisted`` for the caller's finally."""
     df = df.persist()
+    persisted.append(df)
     mx = df.agg(F.max("r").alias("mx"))
     return df.crossJoin(F.broadcast(mx)).select(
         key, F.expr("r * 1000000 div mx").cast("long").alias("s")
@@ -5427,51 +5428,68 @@ def q252_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_partkey"
     )
+    persisted: list[DataFrame] = []
     e = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
         .persist()  # consumed by all four half-steps
     )
-    # Unrolled trajectory (matches the oracle CTE chain exactly):
-    # a1 = normalized degree counts; h1 = hubs against a1; a2 =
-    # authorities against h1; h2 = hubs against a2.
-    a1 = _maxnorm(
-        e.groupBy("p").agg(
-            (F.count(F.lit(1)) * 1000000).cast("long").alias("r")
-        ),
-        "p",
-    )
-    h1 = _maxnorm(
-        e.join(a1, "p").groupBy("c").agg(F.sum("s").cast("long").alias("r")),
-        "c",
-    )
-    a2 = _maxnorm(
-        e.join(h1, "c").groupBy("p").agg(F.sum("s").cast("long").alias("r")),
-        "p",
-    )
-    h2 = _maxnorm(
-        e.join(a2, "p").groupBy("c").agg(F.sum("s").cast("long").alias("r")),
-        "c",
-    )
-    top_a = a2.select(
-        F.lit("authority").alias("kind"), F.col("p").alias("node_id"), "s",
-        F.row_number().over(
-            Window.orderBy(F.desc("s"), F.asc("p"))
-        ).alias("rnk"),
-    ).filter(F.col("rnk") <= 10)
-    top_h = h2.select(
-        F.lit("hub").alias("kind"), F.col("c").alias("node_id"), "s",
-        F.row_number().over(
-            Window.orderBy(F.desc("s"), F.asc("c"))
-        ).alias("rnk"),
-    ).filter(F.col("rnk") <= 10)
-    return top_a.unionAll(top_h).select(
-        "kind",
-        F.col("rnk").cast("long").alias("rank"),
-        F.col("node_id").cast("long").alias("node_id"),
-        F.col("s").cast("long").alias("score_ppm"),
-    )
+    persisted.append(e)
+    try:
+        # Unrolled trajectory (matches the oracle CTE chain exactly):
+        # a1 = normalized degree counts; h1 = hubs against a1; a2 =
+        # authorities against h1; h2 = hubs against a2.
+        a1 = _maxnorm(
+            e.groupBy("p").agg(
+                (F.count(F.lit(1)) * 1000000).cast("long").alias("r")
+            ),
+            "p", persisted,
+        )
+        h1 = _maxnorm(
+            e.join(a1, "p").groupBy("c")
+            .agg(F.sum("s").cast("long").alias("r")),
+            "c", persisted,
+        )
+        a2 = _maxnorm(
+            e.join(h1, "c").groupBy("p")
+            .agg(F.sum("s").cast("long").alias("r")),
+            "p", persisted,
+        )
+        # a2 is consumed TWICE (the h2 build and top_a) — persist the
+        # normalized frame itself, not just its raw-score input
+        a2 = a2.persist()
+        persisted.append(a2)
+        h2 = _maxnorm(
+            e.join(a2, "p").groupBy("c")
+            .agg(F.sum("s").cast("long").alias("r")),
+            "c", persisted,
+        )
+        top_a = a2.select(
+            F.lit("authority").alias("kind"),
+            F.col("p").alias("node_id"), "s",
+            F.row_number().over(
+                Window.orderBy(F.desc("s"), F.asc("p"))
+            ).alias("rnk"),
+        ).filter(F.col("rnk") <= 10)
+        top_h = h2.select(
+            F.lit("hub").alias("kind"), F.col("c").alias("node_id"), "s",
+            F.row_number().over(
+                Window.orderBy(F.desc("s"), F.asc("c"))
+            ).alias("rnk"),
+        ).filter(F.col("rnk") <= 10)
+        out = top_a.unionAll(top_h).select(
+            "kind",
+            F.col("rnk").cast("long").alias("rank"),
+            F.col("node_id").cast("long").alias("node_id"),
+            F.col("s").cast("long").alias("score_ppm"),
+        )
+        # ≤20 rows: materialize so the finally can release every cache
+        # without the returned frame recomputing the whole trajectory
+        return materialize(out)
+    finally:
+        for f in persisted:
+            f.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -1112,13 +1112,29 @@ def q230_streaming_late_drop_exact(spark: SparkSession, sf_dir: str) -> DataFram
     _Q128_SEQ[0] += 1
     sink = f"q230_sink_{_Q128_SEQ[0]}"
     run_to_memory_sink(agg, sink, mode="append")
+    waves.cleanup()  # replay finished; the memory sink holds the rows
     return spark.table(sink)
 
 
+# Number of staged arrival waves. q247's oracle pins its n_batches
+# audit column to THIS constant (f-string), so the fixture and the pin
+# cannot drift apart; with maxFilesPerTrigger=1 each non-empty wave is
+# exactly one micro-batch.
+N_ARRIVAL_WAVES = 3
+
+
 class _StagedWaves:
-    def __init__(self, directory, schema):
+    def __init__(self, directory, schema, work):
         self.directory = directory
         self.schema = schema
+        self._work = work
+
+    def cleanup(self) -> None:
+        """Remove the staged wave files (call once the streaming replay
+        has fully consumed them)."""
+        import shutil
+
+        shutil.rmtree(self._work, ignore_errors=True)
 
 
 def stage_arrival_waves(spark: SparkSession, sf_dir: str) -> "_StagedWaves":
@@ -1145,9 +1161,9 @@ def stage_arrival_waves(spark: SparkSession, sf_dir: str) -> "_StagedWaves":
     work = tempfile.mkdtemp(prefix="q230_waves_")
     sdir = os.path.join(work, "stream")
     os.makedirs(sdir)
-    for i, cond in enumerate(
-        [~late1 & ~late2, late1, late2]
-    ):
+    conds = [~late1 & ~late2, late1, late2]
+    assert len(conds) == N_ARRIVAL_WAVES  # the q247 oracle pin's source
+    for i, cond in enumerate(conds):
         tmp = os.path.join(work, f"w{i}")
         e.filter(cond).coalesce(1).write.parquet(tmp)
         part = glob.glob(tmp + "/part-*.parquet")[0]
@@ -1155,7 +1171,7 @@ def stage_arrival_waves(spark: SparkSession, sf_dir: str) -> "_StagedWaves":
         shutil.move(part, dst)
         # FileStreamSource batches in modification-time order; pin it.
         os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
-    return _StagedWaves(sdir, e.schema)
+    return _StagedWaves(sdir, e.schema, work)
 
 
 # ---------------------------------------------------------------------------
@@ -1229,6 +1245,7 @@ def q231_streaming_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _Q128_SEQ[0] += 1
     sink = f"q231_sink_{_Q128_SEQ[0]}"
     run_to_memory_sink(pairs, sink, mode="append")
+    shutil.rmtree(work, ignore_errors=True)  # rows live in the memory sink
     return (
         spark.table(sink)
         .groupBy(F.date_trunc("hour", F.col("p_ts")).alias("window_start"))
@@ -1294,7 +1311,7 @@ def _register_q247() -> None:
                CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept
                          ELSE (63 * {_KMV_H}) // kth_min END AS BIGINT)
                    AS est_distinct,
-               CAST(3 AS BIGINT) AS n_batches
+               CAST({N_ARRIVAL_WAVES} AS BIGINT) AS n_batches
         FROM k
         """,
     )
@@ -1303,53 +1320,59 @@ def _register_q247() -> None:
         3-micro-batch replay (foreachBatch partial store → final merge);
         the estimate hash-matches DuckDB's whole-table single pass."""
         import os
+        import shutil
         import tempfile
 
+        from etl_globalretail_spark.sources.artifacts import materialize
+
         waves = stage_arrival_waves(spark, sf_dir)
-        accdir = os.path.join(
-            tempfile.mkdtemp(prefix="q247_kmv_"), "partials"
-        )
+        work = tempfile.mkdtemp(prefix="q247_kmv_")
+        accdir = os.path.join(work, "partials")
+        try:
+            def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+                hashed = batch_df.select(
+                    "event_type", kmv_hash(F.col("user_id")).alias("hv")
+                )
+                kmv_partials(hashed, "event_type", "hv").withColumn(
+                    "batch_id", F.lit(batch_id).cast("long")
+                ).write.mode("append").parquet(accdir)
 
-        def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
-            hashed = batch_df.select(
-                "event_type", kmv_hash(F.col("user_id")).alias("hv")
+            stream = (
+                spark.readStream.schema(waves.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(waves.directory)
             )
-            kmv_partials(hashed, "event_type", "hv").withColumn(
-                "batch_id", F.lit(batch_id).cast("long")
-            ).write.mode("append").parquet(accdir)
-
-        stream = (
-            spark.readStream.schema(waves.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves.directory)
-        )
-        q = (
-            stream.writeStream.foreachBatch(fold_batch)
-            .trigger(availableNow=True)
-            .option(
-                "checkpointLocation",
-                os.path.join(os.path.dirname(accdir), "ckpt"),
+            q = (
+                stream.writeStream.foreachBatch(fold_batch)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .start()
             )
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
 
-        acc = spark.read.parquet(accdir)
-        n_batches = acc.select("batch_id").distinct().count()  # driver
-        # scalar (≤ #waves values) — run-audit column, oracle pins 3
-        sk = kmv_sketch(acc, "event_type", "hv")
-        return sk.select(
-            "event_type",
-            F.size("mins").cast("long").alias("n_kept"),
-            F.element_at("mins", F.size("mins")).cast("long")
-            .alias("kth_min"),
-        ).withColumn(
-            "est_distinct",
-            F.expr(
-                f"CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept"
-                f" ELSE (63 * {_KMV_H}) div kth_min END AS BIGINT)"
-            ),
-        ).withColumn("n_batches", F.lit(n_batches).cast("long"))
+            acc = spark.read.parquet(accdir)
+            n_batches = acc.select("batch_id").distinct().count()  # driver
+            # scalar (≤ #waves values) — run-audit column; the oracle's
+            # pin is f-strung from the same N_ARRIVAL_WAVES constant
+            sk = kmv_sketch(acc, "event_type", "hv")
+            out = sk.select(
+                "event_type",
+                F.size("mins").cast("long").alias("n_kept"),
+                F.element_at("mins", F.size("mins")).cast("long")
+                .alias("kth_min"),
+            ).withColumn(
+                "est_distinct",
+                F.expr(
+                    f"CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept"
+                    f" ELSE (63 * {_KMV_H}) div kth_min END AS BIGINT)"
+                ),
+            ).withColumn("n_batches", F.lit(n_batches).cast("long"))
+            # |event_type|-sized: materialize so the finally can delete
+            # the partial store the lazy plan would otherwise re-read
+            return materialize(out)
+        finally:
+            waves.cleanup()
+            shutil.rmtree(work, ignore_errors=True)
 
 
 _register_q247()
@@ -1522,41 +1545,49 @@ def _register_q268() -> None:
                 "cents", F.col("cents") + 700
             ),
         ]
+        from etl_globalretail_spark.sources.artifacts import materialize
+
         work = tempfile.mkdtemp(prefix="q268_upsert_")
-        sdir = os.path.join(work, "stream")
-        os.makedirs(sdir)
-        for i, w in enumerate(waves):
-            tmp = os.path.join(work, f"w{i}")
-            w.coalesce(1).write.parquet(tmp)
-            dst = os.path.join(sdir, f"wave_{i}.parquet")
-            shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
-            os.utime(dst, (1_000_000_000 + i * 100,) * 2)
-        sink = os.path.join(work, "dim_sink")
+        try:
+            sdir = os.path.join(work, "stream")
+            os.makedirs(sdir)
+            for i, w in enumerate(waves):
+                tmp = os.path.join(work, f"w{i}")
+                w.coalesce(1).write.parquet(tmp)
+                dst = os.path.join(sdir, f"wave_{i}.parquet")
+                shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+                os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+            sink = os.path.join(work, "dim_sink")
 
-        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-            merge_upsert(spark, batch_df, sink, keys=["k"])
+            def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+                merge_upsert(spark, batch_df, sink, keys=["k"])
 
-        stream = (
-            spark.readStream.schema(waves[0].schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(sdir)
-        )
-        q = (
-            stream.writeStream.foreachBatch(apply_batch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .start()
-        )
-        q.awaitTermination()
-
-        return (
-            spark.read.parquet(sink)
-            .groupBy("segment")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_customers"),
-                F.sum("cents").cast("long").alias("sum_cents"),
+            stream = (
+                spark.readStream.schema(waves[0].schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(sdir)
             )
-        )
+            q = (
+                stream.writeStream.foreachBatch(apply_batch)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .start()
+            )
+            q.awaitTermination()
+
+            out = (
+                spark.read.parquet(sink)
+                .groupBy("segment")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_customers"),
+                    F.sum("cents").cast("long").alias("sum_cents"),
+                )
+            )
+            # |segments|-sized: materialize so the finally can delete
+            # the dim sink the lazy plan would otherwise re-read
+            return materialize(out)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
 
 
 _register_q268()
