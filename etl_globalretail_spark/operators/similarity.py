@@ -313,8 +313,8 @@ def embedding_near_duplicates(
     engine: str | None = None,
 ) -> DataFrame:
     """All vector pairs with cosine ≥ threshold — exact. Three
-    bit-identical engines (``engine`` ∈ {'blocked', 'arrow', 'join'};
-    the legacy ``arrow`` flag maps True→'blocked', False→'join'):
+    bit-identical engines (``engine`` ∈ {'blocked', '_crosscheck',
+    'join'}; the legacy ``arrow`` flag maps True→'blocked', False→'join'):
 
     - ``'blocked'`` (default, the scale path): co-partitioned
       block-pair generation. Vectors are hashed to B blocks; the
@@ -324,9 +324,12 @@ def embedding_near_duplicates(
       on the driver — each task holds two blocks (~2N/B vectors), so
       the exact tier survives corpora far past driver memory; B is the
       memory/parallelism dial (tasks = B(B+1)/2, replication = B+1).
-    - ``'arrow'``: the earlier driver-resident variant — one side
-      collected driver-side, each task scores its partition against it.
-      Kept as the bit-equality cross-check for the blocked path.
+    - ``'_crosscheck'``: TEST-ONLY — the earlier driver-resident
+      variant (one side collected driver-side, each task scores its
+      partition against it). Never a production path: it exists solely
+      as the bit-equality cross-check for the blocked engine in
+      tests/test_dedup_similarity.py; the leading underscore keeps
+      callers from reaching the collect path by accident.
     - ``'join'``: the pure-DataFrame broadcast self-join with one
       zip_with fold per pair — the form whose arithmetic the DuckDB
       oracle replays positionally.
@@ -344,8 +347,14 @@ def embedding_near_duplicates(
         engine = "blocked" if arrow else "join"
     if engine == "blocked":
         return _neardup_pairs_blocked(df, vec_col, id_col, threshold)
+    if engine == "_crosscheck":
+        return _neardup_pairs_driver_crosscheck(df, vec_col, id_col, threshold)
     if engine == "arrow":
-        return _neardup_pairs_arrow(df, vec_col, id_col, threshold)
+        raise ValueError(
+            "engine='arrow' was demoted to the test-only '_crosscheck' "
+            "(driver-resident collect path); use the default 'blocked' "
+            "engine in production"
+        )
     nrm = F.sqrt(_qdot(F.col(vec_col), F.col(vec_col)).cast("double"))
     side = df.select(F.col(id_col), F.col(vec_col), nrm.alias("__n"))
     a = side.select(
@@ -369,10 +378,12 @@ def embedding_near_duplicates(
     )
 
 
-def _neardup_pairs_arrow(
+def _neardup_pairs_driver_crosscheck(
     df: DataFrame, vec_col: str, id_col: str, threshold: float
 ) -> DataFrame:
-    """Numpy engine for ``embedding_near_duplicates`` — identical
+    """TEST-ONLY bit-equality cross-check for the blocked engine — NOT a
+    production path (it collects one full side to the driver, which the
+    blocked engine exists to avoid). Numpy arithmetic identical
     arithmetic to the `_qdot` fold: per-dimension floor(x·y·1e12) products
     (exact < 2^53 integers in float64), IEEE sqrt norms, one double
     division per pair."""
@@ -428,7 +439,7 @@ def _neardup_pairs_blocked(
     B=8); a cogrouped ``applyInPandas`` task scores one block×block tile.
     The driver never holds vectors; each task holds ~2N/B of them.
 
-    Arithmetic is IDENTICAL to ``_neardup_pairs_arrow``: per-dimension
+    Arithmetic is IDENTICAL to ``_neardup_pairs_driver_crosscheck``: per-dimension
     floor(x·y·1e12) products (exact < 2^53 integers in float64, so the
     d-ascending accumulation is order-free), IEEE sqrt norms, one double
     division per pair — bit-equality across engines is pytest-asserted.

@@ -280,7 +280,7 @@ def test_embedding_neardup_arrow_matches_fold(spark, sf_dir):
     )
     arrow = sorted(
         (r["id_a"], r["id_b"], r["cos_sim"])
-        for r in embedding_near_duplicates(e, engine="arrow").collect()
+        for r in embedding_near_duplicates(e, engine="_crosscheck").collect()
     )
     assert fold == arrow and len(fold) > 0
 
@@ -300,7 +300,7 @@ def test_embedding_neardup_blocked_matches_arrow(spark, sf_dir):
     e = load_table(spark, "embeddings", sf_dir)
     arrow = sorted(
         (r["id_a"], r["id_b"], r["cos_sim"])
-        for r in embedding_near_duplicates(e, engine="arrow").collect()
+        for r in embedding_near_duplicates(e, engine="_crosscheck").collect()
     )
     for n_blocks in (1, 3, 8):
         blocked = sorted(
