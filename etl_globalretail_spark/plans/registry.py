@@ -33,7 +33,8 @@ for _mod in ("operators.dedup", "operators.similarity", "operators.text",
              "operators.corpus",
              "operators.clustering", "operators.quality",
              "plans.star_schema", "plans.analytics", "plans.tpch", "plans.scd",
-             "streaming.windows", "functions.tablefuncs"):
+             "streaming.windows", "streaming.stateful",
+             "functions.tablefuncs"):
     try:
         _m = __import__(f"etl_globalretail_spark.{_mod}", fromlist=["QUERIES", "ORACLE"])
         _merge(_m.QUERIES, _m.ORACLE)
