@@ -1334,3 +1334,97 @@ def _register_q271() -> None:
 
 
 _register_q271()
+
+
+# ---------------------------------------------------------------------------
+# q283 — join-cardinality estimation audit: the q271 device (estimate vs
+# truth, exact integer error) applied to the OTHER statistic a cost-based
+# optimizer lives on. The textbook containment estimator
+# |A ⋈ B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k)) is computed from exactly
+# the statistics ANALYZE would collect (row counts + distinct key
+# counts), the truth is the exact join count, and the output is the
+# estimator's signed error in permil — the audit that tells you whether
+# the optimizer's join ordering can be trusted on this corpus. Four
+# keyspaces: the two FK joins the star schema shuffles on, the
+# part-lookup join, and the events⋈customer cross-table key overlap
+# (where containment is violated and the estimator degrades — visible
+# in the output, which is the point of an audit).
+#
+# Plan shape: per pair, two tiny stat aggregates (driver scalars — the
+# optimizer's own statistics table) and one exact join count; nothing
+# wide shuffles. At 100 TB the stats come from ANALYZE metadata instead
+# of a scan, and the truth side is the one you sample.
+# ---------------------------------------------------------------------------
+
+_Q283_PAIRS = (
+    ("orders.o_custkey=customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey=orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey=part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("events.user_id=customer.c_custkey",
+     "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _q283_oracle() -> str:
+    legs = []
+    for label, ta, ka, tb, kb in _Q283_PAIRS:
+        legs.append(f"""
+        SELECT '{label}' AS join_key,
+               CAST((SELECT COUNT(*) FROM {ta}) AS BIGINT) AS n_left,
+               CAST((SELECT COUNT(*) FROM {tb}) AS BIGINT) AS n_right,
+               CAST((SELECT COUNT(*) FROM {ta}) * (SELECT COUNT(*) FROM {tb})
+                    // GREATEST((SELECT COUNT(DISTINCT {ka}) FROM {ta}),
+                                (SELECT COUNT(DISTINCT {kb}) FROM {tb}))
+                    AS BIGINT) AS est_rows,
+               CAST((SELECT COUNT(*) FROM {ta} a JOIN {tb} b
+                     ON a.{ka} = b.{kb}) AS BIGINT) AS actual_rows
+        """)
+    u = " UNION ALL ".join(legs)
+    return f"""
+    SELECT join_key, n_left, n_right, est_rows, actual_rows,
+           CAST((est_rows - actual_rows) * 1000
+                // GREATEST(actual_rows, 1) AS BIGINT) AS err_permil
+    FROM ({u})
+    """
+
+
+def _register_q283() -> None:
+    @_register("q283_join_cardinality_audit", oracle=_q283_oracle())
+    def q283_join_cardinality_audit(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Containment-estimator audit over four join keyspaces:
+        est = n_a·n_b div max(ndv_a, ndv_b) vs the exact join count,
+        signed error in permil. See block comment."""
+        outs = []
+        for label, ta, ka, tb, kb in _Q283_PAIRS:
+            a = load_table(spark, ta, sf_dir)
+            b = load_table(spark, tb, sf_dir)
+            sa = a.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(ka).alias("ndv"),
+            ).collect()[0]
+            sb = b.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(kb).alias("ndv"),
+            ).collect()[0]
+            actual = a.join(b, a[ka] == b[kb]).count()
+            est = sa["n"] * sb["n"] // max(sa["ndv"], sb["ndv"])
+            # signed permil error, truncating like the oracle's //
+            diff = (est - actual) * 1000
+            err = abs(diff) // max(actual, 1)
+            outs.append(
+                (label, sa["n"], sb["n"], est, actual,
+                 err if diff >= 0 else -err)
+            )
+        return spark.createDataFrame(
+            outs,
+            "join_key string, n_left long, n_right long, est_rows long,"
+            " actual_rows long, err_permil long",
+        )
+
+
+_register_q283()

@@ -232,3 +232,198 @@ def _register_q104() -> None:
 
 
 _register_q104()
+
+
+# ---------------------------------------------------------------------------
+# q281 — rendezvous (highest-random-weight) shard routing + the node-loss
+# movement audit. THE routing discipline for a 100 TB corpus spread over
+# storage/compute nodes: each key goes to argmax_n md5(key ':' node), so
+# when a node dies ONLY its keys move (the HRW invariant) — no global
+# reshuffle, no ring metadata. Implemented entirely map-side: the node
+# list folds into the plan as an array-of-structs literal, the argmax is
+# array_max over (weight, node) structs — zero joins, zero shuffles
+# before the final census aggregate. Ties (never in practice) break on
+# the node name through the struct comparison, replayed identically by
+# the oracle's ORDER BY weight DESC, node DESC.
+# ---------------------------------------------------------------------------
+
+_HRW_NODES = tuple(f"node{i}" for i in range(8))
+_HRW_DEAD = "node3"
+
+
+def _hrw_weight_expr(key_col: str, node: str) -> Column:
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"),
+                           F.lit(":"), F.lit(node))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint")
+
+
+def rendezvous_assign(df: DataFrame, key_col: str,
+                      nodes: tuple[str, ...] = _HRW_NODES,
+                      out_col: str = "node") -> DataFrame:
+    """Append the HRW-assigned node for ``key_col`` over ``nodes``."""
+    choices = F.array(*[
+        F.struct(_hrw_weight_expr(key_col, n).alias("w"),
+                 F.lit(n).alias("node"))
+        for n in nodes
+    ])
+    return df.withColumn(out_col, F.array_max(choices).getField("node"))
+
+
+def _q281_oracle() -> str:
+    node_rows = ", ".join(f"('{n}')" for n in _HRW_NODES)
+    return f"""
+    WITH nodes(node) AS (VALUES {node_rows}),
+    w AS (
+        SELECT d.doc_id, n.node,
+               CAST('0x' || substr(
+                   md5(CAST(d.doc_id AS VARCHAR) || ':' || n.node),
+                   1, 15) AS BIGINT) AS wt
+        FROM documents d, nodes n
+    ),
+    pick AS (
+        SELECT doc_id, node,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY wt DESC, node DESC) AS rn
+        FROM w
+    ),
+    pick2 AS (
+        SELECT doc_id, node,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY wt DESC, node DESC) AS rn
+        FROM w WHERE node <> '{_HRW_DEAD}'
+    ),
+    assign AS (
+        SELECT a.doc_id, a.node AS before_node, b.node AS after_node
+        FROM (SELECT doc_id, node FROM pick WHERE rn = 1) a
+        JOIN (SELECT doc_id, node FROM pick2 WHERE rn = 1) b USING (doc_id)
+    )
+    SELECT after_node AS node,
+           CAST(COUNT(*) FILTER (WHERE before_node = after_node) AS BIGINT)
+               AS n_stayed,
+           CAST(COUNT(*) FILTER (WHERE before_node <> after_node) AS BIGINT)
+               AS n_moved_in,
+           CAST(COUNT(*) FILTER (WHERE before_node = '{_HRW_DEAD}')
+                AS BIGINT) AS n_from_dead
+    FROM assign GROUP BY after_node
+    """
+
+
+def _register_q281() -> None:
+    @_register("q281_rendezvous_routing", oracle=_q281_oracle())
+    def q281_rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """HRW-route documents to 8 nodes, kill node3, re-route to the
+        surviving 7: per-node stayed/moved-in census. The HRW invariant
+        (every moved doc came from the dead node) is visible in the
+        output: n_moved_in == n_from_dead on every row."""
+        d = load_table(spark, "documents", sf_dir).select("doc_id")
+        survivors = tuple(n for n in _HRW_NODES if n != _HRW_DEAD)
+        routed = rendezvous_assign(
+            rendezvous_assign(d, "doc_id", _HRW_NODES, "before_node"),
+            "doc_id", survivors, "after_node",
+        )
+        return routed.groupBy(F.col("after_node").alias("node")).agg(
+            F.sum((F.col("before_node") == F.col("after_node")).cast("long"))
+            .alias("n_stayed"),
+            F.sum((F.col("before_node") != F.col("after_node")).cast("long"))
+            .alias("n_moved_in"),
+            F.sum((F.col("before_node") == _HRW_DEAD).cast("long"))
+            .alias("n_from_dead"),
+        )
+
+
+_register_q281()
+
+
+# ---------------------------------------------------------------------------
+# q282 — serpentine (boustrophedon) balanced-packing plan: assign keys to
+# R reducers by descending load, snaking across passes (pass 0 fills
+# 0..R-1, pass 1 fills R-1..0, …) so every reducer gets one key per
+# pass and heavy keys pair with light ones. This is the CLOSED-FORM
+# member of the LPT family — rank arithmetic instead of a sequential
+# greedy loop, so a plain window + projection computes the whole plan
+# (and DuckDB replays it exactly; true greedy LPT is oracle-hostile).
+# The 100 TB use: a repartition PLAN for a known-skewed keyspace,
+# computed in one pass over per-key counts (tiny), applied as a join-
+# free routing column on the data.
+# ---------------------------------------------------------------------------
+
+_Q282_R = 16  # reducers
+
+
+def _register_q282() -> None:
+    @_register(
+        "q282_serpentine_pack_plan",
+        oracle=f"""
+        WITH counts AS (
+            SELECT l_suppkey AS key, COUNT(*) AS load
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        ranked AS (
+            SELECT key, load,
+                   ROW_NUMBER() OVER (ORDER BY load DESC, key) - 1 AS rk
+            FROM counts
+        ),
+        planned AS (
+            SELECT key, load,
+                   CASE WHEN (rk // {_Q282_R}) % 2 = 0
+                        THEN rk % {_Q282_R}
+                        ELSE {_Q282_R} - 1 - (rk % {_Q282_R})
+                   END AS reducer
+            FROM ranked
+        ),
+        tot AS (SELECT SUM(load) AS t FROM counts)
+        SELECT CAST(reducer AS BIGINT) AS reducer,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(load) AS BIGINT) AS load,
+               CAST(SUM(p.load) * 1000 * {_Q282_R} // t.t AS BIGINT)
+                   AS load_permil_of_ideal,
+               CAST(SUM(p.key) AS BIGINT) AS key_checksum
+        FROM planned p, tot t
+        GROUP BY reducer, t.t
+        """,
+    )
+    def q282_serpentine_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Serpentine pack plan for lineitem's supplier keyspace over 16
+        reducers: per-reducer key count, load, and load as permil of the
+        perfectly balanced ideal (1000 = ideal; the serpentine bound
+        keeps the spread tight). See block comment."""
+        li = load_table(spark, "lineitem", sf_dir)
+        counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+            F.count(F.lit(1)).alias("load")
+        )
+        rk = F.row_number().over(
+            Window.orderBy(F.desc("load"), F.asc("key"))
+        ) - 1
+        planned = counts.select(
+            "key", "load",
+            # even pass (rk div R) -> position rk mod R; odd pass -> the
+            # mirror R-1-(rk mod R): the serpentine closed form
+            F.when(rk % (2 * _Q282_R) < _Q282_R, rk % _Q282_R)
+            .otherwise(_Q282_R - 1 - (rk % _Q282_R))
+            .alias("reducer"),
+        )
+        total = counts.agg(F.sum("load").alias("t"))
+        per = planned.groupBy("reducer").agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("load").alias("load"),
+            F.sum("key").cast("long").alias("key_checksum"),
+        )
+        return (
+            per.crossJoin(F.broadcast(total))  # 1-row scalar attach
+            .select(
+                F.col("reducer").cast("long").alias("reducer"),
+                F.col("n_keys").cast("long").alias("n_keys"),
+                F.col("load").cast("long").alias("load"),
+                F.expr(f"load * 1000 * {_Q282_R} div t")
+                .cast("long").alias("load_permil_of_ideal"),
+                "key_checksum",
+            )
+        )
+
+
+_register_q282()

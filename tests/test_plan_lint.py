@@ -46,6 +46,8 @@ INTENTIONAL_CROSS = {
     # equi-join
     "q225_decayed_popularity",  # attaches the broadcast 1-row week-span
     # scalar to the (type, week) grid — bounded by construction
+    "q282_serpentine_pack_plan",  # attaches the broadcast 1-row total-load
+    # scalar to the ≤R-row reducer census — bounded by construction
     "q226_keyword_search",  # attaches the broadcast 1-row corpus-max
     # bit-length to the |query|-row term frame — bounded by construction
     "q237_rrf_fusion",  # composes q226 (above) and inherits its broadcast
