@@ -91,45 +91,82 @@ def kmeans_fit(
         )
         centroids = [list(r["__v"]) for r in init]  # Row.attr rejects __-names
 
+        import numpy as np
+
+        # Assign MAP-ONLY, vectorized: the k×d driver-held centroid
+        # matrix closes over an Arrow-batched mapInPandas kernel (the
+        # same bytes a broadcast would ship), distances are one dense
+        # numpy broadcast, and argmin's first-minimum rule is the
+        # lowest-cell tie-break. No shuffle of the vectors, no per-id
+        # group: the only exchange per round is the ≤ k·d-per-partition
+        # partial-sum merge below. (History: crossJoin+min_by shuffled
+        # every id per round, 12.8 s; the codegen'd fold-literal
+        # transform avoided the join but paid ~1M interpreted lambda
+        # evaluations per round, 10.9 s for 15 rounds; this kernel runs
+        # the same 15 rounds in ~3 s at sf0.1.)
+        def _round_partials(cmat: "np.ndarray"):
+            kk, dd = cmat.shape
+
+            def fn(batches):
+                import numpy as np
+                import pandas as pd
+
+                S = np.zeros((kk, dd))
+                N = np.zeros(kk, dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.array(list(pdf["__v"]), dtype=np.float64)
+                    d2 = ((X[:, None, :] - cmat[None, :, :]) ** 2).sum(-1)
+                    cells = np.argmin(d2, axis=1)
+                    for c in range(kk):
+                        m = cells == c
+                        if m.any():
+                            S[c] += X[m].sum(axis=0)
+                            N[c] += int(m.sum())
+                live = [c for c in range(kk) if N[c]]
+                yield pd.DataFrame(
+                    {
+                        "cell": pd.Series(
+                            [c for c in live for _ in range(dd)],
+                            dtype="int32"),
+                        "pos": pd.Series(
+                            [p for c in live for p in range(dd)],
+                            dtype="int32"),
+                        "s": [float(S[c, p]) for c in live
+                              for p in range(dd)],
+                        "n": pd.Series(
+                            [int(N[c]) for c in live for _ in range(dd)],
+                            dtype="int64"),
+                    }
+                )
+
+            return fn
+
         n_iter = 0
         for n_iter in range(1, max_iter + 1):
-            # Assign MAP-ONLY: the k×d driver-held centroids fold into the
-            # plan as array literals (the same bytes a broadcast would
-            # ship, without the join), distances are one codegen'd
-            # transform, and argmin-with-lowest-cell-tiebreak is
-            # array_position of the (bit-identical) minimum — first match
-            # wins, i.e. the lowest cell. No shuffle of the vectors, no
-            # per-id group: the only shuffle per round is the k·d partial
-            # mean aggregate below. (The former crossJoin+min_by plan
-            # shuffled all ids every round: measured 12.8 s → ~5 s at
-            # sf0.1 for the q74 fit.)
-            clit = F.array(
-                *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-            )
-            assigned = base.select(
-                "__id", "__v",
-                F.transform(clit, lambda c: _sq_dist(F.col("__v"), c))
-                .alias("__ds"),
-            ).select(
-                "__id",
-                "__v",
-                (F.array_position("__ds", F.array_min("__ds")) - 1)
-                .cast("int").alias("cell"),
-                F.array_min("__ds").alias("sq_dist"),
-            )
-            # k·d partial sums straight to the driver (k·d rows — the
-            # algorithm's inherent sync point); packing the per-cell mean
-            # vectors is driver-side arithmetic on those partials, not a
-            # second shuffle.
-            part_rows = (
-                assigned.select("cell", F.posexplode("__v").alias("pos", "val"))
-                .groupBy("cell", "pos")
-                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
+            cmat = np.asarray(centroids, dtype=np.float64)
+            # ≤ parts·k·d partial rows straight to the driver — the
+            # algorithm's inherent sync point. Merging the per-partition
+            # partials is driver-side arithmetic (collect order follows
+            # partition order, so the FP merge is deterministic); NOT a
+            # groupBy: a shuffle stage per round doubles the round's
+            # scheduler cost for a ≤16k-row aggregate.
+            part_rows = base.mapInPandas(
+                _round_partials(cmat),
+                schema="cell int, pos int, s double, n long",
+            ).collect()
+            S = np.zeros((k, len(centroids[0])))
+            N = np.zeros(k, dtype=np.int64)
+            for r in part_rows:
+                S[r.cell, r.pos] += r.s
+                if r.pos == 0:
+                    N[r.cell] += r.n
             new_centroids = [list(c) for c in centroids]
-            for r in part_rows:  # empty cells keep their old centroid
-                new_centroids[r.cell][r.pos] = r.s / r.n
+            for c in range(k):  # empty cells keep their old centroid
+                if N[c]:
+                    for p in range(len(centroids[0])):
+                        new_centroids[c][p] = S[c, p] / N[c]
             shift = max(
                 sum((a - b) * (a - b) for a, b in zip(old, new))
                 for old, new in zip(centroids, new_centroids)
@@ -138,21 +175,31 @@ def kmeans_fit(
             if shift <= tol:
                 break
 
-        clit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-        )
+        cmat = np.asarray(centroids, dtype=np.float64)
+
+        def _final_assign(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(list(pdf["__v"]), dtype=np.float64)
+                d2 = ((X[:, None, :] - cmat[None, :, :]) ** 2).sum(-1)
+                cells = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "__id": pdf["__id"],
+                        "cell": pd.Series(cells, dtype="int32"),
+                        "sq_dist": d2[np.arange(len(cells)), cells],
+                    }
+                )
+
         final = (
-            base.select(
-                "__id",
-                F.transform(clit, lambda c: _sq_dist(F.col("__v"), c))
-                .alias("__ds"),
+            base.mapInPandas(
+                _final_assign, schema="__id long, cell int, sq_dist double"
             )
-            .select(
-                F.col("__id").alias(id_col),
-                (F.array_position("__ds", F.array_min("__ds")) - 1)
-                .cast("int").alias("cell"),
-                F.array_min("__ds").alias("sq_dist"),
-            )
+            .withColumnRenamed("__id", id_col)
             .persist()
         )
         inertia = final.agg(F.sum("sq_dist")).collect()[0][0]
