@@ -30,6 +30,8 @@ assignment, also oracle-checked end-to-end.
 
 from __future__ import annotations
 
+import logging
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -207,8 +209,10 @@ def _register_q67() -> None:
             for h in held:
                 try:
                     h.unpersist(False)
-                except Exception:
-                    pass
+                except Exception:  # released blocks are best-effort
+                    logging.getLogger(__name__).debug(
+                        "block release failed", exc_info=True
+                    )
 
 
 _register_q67()
@@ -333,8 +337,10 @@ def _register_q86() -> None:
             for h in held:
                 try:
                     h.unpersist(False)
-                except Exception:
-                    pass
+                except Exception:  # released blocks are best-effort
+                    logging.getLogger(__name__).debug(
+                        "block release failed", exc_info=True
+                    )
         spark_comp = spark.createDataFrame(rows, "doc_id long, rep long") if rows else None
         keyed = d.select("doc_id", "lang")
         if spark_comp is not None:

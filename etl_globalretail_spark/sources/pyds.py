@@ -22,6 +22,8 @@ itself sits on the cross-engine oracle gate (q151), not just on pytest.
 
 from __future__ import annotations
 
+import logging
+
 import hashlib
 from collections.abc import Callable, Iterator
 
@@ -97,8 +99,10 @@ def register_synthetic_source(spark: SparkSession) -> None:
     latest wins — but guard anyway for older minor versions)."""
     try:
         spark.dataSource.register(SyntheticEventsDataSource)
-    except Exception:
-        pass
+    except Exception:  # older minors reject re-registration
+        logging.getLogger(__name__).debug(
+            "datasource re-registration rejected", exc_info=True
+        )
 
 
 def read_synthetic_events(
@@ -221,5 +225,7 @@ class JsonlSinkDataSource(DataSource):
 def register_jsonl_sink(spark: SparkSession) -> None:
     try:
         spark.dataSource.register(JsonlSinkDataSource)
-    except Exception:
-        pass
+    except Exception:  # older minors reject re-registration
+        logging.getLogger(__name__).debug(
+            "datasource re-registration rejected", exc_info=True
+        )

@@ -1163,10 +1163,21 @@ def stage_arrival_waves(spark: SparkSession, sf_dir: str) -> "_StagedWaves":
     os.makedirs(sdir)
     conds = [~late1 & ~late2, late1, late2]
     assert len(conds) == N_ARRIVAL_WAVES  # the q247 oracle pin's source
-    for i, cond in enumerate(conds):
-        tmp = os.path.join(work, f"w{i}")
-        e.filter(cond).coalesce(1).write.parquet(tmp)
-        part = glob.glob(tmp + "/part-*.parquet")[0]
+    # ONE write job for all waves: a single task writes one file per
+    # partitionBy(__wave) directory — partitionBy drops the wave column
+    # from the files, so every wave file keeps the original events
+    # schema. (The previous per-wave filter+write ran three scans/jobs.)
+    wave_col = F.when(late1, F.lit(1)).when(late2, F.lit(2)).otherwise(
+        F.lit(0)
+    )
+    tmp = os.path.join(work, "staged")
+    e.withColumn("__wave", wave_col).coalesce(1).write.partitionBy(
+        "__wave"
+    ).parquet(tmp)
+    for i in range(N_ARRIVAL_WAVES):
+        part = glob.glob(
+            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
+        )[0]
         dst = os.path.join(sdir, f"wave_{i}.parquet")
         shutil.move(part, dst)
         # FileStreamSource batches in modification-time order; pin it.
