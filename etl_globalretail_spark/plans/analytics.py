@@ -6108,3 +6108,52 @@ def q275_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q284 — the VARIANT semi-structured type (Spark 4's answer to schema-on-
+# read JSON): parse_json materializes the payload ONCE into the binary
+# variant encoding, typed extraction (`try_variant_get`) shreds fields
+# without re-parsing, and `schema_of_variant` gives per-row shape
+# introspection. The 100 TB relevance over q78's from_json: a variant
+# column written at ingest is parsed once ever — every later query pays
+# binary field access, not a Jackson parse; and unlike a declared
+# struct, payloads with heterogeneous shapes don't force schema
+# migration. The shape census (countDistinct of the variant schema)
+# is representation-portable: both engines agree on HOW MANY distinct
+# shapes exist even though their type-name spellings differ.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q284_variant_shred",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN json_valid(props)
+                            AND json_extract(props, '$.k') IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_with_k,
+           CAST(COALESCE(SUM(CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)), 0) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT CASE WHEN json_valid(props)
+                    THEN json_structure(props) END) AS BIGINT) AS n_shapes
+    FROM events GROUP BY event_type
+    """,
+)
+def q284_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the props payload into a VARIANT, shred the typed `k`
+    field, and census the payload shapes per event type. See block
+    comment."""
+    e = load_table(spark, "events", sf_dir)
+    v = F.try_parse_json("props")
+    parsed = e.select(
+        "event_type",
+        v.alias("v"),
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
+        F.countDistinct(F.schema_of_variant("v")).alias("n_shapes"),
+    )

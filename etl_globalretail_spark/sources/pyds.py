@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -92,6 +93,39 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema):
         return _SyntheticReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _SyntheticSimpleStreamReader(self.options)
+
+
+class _SyntheticSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same deterministic generator: each
+    micro-batch serves the next ``chunk`` of row indices until ``n``
+    rows have streamed, then returns empty batches. Offsets are the
+    plain row cursor ({"i": next}), so replay between committed
+    offsets (``readBetweenOffsets``) regenerates EXACTLY the same
+    rows — the determinism Structured Streaming's exactly-once
+    contract expects from a source."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 4_000))
+        self.chunk = int(options.get("chunk", 1_000))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, start: int, end: int):
+        return iter(
+            [(i, *_payload(i)) for i in range(start, end)]
+        )
+
+    def read(self, start: dict):
+        s = start["i"]
+        e = min(s + self.chunk, self.n)
+        return self._rows(s, e), {"i": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["i"], end["i"])
 
 
 def register_synthetic_source(spark: SparkSession) -> None:
@@ -229,3 +263,86 @@ def register_jsonl_sink(spark: SparkSession) -> None:
         logging.getLogger(__name__).debug(
             "datasource re-registration rejected", exc_info=True
         )
+
+
+# ---------------------------------------------------------------------------
+# q285 — the Python data source's STREAMING face on the hash gate: the
+# same deterministic generator consumed through readStream (offsets =
+# a row cursor, chunked micro-batches), drained with availableNow into
+# a memory sink, and the full census hash-matched against DuckDB's
+# range() replay. Combined with q151 (batch face) the connector API is
+# now oracle-verified on both planes; the pytest additionally asserts
+# the run really took multiple micro-batches.
+# ---------------------------------------------------------------------------
+
+_Q285_N = 4_000
+_Q285_CHUNK = 1_000
+_Q285_SEQ = [0]
+
+
+def _register_q285() -> None:
+    @_register(
+        "q285_pyds_stream",
+        oracle=f"""
+        WITH src AS (
+            SELECT i,
+                   CAST('0x' || substr(md5('evt:' || CAST(i AS VARCHAR)),
+                                       1, 15)
+                        AS BIGINT) % {_N_BUCKETS} AS bucket,
+                   CAST('0x' || substr(md5('evt:' || CAST(i AS VARCHAR)),
+                                       16, 15)
+                        AS BIGINT) % {_VAL_MOD} AS val
+            FROM (SELECT unnest(range({_Q285_N})) AS i)
+        )
+        SELECT bucket,
+               COUNT(*) AS n_rows,
+               CAST(SUM(val) AS BIGINT) AS sum_val,
+               CAST(SUM(i) AS BIGINT) AS sum_idx
+        FROM src GROUP BY bucket
+        """,
+    )
+    def q285_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stream the synthetic generator source to exhaustion through
+        real micro-batches; per-bucket census of everything that arrived
+        at the sink. See block comment."""
+        register_synthetic_source(spark)
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("n", _Q285_N)
+            .option("chunk", _Q285_CHUNK)
+            .load()
+        )
+        _Q285_SEQ[0] += 1
+        sink = f"q285_sink_{_Q285_SEQ[0]}"
+        # availableNow pins its target to the FIRST read's offset (one
+        # chunk); an unbounded source drains under a continuous trigger,
+        # stopped once the sink holds every generated row.
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 120
+        while spark.table(sink).count() < _Q285_N:
+            if time.time() > deadline:
+                q.stop()
+                raise TimeoutError("q285 stream did not drain in 120 s")
+            time.sleep(0.1)
+        q.stop()
+        q.awaitTermination()
+        return (
+            spark.table(sink)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("val").cast("long").alias("sum_val"),
+                F.sum("i").cast("long").alias("sum_idx"),
+            )
+        )
+
+
+_register_q285()

@@ -70,3 +70,57 @@ def test_q283_estimator_exact_on_contained_fk(spark, sf_dir):
     assert lo["est_rows"] == lo["actual_rows"]
     assert lo["err_permil"] == 0
     assert len(rows) == 4
+
+
+def test_q285_stream_runs_multiple_batches(spark):
+    """The Python streaming source really serves chunked micro-batches
+    (not one big batch), and exactly n rows arrive (exactly-once)."""
+    import time
+
+    from etl_globalretail_spark.sources.pyds import (
+        _Q285_CHUNK,
+        _Q285_N,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n", _Q285_N)
+        .option("chunk", _Q285_CHUNK)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pyds_stream_test")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while spark.table("pyds_stream_test").count() < _Q285_N:
+        assert time.time() < deadline, "stream did not drain"
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= _Q285_N // _Q285_CHUNK - 1
+    got = spark.table("pyds_stream_test")
+    assert got.count() == _Q285_N  # exactly once, no dupes
+    assert got.select("i").distinct().count() == _Q285_N
+
+
+def test_q284_variant_consistent_with_from_json(spark, sf_dir):
+    """The variant shred agrees with the declared-schema from_json path
+    (q78's device) on the same payloads."""
+    from etl_globalretail_spark.sources.readers import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    via_variant = (
+        ALL_QUERIES["q284_variant_shred"](spark, sf_dir)
+        .agg(F.sum("sum_k"), F.sum("n_with_k")).collect()[0]
+    )
+    via_struct = e.select(
+        F.from_json("props", "k bigint").getField("k").alias("k")
+    ).agg(F.sum("k"), F.count("k")).collect()[0]
+    assert via_variant[0] == via_struct[0]
+    assert via_variant[1] == via_struct[1]
