@@ -30,7 +30,7 @@ for _mod in ("operators.dedup", "operators.similarity", "operators.text",
              "operators.multimodal", "operators.skew", "operators.components",
              "operators.sampling", "operators.profiling", "operators.asof",
              "operators.joins", "sources.pyds", "sources.catalog",
-             "operators.corpus",
+             "operators.corpus", "sources.formats",
              "operators.clustering", "operators.quality",
              "plans.star_schema", "plans.analytics", "plans.tpch", "plans.scd",
              "streaming.windows", "streaming.stateful",

@@ -332,3 +332,83 @@ def read_version(
     if v not in vs:
         raise FileNotFoundError(f"version {v} not in {vs}")
     return spark.read.parquet(os.path.join(root, f"v={v}"))
+
+
+# ---------------------------------------------------------------------------
+# q286 — interchange-format round trip ON THE HASH GATE: the events table
+# (timestamps at µs precision, doubles, JSON-bearing strings with quotes
+# — every classic interchange hazard) chained through
+# parquet → CSV → JSON Lines → ORC with schema-enforced reads, then
+# reduced to a per-type census whose md5 content fold covers every
+# column of every row. The oracle computes the same census from the
+# parquet source directly, so hash equality proves all three formats
+# (quoting, escaping, the \\N null sentinel, µs timestamp formatting,
+# shortest-round-trip doubles) are LOSSLESS end to end — the guarantee
+# a 100 TB estate needs before letting data transit an interchange tier.
+# test_formats.py holds the per-format pytest laws; this puts the
+# composition on the driver's cross-engine gate.
+# ---------------------------------------------------------------------------
+
+from collections.abc import Callable  # noqa: E402
+
+from etl_globalretail_spark.plans.queries import make_query_decorator  # noqa: E402
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_register = make_query_decorator(QUERIES, ORACLE)
+
+
+@_register(
+    "q286_format_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+                       CAST(event_id AS VARCHAR),
+                       CAST(epoch_us(ts) AS VARCHAR),
+                       CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR),
+                       props)), 1, 15) AS BIGINT)) AS content_checksum
+    FROM events GROUP BY event_type
+    """,
+)
+def q286_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CSV → JSON Lines → ORC → census; hash-equal to the
+    parquet source ⇔ the whole interchange chain is lossless."""
+    import tempfile
+
+    from etl_globalretail_spark.sources.readers import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    work = tempfile.mkdtemp(prefix="q286_fmt_")
+    try:
+        cur = e
+        for fmt in ("csv", "json", "orc"):
+            path = os.path.join(work, fmt)
+            write_as(cur, path, fmt)
+            cur = read_as(spark, path, fmt, schema=e.schema)
+        checksum = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    "|",
+                    F.col("event_id").cast("string"),
+                    F.unix_micros("ts").cast("string"),
+                    F.floor(F.col("value") * 100).cast("long")
+                    .cast("string"),
+                    F.col("props"),
+                )), 1, 15,
+            ), 16, 10,
+        ).cast("bigint")
+        out = cur.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.bit_xor(checksum).alias("content_checksum"),
+        )
+        # census is |event types|-sized: materialize so the finally can
+        # delete the interchange files the lazy plan would re-read
+        from etl_globalretail_spark.sources.artifacts import materialize
+
+        return materialize(out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
