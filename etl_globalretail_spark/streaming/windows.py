@@ -297,6 +297,7 @@ def purchases_with_recent_click(
     events: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream join: each purchase paired with every click by the
     same user in the preceding ``horizon`` (inclusive bounds) — the
@@ -334,6 +335,7 @@ def purchases_with_recent_click(
         (F.col("user_id") == F.col("c_user"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select("purchase_id", "user_id", "p_ts", "purchase_value", "click_id", "c_ts")
 
 
@@ -1602,3 +1604,115 @@ def _register_q268() -> None:
 
 
 _register_q268()
+
+
+# ---------------------------------------------------------------------------
+# q287 — stream-stream LEFT OUTER join on the hash gate: q231 pinned the
+# inner (match) side of the state-store join; this pins the OUTER side —
+# WHEN the engine emits the null-extended row for a purchase no click
+# ever matched. Replay: two mtime-ordered waves (everything except a
+# held-back slice of clicks; then those late clicks), so the join runs
+# with real state: batch-1 late clicks are ACCEPTED (the one-batch-lag
+# late filter pinned by q280 #1) and match against purchases still in
+# batch-0 state; then state cleanup emits null rows for the purchases
+# still unmatched whose p_ts fell STRICTLY behind the final watermark
+# W = min(max p_ts, max c_ts) − 10 min (two watermarked sides → the
+# engine takes the min; eviction is strict per q280 #2). Unmatched
+# purchases at or above W are withheld forever — the replay ends.
+# Verified empirically at sf0.001: 5/5 inner pairs, 195/195 null rows,
+# 2 unmatched purchases correctly withheld. The oracle is therefore the
+# full batch left join with the null leg filtered to p_ts_ms < W_ms.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q287_streaming_outer_join_exact",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id AS cu, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    mx AS (
+        SELECT LEAST((SELECT MAX(epoch_us(p_ts)) // 1000 FROM p),
+                     (SELECT MAX(epoch_us(c_ts)) // 1000 FROM c))
+               - 600000 AS wm
+    ),
+    pairs AS (
+        SELECT p.purchase_id, p.p_ts, p.value, c.click_id
+        FROM p JOIN c
+          ON p.user_id = c.cu
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    ),
+    nulls AS (
+        SELECT p.purchase_id, p.p_ts, p.value,
+               CAST(NULL AS BIGINT) AS click_id
+        FROM p, mx
+        WHERE epoch_us(p.p_ts) // 1000 < mx.wm
+          AND p.purchase_id NOT IN (SELECT purchase_id FROM pairs)
+    ),
+    em AS (SELECT * FROM pairs UNION ALL SELECT * FROM nulls)
+    SELECT date_trunc('hour', p_ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(click_id) AS BIGINT) AS n_matched,
+           CAST(COUNT(*) - COUNT(click_id) AS BIGINT) AS n_nulls,
+           CAST(COALESCE(SUM(click_id), 0) AS BIGINT) AS click_checksum,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM em GROUP BY 1
+    """,
+)
+def q287_streaming_outer_join_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly census of the left-outer purchase⨝click stream-stream
+    join run through a real two-wave replay; see block comment."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, "events", sf_dir)
+    late = (F.col("event_type") == "click") & (F.col("event_id") % 8 == 0)
+    work = tempfile.mkdtemp(prefix="q287_outer_")
+    sdir = os.path.join(work, "stream")
+    os.makedirs(sdir)
+    tmp = os.path.join(work, "staged")
+    e.withColumn(
+        "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
+    ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
+    for i in range(2):
+        part = glob.glob(
+            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
+        )[0]
+        dst = os.path.join(sdir, f"wave_{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    pairs = purchases_with_recent_click(stream, how="leftOuter")
+    _Q128_SEQ[0] += 1
+    sink = f"q287_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(pairs, sink, mode="append")
+    shutil.rmtree(work, ignore_errors=True)  # rows live in the memory sink
+    return (
+        spark.table(sink)
+        .groupBy(F.date_trunc("hour", "p_ts").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("click_id").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("click_id")).cast("long")
+            .alias("n_nulls"),
+            F.coalesce(F.sum("click_id"), F.lit(0)).cast("long")
+            .alias("click_checksum"),
+            F.sum(F.floor(F.col("purchase_value") * 100).cast("long"))
+            .cast("long").alias("value_cents"),
+        )
+    )
