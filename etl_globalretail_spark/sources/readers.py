@@ -43,6 +43,18 @@ _PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def table_rows(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> int:
+    """Memoized row count of one testdata table (parquet footer counts —
+    one cheap metadata job per (session, table, sf_dir), then cached).
+    Used to size data-dependent knobs (e.g. streaming state partitions)
+    without repaying the count per query."""
+    cache = _PLAN_CACHE.setdefault(spark, {})
+    key = ("__rows__", sf_dir, name)
+    if key not in cache:
+        cache[key] = load_table(spark, name, sf_dir).count()
+    return cache[key]
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Scan one testdata table.
 

@@ -358,6 +358,12 @@ def q280_stateful_eviction_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _Q128_SEQ[0] += 1
     sink = f"q280_sink_{_Q128_SEQ[0]}"
+    # NOTE deliberately NOT scoped_stream_partitions-sized: for
+    # applyInPandasWithState the per-batch cost is PYTHON group
+    # processing (one pandas round-trip per live group), so partitions
+    # buy worker parallelism — shrinking them to cut store instances
+    # measured 6 s → 17 s at sf0.1. JVM-state streaming (windows,
+    # joins, sinks) sizes down; Python-state does not.
     run_to_memory_sink(evicting_user_totals(stream), sink, mode="update")
     waves.cleanup()
     em = spark.table(sink)

@@ -134,20 +134,50 @@ def dedup_stream(
     return events.dropDuplicates(list(keys))
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def scoped_stream_partitions(spark, n_rows: int):
+    """Size the state-store count to the DATA for the duration of one
+    streaming run: Spark fixes a streaming query's state partitions from
+    spark.sql.shuffle.partitions at start, and every partition costs a
+    store instance per stateful operator per micro-batch — measured 7.4 s
+    → 2.8 s on the q231 state-store join at sf0.1 just from 32 → 8
+    stores. clamp(ceil(n/25k), 4, session default): small replays shrink,
+    and at cluster scale the formula saturates at the session default so
+    production parallelism is never reduced."""
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    target = max(4, min(int(cur), -(-n_rows // 25_000)))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
+
+
 def run_to_memory_sink(
-    stream_df: DataFrame, table_name: str, mode: str = "complete"
+    stream_df: DataFrame, table_name: str, mode: str = "complete",
+    n_rows: int | None = None,
 ):
     """Drive a streaming aggregation into an in-memory table and block until
     the source is drained — the test/demo harness for stream/batch parity.
+    Pass ``n_rows`` (the replay's input size) to size the state-store
+    count to the data (scoped_stream_partitions).
     """
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(table_name)
-        .trigger(availableNow=True)
-        .start()
+    ctx = (
+        scoped_stream_partitions(stream_df.sparkSession, n_rows)
+        if n_rows is not None else contextlib.nullcontext()
     )
-    q.awaitTermination()
+    with ctx:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(table_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
 
 
@@ -164,7 +194,7 @@ from etl_globalretail_spark.plans.queries import (  # noqa: E402
     dsum,
     make_query_decorator,
 )
-from etl_globalretail_spark.sources.readers import load_table  # noqa: E402
+from etl_globalretail_spark.sources.readers import load_table, table_rows  # noqa: E402
 
 QUERIES: dict[str, Callable] = {}
 ORACLE: dict[str, str] = {}
@@ -418,7 +448,8 @@ def q128_streaming_hourly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = hourly_counts(stream)
     _Q128_SEQ[0] += 1
     sink = f"q128_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(agg, sink, mode="complete")
+    run_to_memory_sink(agg, sink, mode="complete",
+                       n_rows=table_rows(spark, "events", sf_dir))
     return spark.table(sink)
 
 
@@ -458,7 +489,8 @@ def q133_streaming_sliding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sliding_value_avg(stream)
     _Q128_SEQ[0] += 1
     sink = f"q133_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(agg, sink, mode="complete")
+    run_to_memory_sink(agg, sink, mode="complete",
+                       n_rows=table_rows(spark, "events", sf_dir))
     return spark.table(sink)
 
 
@@ -506,7 +538,8 @@ def q143_streaming_sessions_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     agg = sessionize(stream)
     _Q128_SEQ[0] += 1
     sink = f"q143_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(agg, sink, mode="complete")
+    run_to_memory_sink(agg, sink, mode="complete",
+                       n_rows=table_rows(spark, "events", sf_dir))
     return spark.table(sink)
 
 
@@ -800,7 +833,8 @@ def q194_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _Q194_SEQ[0] += 1
     sink = f"q194_sink_{_Q194_SEQ[0]}"
-    run_to_memory_sink(deduped, sink, mode="append")
+    run_to_memory_sink(deduped, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
     return (
         spark.table(sink)
         .groupBy("event_type")
@@ -1113,7 +1147,8 @@ def q230_streaming_late_drop_exact(spark: SparkSession, sf_dir: str) -> DataFram
     )
     _Q128_SEQ[0] += 1
     sink = f"q230_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(agg, sink, mode="append")
+    run_to_memory_sink(agg, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
     waves.cleanup()  # replay finished; the memory sink holds the rows
     return spark.table(sink)
 
@@ -1257,7 +1292,8 @@ def q231_streaming_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = purchases_with_recent_click(stream)
     _Q128_SEQ[0] += 1
     sink = f"q231_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(pairs, sink, mode="append")
+    run_to_memory_sink(pairs, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
     shutil.rmtree(work, ignore_errors=True)  # rows live in the memory sink
     return (
         spark.table(sink)
@@ -1355,13 +1391,17 @@ def _register_q247() -> None:
                 .option("maxFilesPerTrigger", "1")
                 .parquet(waves.directory)
             )
-            q = (
-                stream.writeStream.foreachBatch(fold_batch)
-                .trigger(availableNow=True)
-                .option("checkpointLocation", os.path.join(work, "ckpt"))
-                .start()
-            )
-            q.awaitTermination()
+            with scoped_stream_partitions(
+                spark, table_rows(spark, "events", sf_dir)
+            ):
+                q = (
+                    stream.writeStream.foreachBatch(fold_batch)
+                    .trigger(availableNow=True)
+                    .option("checkpointLocation",
+                            os.path.join(work, "ckpt"))
+                    .start()
+                )
+                q.awaitTermination()
 
             acc = spark.read.parquet(accdir)
             n_batches = acc.select("batch_id").distinct().count()  # driver
@@ -1580,13 +1620,17 @@ def _register_q268() -> None:
                 .option("maxFilesPerTrigger", "1")
                 .parquet(sdir)
             )
-            q = (
-                stream.writeStream.foreachBatch(apply_batch)
-                .trigger(availableNow=True)
-                .option("checkpointLocation", os.path.join(work, "ckpt"))
-                .start()
-            )
-            q.awaitTermination()
+            with scoped_stream_partitions(
+                spark, table_rows(spark, "customer", sf_dir)
+            ):
+                q = (
+                    stream.writeStream.foreachBatch(apply_batch)
+                    .trigger(availableNow=True)
+                    .option("checkpointLocation",
+                            os.path.join(work, "ckpt"))
+                    .start()
+                )
+                q.awaitTermination()
 
             out = (
                 spark.read.parquet(sink)
@@ -1700,7 +1744,8 @@ def q287_streaming_outer_join_exact(
     pairs = purchases_with_recent_click(stream, how="leftOuter")
     _Q128_SEQ[0] += 1
     sink = f"q287_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(pairs, sink, mode="append")
+    run_to_memory_sink(pairs, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
     shutil.rmtree(work, ignore_errors=True)  # rows live in the memory sink
     return (
         spark.table(sink)
