@@ -1428,3 +1428,259 @@ def _register_q283() -> None:
 
 
 _register_q283()
+
+
+# ---------------------------------------------------------------------------
+# q289 — distributed heavy hitters by local-threshold candidate
+# generation (the Misra-Gries/Space-Saving communication pattern, made
+# deterministic): a token with global share > 1/K must, by pigeonhole,
+# exceed the K-threshold in AT LEAST ONE row-shard (if f_s(x) ≤ N_s/K in
+# every shard, summing gives f(x) ≤ N/K) — so the union of per-shard
+# local heavy hitters is a PROVABLY LOSSLESS candidate set of ≤ K·S
+# items, and only candidates ever reach the global aggregation. At
+# 100 TB this is the difference between shuffling the full vocabulary
+# (billions of keys) and shuffling ≤ K candidates per shard: the
+# (shard, token) partials are the map-side combine, the candidate
+# semi-join prunes them BEFORE the global exchange, and the final
+# answer is exact. Sharding is md5-deterministic over (doc, position)
+# (a row property, not a token property — co-locating a token with
+# itself would make the local threshold vacuous), so DuckDB replays the
+# identical two-phase protocol.
+# ---------------------------------------------------------------------------
+
+_HH_K = 100       # heavy hitter ⇔ frequency · K > N  (share > 1%)
+_HH_SHARDS = 32   # row shards; candidate set ≤ K per shard by pigeonhole
+
+
+def _register_q289() -> None:
+    from etl_globalretail_spark.operators.sampling import _sql_bucket
+    from etl_globalretail_spark.operators.text import _sql_tokens
+
+    shard = _sql_bucket("doc_id || ':' || pos", _HH_SHARDS, "hh")
+
+    @_register(
+        "q289_local_heavy_hitters",
+        oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {_sql_tokens("text")} AS arr FROM documents
+        ),
+        occ AS (
+            SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr
+            FROM d
+        ),
+        sh AS (
+            SELECT {shard} AS shard, arr[pos] AS token FROM occ
+        ),
+        part AS (
+            SELECT shard, token, COUNT(*) AS n FROM sh GROUP BY shard, token
+        ),
+        tot AS (SELECT shard, SUM(n) AS ns FROM part GROUP BY shard),
+        nn AS (SELECT SUM(n) AS n_total FROM part),
+        cand AS (
+            SELECT token, COUNT(*) AS n_shards_flagging
+            FROM part JOIN tot USING (shard)
+            WHERE n * {_HH_K} > ns
+            GROUP BY token
+        ),
+        gfin AS (
+            SELECT p.token, c.n_shards_flagging, SUM(p.n) AS n_global
+            FROM part p JOIN cand c ON p.token = c.token
+            GROUP BY p.token, c.n_shards_flagging
+        )
+        SELECT token, CAST(n_global AS BIGINT) AS n,
+               CAST(n_shards_flagging AS BIGINT) AS n_shards_flagging,
+               CAST(n_global * 1000 // n_total AS BIGINT) AS share_permil
+        FROM gfin CROSS JOIN nn
+        WHERE n_global * {_HH_K} > n_total
+        """,
+    )
+    def q289_local_heavy_hitters(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Exact global heavy hitters (share > 1/K) via per-shard local
+        thresholds: candidates are generated where the data lives
+        (bounded ≤ K per shard), pruned by broadcast semi-join BEFORE the
+        global exchange, and exact-counted from the same partials. See
+        block comment for the pigeonhole losslessness argument."""
+        from etl_globalretail_spark.operators.sampling import hash_bucket
+        from etl_globalretail_spark.operators.text import tokens
+
+        d = load_table(spark, "documents", sf_dir)
+        occ = d.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+        )
+        sh = occ.select(
+            hash_bucket(
+                F.concat_ws(":", F.col("doc_id"), F.col("pos") + 1),
+                _HH_SHARDS, "hh",
+            ).alias("shard"),
+            "token",
+        )
+        # (shard, token) partial counts feed the shard totals, the
+        # candidate filter, AND the final exact counts — one persisted
+        # frame, three consumers, never a second scan of raw tokens.
+        part = sh.groupBy("shard", "token").agg(
+            F.count(F.lit(1)).alias("n")
+        ).persist()
+        tot = part.groupBy("shard").agg(F.sum("n").alias("ns"))
+        nn = part.agg(F.sum("n").alias("n_total"))
+        cand = (
+            part.join(F.broadcast(tot), "shard")
+            .filter(F.col("n") * _HH_K > F.col("ns"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shards_flagging"))
+        )
+        glob = (
+            part.join(F.broadcast(cand), "token")
+            .groupBy("token", "n_shards_flagging")
+            .agg(F.sum("n").alias("n_global"))
+        )
+        return (
+            glob.crossJoin(F.broadcast(nn))  # 1-row grand total — bounded
+            .filter(F.col("n_global") * _HH_K > F.col("n_total"))
+            .select(
+                "token",
+                F.col("n_global").cast("long").alias("n"),
+                "n_shards_flagging",
+                F.expr("CAST(n_global * 1000 div n_total AS BIGINT)")
+                .alias("share_permil"),
+            )
+        )
+
+
+_register_q289()
+
+
+# ---------------------------------------------------------------------------
+# q291 — equi-DEPTH histogram selectivity audit: q271's estimator with
+# the other classic bucketing rule. Equi-width buckets (q271) go blind
+# where mass concentrates; equi-depth buckets (every bucket holds
+# ~N/B rows, boundaries at exact ranks) adapt to the distribution —
+# the form real optimizers (and ANALYZE ... COMPUTE STATISTICS) keep.
+# Same three probe predicates and the same output schema as q271, so
+# the two audits read head-to-head.
+#
+# Scale shape: bucket assignment needs a GLOBAL rank — the classic
+# single-window funnel — so it rides the q190 range-partitioned
+# global_index device (repartitionByRange + per-partition ranks +
+# driver offsets; no single-partition exchange). The bucket summary is
+# B driver rows (the optimizer's own statistics table), actuals are ONE
+# conditional-aggregation pass (vs q271's filter-per-predicate), and
+# the estimator is pure integer math (truncating division) so DuckDB
+# replays it bit-for-bit from ROW_NUMBER.
+# ---------------------------------------------------------------------------
+
+_Q291_B = 16  # equi-depth buckets
+
+
+def _register_q291() -> None:
+    bk = f"""
+        SELECT CAST((rn - 1) * {_Q291_B} // nn AS BIGINT) AS bucket, v
+        FROM (
+            SELECT CAST(FLOOR(value * 1e6) AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST(FLOOR(value * 1e6) AS BIGINT) * 10000000
+                                + event_id) AS rn,
+                   COUNT(*) OVER () AS nn
+            FROM events
+        )
+    """
+    bsum = f"""
+        SELECT bucket, MIN(v) AS lo_b, MAX(v) AS hi_b,
+               COUNT(*) AS n, MAX(v) - MIN(v) AS w
+        FROM ({bk}) GROUP BY bucket
+    """
+    legs = []
+    for lo, hi in _Q271_PREDS:
+        lo_m, hi_m = int(lo * 1_000_000), int(hi * 1_000_000)
+        legs.append(f"""
+        SELECT '{lo:g}-{hi:g}' AS predicate,
+               CAST((SELECT COALESCE(SUM(CASE
+                   WHEN w = 0 THEN
+                       CASE WHEN lo_b >= {lo_m} AND lo_b < {hi_m}
+                            THEN n ELSE 0 END
+                   ELSE n * GREATEST(LEAST({hi_m}, hi_b)
+                                     - GREATEST({lo_m}, lo_b), 0) // w
+                   END), 0) FROM ({bsum})) AS BIGINT) AS est_rows,
+               CAST((SELECT COUNT(*) FROM events
+                     WHERE value >= {lo} AND value < {hi}) AS BIGINT)
+                   AS actual_rows
+        """)
+    sql = " UNION ALL ".join(legs)
+
+    @_register(
+        "q291_equidepth_audit",
+        oracle=f"""
+        SELECT predicate, est_rows, actual_rows,
+               CAST(abs(est_rows - actual_rows) * 1000
+                    // greatest(actual_rows, 1) AS BIGINT) AS err_permil
+        FROM ({sql})
+        """,
+    )
+    def q291_equidepth_audit(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Equi-depth-histogram-estimated vs actual selectivity for the
+        q271 predicate triplet; rank-based boundaries via the
+        range-partitioned global index, integer interpolation within
+        boundary buckets. See block comment."""
+        from etl_globalretail_spark.sources.readers import (
+            global_index,
+            table_rows,
+        )
+
+        e = load_table(spark, "events", sf_dir)
+        keyed = e.select(
+            F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+            (F.floor(F.col("value") * 1e6).cast("long") * 10_000_000
+             + F.col("event_id")).alias("k"),
+        )
+        idx = global_index(keyed, "k")  # __idx = rank-1 under (v, event_id)
+        n_rows = table_rows(spark, "events", sf_dir)
+        summ = (
+            idx.select(
+                F.expr(f"CAST(__idx * {_Q291_B} div {n_rows} AS BIGINT)")
+                .alias("bucket"),
+                "v",
+            )
+            .groupBy("bucket")
+            .agg(
+                F.min("v").alias("lo_b"), F.max("v").alias("hi_b"),
+                F.count(F.lit(1)).alias("n"),
+                (F.max("v") - F.min("v")).alias("w"),
+            )
+            .collect()
+        )  # B driver rows — the statistics table itself
+        acts = (
+            e.agg(*[
+                F.sum(
+                    ((F.col("value") >= lo) & (F.col("value") < hi))
+                    .cast("long")
+                ).alias(f"a{i}")
+                for i, (lo, hi) in enumerate(_Q271_PREDS)
+            ]).collect()[0]
+        )
+        outs = []
+        for i, (lo, hi) in enumerate(_Q271_PREDS):
+            lo_m, hi_m = int(lo * 1_000_000), int(hi * 1_000_000)
+            est = 0
+            for r in summ:
+                if r["w"] == 0:
+                    if lo_m <= r["lo_b"] < hi_m:
+                        est += r["n"]
+                else:
+                    ov = max(min(hi_m, r["hi_b"]) - max(lo_m, r["lo_b"]), 0)
+                    est += r["n"] * ov // r["w"]
+            actual = int(acts[f"a{i}"] or 0)
+            outs.append(
+                (f"{lo:g}-{hi:g}", est, actual,
+                 abs(est - actual) * 1000 // max(actual, 1))
+            )
+        return spark.createDataFrame(
+            outs,
+            "predicate string, est_rows long, actual_rows long,"
+            " err_permil long",
+        )
+
+
+_register_q291()

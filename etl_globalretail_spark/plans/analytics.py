@@ -6157,3 +6157,126 @@ def q284_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
         F.countDistinct(F.schema_of_variant("v")).alias("n_shapes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q290 — Mann-Whitney U (Wilcoxon rank-sum) per event type, weekend vs
+# weekday values: the nonparametric sibling of q184's Welch t — the test
+# a pipeline reaches for when the metric is skewed/heavy-tailed and a
+# mean comparison would be driven by outliers. Completes the two-sample
+# panel (parametric q184, distribution-shape q173 KS, rank-based here).
+#
+# Cross-engine recipe: ranks are computed on the VALUE GRID (group by
+# quantized value → weekend/weekday counts), never per row — the grid is
+# |distinct values| rows, the rank sum folds in as Σ c_a·(2·cum + t + 1)
+# over DOUBLED average ranks so tie-averaged ranks (k+½ steps) stay in
+# exact int64 arithmetic. The z statistic (with the standard tie
+# correction Σ(t³−t)) is ONE fixed sequence of correctly-rounded double
+# ops — two products, two divisions, one sqrt — written identically in
+# both engines. U itself is the integer decision variable.
+#
+# Scale notes: one grid aggregation (map-side combinable) + a per-type
+# cumulative window over the grid + a per-type fold — shuffle carries
+# |types|·|grid| rows, nothing row-sized; same shape as q218's
+# joint-grid Kendall.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q290_mann_whitney_u",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk,
+               CAST(FLOOR(value * 1e3) AS BIGINT) AS x
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, x,
+               CAST(SUM(wk) AS BIGINT) AS ca,
+               CAST(SUM(1 - wk) AS BIGINT) AS cb,
+               CAST(COUNT(*) AS BIGINT) AS t
+        FROM q GROUP BY event_type, x
+    ),
+    w AS (
+        SELECT event_type, ca, cb, t,
+               SUM(t) OVER (PARTITION BY event_type ORDER BY x) - t AS cum
+        FROM g
+    ),
+    s AS (
+        SELECT event_type,
+               SUM(ca) AS n_a, SUM(cb) AS n_b, SUM(t) AS n,
+               SUM(ca * (2 * cum + t + 1)) AS r_a2,
+               SUM(t * t * t - t) AS tie3
+        FROM w GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(r_a2 - n_a * (n_a + 1) AS BIGINT) AS u_a_2x,
+           CASE WHEN n_a = 0 OR n_b = 0 OR
+                     (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                     * ((CAST(n AS DOUBLE) + 1.0)
+                        - CAST(tie3 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                     <= 0.0
+                THEN 0.0
+                ELSE (CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE)
+                      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                     / (2.0 * SQRT(
+                         (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                         * ((CAST(n AS DOUBLE) + 1.0)
+                            - CAST(tie3 AS DOUBLE)
+                              / (CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1.0)))))
+           END AS z_stat
+    FROM s
+    """,
+)
+def q290_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U (doubled-rank integer form) per
+    event type, weekend vs weekday; see block comment for the grid
+    device and the portability argument."""
+    e = load_table(spark, "events", sf_dir)
+    q = e.select(
+        "event_type",
+        F.when(F.dayofweek("ts").isin(1, 7), F.lit(1)).otherwise(F.lit(0))
+        .alias("wk"),
+        F.floor(F.col("value") * 1e3).cast("long").alias("x"),
+    )
+    g = q.groupBy("event_type", "x").agg(
+        F.sum("wk").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("wk")).cast("long").alias("cb"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    win = Window.partitionBy("event_type").orderBy("x")
+    w = g.select(
+        "event_type", "ca", "cb", "t",
+        (F.sum("t").over(win) - F.col("t")).alias("cum"),
+    )
+    s = w.groupBy("event_type").agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum("t").alias("n"),
+        F.sum(F.col("ca") * (2 * F.col("cum") + F.col("t") + 1)).alias("r_a2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = F.col("n").cast("double")
+    u2 = F.col("r_a2") - F.col("n_a") * (F.col("n_a") + 1)
+    var_u = (na * nb / F.lit(12.0)) * (
+        (nn + F.lit(1.0))
+        - F.col("tie3").cast("double") / (nn * (nn - F.lit(1.0)))
+    )
+    z = (u2.cast("double") - na * nb) / (F.lit(2.0) * F.sqrt(var_u))
+    return s.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        u2.cast("long").alias("u_a_2x"),
+        F.when(
+            (F.col("n_a") == 0) | (F.col("n_b") == 0) | (var_u <= 0.0),
+            F.lit(0.0),
+        ).otherwise(z).alias("z_stat"),
+    )

@@ -1761,3 +1761,80 @@ def q287_streaming_outer_join_exact(
             .cast("long").alias("value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q288 — stream-static enrichment join on the hash gate: the one core
+# production streaming shape (enrich_with_dim — a micro-batch event
+# stream joined to a slowly-changing dimension snapshot) that until now
+# was only pytest-parity-tested. The static side re-plans per micro-batch
+# as a BROADCAST hash join — zero stream-side state, so the operator
+# adds no state store at all; the stateful work is only the downstream
+# windowed aggregate. This is the streaming face of the reference's
+# per-row dimension lookups (J2, etl_completo.py:637-663) at the grain a
+# real pipeline runs them: dim rides with the batch, not probed per row.
+#
+# Determinism: availableNow over the single-file source + complete-mode
+# sink (the q128 device); segment attribution is a pure function of the
+# join; sums are decimal-exact.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q288_stream_static_enrich_exact",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           {val}
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """.format(val=_osum("e.value", "sum_value")),
+)
+def q288_stream_static_enrich_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly event census per customer market segment, computed by a
+    REAL Structured Streaming run: event stream → broadcast stream-static
+    left join against the customer dim → windowed aggregate → complete-mode
+    memory sink, hash-matched against DuckDB's batch join. See block
+    comment for why the static side costs no state."""
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    enriched = enrich_with_dim(stream, dim, "user_id")
+    # Exact COUNT(DISTINCT user) in a stream: aggregate at the
+    # (window, segment, user) grain inside the stream (state is bounded
+    # by active users per hour-segment), then finish from the sink —
+    # the standard streaming exact-distinct decomposition.  Sums stay in
+    # DECIMAL(27,6) through both levels (no double round-trip) so the
+    # two-level total is the same exact decimal the oracle's one-level
+    # SUM produces.
+    fine = (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 hour"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_dec"),
+        )
+    )
+    _Q128_SEQ[0] += 1
+    sink = f"q288_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(fine, sink, mode="complete",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    return (
+        spark.table(sink)
+        .groupBy(F.col("window.start").alias("window_start"), "segment")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.col("sum_dec").cast("decimal(27,6)"))
+            .cast("double").alias("sum_value"),
+        )
+    )

@@ -67,6 +67,8 @@ INTENTIONAL_CROSS = {
     # total N to the |V|²-bounded pair matrix — bounded by construction
     "q259_dataset_card",  # composes three 1-row aggregate legs by
     # broadcast crosses — bounded by construction
+    "q289_local_heavy_hitters",  # attaches the broadcast 1-row grand
+    # total N to the ≤K·S-row candidate frame — bounded by construction
     "q262_hll_set_algebra",  # |event types|² pair enumeration over the
     # 5-row type list (inequality join) — bounded by construction; all
     # register/user work rides equi-joins

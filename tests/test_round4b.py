@@ -1,0 +1,140 @@
+"""Round-4 additions, second batch: stream-static enrichment on the
+gate (q288), distributed exact heavy hitters (q289), Mann-Whitney U
+(q290), equi-depth histogram audit (q291) — property tests beyond the
+DuckDB hash gate."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.plans.registry import ALL_QUERIES
+from etl_globalretail_spark.sources.readers import load_table
+
+
+def test_q288_stream_matches_batch(spark, sf_dir):
+    """The streaming stream-static join + two-level aggregate equals the
+    same computation run purely in batch (stream↔batch parity for the
+    whole q288 pipeline, not just the join operator)."""
+    got = {
+        (r["window_start"], r["segment"]): (
+            r["n_events"], r["n_users"], round(r["sum_value"], 6))
+        for r in ALL_QUERIES["q288_stream_static_enrich_exact"](
+            spark, sf_dir).collect()
+    }
+    e = load_table(spark, "events", sf_dir)
+    c = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    want = {
+        (r["ws"], r["segment"]): (
+            r["n_events"], r["n_users"], round(r["sum_value"], 6))
+        for r in (
+            e.join(F.broadcast(c), "user_id", "left")
+            .groupBy(
+                F.date_trunc("hour", "ts").alias("ws"),
+                F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.col("value").cast("decimal(27,6)"))
+                .cast("double").alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_q289_candidates_are_lossless_and_bounded(spark, sf_dir):
+    """The two-phase output is EXACTLY the true heavy-hitter set (the
+    pigeonhole guarantee: no true heavy hitter can be missed by the
+    local-threshold candidate pass), and every reported token was
+    flagged by at least one shard."""
+    from etl_globalretail_spark.operators.profiling import _HH_K
+    from etl_globalretail_spark.operators.text import tokens
+
+    rows = ALL_QUERIES["q289_local_heavy_hitters"](spark, sf_dir).collect()
+    got = {r["token"]: r["n"] for r in rows}
+    d = load_table(spark, "documents", sf_dir)
+    occ = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    n_total = occ.count()
+    true_hh = {
+        r["token"]: r["n"]
+        for r in occ.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * _HH_K > F.lit(n_total))
+        .collect()
+    }
+    assert got == true_hh
+    assert all(r["n_shards_flagging"] >= 1 for r in rows)
+    assert all(0 < r["share_permil"] <= 1000 for r in rows)
+
+
+def test_q290_matches_numpy_rank_formula(spark, sf_dir):
+    """U and the tie-corrected z recomputed per group from raw rows with
+    numpy average ranks (the textbook formulation) match the grid fold."""
+    got = {
+        r["event_type"]: r
+        for r in ALL_QUERIES["q290_mann_whitney_u"](spark, sf_dir).collect()
+    }
+    e = load_table(spark, "events", sf_dir)
+    rows = e.select(
+        "event_type",
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("wk"),
+        F.floor(F.col("value") * 1e3).cast("long").alias("x"),
+    ).collect()
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["wk"], r["x"]))
+    for et, data in by_type.items():
+        wk = np.array([d[0] for d in data])
+        x = np.array([d[1] for d in data], dtype=np.float64)
+        order = np.argsort(x, kind="mergesort")
+        ranks = np.empty(len(x))
+        sx = x[order]
+        i = 0
+        pos = 1
+        while i < len(sx):
+            j = i
+            while j < len(sx) and sx[j] == sx[i]:
+                j += 1
+            ranks[order[i:j]] = (pos + (pos + (j - i) - 1)) / 2.0
+            pos += j - i
+            i = j
+        n_a, n_b = int(wk.sum()), int((1 - wk).sum())
+        r_a = ranks[wk == 1].sum()
+        u_a = r_a - n_a * (n_a + 1) / 2.0
+        assert got[et]["n_a"] == n_a and got[et]["n_b"] == n_b
+        assert got[et]["u_a_2x"] == int(round(2 * u_a))
+        _, counts = np.unique(sx, return_counts=True)
+        n = n_a + n_b
+        tie3 = float((counts.astype(np.float64) ** 3 - counts).sum())
+        var_u = (n_a * n_b / 12.0) * ((n + 1.0) - tie3 / (n * (n - 1.0)))
+        if n_a and n_b and var_u > 0:
+            z = (u_a - n_a * n_b / 2.0) / np.sqrt(var_u)
+            assert abs(got[et]["z_stat"] - z) < 1e-9
+        else:
+            assert got[et]["z_stat"] == 0.0
+
+
+def test_q291_schema_matches_q271_and_estimates_sane(spark, sf_dir):
+    """The equi-depth audit is head-to-head comparable with q271 (same
+    schema, same predicates) and its estimator is exact on a predicate
+    that covers the full value range."""
+    out = ALL_QUERIES["q291_equidepth_audit"](spark, sf_dir)
+    q271 = ALL_QUERIES["q271_selectivity_audit"](spark, sf_dir)
+    assert out.schema == q271.schema
+    rows = {r["predicate"]: r for r in out.collect()}
+    assert set(rows) == {r["predicate"] for r in q271.collect()}
+    # the 0-100 predicate spans whole buckets on this fixture; the
+    # interpolation error must stay tiny (boundary-bucket mass only)
+    r = rows["0-100"]
+    assert abs(r["est_rows"] - r["actual_rows"]) <= max(
+        r["actual_rows"] // 10, 5
+    )
+    for r in rows.values():
+        assert r["est_rows"] >= 0
+        assert r["err_permil"] == abs(
+            r["est_rows"] - r["actual_rows"]
+        ) * 1000 // max(r["actual_rows"], 1)
