@@ -35,6 +35,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
+# InferFiltersFromGenerate synthesizes `size(arr) > 0 AND isnotnull(arr)`
+# ahead of every inner explode, and predicate pushdown then CLONES the
+# generator's input expression into that filter — an expensive array
+# builder (HOF transform + md5 chains, shingles, minhash signatures) is
+# evaluated 3x per row instead of once (measured 13x wall on q239's span
+# explode, 6.7 s -> 0.5 s). The rule's only benefit is short-circuiting
+# empty-array rows at the generator itself — never a shuffle reduction —
+# so the engine excludes it session-wide.
+_EXCLUDED_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def pin_generate_posture(spark: SparkSession) -> None:
+    """Append the engine's excluded optimizer rules to the session
+    (idempotent; preserves rules excluded by the caller)."""
+    try:
+        cur = spark.conf.get("spark.sql.optimizer.excludedRules")
+    except Exception:
+        cur = None
+    if not cur:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
+    elif _EXCLUDED_RULES not in cur:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules", cur + "," + _EXCLUDED_RULES
+        )
+
+
 def make_query_decorator(queries_dict: dict, oracle_dict: dict):
     """Build a ``@query(name, oracle=...)`` decorator that registers into the
     given dicts — each operator family keeps its own registry and
@@ -44,8 +72,10 @@ def make_query_decorator(queries_dict: dict, oracle_dict: dict):
         def deco(fn):
             def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # The driver hands us its own session; pin the posture that
-                # matters for oracle parity (UTC timestamps) at runtime.
+                # matters for oracle parity (UTC timestamps) and plan cost
+                # (generator-filter cloning) at runtime.
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
+                pin_generate_posture(spark)
                 return fn(spark, sf_dir)
 
             wrapped.__name__ = name

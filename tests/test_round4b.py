@@ -138,3 +138,26 @@ def test_q291_schema_matches_q271_and_estimates_sane(spark, sf_dir):
         assert r["err_permil"] == abs(
             r["est_rows"] - r["actual_rows"]
         ) * 1000 // max(r["actual_rows"], 1)
+
+
+def test_generate_filter_not_cloned(spark, sf_dir):
+    """InferFiltersFromGenerate is excluded engine-wide: an inner explode
+    over an expensive HOF-built array must evaluate the array builder
+    EXACTLY ONCE in the physical plan (the inferred size/isnotnull
+    filter used to clone it twice more — 13x wall on q239's spans)."""
+    from pyspark.sql import functions as F
+
+    from etl_globalretail_spark.operators.corpus import span_hashes
+    from etl_globalretail_spark.plans.queries import pin_generate_posture
+    from etl_globalretail_spark.sources.readers import load_table
+
+    pin_generate_posture(spark)
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select("doc_id", span_hashes(F.col("text")).alias("spans"))
+    starts = base.select("doc_id", F.posexplode("spans").alias("p0", "h"))
+    plan = starts._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("transform(") == 1
+    # and the exclusion is append-safe: a second pin does not duplicate
+    pin_generate_posture(spark)
+    rules = spark.conf.get("spark.sql.optimizer.excludedRules")
+    assert rules.count("InferFiltersFromGenerate") == 1
