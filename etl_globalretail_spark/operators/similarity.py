@@ -1555,3 +1555,250 @@ def _register_q256() -> None:
 
 
 _register_q256()
+
+
+# ---------------------------------------------------------------------------
+# q292 — SemDeDup: cluster-scoped embedding near-duplicate PRUNING
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"). The 100 TB answer to q33's exact
+# tier: k-means partitions the corpus into K cells, pairwise cosine is
+# computed ONLY within a cell, and every above-τ pair prunes its
+# higher-id member (keep-lowest-id representative). Pair mass drops from
+# N²/2 to Σ|cell|²/2 — with balanced cells a K× reduction, and the
+# per-cell kernel is an embarrassingly parallel applyInPandas task that
+# never shuffles vectors twice. Cross-cell near-dups are deliberately
+# invisible (the approximation the paper accepts); q33 remains the
+# exact-recall audit tier.
+#
+# Determinism: the clustering is q122's fixed-2-iteration integer-space
+# Lloyd's (md5-ordered init, int64 distances, argmin ties on cell id,
+# floor-mean update, empty cells die) and the scoring is q33's quantized
+# arithmetic (per-dim floor(x·y·1e12) exact-int products, IEEE sqrt
+# norms, one multiply + one divide per pair) — both replayed bit-for-bit
+# by the oracle's CTE chain.
+# ---------------------------------------------------------------------------
+
+
+def _register_q292() -> None:
+    from etl_globalretail_spark.operators.clustering import (
+        _Q122_K,
+        _Q122_SCALE,
+        _qvec,
+    )
+
+    scale = int(_Q122_SCALE)
+    assign_sql = """
+        SELECT vec_id, cell FROM (
+            SELECT f.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                       ORDER BY SUM((f.q - c.cq) * (f.q - c.cq)), c.cell
+                   ) AS rn
+            FROM flat f JOIN {cfrm} c ON f.pos = c.pos
+            GROUP BY f.vec_id, c.cell
+        ) WHERE rn = 1
+    """
+
+    @_register(
+        "q292_semdedup_prune",
+        oracle=f"""
+        WITH flat AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale})
+                        AS BIGINT) AS q
+            FROM embeddings
+        ),
+        init AS (
+            SELECT vec_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS BIGINT) - 1 AS cell
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_Q122_K}
+        ),
+        c0 AS (
+            SELECT i.cell, f.pos, f.q AS cq
+            FROM init i JOIN flat f ON i.vec_id = f.vec_id
+        ),
+        a1 AS ({assign_sql.format(cfrm="c0")}),
+        c1 AS (
+            SELECT a.cell, f.pos,
+                   CAST(FLOOR(CAST(SUM(f.q) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS cq
+            FROM a1 a JOIN flat f ON a.vec_id = f.vec_id
+            GROUP BY a.cell, f.pos
+        ),
+        a2 AS ({assign_sql.format(cfrm="c1")}),
+        norms AS (
+            SELECT vec_id,
+                   sqrt(CAST(SUM(CAST(FLOOR(val * val * 1e12) AS BIGINT))
+                        AS DOUBLE)) AS n
+            FROM flat GROUP BY vec_id
+        ),
+        dup AS (
+            SELECT x.cell, d.id_a, d.id_b
+            FROM (
+                SELECT f.vec_id AS id_a, g.vec_id AS id_b,
+                       CAST(SUM(CAST(FLOOR(f.val * g.val * 1e12) AS BIGINT))
+                            AS DOUBLE) AS dp
+                FROM flat f JOIN flat g
+                  ON f.pos = g.pos AND f.vec_id < g.vec_id
+                GROUP BY 1, 2
+            ) d
+            JOIN a2 x ON d.id_a = x.vec_id
+            JOIN a2 y ON d.id_b = y.vec_id AND y.cell = x.cell
+            JOIN norms na ON d.id_a = na.vec_id
+            JOIN norms nb ON d.id_b = nb.vec_id
+            WHERE d.dp / (na.n * nb.n) >= {_NEARDUP_TAU}
+        ),
+        pruned AS (SELECT cell, id_b FROM dup GROUP BY cell, id_b),
+        cells AS (
+            SELECT cell, COUNT(*) AS n_vectors, SUM(vec_id) AS id_sum
+            FROM a2 GROUP BY cell
+        ),
+        dpc AS (SELECT cell, COUNT(*) AS n_dup_pairs FROM dup GROUP BY cell),
+        prc AS (
+            SELECT cell, COUNT(*) AS n_pruned, SUM(id_b) AS s
+            FROM pruned GROUP BY cell
+        )
+        SELECT CAST(cells.cell AS BIGINT) AS cell,
+               CAST(cells.n_vectors AS BIGINT) AS n_vectors,
+               CAST(COALESCE(dpc.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+               CAST(COALESCE(prc.n_pruned, 0) AS BIGINT) AS n_pruned,
+               CAST(cells.id_sum - COALESCE(prc.s, 0) AS BIGINT)
+                   AS kept_id_sum
+        FROM cells LEFT JOIN dpc ON cells.cell = dpc.cell
+                   LEFT JOIN prc ON cells.cell = prc.cell
+        """,
+    )
+    def q292_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-cell SemDeDup census: cluster the embeddings with the q122
+        deterministic Lloyd's, score pairwise cosine WITHIN each cell with
+        the q33 quantized arithmetic, prune the higher id of every
+        above-τ pair. Output: cell, n_vectors, n_dup_pairs, n_pruned,
+        kept_id_sum. See block comment."""
+        import numpy as np
+        import pandas as pd
+
+        e = load_table(spark, "embeddings", sf_dir)
+        base = e.select(
+            "vec_id", "embedding", _qvec(F.col("embedding")).alias("qv")
+        ).persist()
+        try:
+            # init: the K vectors with smallest (md5(vec_id), vec_id) —
+            # a driver scalar (K rows), the q122/q74 documented pattern
+            init = (
+                base.orderBy(
+                    F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+                )
+                .limit(_Q122_K)
+                .select("qv")
+                .collect()
+            )
+            cmat0 = np.array([r["qv"] for r in init], dtype=np.int64)
+            kk, dd = cmat0.shape
+
+            # one update round -> c1, via Arrow partials + driver merge
+            # (k·d ints per partition — the map-side combine shape)
+            def _partials(batches):
+                S = np.zeros((kk, dd), dtype=np.int64)
+                N = np.zeros(kk, dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.array(list(pdf["qv"]), dtype=np.int64)
+                    diff = X[:, None, :] - cmat0[None, :, :]
+                    cells = np.argmin((diff * diff).sum(-1), axis=1)
+                    for ci in range(kk):
+                        m = cells == ci
+                        if m.any():
+                            S[ci] += X[m].sum(axis=0)
+                            N[ci] += int(m.sum())
+                live = np.nonzero(N)[0]
+                yield pd.DataFrame(
+                    {
+                        "cell": np.repeat(live, dd).astype("int64"),
+                        "pos": np.tile(np.arange(dd), len(live))
+                        .astype("int32"),
+                        "s": S[live].reshape(-1).astype("int64"),
+                        "n": np.repeat(N[live], dd).astype("int64"),
+                    }
+                )
+
+            S: dict[int, np.ndarray] = {}
+            N: dict[int, int] = {}
+            for r in base.select("qv").mapInPandas(
+                _partials, schema="cell long, pos int, s long, n long"
+            ).collect():
+                S.setdefault(r.cell, np.zeros(dd, dtype=np.int64))
+                S[r.cell][r.pos] += r.s
+                if r.pos == 0:
+                    N[r.cell] = N.get(r.cell, 0) + r.n
+            live_cells = sorted(c for c in N if N[c])
+            cmat1 = np.array(
+                [np.floor(S[c].astype(np.float64) / N[c]).astype(np.int64)
+                 for c in live_cells],
+                dtype=np.int64,
+            )
+            cell_ids = np.array(live_cells, dtype=np.int64)
+
+            # final assignment rides WITH the float vector so the census
+            # kernel needs no second join
+            def _assign(batches):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.array(list(pdf["qv"]), dtype=np.int64)
+                    diff = X[:, None, :] - cmat1[None, :, :]
+                    cells = np.argmin((diff * diff).sum(-1), axis=1)
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "cell": cell_ids[cells],
+                            "embedding": pdf["embedding"],
+                        }
+                    )
+
+            assigned = base.mapInPandas(
+                _assign,
+                schema="vec_id long, cell long, embedding array<float>",
+            )
+
+            def _census(key, pdf):
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                X = np.array(list(pdf["embedding"]), dtype=np.float64)
+                nrm = np.sqrt(np.floor(X * X * 1e12).sum(axis=1))
+                dp = np.zeros((len(ids), len(ids)), dtype=np.float64)
+                for d in range(X.shape[1]):
+                    dp += np.floor(X[:, d, None] * X[None, :, d] * 1e12)
+                cos = dp / (nrm[:, None] * nrm[None, :])
+                keep = (cos >= _NEARDUP_TAU) & (ids[:, None] < ids[None, :])
+                pruned = keep.any(axis=0)
+                return pd.DataFrame(
+                    {
+                        "cell": [int(key[0])],
+                        "n_vectors": [len(ids)],
+                        "n_dup_pairs": [int(keep.sum())],
+                        "n_pruned": [int(pruned.sum())],
+                        "kept_id_sum": [
+                            int(ids.sum() - ids[pruned].sum())
+                        ],
+                    }
+                )
+
+            out = assigned.groupBy("cell").applyInPandas(
+                _census,
+                "cell long, n_vectors long, n_dup_pairs long,"
+                " n_pruned long, kept_id_sum long",
+            )
+            # ≤ K rows: materialize so the finally can release the cache
+            from etl_globalretail_spark.sources.artifacts import materialize
+
+            return materialize(out)
+        finally:
+            base.unpersist()
+
+
+_register_q292()

@@ -161,3 +161,28 @@ def test_generate_filter_not_cloned(spark, sf_dir):
     pin_generate_posture(spark)
     rules = spark.conf.get("spark.sql.optimizer.excludedRules")
     assert rules.count("InferFiltersFromGenerate") == 1
+
+
+def test_q292_semdedup_census_properties(spark, sf_dir):
+    """SemDeDup invariants: the cells partition the corpus exactly; a
+    cell never prunes more vectors than it has dup pairs; the
+    within-cluster pair census is a SUBSET of q33's exact all-pairs
+    tier; and the whole protocol is deterministic (bit-equal reruns)."""
+    out = {
+        r["cell"]: r
+        for r in ALL_QUERIES["q292_semdedup_prune"](spark, sf_dir).collect()
+    }
+    n_total = load_table(spark, "embeddings", sf_dir).count()
+    assert sum(r["n_vectors"] for r in out.values()) == n_total
+    for r in out.values():
+        assert 0 <= r["n_pruned"] <= r["n_dup_pairs"]
+        assert r["kept_id_sum"] >= 0
+    q33_pairs = ALL_QUERIES["q33_embedding_neardup"](spark, sf_dir).count()
+    assert sum(r["n_dup_pairs"] for r in out.values()) <= q33_pairs
+    again = {
+        r["cell"]: r
+        for r in ALL_QUERIES["q292_semdedup_prune"](spark, sf_dir).collect()
+    }
+    assert {c: tuple(r) for c, r in out.items()} == {
+        c: tuple(r) for c, r in again.items()
+    }
