@@ -1802,3 +1802,180 @@ def _register_q292() -> None:
 
 
 _register_q292()
+
+
+# ---------------------------------------------------------------------------
+# q293 — hard-negative mining for contrastive training: for every anchor
+# vector, the K most cosine-similar vectors of a DIFFERENT label — the
+# candidates that sit closest to the decision boundary and carry the
+# most gradient signal in a contrastive/triplet objective. Distributed
+# shape: the q33 block-tile cogroup scores one block×block tile per
+# task and emits each anchor's PARTIAL top-K within the tile (≤ K·B
+# candidate rows per anchor ever reach the merge — the global top-K is
+# provably inside the union of per-tile top-Ks); a keyed window then
+# totals-orders (cos DESC, neg_id) to the final K. No all-pairs frame
+# is ever materialized. Arithmetic is the q33 quantized fold
+# (floor(x·y·1e12) exact-int products, IEEE sqrt norms, one divide) so
+# every cos_sim double is bit-identical to the oracle's.
+# ---------------------------------------------------------------------------
+
+_HARDNEG_K = 3
+_HARDNEG_BLOCKS = 8
+
+
+def _register_q293() -> None:
+    @_register(
+        "q293_hard_negatives",
+        oracle=f"""
+        WITH flat AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id,
+                   sqrt(CAST(SUM(CAST(FLOOR(val * val * 1e12) AS BIGINT))
+                        AS DOUBLE)) AS n
+            FROM flat GROUP BY vec_id
+        ),
+        lab AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        ),
+        dots AS (
+            SELECT f.vec_id AS a, g.vec_id AS b,
+                   CAST(SUM(CAST(FLOOR(f.val * g.val * 1e12) AS BIGINT))
+                        AS DOUBLE) AS dp
+            FROM flat f JOIN flat g
+              ON f.pos = g.pos AND f.vec_id <> g.vec_id
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT d.a, d.b, la.label AS albl, lb.label AS blbl,
+                   d.dp / (na.n * nb.n) AS cos
+            FROM dots d
+            JOIN norms na ON d.a = na.vec_id
+            JOIN norms nb ON d.b = nb.vec_id
+            JOIN lab la ON d.a = la.vec_id
+            JOIN lab lb ON d.b = lb.vec_id
+            WHERE la.label <> lb.label
+        ),
+        ranked AS (
+            SELECT a, b, albl, blbl, cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a ORDER BY cos DESC, b
+                   ) AS rn
+            FROM scored
+        )
+        SELECT a AS anchor_id, CAST(rn AS BIGINT) AS rank, b AS neg_id,
+               albl AS anchor_label, blbl AS neg_label, cos AS cos_sim
+        FROM ranked WHERE rn <= {_HARDNEG_K}
+        """,
+    )
+    def q293_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-anchor top-{k} wrong-label cosine neighbors via block-tile
+        partial top-K + keyed-window merge; see block comment.""".format(
+            k=_HARDNEG_K
+        )
+        import numpy as np
+        import pandas as pd
+
+        nb = _HARDNEG_BLOCKS
+        e = load_table(spark, "embeddings", sf_dir)
+        tiles = spark.createDataFrame(
+            [(i, j) for i in range(nb) for j in range(i, nb)],
+            "bi int, bj int",
+        )
+        v = e.select(
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").alias("vec"),
+            F.col("label").cast("long").alias("lbl"),
+            F.pmod(F.col("vec_id"), F.lit(nb)).cast("int").alias("blk"),
+        )
+        left = v.join(F.broadcast(tiles), F.col("blk") == F.col("bi")).select(
+            "bi", "bj", "vid", "vec", "lbl"
+        )
+        # fresh attribute ids on the right side (see q33's blocked engine)
+        right = v.join(F.broadcast(tiles), F.col("blk") == F.col("bj")).select(
+            F.col("bi").alias("rbi"), F.col("bj").alias("rbj"),
+            F.col("vid").alias("rvid"), F.col("vec").alias("rvec"),
+            F.col("lbl").alias("rlbl"),
+        )
+        kk = _HARDNEG_K
+        empty = pd.DataFrame(
+            {"anchor_id": [], "anchor_label": [], "neg_id": [],
+             "neg_label": [], "cos_sim": []}
+        )
+
+        def _partial_topk(a_ids, a_lbl, b_ids, b_lbl, cos, self_pairs):
+            """Per-anchor (rows) top-K among wrong-label columns; stable
+            argsort over id-ascending columns = (cos DESC, id ASC)."""
+            valid = a_lbl[:, None] != b_lbl[None, :]
+            if self_pairs:
+                valid &= a_ids[:, None] != b_ids[None, :]
+            masked = np.where(valid, cos, -np.inf)
+            order = np.argsort(-masked, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(len(a_ids)), order.shape[1])
+            cols = order.reshape(-1)
+            sel = np.isfinite(masked[rows, cols])
+            rows, cols = rows[sel], cols[sel]
+            return pd.DataFrame(
+                {
+                    "anchor_id": a_ids[rows],
+                    "anchor_label": a_lbl[rows],
+                    "neg_id": b_ids[cols],
+                    "neg_label": b_lbl[cols],
+                    "cos_sim": cos[rows, cols],
+                }
+            )
+
+        def score_tile(key, lpdf, rpdf):
+            if lpdf.empty or rpdf.empty:
+                return empty
+            # id-ascending columns make the stable argsort's tie-break
+            # exact (cos DESC, id ASC)
+            lpdf = lpdf.sort_values("vid")
+            rpdf = rpdf.sort_values("rvid")
+            a_ids = lpdf["vid"].to_numpy(dtype=np.int64)
+            b_ids = rpdf["rvid"].to_numpy(dtype=np.int64)
+            a_lbl = lpdf["lbl"].to_numpy(dtype=np.int64)
+            b_lbl = rpdf["rlbl"].to_numpy(dtype=np.int64)
+            amat = np.array(list(lpdf["vec"]), dtype=np.float64)
+            bmat = np.array(list(rpdf["rvec"]), dtype=np.float64)
+            a_n = np.sqrt(np.floor(amat * amat * 1e12).sum(axis=1))
+            b_n = np.sqrt(np.floor(bmat * bmat * 1e12).sum(axis=1))
+            dp = np.zeros((len(a_ids), len(b_ids)), dtype=np.float64)
+            for d in range(amat.shape[1]):
+                dp += np.floor(amat[:, d, None] * bmat[None, :, d] * 1e12)
+            cos = dp / (a_n[:, None] * b_n[None, :])
+            diag = key[0] == key[1]
+            outs = [_partial_topk(a_ids, a_lbl, b_ids, b_lbl, cos, diag)]
+            if not diag:  # right-side anchors score against left cands
+                outs.append(
+                    _partial_topk(b_ids, b_lbl, a_ids, a_lbl, cos.T, False)
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        partials = (
+            left.groupBy("bi", "bj")
+            .cogroup(right.groupBy("rbi", "rbj"))
+            .applyInPandas(
+                score_tile,
+                "anchor_id long, anchor_label long, neg_id long,"
+                " neg_label long, cos_sim double",
+            )
+        )
+        w = Window.partitionBy("anchor_id").orderBy(
+            F.desc("cos_sim"), F.asc("neg_id")
+        )
+        return (
+            partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk)
+            .select(
+                "anchor_id", F.col("rank").cast("long").alias("rank"),
+                "neg_id", "anchor_label", "neg_label", "cos_sim",
+            )
+        )
+
+
+_register_q293()

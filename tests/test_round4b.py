@@ -186,3 +186,41 @@ def test_q292_semdedup_census_properties(spark, sf_dir):
     assert {c: tuple(r) for c, r in out.items()} == {
         c: tuple(r) for c, r in again.items()
     }
+
+
+def test_q293_tile_topk_matches_bruteforce(spark, sf_dir):
+    """The block-tile partial top-K merge must equal a driver brute
+    force over all wrong-label pairs (same quantized arithmetic) —
+    proves no candidate is lost at tile boundaries."""
+    out = ALL_QUERIES["q293_hard_negatives"](spark, sf_dir).collect()
+    e = load_table(spark, "embeddings", sf_dir).collect()
+    ids = np.array([r["vec_id"] for r in e], dtype=np.int64)
+    lbl = np.array([r["label"] for r in e], dtype=np.int64)
+    X = np.array([r["embedding"] for r in e], dtype=np.float64)
+    nrm = np.sqrt(np.floor(X * X * 1e12).sum(axis=1))
+    dp = np.zeros((len(ids), len(ids)))
+    for d in range(X.shape[1]):
+        dp += np.floor(X[:, d, None] * X[None, :, d] * 1e12)
+    cos = dp / (nrm[:, None] * nrm[None, :])
+    expect = {}
+    order_ids = np.argsort(ids)
+    for i in range(len(ids)):
+        cands = [
+            (-cos[i, j], ids[j])
+            for j in order_ids
+            if lbl[j] != lbl[i]
+        ]
+        cands.sort()
+        expect[int(ids[i])] = [
+            (rk + 1, int(b), -negc) for rk, (negc, b) in enumerate(cands[:3])
+        ]
+    got = {}
+    for r in out:
+        got.setdefault(r["anchor_id"], []).append(
+            (r["rank"], r["neg_id"], r["cos_sim"])
+        )
+    for a in got:
+        got[a].sort()
+    assert set(got) == set(expect)
+    for a, rows in expect.items():
+        assert got[a] == rows, a
