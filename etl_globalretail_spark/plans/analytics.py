@@ -3192,67 +3192,57 @@ def q201_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q202_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Average order→ship latency in business days per order priority:
-    weekday-calendar interval counts via a year-bucketed range join (no
-    nested loop), then exact integer aggregation."""
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    """Average order->ship latency in business days per order priority.
+
+    Spark side: the CLOSED-FORM weekday prefix count — with Monday
+    anchor A = 1991-12-30 (before the data range) and n1 = days in
+    [A, d] inclusive,
+
+        W(d)          = 5·(n1 div 7) + least(n1 mod 7, 5)
+        bdays(d0, d1] = W(d1) − W(d0)
+
+    a pure per-row integer expression: NO calendar table, no range
+    join, no interval fan-out (the previous year-bucketed probe built
+    ~261·span intermediate rows per lag — ~300M at sf0.1). The ORACLE
+    deliberately keeps the explicit generate_series calendar scan with
+    a correlated interval count, so the hash match is a cross-FORM
+    proof that the closed form counts exactly the Mon–Fri days in
+    (d0, d1]. All operands non-negative (A precedes every date), so
+    div/mod agree across engines."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
     o = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
+
+    def wdays_expr(name: str) -> Column:
+        # clamp into the calendar window first: dates past 1998-12-31
+        # accrue nothing, dates before 1992-01-01 count from the window
+        # start, and (with the greatest(...,0) below) reversed intervals
+        # (the fixture HAS shipdates before the orderdate) count zero —
+        # exactly the correlated calendar COUNT the oracle runs
+        c = (
+            "greatest(least(cast({d} as date), date'1998-12-31'),"
+            " date'1991-12-31')".format(d=name)
+        )
+        return F.expr(
+            "5 * ((datediff({c}, date'1991-12-30') + 1) div 7)"
+            " + least((datediff({c}, date'1991-12-30') + 1) % 7, 5)"
+            .format(c=c)
+        ).cast("long")
+
     j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
         "o_orderpriority",
-        F.col("o_orderdate").alias("d0"),
-        F.col("l_shipdate").alias("d1"),
+        F.greatest(
+            wdays_expr("l_shipdate") - wdays_expr("o_orderdate"), F.lit(0)
+        ).alias("bdays"),
     )
-    cal = (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.sequence(
-                    F.lit("1992-01-01").cast("date"),
-                    F.lit("1998-12-31").cast("date"),
-                    F.expr("interval 1 day"),
-                )
-            ).alias("day")
-        )
-        .filter(~F.dayofweek("day").isin(1, 7))  # Spark Sun=1, Sat=7
-        .select("day", F.year("day").alias("ybkt"))
-    )
-    # year-bucketed equi-join bounds the fan-out (≤ ~261 weekdays/year);
-    # each lag row probes EVERY year its interval touches (replication =
-    # span/⟨bucket⟩, the q52 binning rule; dedup-free because the year
-    # buckets partition the calendar, so a weekday is counted by exactly
-    # one bucket row)
-    # collapse to the DISTINCT (priority, d0, d1) grain BEFORE probing —
-    # probing per-line rows would multiply each grain's calendar matches
-    # by its duplicate-line count (observed 0.4% overcount)
-    grain = j.groupBy("o_orderpriority", "d0", "d1").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    probes = grain.select(
-        "o_orderpriority", "d0", "d1",
-        F.explode(
-            F.sequence(F.year("d0"), F.greatest(F.year("d0"), F.year("d1")))
-        ).alias("ybkt"),
-    )
-    counted = (
-        probes.join(F.broadcast(cal), "ybkt")
-        .filter((F.col("day") > F.col("d0")) & (F.col("day") <= F.col("d1")))
-        .groupBy("o_orderpriority", "d0", "d1")
-        .agg(F.count(F.lit(1)).alias("bdays"))
-    )
-    # grains whose interval contains NO weekday (same-day ship) vanish
-    # from the join — restore them with bdays = 0 via the left join
-    per = grain.join(counted, ["o_orderpriority", "d0", "d1"], "left").select(
-        "o_orderpriority", "n",
-        F.coalesce("bdays", F.lit(0)).alias("bdays"),
-    )
-    return per.groupBy("o_orderpriority").agg(
-        F.sum("n").cast("long").alias("n_lines"),
-        F.sum(F.col("bdays") * F.col("n")).cast("long")
-        .alias("sum_business_days"),
-        (F.sum(F.col("bdays") * F.col("n")).cast("double")
-         / F.sum("n").cast("double")).alias("avg_business_days"),
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("bdays").cast("long").alias("sum_business_days"),
+        (F.sum("bdays").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("avg_business_days"),
     )
 
 
