@@ -369,16 +369,21 @@ def minhash_signatures_arrow(
     num_hashes: int = 60,
     seed: int = 42,
 ) -> DataFrame:
-    """(doc, sig) signature table via a numpy-vectorized ``mapInPandas``.
+    """(doc, sig) signature table via a zero-copy ``mapInArrow`` kernel.
 
     Bit-identical to ``minhash_signatures(pre_hashed=True)`` (pytest-checked)
     but map-only: each Arrow batch computes its docs' signatures with one
     (num_hashes × n_shingles) broadcasted affine-min per doc, so there is
     NO shuffle — where the grouped-agg twin shuffles every posting
     (docs × shingles × 8 B). At 100 TB that posting shuffle dominates the
-    whole dedup job; eliminating it is worth stepping off the JVM for, and
-    the Arrow batch transfer amortizes the Python boundary. a < 2³⁰ and
-    h masked to 32 bits keep a·h+b < 2⁶² — int64-exact in numpy.
+    whole dedup job; eliminating it is worth stepping off the JVM for.
+
+    ``mapInArrow`` (not ``mapInPandas``): the shingle lists arrive as one
+    flat int64 values buffer + an offsets array — numpy reads BOTH with
+    zero copies and zero per-doc Python objects, where the pandas face
+    materialized every list as a Python object per row. The segmented
+    ``minimum.reduceat`` then runs straight on the flat buffer. a < 2³⁰
+    and h masked to 32 bits keep a·h+b < 2⁶² — int64-exact in numpy.
 
     Input shingles must already be xxhash64 longs (``array<long>``).
     Docs with zero shingles produce no row, matching the grouped-agg twin.
@@ -391,47 +396,76 @@ def minhash_signatures_arrow(
 
     # Working-set budget for the (num_hashes × shingles) affine matrix:
     # chunks of ≤64k shingle slots keep it ~30 MB (cache-friendly) while
-    # amortizing numpy dispatch over ~hundreds of docs per call — the
-    # per-doc-loop version paid 3 numpy dispatches per DOCUMENT, this one
-    # pays 3 per CHUNK plus one segmented reduceat (exact, no FP).
+    # amortizing numpy dispatch over ~hundreds of docs per call.
     _CHUNK_SLOTS = 65536
 
     def batches(it):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in it:
-            all_docs = pdf[id_col].values
-            shingle_lists = pdf[hashed_shingles_col].values
-            lens = np.fromiter(
-                (len(h) for h in shingle_lists), dtype=np.int64, count=len(all_docs)
+        for rb in it:
+            if rb.num_rows == 0:
+                continue
+            ids_np = rb.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64
             )
+            hs = rb.column(1)
+            # flatten() honors the batch's slice offset; offsets are
+            # normalized to the flattened buffer (no nulls in shingle
+            # lists — empty docs are empty lists, zero slots)
+            flat_all = np.asarray(hs.flatten(), dtype=np.int64)
+            offs = np.asarray(hs.offsets, dtype=np.int64)
+            offs = offs - offs[0]
+            lens = np.diff(offs)
             keep = lens > 0  # zero-shingle docs produce no row (twin parity)
-            docs = all_docs[keep]
-            kept_lists = shingle_lists[keep]
+            docs = ids_np[keep]
             kept_lens = lens[keep]
-            docs_out, sigs_out = [], []
+            starts = offs[:-1][keep]
+            docs_parts: list[np.ndarray] = []
+            sig_parts: list[np.ndarray] = []
             i = 0
             while i < len(docs):
                 j, slots = i, 0
-                while j < len(docs) and (slots == 0 or slots + kept_lens[j] <= _CHUNK_SLOTS):
+                while j < len(docs) and (
+                    slots == 0 or slots + kept_lens[j] <= _CHUNK_SLOTS
+                ):
                     slots += kept_lens[j]
                     j += 1
-                flat = (
-                    np.concatenate([np.asarray(h, dtype=np.int64) for h in kept_lists[i:j]])
+                # empty lists occupy no slots, so the kept docs' segments
+                # are one contiguous flat range — slice, don't gather
+                seg = (
+                    flat_all[starts[i] : starts[j - 1] + kept_lens[j - 1]]
                     & 0xFFFFFFFF
                 )
-                vals = (A * flat[None, :] + B) % MERSENNE_P
-                offsets = np.zeros(j - i, dtype=np.int64)
-                np.cumsum(kept_lens[i : j - 1], out=offsets[1:])
-                mins = np.minimum.reduceat(vals, offsets, axis=1)
-                docs_out.extend(docs[i:j].tolist())
-                sigs_out.extend(mins.T.tolist())
+                vals = (A * seg[None, :] + B) % MERSENNE_P
+                mins = np.minimum.reduceat(
+                    vals, starts[i:j] - starts[i], axis=1
+                )
+                docs_parts.append(docs[i:j])
+                sig_parts.append(mins.T)
                 i = j
-            yield pd.DataFrame({"doc": docs_out, "sig": sigs_out})
+            if not docs_parts:
+                continue
+            docs_cat = np.concatenate(docs_parts)
+            sig_cat = np.ascontiguousarray(np.vstack(sig_parts))
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(
+                        0,
+                        (len(docs_cat) + 1) * num_hashes,
+                        num_hashes,
+                        dtype=np.int32,
+                    )
+                ),
+                pa.array(sig_cat.reshape(-1), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(docs_cat, type=pa.int64()), sig_arr],
+                names=["doc", "sig"],
+            )
 
     return df.select(
         F.col(id_col).alias(id_col), F.col(hashed_shingles_col)
-    ).mapInPandas(batches, "doc long, sig array<long>")
+    ).mapInArrow(batches, "doc long, sig array<long>")
 
 
 def minhash_near_duplicates(
