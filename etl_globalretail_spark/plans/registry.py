@@ -43,45 +43,49 @@ for _mod in ("operators.dedup", "operators.similarity", "operators.text",
 
 
 # ---------------------------------------------------------------------------
-# Rotated iteration order (round 4). The driver's differential snapshot
-# examines the registry in ITERATION order and records a 50-entry prefix,
-# so the prefix is ROTATED each round to put never-yet-sampled queries on
-# the driver's correctness gate (VERDICT r3 item 1): rounds 1–3 sampled
-# 126 distinct names; this prefix is the 50 numerically-lowest of the 152
-# queries absent from r01∪r02∪r03, restricted to oracle-paired entries so
-# every slot gets the strong hash-equality check (the rows-only tier and
-# the remaining ~102 rotate in over rounds 5–6). Membership and
+# Rotated iteration order (round 6; r5 shipped no rotation). The driver's
+# differential snapshot examines the registry in ITERATION order and records
+# a 50-entry prefix, so the prefix is ROTATED each round to put
+# never-yet-sampled queries on the driver's correctness gate (VERDICT r5
+# item 1): rounds 1–5 sampled 176 distinct names, leaving 118 never
+# sampled. This prefix is the 50 numerically-HIGHEST of those 118 — i.e.
+# the q240–q294 tail, the newest and least-soaked code — restricted to
+# oracle-paired entries so every slot gets the strong hash-equality check
+# (q235 is rows-only by design and rotates in with the remaining 68 in
+# round 7). Includes the full post-r3 streaming/ops tail VERDICT r5 item 5
+# demands: q280/q285/q287/q288 and q292–q294. Membership and
 # implementations are untouched: every query stays registered and
 # oracle-paired; this is a reordering only.
 # ---------------------------------------------------------------------------
 
 _SHOWCASE = [
-    # windows / sessions / merge staples (never driver-sampled)
-    "q35_sliding_windows", "q49_corpus_profile", "q51_asof_attribution",
-    "q52_range_join", "q54_rollup_revenue", "q55_semi_anti_customers",
-    "q56_interevent_gaps", "q57_event_type_pivot",
-    "q58_order_value_percentiles", "q59_cohort_set_ops",
-    # TPC-H analytics tier (Q12/Q10/Q8-shaped)
-    "q60_volume_shipping", "q61_returned_items", "q62_market_share",
-    "q63_local_supplier_volume",
-    # running windows / SCD / incremental maintenance
-    "q68_running_revenue", "q69_revenue_share", "q70_scd2_merge",
-    "q71_upsert_merge", "q75_funnel", "q76_dq_expectations",
-    "q77_retention_matrix", "q78_json_extraction", "q79_snapshot_diff",
-    "q81_incremental_agg",
-    # corpus / multimodal / profiling
-    "q91_event_outliers", "q94_multimodal_digest", "q95_multimodal_frames",
-    "q97_custdist", "q98_trailing_window_avg",
-    # q100–q130 TPC-H tail + surfaces
-    "q100_incremental_join", "q101_inverted_index",
-    "q102_idle_rich_customers", "q103_cube_revenue", "q104_skew_profile",
-    "q105_value_positions", "q106_latest_order_profile",
-    "q107_nation_rollcall", "q109_order_priority", "q110_important_parts",
-    "q111_promo_share", "q113_supplier_cnt", "q114_small_qty_revenue",
-    "q115_large_orders", "q117_dominant_suppliers",
-    "q121_quality_percentile_filter", "q124_grouping_sets",
-    "q125_bag_set_ops", "q127_pricing_summary", "q129_order_lifecycle",
-    "q130_product_profit",
+    # sketches / tokenizer / privacy tail (r4 additions, never sampled)
+    "q240_kmv_distinct", "q241_inverted_index", "q243_k_anonymity",
+    "q244_bpe_encode", "q245_mixture_plan", "q246_modularity",
+    "q248_truncation_audit", "q250_theil_sen_trend", "q251_decile_table",
+    # CDC / dependency profiling / drift
+    "q253_cdc_snapshot_diff", "q254_inclusion_dependencies",
+    "q255_functional_dependencies", "q256_embedding_drift",
+    "q257_markov_transitions", "q258_collocation_lift", "q259_dataset_card",
+    # decoding / set algebra / survival
+    "q261_greedy_decode", "q262_hll_set_algebra", "q263_l_diversity",
+    "q264_time_weighted_avg", "q265_sequence_match", "q266_priority_sample",
+    "q267_life_table",
+    # streaming upsert + statistics tier
+    "q268_streaming_upsert", "q269_conformal_interval",
+    "q270_dirty_shard_census", "q271_selectivity_audit", "q272_gains_table",
+    "q273_forecast_backtest", "q274_survivorship_consensus",
+    "q275_rolling_correlation", "q276_srm_check", "q277_retrieval_eval",
+    "q278_minhash_calibration", "q279_image_decode",
+    # post-r3 streaming family (VERDICT r5 item 5)
+    "q280_stateful_eviction_exact", "q281_rendezvous_routing",
+    "q282_serpentine_pack_plan", "q283_join_cardinality_audit",
+    "q284_variant_shred", "q285_pyds_stream", "q286_format_roundtrip",
+    "q287_streaming_outer_join_exact", "q288_stream_static_enrich_exact",
+    "q289_local_heavy_hitters", "q290_mann_whitney_u",
+    "q291_equidepth_audit",
+    # round-4 flagship LLM-pipeline ops
+    "q292_semdedup_prune", "q293_hard_negatives", "q294_dsir_weights",
 ]
 
 assert set(_SHOWCASE) <= set(ALL_QUERIES), sorted(
