@@ -13,12 +13,18 @@ BIGINT-normalized derived integers, deterministic tie-breaks).
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_globalretail_spark.operators.ranks import (
+    global_prefix_agg,
+    global_row_number,
+)
 from etl_globalretail_spark.plans.queries import (
     dsum,
     make_query_decorator,
@@ -1569,16 +1575,32 @@ def q141_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: the interleave is a map-side bit expression; production
     placement uses ``repartitionByRange(z)`` (sampling-based, no global
-    sort). The audit's ntile window IS a global sort — acceptable here
-    because the driver compare needs a deterministic bucket id; the pytest
-    exercises the real sampled layout via ``write_zordered`` footers.
+    sort). The deterministic bucket id the driver compare needs comes from
+    the two-phase distributed rank (``operators.ranks.global_row_number``:
+    range-partition on the z total order, per-partition row_number, add
+    per-partition offsets) — never a single-task global window — with
+    NTILE reconstructed from (rank, n) by its definition: the first
+    n mod K buckets hold ⌈n/K⌉ rows, the rest ⌊n/K⌋.
     """
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
     )
     z = li.withColumn("zval", morton_key("l_partkey", "l_suppkey"))
-    w = Window.orderBy("zval", "l_orderkey", "l_linenumber")
-    b = z.withColumn("bucket", F.ntile(_Z_BUCKETS).over(w).cast("long"))
+    ranked, n = global_row_number(
+        z,
+        [("zval", "asc"), ("l_orderkey", "asc"), ("l_linenumber", "asc")],
+        out="rn",
+    )
+    q, r = divmod(n, _Z_BUCKETS)
+    cut = r * (q + 1)  # last rank inside the ⌈n/K⌉-sized buckets
+    # max(q, 1): the else branch is unreachable when q == 0 (then cut == n)
+    # but its divisor must still be nonzero for ANSI planning.
+    bucket = (
+        F.when(F.col("rn") <= cut, F.expr(f"(rn - 1) div {q + 1} + 1"))
+        .otherwise(F.expr(f"{r} + 1 + (rn - {cut} - 1) div {max(q, 1)}"))
+        .cast("long")
+    )
+    b = ranked.withColumn("bucket", bucket)
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min("l_partkey").cast("long").alias("p_min"),
@@ -1871,24 +1893,25 @@ def q149_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction) and its [lo, hi] value range — i.e. the K−1 boundary
     values AND the balance proof in one frame.
 
-    The global row_number is the audit-tier cost (like q141's ntile);
-    the production path samples boundaries (repartitionByRange) and this
-    exact tier is its ground truth.
+    The exact global rank comes from the two-phase distributed device
+    (``operators.ranks.global_row_number``): range-partition on the
+    (value, orderkey, linenumber) total order, per-partition row_number,
+    add per-partition offsets — no single-task window; ``n`` is a free
+    by-product of the offsets job. The production path samples boundaries
+    (repartitionByRange) and this exact tier is its ground truth.
     """
     li = load_table(spark, "lineitem", sf_dir).select(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
     )
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    ranked = li.select(
-        F.col("l_extendedprice").alias("v"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n"),
+    ranked, n = global_row_number(
+        li,
+        [("v", "asc"), ("l_orderkey", "asc"), ("l_linenumber", "asc")],
+        out="rn",
     )
+    n = max(n, 1)  # empty-frame guard: bucket expr is never evaluated then
     bucket = (
-        F.expr(f"(rn * {_Q149_K}) div n")
-        - F.when(F.expr(f"(rn * {_Q149_K}) % n = 0"), 1).otherwise(0)
+        F.expr(f"(rn * {_Q149_K}) div {n}")
+        - F.when(F.expr(f"(rn * {_Q149_K}) % {n} = 0"), 1).otherwise(0)
     ).cast("long")
     return (
         ranked.withColumn("bucket", bucket)
@@ -2656,12 +2679,15 @@ def q176_customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain = pts.groupBy("spend", "last_day").agg(
         F.collect_list("ck").alias("cks")
     )
-    w = (
-        Window.orderBy(F.col("spend").desc(), F.col("last_day").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    frontier = grain.withColumn(
-        "__pm", F.max("last_day").over(w)
+    # exclusive running max over the global (spend desc, last_day desc)
+    # order via the two-phase distributed prefix device — the distinct
+    # point grain is customer-sized, so no single-task window here either
+    frontier = global_prefix_agg(
+        grain,
+        [("spend", "desc"), ("last_day", "desc")],
+        "last_day",
+        agg="max",
+        out="__pm",
     ).filter(F.col("__pm").isNull() | (F.col("last_day") > F.col("__pm")))
     return frontier.select(
         F.explode("cks").alias("custkey"), "spend", "last_day"
@@ -3390,20 +3416,21 @@ def q205_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("(min(p_ts) - s_ts) div 1000000").alias("gap_s"))
         .select("user_id", "gap_s")
     )
-    w = Window.orderBy("gap_s", "user_id")
-    wall = Window.partitionBy()
-    ranked = conv.select(
-        "gap_s",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
+    # two-phase distributed rank over the (gap, user) total order — conv
+    # is per-converted-user grain, too big for a single-task window at
+    # scale; n and the ⌈p·n⌉ target ranks come from the offsets job
+    # (math.ceil(p*n) is the same double product+ceil DuckDB runs)
+    ranked, n = global_row_number(
+        conv, [("gap_s", "asc"), ("user_id", "asc")], out="rn"
     )
+    p50r, p90r = math.ceil(0.5 * n), math.ceil(0.9 * n)
     return ranked.agg(
-        F.max("n").cast("long").alias("n_converted"),
+        F.max(F.lit(n)).cast("long").alias("n_converted"),
         F.max(
-            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")), F.col("gap_s"))
+            F.when(F.col("rn") == p50r, F.col("gap_s"))
         ).cast("long").alias("p50_seconds"),
         F.max(
-            F.when(F.col("rn") == F.ceil(0.9 * F.col("n")), F.col("gap_s"))
+            F.when(F.col("rn") == p90r, F.col("gap_s"))
         ).cast("long").alias("p90_seconds"),
     )
 
@@ -5638,20 +5665,25 @@ def q260_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dominate each other (strictness), so the frontier combination
     # admits all its rows via the join-back
     combos = o.select("d", "cents").distinct()
-    ws = (
-        Window.orderBy(F.desc("d"), F.asc("cents"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    scan = combos.select(
-        "d", "cents", F.min("cents").over(ws).alias("prior_min")
+    # both global windows go through the two-phase distributed devices
+    # (operators.ranks): the distinct grain and the frontier are small
+    # today but unbounded in the worst case — no single-task windows
+    scan = global_prefix_agg(
+        combos,
+        [("d", "desc"), ("cents", "asc")],
+        "cents",
+        agg="min",
+        out="prior_min",
     )
     frontier = scan.filter(
         F.col("prior_min").isNull() | (F.col("cents") < F.col("prior_min"))
     ).select("d", "cents")
     sky = o.join(F.broadcast(frontier), ["d", "cents"])
-    wr = Window.orderBy(F.desc("d"), "cents", "k")
-    return sky.select(
-        F.row_number().over(wr).cast("long").alias("rank"),
+    ranked, _n = global_row_number(
+        sky, [("d", "desc"), ("cents", "asc"), ("k", "asc")], out="rank"
+    )
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
         F.col("k").cast("long").alias("o_orderkey"),
         F.col("d").alias("o_orderdate"),
         F.col("cents").alias("price_cents"),
