@@ -43,6 +43,11 @@ def main() -> None:
     qs = entrymod.queries()
     names = HEADLINE if HEADLINE is not None else list(qs)
 
+    from etl_globalretail_spark.streaming.stateful import QUERIES as _SQ
+    from etl_globalretail_spark.streaming.windows import QUERIES as _WQ
+
+    streaming_names = set(_WQ) | set(_SQ) | {"q285_pyds_stream"}
+
     # Warmup: JVM + codegen + parquet footer caches.
     qs["q01_revenue_by_region"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
@@ -56,8 +61,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # Streaming replays rebuild staged sources + a real micro-batch
+        # engine per run and swing ±25% between identical-tree runs
+        # (BENCH_r04 vs r05); min-of-3 pins them so round-over-round
+        # deltas measure code, not engine-startup jitter.
+        runs = 3 if name in streaming_names else 2
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()

@@ -525,22 +525,26 @@ def q198_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best single-threshold split of n_chars for predicting lang='en',
     by exact integer misclassification count with a total-order
     tie-break — one grouped count plus one value-ordered window."""
-    from pyspark.sql.window import Window
+    from etl_globalretail_spark.operators.ranks import (
+        global_prefix_sums,
+        global_topk,
+    )
 
     d = load_table(spark, "documents", sf_dir)
     pv = d.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("c"),
         F.sum((F.col("lang") == "en").cast("long")).alias("cp"),
     )
-    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
-                                         Window.currentRow)
-    wall = Window.partitionBy()
-    cum = pv.select(
+    # two-phase distributed prefix sums over the value total order — the
+    # candidate-threshold grain is value-domain-sized, never one task;
+    # the grand totals come free from the carry job
+    cum0, tot = global_prefix_sums(pv, [("v", "asc")], ["c", "cp"])
+    cum = cum0.select(
         "v",
-        F.sum("c").over(wc).alias("nl"),
-        F.sum("cp").over(wc).alias("pl"),
-        F.sum("c").over(wall).alias("n"),
-        F.sum("cp").over(wall).alias("p"),
+        F.col("c_cum").alias("nl"),
+        F.col("cp_cum").alias("pl"),
+        F.lit(tot["c"]).cast("long").alias("n"),
+        F.lit(tot["cp"]).cast("long").alias("p"),
     )
     scored = cum.select(
         "v", "nl", "pl",
@@ -551,10 +555,9 @@ def q198_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.col("n") - F.col("nl")) - (F.col("p") - F.col("pl"))))
         .alias("errors"),
     )
-    wr = Window.orderBy("errors", "v")
+    # bounded argmin (TakeOrderedAndProject of 1 row)
     return (
-        scored.select("*", F.row_number().over(wr).alias("rn"))
-        .filter(F.col("rn") == 1)
+        global_topk(scored, [("errors", "asc"), ("v", "asc")], 1, out="rn")
         .select(
             F.col("v").cast("long").alias("threshold"),
             F.col("nl").cast("long").alias("n_left"),
@@ -603,14 +606,29 @@ def q199_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability table: purchase rate per exact score decile (value as
     the score proxy), with integer-micro score sums — 10 rows, one
     division each."""
-    from pyspark.sql.window import Window
+    from etl_globalretail_spark.operators.ranks import global_row_number
 
     e = load_table(spark, "events", sf_dir)
-    w = Window.orderBy("value", "event_id")
-    scored = e.select(
+    base = e.select(
         F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("s"),
         (F.col("event_type") == "purchase").cast("long").alias("y"),
-        F.ntile(10).over(w).alias("decile"),
+        "value", "event_id",
+    )
+    # two-phase distributed rank instead of a single-task NTILE over the
+    # whole event stream; NTILE reconstructed from (rank, n) by its
+    # remainder-to-leading-buckets definition (portability per q105)
+    ranked, n = global_row_number(
+        base, [("value", "asc"), ("event_id", "asc")], out="__rn"
+    )
+    q10, r10 = divmod(n, 10)
+    cut = r10 * (q10 + 1)
+    scored = ranked.select(
+        "s", "y",
+        F.when(
+            F.col("__rn") <= cut, F.expr(f"(__rn - 1) div {q10 + 1} + 1")
+        ).otherwise(
+            F.expr(f"{r10} + 1 + (__rn - {cut} - 1) div {max(q10, 1)}")
+        ).cast("int").alias("decile"),
     )
     return scored.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -673,16 +691,25 @@ def q272_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical explicit decile formula, integer measures."""
     from pyspark.sql.window import Window
 
+    from etl_globalretail_spark.operators.ranks import global_prefix_sums
+
     d = load_table(spark, "documents", sf_dir)
-    wall = Window.partitionBy()
-    ranked = d.select(
+    base = d.select(
         (F.col("lang") == "en").cast("long").alias("pos"),
-        F.row_number().over(
-            Window.orderBy(F.desc("n_chars"), "doc_id")
-        ).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum((F.col("lang") == "en").cast("long")).over(wall)
-        .alias("total_pos"),
+        F.lit(1).cast("long").alias("__one"),
+        "n_chars", "doc_id",
+    )
+    # two-phase prefix sums over the score total order: the running count
+    # IS the global row_number, and n / total_pos come free from the
+    # carry job — no single-task window over the doc-grain frame
+    cum, tot = global_prefix_sums(
+        base, [("n_chars", "desc"), ("doc_id", "asc")], ["__one", "pos"]
+    )
+    ranked = cum.select(
+        "pos",
+        F.col("__one_cum").alias("rn"),
+        F.lit(tot["__one"]).cast("long").alias("n"),
+        F.lit(tot["pos"]).cast("long").alias("total_pos"),
     )
     per = (
         ranked.select(

@@ -53,6 +53,7 @@ from pyspark.sql.window import Window
 
 from etl_globalretail_spark.operators.sampling import N_BUCKETS, _sql_bucket, hash_bucket
 from etl_globalretail_spark.plans.queries import make_query_decorator
+from etl_globalretail_spark.operators.ranks import global_topk
 from etl_globalretail_spark.sources.readers import load_table
 from etl_globalretail_spark.sources.artifacts import materialize
 
@@ -829,14 +830,13 @@ def q140_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = words.select(F.explode(adjacent_char_pairs(F.col("w"))).alias("pair"))
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
-    wr = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
-    return (
-        counts.select(
-            "pair",
-            F.col("cnt").cast("long").alias("cnt"),
-            F.row_number().over(wr).cast("long").alias("rank"),
-        )
-        .filter(F.col("rank") <= 20)
+    # bounded top-k (TakeOrderedAndProject + rank over <= 20 rows)
+    return global_topk(
+        counts, [("cnt", "desc"), ("pair", "asc")], 20, out="rank"
+    ).select(
+        "pair",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -1402,13 +1402,16 @@ def ks_statistic(
             F.sum((F.col(stratum_col) == b).cast("long")).alias("c_b"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
-    cum = counts.select(
-        F.sum("c_a").over(w).alias("ca"),
-        F.sum("c_b").over(w).alias("cb"),
-        F.sum("c_a").over(wall).alias("na"),
-        F.sum("c_b").over(wall).alias("nb"),
+    # two-phase distributed prefix sums over the value total order (the
+    # ECDF grain is value-domain-sized); grand totals ride the carry job
+    from etl_globalretail_spark.operators.ranks import global_prefix_sums
+
+    cum0, tot = global_prefix_sums(counts, [("v", "asc")], ["c_a", "c_b"])
+    cum = cum0.select(
+        F.col("c_a_cum").alias("ca"),
+        F.col("c_b_cum").alias("cb"),
+        F.lit(tot["c_a"]).cast("long").alias("na"),
+        F.lit(tot["c_b"]).cast("long").alias("nb"),
     )
     return cum.groupBy().agg(
         F.max("na").cast("long").alias("n_a"),
@@ -1727,12 +1730,11 @@ def q189_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
     )
     cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").desc(), "t")
-    vocab = (
-        cnt.select("t", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= _VOCAB_K)
-        .select("t", F.lit(1).alias("iv"))
-    )
+    # bounded top-k vocabulary cut (TakeOrderedAndProject, never a
+    # single-task window over the whole vocabulary aggregate)
+    vocab = global_topk(
+        cnt, [("c", "desc"), ("t", "asc")], _VOCAB_K, out="rnk"
+    ).select("t", F.lit(1).alias("iv"))
     return (
         tok.join(F.broadcast(vocab), "t", "left")
         .groupBy("lang")
@@ -2080,11 +2082,11 @@ def q226_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_hits"),
         )
     )
-    w = Window.orderBy(F.col("score").desc(), "doc_id")
-    return (
-        scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
-        .filter(F.col("rank") <= 10)
-    )
+    # bounded top-k (TakeOrderedAndProject + rank over <= 10 rows) — the
+    # doc-grain score frame never funnels through a single-task window
+    return global_topk(
+        scored, [("score", "desc"), ("doc_id", "asc")], 10, out="rank"
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 # ---------------------------------------------------------------------------
 # q232 — bigram language-model document scoring: the conditional-probability
@@ -2826,17 +2828,15 @@ def _register_q258() -> None:
                 .alias("lift_permil"),
             )
         )
-        wr = Window.orderBy(F.desc("lift_permil"), "a", "b")
-        return (
-            lifted.select(
-                "a", "b", "n_ab", "lift_permil",
-                F.row_number().over(wr).alias("rnk"),
-            )
-            .filter(F.col("rnk") <= 20)
-            .select(
-                "a", "b", "n_ab", "lift_permil",
-                F.col("rnk").cast("long").alias("rank"),
-            )
+        # bounded top-k (TakeOrderedAndProject + rank over <= 20 rows)
+        return global_topk(
+            lifted,
+            [("lift_permil", "desc"), ("a", "asc"), ("b", "asc")],
+            20,
+            out="rnk",
+        ).select(
+            "a", "b", "n_ab", "lift_permil",
+            F.col("rnk").cast("long").alias("rank"),
         )
 
 

@@ -1335,8 +1335,12 @@ def q132_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.unpersist()
         try:
             banded.unpersist()
-        except Exception:
-            pass
+        except Exception:  # released blocks are best-effort
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "block release failed", exc_info=True
+            )
 
 
 # ---------------------------------------------------------------------------

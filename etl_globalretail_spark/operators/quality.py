@@ -426,7 +426,10 @@ def q152_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q183_orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous orderkey runs and the gap following each — the
     missing-range detector for surrogate-key continuity audits."""
-    from pyspark.sql.window import Window
+    from etl_globalretail_spark.operators.ranks import (
+        global_lead,
+        global_row_number,
+    )
 
     ids = (
         load_table(spark, "orders", sf_dir)
@@ -434,9 +437,11 @@ def q183_orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("id"))
         .distinct()
     )
-    w = Window.orderBy("id")
+    # two-phase distributed rank (id grain) and two-phase lead (island
+    # grain) — neither funnels through a single-task global window
+    ranked, _n = global_row_number(ids, [("id", "asc")], out="__rn")
     islands = (
-        ids.select("id", (F.col("id") - F.row_number().over(w)).alias("grp"))
+        ranked.select("id", (F.col("id") - F.col("__rn")).alias("grp"))
         .groupBy("grp")
         .agg(
             F.min("id").alias("island_start"),
@@ -444,11 +449,13 @@ def q183_orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("island_len"),
         )
     )
-    wi = Window.orderBy("island_start")
-    return islands.select(
+    led = global_lead(
+        islands, [("island_start", "asc")], "island_start", out="__next"
+    )
+    return led.select(
         "island_start", "island_end", "island_len",
         F.coalesce(
-            F.lead("island_start").over(wi) - F.col("island_end") - 1,
+            F.col("__next") - F.col("island_end") - 1,
             F.lit(0),
         ).cast("long").alias("gap_after"),
     )

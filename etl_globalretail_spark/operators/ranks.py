@@ -92,6 +92,124 @@ def global_row_number(
     return ranked, acc
 
 
+def global_topk(
+    df: DataFrame,
+    order: list[tuple[str, str]],
+    k: int,
+    out: str = "rnk",
+) -> DataFrame:
+    """Global top-k with 1-based ranks under a multi-column total order —
+    the bounded replacement for ``row_number() OVER (ORDER BY ...)`` +
+    ``filter(rank <= k)``, which sorts the WHOLE frame through one task
+    (Spark's InferWindowGroupLimit only rewrites PARTITIONED rank filters;
+    a partition-less one gets no help).
+
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject — every
+    partition keeps its local top-k with a bounded heap, the driver merges
+    P·k rows — and the residual rank window then runs over ≤ k rows, a
+    bounded frame by construction. Hash-identical to the filter form for a
+    total order (same k rows, same ranks).
+    """
+    exprs = _sort_exprs(order)
+    top = df.orderBy(*exprs).limit(k)
+    w = Window.orderBy(*exprs)  # input is ≤ k rows — bounded by the limit
+    return top.withColumn(out, F.row_number().over(w))
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order: list[tuple[str, str]],
+    value_cols: list[str],
+    n_ranges: int = 16,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Inclusive running SUMs of integer ``value_cols`` over the global
+    total order — each as ``<col>_cum`` — plus their grand totals as a
+    free by-product (the per-partition sums ARE the carry scalars), so
+    ECDF/cumulative-count callers skip the extra ``SUM() OVER ()``
+    single-task window too.
+
+    Same two-phase shape as ``global_row_number``: per-partition inclusive
+    running sum, plus the carry (sum of all EARLIER partitions, a
+    ≤ n_ranges-row driver scalar per column). Integer-only by contract —
+    the callers keep counts/cents in int64 per the determinism cookbook.
+    """
+    ranged, exprs = _ranged(df, order, n_ranges)
+    per = {
+        r[_PID]: r
+        for r in ranged.groupBy(_PID)
+        .agg(*[F.sum(c).alias(c) for c in value_cols])
+        .collect()
+    }
+    carry: dict[str, dict[int, int]] = {c: {} for c in value_cols}
+    running: dict[str, int] = {c: 0 for c in value_cols}
+    for pid in range(n_ranges):
+        row = per.get(pid)
+        for c in value_cols:
+            carry[c][pid] = running[c]
+            if row is not None and row[c] is not None:
+                running[c] += row[c]
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged
+    for c in value_cols:
+        cmap = F.create_map(
+            *[F.lit(x) for kv in carry[c].items() for x in kv]
+        )
+        out = out.withColumn(
+            f"{c}_cum",
+            (F.sum(c).over(w) + cmap[F.col(_PID)]).cast("long"),
+        )
+    return out.drop(_PID), dict(running)
+
+
+def global_lead(
+    df: DataFrame,
+    order: list[tuple[str, str]],
+    value_col: str,
+    out: str = "lead",
+    n_ranges: int = 16,
+) -> DataFrame:
+    """``lead(value_col, 1)`` over the global total order, two-phase:
+    per-partition lead, then each partition's LAST row takes the NEXT
+    non-empty partition's first value (a ≤ n_ranges-row driver scalar).
+    NULL for the global last row, matching the single window.
+
+    Contract: ``value_col`` must be the leading sort column (so a
+    partition's first value under the order is its min/max — computable
+    in the same tiny scalar job).
+    """
+    name, direction = order[0]
+    if name != value_col:
+        raise ValueError("global_lead needs value_col as the leading sort key")
+    ranged, exprs = _ranged(df, order, n_ranges)
+    vtype = ranged.schema[value_col].dataType
+    first_agg = F.min(value_col) if direction == "asc" else F.max(value_col)
+    firsts = {
+        r[_PID]: r["v"]
+        for r in ranged.groupBy(_PID).agg(first_agg.alias("v")).collect()
+    }
+    nxt: dict[int, object] = {}
+    following = None
+    for pid in reversed(range(n_ranges)):
+        nxt[pid] = following
+        if pid in firsts and firsts[pid] is not None:
+            following = firsts[pid]
+    nxt_map = F.create_map(
+        *[
+            x
+            for pid, v in nxt.items()
+            for x in (F.lit(pid), F.lit(v).cast(vtype))
+        ]
+    )
+    w = Window.partitionBy(_PID).orderBy(*exprs)
+    return ranged.withColumn(
+        out, F.coalesce(F.lead(value_col).over(w), nxt_map[F.col(_PID)])
+    ).drop(_PID)
+
+
 def global_prefix_agg(
     df: DataFrame,
     order: list[tuple[str, str]],

@@ -633,13 +633,15 @@ def _register_q266() -> None:
                 " div CAST(n_chars AS BIGINT)"
             ).alias("priority"),
         )
-        wr = Window.orderBy("priority", "doc_id")
-        return (
-            pri.select(
-                F.row_number().over(wr).cast("long").alias("rank"),
-                "doc_id", "w", F.col("priority").cast("long").alias("priority"),
-            )
-            .filter(F.col("rank") <= _Q266_K)
+        # bounded top-k (TakeOrderedAndProject + rank over <= K rows) —
+        # never a single-task global window over the doc-grain frame
+        from etl_globalretail_spark.operators.ranks import global_topk
+
+        return global_topk(
+            pri, [("priority", "asc"), ("doc_id", "asc")], _Q266_K, out="rank"
+        ).select(
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id", "w", F.col("priority").cast("long").alias("priority"),
         )
 
 

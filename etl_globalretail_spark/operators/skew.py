@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_globalretail_spark.operators.ranks import global_topk
 from etl_globalretail_spark.plans.queries import make_query_decorator
 from etl_globalretail_spark.sources.readers import load_table
 
@@ -157,20 +158,28 @@ def skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     """
     per_key = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("cnt")
-    )
-    w = Window.orderBy(F.desc("cnt"), F.asc("k"))
-    ranked = per_key.withColumn("rnk", F.row_number().over(w))
-    return ranked.agg(
+    ).persist()  # feeds the totals AND the top-k leg
+    totals = per_key.agg(
         F.sum("cnt").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
-        F.expr("(max(case when rnk = 1 then cnt end) * 1000) div sum(cnt)")
-        .alias("top1_share_permil"),
-        F.expr(
-            "(sum(case when rnk <= 10 then cnt else 0 end) * 1000) div sum(cnt)"
-        ).alias("top10_share_permil"),
+    )
+    # bounded top-k (TakeOrderedAndProject) instead of ranking ALL keys
+    # through a single-task global window — only the 10 heaviest matter
+    top = global_topk(per_key, [("cnt", "desc"), ("k", "asc")], 10, out="rnk")
+    topagg = top.agg(
+        F.max(F.when(F.col("rnk") == 1, F.col("cnt"))).alias("top1_cnt"),
+        F.sum("cnt").alias("top10_cnt"),
         F.max(F.when(F.col("rnk") == 1, F.col("k").cast("string"))).alias(
             "top1_key"
         ),
+    )
+    # 1-row broadcast attach — bounded by construction (INTENTIONAL_CROSS)
+    return totals.crossJoin(F.broadcast(topagg)).select(
+        "n_rows",
+        "n_keys",
+        F.expr("(top1_cnt * 1000) div n_rows").alias("top1_share_permil"),
+        F.expr("(top10_cnt * 1000) div n_rows").alias("top10_share_permil"),
+        "top1_key",
     )
 
 

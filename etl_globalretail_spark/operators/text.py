@@ -341,23 +341,20 @@ def top_tokens(df: DataFrame, text_col: str, k: int) -> DataFrame:
 
     Scale shape: explode → hash-aggregate is the canonical wordcount; the
     shuffle carries (token, partial count) pairs after map-side combine —
-    vocabulary-sized, not corpus-sized. The global rank then runs over the
-    vocabulary aggregate only. For corpora where even the vocabulary is
-    huge, cut it first with a per-partition top-k (not needed here: the
-    aggregate IS the cut)."""
-    from pyspark.sql.window import Window
+    vocabulary-sized, not corpus-sized. The top-k cut is bounded even for
+    huge vocabularies: ``global_topk`` plans TakeOrderedAndProject
+    (per-partition heap of k, driver merge) and ranks only the ≤ k
+    survivors — never a single-task window over the whole vocabulary."""
+    from etl_globalretail_spark.operators.ranks import global_topk
 
     counts = (
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return (
-        counts.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= k)
-        .select("token", "n", F.col("pos").cast("bigint").alias("pos"))
-    )
+    return global_topk(
+        counts, [("n", "desc"), ("token", "asc")], k, out="pos"
+    ).select("token", "n", F.col("pos").cast("bigint").alias("pos"))
 
 
 @_register(

@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 from etl_globalretail_spark.operators.ranks import (
     global_prefix_agg,
     global_row_number,
+    global_topk,
 )
 from etl_globalretail_spark.plans.queries import (
     dsum,
@@ -1777,14 +1778,17 @@ def q147_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("part_a", "part_b").agg(
         F.count(F.lit(1)).alias("support")
     )
-    w = Window.orderBy(F.col("support").desc(), "part_a", "part_b")
-    return (
-        counts.select(
-            "part_a", "part_b",
-            F.col("support").cast("long").alias("support"),
-            F.row_number().over(w).cast("long").alias("rank"),
-        )
-        .filter(F.col("rank") <= 25)
+    # bounded top-k (TakeOrderedAndProject + rank over <= 25 rows) — the
+    # pair-grain support frame never funnels through a single-task window
+    return global_topk(
+        counts,
+        [("support", "desc"), ("part_a", "asc"), ("part_b", "asc")],
+        25,
+        out="rank",
+    ).select(
+        "part_a", "part_b",
+        F.col("support").cast("long").alias("support"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

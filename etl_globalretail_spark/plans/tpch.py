@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_globalretail_spark.operators.ranks import global_topk
 from etl_globalretail_spark.plans.queries import (
     _osum,
     dsum,
@@ -150,11 +151,12 @@ def q61_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(_rev(), "revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return (
-        per_cust.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= 20)
-        .select("c_custkey", "c_name", "n_name", "revenue", F.col("pos").cast("bigint"))
+    # bounded top-k (TakeOrderedAndProject + rank over <= 20 rows) — no
+    # single-task global window over the per-customer aggregate
+    return global_topk(
+        per_cust, [("revenue", "desc"), ("c_custkey", "asc")], 20, out="pos"
+    ).select(
+        "c_custkey", "c_name", "n_name", "revenue", F.col("pos").cast("bigint")
     )
 
 
@@ -353,14 +355,14 @@ def q96_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum("n_late_lines").alias("numwait"))
     )
-    w = Window.orderBy(F.desc("numwait"), F.asc("s_name"))
-    return (
-        blamed.join(F.broadcast(s.select("s_suppkey", "s_name")),
-                    blamed.l_suppkey == F.col("s_suppkey"))
-        .select("s_name", "numwait")
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 10)
-    )
+    named = blamed.join(
+        F.broadcast(s.select("s_suppkey", "s_name")),
+        blamed.l_suppkey == F.col("s_suppkey"),
+    ).select("s_name", "numwait")
+    # bounded top-k (TakeOrderedAndProject + rank over <= 10 rows)
+    return global_topk(
+        named, [("numwait", "desc"), ("s_name", "asc")], 10, out="rnk"
+    ).withColumn("rnk", F.col("rnk").cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -795,14 +797,15 @@ def q115_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_quantity"), "sum_qty"))
         .filter(F.col("sum_qty") > 150)
     )
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
+    joined = (
         big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
-        .withColumn("pos", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("pos") <= 20)
     )
+    # bounded top-k (TakeOrderedAndProject + rank over <= 20 rows)
+    return global_topk(
+        joined, [("o_totalprice", "desc"), ("o_orderkey", "asc")], 20, out="pos"
+    ).withColumn("pos", F.col("pos").cast("bigint"))
 
 
 @_register(
@@ -961,10 +964,13 @@ def q118_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(_rev(), "revenue"))
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    # bounded top-k (TakeOrderedAndProject + rank over <= 10 rows)
     return (
-        per_order.withColumn("pos", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("pos") <= 10)
+        global_topk(
+            per_order, [("revenue", "desc"), ("l_orderkey", "asc")], 10,
+            out="pos",
+        )
+        .withColumn("pos", F.col("pos").cast("bigint"))
         .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue", "pos")
     )
 

@@ -780,11 +780,12 @@ def q171_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = tri.groupBy(
         F.concat_ws(">", "a", "b", "c").alias("path")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    wr = Window.orderBy(F.col("n").desc(), "path")
-    return (
-        paths.select("path", "n", F.row_number().over(wr).cast("long").alias("rank"))
-        .filter(F.col("rank") <= 15)
-    )
+    # bounded top-k (TakeOrderedAndProject + rank over <= 15 rows)
+    from etl_globalretail_spark.operators.ranks import global_topk
+
+    return global_topk(
+        paths, [("n", "desc"), ("path", "asc")], 15, out="rank"
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 # ---------------------------------------------------------------------------

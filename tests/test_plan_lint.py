@@ -72,10 +72,104 @@ INTENTIONAL_CROSS = {
     "q262_hll_set_algebra",  # |event types|² pair enumeration over the
     # 5-row type list (inequality join) — bounded by construction; all
     # register/user work rides equi-joins
+    "q104_skew_profile",  # attaches the broadcast 1-row top-k aggregate
+    # to the 1-row totals leg (4× , one per profiled keyspace) — bounded
+    # by construction
 }
 
 FORBIDDEN = ("CartesianProduct",)
 FORBIDDEN_UNLESS_INTENTIONAL = ("BroadcastNestedLoopJoin", "CartesianProduct")
+
+# Partition-less WindowExec ("No Partition Defined") funnels its whole
+# input through ONE task — a scale-killer unless the input is bounded.
+# Two bounded shapes are auto-detected and always allowed:
+#   * the window's subtree contains a TakeOrderedAndProject / limit
+#     (the global_topk device: rank over <= k rows), or
+#   * the window rides a __rk_pid partition (the operators.ranks
+#     two-phase devices — those are partitioned, so not flagged at all).
+# Everything else must be enumerated here with a bounded-grain (or
+# documented-scale-path) justification, exactly like INTENTIONAL_CROSS.
+INTENTIONAL_GLOBAL_WINDOW = {
+    # W3 dim surrogate keys: single-window row_number at DIMENSION grain
+    # by design (star_schema._sk); the 100 TB path is the two-phase
+    # sources.readers.global_index, pytest-proven hash-equal and on the
+    # oracle gate as q190. The registered dims keep the single-window
+    # form for reference parity.
+    "q15_dim_tempo",          # calendar grain — bounded by the date span
+    "q30_dim_cliente",        # customer dim (W3; global_index at scale)
+    "q31_dim_produto",        # part dim (W3; global_index at scale)
+    "q32_fato_vendas",        # fact build re-derives the four dim sks
+    "q37_dim_fornecedor",     # supplier dim (W3; global_index at scale)
+    "q38_dim_categoria_cliente",  # category dim — 3 rows by construction
+    "q39_promo_fact",         # promo-type dim — 3 rows by construction
+    "q44_dim_loja",           # supplier-store dim (W3)
+    "q45_dim_promocao",       # promo-type dim — 3 rows by construction
+    "q46_dim_localidade",     # nation grain — 25 rows
+    # Bounded aggregate grains (day / bin / source / region / decile):
+    "q69_revenue_share",      # global share total over the REGION grain (5)
+    "q172_length_drift",      # L1 totals over the log2 length-bin grain
+    "q201_cumulative_users",  # running sum over the DAY grain (calendar)
+    "q216_budget_apportionment",  # largest-remainder over |sources| rows
+    "q267_life_table",        # reverse running sum over the DAY grain
+    "q272_gains_table",       # cumulative capture over the DECILE grain (10)
+    "q275_rolling_correlation",   # 7-day range frame over the DAY grain
+    "q282_serpentine_pack_plan",  # snake order over the <= R reducer census
+}
+
+
+def _bracket_groups(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return out
+
+
+def _node_indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-*()0123456789"))
+
+
+def _partitionless_windows(plan: str) -> list[str]:
+    """Partition-less Window nodes whose subtree has NO limit bound."""
+    lines = plan.splitlines()
+    hits = []
+    for i, raw in enumerate(lines):
+        stripped = raw.strip().lstrip("+-*: ").strip()
+        if not stripped.startswith("Window "):
+            continue
+        groups = _bracket_groups(stripped)
+        if len(groups) >= 3:
+            continue  # has a partition spec
+        if len(groups) == 2 and not (
+            " ASC NULL" in groups[1] or " DESC NULL" in groups[1]
+        ):
+            continue  # second group is a partition spec (orderless window)
+        # bounded if the window's SUBTREE (deeper-indented following
+        # lines) contains a take-ordered / limit
+        indent = _node_indent(raw)
+        bounded = False
+        for follow in lines[i + 1:]:
+            if not follow.strip():
+                break
+            if _node_indent(follow) <= indent:
+                break
+            if ("TakeOrderedAndProject" in follow or "GlobalLimit" in follow
+                    or "CollectLimit" in follow):
+                bounded = True
+                break
+        if not bounded:
+            hits.append(stripped[:160])
+    return hits
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
@@ -88,3 +182,10 @@ def test_no_unbounded_join_shapes(spark, sf_dir, name):
     )
     for op in bad:
         assert op not in plan, f"{name} plans {op}:\n{plan[:2000]}"
+    if name not in INTENTIONAL_GLOBAL_WINDOW:
+        hits = _partitionless_windows(plan)
+        assert not hits, (
+            f"{name} plans a partition-less, non-limit-bounded Window "
+            f"(single-task global sort — use operators.ranks or whitelist "
+            f"with a bounded-grain comment):\n" + "\n".join(hits)
+        )

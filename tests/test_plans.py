@@ -143,11 +143,17 @@ def test_q100_refresh_never_rejoins_base_with_base(spark, sf_dir, qs):
 
 
 def test_q104_skew_profile_aggregates_before_ranking(spark, sf_dir, qs):
-    """The skew profiler must rank KEY-GRAIN counts, not raw rows: each
-    keyspace contributes one hashpartitioning exchange (the key-grain
-    aggregate); the global rank runs on singlepartition over |keys| rows."""
+    """The skew profiler must rank KEY-GRAIN counts, not raw rows — and
+    only the 10 heaviest keys, via a bounded TakeOrderedAndProject per
+    keyspace (never a single-task window over ALL keys). The key-grain
+    aggregate is persisted (one InMemoryTableScan pair per keyspace:
+    totals leg + top-k leg), and the only join is the 1-row broadcast
+    top-k attach."""
     plan = _plan(qs["q104_skew_profile"](spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") <= 8, plan[:1500]
+    assert plan.count("TakeOrderedAndProject") >= 4, plan[:1500]
+    assert plan.count("InMemoryTableScan") >= 8, plan[:1500]
+    # the residual rank window is limit-bounded (<= 10 rows); the engine-
+    # wide partition-less-window lint in test_plan_lint.py asserts that
     assert "CartesianProduct" not in plan
 
 
