@@ -468,6 +468,238 @@ def q122_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q295 — product-quantization (PQ) codebook fit + distortion audit: THE
+# memory-scale path for billion-vector ANN (Jégou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011; the PQ half of
+# FAISS's IVF-PQ). The embedding is split into M contiguous subspaces and
+# each subspace gets its OWN tiny k-means codebook; a vector is stored as
+# M one-byte-ish codes (here 64 dims × 4 B ≈ 256 B → M·log2(K) bits), and
+# distances are looked up per-subspace — completing this engine's ANN
+# compression ladder (q36/q123 IVF coarse cells, q142 int8, q248
+# Matryoshka truncation, now PQ residual-free codebooks).
+#
+# Determinism contract = q122's, applied per subspace: quantize to int64
+# (floor(v·1e6)); init = the K vectors with smallest (md5(vec_id), vec_id)
+# — the SAME seed set for every subspace, sliced; 2 Lloyd iterations
+# (assign → integer-floor centroid update → assign); argmin ties break on
+# the lower code id; empty codes die. Every statistic in the audit
+# (populations, per-code distortion, centroid checksums) is exact int64,
+# so DuckDB replays the full M-chain bit-for-bit.
+#
+# Scale notes: codebooks are M·K·(d/M) = K·d ints — driver/broadcast
+# scalars by construction. Assignment is ONE Arrow-batched map pass that
+# slices each vector into its M blocks and argmins per block (the q122
+# kernel generalized over subspaces — still no shuffle of vectors); the
+# update shuffles only M·K·(d/M) partial sums per partition. The oracle's
+# posexplode-join form would shuffle N·d·K rows — expressible, but the
+# broadcast-block kernel is the plan that survives 100 TB.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces
+_PQ_DS = 16      # dims per subspace (embeddings are 64-dim)
+_PQ_K = 4        # codes per subspace codebook
+_PQ_ITERS = 2    # init -> assign -> update -> assign, as q122
+
+
+def _pq_oracle() -> str:
+    scale = int(_Q122_SCALE)
+    flat = f"""
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale})
+                    AS BIGINT) AS q
+        FROM embeddings
+    """
+    init = f"""
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS BIGINT) - 1 AS code
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_PQ_K}
+    """
+    ctes = [f"flat AS ({flat})", f"init AS ({init})"]
+    finals = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_DS + 1, (m + 1) * _PQ_DS
+        ctes.append(
+            f"f{m} AS (SELECT vec_id, pos, q FROM flat"
+            f" WHERE pos BETWEEN {lo} AND {hi})"
+        )
+        ctes.append(
+            f"c0_{m} AS (SELECT i.code, f.pos, f.q AS cq"
+            f" FROM init i JOIN f{m} f ON i.vec_id = f.vec_id)"
+        )
+
+        def assign(cfrm: str, sub: int) -> str:
+            return f"""
+            SELECT vec_id, code, dist FROM (
+                SELECT f.vec_id, c.code,
+                       SUM((f.q - c.cq) * (f.q - c.cq)) AS dist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.vec_id
+                           ORDER BY SUM((f.q - c.cq) * (f.q - c.cq)), c.code
+                       ) AS rn
+                FROM f{sub} f JOIN {cfrm} c ON f.pos = c.pos
+                GROUP BY f.vec_id, c.code
+            ) WHERE rn = 1
+            """
+
+        ctes.append(f"a1_{m} AS ({assign(f'c0_{m}', m)})")
+        ctes.append(
+            f"""c1_{m} AS (
+            SELECT a.code, f.pos,
+                   CAST(FLOOR(CAST(SUM(f.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                       AS cq
+            FROM a1_{m} a JOIN f{m} f ON a.vec_id = f.vec_id
+            GROUP BY a.code, f.pos
+        )"""
+        )
+        ctes.append(f"a2_{m} AS ({assign(f'c1_{m}', m)})")
+        finals.append(
+            f"""
+            SELECT CAST({m} AS BIGINT) AS subspace, a.code,
+                   COUNT(*) AS n_vectors,
+                   CAST(SUM(a.dist) AS BIGINT) AS distortion_q,
+                   MIN(cs.centroid_sum) AS centroid_sum
+            FROM a2_{m} a
+            JOIN (
+                SELECT code, CAST(SUM(cq) AS BIGINT) AS centroid_sum
+                FROM c1_{m} GROUP BY code
+            ) cs ON a.code = cs.code
+            GROUP BY a.code
+            """
+        )
+    body = "\n    UNION ALL\n".join(finals)
+    return "WITH " + ",\n    ".join(ctes) + "\n" + body
+
+
+@_register("q295_pq_codebook", oracle=_pq_oracle())
+def q295_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook fit (M=4 subspaces × K=4 codes, 2 integer Lloyd
+    iterations per subspace) with the per-(subspace, code) audit: member
+    count, exact int64 quantization distortion, and the codebook-centroid
+    checksum — all replayed bit-for-bit by the DuckDB M-chain oracle.
+    See the block comment for the determinism and scale contracts."""
+    import math
+
+    import numpy as np
+
+    e = load_table(spark, "embeddings", sf_dir)
+    base = e.select("vec_id", _qvec(F.col("embedding")).alias("qv")).persist()
+    try:
+        seeds = (
+            base.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+            .limit(_PQ_K)
+            .collect()
+        )
+        # centroids[m][code] = the code's (d/M)-dim int block
+        cents: dict[int, dict[int, list[int]]] = {
+            m: {
+                c: list(r["qv"])[m * _PQ_DS:(m + 1) * _PQ_DS]
+                for c, r in enumerate(seeds)
+            }
+            for m in range(_PQ_M)
+        }
+
+        def _partials(cc: dict[int, dict[int, list[int]]]):
+            mats = {
+                m: (sorted(cc[m]),
+                    np.array([cc[m][c] for c in sorted(cc[m])], dtype=np.int64))
+                for m in range(_PQ_M)
+            }
+
+            def fn(batches):
+                import numpy as np
+                import pandas as pd
+
+                S = {m: np.zeros_like(mats[m][1]) for m in mats}
+                N = {m: np.zeros(len(mats[m][0]), dtype=np.int64) for m in mats}
+                inert = {
+                    m: np.zeros(len(mats[m][0]), dtype=np.int64) for m in mats
+                }
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.array(list(pdf["qv"]), dtype=np.int64)
+                    for m in mats:
+                        blk = X[:, m * _PQ_DS:(m + 1) * _PQ_DS]
+                        cmat = mats[m][1]
+                        diff = blk[:, None, :] - cmat[None, :, :]
+                        d2 = (diff * diff).sum(-1)
+                        codes = np.argmin(d2, axis=1)
+                        mind = d2[np.arange(len(codes)), codes]
+                        for ci in range(len(mats[m][0])):
+                            msk = codes == ci
+                            if msk.any():
+                                S[m][ci] += blk[msk].sum(axis=0)
+                                N[m][ci] += int(msk.sum())
+                                inert[m][ci] += int(mind[msk].sum())
+                recs = []
+                for m in mats:
+                    code_ids = mats[m][0]
+                    for ci, code in enumerate(code_ids):
+                        if not N[m][ci]:
+                            continue
+                        for p in range(_PQ_DS):
+                            recs.append(
+                                (m, code, p, int(S[m][ci, p]),
+                                 int(N[m][ci]), int(inert[m][ci]))
+                            )
+                yield pd.DataFrame(
+                    recs, columns=["m", "code", "pos", "s", "n", "inertia"]
+                ).astype(
+                    {"m": "int32", "code": "int64", "pos": "int32",
+                     "s": "int64", "n": "int64", "inertia": "int64"}
+                )
+
+            return fn
+
+        def _merged(cc):
+            rows = base.mapInPandas(
+                _partials(cc),
+                schema="m int, code long, pos int, s long, n long,"
+                       " inertia long",
+            ).collect()
+            S = {m: {c: [0] * _PQ_DS for c in cc[m]} for m in cc}
+            N = {m: dict.fromkeys(cc[m], 0) for m in cc}
+            inert = {m: dict.fromkeys(cc[m], 0) for m in cc}
+            for r in rows:
+                S[r.m][r.code][r.pos] += r.s
+                if r.pos == 0:
+                    N[r.m][r.code] += r.n
+                    inert[r.m][r.code] += r.inertia
+            return S, N, inert
+
+        for _ in range(_PQ_ITERS - 1):
+            S, N, _i = _merged(cents)
+            cents = {
+                m: {
+                    c: [int(math.floor(S[m][c][p] / N[m][c]))
+                        for p in range(_PQ_DS)]
+                    for c in sorted(cents[m]) if N[m][c]
+                }
+                for m in cents
+            }
+
+        _s, N, inert = _merged(cents)
+        out_rows = [
+            (m, c, int(N[m][c]), int(inert[m][c]), int(sum(cents[m][c])))
+            for m in sorted(cents)
+            for c in sorted(cents[m])
+            if N[m][c]
+        ]
+        return spark.createDataFrame(
+            out_rows,
+            "subspace long, code long, n_vectors long, distortion_q long,"
+            " centroid_sum long",
+        )
+    finally:
+        base.unpersist()
+
+
+# ---------------------------------------------------------------------------
 # q198 — decision-stump training (the boosting weak learner): find the
 # threshold on a numeric feature minimizing misclassification error for
 # a binary label, in ONE pass — per-value class counts, a cumulative

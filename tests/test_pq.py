@@ -1,0 +1,87 @@
+"""q295 product quantization: full numpy recompute of the M-subspace
+integer Lloyd chain (init ordering, both assignments, floor-mean update,
+distortion/checksum audit) must match the Spark operator row-for-row, and
+the codes must partition the corpus within every subspace."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from etl_globalretail_spark.operators.clustering import (
+    _PQ_DS,
+    _PQ_ITERS,
+    _PQ_K,
+    _PQ_M,
+    _Q122_SCALE,
+    q295_pq_codebook,
+)
+
+
+def _numpy_pq(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = t["vec_id"]
+    X = np.array(
+        [
+            [math.floor(float(v) * _Q122_SCALE) for v in emb]
+            for emb in t["embedding"]
+        ],
+        dtype=np.int64,
+    )
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )
+    seeds = order[:_PQ_K]
+    out = {}
+    for m in range(_PQ_M):
+        blk = X[:, m * _PQ_DS:(m + 1) * _PQ_DS]
+        cents = {c: blk[seeds[c]].copy() for c in range(_PQ_K)}
+        for it in range(_PQ_ITERS):
+            cids = sorted(cents)
+            cmat = np.array([cents[c] for c in cids], dtype=np.int64)
+            diff = blk[:, None, :] - cmat[None, :, :]
+            d2 = (diff * diff).sum(-1)
+            a = np.argmin(d2, axis=1)
+            mind = d2[np.arange(len(a)), a]
+            if it < _PQ_ITERS - 1:
+                cents = {
+                    cids[ci]: np.floor(
+                        blk[a == ci].sum(axis=0) / (a == ci).sum()
+                    ).astype(np.int64)
+                    for ci in range(len(cids))
+                    if (a == ci).any()
+                }
+        for ci, code in enumerate(cids):
+            msk = a == ci
+            if msk.any():
+                out[(m, code)] = (
+                    int(msk.sum()),
+                    int(mind[msk].sum()),
+                    int(cents[code].sum()),
+                )
+    return out
+
+
+def test_q295_matches_numpy_recompute(spark, sf_dir):
+    got = {
+        (r["subspace"], r["code"]): (
+            r["n_vectors"], r["distortion_q"], r["centroid_sum"]
+        )
+        for r in q295_pq_codebook(spark, sf_dir).collect()
+    }
+    assert got == _numpy_pq(sf_dir)
+
+
+def test_q295_codes_partition_every_subspace(spark, sf_dir):
+    rows = q295_pq_codebook(spark, sf_dir).collect()
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    per = {}
+    for r in rows:
+        per[r["subspace"]] = per.get(r["subspace"], 0) + r["n_vectors"]
+        assert r["distortion_q"] >= 0
+    assert set(per) == set(range(_PQ_M))
+    assert all(v == n for v in per.values())
