@@ -693,3 +693,152 @@ def _register_q263() -> None:
 
 
 _register_q263()
+
+
+# ---------------------------------------------------------------------------
+# q296 — t-closeness audit: the third rung of the release-privacy ladder
+# (Li, Li, Venkatasubramanian, ICDE 2007). k-anonymity (q243) bounds
+# class SIZE, l-diversity (q263) bounds sensitive-value VARIETY — both
+# pass a class whose balance-band distribution is wildly skewed vs the
+# table (the skewness attack). t-closeness bounds the DISTANCE between
+# each class's sensitive distribution and the global one; for an ORDERED
+# attribute the canonical distance is the Earth Mover's Distance
+#
+#   EMD(p, q) = (1/(m−1)) · Σ_i |Σ_{j≤i} (p_j − q_j)|
+#
+# Exact integers end to end: with cumulative class counts C_i (class
+# size n_c) and cumulative global counts G_i (table size N), each
+# cumulative difference is (N·C_i − n_c·G_i)/(n_c·N), so
+#
+#   emd_num = Σ_i |N·C_i − n_c·G_i|        (exact int64; the last term
+#                                            is identically 0)
+#   t_permil = (emd_num · 1000) div (n_c · N · (m−1))
+#
+# — one truncating division per class, no FP anywhere. (Magnitude note:
+# emd_num ≤ (m−1)·N·n_c ≈ 1e13·class-share at SF100; at full 100 TB
+# audit grain the stated widening is DECIMAL(38,0) for the two products,
+# same note as q264.)
+#
+# Scale shape: one (QI, sens) aggregate over the table (the only
+# corpus-sized shuffle), then everything runs at bounded audit grains —
+# the |classes|×m grid is built by crossing the CLASS aggregate with the
+# m-row sensitive DOMAIN aggregate (both broadcast-class by
+# construction; INTENTIONAL_CROSS), cumulative sums ride windows
+# PARTITIONED by class, and (N, m) attach as a broadcast 1-row scalar.
+# The grid is what makes the audit exact: sensitive values ABSENT from a
+# class still step the global cumulative, which per-class-only rows
+# would miss.
+# ---------------------------------------------------------------------------
+
+
+def _register_q296() -> None:
+    _band = (
+        "CAST(FLOOR(c_acctbal * 100 + 1000000) AS BIGINT) {div} 100000"
+    )
+
+    @_register(
+        "q296_t_closeness",
+        oracle=f"""
+        WITH qi AS (
+            SELECT c_nationkey AS nk, c_mktsegment AS seg,
+                   {_band.format(div='//')} AS sens
+            FROM customer
+        ),
+        cells AS (
+            SELECT nk, seg, sens, CAST(COUNT(*) AS BIGINT) AS c
+            FROM qi GROUP BY 1, 2, 3
+        ),
+        cls AS (SELECT nk, seg, CAST(SUM(c) AS BIGINT) AS n_c
+                FROM cells GROUP BY 1, 2),
+        dom AS (SELECT sens, CAST(SUM(c) AS BIGINT) AS g
+                FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+                       CAST(COUNT(DISTINCT sens) AS BIGINT) AS m
+                FROM cells),
+        grid AS (
+            SELECT cls.nk, cls.seg, cls.n_c, dom.sens, dom.g,
+                   COALESCE(cells.c, 0) AS c
+            FROM cls CROSS JOIN dom
+            LEFT JOIN cells ON cells.nk = cls.nk AND cells.seg = cls.seg
+                           AND cells.sens = dom.sens
+        ),
+        cum AS (
+            SELECT nk, seg, n_c,
+                   SUM(c) OVER (PARTITION BY nk, seg ORDER BY sens
+                                ROWS UNBOUNDED PRECEDING) AS cc,
+                   SUM(g) OVER (PARTITION BY nk, seg ORDER BY sens
+                                ROWS UNBOUNDED PRECEDING) AS gg
+            FROM grid
+        )
+        SELECT CAST(cum.nk AS BIGINT) AS nationkey, cum.seg AS segment,
+               CAST(MIN(cum.n_c) AS BIGINT) AS class_size,
+               CAST(SUM(ABS(t.n_total * cc - cum.n_c * gg)) AS BIGINT)
+                   AS emd_num,
+               CAST(SUM(ABS(t.n_total * cc - cum.n_c * gg)) * 1000
+                    // (MIN(cum.n_c) * MIN(t.n_total) * (MIN(t.m) - 1))
+                    AS BIGINT) AS t_permil
+        FROM cum CROSS JOIN tot t
+        GROUP BY cum.nk, cum.seg
+        """,
+    )
+    def q296_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-(nation, segment) t-closeness of the $1000 balance-band
+        distribution vs the whole table, as exact integer EMD numerator
+        + truncating permil; see block comment for the arithmetic and
+        the bounded-grid scale shape."""
+        cust = load_table(spark, "customer", sf_dir)
+        cells = (
+            cust.select(
+                F.col("c_nationkey").alias("nk"),
+                F.col("c_mktsegment").alias("seg"),
+                F.expr(_band.format(div="div")).alias("sens"),
+            )
+            .groupBy("nk", "seg", "sens")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .persist()  # feeds cls, dom, tot AND the grid left-join
+        )
+        cls = cells.groupBy("nk", "seg").agg(
+            F.sum("c").cast("long").alias("n_c")
+        )
+        dom = cells.groupBy("sens").agg(F.sum("c").cast("long").alias("g"))
+        tot = cells.agg(
+            F.sum("c").cast("long").alias("n_total"),
+            F.countDistinct("sens").cast("long").alias("m"),
+        )
+        grid = (
+            cls.crossJoin(F.broadcast(dom))  # |classes| × m — bounded
+            .join(cells, ["nk", "seg", "sens"], "left")
+            .select(
+                "nk", "seg", "n_c", "sens", "g",
+                F.coalesce("c", F.lit(0)).alias("c"),
+            )
+        )
+        from pyspark.sql.window import Window
+
+        w = (
+            Window.partitionBy("nk", "seg")
+            .orderBy("sens")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = grid.select(
+            "nk", "seg", "n_c",
+            F.sum("c").over(w).alias("cc"),
+            F.sum("g").over(w).alias("gg"),
+        ).crossJoin(F.broadcast(tot))  # 1-row scalar attach — bounded
+        return cum.groupBy(
+            F.col("nk").cast("long").alias("nationkey"),
+            F.col("seg").alias("segment"),
+        ).agg(
+            F.min("n_c").cast("long").alias("class_size"),
+            F.sum(
+                F.abs(F.col("n_total") * F.col("cc")
+                      - F.col("n_c") * F.col("gg"))
+            ).cast("long").alias("emd_num"),
+            F.expr(
+                "CAST(SUM(ABS(n_total * cc - n_c * gg)) * 1000"
+                " div (MIN(n_c) * MIN(n_total) * (MIN(m) - 1)) AS LONG)"
+            ).alias("t_permil"),
+        )
+
+
+_register_q296()

@@ -75,6 +75,9 @@ INTENTIONAL_CROSS = {
     "q104_skew_profile",  # attaches the broadcast 1-row top-k aggregate
     # to the 1-row totals leg (4× , one per profiled keyspace) — bounded
     # by construction
+    "q296_t_closeness",  # crosses the |classes| aggregate with the m-row
+    # sensitive-domain aggregate (the EMD grid — bounded audit grains by
+    # construction) and attaches the broadcast 1-row (N, m) scalar
 }
 
 FORBIDDEN = ("CartesianProduct",)
