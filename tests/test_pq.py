@@ -21,6 +21,45 @@ from etl_globalretail_spark.operators.clustering import (
 )
 
 
+def _numpy_fit(sf_dir: str):
+    """Shared chain: quantized matrix, seed order, fitted codebooks and
+    final codes per subspace."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = t["vec_id"]
+    X = np.array(
+        [
+            [math.floor(float(v) * _Q122_SCALE) for v in emb]
+            for emb in t["embedding"]
+        ],
+        dtype=np.int64,
+    )
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )
+    seeds = order[:_PQ_K]
+    fitted = {}
+    for m in range(_PQ_M):
+        blk = X[:, m * _PQ_DS:(m + 1) * _PQ_DS]
+        cents = {c: blk[seeds[c]].copy() for c in range(_PQ_K)}
+        for it in range(_PQ_ITERS):
+            cids = sorted(cents)
+            cmat = np.array([cents[c] for c in cids], dtype=np.int64)
+            diff = blk[:, None, :] - cmat[None, :, :]
+            d2 = (diff * diff).sum(-1)
+            a = np.argmin(d2, axis=1)
+            if it < _PQ_ITERS - 1:
+                cents = {
+                    cids[ci]: np.floor(
+                        blk[a == ci].sum(axis=0) / (a == ci).sum()
+                    ).astype(np.int64)
+                    for ci in range(len(cids))
+                    if (a == ci).any()
+                }
+        fitted[m] = (cents, {i: cids[a[i]] for i in range(len(ids))})
+    return ids, X, fitted
+
+
 def _numpy_pq(sf_dir: str):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
     ids = t["vec_id"]
@@ -85,3 +124,55 @@ def test_q295_codes_partition_every_subspace(spark, sf_dir):
         assert r["distortion_q"] >= 0
     assert set(per) == set(range(_PQ_M))
     assert all(v == n for v in per.values())
+
+
+def test_q297_adc_matches_numpy_recompute(spark, sf_dir):
+    from etl_globalretail_spark.operators.clustering import (
+        _PQ_TOPK,
+        q297_pq_adc_search,
+    )
+
+    ids, X, fitted = _numpy_fit(sf_dir)
+    probe_i = min(range(len(ids)), key=lambda i: ids[i])
+    probe = X[probe_i]
+    adc = np.zeros(len(ids), dtype=np.int64)
+    for m, (cents, codes) in fitted.items():
+        pm = probe[m * _PQ_DS:(m + 1) * _PQ_DS]
+        tbl = {
+            c: int(((pm - cents[c]) ** 2).sum()) for c in cents
+        }
+        for i in range(len(ids)):
+            adc[i] += tbl[codes[i]]
+    exact = ((X - probe[None, :]) ** 2).sum(axis=1)
+    order = sorted(range(len(ids)), key=lambda i: (adc[i], ids[i]))
+    exact_top = {
+        ids[i]
+        for i in sorted(range(len(ids)), key=lambda i: (exact[i], ids[i]))[
+            :_PQ_TOPK
+        ]
+    }
+    want = {
+        ids[i]: (r + 1, int(adc[i]), int(exact[i]), ids[i] in exact_top)
+        for r, i in enumerate(order[:_PQ_TOPK])
+    }
+    got = {
+        r["vec_id"]: (
+            r["rank"], r["adc_dist_q"], r["exact_dist_q"], r["in_exact_topk"]
+        )
+        for r in q297_pq_adc_search(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q297_probe_is_its_own_exact_nearest(spark, sf_dir):
+    from etl_globalretail_spark.operators.clustering import q297_pq_adc_search
+
+    rows = q297_pq_adc_search(spark, sf_dir).collect()
+    assert len(rows) == 10
+    probe_rows = [r for r in rows if r["exact_dist_q"] == 0]
+    # the probe is in the corpus: exact distance 0, so if ADC surfaces it,
+    # it must be flagged as a true-top-k member
+    for r in probe_rows:
+        assert r["in_exact_topk"]
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, 11))
