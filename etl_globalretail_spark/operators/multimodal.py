@@ -586,3 +586,210 @@ def q29_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("digest").alias("n_unique"),
         F.sum("n_bytes").alias("total_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q298 — image NEAR-duplicate detection via perceptual difference hash
+# (dHash) over GENUINELY DECODED pixels: the multimodal face of the dedup
+# ladder (q24 MinHash / q25 SimHash / q33 embeddings), and what image
+# pipelines actually run against re-encodes and slightly-retouched
+# copies. The pipeline is real end to end: deterministic pixels → real
+# BMP/PPM containers (the q279 encoders) → pure-Python container parse →
+# dHash over the decoded bytes. Controlled near-duplicates are
+# synthesized for every 5th document: a variant whose pixels are
+# perturbed ONLY inside the top-left dHash block, so at most ONE hash bit
+# can change — each variant is GUARANTEED within the Hamming radius.
+#
+# dHash (8×8 grid, 7 comparisons/row = 56 bits, int64-safe): gray =
+# (r+g+b) div 3 per pixel; grid cell = floor-mean of gray over the block
+# (row r → band (r·8) div 34, col c → band (c·8) div 30 — pure integer,
+# identical in both engines); bit(y, x) = grid[y][x] < grid[y][x+1].
+#
+# Candidate pairs come from 4×14-bit BANDS (pigeonhole: Hamming ≤ 3 ⇒ at
+# least one band equal — lossless for the radius, the q65 SimHash
+# blocking stance), then exact bit_count(xor) verification. Never
+# all-pairs on the Spark side; the oracle replays the hash arithmetic
+# from the closed-form pixel pattern and verifies the quadratic way —
+# hash equality between the banded and quadratic forms is the
+# losslessness proof.
+# ---------------------------------------------------------------------------
+
+_Q298_GRID = 8
+_Q298_BITS_PER_ROW = _Q298_GRID - 1           # 56-bit hash, int64-safe
+_Q298_BANDS = 4                               # 14 bits per band
+_Q298_BAND_BITS = 14
+_Q298_HAM = 3                                 # radius; 4 bands ⇒ lossless
+_Q298_VARIANT_OFFSET = 10_000_000             # even: preserves mime parity
+
+
+def _q298_variant_sql(pat: str) -> str:
+    """Splice 'z'*12 over the first 12 bytes of pixel rows 0..4 (cols
+    0..3 × 3 channels — all inside grid block (0,0))."""
+    parts = []
+    for r in range(5):
+        parts.append("'zzzzzzzzzzzz'")
+        parts.append(f"substr({pat}, {90 * r + 13}, 78)")
+    parts.append(f"substr({pat}, 451, {_Q279_NPIX - 450})")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _dhash_from_rgb(rgb: bytes, width: int, height: int) -> int:
+    import numpy as np
+
+    g = _Q298_GRID
+    a = np.frombuffer(rgb, np.uint8).astype(np.int64).reshape(
+        height, width, 3
+    )
+    gray = a.sum(-1) // 3
+    by = (np.arange(height, dtype=np.int64) * g) // height
+    bx = (np.arange(width, dtype=np.int64) * g) // width
+    idx = (by[:, None] * g + bx[None, :]).ravel()
+    sums = np.zeros(g * g, dtype=np.int64)
+    cnts = np.zeros(g * g, dtype=np.int64)
+    np.add.at(sums, idx, gray.ravel())
+    np.add.at(cnts, idx, 1)
+    cells = (sums // cnts).reshape(g, g)
+    h = 0
+    for y in range(g):
+        for x in range(g - 1):
+            if cells[y, x] < cells[y, x + 1]:
+                h |= 1 << (y * _Q298_BITS_PER_ROW + x)
+    return h
+
+
+def _q298_hash_kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """encode → REAL container decode → dHash, one Arrow batch pass."""
+    import pandas as pd
+
+    enc = {"image/bmp": encode_bmp, "image/x-portable-pixmap": encode_ppm}
+    for pdf in batches:
+        hashes = []
+        for mime, pix in zip(pdf["mime"], pdf["pix"]):
+            payload = enc[mime](_Q279_W, _Q279_H, bytes(pix))
+            w, h, rgb = decode_image(payload)
+            hashes.append(_dhash_from_rgb(rgb, w, h))
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"].astype("int64"),
+                "h": pd.Series(hashes, dtype="int64"),
+            }
+        )
+
+
+def _q298_oracle() -> str:
+    pat = f"substr(repeat(md5(text), {_Q279_REPS}), 1, {_Q279_NPIX})"
+    g, w_, h_ = _Q298_GRID, _Q279_W, _Q279_H
+    return f"""
+    WITH imgs AS (
+        SELECT doc_id AS media_id, {pat} AS pat FROM documents
+        UNION ALL
+        SELECT doc_id + {_Q298_VARIANT_OFFSET}, {_q298_variant_sql(pat)}
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    pix AS (
+        SELECT media_id,
+               (t.p // 3) // {w_} AS r,
+               (t.p // 3) % {w_} AS c,
+               ascii(substr(pat, t.p + 1, 1)) AS v
+        FROM imgs, generate_series(0, {_Q279_NPIX - 1}) AS t(p)
+    ),
+    gray AS (
+        SELECT media_id, r, c, CAST(SUM(v) AS BIGINT) // 3 AS gv
+        FROM pix GROUP BY media_id, r, c
+    ),
+    cells AS (
+        SELECT media_id, (r * {g}) // {h_} AS gy, (c * {g}) // {w_} AS gx,
+               CAST(SUM(gv) AS BIGINT) // COUNT(*) AS cell
+        FROM gray GROUP BY media_id, gy, gx
+    ),
+    hashes AS (
+        SELECT l.media_id,
+               CAST(SUM(CASE WHEN l.cell < rr.cell THEN
+                    CAST(1 AS BIGINT) << (l.gy * {_Q298_BITS_PER_ROW} + l.gx)
+                    ELSE 0 END) AS BIGINT) AS h
+        FROM cells l
+        JOIN cells rr ON rr.media_id = l.media_id AND rr.gy = l.gy
+                     AND rr.gx = l.gx + 1
+        WHERE l.gx < {g - 1}
+        GROUP BY l.media_id
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.h, b.h)) <= {_Q298_HAM}
+    """
+
+
+@_register("q298_image_dhash_neardup", oracle=_q298_oracle())
+def q298_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded dHash near-dup pairs (Hamming ≤ 3) over decoded BMP/PPM
+    images, including the guaranteed-near synthesized variants. The
+    oracle verifies quadratically; hash equality with this banded plan is
+    the pigeonhole-losslessness proof. See block comment."""
+    d = load_table(spark, "documents", sf_dir)
+    pat = F.substring(
+        F.repeat(F.md5(F.encode("text", "UTF-8")), _Q279_REPS),
+        1, _Q279_NPIX,
+    )
+    vparts = []
+    for r in range(5):
+        vparts.append(F.lit("z" * 12))
+        vparts.append(F.substring(pat, 90 * r + 13, 78))
+    vparts.append(F.substring(pat, 451, _Q279_NPIX - 450))
+    originals = d.select(F.col("doc_id").alias("media_id"), pat.alias("p"))
+    variants = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _Q298_VARIANT_OFFSET).alias("media_id"),
+        F.concat(*vparts).alias("p"),
+    )
+    src = originals.unionAll(variants).select(
+        "media_id",
+        F.when(F.col("media_id") % 2 == 0, F.lit("image/bmp"))
+        .otherwise(F.lit("image/x-portable-pixmap"))
+        .alias("mime"),
+        F.encode("p", "UTF-8").alias("pix"),
+    )
+    hashes = src.mapInPandas(
+        _q298_hash_kernel, schema="media_id long, h long"
+    ).persist()  # feeds the band explode AND both verify joins
+    bands = hashes.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("h", b * _Q298_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _Q298_BAND_BITS) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(_Q298_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "bv.band", "bv.val")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("id_a"),
+            F.col("y.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(F.col("media_id").alias("id_a"), F.col("h").alias("h_a"))
+    hb = hashes.select(F.col("media_id").alias("id_b"), F.col("h").alias("h_b"))
+    return (
+        cand.join(F.broadcast(ha), "id_a")
+        .join(F.broadcast(hb), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.expr("CAST(bit_count(h_a ^ h_b) AS LONG)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _Q298_HAM)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -113,3 +113,86 @@ def test_q279_pixel_contract(spark, sf_dir):
         h = hashlib.md5(r["text"].encode()).hexdigest()
         expect = (h * _Q279_REPS)[:_Q279_NPIX].encode("ascii")
         assert decoded[r["media_id"]] == expect
+
+
+# ---------------------------------------------------------------------------
+# q298 dHash near-dup laws
+# ---------------------------------------------------------------------------
+
+
+def test_q298_every_variant_pairs_with_its_original(spark, sf_dir):
+    """The synthesized variants perturb pixels only inside grid block
+    (0,0), so each (original, original+OFFSET) pair differs in AT MOST one
+    dHash bit and MUST be in the result."""
+    import pyarrow.parquet as pq
+
+    from etl_globalretail_spark.operators.multimodal import (
+        _Q298_VARIANT_OFFSET,
+        QUERIES,
+    )
+
+    rows = QUERIES["q298_image_dhash_neardup"](spark, sf_dir).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).to_pydict()["doc_id"]
+    expected = [i for i in ids if i % 5 == 0]
+    assert expected
+    for i in expected:
+        pair = (i, i + _Q298_VARIANT_OFFSET)
+        assert pair in got, f"variant pair {pair} missing"
+        assert got[pair] <= 1, (pair, got[pair])
+
+
+def test_q298_banded_equals_quadratic_numpy(spark, sf_dir):
+    """The banded plan must equal the brute-force quadratic recompute —
+    the pigeonhole-losslessness proof, independently of the oracle."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_globalretail_spark.operators.multimodal import (
+        _Q279_NPIX,
+        _Q279_REPS,
+        _Q279_H,
+        _Q279_W,
+        _Q298_HAM,
+        _Q298_VARIANT_OFFSET,
+        _dhash_from_rgb,
+        QUERIES,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    hashes = {}
+    for doc_id, text in zip(t["doc_id"], t["text"]):
+        base = (hashlib.md5(text.encode()).hexdigest() * _Q279_REPS)[
+            :_Q279_NPIX
+        ]
+        hashes[doc_id] = _dhash_from_rgb(
+            base.encode(), _Q279_W, _Q279_H
+        )
+        if doc_id % 5 == 0:
+            chunks = []
+            for r in range(5):
+                chunks.append("z" * 12)
+                chunks.append(base[90 * r + 12:90 * (r + 1)])
+            chunks.append(base[450:])
+            var = "".join(chunks)
+            assert len(var) == _Q279_NPIX
+            hashes[doc_id + _Q298_VARIANT_OFFSET] = _dhash_from_rgb(
+                var.encode(), _Q279_W, _Q279_H
+            )
+    ids = sorted(hashes)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(hashes[a] ^ hashes[b]).count("1") <= _Q298_HAM:
+                want.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["q298_image_dhash_neardup"](spark, sf_dir).collect()
+    }
+    assert got == want
