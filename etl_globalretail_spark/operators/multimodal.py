@@ -793,3 +793,177 @@ def q298_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _Q298_HAM)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# q299 — audio decode + frame features over a REAL WAV container: the
+# audio face of the multimodal ladder, mirroring q279's image stance.
+# Deterministic 16-bit mono PCM is synthesized per document from a
+# closed-form integer formula, packed into a REAL RIFF/WAVE container
+# (fmt + data chunks, little-endian int16), parsed back by a pure-Python
+# chunk walker (magic check, chunk-list walk, PCM validation), and the
+# features every audio pipeline starts with are computed over the
+# DECODED samples: 20 ms frames (160 samples @ 8 kHz), per-frame energy
+# Σs², zero-crossing count, and peak — aggregated per document with a
+# silence census (the VAD/trimming primitive).
+#
+# Integer contract: sample(i) = ((doc_id·7919 + i·104729) mod 65536)
+# · amp div 4 − 8192·amp with amp = doc_id mod 5 — non-negative
+# intermediates only (div = floor there, identical in both engines),
+# |s| ≤ 32768 (int16-safe), energies ≤ 160·32768² ≈ 1.7e11 (int64-safe).
+# amp = 0 docs are digital silence: the silent-frame census is never
+# vacuous. The oracle replays the formula with generate_series and a
+# lag window for crossings — the Spark side computes the SAME numbers
+# only from the decoded container bytes, so the hash match proves the
+# codec round-trip, not just the arithmetic.
+# ---------------------------------------------------------------------------
+
+_Q299_SAMPLES = 1600      # 10 frames of 160 samples (20 ms @ 8 kHz)
+_Q299_FRAME = 160
+_Q299_RATE = 8000
+_Q299_SILENT = 1000000    # Σs² below this = silent frame
+
+
+def encode_wav(samples: "list[int] | bytes", rate: int = _Q299_RATE) -> bytes:
+    """Pack int16 mono samples into a real RIFF/WAVE (PCM) container."""
+    import numpy as np
+
+    if isinstance(samples, (bytes, bytearray)):
+        data = bytes(samples)
+    else:
+        data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, "bytes"]:
+    """Parse a RIFF/WAVE container: returns (sample_rate, raw int16 LE
+    sample bytes). Walks the chunk list properly (chunks are word-aligned,
+    unknown chunks skipped); only uncompressed 16-bit mono PCM is
+    supported — anything else raises NotImplementedError, the module's
+    documented stance for codecs absent from this container."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    rate, data = None, None
+    while pos + 8 <= end:
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only 16-bit mono PCM supported (fmt={audio_fmt}, "
+                    f"ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, data
+
+
+def _q299_features_kernel(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """encode → REAL container decode → frame features, one Arrow pass."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        recs = []
+        for mid, amp in zip(pdf["media_id"], pdf["amp"]):
+            mid, amp = int(mid), int(amp)
+            i = np.arange(_Q299_SAMPLES, dtype=np.int64)
+            base = (mid * 7919 + i * 104729) % 65536
+            s = (base * amp) // 4 - 8192 * amp
+            payload = encode_wav(s.astype("<i2"))
+            rate, raw = decode_wav(payload)
+            x = np.frombuffer(raw, "<i2").astype(np.int64)
+            frames = x.reshape(-1, _Q299_FRAME)
+            energy = (frames * frames).sum(axis=1)
+            sign = x < 0
+            cross = (sign[1:] != sign[:-1]) & (
+                (np.arange(1, len(x)) % _Q299_FRAME) != 0
+            )
+            recs.append(
+                (
+                    mid,
+                    int(len(frames)),
+                    int(energy.sum()),
+                    int(cross.sum()),
+                    int(np.abs(x).max()),
+                    int((energy < _Q299_SILENT).sum()),
+                    int(rate),
+                )
+            )
+        yield pd.DataFrame(
+            recs,
+            columns=[
+                "media_id", "n_frames", "total_energy",
+                "zero_crossings", "max_peak", "n_silent_frames",
+                "sample_rate",
+            ],
+        ).astype("int64")
+
+
+@_register(
+    "q299_audio_frame_features",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id AS media_id,
+               t.i,
+               ((doc_id * 7919 + t.i * 104729) % 65536) * (doc_id % 5) // 4
+                   - 8192 * (doc_id % 5) AS v
+        FROM documents, generate_series(0, {_Q299_SAMPLES - 1}) AS t(i)
+    ),
+    x AS (
+        SELECT media_id, i, v,
+               CASE WHEN i % {_Q299_FRAME} != 0
+                     AND (LAG(v) OVER (PARTITION BY media_id ORDER BY i) < 0)
+                         != (v < 0)
+                    THEN 1 ELSE 0 END AS cr
+        FROM s
+    ),
+    frames AS (
+        SELECT media_id, i // {_Q299_FRAME} AS f,
+               CAST(SUM(v * v) AS BIGINT) AS energy,
+               CAST(SUM(cr) AS BIGINT) AS crossings,
+               CAST(MAX(ABS(v)) AS BIGINT) AS peak
+        FROM x GROUP BY media_id, f
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(SUM(crossings) AS BIGINT) AS zero_crossings,
+           CAST(MAX(peak) AS BIGINT) AS max_peak,
+           CAST(SUM(CASE WHEN energy < {_Q299_SILENT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_silent_frames,
+           CAST({_Q299_RATE} AS BIGINT) AS sample_rate
+    FROM frames GROUP BY media_id
+    """,
+)
+def q299_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document audio frame census (frames, energy, zero crossings,
+    peak, silent frames, decoded sample rate) computed ONLY from bytes
+    round-tripped through the real RIFF/WAVE codec. See block comment."""
+    d = load_table(spark, "documents", sf_dir)
+    src = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 5).cast("long").alias("amp"),
+    )
+    return src.mapInPandas(
+        _q299_features_kernel,
+        schema="media_id long, n_frames long, total_energy long,"
+               " zero_crossings long, max_peak long, n_silent_frames long,"
+               " sample_rate long",
+    )

@@ -196,3 +196,76 @@ def test_q298_banded_equals_quadratic_numpy(spark, sf_dir):
         for r in QUERIES["q298_image_dhash_neardup"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q299 WAV codec + audio feature laws
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_chunk_walking():
+    import struct
+
+    import numpy as np
+
+    from etl_globalretail_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.array([0, 1, -1, 32767, -32768, 12345, -12345], dtype="<i2")
+    rate, raw = decode_wav(encode_wav(s, rate=16000))
+    assert rate == 16000
+    assert np.array_equal(np.frombuffer(raw, "<i2"), s)
+    # unknown odd-sized chunk before fmt/data must be skipped (word-aligned)
+    payload = encode_wav(s)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = payload[:12] + extra + payload[12:]
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8
+    ) + patched[8:]
+    rate2, raw2 = decode_wav(patched)
+    assert rate2 == 8000 and raw2 == raw
+
+
+def test_wav_rejects_non_pcm():
+    import struct
+
+    import pytest
+
+    from etl_globalretail_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AIFF")
+    payload = bytearray(encode_wav([0, 1]))
+    struct.pack_into("<H", payload, 20 + 2, 2)  # channels = 2 (stereo)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(payload))
+
+
+def test_q299_silent_docs_census(spark, sf_dir):
+    from etl_globalretail_spark.operators.multimodal import (
+        _Q299_FRAME,
+        _Q299_SAMPLES,
+        QUERIES,
+    )
+
+    rows = QUERIES["q299_audio_frame_features"](spark, sf_dir).collect()
+    assert rows
+    n_frames = _Q299_SAMPLES // _Q299_FRAME
+    silent = [r for r in rows if r["media_id"] % 5 == 0]
+    assert silent
+    for r in rows:
+        assert r["n_frames"] == n_frames
+        assert r["sample_rate"] == 8000
+        if r["media_id"] % 5 == 0:  # amp 0: digital silence end to end
+            assert r["total_energy"] == 0
+            assert r["max_peak"] == 0
+            assert r["n_silent_frames"] == n_frames
+            assert r["zero_crossings"] == 0
+        else:
+            assert r["max_peak"] > 0
+            assert r["n_silent_frames"] == 0
