@@ -967,3 +967,150 @@ def q299_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                " zero_crossings long, max_peak long, n_silent_frames long,"
                " sample_rate long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q300 — video frame-sampling over a REAL YUV4MPEG2 (.y4m) container:
+# completes the modality trio (image q279/q298 BMP+PPM, audio q299 WAV)
+# with the standard uncompressed video interchange format. Deterministic
+# C444 YUV frames are synthesized per document from a closed-form
+# integer formula, packed into a real Y4M stream (text header with
+# W/H/F/I/A/C parameters, per-frame FRAME markers), parsed back by a
+# pure-Python demuxer (header tokenizing, frame-marker walk, plane
+# slicing; any other colorspace honestly NotImplementedError), and the
+# frame-sampling operator every video pipeline starts with — keep every
+# k-th frame — runs over the DECODED planes, emitting per-sampled-frame
+# luma statistics (Σ, min, max of the Y plane: all int, all replayable).
+#
+# Variable clip lengths (6..10 frames, doc-dependent) make the sampler
+# non-trivial: the oracle must agree on WHICH frames exist and which
+# survive f mod 2 = 0 — a real demuxer bug (off-by-one on the FRAME
+# walk) breaks the hash immediately.
+# ---------------------------------------------------------------------------
+
+_Q300_W, _Q300_H = 8, 6
+_Q300_STEP = 2                      # keep every 2nd frame
+_Q300_BASE_FRAMES = 6               # nframes = 6 + doc_id % 5
+
+
+def encode_y4m(width: int, height: int, frames: "list[bytes]") -> bytes:
+    """Pack C444 YUV frames into a real YUV4MPEG2 stream."""
+    plane = width * height
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (width, height)]
+    for fr in frames:
+        if len(fr) != 3 * plane:
+            raise ValueError("frame length != 3*W*H for C444")
+        out.append(b"FRAME\n")
+        out.append(fr)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, "list[bytes]"]:
+    """Parse a YUV4MPEG2 stream: returns (width, height, C444 frames).
+    Walks the header parameter list and the FRAME markers (frame-level
+    parameters up to the newline are tolerated); only C444 (and the
+    default-implied 4:2:0 REJECTED explicitly) is supported."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise NotImplementedError("not a YUV4MPEG2 stream")
+    width = height = None
+    colorspace = b"C420"  # the format's default when absent
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok
+    if width is None or height is None:
+        raise ValueError("missing W/H in Y4M header")
+    if colorspace != b"C444":
+        raise NotImplementedError(
+            f"only C444 supported (got {colorspace!r})"
+        )
+    frame_bytes = 3 * width * height
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        pos = payload.index(b"\n", pos) + 1  # frame params tolerated
+        frames.append(payload[pos:pos + frame_bytes])
+        if len(frames[-1]) != frame_bytes:
+            raise ValueError("truncated frame")
+        pos += frame_bytes
+    return width, height, frames
+
+
+def _q300_sample_kernel(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """synthesize → REAL Y4M encode → demux → sample → luma stats."""
+    import numpy as np
+    import pandas as pd
+
+    w, h, plane = _Q300_W, _Q300_H, _Q300_W * _Q300_H
+    for pdf in batches:
+        recs = []
+        for mid in pdf["media_id"]:
+            mid = int(mid)
+            nframes = _Q300_BASE_FRAMES + mid % 5
+            frames = []
+            for f in range(nframes):
+                p = np.arange(3 * plane, dtype=np.int64)
+                pl = p // plane
+                r = (p % plane) // w
+                c = p % w
+                v = (mid * 131 + f * 37 + pl * 17 + r * 13 + c * 7) % 256
+                frames.append(v.astype(np.uint8).tobytes())
+            dw, dh, decoded = decode_y4m(encode_y4m(w, h, frames))
+            for f in range(0, len(decoded), _Q300_STEP):
+                y = np.frombuffer(
+                    decoded[f][:dw * dh], np.uint8
+                ).astype(np.int64)
+                recs.append(
+                    (mid, f, int(len(decoded)), int(y.sum()),
+                     int(y.min()), int(y.max()))
+                )
+        yield pd.DataFrame(
+            recs,
+            columns=["media_id", "frame_idx", "n_frames",
+                     "y_sum", "y_min", "y_max"],
+        ).astype("int64")
+
+
+@_register(
+    "q300_video_frame_sample",
+    oracle=f"""
+    WITH y AS (
+        SELECT doc_id AS media_id,
+               f.f AS frame_idx,
+               CAST({_Q300_BASE_FRAMES} + doc_id % 5 AS BIGINT) AS n_frames,
+               (doc_id * 131 + f.f * 37 + (t.p // {_Q300_W}) * 13
+                + (t.p % {_Q300_W}) * 7) % 256 AS v
+        FROM documents,
+             generate_series(0, {_Q300_BASE_FRAMES + 4 - 1}) AS f(f),
+             generate_series(0, {_Q300_W * _Q300_H - 1}) AS t(p)
+        WHERE f.f < {_Q300_BASE_FRAMES} + doc_id % 5
+          AND f.f % {_Q300_STEP} = 0
+    )
+    SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           MIN(n_frames) AS n_frames,
+           CAST(SUM(v) AS BIGINT) AS y_sum,
+           CAST(MIN(v) AS BIGINT) AS y_min,
+           CAST(MAX(v) AS BIGINT) AS y_max
+    FROM y GROUP BY media_id, frame_idx
+    """,
+)
+def q300_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sample of each document's synthetic Y4M clip with
+    per-frame luma statistics computed only from DEMUXED planes. The
+    oracle replays the Y-plane formula (plane index 0 ⇒ the +17·plane
+    term vanishes); variable clip lengths pin the demuxer's frame walk."""
+    d = load_table(spark, "documents", sf_dir)
+    src = d.select(F.col("doc_id").alias("media_id"))
+    return src.mapInPandas(
+        _q300_sample_kernel,
+        schema="media_id long, frame_idx long, n_frames long,"
+               " y_sum long, y_min long, y_max long",
+    )

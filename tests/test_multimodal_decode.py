@@ -269,3 +269,59 @@ def test_q299_silent_docs_census(spark, sf_dir):
         else:
             assert r["max_peak"] > 0
             assert r["n_silent_frames"] == 0
+
+
+# ---------------------------------------------------------------------------
+# q300 Y4M demuxer + frame-sampling laws
+# ---------------------------------------------------------------------------
+
+
+def test_y4m_roundtrip_and_frame_params():
+    from etl_globalretail_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    frames = [bytes(range(48)) * 3, bytes(reversed(range(48))) * 3]
+    w, h, out = decode_y4m(encode_y4m(8, 6, frames))
+    assert (w, h) == (8, 6) and out == frames
+    # frame-level parameters after FRAME must be tolerated
+    payload = encode_y4m(8, 6, frames).replace(
+        b"FRAME\n", b"FRAME Xtag\n", 1
+    )
+    assert decode_y4m(payload)[2] == frames
+
+
+def test_y4m_rejects_other_colorspaces():
+    import pytest
+
+    from etl_globalretail_spark.operators.multimodal import decode_y4m
+
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W8 H6 C420jpeg\n")
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W8 H6\n")  # default C420 — rejected too
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"MPEG4 W8 H6\n")
+
+
+def test_q300_sampler_keeps_exactly_even_frames(spark, sf_dir):
+    from collections import defaultdict
+
+    from etl_globalretail_spark.operators.multimodal import (
+        _Q300_BASE_FRAMES,
+        QUERIES,
+    )
+
+    rows = QUERIES["q300_video_frame_sample"](spark, sf_dir).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["media_id"]].append(r)
+    assert per
+    for mid, rs in per.items():
+        nf = _Q300_BASE_FRAMES + mid % 5
+        assert all(r["n_frames"] == nf for r in rs)
+        assert sorted(r["frame_idx"] for r in rs) == list(range(0, nf, 2))
+        for r in rs:
+            assert 0 <= r["y_min"] <= r["y_max"] <= 255
+            assert r["y_min"] * 48 <= r["y_sum"] <= r["y_max"] * 48
