@@ -121,3 +121,44 @@ def test_global_topk_matches_rank_filter_and_plans_take_ordered(spark):
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:1200]
+
+
+def test_helpers_invariant_to_range_count(spark):
+    """The composition must be identical no matter where the sampled
+    range boundaries fall — the q190 boundary-invariance proof extended
+    to every ranks helper (n_ranges 1 degenerates to the single window;
+    3 forces uneven boundaries; 16 is the default)."""
+    df = _frame(spark)
+    order = [("a", "desc"), ("id", "asc")]
+    ref_rn = None
+    ref_pm = None
+    ref_sums = None
+    ref_lead = None
+    for n in (1, 3, 16):
+        rn, total = global_row_number(df, order, out="rn", n_ranges=n)
+        assert total == 500
+        rn_rows = sorted(map(tuple, rn.collect()))
+        pm_rows = sorted(
+            (tuple(None if v is None else int(v) for v in r))
+            for r in global_prefix_agg(
+                df, order, "b", agg="max", out="pm", n_ranges=n
+            ).collect()
+        )
+        sums_df, totals = global_prefix_sums(df, order, ["b"], n_ranges=n)
+        sums_rows = sorted(map(tuple, sums_df.collect()))
+        lead_rows = sorted(
+            map(tuple, global_lead(
+                df.select((F.col("id") * 2).alias("k")),
+                [("k", "asc")], "k", out="nx", n_ranges=n,
+            ).collect())
+        )
+        if ref_rn is None:
+            ref_rn, ref_pm, ref_sums, ref_lead = (
+                rn_rows, pm_rows, sums_rows, lead_rows
+            )
+        else:
+            assert rn_rows == ref_rn, f"row_number differs at n_ranges={n}"
+            assert pm_rows == ref_pm, f"prefix_agg differs at n_ranges={n}"
+            assert sums_rows == ref_sums, f"prefix_sums differ at n_ranges={n}"
+            assert lead_rows == ref_lead, f"lead differs at n_ranges={n}"
+        assert totals == {"b": df.agg(F.sum("b")).collect()[0][0]}
