@@ -3256,3 +3256,183 @@ def q294_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_tokens", "raw_ppm", "adj_ppm",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q301 — unigram-LM Viterbi segmentation (the SentencePiece decode rule,
+# Kudo 2018): given a piece inventory with additive costs, segment every
+# corpus word into the MINIMUM-cost piece sequence by dynamic
+# programming. This is the other half of the tokenizer family — q242/q244
+# learn and apply BPE's greedy merges; unigram tokenizers instead pick
+# the globally optimal segmentation per word, and THIS DP is the exact
+# operator they run at encode time.
+#
+# Deterministic, integer-exact setup: the inventory is every character
+# and every adjacent character bigram observed in the corpus's word
+# INSTANCES (so every word is segmentable by construction), with
+# cost(piece) = 1_000_000 + 1_000_000_000 div (freq + 1) — the per-piece
+# penalty plays −log p, frequency discounts it, and all arithmetic stays
+# int64. Because optimal segmentations can TIE, the well-defined outputs
+# are the minimum cost itself and the NUMBER of optimal segmentations
+# (the path-count DP rides along) — never an arbitrary argmin choice.
+#
+# Pieces span ≤ 2 characters, so the DP is a linear recurrence —
+# best(i) = min(best(i−1) + c1(i), best(i−2) + c2(i−1, i)) — which the
+# oracle replays as a LINEAR recursive CTE (one row per (word, position),
+# the q67 recursive-join device; no exponential path enumeration).
+#
+# Scale shape: the corpus-sized work is the two piece-frequency
+# aggregates (map-side combinable wordcounts); the inventory is ≤ 26+26²
+# rows (a documented driver scalar, the k-centroid class); the DP runs
+# once per DISTINCT word (vocabulary grain) in one Arrow-batched map
+# pass with the cost dicts folded into the closure.
+# ---------------------------------------------------------------------------
+
+_Q301_PENALTY = 1_000_000
+_Q301_FREQ_NUM = 1_000_000_000
+_Q301_HUGE = 1 << 60
+
+
+def _q301_dp_kernel(c1: dict, c2: dict):
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for w in pdf["word"]:
+                best_prev, paths_prev = None, 0      # pos-1 state
+                best, paths = 0, 1                   # pos-0 state
+                for i in range(1, len(w) + 1):
+                    cand1 = best + c1[w[i - 1]]
+                    cand2 = (
+                        best_prev + c2[w[i - 2:i]]
+                        if i >= 2 else _Q301_HUGE
+                    )
+                    nb = min(cand1, cand2)
+                    np_ = (paths if cand1 == nb else 0) + (
+                        paths_prev if cand2 == nb else 0
+                    )
+                    best_prev, paths_prev = best, paths
+                    best, paths = nb, np_
+                recs.append((w, len(w), best, paths))
+            yield pd.DataFrame(
+                recs, columns=["word", "len", "min_cost", "n_best_paths"]
+            ).astype({"word": "str", "len": "int64",
+                      "min_cost": "int64", "n_best_paths": "int64"})
+
+    return fn
+
+
+def _q301_oracle() -> str:
+    cost = f"{_Q301_PENALTY} + {_Q301_FREQ_NUM} // (f + 1)"
+    return f"""
+    WITH RECURSIVE winst AS (
+        SELECT unnest({_SQL_ALPHA_TOKENS}) AS w FROM documents
+    ),
+    words AS (SELECT DISTINCT w FROM winst WHERE length(w) >= 1),
+    chars AS (
+        SELECT substr(w, i, 1) AS piece, COUNT(*) AS f
+        FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+              FROM winst)
+        GROUP BY piece
+    ),
+    bigs AS (
+        SELECT substr(w, i, 2) AS piece, COUNT(*) AS f
+        FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM winst WHERE length(w) >= 2)
+        GROUP BY piece
+    ),
+    cost1 AS (SELECT piece, CAST({cost} AS BIGINT) AS c FROM chars),
+    cost2 AS (SELECT piece, CAST({cost} AS BIGINT) AS c FROM bigs),
+    poscost AS (
+        SELECT wp.w, wp.pos, c1.c AS cc1,
+               COALESCE(c2.c, {_Q301_HUGE}) AS cc2
+        FROM (SELECT w, unnest(generate_series(1, length(w))) AS pos
+              FROM words) wp
+        LEFT JOIN cost1 c1 ON c1.piece = substr(wp.w, wp.pos, 1)
+        LEFT JOIN cost2 c2 ON wp.pos >= 2
+                          AND c2.piece = substr(wp.w, wp.pos - 1, 2)
+    ),
+    dp AS (
+        SELECT w, 0 AS pos,
+               CAST(0 AS BIGINT) AS best,
+               CAST({_Q301_HUGE} AS BIGINT) AS bprev,
+               CAST(1 AS BIGINT) AS paths,
+               CAST(0 AS BIGINT) AS pprev
+        FROM words
+        UNION ALL
+        SELECT w, pos,
+               CASE WHEN cand1 <= cand2 THEN cand1 ELSE cand2 END,
+               prev_best,
+               CASE WHEN cand1 <= cand2 THEN cur_paths ELSE 0 END
+               + CASE WHEN cand2 <= cand1 THEN prev_paths ELSE 0 END,
+               cur_paths
+        FROM (
+            SELECT d.w, d.pos + 1 AS pos,
+                   d.best + p.cc1 AS cand1,
+                   CASE WHEN d.pos >= 1 THEN d.bprev + p.cc2
+                        ELSE {_Q301_HUGE} END AS cand2,
+                   d.best AS prev_best,
+                   d.paths AS cur_paths,
+                   d.pprev AS prev_paths
+            FROM dp d JOIN poscost p ON p.w = d.w AND p.pos = d.pos + 1
+        ) s(w, pos, cand1, cand2, prev_best, cur_paths, prev_paths)
+    )
+    SELECT w AS word, CAST(length(w) AS BIGINT) AS len,
+           best AS min_cost, paths AS n_best_paths
+    FROM dp WHERE pos = length(w)
+    """
+
+
+def _register_q301() -> None:
+    @_register("q301_unigram_viterbi", oracle=_q301_oracle())
+    def q301_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Minimum-cost unigram segmentation of every distinct corpus
+        word (char+bigram inventory, integer costs): (word, len,
+        min_cost, number of optimal segmentations). See block comment."""
+        d = load_table(spark, "documents", sf_dir)
+        winst = d.select(
+            F.explode(alpha_tokens(F.col("text"))).alias("w")
+        )
+        chars = (
+            winst.select(
+                F.explode(
+                    F.expr("transform(sequence(1, length(w)),"
+                           " i -> substring(w, i, 1))")
+                ).alias("piece")
+            )
+            .groupBy("piece")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .collect()
+        )
+        bigs = (
+            winst.filter(F.length("w") >= 2)
+            .select(
+                F.explode(
+                    F.expr("transform(sequence(1, length(w) - 1),"
+                           " i -> substring(w, i, 2))")
+                ).alias("piece")
+            )
+            .groupBy("piece")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .collect()
+        )
+        # ≤ 26 + 26² cost entries — bounded driver scalars (k-centroid
+        # class), folded into the DP kernel's closure
+        c1 = {
+            r["piece"]: _Q301_PENALTY + _Q301_FREQ_NUM // (r["f"] + 1)
+            for r in chars
+        }
+        c2 = {
+            r["piece"]: _Q301_PENALTY + _Q301_FREQ_NUM // (r["f"] + 1)
+            for r in bigs
+        }
+        words = winst.distinct().withColumnRenamed("w", "word")
+        return words.mapInPandas(
+            _q301_dp_kernel(c1, c2),
+            schema="word string, len long, min_cost long,"
+                   " n_best_paths long",
+        )
+
+
+_register_q301()
