@@ -1163,3 +1163,200 @@ def q272_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * total_pos) AS BIGINT)"
         ).alias("lift_permil"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q302 — IVFADC: the COMPOSED FAISS search path (Jégou et al. 2011 §V —
+# coarse inverted lists + PQ asymmetric distances), joining the two
+# halves this engine already proves separately: q123's integer coarse
+# quantizer (per-label centroid cells, nprobe nearest by exact int64
+# distance) prunes the corpus to the probed cells, and q297's ADC lookup
+# tables rank ONLY the survivors. The audit attaches each hit's exact
+# distance and its membership in the GLOBAL exact top-10, so recall@10
+# of the full pipeline — cell pruning AND code quantization — reads off
+# the frame (the audit column is the part dropped at 100 TB).
+#
+# Scale shape: coarse centroids are |labels|×d integer aggregates (one
+# k·d-partial shuffle, never vectors); the probe's cell choice is a
+# driver argmin over |labels| rows; candidates are an equi-filter on
+# label (~nprobe/|labels| of the corpus reaches the ADC kernel);
+# codebooks + the M×K tables are driver literals; both top-10s are
+# limit-bounded TakeOrderedAndProject ranks.
+# ---------------------------------------------------------------------------
+
+_Q302_NPROBE = 2
+
+
+def _q302_oracle() -> str:
+    ctes = _pq_ctes()
+    ctes.append("labels AS (SELECT vec_id, label FROM embeddings)")
+    ctes.append(
+        "probe AS (SELECT pos, q FROM flat WHERE vec_id ="
+        " (SELECT MIN(vec_id) FROM embeddings))"
+    )
+    ctes.append(
+        "coarse AS (SELECT l.label, f.pos,"
+        " CAST(FLOOR(CAST(SUM(f.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq"
+        " FROM flat f JOIN labels l ON f.vec_id = l.vec_id"
+        " GROUP BY l.label, f.pos)"
+    )
+    ctes.append(
+        f"probed AS (SELECT label FROM ("
+        f"SELECT c.label, ROW_NUMBER() OVER ("
+        f"ORDER BY SUM((p.q - c.cq) * (p.q - c.cq)), c.label) AS rn"
+        f" FROM coarse c JOIN probe p ON c.pos = p.pos GROUP BY c.label"
+        f") WHERE rn <= {_Q302_NPROBE})"
+    )
+    adc_legs = []
+    for m in range(_PQ_M):
+        ctes.append(
+            f"t302_{m} AS (SELECT c.code,"
+            f" CAST(SUM((p.q - c.cq) * (p.q - c.cq)) AS BIGINT) AS pdist"
+            f" FROM c1_{m} c JOIN probe p ON c.pos = p.pos GROUP BY c.code)"
+        )
+        adc_legs.append(
+            f"SELECT a.vec_id, t.pdist FROM a2_{m} a"
+            f" JOIN t302_{m} t ON a.code = t.code"
+        )
+    ctes.append(
+        "adc AS (SELECT u.vec_id,"
+        " CAST(SUM(u.pdist) AS BIGINT) AS adc_dist_q"
+        " FROM (" + " UNION ALL ".join(adc_legs) + ") u"
+        " JOIN labels lb ON u.vec_id = lb.vec_id"
+        " WHERE lb.label IN (SELECT label FROM probed)"
+        " GROUP BY u.vec_id)"
+    )
+    ctes.append(
+        "exact AS (SELECT f.vec_id,"
+        " CAST(SUM((f.q - p.q) * (f.q - p.q)) AS BIGINT) AS exact_dist_q"
+        " FROM flat f JOIN probe p ON f.pos = p.pos GROUP BY f.vec_id)"
+    )
+    ctes.append(
+        f"exact_top AS (SELECT vec_id FROM (SELECT vec_id,"
+        f" ROW_NUMBER() OVER (ORDER BY exact_dist_q, vec_id) AS rn"
+        f" FROM exact) WHERE rn <= {_PQ_TOPK})"
+    )
+    ctes.append(
+        "ranked AS (SELECT a.vec_id, a.adc_dist_q, lb.label,"
+        " ROW_NUMBER() OVER (ORDER BY a.adc_dist_q, a.vec_id) AS rank"
+        " FROM adc a JOIN labels lb ON a.vec_id = lb.vec_id)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(r.rank AS BIGINT) AS rank, r.vec_id,
+           CAST(r.label AS BIGINT) AS label, r.adc_dist_q,
+           e.exact_dist_q,
+           r.vec_id IN (SELECT vec_id FROM exact_top) AS in_exact_topk
+    FROM ranked r JOIN exact e ON r.vec_id = e.vec_id
+    WHERE r.rank <= {_PQ_TOPK}
+    """
+    )
+
+
+@_register("q302_ivf_adc_search", oracle=_q302_oracle())
+def q302_ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-10 for the corpus's first vector: nprobe=2 coarse label
+    cells, PQ-ADC ranking inside the probed cells only, exact-distance +
+    global-true-top-10 audit columns. See block comment."""
+    import math
+
+    import numpy as np
+
+    from etl_globalretail_spark.operators.ranks import global_topk
+
+    cents = pq_fit(spark, sf_dir)
+    e = load_table(spark, "embeddings", sf_dir)
+    base = e.select(
+        "vec_id", "label", _qvec(F.col("embedding")).alias("qv")
+    )
+    probe = np.array(
+        list(base.orderBy("vec_id").limit(1).collect()[0]["qv"]),
+        dtype=np.int64,
+    )
+    # coarse integer centroids per label — |labels|×d aggregate, then a
+    # driver argmin for the probe's nprobe cells (kilobytes)
+    coarse = (
+        base.select("label", F.posexplode("qv").alias("pos", "q"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("q").cast("double") / F.count(F.lit(1)))
+            .cast("long").alias("cq")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cq"))).alias("p"))
+        .select("label", F.transform("p", lambda s: s.cq).alias("cvec"))
+        .collect()
+    )
+    ranked_cells = sorted(
+        (
+            int(sum((int(a) - int(b)) ** 2 for a, b in zip(probe, r["cvec"]))),
+            r["label"],
+        )
+        for r in coarse
+    )
+    probed = [lbl for _d, lbl in ranked_cells[:_Q302_NPROBE]]
+
+    tables = {
+        m: (np.array(
+                [
+                    int(((probe[m * _PQ_DS:(m + 1) * _PQ_DS]
+                          - np.array(cents[m][c], dtype=np.int64)) ** 2).sum())
+                    for c in sorted(cents[m])
+                ],
+                dtype=np.int64,
+            ),
+            np.array([cents[m][c] for c in sorted(cents[m])], dtype=np.int64))
+        for m in cents
+    }
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["qv"]), dtype=np.int64)
+            adc = np.zeros(len(X), dtype=np.int64)
+            for m, (tbl, cmat) in tables.items():
+                blk = X[:, m * _PQ_DS:(m + 1) * _PQ_DS]
+                diff = blk[:, None, :] - cmat[None, :, :]
+                codes = np.argmin((diff * diff).sum(-1), axis=1)
+                adc += tbl[codes]
+            exact = ((X - probe[None, :]) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "label": pdf["label"].astype("int64"),
+                    "adc_dist_q": adc,
+                    "exact_dist_q": exact.astype("int64"),
+                }
+            )
+
+    scored = base.mapInPandas(
+        kern,
+        "vec_id long, label long, adc_dist_q long, exact_dist_q long",
+    ).persist()  # feeds the candidate ADC rank AND the global exact rank
+    ranked = global_topk(
+        scored.filter(F.col("label").isin([int(x) for x in probed])),
+        [("adc_dist_q", "asc"), ("vec_id", "asc")],
+        _PQ_TOPK,
+        out="rank",
+    )
+    exact_top = global_topk(
+        scored.select("vec_id", "exact_dist_q"),
+        [("exact_dist_q", "asc"), ("vec_id", "asc")],
+        _PQ_TOPK,
+        out="__xr",
+    ).select("vec_id", F.lit(True).alias("__hit"))
+    return (
+        ranked.join(F.broadcast(exact_top), "vec_id", "left")
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            "adc_dist_q",
+            "exact_dist_q",
+            F.coalesce("__hit", F.lit(False)).alias("in_exact_topk"),
+        )
+    )

@@ -176,3 +176,62 @@ def test_q297_probe_is_its_own_exact_nearest(spark, sf_dir):
         assert r["in_exact_topk"]
     ranks = sorted(r["rank"] for r in rows)
     assert ranks == list(range(1, 11))
+
+
+def test_q302_ivfadc_matches_numpy_recompute(spark, sf_dir):
+    from etl_globalretail_spark.operators.clustering import (
+        _PQ_TOPK,
+        _Q302_NPROBE,
+        q302_ivf_adc_search,
+    )
+
+    ids, X, fitted = _numpy_fit(sf_dir)
+    labels = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).to_pydict()
+    lab = dict(zip(labels["vec_id"], labels["label"]))
+    probe_i = min(range(len(ids)), key=lambda i: ids[i])
+    probe = X[probe_i]
+    # coarse integer centroids per label (floor means) + nprobe cells
+    bylab = {}
+    for i, vid in enumerate(ids):
+        bylab.setdefault(lab[vid], []).append(i)
+    cellrank = sorted(
+        (
+            int(((probe - np.floor(
+                X[rows].sum(axis=0) / len(rows)
+            ).astype(np.int64)) ** 2).sum()),
+            lb,
+        )
+        for lb, rows in bylab.items()
+    )
+    probed = {lb for _d, lb in cellrank[:_Q302_NPROBE]}
+    adc = np.zeros(len(ids), dtype=np.int64)
+    for m, (cents, codes) in fitted.items():
+        pm = probe[m * _PQ_DS:(m + 1) * _PQ_DS]
+        tbl = {c: int(((pm - cents[c]) ** 2).sum()) for c in cents}
+        for i in range(len(ids)):
+            adc[i] += tbl[codes[i]]
+    exact = ((X - probe[None, :]) ** 2).sum(axis=1)
+    cand = [i for i in range(len(ids)) if lab[ids[i]] in probed]
+    order = sorted(cand, key=lambda i: (adc[i], ids[i]))[:_PQ_TOPK]
+    exact_top = {
+        ids[i]
+        for i in sorted(range(len(ids)), key=lambda i: (exact[i], ids[i]))[
+            :_PQ_TOPK
+        ]
+    }
+    want = {
+        ids[i]: (r + 1, lab[ids[i]], int(adc[i]), int(exact[i]),
+                 ids[i] in exact_top)
+        for r, i in enumerate(order)
+    }
+    got = {
+        r["vec_id"]: (
+            r["rank"], r["label"], r["adc_dist_q"], r["exact_dist_q"],
+            r["in_exact_topk"],
+        )
+        for r in q302_ivf_adc_search(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert {v[1] for v in got.values()} <= probed  # hits live in probed cells
