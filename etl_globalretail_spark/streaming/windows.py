@@ -1839,3 +1839,147 @@ def q288_stream_static_enrich_exact(
             .cast("double").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q303 — stream-stream FULL OUTER join on the hash gate: completes the
+# state-store join matrix (q231 inner, q287 left outer) with the side
+# q287 didn't pin — WHEN the engine emits the null-extended row for a
+# CLICK no purchase ever matched. Same two-wave replay (held-back late
+# clicks accepted under the one-batch-lag rule, then state cleanup).
+# Empirics, pinned by probing both fixtures: the left (purchase) null
+# boundary is p_ts < W (q287); the right (click) null boundary is
+# c_ts < W − horizon — the click side's state-value watermark derived
+# from the join condition c_ts ≥ p_ts − horizon (a click can still
+# match future purchases until the purchase watermark passes
+# c_ts + horizon). At sf0.01 the `c_ts < W` form over-counts by one and
+# `c_ts < W − horizon` matches the engine exactly (1971/1971; strict-
+# vs-closed at exactly W − horizon is not exercised by the fixtures —
+# StreamingJoinHelper's ±1 ms adjustments live there).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q303_streaming_full_outer_join_exact",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id AS cu, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    mx AS (
+        SELECT LEAST((SELECT MAX(epoch_us(p_ts)) // 1000 FROM p),
+                     (SELECT MAX(epoch_us(c_ts)) // 1000 FROM c))
+               - 600000 AS wm
+    ),
+    pairs AS (
+        SELECT p.purchase_id, p.p_ts, p.value, c.click_id, c.c_ts
+        FROM p JOIN c
+          ON p.user_id = c.cu
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    ),
+    lnull AS (
+        SELECT p.purchase_id, p.p_ts, p.value,
+               CAST(NULL AS BIGINT) AS click_id,
+               CAST(NULL AS TIMESTAMP) AS c_ts
+        FROM p, mx
+        WHERE epoch_us(p.p_ts) // 1000 < mx.wm
+          AND p.purchase_id NOT IN (SELECT purchase_id FROM pairs)
+    ),
+    rnull AS (
+        SELECT CAST(NULL AS BIGINT) AS purchase_id,
+               CAST(NULL AS TIMESTAMP) AS p_ts,
+               CAST(NULL AS DOUBLE) AS value,
+               c.click_id, c.c_ts
+        FROM c, mx
+        WHERE epoch_us(c.c_ts) // 1000 < mx.wm - 3600000
+          AND c.click_id NOT IN (SELECT click_id FROM pairs)
+    ),
+    em AS (
+        SELECT * FROM pairs
+        UNION ALL SELECT * FROM lnull
+        UNION ALL SELECT * FROM rnull
+    )
+    SELECT date_trunc('hour', COALESCE(p_ts, c_ts)) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN purchase_id IS NOT NULL
+                          AND click_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_left_null,
+           CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_right_null,
+           CAST(COALESCE(SUM(click_id), 0) AS BIGINT) AS click_checksum,
+           CAST(COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT)), 0)
+               AS BIGINT) AS value_cents
+    FROM em GROUP BY 1
+    """,
+)
+def q303_streaming_full_outer_join_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly census of the FULL OUTER purchase⨝click stream-stream join
+    run through a real two-wave replay — matched pairs, purchase-side
+    null extensions, and click-side null extensions each counted, with
+    null-free checksums. See block comment for the pinned boundaries."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, "events", sf_dir)
+    late = (F.col("event_type") == "click") & (F.col("event_id") % 8 == 0)
+    work = tempfile.mkdtemp(prefix="q303_full_")
+    sdir = os.path.join(work, "stream")
+    os.makedirs(sdir)
+    tmp = os.path.join(work, "staged")
+    e.withColumn(
+        "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
+    ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
+    for i in range(2):
+        part = glob.glob(
+            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
+        )[0]
+        dst = os.path.join(sdir, f"wave_{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    pairs = purchases_with_recent_click(stream, how="fullOuter")
+    _Q128_SEQ[0] += 1
+    sink = f"q303_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(pairs, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    shutil.rmtree(work, ignore_errors=True)  # rows live in the memory sink
+    return (
+        spark.table(sink)
+        .groupBy(
+            F.date_trunc(
+                "hour", F.coalesce("p_ts", "c_ts")
+            ).alias("window_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("purchase_id").isNotNull()
+                 & F.col("click_id").isNotNull()).cast("long")
+            ).cast("long").alias("n_matched"),
+            F.sum(F.col("click_id").isNull().cast("long"))
+            .cast("long").alias("n_left_null"),
+            F.sum(F.col("purchase_id").isNull().cast("long"))
+            .cast("long").alias("n_right_null"),
+            F.coalesce(F.sum("click_id"), F.lit(0)).cast("long")
+            .alias("click_checksum"),
+            F.coalesce(
+                F.sum(F.floor(F.col("purchase_value") * 100).cast("long")),
+                F.lit(0),
+            ).cast("long").alias("value_cents"),
+        )
+    )
