@@ -712,3 +712,88 @@ def q274_survivorship_consensus(
         F.coalesce(F.sum("gold"), F.lit(0)).cast("long")
         .alias("gold_cents_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q304 — point-in-time (PIT) feature join: the feature-store correctness
+# primitive every leakage-safe ML training join needs — each fact row
+# must see the dimension VERSION that was valid AT ITS OWN timestamp,
+# never the current one (the classic label-leakage bug: training on
+# attributes that only became true after the event). Facts = orders
+# (1995–2001, genuinely straddling the q70 SCD2 boundary 1997-06-15);
+# dim = q70's version table. The census splits every (segment, version
+# currency) cell, so the rows with is_current = false ARE the leakage
+# the naive current-version join would have mislabeled — the risk
+# quantification reads directly off the frame.
+#
+# Plan shape: the version table is dim-sized → broadcast; the join is a
+# plain equi-join on the key with the validity interval as a post-join
+# filter (never a nested-loop range join); at 100 TB the fact side
+# streams through map-side against the broadcast versions. Oracle: q70's
+# relational version derivation spliced in as a CTE (oracles compose —
+# the q191/q200 stance), then the identical interval join.
+# ---------------------------------------------------------------------------
+
+
+def _q304_oracle() -> str:
+    versions = ORACLE["q70_scd2_merge"]
+    return f"""
+    WITH versions AS ({versions}),
+    pit AS (
+        SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate,
+               v.c_mktsegment, v.valid_to
+        FROM orders o
+        JOIN versions v
+          ON o.o_custkey = v.c_custkey
+         AND CAST(o.o_orderdate AS DATE) >= v.valid_from
+         AND CAST(o.o_orderdate AS DATE)
+             < COALESCE(v.valid_to, DATE '9999-12-31')
+    )
+    SELECT c_mktsegment AS segment,
+           valid_to IS NULL AS is_current_version,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(MIN(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+               AS first_day,
+           CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+               AS last_day
+    FROM pit GROUP BY 1, 2
+    """
+
+
+@_register("q304_pit_feature_join", oracle=_q304_oracle())
+def q304_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to the SCD2 customer version valid AT ORDER DATE,
+    censused per (segment, version currency): the is_current=false cells
+    are exactly the rows a naive current-version join would mislabel.
+    See block comment for the leakage-safety and plan contracts."""
+    o = load_table(spark, "orders", sf_dir)
+    v = q70_scd2_merge(spark, sf_dir).select(
+        "c_custkey", "c_mktsegment", "valid_from", "valid_to"
+    )
+    pit = o.join(
+        F.broadcast(v),
+        (o.o_custkey == v.c_custkey)
+        & (F.to_date("o_orderdate") >= F.col("valid_from"))
+        & (
+            F.to_date("o_orderdate")
+            < F.coalesce(F.col("valid_to"), F.to_date(F.lit("9999-12-31")))
+        ),
+    )
+    return pit.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("valid_to").isNull().alias("is_current_version"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("revenue_cents"),
+        F.expr(
+            "CAST(MIN(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000) AS LONG)"
+        ).alias("first_day"),
+        F.expr(
+            "CAST(MAX(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000) AS LONG)"
+        ).alias("last_day"),
+    )

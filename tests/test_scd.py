@@ -135,3 +135,39 @@ def test_incremental_join_refresh_equals_recompute(spark, sf_dir):
     full = o.join(l, ["o_orderkey"]).select(*out_cols)
     sig = lambda df: sorted(map(tuple, df.collect()))
     assert sig(refreshed) == sig(full)
+
+
+def test_q304_pit_join_is_exactly_one_version_per_order(spark, sf_dir):
+    """PIT correctness laws: the validity intervals tile, so every order
+    matches exactly ONE version (totals reconcile with the raw orders
+    count and revenue), and the is_current=false rows are precisely the
+    pre-boundary orders of CHANGED keys — the leakage a naive
+    current-version join would mislabel."""
+    from pyspark.sql import functions as F
+
+    from etl_globalretail_spark.plans.scd import _EFFECTIVE, QUERIES
+    from etl_globalretail_spark.sources.readers import load_table
+
+    rows = QUERIES["q304_pit_feature_join"](spark, sf_dir).collect()
+    o = load_table(spark, "orders", sf_dir)
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    want_cents = o.agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+    ).collect()[0][0]
+    assert sum(r["revenue_cents"] for r in rows) == want_cents
+    stale = [r for r in rows if not r["is_current_version"]]
+    assert stale, "fixture must exercise closed versions"
+    # closed versions exist only for keys the SCD batch CHANGED
+    # (c_custkey % 3 == 0, +100 balance), and only before the boundary
+    changed_pre = o.filter(
+        (F.col("o_custkey") % 3 == 0)
+        & (F.to_date("o_orderdate") < F.lit(_EFFECTIVE))
+    ).count()
+    assert sum(r["n_orders"] for r in stale) == changed_pre
+    import datetime
+
+    eff_day = (
+        datetime.date.fromisoformat(_EFFECTIVE) - datetime.date(1970, 1, 1)
+    ).days
+    for r in stale:
+        assert r["last_day"] < eff_day  # closed versions end at the boundary
