@@ -751,3 +751,133 @@ def _register_q276() -> None:
 
 
 _register_q276()
+
+
+# ---------------------------------------------------------------------------
+# q305 — deterministic negative sampling for recommender / contrastive
+# training: for every user with interactions, propose candidate items by
+# salted hash, REJECT the ones the user actually interacted with (the
+# correctness step naive random sampling skips — "negatives" that are
+# secretly positives poison the loss), and keep the first K survivors
+# under the proposal order. The md5 proposal stream makes the whole
+# operator a pure function of (user, j): map-side generation, one
+# anti-join against the positives, a per-user (PARTITIONED) rank — no
+# RNG, no driver state, replayed bit-for-bit by DuckDB.
+#
+# Duplicate proposals (mod collisions) dedupe to their FIRST proposal
+# index before ranking, so the survivor order is well-defined in both
+# engines. Up-to-K semantics: a user whose proposals all collide with
+# positives yields fewer rows — deterministic, stated.
+#
+# Scale shape: proposals explode map-side (|users|·(K+pad) rows — K+pad
+# is a constant); positives are one distinct aggregate of the fact; the
+# anti-join shuffles on (user, item) exactly once; the final rank is
+# partitioned by user. The item-domain size is a 1-value driver scalar
+# (documented, k-centroid class).
+# ---------------------------------------------------------------------------
+
+_Q305_K = 5
+_Q305_PROPOSALS = 15  # K + overdraw to absorb positive collisions
+
+
+def _register_q305() -> None:
+    @_register(
+        "q305_negative_sampling",
+        oracle=f"""
+        WITH pos AS (
+            SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        dom AS (SELECT MAX(p_partkey) AS n_items FROM part),
+        props AS (
+            SELECT u.user_id, t.j,
+                   CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                        || ':' || CAST(t.j AS VARCHAR) || 'neg'), 1, 15)
+                        AS BIGINT) % d.n_items + 1 AS item
+            FROM (SELECT DISTINCT user_id FROM pos) u
+            CROSS JOIN dom d
+            CROSS JOIN generate_series(1, {_Q305_PROPOSALS}) AS t(j)
+        ),
+        dedup AS (
+            SELECT user_id, item, MIN(j) AS first_j
+            FROM props GROUP BY user_id, item
+        ),
+        neg AS (
+            SELECT d.user_id, d.item, d.first_j,
+                   ROW_NUMBER() OVER (PARTITION BY d.user_id
+                                      ORDER BY d.first_j) AS rnk
+            FROM dedup d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pos p
+                WHERE p.user_id = d.user_id AND p.item = d.item
+            )
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(item AS BIGINT) AS neg_item,
+               CAST(rnk AS BIGINT) AS neg_rank,
+               CAST(first_j AS BIGINT) AS proposal_idx
+        FROM neg WHERE rnk <= {_Q305_K}
+        """,
+    )
+    def q305_negative_sampling(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Up to K={_Q305_K} hash-proposed, positives-rejected negative
+        items per interacting user; see block comment."""
+        from pyspark.sql.window import Window
+
+        o = load_table(spark, "orders", sf_dir)
+        li = load_table(spark, "lineitem", sf_dir)
+        p = load_table(spark, "part", sf_dir)
+        pos = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("user_id"),
+                F.col("l_partkey").alias("item"),
+            )
+            .distinct()
+            .persist()  # feeds the user list AND the anti-join
+        )
+        n_items = p.agg(F.max("p_partkey")).collect()[0][0]  # driver scalar
+        users = pos.select("user_id").distinct()
+        j = F.explode(
+            F.sequence(F.lit(1), F.lit(_Q305_PROPOSALS))
+        ).alias("j")
+        props = users.select("user_id", j).select(
+            "user_id",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("user_id").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                                F.lit("neg"),
+                            )
+                        ),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("bigint") % F.lit(int(n_items)) + 1
+            ).alias("item"),
+        )
+        dedup = props.groupBy("user_id", "item").agg(
+            F.min("j").alias("first_j")
+        )
+        neg = dedup.join(pos, ["user_id", "item"], "left_anti")
+        w = Window.partitionBy("user_id").orderBy("first_j")
+        return (
+            neg.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _Q305_K)
+            .select(
+                F.col("user_id").cast("long").alias("user_id"),
+                F.col("item").cast("long").alias("neg_item"),
+                F.col("rnk").cast("long").alias("neg_rank"),
+                F.col("first_j").cast("long").alias("proposal_idx"),
+            )
+        )
+
+
+_register_q305()
