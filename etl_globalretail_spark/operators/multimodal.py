@@ -1114,3 +1114,135 @@ def q300_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id long, frame_idx long, n_frames long,"
                " y_sum long, y_min long, y_max long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q306 — REAL image resize (area-average downsample) over decoded
+# pixels: upgrades the §2 'resize' row from a stubbed contract (q41's
+# fake-media plumbing) to a genuine pixel operator now that the
+# container codecs are real. Pipeline, all REAL steps: synthesize →
+# encode BMP/PPM → decode → 2× area-average downsample in integer space
+# (each output channel = floor-mean of its 2×2 input block — the
+# box-filter resize every thumbnail pipeline uses) → RE-ENCODE the
+# resized image (exercising the writer on the NEW odd dimensions: 15-px
+# BMP rows need 3 pad bytes) → decode AGAIN → exact integer digests over
+# the second decode. A bug in any of the five stages (either codec
+# direction at either size, or the block arithmetic) breaks the hash.
+#
+# Digest design: raw bytes can't be rebuilt portably in SQL (chr() >127
+# is unicode in DuckDB), so the audit uses exact integer folds over the
+# final decoded values: Σv and the position-weighted Σ v·(p+1) — both
+# order-free int64 sums the oracle computes from the closed-form pixel
+# pattern. (Input 30×34 → output 15×17; |v| ≤ 255, p < 765 ⇒ per-image
+# weighted sum ≤ 7.5e7, corpus total ≪ 2⁶³.)
+# ---------------------------------------------------------------------------
+
+_Q306_W2, _Q306_H2 = _Q279_W // 2, _Q279_H // 2
+
+
+def _q306_resize_kernel(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    import numpy as np
+    import pandas as pd
+
+    enc = {"image/bmp": encode_bmp, "image/x-portable-pixmap": encode_ppm}
+    w2, h2 = _Q306_W2, _Q306_H2
+    for pdf in batches:
+        recs = []
+        for mid, lang, mime, pix in zip(
+            pdf["media_id"], pdf["lang"], pdf["mime"], pdf["pix"]
+        ):
+            payload = enc[mime](_Q279_W, _Q279_H, bytes(pix))
+            w, h, rgb = decode_image(payload)
+            a = np.frombuffer(rgb, np.uint8).astype(np.int64).reshape(
+                h, w, 3
+            )
+            blocks = a[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2, 3)
+            resized = (blocks.sum(axis=(1, 3)) // 4).astype(np.uint8)
+            # re-encode at the NEW dims, decode again — digest the
+            # second decode so the writer path is on the hash too
+            payload2 = enc[mime](w2, h2, resized.tobytes())
+            rw, rh, rgb2 = decode_image(payload2)
+            v = np.frombuffer(rgb2, np.uint8).astype(np.int64)
+            recs.append(
+                (lang, mime, rw, rh, int(v.sum()),
+                 int((v * (np.arange(len(v)) + 1)).sum()))
+            )
+        yield pd.DataFrame(
+            recs,
+            columns=["lang", "mime", "rw", "rh", "vsum", "wsum"],
+        )
+
+
+@_register(
+    "q306_image_resize",
+    oracle=f"""
+    WITH f AS (
+        SELECT lang,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                    ELSE 'image/x-portable-pixmap' END AS mime,
+               substr(repeat(md5(text), {_Q279_REPS}), 1, {_Q279_NPIX})
+                   AS pat
+        FROM documents
+    ),
+    px AS (
+        SELECT lang, mime, t.p,
+               (ascii(substr(pat, 3 * (((t.p // 3) // {_Q306_W2} * 2)
+                                       * {_Q279_W}
+                                       + ((t.p // 3) % {_Q306_W2}) * 2)
+                                 + t.p % 3 + 1, 1))
+              + ascii(substr(pat, 3 * (((t.p // 3) // {_Q306_W2} * 2)
+                                       * {_Q279_W}
+                                       + ((t.p // 3) % {_Q306_W2}) * 2 + 1)
+                                 + t.p % 3 + 1, 1))
+              + ascii(substr(pat, 3 * ((((t.p // 3) // {_Q306_W2}) * 2 + 1)
+                                       * {_Q279_W}
+                                       + ((t.p // 3) % {_Q306_W2}) * 2)
+                                 + t.p % 3 + 1, 1))
+              + ascii(substr(pat, 3 * ((((t.p // 3) // {_Q306_W2}) * 2 + 1)
+                                       * {_Q279_W}
+                                       + ((t.p // 3) % {_Q306_W2}) * 2 + 1)
+                                 + t.p % 3 + 1, 1))) // 4 AS v
+        FROM f, generate_series(0, {_Q306_W2 * _Q306_H2 * 3 - 1}) AS t(p)
+    )
+    SELECT lang, mime,
+           CAST(COUNT(*) / {_Q306_W2 * _Q306_H2 * 3} AS BIGINT)
+               AS n_images,
+           CAST({_Q306_W2} AS BIGINT) AS width,
+           CAST({_Q306_H2} AS BIGINT) AS height,
+           CAST(SUM(v) AS BIGINT) AS value_sum,
+           CAST(SUM(v * (p + 1)) AS BIGINT) AS weighted_sum
+    FROM px GROUP BY lang, mime
+    """,
+)
+def q306_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, mime) exact digests of the 2× box-filter resize, with
+    BOTH codec directions at BOTH sizes on the hash (decode → integer
+    block means → re-encode at the odd output dims → decode again →
+    digest). See block comment."""
+    d = load_table(spark, "documents", sf_dir)
+    pattern = F.substring(
+        F.repeat(F.md5(F.encode("text", "UTF-8")), _Q279_REPS),
+        1, _Q279_NPIX,
+    )
+    src = d.select(
+        F.col("doc_id").alias("media_id"),
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/bmp"))
+        .otherwise(F.lit("image/x-portable-pixmap"))
+        .alias("mime"),
+        F.encode(pattern, "UTF-8").alias("pix"),
+    )
+    per = src.mapInPandas(
+        _q306_resize_kernel,
+        schema="lang string, mime string, rw int, rh int,"
+               " vsum long, wsum long",
+    )
+    return per.groupBy("lang", "mime").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.max("rw").cast("long").alias("width"),
+        F.max("rh").cast("long").alias("height"),
+        F.sum("vsum").cast("long").alias("value_sum"),
+        F.sum("wsum").cast("long").alias("weighted_sum"),
+    )

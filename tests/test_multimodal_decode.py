@@ -325,3 +325,55 @@ def test_q300_sampler_keeps_exactly_even_frames(spark, sf_dir):
         for r in rs:
             assert 0 <= r["y_min"] <= r["y_max"] <= 255
             assert r["y_min"] * 48 <= r["y_sum"] <= r["y_max"] * 48
+
+
+# ---------------------------------------------------------------------------
+# q306 resize laws
+# ---------------------------------------------------------------------------
+
+
+def test_q306_resize_matches_numpy_on_pattern(spark, sf_dir):
+    """The census must equal a direct numpy box-filter recompute from the
+    closed-form pattern — independently of both codec round-trips."""
+    import hashlib
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_globalretail_spark.operators.multimodal import (
+        _Q279_H,
+        _Q279_NPIX,
+        _Q279_REPS,
+        _Q279_W,
+        _Q306_H2,
+        _Q306_W2,
+        QUERIES,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pydict()
+    want = defaultdict(lambda: [0, 0, 0])  # n, vsum, wsum
+    for doc_id, text, lang in zip(t["doc_id"], t["text"], t["lang"]):
+        pat = (hashlib.md5(text.encode()).hexdigest() * _Q279_REPS)[
+            :_Q279_NPIX
+        ].encode()
+        a = np.frombuffer(pat, np.uint8).astype(np.int64).reshape(
+            _Q279_H, _Q279_W, 3
+        )
+        blocks = a[: _Q306_H2 * 2, : _Q306_W2 * 2].reshape(
+            _Q306_H2, 2, _Q306_W2, 2, 3
+        )
+        v = (blocks.sum(axis=(1, 3)) // 4).ravel()
+        mime = "image/bmp" if doc_id % 2 == 0 else "image/x-portable-pixmap"
+        e = want[(lang, mime)]
+        e[0] += 1
+        e[1] += int(v.sum())
+        e[2] += int((v * (np.arange(len(v)) + 1)).sum())
+    got = {
+        (r["lang"], r["mime"]): [r["n_images"], r["value_sum"],
+                                 r["weighted_sum"]]
+        for r in QUERIES["q306_image_resize"](spark, sf_dir).collect()
+    }
+    assert got == dict(want)
