@@ -73,18 +73,32 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # Release cached blocks whose lifetime is tied to the returned
+        # plan (skew profiles, PQ scored frames, dHash tables, …): the
+        # noop sink was their terminal action, so dropping them here
+        # keeps 306 queries' caches from accumulating across the session
+        # (ADVICE r6).
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
     # n_queries/mean: the headline set GROWS round over round as operator
     # coverage widens — compare totals only at equal coverage; the
     # per-query mean is the stable cross-round throughput signal.
+    # Slowest-10 table FIRST in the JSON object (VERDICT r6 item 6): the
+    # driver's log tail truncation was hiding whichever heavy query the
+    # rotation pushed past the cut; leading with the heavy tail keeps the
+    # round-over-round comparison of the expensive queries intact.
+    slowest10 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
+                "slowest10": slowest10,
                 "queries": timings,
                 "n_queries": len(timings),
                 "mean_sec_per_query": round(total / len(timings), 3),

@@ -860,7 +860,9 @@ def q297_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = base.mapInPandas(
         kern, "vec_id long, adc_dist_q long, exact_dist_q long"
-    ).persist()  # consumed by BOTH the ADC and the exact rankings
+    # Consumed by BOTH the ADC and the exact rankings; tied to the
+    # returned plan, released by harness clearCache() (ADVICE r6).
+    ).persist()
     ranked = global_topk(
         scored,
         [("adc_dist_q", "asc"), ("vec_id", "asc")],
@@ -1336,7 +1338,9 @@ def q302_ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = base.mapInPandas(
         kern,
         "vec_id long, label long, adc_dist_q long, exact_dist_q long",
-    ).persist()  # feeds the candidate ADC rank AND the global exact rank
+    # Feeds the candidate ADC rank AND the global exact rank; tied to the
+    # returned plan, released by harness clearCache() (ADVICE r6).
+    ).persist()
     ranked = global_topk(
         scored.filter(F.col("label").isin([int(x) for x in probed])),
         [("adc_dist_q", "asc"), ("vec_id", "asc")],

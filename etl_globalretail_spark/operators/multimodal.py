@@ -750,7 +750,9 @@ def q298_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashes = src.mapInPandas(
         _q298_hash_kernel, schema="media_id long, h long"
-    ).persist()  # feeds the band explode AND both verify joins
+    # Feeds the band explode AND both verify joins; tied to the returned
+    # plan, released by harness clearCache() (ADVICE r6).
+    ).persist()
     bands = hashes.select(
         "media_id",
         F.explode(
@@ -784,8 +786,11 @@ def q298_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ha = hashes.select(F.col("media_id").alias("id_a"), F.col("h").alias("h_a"))
     hb = hashes.select(F.col("media_id").alias("id_b"), F.col("h").alias("h_b"))
     return (
-        cand.join(F.broadcast(ha), "id_a")
-        .join(F.broadcast(hb), "id_b")
+        # ha/hb are DOC-GRAIN (one row per media document) — they scale
+        # with the corpus, so no broadcast hint: plain equi-joins let AQE
+        # pick broadcast at small SF and shuffle-hash at 100 TB (ADVICE r6).
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
         .select(
             "id_a", "id_b",
             F.expr("CAST(bit_count(h_a ^ h_b) AS LONG)").alias("hamming"),

@@ -775,7 +775,8 @@ def _register_q296() -> None:
                CAST(SUM(ABS(t.n_total * cc - cum.n_c * gg)) AS BIGINT)
                    AS emd_num,
                CAST(SUM(ABS(t.n_total * cc - cum.n_c * gg)) * 1000
-                    // (MIN(cum.n_c) * MIN(t.n_total) * (MIN(t.m) - 1))
+                    // (MIN(cum.n_c) * MIN(t.n_total)
+                        * GREATEST(MIN(t.m) - 1, 1))
                     AS BIGINT) AS t_permil
         FROM cum CROSS JOIN tot t
         GROUP BY cum.nk, cum.seg
@@ -795,7 +796,9 @@ def _register_q296() -> None:
             )
             .groupBy("nk", "seg", "sens")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .persist()  # feeds cls, dom, tot AND the grid left-join
+            # Feeds cls, dom, tot AND the grid left-join; tied to the returned
+            # plan, released by harness clearCache() (ADVICE r6).
+            .persist()
         )
         cls = cells.groupBy("nk", "seg").agg(
             F.sum("c").cast("long").alias("n_c")
@@ -834,9 +837,15 @@ def _register_q296() -> None:
                 F.abs(F.col("n_total") * F.col("cc")
                       - F.col("n_c") * F.col("gg"))
             ).cast("long").alias("emd_num"),
+            # GREATEST(m−1, 1) on BOTH sides: a degenerate corpus where
+            # every balance lands in one band (m = 1) must yield
+            # t_permil = 0, not a division by zero (ADVICE r6); with
+            # m = 1 the EMD numerator is identically 0, so any positive
+            # divisor gives the same exact answer.
             F.expr(
                 "CAST(SUM(ABS(n_total * cc - n_c * gg)) * 1000"
-                " div (MIN(n_c) * MIN(n_total) * (MIN(m) - 1)) AS LONG)"
+                " div (MIN(n_c) * MIN(n_total)"
+                " * GREATEST(MIN(m) - 1, 1)) AS LONG)"
             ).alias("t_permil"),
         )
 

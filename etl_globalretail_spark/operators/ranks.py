@@ -179,7 +179,10 @@ def global_lead(
 
     Contract: ``value_col`` must be the leading sort column (so a
     partition's first value under the order is its min/max — computable
-    in the same tiny scalar job).
+    in the same tiny scalar job) and must be NULL-free: min/max skip
+    NULLs, so a NULL leading value (sorted first under Spark asc) would
+    silently shift the stitched boundary lead. ENFORCED — the scalar job
+    also counts NULLs and raises if any are observed (ADVICE r6).
     """
     name, direction = order[0]
     if name != value_col:
@@ -187,10 +190,22 @@ def global_lead(
     ranged, exprs = _ranged(df, order, n_ranges)
     vtype = ranged.schema[value_col].dataType
     first_agg = F.min(value_col) if direction == "asc" else F.max(value_col)
-    firsts = {
-        r[_PID]: r["v"]
-        for r in ranged.groupBy(_PID).agg(first_agg.alias("v")).collect()
-    }
+    stats = (
+        ranged.groupBy(_PID)
+        .agg(
+            first_agg.alias("v"),
+            F.sum(F.col(value_col).isNull().cast("long")).alias("n_null"),
+        )
+        .collect()
+    )
+    n_null = sum(r["n_null"] for r in stats)
+    if n_null:
+        raise ValueError(
+            f"global_lead: {value_col!r} has {n_null} NULL value(s); the "
+            "two-phase carry (min/max per partition) skips NULLs and would "
+            "diverge from the single-window lead — filter or COALESCE first"
+        )
+    firsts = {r[_PID]: r["v"] for r in stats}
     nxt: dict[int, object] = {}
     following = None
     for pid in reversed(range(n_ranges)):

@@ -836,7 +836,9 @@ def _register_q305() -> None:
                 F.col("l_partkey").alias("item"),
             )
             .distinct()
-            .persist()  # feeds the user list AND the anti-join
+            # Feeds the user list AND the anti-join; tied to the returned
+            # plan, released by harness clearCache() (ADVICE r6).
+            .persist()
         )
         n_items = p.agg(F.max("p_partkey")).collect()[0][0]  # driver scalar
         users = pos.select("user_id").distinct()

@@ -158,7 +158,12 @@ def skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     """
     per_key = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("cnt")
-    ).persist()  # feeds the totals AND the top-k leg
+    # Feeds the totals AND the top-k leg. Lifetime is tied to the RETURNED
+    # plan (the InMemoryTableScan pair is plan-tested), so it cannot be
+    # unpersisted here; the harness releases it via clearCache() after the
+    # terminal action, with MEMORY_AND_DISK LRU eviction as the backstop
+    # (ADVICE r6).
+    ).persist()
     totals = per_key.agg(
         F.sum("cnt").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),

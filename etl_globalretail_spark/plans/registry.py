@@ -43,49 +43,43 @@ for _mod in ("operators.dedup", "operators.similarity", "operators.text",
 
 
 # ---------------------------------------------------------------------------
-# Rotated iteration order (round 6; r5 shipped no rotation). The driver's
-# differential snapshot examines the registry in ITERATION order and records
-# a 50-entry prefix, so the prefix is ROTATED each round to put
-# never-yet-sampled queries on the driver's correctness gate (VERDICT r5
-# item 1): rounds 1–5 sampled 176 distinct names, leaving 118 never
-# sampled. This prefix is the 50 numerically-HIGHEST of those 118 — i.e.
-# the q240–q294 tail, the newest and least-soaked code — restricted to
-# oracle-paired entries so every slot gets the strong hash-equality check
-# (q235 is rows-only by design and rotates in with the remaining 68 in
-# round 7). Includes the full post-r3 streaming/ops tail VERDICT r5 item 5
-# demands: q280/q285/q287/q288 and q292–q294. Membership and
-# implementations are untouched: every query stays registered and
-# oracle-paired; this is a reordering only.
+# Rotated iteration order (round 7). The driver's differential snapshot
+# examines the registry in ITERATION order and records a 50-entry prefix,
+# so the prefix is ROTATED each round to put never-yet-sampled queries on
+# the driver's correctness gate (VERDICT r6 item 1): rounds 1–6 sampled
+# 226 distinct names, leaving 80 never sampled (77 oracle-paired + 3
+# rows-only). This prefix is `scripts/rotate_gate.py`'s suggestion — the
+# 50 numerically-highest never-sampled oracle-paired names: the 12 new
+# round-6 queries q295–q306 (VERDICT r6's priority names) plus 38
+# q169–q239 stragglers. The remaining 27 oracle-paired + 3 rows-only
+# names rotate in round 8 (they fit in one prefix with 20 slots spare).
+# Membership and implementations are untouched: every query stays
+# registered and oracle-paired; this is a reordering only.
 # ---------------------------------------------------------------------------
 
 _SHOWCASE = [
-    # sketches / tokenizer / privacy tail (r4 additions, never sampled)
-    "q240_kmv_distinct", "q241_inverted_index", "q243_k_anonymity",
-    "q244_bpe_encode", "q245_mixture_plan", "q246_modularity",
-    "q248_truncation_audit", "q250_theil_sen_trend", "q251_decile_table",
-    # CDC / dependency profiling / drift
-    "q253_cdc_snapshot_diff", "q254_inclusion_dependencies",
-    "q255_functional_dependencies", "q256_embedding_drift",
-    "q257_markov_transitions", "q258_collocation_lift", "q259_dataset_card",
-    # decoding / set algebra / survival
-    "q261_greedy_decode", "q262_hll_set_algebra", "q263_l_diversity",
-    "q264_time_weighted_avg", "q265_sequence_match", "q266_priority_sample",
-    "q267_life_table",
-    # streaming upsert + statistics tier
-    "q268_streaming_upsert", "q269_conformal_interval",
-    "q270_dirty_shard_census", "q271_selectivity_audit", "q272_gains_table",
-    "q273_forecast_backtest", "q274_survivorship_consensus",
-    "q275_rolling_correlation", "q276_srm_check", "q277_retrieval_eval",
-    "q278_minhash_calibration", "q279_image_decode",
-    # post-r3 streaming family (VERDICT r5 item 5)
-    "q280_stateful_eviction_exact", "q281_rendezvous_routing",
-    "q282_serpentine_pack_plan", "q283_join_cardinality_audit",
-    "q284_variant_shred", "q285_pyds_stream", "q286_format_roundtrip",
-    "q287_streaming_outer_join_exact", "q288_stream_static_enrich_exact",
-    "q289_local_heavy_hitters", "q290_mann_whitney_u",
-    "q291_equidepth_audit",
-    # round-4 flagship LLM-pipeline ops
-    "q292_semdedup_prune", "q293_hard_negatives", "q294_dsir_weights",
+    # q169–q239 never-sampled stragglers (sessionization, stats tests,
+    # drift, allocation, graph, text-scoring tiers)
+    "q169_seasonality_index", "q171_session_paths", "q172_length_drift",
+    "q173_length_ks_test", "q174_benford_audit", "q175_revenue_gini",
+    "q176_customer_skyline", "q177_twap_per_user", "q183_orderkey_islands",
+    "q184_welch_t_test", "q185_span_scrub", "q187_template_prefixes",
+    "q188_merge_with_deletes", "q189_vocab_coverage",
+    "q191_entity_resolution", "q192_linear_attribution",
+    "q193_daily_gap_fill", "q194_streaming_dedup_exact",
+    "q206_latency_histogram", "q213_rollup_rank", "q214_fifo_allocation",
+    "q215_bom_explosion", "q217_spearman_corr", "q218_kendall_tau",
+    "q220_cohort_ltv", "q221_source_drift_matrix", "q222_group_mode",
+    "q223_audience_overlap", "q224_cuped_uplift", "q225_decayed_popularity",
+    "q226_keyword_search", "q232_bigram_lm_score", "q233_cusum_changepoint",
+    "q234_embedding_gram", "q236_label_propagation", "q237_rrf_fusion",
+    "q238_bootstrap_ci", "q239_dup_span_coverage",
+    # round-6 additions, never driver-gated (VERDICT r6 item 1 priority)
+    "q295_pq_codebook", "q296_t_closeness", "q297_pq_adc_search",
+    "q298_image_dhash_neardup", "q299_audio_frame_features",
+    "q300_video_frame_sample", "q301_unigram_viterbi",
+    "q302_ivf_adc_search", "q303_streaming_full_outer_join_exact",
+    "q304_pit_feature_join", "q305_negative_sampling", "q306_image_resize",
 ]
 
 assert set(_SHOWCASE) <= set(ALL_QUERIES), sorted(

@@ -726,10 +726,11 @@ def q274_survivorship_consensus(
 # the naive current-version join would have mislabeled — the risk
 # quantification reads directly off the frame.
 #
-# Plan shape: the version table is dim-sized → broadcast; the join is a
-# plain equi-join on the key with the validity interval as a post-join
-# filter (never a nested-loop range join); at 100 TB the fact side
-# streams through map-side against the broadcast versions. Oracle: q70's
+# Plan shape: the version table is CUSTOMER-grain (scales with data), so
+# it is NOT broadcast-hinted; the join is a plain equi-join on the key
+# with the validity interval as a post-join filter (never a nested-loop
+# range join) — shuffle hash/sort-merge at 100 TB, AQE-broadcast at
+# small SF. Oracle: q70's
 # relational version derivation spliced in as a CTE (oracles compose —
 # the q191/q200 stance), then the identical interval join.
 # ---------------------------------------------------------------------------
@@ -772,8 +773,12 @@ def q304_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = q70_scd2_merge(spark, sf_dir).select(
         "c_custkey", "c_mktsegment", "valid_from", "valid_to"
     )
+    # v is CUSTOMER-GRAIN (≥1 version row per customer) — it scales with
+    # the corpus, so no broadcast hint (ADVICE r6): the equi key makes
+    # this a shuffle hash/sort-merge join with the validity interval as a
+    # post-join filter; AQE still broadcasts at small SF.
     pit = o.join(
-        F.broadcast(v),
+        v,
         (o.o_custkey == v.c_custkey)
         & (F.to_date("o_orderdate") >= F.col("valid_from"))
         & (

@@ -78,6 +78,11 @@ def main() -> int:
             failed.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL {name}: spark error: {str(e)[:500]}")
             continue
+        finally:
+            # collect() above was the terminal action for any cache whose
+            # lifetime is tied to the returned plan — release it so a
+            # 306-query sweep doesn't accumulate blocks (ADVICE r6).
+            spark.catalog.clearCache()
         if name not in oracles:
             skipped.append(name)
             print(f"SKIP {name}: no oracle (rows-only) — {len(srows)} rows "

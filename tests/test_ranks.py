@@ -162,3 +162,18 @@ def test_helpers_invariant_to_range_count(spark):
             assert sums_rows == ref_sums, f"prefix_sums differ at n_ranges={n}"
             assert lead_rows == ref_lead, f"lead differs at n_ranges={n}"
         assert totals == {"b": df.agg(F.sum("b")).collect()[0][0]}
+
+
+def test_global_lead_raises_on_null_value_col(spark):
+    """The two-phase carry (min/max per partition) skips NULLs, so a NULL
+    leading value would silently shift the stitched boundary lead — the
+    contract is enforced in the per-partition scalar job (ADVICE r6)."""
+    import pytest
+
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id") * 2)
+        .alias("k")
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        global_lead(df, [("k", "asc")], "k", out="nx", n_ranges=8)

@@ -59,3 +59,33 @@ def test_q296_t_is_a_normalized_distance(spark, sf_dir):
     for r in rows:
         assert 0 <= r["t_permil"] <= 1000, r
         assert r["emd_num"] >= 0
+
+
+def test_q296_degenerate_single_band_is_zero_not_div0(spark, sf_dir, tmp_path):
+    """A corpus whose every balance lands in ONE $1000 band (m = 1) must
+    yield t_permil = 0 on both engines, not a division by zero — the
+    GREATEST(m-1, 1) guard (ADVICE r6). EMD of identical single-point
+    distributions is identically 0, so any positive divisor is exact."""
+    import duckdb
+    import pyarrow as pa
+
+    t = pq.read_table(f"{sf_dir}/customer.parquet")
+    const = pa.array([100.0] * len(t), type=t.schema.field("c_acctbal").type)
+    t = t.set_column(
+        t.schema.get_field_index("c_acctbal"), "c_acctbal", const
+    )
+    pq.write_table(t, str(tmp_path / "customer.parquet"))
+
+    rows = QUERIES["q296_t_closeness"](spark, str(tmp_path)).collect()
+    assert rows and all(r["t_permil"] == 0 and r["emd_num"] == 0
+                        for r in rows)
+
+    from etl_globalretail_spark.operators.quality import ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/customer.parquet')"
+    )
+    orows = con.execute(ORACLE["q296_t_closeness"]).fetchall()
+    assert orows and all(r[-1] == 0 for r in orows)
