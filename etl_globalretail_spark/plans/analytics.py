@@ -5405,11 +5405,13 @@ def q251_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Plan shape: the distinct (cust, part) edge frame is built once and
 # persisted (consumed by all four half-steps); each half-step is one
-# edge-keyed aggregate + a broadcast 1-row MAX attach (bounded by
-# construction — whitelisted); output is the total-ordered top-10 of
-# each side. At 100 TB: same aggregates, the max is AQE's favorite
-# 1-row broadcast, and the persist becomes a checkpointed artifact
-# like co_purchase_edges.
+# edge-keyed aggregate whose 1-row MAX collects as a driver scalar and
+# inlines as a literal divisor (bounded by construction — the documented
+# driver-scalar class); output is each side's bounded top-10 via
+# global_topk (TakeOrderedAndProject). At 100 TB: same aggregates, the
+# max is a 1-row collect per round exactly like k-means' centroid fetch,
+# and the persist becomes a checkpointed artifact like
+# co_purchase_edges.
 # ---------------------------------------------------------------------------
 
 
@@ -5455,15 +5457,23 @@ def _q252_oracle() -> str:
 
 
 def _maxnorm(df: DataFrame, key: str, persisted: list) -> DataFrame:
-    """score·1e6 div max(score) — broadcast 1-row max attach (bounded).
-    The raw-score frame feeds both the max aggregate and the row side,
-    so it persists (|nodes|-sized — the cookbook twice-consumed rule);
-    handles are appended to ``persisted`` for the caller's finally."""
+    """score·1e6 div max(score) — the max collected as a DRIVER SCALAR
+    (one bounded 1-row job; the documented driver-scalar class) and
+    inlined as a literal divisor. The raw-score frame feeds both the max
+    job and the scored rows, so it persists (|nodes|-sized — the
+    cookbook twice-consumed rule); handles append to ``persisted`` for
+    the caller's finally.
+
+    Was a crossJoin(broadcast(1-row max)): the lazy broadcast put a
+    BroadcastNestedLoopJoin into every downstream half-step's plan and
+    each broadcast subjob re-planned the growing DAG — measured +0.8 s
+    over the scalar-literal form at sf0.1 (VERDICT r6 item 2; interleaved
+    control q218 at parity, so real, not host variance)."""
     df = df.persist()
     persisted.append(df)
-    mx = df.agg(F.max("r").alias("mx"))
-    return df.crossJoin(F.broadcast(mx)).select(
-        key, F.expr("r * 1000000 div mx").cast("long").alias("s")
+    mx = df.agg(F.max("r")).collect()[0][0]
+    return df.select(
+        key, F.expr(f"r * 1000000 div {int(mx)}").cast("long").alias("s")
     )
 
 
@@ -5514,19 +5524,21 @@ def q252_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("s").cast("long").alias("r")),
             "c", persisted,
         )
-        top_a = a2.select(
-            F.lit("authority").alias("kind"),
-            F.col("p").alias("node_id"), "s",
-            F.row_number().over(
-                Window.orderBy(F.desc("s"), F.asc("p"))
-            ).alias("rnk"),
-        ).filter(F.col("rnk") <= 10)
-        top_h = h2.select(
-            F.lit("hub").alias("kind"), F.col("c").alias("node_id"), "s",
-            F.row_number().over(
-                Window.orderBy(F.desc("s"), F.asc("c"))
-            ).alias("rnk"),
-        ).filter(F.col("rnk") <= 10)
+        # Bounded top-10s via TakeOrderedAndProject (operators/ranks) —
+        # never a single-task row_number window over the node grain.
+        top_a = global_topk(
+            a2.select(
+                F.lit("authority").alias("kind"),
+                F.col("p").alias("node_id"), "s",
+            ),
+            [("s", "desc"), ("node_id", "asc")], 10, out="rnk",
+        )
+        top_h = global_topk(
+            h2.select(
+                F.lit("hub").alias("kind"), F.col("c").alias("node_id"), "s",
+            ),
+            [("s", "desc"), ("node_id", "asc")], 10, out="rnk",
+        )
         out = top_a.unionAll(top_h).select(
             "kind",
             F.col("rnk").cast("long").alias("rank"),

@@ -60,9 +60,6 @@ INTENTIONAL_CROSS = {
     "q245_mixture_plan",  # attaches two broadcast 1-row global totals
     # (budget, then post-cap headroom) to the |sources|-row inventory —
     # bounded by construction
-    "q252_hits_scores",  # four broadcast 1-row MAX attaches (the
-    # max-norm half-steps) on |nodes|-grain score frames — bounded by
-    # construction
     "q258_collocation_lift",  # attaches the broadcast 1-row bigram
     # total N to the |V|²-bounded pair matrix — bounded by construction
     "q259_dataset_card",  # composes three 1-row aggregate legs by
