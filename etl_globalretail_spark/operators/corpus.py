@@ -3436,3 +3436,361 @@ def _register_q301() -> None:
 
 
 _register_q301()
+
+
+# ---------------------------------------------------------------------------
+# q307 — unigram-LM tokenizer TRAINING (Viterbi-EM re-estimation, the
+# SentencePiece learn loop, Kudo 2018): the missing half of the unigram
+# family — q301 ships the Viterbi DECODE; this trains the piece costs.
+# BPE has both halves (q242 learn / q244 apply); now unigram does too.
+#
+# Deterministic integer EM (no FP, no sampling): the inventory is fixed
+# (every corpus character + adjacent bigram, as q301), and each round is
+#   E-step  — per DISTINCT word, a forward AND a backward min-cost /
+#             path-count DP under the current costs; a piece edge
+#             (i→j) lies on an optimal segmentation iff
+#             fwd_best(i) + cost + bwd_best(j) == fwd_best(|w|), and the
+#             number of optimal paths through it is fwd_paths(i) ×
+#             bwd_paths(j). Piece usage u(piece) sums those counts ×
+#             word frequency — the exact integer analogue of expected
+#             counts, resolving TIES by counting every optimal path
+#             (never an arbitrary argmin), the q301 stance.
+#   M-step  — cost(piece) = 1e6 + 1e9 div (u + 1), the identical cost
+#             transform q301 applies to raw frequencies; unused pieces
+#             stay in the inventory at the maximum cost.
+# Two unrolled rounds (u1 under the frequency costs, u2 under the
+# re-estimated costs), matching the oracle's unrolled CTE chain.
+#
+# Int64 bounds: path counts ≤ Fib(|w|) (all-ties worst case, ≤ 1.6e6 at
+# |w| = 30); fwd×bwd products ≤ the word's total optimal-path count;
+# × word frequency ≤ ~1e12 at SF100 — all safely int64.
+#
+# Scale shape: corpus-sized work is ONE word-frequency aggregate
+# (map-side combinable); everything after runs at vocabulary grain (two
+# Arrow-batched DP passes over DISTINCT words) or piece grain (≤ 26+26²
+# rows — the bounded driver-scalar class for the M-steps, and bounded
+# broadcast dims for the final assembly). The oracle unrolls both EM
+# rounds as recursive CTEs — forward and backward DPs per round (linear,
+# one row per (word, position)) — with materialized piece-cost CTEs so
+# DuckDB doesn't re-evaluate the chain per reference (the q212 lesson).
+# ---------------------------------------------------------------------------
+
+
+def _q307_em_kernel(c1: dict, c2: dict):
+    """Per-word forward+backward DP under piece costs (c1 1-char, c2
+    2-char); emits (piece, u) edge-marginal usage rows, u = Σ over
+    optimal-path edge occurrences of fwd_paths × bwd_paths × word freq."""
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            usage: dict[str, int] = {}
+            for w, fw in zip(pdf["word"], pdf["freq"]):
+                fw = int(fw)
+                L = len(w)
+                bf = [0] * (L + 1)
+                pf = [0] * (L + 1)
+                pf[0] = 1
+                for i in range(1, L + 1):
+                    cand1 = bf[i - 1] + c1[w[i - 1]]
+                    cand2 = (
+                        bf[i - 2] + c2[w[i - 2:i]] if i >= 2 else _Q301_HUGE
+                    )
+                    bf[i] = min(cand1, cand2)
+                    pf[i] = (pf[i - 1] if cand1 == bf[i] else 0) + (
+                        pf[i - 2] if i >= 2 and cand2 == bf[i] else 0
+                    )
+                bb = [0] * (L + 1)
+                pb = [0] * (L + 1)
+                pb[L] = 1
+                for i in range(L - 1, -1, -1):
+                    cand1 = c1[w[i]] + bb[i + 1]
+                    cand2 = (
+                        c2[w[i:i + 2]] + bb[i + 2]
+                        if i + 2 <= L else _Q301_HUGE
+                    )
+                    bb[i] = min(cand1, cand2)
+                    pb[i] = (pb[i + 1] if cand1 == bb[i] else 0) + (
+                        pb[i + 2] if i + 2 <= L and cand2 == bb[i] else 0
+                    )
+                total = bf[L]
+                for i in range(1, L + 1):
+                    p1 = w[i - 1]
+                    if bf[i - 1] + c1[p1] + bb[i] == total:
+                        usage[p1] = usage.get(p1, 0) + pf[i - 1] * pb[i] * fw
+                    if i >= 2:
+                        p2 = w[i - 2:i]
+                        if bf[i - 2] + c2[p2] + bb[i] == total:
+                            usage[p2] = (
+                                usage.get(p2, 0) + pf[i - 2] * pb[i] * fw
+                            )
+            yield pd.DataFrame(
+                {"piece": list(usage.keys()),
+                 "u": [int(v) for v in usage.values()]}
+            ).astype({"piece": "str", "u": "int64"})
+
+    return fn
+
+
+def _q307_oracle() -> str:
+    cost = f"{_Q301_PENALTY} + {_Q301_FREQ_NUM} // (COALESCE(u, 0) + 1)"
+    cost0 = f"{_Q301_PENALTY} + {_Q301_FREQ_NUM} // (f + 1)"
+
+    def dp_pair(rnd: str, c1: str, c2: str) -> str:
+        """Forward + backward recursive DPs for one EM round against the
+        given 1-char/2-char cost tables, plus the per-word edge-marginal
+        usage aggregate."""
+        return f"""
+    fpc{rnd} AS MATERIALIZED (
+        SELECT wp.w, wp.pos, c1.c AS cc1,
+               COALESCE(c2.c, {_Q301_HUGE}) AS cc2
+        FROM wpos wp
+        LEFT JOIN {c1} c1 ON c1.piece = substr(wp.w, wp.pos, 1)
+        LEFT JOIN {c2} c2 ON wp.pos >= 2
+                         AND c2.piece = substr(wp.w, wp.pos - 1, 2)
+    ),
+    bpc{rnd} AS MATERIALIZED (
+        SELECT wp.w, wp.pos, c1.c AS bc1,
+               COALESCE(c2.c, {_Q301_HUGE}) AS bc2
+        FROM wpos wp
+        LEFT JOIN {c1} c1 ON c1.piece = substr(wp.w, wp.pos, 1)
+        LEFT JOIN {c2} c2 ON wp.pos + 1 <= length(wp.w)
+                         AND c2.piece = substr(wp.w, wp.pos, 2)
+    ),
+    fwd{rnd} AS (
+        SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS best,
+               CAST({_Q301_HUGE} AS BIGINT) AS bprev,
+               CAST(1 AS BIGINT) AS paths, CAST(0 AS BIGINT) AS pprev
+        FROM words
+        UNION ALL
+        SELECT w, pos,
+               CASE WHEN cand1 <= cand2 THEN cand1 ELSE cand2 END,
+               prev_best,
+               CASE WHEN cand1 <= cand2 THEN cur_paths ELSE 0 END
+               + CASE WHEN cand2 <= cand1 THEN prev_paths ELSE 0 END,
+               cur_paths
+        FROM (
+            SELECT d.w, d.pos + 1 AS pos,
+                   d.best + p.cc1 AS cand1,
+                   CASE WHEN d.pos >= 1 THEN d.bprev + p.cc2
+                        ELSE {_Q301_HUGE} END AS cand2,
+                   d.best AS prev_best, d.paths AS cur_paths,
+                   d.pprev AS prev_paths
+            FROM fwd{rnd} d JOIN fpc{rnd} p
+              ON p.w = d.w AND p.pos = d.pos + 1
+        ) s(w, pos, cand1, cand2, prev_best, cur_paths, prev_paths)
+    ),
+    bwd{rnd} AS (
+        SELECT w, length(w) AS pos, CAST(0 AS BIGINT) AS best,
+               CAST({_Q301_HUGE} AS BIGINT) AS bnext,
+               CAST(1 AS BIGINT) AS paths, CAST(0 AS BIGINT) AS pnext
+        FROM words
+        UNION ALL
+        SELECT w, pos,
+               CASE WHEN cand1 <= cand2 THEN cand1 ELSE cand2 END,
+               prev_best,
+               CASE WHEN cand1 <= cand2 THEN cur_paths ELSE 0 END
+               + CASE WHEN cand2 <= cand1 THEN prev_paths ELSE 0 END,
+               cur_paths
+        FROM (
+            SELECT d.w, d.pos - 1 AS pos,
+                   p.bc1 + d.best AS cand1,
+                   CASE WHEN d.pos + 1 <= length(d.w)
+                        THEN p.bc2 + d.bnext
+                        ELSE {_Q301_HUGE} END AS cand2,
+                   d.best AS prev_best, d.paths AS cur_paths,
+                   d.pnext AS prev_paths
+            FROM bwd{rnd} d JOIN bpc{rnd} p
+              ON p.w = d.w AND p.pos = d.pos
+            WHERE d.pos >= 1
+        ) s(w, pos, cand1, cand2, prev_best, cur_paths, prev_paths)
+    ),
+    fwdm{rnd} AS MATERIALIZED (
+        SELECT w, pos, best, paths FROM fwd{rnd}
+    ),
+    bwdm{rnd} AS MATERIALIZED (
+        SELECT w, pos, best, paths FROM bwd{rnd}
+    ),
+    tot{rnd} AS MATERIALIZED (
+        SELECT w, best AS total FROM fwdm{rnd} f
+        WHERE pos = length(w)
+    ),
+    use{rnd} AS MATERIALIZED (
+        SELECT piece, CAST(SUM(n) AS BIGINT) AS u FROM (
+            SELECT substr(f.w, f.pos + 1, 1) AS piece,
+                   f.paths * b.paths * wd.fw AS n
+            FROM fwdm{rnd} f
+            JOIN bwdm{rnd} b ON b.w = f.w AND b.pos = f.pos + 1
+            JOIN tot{rnd} t ON t.w = f.w
+            JOIN words wd ON wd.w = f.w
+            JOIN fpc{rnd} p ON p.w = f.w AND p.pos = f.pos + 1
+            WHERE f.pos + 1 <= length(f.w)
+              AND f.best + p.cc1 + b.best = t.total
+            UNION ALL
+            SELECT substr(f.w, f.pos + 1, 2) AS piece,
+                   f.paths * b.paths * wd.fw AS n
+            FROM fwdm{rnd} f
+            JOIN bwdm{rnd} b ON b.w = f.w AND b.pos = f.pos + 2
+            JOIN tot{rnd} t ON t.w = f.w
+            JOIN words wd ON wd.w = f.w
+            JOIN fpc{rnd} p ON p.w = f.w AND p.pos = f.pos + 2
+            WHERE f.pos + 2 <= length(f.w)
+              AND f.best + p.cc2 + b.best = t.total
+        ) GROUP BY piece
+    )"""
+
+    return f"""
+    WITH RECURSIVE winst AS (
+        SELECT unnest({_SQL_ALPHA_TOKENS}) AS w FROM documents
+    ),
+    words AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS fw FROM winst
+        WHERE length(w) >= 1 GROUP BY w
+    ),
+    wpos AS MATERIALIZED (
+        SELECT w, unnest(generate_series(1, length(w))) AS pos FROM words
+    ),
+    chars0 AS MATERIALIZED (
+        SELECT substr(w, pos, 1) AS piece, CAST(SUM(fw) AS BIGINT) AS f
+        FROM wpos JOIN words USING (w) GROUP BY piece
+    ),
+    bigs0 AS MATERIALIZED (
+        SELECT substr(w, pos - 1, 2) AS piece, CAST(SUM(fw) AS BIGINT) AS f
+        FROM wpos JOIN words USING (w) WHERE pos >= 2 GROUP BY piece
+    ),
+    inv AS MATERIALIZED (
+        SELECT piece, f FROM chars0 UNION ALL SELECT piece, f FROM bigs0
+    ),
+    c1r1 AS MATERIALIZED (
+        SELECT piece, CAST({cost0} AS BIGINT) AS c FROM chars0
+    ),
+    c2r1 AS MATERIALIZED (
+        SELECT piece, CAST({cost0} AS BIGINT) AS c FROM bigs0
+    ),
+    {dp_pair('1', 'c1r1', 'c2r1')},
+    c1r2 AS MATERIALIZED (
+        SELECT i.piece, CAST({cost} AS BIGINT) AS c
+        FROM chars0 i LEFT JOIN use1 ON use1.piece = i.piece
+    ),
+    c2r2 AS MATERIALIZED (
+        SELECT i.piece, CAST({cost} AS BIGINT) AS c
+        FROM bigs0 i LEFT JOIN use1 ON use1.piece = i.piece
+    ),
+    {dp_pair('2', 'c1r2', 'c2r2')}
+    SELECT inv.piece AS piece,
+           CAST(length(inv.piece) AS BIGINT) AS piece_len,
+           inv.f AS f0,
+           CAST(COALESCE(use1.u, 0) AS BIGINT) AS u1,
+           CAST(COALESCE(use2.u, 0) AS BIGINT) AS u2,
+           CAST({_Q301_PENALTY} + {_Q301_FREQ_NUM}
+                // (COALESCE(use2.u, 0) + 1) AS BIGINT) AS cost2
+    FROM inv
+    LEFT JOIN use1 ON use1.piece = inv.piece
+    LEFT JOIN use2 ON use2.piece = inv.piece
+    """
+
+
+def _register_q307() -> None:
+    @_register("q307_unigram_em_train", oracle=_q307_oracle())
+    def q307_unigram_em_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Two Viterbi-EM rounds over the q301 cost model: per-piece
+        usage from the forward×backward path-count edge marginals (u1
+        under frequency costs, u2 under the round-1 re-estimation) and
+        the final re-estimated cost. See block comment."""
+        d = load_table(spark, "documents", sf_dir)
+        winst = d.select(
+            F.explode(alpha_tokens(F.col("text"))).alias("w")
+        )
+        # The ONLY corpus-sized shuffle: word frequencies (map-side
+        # combinable). Consumed by both EM passes → persist; released in
+        # the finally after the bounded result materializes (q252 device).
+        words = (
+            winst.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .withColumnRenamed("w", "word")
+            .persist()
+        )
+        # Piece inventory with raw frequencies — ≤ 26 + 26² rows; feeds
+        # the round-1 costs (collected driver scalars, k-centroid class)
+        # AND the final assembly join → persist.
+        wexp = words.select(
+            "word", "freq",
+            F.explode(
+                F.expr("transform(sequence(1, length(word)),"
+                       " i -> substring(word, i, 1))")
+            ).alias("piece"),
+        ).groupBy("piece").agg(F.sum("freq").cast("long").alias("f"))
+        bexp = (
+            words.filter(F.length("word") >= 2)
+            .select(
+                "word", "freq",
+                F.explode(
+                    F.expr("transform(sequence(1, length(word) - 1),"
+                           " i -> substring(word, i, 2))")
+                ).alias("piece"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("f"))
+        )
+        inv = wexp.unionAll(bexp).persist()
+        try:
+            f0 = {r["piece"]: r["f"] for r in inv.collect()}
+
+            def mstep(u: dict) -> tuple[dict, dict]:
+                c1 = {
+                    p: _Q301_PENALTY + _Q301_FREQ_NUM // (u.get(p, 0) + 1)
+                    for p in f0 if len(p) == 1
+                }
+                c2 = {
+                    p: _Q301_PENALTY + _Q301_FREQ_NUM // (u.get(p, 0) + 1)
+                    for p in f0 if len(p) == 2
+                }
+                return c1, c2
+
+            c1, c2 = mstep(f0)  # round-1 costs ARE the frequency costs
+            schema = "piece string, u long"
+            u1 = {
+                r["piece"]: r["u"]
+                for r in words.mapInPandas(_q307_em_kernel(c1, c2), schema)
+                .groupBy("piece").agg(F.sum("u").cast("long").alias("u"))
+                .collect()  # ≤ 26 + 26² rows — bounded driver scalars
+            }
+            c1, c2 = mstep(u1)
+            u2f = (
+                words.mapInPandas(_q307_em_kernel(c1, c2), schema)
+                .groupBy("piece").agg(F.sum("u").cast("long").alias("u2"))
+            )
+            u1f = spark.createDataFrame(
+                [(p, int(v)) for p, v in sorted(u1.items())] or
+                [("", 0)], "piece string, u1 long",
+            ).filter(F.length("piece") >= 1)
+            # u1f/u2f are piece-grain — bounded ≤ 26 + 26² by
+            # construction → broadcast is safe at any corpus size.
+            out = (
+                inv.join(F.broadcast(u1f), "piece", "left")
+                .join(F.broadcast(u2f), "piece", "left")
+                .select(
+                    "piece",
+                    F.length("piece").cast("long").alias("piece_len"),
+                    F.col("f").alias("f0"),
+                    F.coalesce("u1", F.lit(0)).cast("long").alias("u1"),
+                    F.coalesce("u2", F.lit(0)).cast("long").alias("u2"),
+                    (
+                        F.lit(_Q301_PENALTY)
+                        + F.expr(
+                            f"{_Q301_FREQ_NUM} div"
+                            " (COALESCE(u2, 0) + 1)"
+                        )
+                    ).cast("long").alias("cost2"),
+                )
+            )
+            # ≤ 702 rows: materialize so the finally can release the
+            # caches without the returned frame recomputing the passes
+            return materialize(out)
+        finally:
+            words.unpersist()
+            inv.unpersist()
+
+
+_register_q307()
