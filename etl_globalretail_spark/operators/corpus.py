@@ -3794,3 +3794,300 @@ def _register_q307() -> None:
 
 
 _register_q307()
+
+
+
+# ---------------------------------------------------------------------------
+# q308 — TRAINED quality classifier (the fastText-shape discriminative
+# sibling of DSIR q294's n-gram ratios): logistic regression over
+# hashing-trick features, trained by fixed-iteration FULL-BATCH gradient
+# descent entirely in quantized integer space (the q122/q301 determinism
+# recipe), scoring documents for curation beside the rule-based q19.
+# This is the model-based curation family's missing member — real
+# pipelines (fastText quality filters, CCNet) train exactly this shape,
+# distilling a labeling rule into a linear model over cheap features.
+#
+# Deterministic integer setup:
+# - label y = q19's signals imply fluent prose: stopword hits·10 ≥
+#   tokens AND tokens ≥ 5 (pure int comparisons);
+# - features (the q164 md5 slot + sign-bit device, one 32-slot signed
+#   space, "name=value" prefixes) + a bias slot 32: lang, source,
+#   token-count DIGIT bucket, lexical-diversity decile, stopword-ratio
+#   decile — the quantized q19 signals a real quality model consumes
+#   (the ratio decile is COARSER than the rule, so the model must
+#   genuinely combine it with the length feature to recover the label;
+#   pytest pins AUC ≈ 1 as the learnability proof);
+# - weights in ppm; z = Σ w·x; σ is the HARD sigmoid p_ppm =
+#   clamp(500000 + z div 4, 0, 1e6) — piecewise-linear, integer-exact,
+#   the quantized-NN standard; err = p_ppm − 1e6·y;
+# - 3 unrolled rounds: grad_j = Σ err·x_j (one 33-row feature-grain
+#   aggregate, map-side combinable), update w_j ← w_j − grad_j tdiv 2N
+#   (truncation toward zero — Spark div ≡ DuckDB //; N rides the bias
+#   slot's count, so no separate count job);
+# - output: the (label, score-decile) census under the final weights.
+#
+# Scale shape: the wide feature frame computes map-side (no vocabulary
+# job — the hash IS the encoder) and persists for the 3 gradient passes
+# + census; every aggregate is feature-grain (33 rows) or decile-grain
+# (≤ 22 rows); weights are driver scalars (k-centroid class). NO
+# doc-grain shuffle anywhere: z is a row-wise expression, never a join.
+# Bounds: |grad| ≤ N·1e6·6 (int64 to N ~ 1e12 docs), |w| ≤ 1.5e6 after
+# 3 half-rate rounds, |z| ≤ 9e6.
+# ---------------------------------------------------------------------------
+
+_Q308_DIM = 32
+_Q308_BIAS = 32
+_Q308_ROUNDS = 3
+_Q308_LR_DEN = 2  # step = grad tdiv (LR_DEN · N) — learning rate 1/2
+# (name, SQL value expression over the stats CTE) — the Spark side
+# builds the same list from the stat columns; names are the hash prefix.
+_Q308_FEATS = (
+    ("lang", "lang"),
+    ("source", "source"),
+    ("lenb", "CAST(length(CAST(nt AS VARCHAR)) AS VARCHAR)"),
+    ("divb", "CAST(nd * 10 // GREATEST(nt, 1) AS VARCHAR)"),
+    ("swrb", "CAST(st * 10 // GREATEST(nt, 1) AS VARCHAR)"),
+)
+
+
+def _q308_tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero division — Spark ``div`` ≡ DuckDB ``//``;
+    Python's ``//`` FLOORS and diverges on negative gradients."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def _q308_oracle() -> str:
+    from etl_globalretail_spark.operators.text import (
+        _QUALITY_STOPWORDS,
+        _sql_stopword_hits,
+        _sql_tokens,
+    )
+
+    stop = _sql_stopword_hits(_QUALITY_STOPWORDS)
+    ntok = f"CAST(len({_sql_tokens()}) AS BIGINT)"
+    ndis = f"CAST(len(list_distinct({_sql_tokens()})) AS BIGINT)"
+    d = _Q308_DIM
+    feat_legs = "\n        UNION ALL\n".join(
+        f"""        SELECT doc_id, y,
+               CAST('0x' || substr(md5('{name}=' || {expr}), 1, 15)
+                    AS BIGINT) AS h
+        FROM lab"""
+        for name, expr in _Q308_FEATS
+    )
+
+    def zp(rnd: int, w: str) -> str:
+        return f"""
+    z{rnd} AS MATERIALIZED (
+        SELECT f.doc_id, f.y,
+               CAST(SUM(COALESCE({w}.w, 0) * f.sign) AS BIGINT) AS z
+        FROM feats f LEFT JOIN {w} ON {w}.slot = f.slot
+        GROUP BY f.doc_id, f.y
+    ),
+    p{rnd} AS MATERIALIZED (
+        SELECT doc_id, y,
+               LEAST(1000000, GREATEST(0, 500000 + z // 4)) AS p
+        FROM z{rnd}
+    )"""
+
+    lr = f"{_Q308_LR_DEN} * (SELECT n FROM nn)"
+    return f"""
+    WITH lab AS MATERIALIZED (
+        SELECT doc_id, lang, source,
+               {ntok} AS nt, {ndis} AS nd, {stop} AS st,
+               CASE WHEN {stop} * 10 >= {ntok} AND {ntok} >= 5
+                    THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    hashed AS MATERIALIZED (
+{feat_legs}
+    ),
+    feats AS MATERIALIZED (
+        SELECT doc_id, y, h % {d} AS slot,
+               CASE WHEN (h // {d}) % 2 = 0 THEN 1 ELSE -1 END AS sign
+        FROM hashed
+        UNION ALL
+        SELECT doc_id, y, {_Q308_BIAS}, 1 FROM lab
+    ),
+    g1 AS MATERIALIZED (
+        SELECT slot,
+               CAST(SUM((500000 - 1000000 * y) * sign) AS BIGINT) AS grad,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM feats GROUP BY slot
+    ),
+    nn AS MATERIALIZED (SELECT n FROM g1 WHERE slot = {_Q308_BIAS}),
+    w1 AS MATERIALIZED (
+        SELECT slot, CAST(0 - grad // ({lr}) AS BIGINT) AS w FROM g1
+    ),
+    {zp(2, 'w1')},
+    g2 AS MATERIALIZED (
+        SELECT f.slot,
+               CAST(SUM((p2.p - 1000000 * f.y) * f.sign) AS BIGINT) AS grad
+        FROM feats f JOIN p2 ON p2.doc_id = f.doc_id
+        GROUP BY f.slot
+    ),
+    w2 AS MATERIALIZED (
+        SELECT w1.slot,
+               CAST(w1.w - g2.grad // ({lr}) AS BIGINT) AS w
+        FROM w1 JOIN g2 ON g2.slot = w1.slot
+    ),
+    {zp(3, 'w2')},
+    g3 AS MATERIALIZED (
+        SELECT f.slot,
+               CAST(SUM((p3.p - 1000000 * f.y) * f.sign) AS BIGINT) AS grad
+        FROM feats f JOIN p3 ON p3.doc_id = f.doc_id
+        GROUP BY f.slot
+    ),
+    w3 AS MATERIALIZED (
+        SELECT w2.slot,
+               CAST(w2.w - g3.grad // ({lr}) AS BIGINT) AS w
+        FROM w2 JOIN g3 ON g3.slot = w2.slot
+    ),
+    {zp(4, 'w3')}
+    SELECT CAST(y AS BIGINT) AS label,
+           CAST(p // 100000 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM p4 GROUP BY 1, 2
+    """
+
+
+def _q308_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-doc feature frame: y + one (slot_i, sign_i) pair per
+    feature in _Q308_FEATS, all computed map-side from the doc scan."""
+    from etl_globalretail_spark.operators.text import (
+        _QUALITY_STOPWORDS,
+        stopword_hits,
+        token_count,
+        tokens,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    stats = docs.select(
+        "lang", "source",
+        token_count(F.col("text")).alias("nt"),
+        F.size(F.array_distinct(tokens(F.col("text"))))
+        .cast("long").alias("nd"),
+        stopword_hits(F.col("text"), _QUALITY_STOPWORDS).alias("st"),
+    ).select(
+        F.col("lang").cast("string").alias("lang"),
+        F.col("source").cast("string").alias("source"),
+        F.length(F.col("nt").cast("string")).cast("string").alias("lenb"),
+        F.expr("nd * 10 div GREATEST(nt, 1)")
+        .cast("string").alias("divb"),
+        F.expr("st * 10 div GREATEST(nt, 1)").cast("string").alias("swrb"),
+        F.when(
+            (F.col("st") * 10 >= F.col("nt")) & (F.col("nt") >= 5),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("y"),
+    )
+    cols = ["y"]
+    out = stats
+    for name, _sql in _Q308_FEATS:
+        slot, sign = _fh_slot_sign(name, _Q308_DIM)
+        out = out.withColumn(f"slot_{name}", slot).withColumn(
+            f"sign_{name}", sign
+        )
+        cols += [f"slot_{name}", f"sign_{name}"]
+    return out.select(*cols)
+
+
+def _register_q308() -> None:
+    @_register("q308_quality_classifier", oracle=_q308_oracle())
+    def q308_quality_classifier(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """(label, score-decile) census of documents under a logistic
+        quality classifier trained by 3 integer full-batch GD rounds
+        over hashed quantized q19 features. See block comment."""
+        base = _q308_base(spark, sf_dir).persist()
+        # ^ feeds 3 gradient passes + the census; the finally releases it
+        names = [name for name, _ in _Q308_FEATS]
+        try:
+            w: dict[int, int] = {}
+
+            def zcol():
+                if not w:
+                    return F.lit(0).cast("long")
+                wmap = F.create_map(
+                    *[
+                        F.lit(x)
+                        for k in sorted(w)
+                        for x in (int(k), int(w[k]))
+                    ]
+                )
+
+                def wat(slot_col):
+                    return F.coalesce(
+                        wmap[slot_col].cast("long"), F.lit(0)
+                    )
+
+                z = F.lit(int(w.get(_Q308_BIAS, 0))).cast("long")
+                for name in names:
+                    z = z + wat(F.col(f"slot_{name}")) * F.col(
+                        f"sign_{name}"
+                    )
+                return z.cast("long")
+
+            def pcol():
+                return F.least(
+                    F.lit(1000000),
+                    F.greatest(
+                        F.lit(0),
+                        F.lit(500000) + F.expr("z div 4").cast("long"),
+                    ),
+                ).cast("long")
+
+            structs = [
+                F.struct(
+                    F.col(f"slot_{name}").cast("bigint").alias("slot"),
+                    F.col(f"sign_{name}").cast("int").alias("sign"),
+                )
+                for name in names
+            ] + [
+                F.struct(
+                    F.lit(_Q308_BIAS).cast("bigint").alias("slot"),
+                    F.lit(1).cast("int").alias("sign"),
+                )
+            ]
+            for _ in range(_Q308_ROUNDS):
+                grads = (
+                    base.withColumn("z", zcol())
+                    .withColumn("p", pcol())
+                    .select(
+                        (F.col("p") - F.lit(1000000) * F.col("y"))
+                        .alias("err"),
+                        F.explode(F.array(*structs)).alias("fx"),
+                    )
+                    .groupBy(F.col("fx.slot").alias("slot"))
+                    .agg(
+                        F.sum(F.col("err") * F.col("fx.sign"))
+                        .cast("long").alias("grad"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                    .collect()  # ≤ 33 rows — bounded driver scalars
+                )
+                n_docs = next(
+                    r["n"] for r in grads if r["slot"] == _Q308_BIAS
+                )
+                for r in grads:
+                    w[int(r["slot"])] = w.get(
+                        int(r["slot"]), 0
+                    ) - _q308_tdiv(
+                        int(r["grad"]), _Q308_LR_DEN * int(n_docs)
+                    )
+            out = (
+                base.withColumn("z", zcol())
+                .withColumn("p", pcol())
+                .groupBy(
+                    F.col("y").cast("long").alias("label"),
+                    F.expr("p div 100000").cast("long").alias("bucket"),
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            )
+            # ≤ 22 rows: materialize so the finally can release the cache
+            return materialize(out)
+        finally:
+            base.unpersist()
+
+
+_register_q308()
