@@ -1983,3 +1983,263 @@ def q303_streaming_full_outer_join_exact(
             ).cast("long").alias("value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q309 — stream-stream RIGHT OUTER join on the hash gate: the fourth and
+# final member of the state-store join matrix (q231 inner, q287 left,
+# q303 full). The engine treats rightOuter as the mirror of leftOuter —
+# the null-extended rows are CLICKS no purchase ever matched, emitted at
+# the click side's STATE-VALUE watermark c_ts < W − horizon (the q303
+# right-side boundary, derived from the join's time-range condition
+# c_ts ≥ p_ts − horizon: a click can still match future purchases until
+# the purchase watermark passes c_ts + horizon; plain c_ts < W
+# over-counts). Same two-wave replay as q287/q303 — held-back late
+# clicks are accepted under the one-batch-lag rule AND must then wait
+# out their own null-emission boundary. Pinning rightOuter separately
+# matters because the engine's one-sided outer paths are distinct code
+# (left emits from the LEFT state store's eviction, right from the
+# RIGHT's) — symmetry is an implementation promise worth a gate row,
+# not an assumption.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q309_streaming_right_outer_join_exact",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id AS cu, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    mx AS (
+        SELECT LEAST((SELECT MAX(epoch_us(p_ts)) // 1000 FROM p),
+                     (SELECT MAX(epoch_us(c_ts)) // 1000 FROM c))
+               - 600000 AS wm
+    ),
+    pairs AS (
+        SELECT p.purchase_id, p.p_ts, p.value, c.click_id, c.c_ts
+        FROM p JOIN c
+          ON p.user_id = c.cu
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    ),
+    rnull AS (
+        SELECT CAST(NULL AS BIGINT) AS purchase_id,
+               CAST(NULL AS TIMESTAMP) AS p_ts,
+               CAST(NULL AS DOUBLE) AS value,
+               c.click_id, c.c_ts
+        FROM c, mx
+        WHERE epoch_us(c.c_ts) // 1000 < mx.wm - 3600000
+          AND c.click_id NOT IN (SELECT click_id FROM pairs)
+    ),
+    em AS (SELECT * FROM pairs UNION ALL SELECT * FROM rnull)
+    SELECT date_trunc('hour', c_ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(purchase_id) AS BIGINT) AS n_matched,
+           CAST(COUNT(*) - COUNT(purchase_id) AS BIGINT) AS n_nulls,
+           CAST(COALESCE(SUM(purchase_id), 0) AS BIGINT)
+               AS purchase_checksum,
+           CAST(SUM(click_id) AS BIGINT) AS click_checksum,
+           CAST(COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT)), 0)
+               AS BIGINT) AS value_cents
+    FROM em GROUP BY 1
+    """,
+)
+def q309_streaming_right_outer_join_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly census of the RIGHT OUTER purchase⨝click stream-stream
+    join run through the two-wave replay — every output row carries a
+    click, so the census keys on the click hour; null rows are clicks
+    whose c_ts fell behind the state-value watermark W − horizon. See
+    block comment."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, "events", sf_dir)
+    late = (F.col("event_type") == "click") & (F.col("event_id") % 8 == 0)
+    work = tempfile.mkdtemp(prefix="q309_right_")
+    sdir = os.path.join(work, "stream")
+    os.makedirs(sdir)
+    tmp = os.path.join(work, "staged")
+    e.withColumn(
+        "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
+    ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
+    for i in range(2):
+        part = glob.glob(
+            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
+        )[0]
+        dst = os.path.join(sdir, f"wave_{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    pairs = purchases_with_recent_click(stream, how="rightOuter")
+    _Q128_SEQ[0] += 1
+    sink = f"q309_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(pairs, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    shutil.rmtree(work, ignore_errors=True)  # rows live in the memory sink
+    return (
+        spark.table(sink)
+        .groupBy(F.date_trunc("hour", "c_ts").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("purchase_id").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("purchase_id")).cast("long")
+            .alias("n_nulls"),
+            F.coalesce(F.sum("purchase_id"), F.lit(0)).cast("long")
+            .alias("purchase_checksum"),
+            F.sum("click_id").cast("long").alias("click_checksum"),
+            F.coalesce(
+                F.sum(F.floor(F.col("purchase_value") * 100).cast("long")),
+                F.lit(0),
+            ).cast("long").alias("value_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q310 — stream-stream join CHAINED INTO a session-window aggregate: two
+# stateful operators in one streaming query (the post-3.5 multi-stateful
+# pipeline shape), run on the hash gate. Attribution sessions: the q231
+# inner purchase⨝click join feeds session_window(p_ts, 30 min) per user
+# — "bursts of click-attributed purchasing" — with the session agg's
+# state living DOWNSTREAM of the join's state.
+#
+# Emission boundary, pinned by a synthetic probe (6 planted sessions
+# straddling the candidates, tests/test_streaming_session_join.py):
+# a session is emitted iff session_end < W − horizon STRICT, where
+# W = min(max p_ts, max c_ts) − 10 min and horizon = 1 h is the join's
+# time-range span: the join delays its output event-time watermark on
+# p_ts by the interval (the same state-value-watermark arithmetic as
+# q303's right-null boundary), and the session agg emits strictly below
+# that delayed watermark — a session ending exactly AT W − horizon is
+# withheld (probe user F). Sessions above the boundary are withheld
+# forever when the replay ends; the oracle filters to the emitted set.
+# (StreamingJoinHelper's ±1 ms adjustments live exactly on the
+# boundary; microsecond-grain fixtures never land there.)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q310_streaming_session_join_exact",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id AS cu, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    mx AS (
+        SELECT LEAST((SELECT MAX(epoch_us(p_ts)) // 1000 FROM p),
+                     (SELECT MAX(epoch_us(c_ts)) // 1000 FROM c))
+               - 600000 AS wm
+    ),
+    pairs AS (
+        SELECT p.purchase_id, p.user_id, p.p_ts, p.value, c.click_id
+        FROM p JOIN c
+          ON p.user_id = c.cu
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    ),
+    marked AS (
+        SELECT user_id, p_ts, click_id, value,
+               CASE WHEN p_ts - LAG(p_ts) OVER (
+                        PARTITION BY user_id ORDER BY p_ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM pairs
+    ),
+    sess AS (
+        SELECT user_id, p_ts, click_id, value,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY p_ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM marked
+    ),
+    agg AS (
+        SELECT user_id,
+               MIN(p_ts) AS session_start,
+               MAX(p_ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(click_id) AS BIGINT) AS click_checksum,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_pairs,
+           click_checksum, value_cents
+    FROM agg, mx
+    WHERE epoch_us(session_end) // 1000 < mx.wm - 3600000
+    """,
+)
+def q310_streaming_session_join_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Click-attributed purchase sessions from a REAL two-stateful-
+    operator streaming query (stream-stream inner join → session_window
+    aggregate → append memory sink), hash-matched against the batch
+    gaps-and-islands formulation filtered to the pinned emission
+    boundary session_end < W − horizon. See block comment."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, "events", sf_dir)
+    late = (F.col("event_type") == "click") & (F.col("event_id") % 8 == 0)
+    work = tempfile.mkdtemp(prefix="q310_sess_")
+    sdir = os.path.join(work, "stream")
+    os.makedirs(sdir)
+    tmp = os.path.join(work, "staged")
+    e.withColumn(
+        "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
+    ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
+    for i in range(2):
+        part = glob.glob(
+            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
+        )[0]
+        dst = os.path.join(sdir, f"wave_{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    pairs = purchases_with_recent_click(stream, how="inner")
+    sess = (
+        pairs.groupBy(
+            F.session_window("p_ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("click_id").cast("long").alias("click_checksum"),
+            F.sum(F.floor(F.col("purchase_value") * 100).cast("long"))
+            .cast("long").alias("value_cents"),
+        )
+    )
+    _Q128_SEQ[0] += 1
+    sink = f"q310_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(sess, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    shutil.rmtree(work, ignore_errors=True)  # rows live in the memory sink
+    return spark.table(sink).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_pairs", "click_checksum", "value_cents",
+    )
