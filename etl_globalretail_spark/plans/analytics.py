@@ -2586,9 +2586,13 @@ def q174_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spend
     ),
     s AS (
+        -- rank-weighted spend grows as N^2 * avg_cents per nation:
+        -- DuckDB accumulates in native HUGEINT (no BIGINT cast), Spark
+        -- mirrors with decimal(38,0); numerator/denominator each take
+        -- ONE exact-integer -> DOUBLE conversion before the division.
         SELECT nk, COUNT(*) AS n,
-               CAST(SUM(x) AS BIGINT) AS sx,
-               CAST(SUM(r * x) AS BIGINT) AS srx
+               SUM(x) AS sx,
+               SUM(r * x) AS srx
         FROM ranked GROUP BY nk
     )
     SELECT nk AS nationkey,
@@ -2618,14 +2622,20 @@ def q175_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = spend.select(
         "nk", "x", F.row_number().over(wr).cast("long").alias("r")
     )
+    # Σ r·x grows as N²·avg_cents per nation — int64 dies near 3e9
+    # customers; decimal(38,0) is exact to ~1e19² and mirrors the
+    # oracle's native HUGEINT sums (numerator and denominator each
+    # convert to double ONCE, from the same exact integers).
+    dx = F.col("x").cast("decimal(38,0)")
     s = ranked.groupBy("nk").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum(F.col("r") * F.col("x")).cast("long").alias("srx"),
+        F.sum(dx).alias("sx"),
+        F.sum(F.col("r").cast("decimal(38,0)") * dx).alias("srx"),
     )
+    dn = F.col("n").cast("decimal(38,0)")
     gini = (
-        (2 * F.col("srx") - (F.col("n") + 1) * F.col("sx")).cast("double")
-        / (F.col("n") * F.col("sx")).cast("double")
+        (2 * F.col("srx") - (dn + 1) * F.col("sx")).cast("double")
+        / (dn * F.col("sx")).cast("double")
     )
     return s.select(
         F.col("nk").alias("nationkey"),
@@ -4082,20 +4092,21 @@ def q215_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
                JOIN ry ON q.flag = ry.flag AND q.y = ry.y
     ),
     m AS (
+        -- second moments of doubled ranks grow as 4N^3: DuckDB sums in
+        -- native HUGEINT, then one exact-integer -> DOUBLE conversion,
+        -- mirroring Spark's decimal(38,0) accumulation (int64 overflows
+        -- at ~2.4M rows/group -- caught by the sf1 scale rehearsal).
         SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
-               CAST(SUM(a * b) AS BIGINT) AS sab,
-               CAST(SUM(a * a) AS BIGINT) AS saa,
-               CAST(SUM(b * b) AS BIGINT) AS sbb
+               CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(b) AS DOUBLE) AS sb,
+               CAST(SUM(a * b) AS DOUBLE) AS sab,
+               CAST(SUM(a * a) AS DOUBLE) AS saa,
+               CAST(SUM(b * b) AS DOUBLE) AS sbb
         FROM j GROUP BY flag
     )
     SELECT flag, n,
-           (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
-            - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
-                   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
-                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+           (CAST(n AS DOUBLE) * sab - sa * sb)
+           / (sqrt(CAST(n AS DOUBLE) * saa - sa * sa)
+              * sqrt(CAST(n AS DOUBLE) * sbb - sb * sb))
                AS spearman
     FROM m
     """,
@@ -4129,22 +4140,29 @@ def q217_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(doubled_ranks("y"), ["flag", "y"])
         .select("flag", F.col("dr_x").alias("a"), F.col("dr_y").alias("b"))
     )
+    # Second moments of doubled ranks grow as 4N^3 per group — int64
+    # overflows past ~2.4M rows/group (hit at the sf1 scale rehearsal;
+    # ANSI mode errors loudly). Accumulate in decimal(38,0) — exact to
+    # N ≈ 10^12 rows/group, comfortably past the 100 TB lineitem — and
+    # convert the exact integer to double ONCE, which DuckDB mirrors
+    # with its native HUGEINT sum + one CAST AS DOUBLE.
+    da = F.col("a").cast("decimal(38,0)")
+    db = F.col("b").cast("decimal(38,0)")
     m = j.groupBy("flag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("a").cast("long").alias("sa"),
-        F.sum("b").cast("long").alias("sb"),
-        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
-        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
-        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+        F.sum(da).cast("double").alias("sa"),
+        F.sum(db).cast("double").alias("sb"),
+        F.sum(da * db).cast("double").alias("sab"),
+        F.sum(da * da).cast("double").alias("saa"),
+        F.sum(db * db).cast("double").alias("sbb"),
     )
     n = F.col("n").cast("double")
-    sa = F.col("sa").cast("double")
-    sb = F.col("sb").cast("double")
+    sa, sb = F.col("sa"), F.col("sb")
     return m.select(
         "flag", "n",
-        ((n * F.col("sab").cast("double") - sa * sb)
-         / (F.sqrt(n * F.col("saa").cast("double") - sa * sa)
-            * F.sqrt(n * F.col("sbb").cast("double") - sb * sb)))
+        ((n * F.col("sab") - sa * sb)
+         / (F.sqrt(n * F.col("saa") - sa * sa)
+            * F.sqrt(n * F.col("sbb") - sb * sb)))
         .alias("spearman"),
     )
 
@@ -6294,17 +6312,28 @@ def q290_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "ca", "cb", "t",
         (F.sum("t").over(win) - F.col("t")).alias("cum"),
     )
+    # Rank-sum terms ca·(2·cum+t+1) ~ N² and tie products t³ overflow
+    # int64 near 3e9 events/type; accumulate in decimal(38,0) — the
+    # Spark twin of the oracle's native HUGEINT sums (which it already
+    # uses: the SQL has no BIGINT cast inside s). Downstream consumers
+    # take one exact decimal→double (z) or decimal→long (U, exact while
+    # representable) conversion.
+    dca = F.col("ca").cast("decimal(38,0)")
+    dt = F.col("t").cast("decimal(38,0)")
     s = w.groupBy("event_type").agg(
         F.sum("ca").alias("n_a"),
         F.sum("cb").alias("n_b"),
         F.sum("t").alias("n"),
-        F.sum(F.col("ca") * (2 * F.col("cum") + F.col("t") + 1)).alias("r_a2"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+        F.sum(dca * (2 * F.col("cum").cast("decimal(38,0)") + dt + 1))
+        .alias("r_a2"),
+        F.sum(dt * dt * dt - dt).alias("tie3"),
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     nn = F.col("n").cast("double")
-    u2 = F.col("r_a2") - F.col("n_a") * (F.col("n_a") + 1)
+    u2 = F.col("r_a2") - F.col("n_a").cast("decimal(38,0)") * (
+        F.col("n_a") + 1
+    )
     var_u = (na * nb / F.lit(12.0)) * (
         (nn + F.lit(1.0))
         - F.col("tie3").cast("double") / (nn * (nn - F.lit(1.0)))
