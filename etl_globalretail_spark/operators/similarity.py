@@ -1979,3 +1979,185 @@ def _register_q293() -> None:
 
 
 _register_q293()
+
+
+# ---------------------------------------------------------------------------
+# q311 — LSH-pruned hard-negative mining: q293's per-anchor top-K
+# wrong-label neighbors, with candidates restricted to the anchor's
+# sign-LSH bucket — the SCALE tier of the pair. q293 is exact and
+# inherently quadratic in FLOPs (every anchor scores every wrong-label
+# vector; its blocks bound memory, not work — the sf1 rehearsal measured
+# the 14× super-linear cost of that honesty). Here candidate pair mass
+# is Σ_b |bucket_b|²: with bucket bits grown ∝ log N (bits is a constant
+# of the index, like IVF's k — 4 at test SF), expected bucket size and
+# per-anchor work stay CONSTANT as the corpus grows, the production
+# posture for contrastive mining over 100 TB of embeddings (multi-probe
+# or band-OR raises recall at the same asymptotics).
+#
+# Whole path oracle-replayed via q82's md5-Rademacher hyperplanes (same
+# 'hp-{bit}-{pos}' family, so both engines hold identical buckets) and
+# q293's quantized-cosine arithmetic (floor(x·y·1e12) exact-int dots,
+# IEEE sqrt norms, one divide) — buckets, candidate set, every cos_sim
+# double and every rank bit-identical cross-engine. The per-anchor rank
+# is a PARTITIONED window (InferWindowGroupLimit rewrites the ≤K filter
+# into a group limit); the bucket self-join is a plain shuffle equi-join
+# — nothing corpus-sized broadcasts.
+# ---------------------------------------------------------------------------
+
+
+def _register_q311() -> None:
+    bits, dim, kk = _Q82_BITS, _Q82_DIM, _HARDNEG_K
+
+    @_register(
+        "q311_hard_negatives_lsh",
+        oracle=f"""
+        WITH flat AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        signs AS (
+            SELECT b, pos,
+                   CASE WHEN CAST('0x' || substr(
+                            md5('hp-' || b || '-' || pos), 1, 15) AS BIGINT)
+                        % 2 = 0 THEN 1 ELSE -1 END AS s
+            FROM (SELECT unnest(range({bits})) AS b),
+                 (SELECT unnest(range(1, {dim + 1})) AS pos)
+        ),
+        vq AS (
+            SELECT vec_id, pos, CAST(FLOOR(val * 1e6) AS BIGINT) AS q
+            FROM flat
+        ),
+        bits AS (
+            SELECT vec_id, b,
+                   CASE WHEN SUM(s * q) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM vq JOIN signs ON vq.pos = signs.pos
+            GROUP BY vec_id, b
+        ),
+        buckets AS (
+            SELECT vec_id, CAST(SUM(bit * (1 << b)) AS BIGINT) AS bucket
+            FROM bits GROUP BY vec_id
+        ),
+        lab AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id,
+                   sqrt(CAST(SUM(CAST(FLOOR(val * val * 1e12) AS BIGINT))
+                        AS DOUBLE)) AS n
+            FROM flat GROUP BY vec_id
+        ),
+        pairs AS (
+            SELECT ba.vec_id AS a, bb.vec_id AS b,
+                   la.label AS albl, lb.label AS blbl
+            FROM buckets ba
+            JOIN buckets bb
+              ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
+            JOIN lab la ON la.vec_id = ba.vec_id
+            JOIN lab lb ON lb.vec_id = bb.vec_id
+            WHERE la.label <> lb.label
+        ),
+        dots AS (
+            SELECT p.a, p.b, p.albl, p.blbl,
+                   CAST(SUM(CAST(FLOOR(f.val * g.val * 1e12) AS BIGINT))
+                        AS DOUBLE) AS dp
+            FROM pairs p
+            JOIN flat f ON f.vec_id = p.a
+            JOIN flat g ON g.vec_id = p.b AND g.pos = f.pos
+            GROUP BY p.a, p.b, p.albl, p.blbl
+        ),
+        ranked AS (
+            SELECT d.a, d.b, d.albl, d.blbl,
+                   d.dp / (na.n * nb.n) AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.a
+                       ORDER BY d.dp / (na.n * nb.n) DESC, d.b
+                   ) AS rn
+            FROM dots d
+            JOIN norms na ON d.a = na.vec_id
+            JOIN norms nb ON d.b = nb.vec_id
+        )
+        SELECT a AS anchor_id, CAST(rn AS BIGINT) AS rank, b AS neg_id,
+               albl AS anchor_label, blbl AS neg_label, cos AS cos_sim
+        FROM ranked WHERE rn <= {kk}
+        """,
+    )
+    def q311_hard_negatives_lsh(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-anchor top-K wrong-label cosine neighbors among the
+        anchor's sign-LSH bucket — q293's scale tier; see block comment.
+        """
+        signs = _rademacher_signs()
+        e = load_table(spark, "embeddings", sf_dir)
+        vd = F.col("embedding").cast("array<double>")
+        vq = F.transform(vd, lambda x: F.floor(x * F.lit(1e6)).cast("long"))
+
+        def bit(b: int) -> Column:
+            srow = F.array(*[F.lit(s).cast("long") for s in signs[b]])
+            acc = F.aggregate(
+                F.zip_with(vq, srow, lambda q, s: q * s),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            )
+            return F.when(acc >= 0, F.lit(1)).otherwise(F.lit(0))
+
+        bucket = sum(
+            (bit(b) * F.lit(1 << b) for b in range(1, bits)), bit(0)
+        )
+        # One pass computes bucket + norm beside the vector; consumed by
+        # BOTH join legs below — persist or the scan+bucket folds run
+        # twice (Catalyst never dedupes the subplan). Lifetime is tied to
+        # the returned plan; released by the harness clearCache().
+        base = e.select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            "embedding",
+            bucket.cast("long").alias("bucket"),
+            _qdot(vd, vd).cast("double").alias("nrm2"),
+        ).persist()
+        left = base.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            "bucket",
+            F.col("embedding").alias("avec"),
+            F.col("nrm2").alias("na2"),
+        )
+        right = base.select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.col("bucket").alias("rbucket"),
+            F.col("embedding").alias("bvec"),
+            F.col("nrm2").alias("nb2"),
+        )
+        pairs = left.join(
+            right,
+            (F.col("bucket") == F.col("rbucket"))
+            & (F.col("anchor_id") != F.col("neg_id"))
+            & (F.col("anchor_label") != F.col("neg_label")),
+        )
+        cos = (
+            _qdot(
+                F.col("avec").cast("array<double>"),
+                F.col("bvec").cast("array<double>"),
+            ).cast("double")
+            / (F.sqrt("na2") * F.sqrt("nb2"))
+        ).alias("cos_sim")
+        scored = pairs.select(
+            "anchor_id", "anchor_label", "neg_id", "neg_label", cos
+        )
+        w = Window.partitionBy("anchor_id").orderBy(
+            F.desc("cos_sim"), F.asc("neg_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk)
+            .select(
+                "anchor_id", F.col("rank").cast("long").alias("rank"),
+                "neg_id", "anchor_label", "neg_label", "cos_sim",
+            )
+        )
+
+
+_register_q311()
