@@ -284,6 +284,9 @@ def q28_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _NEARDUP_TAU = 0.35  # synthetic corpus max pairwise cosine ≈ 0.45
+# SemDeDup target cell size: k = max(8, ceil(N/this)) keeps per-cell
+# pair mass constant as the corpus grows (q292; sf1 rehearsal fix).
+_SEMDEDUP_CELL = 250
 
 
 def _qdot(a: Column, b: Column) -> Column:
@@ -1610,13 +1613,21 @@ def _register_q292() -> None:
             FROM embeddings
         ),
         init AS (
+            -- ADAPTIVE cell count: k = max(8, ceil(N / 250)) grows with
+            -- the corpus so per-cell size (and the N^2/k pair mass per
+            -- cell) stays CONSTANT as data scales — the fix for the sf1
+            -- rehearsal's 9.7x (fixed k turns 10x data into ~100x cell
+            -- work). DuckDB evaluates the scalar-subquery LIMIT; Spark
+            -- computes the same k from the same count.
             SELECT vec_id,
                    CAST(ROW_NUMBER() OVER (
                        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
                    ) AS BIGINT) - 1 AS cell
             FROM embeddings
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-            LIMIT {_Q122_K}
+            LIMIT (SELECT GREATEST({_Q122_K},
+                       CAST(CEIL(COUNT(*) / {_SEMDEDUP_CELL}.0) AS BIGINT))
+                   FROM embeddings)
         ),
         c0 AS (
             SELECT i.cell, f.pos, f.q AS cq
@@ -1687,13 +1698,23 @@ def _register_q292() -> None:
             "vec_id", "embedding", _qvec(F.col("embedding")).alias("qv")
         ).persist()
         try:
+            # Adaptive k = max(8, ceil(N/250)) — mirrors the oracle's
+            # scalar-subquery LIMIT; the count also materializes the
+            # cache so every later pass reads cached blocks. Centroids
+            # stay a driver matrix (k×d ints, the documented k-means
+            # sync point — ~50 MB at k=100k; past that the coarse
+            # quantizer itself shards two-level, k' = √k top cells).
+            n_vecs = base.count()
+            kk_target = max(
+                _Q122_K, -(-n_vecs // _SEMDEDUP_CELL)
+            )
             # init: the K vectors with smallest (md5(vec_id), vec_id) —
             # a driver scalar (K rows), the q122/q74 documented pattern
             init = (
                 base.orderBy(
                     F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
                 )
-                .limit(_Q122_K)
+                .limit(kk_target)
                 .select("qv")
                 .collect()
             )
@@ -1705,12 +1726,20 @@ def _register_q292() -> None:
             def _partials(batches):
                 S = np.zeros((kk, dd), dtype=np.int64)
                 N = np.zeros(kk, dtype=np.int64)
+                # ‖x−c‖² = ‖x‖² + ‖c‖² − 2x·c in exact int64 matmul —
+                # B×k working set, never the B×k×d diff tensor (adaptive
+                # k makes the tensor form a memory bomb)
+                c2 = (cmat0 * cmat0).sum(axis=1)
                 for pdf in batches:
                     if not len(pdf):
                         continue
                     X = np.array(list(pdf["qv"]), dtype=np.int64)
-                    diff = X[:, None, :] - cmat0[None, :, :]
-                    cells = np.argmin((diff * diff).sum(-1), axis=1)
+                    d2 = (
+                        (X * X).sum(axis=1)[:, None]
+                        + c2[None, :]
+                        - 2 * (X @ cmat0.T)
+                    )
+                    cells = np.argmin(d2, axis=1)
                     for ci in range(kk):
                         m = cells == ci
                         if m.any():
@@ -1747,12 +1776,17 @@ def _register_q292() -> None:
             # final assignment rides WITH the float vector so the census
             # kernel needs no second join
             def _assign(batches):
+                c2 = (cmat1 * cmat1).sum(axis=1)
                 for pdf in batches:
                     if not len(pdf):
                         continue
                     X = np.array(list(pdf["qv"]), dtype=np.int64)
-                    diff = X[:, None, :] - cmat1[None, :, :]
-                    cells = np.argmin((diff * diff).sum(-1), axis=1)
+                    d2 = (
+                        (X * X).sum(axis=1)[:, None]
+                        + c2[None, :]
+                        - 2 * (X @ cmat1.T)
+                    )
+                    cells = np.argmin(d2, axis=1)
                     yield pd.DataFrame(
                         {
                             "vec_id": pdf["vec_id"],
@@ -1880,8 +1914,13 @@ def _register_q293() -> None:
         import numpy as np
         import pandas as pd
 
-        nb = _HARDNEG_BLOCKS
         e = load_table(spark, "embeddings", sf_dir)
+        # Adaptive block count: B = max(8, ceil(N/1000)) caps the tile
+        # working set at ~1000×1000 regardless of corpus size (the
+        # partial-top-K merge is exact for ANY B, so this never changes
+        # results — blocks bound MEMORY; the exact tier's FLOPs stay
+        # inherently quadratic, which is why the LSH tier q311 exists).
+        nb = max(_HARDNEG_BLOCKS, -(-e.count() // 1000))
         tiles = spark.createDataFrame(
             [(i, j) for i in range(nb) for j in range(i, nb)],
             "bi int, bj int",
