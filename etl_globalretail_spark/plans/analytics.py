@@ -4174,11 +4174,14 @@ def q217_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collapses to the JOINT-VALUE GRID: per (x, y) cell counts c, then
 # concordant/discordant mass is a cell×cell dominance join (grid cells
 # number |x-values|·|y-values| ≈ hundreds — corpus-size-INDEPENDENT,
-# the same collapse q173's ECDF uses). C, D, and the tie terms n1, n2
-# are exact BIGINTs; tau_b = (C−D)/√((n0−n1)·(n0−n2)) is computed with
-# the factors cast to double BEFORE multiplying — their int64 product
-# overflows at corpus row counts (the q184 Σx² lesson, denominator
-# edition).
+# the same collapse q173's ECDF uses). C, D, and the tie sums grow as
+# N²/2 — accumulated in decimal(38,0) (Spark) / native HUGEINT (DuckDB)
+# after the sf1-rehearsal overflow audit; the long output columns stay
+# exact while representable (the q290 posture). tau_b =
+# (C−D)/√((n0−n1)·(n0−n2)) converts each exact factor to double ONCE
+# (÷2.0 is a power-of-two divide — exact) before multiplying — the
+# int64 product of the factors overflows at corpus row counts (the
+# q184 Σx² lesson, denominator edition).
 # ---------------------------------------------------------------------------
 
 
@@ -4208,12 +4211,12 @@ def q217_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT flag, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY flag
     ),
     tx AS (
-        SELECT flag, CAST(SUM(cx * (cx - 1) // 2) AS BIGINT) AS n1
+        SELECT flag, SUM(cx * (cx - 1)) AS s1
         FROM (SELECT flag, x, COUNT(*) AS cx FROM q GROUP BY flag, x)
         GROUP BY flag
     ),
     ty AS (
-        SELECT flag, CAST(SUM(cy * (cy - 1) // 2) AS BIGINT) AS n2
+        SELECT flag, SUM(cy * (cy - 1)) AS s2
         FROM (SELECT flag, y, COUNT(*) AS cy FROM q GROUP BY flag, y)
         GROUP BY flag
     )
@@ -4221,8 +4224,10 @@ def q217_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(cd.conc AS BIGINT) AS concordant,
            CAST(cd.disc AS BIGINT) AS discordant,
            (CAST(cd.conc AS DOUBLE) - CAST(cd.disc AS DOUBLE))
-           / sqrt(CAST(nn.n * (nn.n - 1) // 2 - tx.n1 AS DOUBLE)
-                  * CAST(nn.n * (nn.n - 1) // 2 - ty.n2 AS DOUBLE))
+           / sqrt((CAST(CAST(nn.n AS HUGEINT) * (nn.n - 1) - tx.s1
+                        AS DOUBLE) / 2.0)
+                  * (CAST(CAST(nn.n AS HUGEINT) * (nn.n - 1) - ty.s2
+                          AS DOUBLE) / 2.0))
                AS tau_b
     FROM nn JOIN cd ON nn.flag = cd.flag
             JOIN tx ON nn.flag = tx.flag
@@ -4246,42 +4251,53 @@ def q218_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("y").alias("ya"), F.col("c").alias("ca"))
     b = cells.select(F.col("flag").alias("fb"), F.col("x").alias("xb"),
                      F.col("y").alias("yb"), F.col("c").alias("cb"))
+    # C/D mass and tie sums grow as N²/2 per flag — decimal(38,0)
+    # accumulation (the sf1-rehearsal overflow device); the grid-cell
+    # per-term products ca·cb stay within int64 far longer but are
+    # promoted too, for free.
+    dzero = F.lit(0).cast("decimal(38,0)")
+    dca = F.col("ca").cast("decimal(38,0)")
+    dcb = F.col("cb").cast("decimal(38,0)")
     cd = (
         a.join(b, F.col("fa") == F.col("fb"))
         .groupBy(F.col("fa").alias("flag"))
         .agg(
             F.sum(
                 F.when((F.col("xb") > F.col("xa")) & (F.col("yb") > F.col("ya")),
-                       F.col("ca") * F.col("cb")).otherwise(F.lit(0))
-            ).cast("long").alias("conc"),
+                       dca * dcb).otherwise(dzero)
+            ).alias("conc"),
             F.sum(
                 F.when((F.col("xb") > F.col("xa")) & (F.col("yb") < F.col("ya")),
-                       F.col("ca") * F.col("cb")).otherwise(F.lit(0))
-            ).cast("long").alias("disc"),
+                       dca * dcb).otherwise(dzero)
+            ).alias("disc"),
         )
     )
     nn = q.groupBy("flag").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dcx = F.col("cx").cast("decimal(38,0)")
+    dcy = F.col("cy").cast("decimal(38,0)")
     tx = (
         q.groupBy("flag", "x").agg(F.count(F.lit(1)).alias("cx"))
         .groupBy("flag")
-        .agg(F.sum(F.expr("cx * (cx - 1) div 2")).cast("long").alias("n1"))
+        .agg(F.sum(dcx * (dcx - 1)).alias("s1"))
     )
     ty = (
         q.groupBy("flag", "y").agg(F.count(F.lit(1)).alias("cy"))
         .groupBy("flag")
-        .agg(F.sum(F.expr("cy * (cy - 1) div 2")).cast("long").alias("n2"))
+        .agg(F.sum(dcy * (dcy - 1)).alias("s2"))
     )
+    dn = F.col("n").cast("decimal(38,0)")
+    # each tau_b factor: exact decimal integer → ONE double conversion →
+    # exact ÷2.0 (power of two) — both engines do the identical sequence
+    f1 = (dn * (dn - 1) - F.col("s1")).cast("double") / F.lit(2.0)
+    f2 = (dn * (dn - 1) - F.col("s2")).cast("double") / F.lit(2.0)
     out = (
         nn.join(cd, "flag").join(tx, "flag").join(ty, "flag")
         .select(
             "flag", "n",
-            F.col("conc").alias("concordant"),
-            F.col("disc").alias("discordant"),
+            F.col("conc").cast("long").alias("concordant"),
+            F.col("disc").cast("long").alias("discordant"),
             ((F.col("conc").cast("double") - F.col("disc").cast("double"))
-             / F.sqrt(
-                 F.expr("CAST(n * (n - 1) div 2 - n1 AS DOUBLE)")
-                 * F.expr("CAST(n * (n - 1) div 2 - n2 AS DOUBLE)")
-             )).alias("tau_b"),
+             / F.sqrt(f1 * f2)).alias("tau_b"),
         )
     )
     try:
