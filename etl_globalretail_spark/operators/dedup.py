@@ -1856,3 +1856,88 @@ def _register_q278() -> None:
 
 
 _register_q278()
+
+
+# ---------------------------------------------------------------------------
+# q312 — FUZZY benchmark decontamination: the near-duplicate sibling of
+# q87's exact-shingle audit, completing the decontamination ladder the
+# way dedup has exact (q18) → MinHash (q24/q66) tiers. Production
+# pipelines decontaminate twice: exact n-gram overlap (q87's GPT-3/PaLM
+# recipe) catches verbatim inclusions; MinHash near-dup matching (the
+# Dolma/Llama recipe) catches paraphrased or lightly-edited benchmark
+# leakage the n-gram filter misses.
+#
+# Composition: a corpus document is fuzzy-contaminated iff it forms a
+# VERIFIED MinHash near-dup pair (q66's full pipeline — md5 shingles →
+# 24 affine-min signatures → 6×4 banding → exact-Jaccard ≥ τ) with a
+# document on the other side of the deterministic benchmark split
+# (doc_id ≡ 0 mod 17, q87's slice). The pair set is the memoized q66
+# artifact, so this query pays one filter + census over it — and the
+# oracle embeds q66's CTE verbatim, keeping every modeling choice
+# hash-checked end to end.
+#
+# Scale shape: inherits q66's (banded join, candidates-only verify);
+# the split predicate is a constant-time id test on the pair frame —
+# nothing new shuffles. Removal stays an anti-join on the flagged ids.
+# ---------------------------------------------------------------------------
+
+
+def _register_q312() -> None:
+    @_register(
+        "q312_fuzzy_decontamination",
+        oracle="""
+        WITH pairs AS ({q66}),
+        flag AS (
+            SELECT DISTINCT CASE WHEN id_a % 17 = 0 THEN id_b
+                                 ELSE id_a END AS doc_id
+            FROM pairs
+            WHERE (id_a % 17 = 0) <> (id_b % 17 = 0)
+        ),
+        docs AS (
+            SELECT doc_id, lang FROM documents WHERE doc_id % 17 <> 0
+        )
+        SELECT d.lang,
+               COUNT(*) AS n_docs,
+               COUNT(f.doc_id) AS n_fuzzy_contaminated,
+               CAST(COALESCE(SUM(CASE WHEN f.doc_id IS NOT NULL
+                                      THEN d.doc_id END), 0) AS BIGINT)
+                   AS sum_contaminated_ids
+        FROM docs d LEFT JOIN flag f ON d.doc_id = f.doc_id
+        GROUP BY d.lang
+        """.format(q66=ORACLE["q66_minhash_pairs_exact"]),
+    )
+    def q312_fuzzy_decontamination(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-language census of corpus docs that are verified MinHash
+        near-dups of a benchmark-slice doc; see block comment."""
+        pairs = QUERIES["q66_minhash_pairs_exact"](spark, sf_dir)
+        a_bench = F.col("id_a") % 17 == 0
+        b_bench = F.col("id_b") % 17 == 0
+        flagged = (
+            pairs.filter(a_bench != b_bench)
+            .select(
+                F.when(a_bench, F.col("id_b")).otherwise(F.col("id_a"))
+                .alias("doc_id")
+            )
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        d = load_table(spark, "documents", sf_dir)
+        corpus = d.filter(F.col("doc_id") % 17 != 0).select("doc_id", "lang")
+        out = corpus.join(F.broadcast(flagged), "doc_id", "left")
+        # flagged is bounded by the verified near-dup pair count (tiny
+        # vs corpus — dup families are a corpus fraction and the bench
+        # side is 1/17 of those); at true scale where the flag set could
+        # grow corpus-sized, drop the broadcast hint and let AQE pick.
+        return out.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__hit").alias("n_fuzzy_contaminated"),
+            F.coalesce(
+                F.sum(F.when(F.col("__hit").isNotNull(), F.col("doc_id"))),
+                F.lit(0),
+            ).alias("sum_contaminated_ids"),
+        )
+
+
+_register_q312()
