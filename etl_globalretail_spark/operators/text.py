@@ -653,12 +653,16 @@ def q121_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFram
     ties break on doc_id; the quartile cut compares an integer rank
     against CEIL(0.25·n) — no float accumulation anywhere.
 
-    Scale notes: one shuffle on lang (the window), one aggregation on the
-    same key — AQE reuses the exchange. The rank window is per-language;
-    for a language so dominant its partition overwhelms one executor, cut
-    by approx-quantile thresholds instead (two scans, no full sort).
+    Scale shape: a rank window partitioned by ~10 language codes is a
+    10-task sort of the whole corpus (the low-cardinality sibling of the
+    banned partition-less windows). The per-language rank instead comes
+    from the TWO-PHASE global rank (operators.ranks) over the total
+    order (lang, ld desc, doc_id): per-lang rank = global rank − the
+    language's exclusive row offset, with the ≤|langs| offset/count maps
+    as driver scalars (the documented k-centroid class). Output is
+    bit-identical — the unchanged oracle hash-checks it.
     """
-    from pyspark.sql.window import Window
+    from etl_globalretail_spark.operators.ranks import global_row_number
 
     d = load_table(spark, "documents", sf_dir)
     tok = tokens(F.col("text"))
@@ -669,20 +673,29 @@ def q121_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFram
             F.size(F.array_distinct(tok)).cast("double") / F.size(tok)
         ).alias("ld"),
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("ld"), F.asc("doc_id"))
-    n = Window.partitionBy("lang")
-    keep = F.col("rnk") <= F.ceil(F.col("n") * 0.25)
-    return (
-        feat.withColumn("rnk", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(n))
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
-            F.sum(F.when(keep, F.col("doc_id")).otherwise(0))
-            .cast("long")
-            .alias("sum_kept_ids"),
-        )
+    ranked, _total = global_row_number(
+        feat,
+        [("lang", "asc"), ("ld", "desc"), ("doc_id", "asc")],
+        out="grn",
+    )
+    counts = {
+        r["lang"]: r["count"]
+        for r in feat.groupBy("lang").count().collect()
+    }
+    off, acc = {}, 0
+    for lang in sorted(counts):
+        off[lang] = acc
+        acc += counts[lang]
+    off_map = F.create_map(*[F.lit(x) for kv in off.items() for x in kv])
+    n_map = F.create_map(*[F.lit(x) for kv in counts.items() for x in kv])
+    rnk = F.col("grn") - off_map[F.col("lang")]
+    keep = rnk <= F.ceil(n_map[F.col("lang")] * 0.25)
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(keep, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("sum_kept_ids"),
     )
 
 

@@ -840,23 +840,57 @@ def q98_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The frame SUM runs over exact decimals and each
     per-row average is one double division — deterministic despite FP;
     the audit fold sums those averages as decimals again (order-free).
-    One shuffle (partition by type), one sort (ts) — the aggregate is
-    computed in a single running pass per partition, not per-frame rescans.
+
+    Scale shape — GHOST-ROW BUCKETING: a window partitioned only by
+    event_type (~5 values) is a 5-task parallelism ceiling — one
+    executor sorts the whole type at any corpus size (the low-
+    cardinality sibling of the partition-less windows the r6 lint
+    banned). Instead, rows are bucketed by (type, UTC day) and every
+    row in the LAST HOUR of a day is replicated as a GHOST into the
+    next day's bucket: each native row's trailing-1h frame is then
+    fully present inside its own bucket, the window runs per
+    (type, day) — parallelism grows with the time span — and ghost
+    rows (whose own frames would be truncated) are dropped after the
+    pass. Shuffle cost is N·(1 + frame/bucket) ≈ 1.04×N. Output is
+    bit-identical to the single-window form — the unchanged oracle
+    hash-checks exactly that.
     """
     e = load_table(spark, "events", sf_dir)
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-3_600_000_000, 0)
+    hour_us, day_us = 3_600_000_000, 86_400_000_000
+    us = F.unix_micros("ts")
+    base = e.select(
+        "event_type", "event_id", "value", us.alias("us"),
+        (us.cast("long") - (us.cast("long") % day_us)).alias("bstart"),
     )
-    framed = e.select(
-        "event_type",
-        "event_id",
-        F.count(F.lit(1)).over(w).alias("n_trailing"),
-        (
-            F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
-            / F.count(F.lit(1)).over(w)
-        ).alias("avg_trailing"),
+    native = base.select(
+        "event_type", "event_id", "value", "us", "bstart",
+        F.lit(False).alias("ghost"),
+    )
+    ghosts = base.filter(
+        F.col("us") >= F.col("bstart") + (day_us - hour_us)
+    ).select(
+        "event_type", "event_id", "value", "us",
+        (F.col("bstart") + day_us).alias("bstart"),
+        F.lit(True).alias("ghost"),
+    )
+    w = (
+        Window.partitionBy("event_type", "bstart")
+        .orderBy("us")
+        .rangeBetween(-hour_us, 0)
+    )
+    framed = (
+        native.unionAll(ghosts)
+        .select(
+            "event_type",
+            "event_id",
+            "ghost",
+            F.count(F.lit(1)).over(w).alias("n_trailing"),
+            (
+                F.sum(F.col("value").cast("decimal(27,6)")).over(w)
+                .cast("double") / F.count(F.lit(1)).over(w)
+            ).alias("avg_trailing"),
+        )
+        .filter(~F.col("ghost"))
     )
     return framed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -2235,10 +2269,23 @@ def q163_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q167_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type exact AUC of `value` as a score against a
     deterministic synthetic label (event_id % 5 — the fixtures carry no
-    labels; the operator is the product). Mann-Whitney rank formulation:
-    one window pass partitioned by group, integer rank sums, one
-    division. An AUC of ~0.5 everywhere is itself the correct answer for
-    an independent label — and the hash gate certifies the machinery."""
+    labels; the operator is the product). Mann-Whitney rank formulation
+    with integer rank sums and one division. An AUC of ~0.5 everywhere
+    is itself the correct answer for an independent label — and the hash
+    gate certifies the machinery.
+
+    Scale shape: scores are continuous doubles, so the q290 value-grid
+    collapse degenerates (every score distinct) — instead the per-type
+    rank comes from the TWO-PHASE global rank (operators.ranks) over the
+    total order (type, score, id): per-type rank = global rank − the
+    type's exclusive row offset, so rank_sum folds as Σ grn − p·offset.
+    A row_number window partitioned by ~5 event types would be a 5-task
+    sort of the corpus (the low-cardinality sibling of the banned
+    partition-less windows); the offset cumulation runs over the
+    ≤|event_type| aggregate — bounded grain, whitelisted. Rank sums are
+    decimal(38,0): they grow as N²/2 (the sf1 overflow class)."""
+    from etl_globalretail_spark.operators.ranks import global_row_number
+
     e = load_table(spark, "events", sf_dir)
     scored = e.select(
         "event_type",
@@ -2246,15 +2293,29 @@ def q167_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("score"),
         "event_id",
     )
-    w = Window.partitionBy("event_type").orderBy("score", "event_id")
-    ranked = scored.select(
-        "event_type", "label", F.row_number().over(w).cast("long").alias("rnk")
+    ranked, _total = global_row_number(
+        scored,
+        [("event_type", "asc"), ("score", "asc"), ("event_id", "asc")],
+        out="grn",
     )
-    s = ranked.groupBy("event_type").agg(
+    agg = ranked.groupBy("event_type").agg(
         F.sum("label").cast("long").alias("p"),
         (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("n"),
-        F.sum(F.when(F.col("label") == 1, F.col("rnk")).otherwise(0))
-        .cast("long").alias("rank_sum"),
+        F.sum(
+            F.when(F.col("label") == 1, F.col("grn")).otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("gsum"),
+    )
+    # exclusive row offset per type over the ≤|event_type|-row aggregate
+    wt = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rows_t = (F.col("p") + F.col("n")).cast("decimal(38,0)")
+    s = agg.select(
+        "event_type", "p", "n",
+        (F.col("gsum")
+         - F.col("p").cast("decimal(38,0)")
+         * (F.sum(rows_t).over(wt) - rows_t)).alias("rank_sum"),
     )
     auc = (
         (F.col("rank_sum") - (F.col("p") * (F.col("p") + 1)) / 2)
@@ -4868,22 +4929,39 @@ def q227_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q228_interpolated_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True interpolated median of value-millis per event type: the two
     middle order statistics under a total order, averaged with the one
-    FP-safe interpolation (sum of two exact ints, one division by 2)."""
+    FP-safe interpolation (sum of two exact ints, one division by 2).
+
+    Scale shape — VALUE-GRID order statistics (the q290 collapse): a
+    row_number window partitioned by ~5 event types is a 5-task sort of
+    the whole corpus (the low-cardinality sibling of the banned
+    partition-less windows). An order STATISTIC of the quantized value
+    needs no per-row rank: aggregate to the (type, x) grid — bounded by
+    the value range × quantum, corpus-size-INDEPENDENT — cumulate counts
+    over the grid, and pick the first x whose running count reaches each
+    middle position. Output is bit-identical to the row_number form
+    (ties in x collapse to the same grid row), which the unchanged
+    oracle hash-checks."""
     e = load_table(spark, "events", sf_dir)
-    v = e.select(
-        "event_type",
-        F.floor(F.col("value") * F.lit(1e3)).cast("long").alias("x"),
-        "event_id",
+    grid = (
+        e.select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(1e3)).cast("long").alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    wp = Window.partitionBy("event_type")
-    ranked = v.select(
-        "event_type", "x",
-        F.row_number().over(wp.orderBy("x", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("n"),
+    wg = Window.partitionBy("event_type").orderBy("x")
+    wn = Window.partitionBy("event_type")
+    g = grid.select(
+        "event_type", "x", "c",
+        F.sum("c").over(wg).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
     )
-    lo = F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("x")))
-    hi = F.max(F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("x")))
-    return ranked.groupBy("event_type").agg(
+    lo_pos = F.expr("(n + 1) div 2")
+    hi_pos = F.expr("(n + 2) div 2")
+    lo = F.min(F.when(F.col("cum") >= lo_pos, F.col("x")))
+    hi = F.min(F.when(F.col("cum") >= hi_pos, F.col("x")))
+    return g.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n"),
         lo.cast("long").alias("lo_millis"),
         hi.cast("long").alias("hi_millis"),
@@ -5188,14 +5266,19 @@ def q246_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     comm = deg.join(intra, "label", "left").select(
         "label", F.coalesce("ec", F.lit(0)).cast("long").alias("ec"), "dc"
     )
+    # m rides into the SQL as a BIGINT literal (L suffix): bare int
+    # literals are INT32 in Spark SQL and 4·m·m overflowed at the sf1
+    # soak's edge count (ANSI errored loudly; the int64 headroom bound
+    # itself is documented above).
     return comm.agg(
         F.count(F.lit(1)).cast("long").alias("n_communities"),
         F.lit(m).cast("long").alias("n_edges"),
-        F.sum(4 * F.lit(m) * F.col("ec") - F.col("dc") * F.col("dc"))
+        F.sum(4 * F.lit(m).cast("long") * F.col("ec")
+              - F.col("dc") * F.col("dc"))
         .cast("long").alias("q_numerator"),
         F.lit(4 * m * m).cast("long").alias("q_denominator"),
-        F.expr(f"CAST(SUM(4 * {m} * ec - dc * dc) * 1000000"
-               f" div (4 * {m} * {m}) AS BIGINT)").alias("q_millionths"),
+        F.expr(f"CAST(SUM(4L * {m}L * ec - dc * dc) * 1000000L"
+               f" div (4L * {m}L * {m}L) AS BIGINT)").alias("q_millionths"),
     )
 
 

@@ -97,7 +97,16 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
         for f in base.fields
     ]
     reader = spark.readStream.schema(", ".join(fields)).format("parquet")
-    if path.endswith(".parquet"):
+    # Two on-disk layouts: the testdata ships events.parquet as a SINGLE
+    # FILE (stream the parent dir with a glob selecting it — a file is
+    # not a valid FileStreamSource basePath), while Spark-written tables
+    # (the sf1 scale replica, any production corpus) are DIRECTORIES of
+    # part files (stream the directory itself — the glob would match
+    # zero part files and the stream would silently replay NOTHING,
+    # caught by the sf1 soak: q166's sink never materialized).
+    import os
+
+    if path.endswith(".parquet") and not os.path.isdir(path):
         parent, _, fname = path.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         path = parent

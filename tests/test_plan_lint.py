@@ -113,6 +113,9 @@ INTENTIONAL_GLOBAL_WINDOW = {
     "q272_gains_table",       # cumulative capture over the DECILE grain (10)
     "q275_rolling_correlation",   # 7-day range frame over the DAY grain
     "q282_serpentine_pack_plan",  # snake order over the <= R reducer census
+    "q167_group_auc",         # offset cumulation over the |event_type|
+                              # grain (≤5 rows); the row-sized rank is the
+                              # two-phase operators.ranks global rank
 }
 
 
