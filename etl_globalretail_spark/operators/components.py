@@ -418,9 +418,11 @@ def _register_q137() -> None:
         ratio, so the keeper choice is bit-deterministic cross-engine.
 
         Scale notes: clusters come from the already-bounded LSH closure
-        (|pair-graph| ≪ corpus); the quality join touches only cluster
-        members (broadcast of the label frame); the keeper pick is a
-        window over cluster members — |clustered docs| rows.
+        (|pair-graph| ≪ corpus) — THAT side broadcasts into the
+        corpus-sized quality frame (hinting the doc-grain side would be
+        the data-sized-broadcast anti-pattern ADVICE r6 flagged); the
+        keeper pick is a window over cluster members — |clustered docs|
+        rows.
         """
         from etl_globalretail_spark.operators.text import tokens
         from pyspark.sql.window import Window
@@ -434,7 +436,7 @@ def _register_q137() -> None:
                 F.size(F.array_distinct(tok)).cast("double") / F.size(tok)
             ).alias("ld"),
         )
-        members = cc.join(F.broadcast(quality), "vertex")
+        members = F.broadcast(cc).join(quality, "vertex")
         w = Window.partitionBy("component").orderBy(
             F.desc("ld"), F.asc("vertex")
         )

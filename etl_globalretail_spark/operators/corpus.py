@@ -427,9 +427,12 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 5) -> DataFrame:
     terms common everywhere (stopwords) rank low in every language.
 
     Plan: one explode feeds both the (lang, term) tf aggregate and the
-    per-term df aggregate; df (vocabulary-sized) broadcasts back; the final
-    rank is a window over |vocab × langs| aggregated rows, not raw
-    occurrences.
+    per-term df aggregate; df is VOCABULARY-sized (sub-linear by Heaps'
+    law but unbounded), so no broadcast hint — the equi-join on tok lets
+    AQE pick broadcast at small SF and shuffle-hash at corpus scale (the
+    ADVICE-r6 stance on data-sized broadcasts); the final rank is a
+    window over |vocab × langs| aggregated rows with a rank≤k filter
+    Spark rewrites into a per-group heap limit.
     """
     occ = docs.select(
         F.col("doc_id").alias("doc"),
@@ -439,7 +442,7 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 5) -> DataFrame:
     n_docs = occ.select("doc").distinct().count()
     tf = occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("total_tf"))
     df_ = occ.groupBy("tok").agg(F.countDistinct("doc").alias("df"))
-    scored = tf.join(F.broadcast(df_), "tok").withColumn(
+    scored = tf.join(df_, "tok").withColumn(
         "score",
         (F.col("total_tf").cast("double") * F.lit(float(n_docs)))
         / F.col("df").cast("double"),
