@@ -171,9 +171,12 @@ def test_q90_scoring_zero_shuffle_end_to_end(spark, sf_dir, qs):
 
 
 def test_quality_percentile_filter_single_lang_exchange(spark, sf_dir):
-    """q121's window and audit aggregate share the lang partitioning —
-    exactly one shuffle of the feature frame (plus AQE reads), never a
-    second full sort or scan of documents."""
+    """q121's per-lang rank rides the TWO-PHASE global rank (r7 rewrite:
+    a rank window partitioned by ~5 lang codes was a 5-task sort of the
+    corpus): the returned plan reads the ONE materialized ranged frame
+    (documents scanned once, in the materialize job — never re-scanned
+    here) and its rank window is partitioned by the RANGE id, not by the
+    low-cardinality lang key alone."""
     from etl_globalretail_spark.operators.text import QUERIES as TQ
 
     plan = (
@@ -183,7 +186,8 @@ def test_quality_percentile_filter_single_lang_exchange(spark, sf_dir):
         .toString()
         .split("== Initial Plan ==")[0]
     )
-    assert plan.count("documents.parquet") == 1, plan
+    assert plan.count("documents.parquet") == 0, plan
+    assert "windowspecdefinition(__rk_pid" in plan, plan
 
 
 def test_temperature_mixture_map_only_keep(spark, sf_dir):
