@@ -4094,3 +4094,186 @@ def _register_q308() -> None:
 
 
 _register_q308()
+
+
+# ---------------------------------------------------------------------------
+# q313 — WordPiece merge learning (Schuster & Nakajima 2012; the BERT
+# tokenizer's training criterion): identical loop shape to q242's BPE
+# except the pair to merge maximizes the LIKELIHOOD score
+# count(ab) / (count(a)·count(b)) — "merge the pair whose co-occurrence
+# most exceeds what its parts' frequencies predict" — rather than the
+# raw count. Completes the tokenizer-training trio: BPE (q242,
+# count-greedy), unigram-LM EM (q307, global likelihood), WordPiece
+# (likelihood-ratio-greedy).
+#
+# Devices inherited from q242: merged pairs re-encode as marker chars
+# ('1','2','3') so symbols stay single chars; replace() is
+# leftmost-first non-overlapping in both engines. New per round: a
+# symbol-frequency frame (one substr explode over the |V|-row vocab,
+# |alphabet + markers| rows out). The score is ONE double division with
+# each exact integer converted once — count(a)·count(b) multiplies as
+# DOUBLES because the int64 product dies at ~3e9 corpus tokens (the sf1
+# overflow class); identical operands → identical doubles → identical
+# ORDER in both engines, ties broken on (l, r).
+#
+# Plan shape: corpus touched once (vocab build, persisted); each round
+# runs pair- and symbol-aggregates over the |V|-row vocabulary; the best
+# pair is a 1-row driver scalar (bounded by construction, 3 rounds).
+# ---------------------------------------------------------------------------
+
+_WP_ROUNDS = 3
+
+
+def _q313_oracle() -> str:
+    vocab = f"""
+        SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_SQL_ALPHA_TOKENS}) AS tok FROM documents)
+        GROUP BY tok
+    """
+
+    def pairs(v: str) -> str:
+        return f"""
+        SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+               CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (
+            SELECT word, freq,
+                   unnest(generate_series(1, length(word) - 1)) AS i
+            FROM {v}
+        ) GROUP BY 1, 2
+        """
+
+    def syms(v: str) -> str:
+        return f"""
+        SELECT substr(word, i, 1) AS s, CAST(SUM(freq) AS BIGINT) AS c
+        FROM (
+            SELECT word, freq,
+                   unnest(generate_series(1, length(word))) AS i
+            FROM {v}
+        ) GROUP BY 1
+        """
+
+    ctes = [f"v1 AS ({vocab})"]
+    for rnd in (1, 2, 3):
+        ctes.append(f"p{rnd} AS ({pairs(f'v{rnd}')})")
+        ctes.append(f"s{rnd} AS ({syms(f'v{rnd}')})")
+        ctes.append(
+            f"b{rnd} AS (SELECT p.l, p.r, p.cnt,"
+            f" CAST(p.cnt AS DOUBLE)"
+            f" / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) AS score"
+            f" FROM p{rnd} p"
+            f" JOIN s{rnd} sa ON p.l = sa.s"
+            f" JOIN s{rnd} sb ON p.r = sb.s"
+            f" ORDER BY score DESC, p.l, p.r LIMIT 1)"
+        )
+        if rnd < 3:
+            ctes.append(
+                f"v{rnd + 1} AS (SELECT replace(word,"
+                f" (SELECT l || r FROM b{rnd}), '{rnd}') AS word, freq"
+                f" FROM v{rnd})"
+            )
+    sel = """
+    , e1 AS (SELECT (SELECT l || r FROM b1) AS m)
+    , e2 AS (SELECT replace((SELECT l || r FROM b2), '1', (SELECT m FROM e1)) AS m)
+    , e3 AS (SELECT replace(replace((SELECT l || r FROM b3), '2',
+                 (SELECT m FROM e2)), '1', (SELECT m FROM e1)) AS m)
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS round, l AS left_sym, r AS right_sym,
+               (SELECT m FROM e1) AS merged, cnt AS pair_count, score
+        FROM b1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), l, r, (SELECT m FROM e2), cnt, score
+        FROM b2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), l, r, (SELECT m FROM e3), cnt, score
+        FROM b3
+    )
+    """
+    return "WITH " + ",\n".join(ctes) + sel
+
+
+def _register_q313() -> None:
+    @_register("q313_wordpiece_merges", oracle=_q313_oracle())
+    def q313_wordpiece_merges(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The first 3 learned WordPiece merges (likelihood-ratio
+        criterion) over the corpus vocabulary; see block comment."""
+        docs = load_table(spark, "documents", sf_dir)
+        vocab = (
+            docs.select(F.explode(alpha_tokens(F.col("text"))).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+            .persist()
+        )
+        try:
+            vocab.count()
+            expansion: dict[str, str] = {}
+            rows: list[tuple] = []
+            cur = vocab
+            for rnd in range(1, _WP_ROUNDS + 1):
+                pos = cur.filter(F.length("word") >= 2).select(
+                    "word", "freq",
+                    F.explode(
+                        F.sequence(F.lit(1), F.length("word") - F.lit(1))
+                    ).alias("i"),
+                )
+                prs = (
+                    pos.select(
+                        F.expr("substring(word, i, 1)").alias("l"),
+                        F.expr("substring(word, i + 1, 1)").alias("r"),
+                        "freq",
+                    )
+                    .groupBy("l", "r")
+                    .agg(F.sum("freq").cast("long").alias("cnt"))
+                )
+                sym = (
+                    cur.select(
+                        "word", "freq",
+                        F.explode(
+                            F.sequence(F.lit(1), F.length("word"))
+                        ).alias("i"),
+                    )
+                    .select(
+                        F.expr("substring(word, i, 1)").alias("s"), "freq"
+                    )
+                    .groupBy("s")
+                    .agg(F.sum("freq").cast("long").alias("c"))
+                )
+                sa = sym.select(F.col("s").alias("l"), F.col("c").alias("ca"))
+                sb = sym.select(F.col("s").alias("r"), F.col("c").alias("cb"))
+                score = F.col("cnt").cast("double") / (
+                    F.col("ca").cast("double") * F.col("cb").cast("double")
+                )
+                best = (  # 1-row driver scalar, bounded by construction
+                    prs.join(F.broadcast(sa), "l")
+                    .join(F.broadcast(sb), "r")
+                    .select("l", "r", "cnt", score.alias("score"))
+                    .orderBy(F.desc("score"), "l", "r")
+                    .first()
+                )
+                marker = str(rnd)
+                merged = best["l"] + best["r"]
+                for m, exp in sorted(expansion.items(), reverse=True):
+                    merged = merged.replace(m, exp)
+                expansion[marker] = merged
+                rows.append(
+                    (rnd, best["l"], best["r"], merged,
+                     int(best["cnt"]), float(best["score"]))
+                )
+                cur = cur.select(
+                    F.expr(
+                        "replace(word, "
+                        f"'{best['l'] + best['r']}', '{marker}') AS word"
+                    ),
+                    "freq",
+                )
+            return spark.createDataFrame(
+                rows,
+                "round long, left_sym string, right_sym string,"
+                " merged string, pair_count long, score double",
+            )
+        finally:
+            vocab.unpersist()
+
+
+_register_q313()
