@@ -417,12 +417,13 @@ def _register_q137() -> None:
         id). Ties break to the lower id; diversity is an exact-integer
         ratio, so the keeper choice is bit-deterministic cross-engine.
 
-        Scale notes: clusters come from the already-bounded LSH closure
-        (|pair-graph| ≪ corpus) — THAT side broadcasts into the
-        corpus-sized quality frame (hinting the doc-grain side would be
-        the data-sized-broadcast anti-pattern ADVICE r6 flagged); the
-        keeper pick is a window over cluster members — |clustered docs|
-        rows.
+        Scale notes: clusters come from the LSH closure — usually a
+        corpus FRACTION but corpus-proportional on a dup-heavy corpus
+        (the sf1 replica makes it nearly the whole corpus), so NEITHER
+        side gets a broadcast hint: the vertex equi-join lets AQE pick
+        broadcast when the closure is small and shuffle-hash when it
+        isn't (the ADVICE-r6 stance). The keeper pick is a window over
+        cluster members — |clustered docs| rows.
         """
         from etl_globalretail_spark.operators.text import tokens
         from pyspark.sql.window import Window
@@ -436,7 +437,7 @@ def _register_q137() -> None:
                 F.size(F.array_distinct(tok)).cast("double") / F.size(tok)
             ).alias("ld"),
         )
-        members = F.broadcast(cc).join(quality, "vertex")
+        members = cc.join(quality, "vertex")
         w = Window.partitionBy("component").orderBy(
             F.desc("ld"), F.asc("vertex")
         )

@@ -1925,11 +1925,11 @@ def _register_q312() -> None:
         )
         d = load_table(spark, "documents", sf_dir)
         corpus = d.filter(F.col("doc_id") % 17 != 0).select("doc_id", "lang")
-        out = corpus.join(F.broadcast(flagged), "doc_id", "left")
-        # flagged is bounded by the verified near-dup pair count (tiny
-        # vs corpus — dup families are a corpus fraction and the bench
-        # side is 1/17 of those); at true scale where the flag set could
-        # grow corpus-sized, drop the broadcast hint and let AQE pick.
+        # flagged scales with the near-dup pair graph — a corpus
+        # FRACTION normally, corpus-proportional on a dup-heavy corpus
+        # (the sf1 replica) — so no broadcast hint: the doc_id equi-join
+        # lets AQE pick broadcast when small, shuffle-hash when not.
+        out = corpus.join(flagged, "doc_id", "left")
         return out.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count("__hit").alias("n_fuzzy_contaminated"),

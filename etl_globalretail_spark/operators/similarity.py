@@ -662,6 +662,29 @@ def _rademacher_signs(bits: int = _Q82_BITS, dim: int = _Q82_DIM) -> list[list[i
     return out
 
 
+def _rademacher_bucket(vd: Column, bits: int = _Q82_BITS) -> Column:
+    """Sign-LSH bucket id of a double-array column under the md5-
+    Rademacher hyperplane family — the SHARED bucket construction q82
+    and q311 must agree on (their oracles replay the same
+    'hp-{bit}-{pos}' planes): quantize to floor(v·1e6) int64, fold each
+    plane's signed sum, bit i = sign ≥ 0."""
+    signs = _rademacher_signs(bits=bits)
+    vq = F.transform(vd, lambda x: F.floor(x * F.lit(1e6)).cast("long"))
+
+    def bit(b: int) -> Column:
+        srow = F.array(*[F.lit(s).cast("long") for s in signs[b]])
+        acc = F.aggregate(
+            F.zip_with(vq, srow, lambda q, s: q * s),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+        return F.when(acc >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    return sum(
+        (bit(b) * F.lit(1 << b) for b in range(1, bits)), bit(0)
+    ).cast("long")
+
+
 @_register(
     "q82_ann_lsh_exact",
     oracle=f"""
@@ -740,19 +763,7 @@ def q82_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     signs = _rademacher_signs()
     vd = F.col("embedding").cast("array<double>")
-    vq = F.transform(vd, lambda x: F.floor(x * F.lit(1e6)).cast("long"))
-
-    def bit(b: int) -> Column:
-        srow = F.array(*[F.lit(s).cast("long") for s in signs[b]])
-        acc = F.aggregate(
-            F.zip_with(vq, srow, lambda q, s: q * s),
-            F.lit(0).cast("long"),
-            lambda a, v: a + v,
-        )
-        return F.when(acc >= 0, F.lit(1)).otherwise(F.lit(0))
-
-    bucket = sum((bit(b) * F.lit(1 << b) for b in range(1, _Q82_BITS)), bit(0))
-    withb = e.withColumn("__bucket", bucket.cast("long"))
+    withb = e.withColumn("__bucket", _rademacher_bucket(vd))
 
     first = e.orderBy("vec_id").limit(1).select("embedding").collect()[0]
     qvec = [float(x) for x in first["embedding"]]
@@ -2128,23 +2139,8 @@ def _register_q311() -> None:
         """Per-anchor top-K wrong-label cosine neighbors among the
         anchor's sign-LSH bucket — q293's scale tier; see block comment.
         """
-        signs = _rademacher_signs()
         e = load_table(spark, "embeddings", sf_dir)
         vd = F.col("embedding").cast("array<double>")
-        vq = F.transform(vd, lambda x: F.floor(x * F.lit(1e6)).cast("long"))
-
-        def bit(b: int) -> Column:
-            srow = F.array(*[F.lit(s).cast("long") for s in signs[b]])
-            acc = F.aggregate(
-                F.zip_with(vq, srow, lambda q, s: q * s),
-                F.lit(0).cast("long"),
-                lambda a, v: a + v,
-            )
-            return F.when(acc >= 0, F.lit(1)).otherwise(F.lit(0))
-
-        bucket = sum(
-            (bit(b) * F.lit(1 << b) for b in range(1, bits)), bit(0)
-        )
         # One pass computes bucket + norm beside the vector; consumed by
         # BOTH join legs below — persist or the scan+bucket folds run
         # twice (Catalyst never dedupes the subplan). Lifetime is tied to
@@ -2153,7 +2149,7 @@ def _register_q311() -> None:
             "vec_id",
             F.col("label").cast("long").alias("label"),
             "embedding",
-            bucket.cast("long").alias("bucket"),
+            _rademacher_bucket(vd, bits).alias("bucket"),
             _qdot(vd, vd).cast("double").alias("nrm2"),
         ).persist()
         left = base.select(

@@ -678,9 +678,11 @@ def q121_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFram
         [("lang", "asc"), ("ld", "desc"), ("doc_id", "asc")],
         out="grn",
     )
+    # counts come off the MATERIALIZED ranged frame — reading feat here
+    # would re-scan documents.parquet a second time for the same rows
     counts = {
         r["lang"]: r["count"]
-        for r in feat.groupBy("lang").count().collect()
+        for r in ranked.groupBy("lang").count().collect()
     }
     off, acc = {}, 0
     for lang in sorted(counts):

@@ -858,10 +858,14 @@ def q98_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     hour_us, day_us = 3_600_000_000, 86_400_000_000
     us = F.unix_micros("ts")
+    # base feeds BOTH union legs (native + ghosts): without a persist
+    # the events scan + projection runs twice (Catalyst never dedupes
+    # the subplan). Lifetime tied to the returned plan; released by the
+    # harness clearCache() (ADVICE r6).
     base = e.select(
         "event_type", "event_id", "value", us.alias("us"),
         (us.cast("long") - (us.cast("long") % day_us)).alias("bstart"),
-    )
+    ).persist()
     native = base.select(
         "event_type", "event_id", "value", "us", "bstart",
         F.lit(False).alias("ghost"),

@@ -4,14 +4,21 @@ rehearsal). Writes OUTSIDE /root/testdata (default /tmp/sfr<N>).
 
 Replica i shifts every primary/foreign key by i x (max_key + 1) of its
 table, so referential integrity and key-space density are preserved and
-volume scales linearly. To keep content-dependent operators honest:
+volume scales linearly. Content perturbations:
 
 - documents: replica i != 0 appends a replica tag token " r<i>" to the
-  text (and bumps n_chars) so exact/near-dup ladders don't see a
-  synthetic 10x copy of every doc (which would square banded pair mass
-  instead of scaling it);
-- embeddings: replica i perturbs component 0 by i * 1e-3 — same reason
-  for cosine tiers;
+  text (and bumps n_chars). This breaks EXACT-duplicate identity only:
+  replicas of a doc remain NEAR-duplicates of each other (shingle
+  Jaccard ~0.95, far above any banding tau), so every source doc
+  becomes a 10-member near-dup family and verified pair counts grow
+  ~1000x, not 10x (measured: 237 -> 239,947 q66 pairs). This is a
+  DELIBERATE dup-bomb stress for the near-dup/banding tiers — their
+  wall time should scale with OUTPUT pair mass, which PLANS.md's soak
+  section analyzes; do NOT read near-dup-family query ratios from this
+  replica as plan-scaling signal.
+- embeddings: replica i perturbs component 0 by i * 1e-3 — breaks
+  bit-identity, keeps cosine ~0.9999 (same near-dup-family stress for
+  the cosine tiers).
 - events: replica i shifts ts by i seconds so per-user streams don't
   carry 10 identical timestamps (as-of/dedup tie semantics).
 
@@ -95,7 +102,6 @@ def main() -> int:
                 r = r.withColumn(
                     "embedding",
                     F.concat(
-                        F.slice("embedding", 1, 0).cast("array<float>"),
                         F.array(
                             (F.element_at("embedding", 1)
                              + F.lit(i * 1e-3)).cast("float")

@@ -12,22 +12,27 @@ from pyspark.sql.window import Window
 
 
 def _events(spark):
-    # 400 rows over ~3 days per type; timestamps engineered to land at
-    # day boundaries, exactly 1h before a boundary, 1 microsecond inside/
-    # outside, and in duplicate pairs (range frames include ties).
+    # Per type: 200 pseudo-random rows over a 3-day span PLUS, for each
+    # of the 3 UTC-day boundaries in that span, rows planted exactly ON
+    # the boundary, exactly 1h before it, and 1µs inside/outside both —
+    # the positions where a ghost-filter off-by-one (> vs >=) or a frame
+    # off-by-one would show. day0 is grid-aligned (base − base % day) so
+    # "boundary" means a REAL bucket boundary; duplicate timestamps are
+    # included (range frames include ties).
     day, hour = 86_400_000_000, 3_600_000_000
+    base = 1_700_000_000_000_000
+    day0 = base - (base % day)
     rows = []
     for t in ("a", "b"):
-        base = 1_700_000_000_000_000
         for i in range(200):
-            us = base + (i * 13_777_000_000) % (3 * day)
-            rows.extend(
-                [
-                    (t, us, float(i % 7)),
-                    (t, (base + ((i + 1) * day) - hour + (i % 3) - 1)
-                     % (base + 3 * day), float(i % 5)),
-                ]
-            )
+            us = day0 + (i * 13_777_000_000) % (3 * day)
+            rows.append((t, us, float(i % 7)))
+            rows.append((t, us, float(i % 5)))  # duplicate ts
+        for k in (1, 2, 3):
+            b = day0 + k * day
+            for us in (b - hour - 1, b - hour, b - hour + 1,
+                       b - 1, b, b + 1):
+                rows.append((t, us, float(k)))
     return spark.createDataFrame(
         rows, "event_type string, us long, value double"
     )
