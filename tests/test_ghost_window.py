@@ -127,3 +127,19 @@ def test_grid_order_statistics_match_row_ranks(spark):
         .collect()
     }
     assert got == ref
+
+
+def test_q98_persists_shared_base(spark, sf_dir):
+    """q98's base projection feeds both union legs — the persist must
+    show as InMemoryTableScan on BOTH (the CLAUDE.md consumed-twice
+    rule), or the events scan runs twice."""
+    from etl_globalretail_spark.plans.analytics import QUERIES as AQ
+
+    plan = (
+        AQ["q98_trailing_window_avg"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("InMemoryTableScan") >= 2, plan
