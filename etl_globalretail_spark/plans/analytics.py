@@ -5287,6 +5287,233 @@ def q246_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q314 — one SYNCHRONIZED Louvain local-move round (Blondel et al. 2008,
+# phase-1 step; the synchronous variant distributed implementations use,
+# e.g. Grappolo): starting from the q236 label-propagation partition,
+# every vertex simultaneously evaluates moving to each NEIGHBOR
+# community and takes the move with the largest positive modularity
+# gain. Completes the community family: q236 detects (majority labels),
+# q246 MEASURES modularity, this OPTIMIZES it — and the output proves
+# the optimization did its job (q_after ≥ q_before on the same exact
+# integer scale).
+#
+# Exact integer gain, ×2m so no division appears: moving v from a to c
+# changes Q by [k_{v,c} − k_v·tot_c/2m] − [k_{v,a∖v} − k_v·(tot_a−k_v)/2m],
+# so gain2m = (2m·k_vc − k_v·tot_c) − (2m·k_va − k_v·(tot_a − k_v)) —
+# all int64 (magnitudes ≤ ~4m·k_max, the q246 headroom class; widen to
+# decimal(38,0) past m ≈ 1e9 edges). Move iff max gain2m > 0, argmax
+# ties on the smaller community label — deterministic, so the oracle
+# replays the identical round. Synchronous rounds can oscillate over
+# iterations; ONE round is well-defined and is what's pinned here.
+#
+# Plan shape: degrees/community totals are label-grain aggregates;
+# candidate gains live on the (vertex, neighbor-community) grain —
+# bounded by Σ deg(v) = 2m rows, same mass as the edge list; the argmax
+# is a window partitioned by vertex (high cardinality). Modularity
+# before/after reuses the q246 aggregates on l3 and on the moved
+# labels. m is a driver scalar off the checkpointed edge artifact.
+# ---------------------------------------------------------------------------
+
+
+def _q314_oracle() -> str:
+    def qmod(lab: str, suffix: str) -> str:
+        return f"""
+    intra{suffix} AS (
+        SELECT a.label, CAST(COUNT(*) AS BIGINT) AS ec
+        FROM e JOIN {lab} a ON e.u = a.v JOIN {lab} b ON e.v = b.v
+        WHERE a.label = b.label
+        GROUP BY a.label
+    ),
+    dg{suffix} AS (
+        SELECT a.label, CAST(COUNT(*) AS BIGINT) AS dc
+        FROM sym s JOIN {lab} a ON s.src = a.v
+        GROUP BY a.label
+    ),
+    q{suffix} AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_comm,
+               CAST(SUM(4 * mm.m * COALESCE(i.ec, 0) - d.dc * d.dc)
+                    * 1000000 // (4 * mm.m * mm.m) AS BIGINT) AS qm
+        FROM dg{suffix} d LEFT JOIN intra{suffix} i ON d.label = i.label,
+             mm
+        GROUP BY mm.m
+    )"""
+
+    return f"""
+    {_q236_cte_prefix()},
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS k
+            FROM sym GROUP BY src),
+    tot AS (SELECT a.label, CAST(SUM(d.k) AS BIGINT) AS tot
+            FROM l3 a JOIN deg d ON a.v = d.v GROUP BY a.label),
+    kvc AS (SELECT s.src AS v, lb.label AS c, CAST(COUNT(*) AS BIGINT) AS kvc
+            FROM sym s JOIN l3 lb ON s.dst = lb.v GROUP BY s.src, lb.label),
+    own AS (
+        SELECT l3.v, l3.label AS a, d.k, ta.tot AS tot_a,
+               COALESCE(ka.kvc, 0) AS k_va
+        FROM l3 JOIN deg d ON l3.v = d.v
+                JOIN tot ta ON l3.label = ta.label
+        LEFT JOIN kvc ka ON ka.v = l3.v AND ka.c = l3.label
+    ),
+    cand AS (
+        SELECT o.v, o.a, k.c,
+               (2 * mm.m * k.kvc - o.k * tc.tot)
+               - (2 * mm.m * o.k_va - o.k * (o.tot_a - o.k)) AS gain2m
+        FROM own o
+        JOIN kvc k ON k.v = o.v AND k.c <> o.a
+        JOIN tot tc ON k.c = tc.label, mm
+    ),
+    best AS (
+        SELECT v, c, gain2m FROM (
+            SELECT v, c, gain2m,
+                   ROW_NUMBER() OVER (PARTITION BY v
+                                      ORDER BY gain2m DESC, c) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    ),
+    l4 AS (
+        SELECT o.v,
+               CASE WHEN b.gain2m > 0 THEN b.c ELSE o.a END AS label,
+               CASE WHEN b.gain2m > 0 THEN 1 ELSE 0 END AS moved
+        FROM own o LEFT JOIN best b ON o.v = b.v
+    ),
+    {qmod("l3", "3")},
+    {qmod("l4", "4")}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM l3) AS n_vertices,
+           (SELECT CAST(SUM(moved) AS BIGINT) FROM l4) AS n_moved,
+           (SELECT n_comm FROM q3) AS n_comm_before,
+           (SELECT n_comm FROM q4) AS n_comm_after,
+           (SELECT qm FROM q3) AS q_before_millionths,
+           (SELECT qm FROM q4) AS q_after_millionths
+    """
+
+
+@_register("q314_louvain_move", oracle=_q314_oracle())
+def q314_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronized Louvain local-move round over the q236 partition
+    with exact-integer gains; reports moved-vertex count and modularity
+    before/after on the q246 scale. See block comment."""
+    edges = co_purchase_edges(spark, sf_dir)  # checkpointed artifact
+    lab = lp_labels(spark, sf_dir).persist()  # consumed by several legs
+    m = edges.count()  # driver scalar off the checkpointed blocks
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    tot = (
+        lab.join(deg, "v")
+        .groupBy("label")
+        .agg(F.sum("k").cast("long").alias("tot"))
+    )
+    kvc = (
+        sym.join(
+            lab.select(F.col("v").alias("dst"), F.col("label").alias("c")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("v"), "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("kvc"))
+    )
+    own = (
+        lab.select("v", F.col("label").alias("a"))
+        .join(deg, "v")
+        .join(tot.select(F.col("label").alias("a"),
+                         F.col("tot").alias("tot_a")), "a")
+        .join(
+            kvc.select("v", F.col("c").alias("a"),
+                       F.col("kvc").alias("k_va")),
+            ["v", "a"], "left",
+        )
+        .select("v", "a", "k", "tot_a",
+                F.coalesce("k_va", F.lit(0)).cast("long").alias("k_va"))
+        # feeds the candidate gains AND the l4 stitch — persist or the
+        # whole label/degree pipeline replans twice. Lifetime tied to
+        # the returned plan; released by harness clearCache().
+        .persist()
+    )
+    m2 = F.lit(2 * m).cast("long")
+    cand = (
+        own.join(kvc, "v")
+        .filter(F.col("c") != F.col("a"))
+        .join(tot.select(F.col("label").alias("c"),
+                         F.col("tot").alias("tot_c")), "c")
+        .select(
+            "v", "a", "c",
+            ((m2 * F.col("kvc") - F.col("k") * F.col("tot_c"))
+             - (m2 * F.col("k_va")
+                - F.col("k") * (F.col("tot_a") - F.col("k"))))
+            .cast("long").alias("gain2m"),
+        )
+    )
+    wv = Window.partitionBy("v").orderBy(F.desc("gain2m"), F.asc("c"))
+    best = (
+        cand.select("v", "c", "gain2m",
+                    F.row_number().over(wv).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("v", "c", "gain2m")
+    )
+    l4 = (
+        own.select("v", "a")
+        .join(best, "v", "left")
+        .select(
+            "v",
+            F.when(F.col("gain2m") > 0, F.col("c")).otherwise(F.col("a"))
+            .alias("label"),
+            F.when(F.col("gain2m") > 0, F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("moved"),
+        )
+        .persist()  # feeds the move count AND both q_after aggregates
+    )
+
+    def qmod(labels: "DataFrame"):
+        a = labels.select(F.col("v").alias("u"), F.col("label").alias("la"))
+        b = labels.select("v", F.col("label").alias("lb"))
+        intra = (
+            edges.join(a, "u").join(b, "v")
+            .filter(F.col("la") == F.col("lb"))
+            .groupBy(F.col("la").alias("label"))
+            .agg(F.count(F.lit(1)).cast("long").alias("ec"))
+        )
+        dg = (
+            sym.join(labels.select(F.col("v").alias("src"), "label"), "src")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("dc"))
+        )
+        comm = dg.join(intra, "label", "left").select(
+            "label", F.coalesce("ec", F.lit(0)).cast("long").alias("ec"),
+            "dc",
+        )
+        return comm.agg(
+            F.count(F.lit(1)).cast("long").alias("n_comm"),
+            F.expr(f"CAST(SUM(4L * {m}L * ec - dc * dc) * 1000000L"
+                   f" div (4L * {m}L * {m}L) AS BIGINT)").alias("qm"),
+        )
+
+    before = qmod(lab).select(
+        F.col("n_comm").alias("n_comm_before"),
+        F.col("qm").alias("q_before_millionths"),
+    )
+    after = qmod(l4.select("v", "label")).select(
+        F.col("n_comm").alias("n_comm_after"),
+        F.col("qm").alias("q_after_millionths"),
+    )
+    counts = l4.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum("moved").cast("long").alias("n_moved"),
+    )
+    # three 1-row legs -> ONE job via crossJoin of broadcast singletons
+    # (the q283 union-the-scalar-legs stance; bounded by construction)
+    return (
+        counts.crossJoin(F.broadcast(before))
+        .crossJoin(F.broadcast(after))
+        .select(
+            "n_vertices", "n_moved", "n_comm_before", "n_comm_after",
+            "q_before_millionths", "q_after_millionths",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q250 — Theil–Sen robust trend per user: the median of all pairwise
 # slopes, the estimator that shrugs off the outliers OLS (q176-family)
 # chases. Kept exact by quantizing BEFORE the division: values floor to

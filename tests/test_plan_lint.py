@@ -48,6 +48,9 @@ INTENTIONAL_CROSS = {
     # scalar to the (type, week) grid — bounded by construction
     "q282_serpentine_pack_plan",  # attaches the broadcast 1-row total-load
     # scalar to the ≤R-row reducer census — bounded by construction
+    "q314_louvain_move",  # crosses three broadcast 1-row aggregate legs
+    # (move counts × modularity-before × modularity-after) into the single
+    # output row — bounded by construction (the q283 one-job stance)
     "q226_keyword_search",  # attaches the broadcast 1-row corpus-max
     # bit-length to the |query|-row term frame — bounded by construction
     "q237_rrf_fusion",  # composes q226 (above) and inherits its broadcast
