@@ -2196,3 +2196,149 @@ def _register_q311() -> None:
 
 
 _register_q311()
+
+
+# ---------------------------------------------------------------------------
+# q315 — MULTI-PROBE sign-LSH ANN (Lv et al. 2007, "Multi-probe LSH"):
+# q82's single-bucket search additionally probes every Hamming-1
+# neighbor bucket of the query's code — the standard recall lever the
+# q311 block comment points at: perturbing one sign bit visits the
+# buckets a borderline-hyperplane vector most likely fell into, raising
+# recall at (1 + bits)/2^bits expected candidate mass instead of one
+# more index. Candidates are a strict SUPERSET of q82's, so q315's
+# top-k cosine list dominates q82's pointwise (pytest law), and the
+# output carries each hit's Hamming distance to the query bucket (0 =
+# the q82 bucket, 1 = reached only by probing) so the recall
+# contribution of probing reads off the frame.
+#
+# Same scale shape as q82: bucketing is a map-side fold; the probe set
+# (bits + 1 bucket ids) is a driver literal; candidates are an isin
+# equi-filter; exact rerank touches only candidates; top-k is
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+
+def _register_q315() -> None:
+    bits, dim = _Q82_BITS, _Q82_DIM
+
+    @_register(
+        "q315_ann_multiprobe",
+        oracle=f"""
+        WITH flat AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        signs AS (
+            SELECT b, pos,
+                   CASE WHEN CAST('0x' || substr(
+                            md5('hp-' || b || '-' || pos), 1, 15) AS BIGINT)
+                        % 2 = 0 THEN 1 ELSE -1 END AS s
+            FROM (SELECT unnest(range({bits})) AS b),
+                 (SELECT unnest(range(1, {dim + 1})) AS pos)
+        ),
+        vq AS (
+            SELECT vec_id, pos, CAST(FLOOR(val * 1e6) AS BIGINT) AS q
+            FROM flat
+        ),
+        bits AS (
+            SELECT vec_id, b,
+                   CASE WHEN SUM(s * q) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM vq JOIN signs ON vq.pos = signs.pos
+            GROUP BY vec_id, b
+        ),
+        buckets AS (
+            SELECT vec_id, CAST(SUM(bit * (1 << b)) AS BIGINT) AS bucket
+            FROM bits GROUP BY vec_id
+        ),
+        qb AS (
+            SELECT bucket FROM buckets
+            WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+        ),
+        probes AS (
+            SELECT (SELECT bucket FROM qb) AS pb
+            UNION ALL
+            SELECT CAST(xor((SELECT bucket FROM qb),
+                            CAST(1 << i AS BIGINT)) AS BIGINT)
+            FROM (SELECT unnest(range({bits})) AS i)
+        ),
+        cand AS (
+            SELECT b.vec_id,
+                   CAST(bit_count(CAST(xor(b.bucket,
+                        (SELECT bucket FROM qb)) AS BIT)) AS BIGINT)
+                       AS probe_hamming
+            FROM buckets b
+            WHERE b.bucket IN (SELECT pb FROM probes)
+        ),
+        qv AS (
+            SELECT pos, val AS qval FROM flat
+            WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+        ),
+        scored AS (
+            SELECT f.vec_id, c.probe_hamming,
+                   CAST(SUM(CAST(FLOOR(f.val * q.qval * 1e12) AS BIGINT))
+                        AS DOUBLE) AS dp,
+                   CAST(SUM(CAST(FLOOR(f.val * f.val * 1e12) AS BIGINT))
+                        AS DOUBLE) AS nf,
+                   CAST(SUM(CAST(FLOOR(q.qval * q.qval * 1e12) AS BIGINT))
+                        AS DOUBLE) AS nq
+            FROM flat f
+            JOIN cand c ON f.vec_id = c.vec_id
+            JOIN qv q ON f.pos = q.pos
+            GROUP BY f.vec_id, c.probe_hamming
+        )
+        SELECT vec_id, cos_sim, probe_hamming, rank FROM (
+            SELECT vec_id, probe_hamming,
+                   dp / (sqrt(nf) * sqrt(nq)) AS cos_sim,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY dp / (sqrt(nf) * sqrt(nq)) DESC, vec_id
+                   ) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {_ANN_K}
+        """,
+    )
+    def q315_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multi-probe sign-LSH ANN for the corpus's first vector: the
+        query bucket plus all Hamming-1 buckets, exact quantized-cosine
+        rerank, per-hit probe distance. See block comment."""
+        import math
+
+        signs = _rademacher_signs()
+        e = load_table(spark, "embeddings", sf_dir)
+        vd = F.col("embedding").cast("array<double>")
+        withb = e.withColumn("__bucket", _rademacher_bucket(vd))
+
+        first = e.orderBy("vec_id").limit(1).select("embedding").collect()[0]
+        qvec = [float(x) for x in first["embedding"]]
+        qq = [math.floor(x * 1e6) for x in qvec]
+        qbucket = 0
+        for b in range(bits):
+            acc = sum(s * q for s, q in zip(signs[b], qq))
+            qbucket |= (1 if acc >= 0 else 0) << b
+        probes = [qbucket] + [qbucket ^ (1 << i) for i in range(bits)]
+
+        cand = withb.filter(F.col("__bucket").isin(probes)).withColumn(
+            "probe_hamming",
+            F.bit_count(
+                F.col("__bucket").bitwiseXOR(F.lit(qbucket))
+            ).cast("long"),
+        )
+        qcol = F.array(*[F.lit(x) for x in qvec])
+        scored = cand.select(
+            "vec_id",
+            "probe_hamming",
+            _qdot(vd, qcol).cast("double").alias("dp"),
+            _qdot(vd, vd).cast("double").alias("nf"),
+            _qdot(qcol, qcol).cast("double").alias("nq"),
+        )
+        cos = F.col("dp") / (F.sqrt(F.col("nf")) * F.sqrt(F.col("nq")))
+        ranked = _ranked_topk(
+            scored.select("vec_id", cos.alias("cos_sim"), "probe_hamming"),
+            _ANN_K,
+            "vec_id",
+        )
+        return ranked.select("vec_id", "cos_sim", "probe_hamming", "rank")
+
+
+_register_q315()
