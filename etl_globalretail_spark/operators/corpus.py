@@ -4191,6 +4191,88 @@ def _q313_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + sel
 
 
+def wordpiece_learn(
+    spark: SparkSession, sf_dir: str, rounds: int = _WP_ROUNDS
+) -> list[tuple]:
+    """Run the WordPiece learning loop; returns (round, left, right,
+    expanded merged token, weighted pair count, likelihood score) per
+    round — the q242 bpe_learn shape with the likelihood argmax.
+    Shared by q313 (the merges themselves) and q316 (the encoder's
+    vocabulary)."""
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = (
+        docs.select(F.explode(alpha_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .persist()
+    )
+    try:
+        vocab.count()
+        expansion: dict[str, str] = {}
+        rows: list[tuple] = []
+        cur = vocab
+        for rnd in range(1, rounds + 1):
+            pos = cur.filter(F.length("word") >= 2).select(
+                "word", "freq",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("word") - F.lit(1))
+                ).alias("i"),
+            )
+            prs = (
+                pos.select(
+                    F.expr("substring(word, i, 1)").alias("l"),
+                    F.expr("substring(word, i + 1, 1)").alias("r"),
+                    "freq",
+                )
+                .groupBy("l", "r")
+                .agg(F.sum("freq").cast("long").alias("cnt"))
+            )
+            sym = (
+                cur.select(
+                    "word", "freq",
+                    F.explode(
+                        F.sequence(F.lit(1), F.length("word"))
+                    ).alias("i"),
+                )
+                .select(
+                    F.expr("substring(word, i, 1)").alias("s"), "freq"
+                )
+                .groupBy("s")
+                .agg(F.sum("freq").cast("long").alias("c"))
+            )
+            sa = sym.select(F.col("s").alias("l"), F.col("c").alias("ca"))
+            sb = sym.select(F.col("s").alias("r"), F.col("c").alias("cb"))
+            score = F.col("cnt").cast("double") / (
+                F.col("ca").cast("double") * F.col("cb").cast("double")
+            )
+            best = (  # 1-row driver scalar, bounded by construction
+                prs.join(F.broadcast(sa), "l")
+                .join(F.broadcast(sb), "r")
+                .select("l", "r", "cnt", score.alias("score"))
+                .orderBy(F.desc("score"), "l", "r")
+                .first()
+            )
+            marker = str(rnd)
+            merged = best["l"] + best["r"]
+            for m, exp in sorted(expansion.items(), reverse=True):
+                merged = merged.replace(m, exp)
+            expansion[marker] = merged
+            rows.append(
+                (rnd, best["l"], best["r"], merged,
+                 int(best["cnt"]), float(best["score"]))
+            )
+            cur = cur.select(
+                F.expr(
+                    "replace(word, "
+                    f"'{best['l'] + best['r']}', '{marker}') AS word"
+                ),
+                "freq",
+            )
+        return rows
+    finally:
+        vocab.unpersist()
+
+
 def _register_q313() -> None:
     @_register("q313_wordpiece_merges", oracle=_q313_oracle())
     def q313_wordpiece_merges(
@@ -4198,82 +4280,158 @@ def _register_q313() -> None:
     ) -> DataFrame:
         """The first 3 learned WordPiece merges (likelihood-ratio
         criterion) over the corpus vocabulary; see block comment."""
-        docs = load_table(spark, "documents", sf_dir)
-        vocab = (
-            docs.select(F.explode(alpha_tokens(F.col("text"))).alias("word"))
-            .groupBy("word")
-            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-            .persist()
+        return spark.createDataFrame(
+            wordpiece_learn(spark, sf_dir),
+            "round long, left_sym string, right_sym string,"
+            " merged string, pair_count long, score double",
         )
-        try:
-            vocab.count()
-            expansion: dict[str, str] = {}
-            rows: list[tuple] = []
-            cur = vocab
-            for rnd in range(1, _WP_ROUNDS + 1):
-                pos = cur.filter(F.length("word") >= 2).select(
-                    "word", "freq",
-                    F.explode(
-                        F.sequence(F.lit(1), F.length("word") - F.lit(1))
-                    ).alias("i"),
-                )
-                prs = (
-                    pos.select(
-                        F.expr("substring(word, i, 1)").alias("l"),
-                        F.expr("substring(word, i + 1, 1)").alias("r"),
-                        "freq",
-                    )
-                    .groupBy("l", "r")
-                    .agg(F.sum("freq").cast("long").alias("cnt"))
-                )
-                sym = (
-                    cur.select(
-                        "word", "freq",
-                        F.explode(
-                            F.sequence(F.lit(1), F.length("word"))
-                        ).alias("i"),
-                    )
-                    .select(
-                        F.expr("substring(word, i, 1)").alias("s"), "freq"
-                    )
-                    .groupBy("s")
-                    .agg(F.sum("freq").cast("long").alias("c"))
-                )
-                sa = sym.select(F.col("s").alias("l"), F.col("c").alias("ca"))
-                sb = sym.select(F.col("s").alias("r"), F.col("c").alias("cb"))
-                score = F.col("cnt").cast("double") / (
-                    F.col("ca").cast("double") * F.col("cb").cast("double")
-                )
-                best = (  # 1-row driver scalar, bounded by construction
-                    prs.join(F.broadcast(sa), "l")
-                    .join(F.broadcast(sb), "r")
-                    .select("l", "r", "cnt", score.alias("score"))
-                    .orderBy(F.desc("score"), "l", "r")
-                    .first()
-                )
-                marker = str(rnd)
-                merged = best["l"] + best["r"]
-                for m, exp in sorted(expansion.items(), reverse=True):
-                    merged = merged.replace(m, exp)
-                expansion[marker] = merged
-                rows.append(
-                    (rnd, best["l"], best["r"], merged,
-                     int(best["cnt"]), float(best["score"]))
-                )
-                cur = cur.select(
-                    F.expr(
-                        "replace(word, "
-                        f"'{best['l'] + best['r']}', '{marker}') AS word"
-                    ),
-                    "freq",
-                )
-            return spark.createDataFrame(
-                rows,
-                "round long, left_sym string, right_sym string,"
-                " merged string, pair_count long, score double",
-            )
-        finally:
-            vocab.unpersist()
 
 
 _register_q313()
+
+
+# ---------------------------------------------------------------------------
+# q316 — WordPiece ENCODE: greedy longest-match-first segmentation (the
+# BERT runtime algorithm — at each position consume the LONGEST
+# vocabulary token that prefixes the remainder), applied corpus-wide
+# with the q313-learned vocabulary (a–z single chars + the 3 expanded
+# merges). Completes the learn/apply split for ALL THREE tokenizer
+# families: BPE q242/q244 (merge replay), unigram q307/q301 (Viterbi),
+# WordPiece q313/q316 (greedy longest-match) — three genuinely
+# different apply algorithms, each oracle-replayed.
+#
+# Distributed shape: the vocabulary is a driver literal (29 strings);
+# segmentation is a pure codegen'd fold per (source, word) row — a
+# length-W sequence walk whose step at each position is a longest-first
+# when-chain over substr membership (no UDF, no join, no shuffle before
+# the |sources|-row aggregate). W (the longest word) is a 1-row driver
+# scalar. The oracle replays the same greedy walk as a recursive CTE
+# over the distinct-word frame, with the longest match as a correlated
+# MAX over the vocab CTE.
+# ---------------------------------------------------------------------------
+
+
+def _q316_oracle() -> str:
+    learn = _q313_oracle()
+    prefix = learn[: learn.index("SELECT * FROM (")]
+    body = f"""
+    {prefix}
+    , vocab AS (
+        SELECT m AS t FROM e1
+        UNION ALL SELECT m FROM e2
+        UNION ALL SELECT m FROM e3
+        UNION ALL SELECT chr(CAST(i AS INT))
+          FROM (SELECT unnest(range(97, 123)) AS i)
+    ),
+    vd AS (SELECT DISTINCT t FROM vocab),
+    wfr AS (
+        SELECT source, unnest({_SQL_ALPHA_TOKENS}) AS word FROM documents
+    ),
+    wf AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM wfr GROUP BY 1, 2
+    ),
+    wd AS (SELECT DISTINCT word FROM wf),
+    seg AS (
+        SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt
+        FROM wd
+        UNION ALL
+        SELECT word,
+               pos + (SELECT COALESCE(MAX(length(v.t)), 1) FROM vd v
+                      WHERE substr(seg.word, CAST(seg.pos AS INT),
+                                   length(v.t)) = v.t),
+               cnt + 1
+        FROM seg WHERE pos <= length(word)
+    ),
+    wcnt AS (SELECT word, MAX(cnt) AS tok_cnt FROM seg GROUP BY word)
+    SELECT wf.source,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+           CAST(SUM(wf.freq) AS BIGINT) AS total_words,
+           CAST(SUM(wf.freq * length(wf.word)) AS BIGINT) AS total_chars,
+           CAST(SUM(wf.freq * w.tok_cnt) AS BIGINT) AS total_tokens,
+           CAST(SUM(wf.freq * w.tok_cnt) * 1000
+                // SUM(wf.freq * length(wf.word)) AS BIGINT)
+               AS tokens_permil_of_chars
+    FROM wf JOIN wcnt w ON wf.word = w.word
+    GROUP BY wf.source
+    """
+    return body.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+def _register_q316() -> None:
+    @_register("q316_wordpiece_encode", oracle=_q316_oracle())
+    def q316_wordpiece_encode(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-source WordPiece encoding census under greedy
+        longest-match segmentation with the q313 vocabulary; see block
+        comment."""
+        merges = wordpiece_learn(spark, sf_dir)
+        letters = [chr(c) for c in range(97, 123)]
+        vocab = sorted(set(letters + [m[3] for m in merges]))
+        by_len: dict[int, list[str]] = {}
+        for t in vocab:
+            if len(t) >= 2:
+                by_len.setdefault(len(t), []).append(t)
+
+        docs = load_table(spark, "documents", sf_dir)
+        occ = docs.select(
+            "source", F.explode(alpha_tokens(F.col("text"))).alias("word")
+        )
+        wf = occ.groupBy("source", "word").agg(
+            F.count(F.lit(1)).cast("long").alias("freq")
+        )
+        # W: longest word — a 1-row driver scalar (bounds the fold)
+        wmax = int(
+            occ.agg(F.max(F.length("word"))).collect()[0][0] or 1
+        )
+
+        wcol = F.col("word")
+
+        def step(pos):
+            c = None
+            for L in sorted(by_len, reverse=True):
+                cond = wcol.substr(pos, F.lit(L)).isin(by_len[L])
+                c = F.when(cond, F.lit(L)) if c is None else c.when(
+                    cond, F.lit(L)
+                )
+            return c.otherwise(F.lit(1)) if c is not None else F.lit(1)
+
+        acc0 = F.struct(
+            F.lit(1).cast("int").alias("pos"),
+            F.lit(0).cast("long").alias("cnt"),
+        )
+
+        def walk(acc, _):
+            inb = acc.getField("pos") <= F.length(wcol)
+            adv = step(acc.getField("pos"))
+            return F.struct(
+                F.when(inb, acc.getField("pos") + adv)
+                .otherwise(acc.getField("pos")).cast("int").alias("pos"),
+                F.when(inb, acc.getField("cnt") + 1)
+                .otherwise(acc.getField("cnt")).alias("cnt"),
+            )
+
+        tok_cnt = F.aggregate(
+            F.sequence(F.lit(1), F.lit(wmax)), acc0, walk
+        ).getField("cnt")
+        per = wf.select(
+            "source", "freq",
+            F.length("word").cast("long").alias("wlen"),
+            tok_cnt.alias("tok_cnt"),
+        )
+        return per.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+            F.sum("freq").cast("long").alias("total_words"),
+            F.sum(F.col("freq") * F.col("wlen")).cast("long")
+            .alias("total_chars"),
+            F.sum(F.col("freq") * F.col("tok_cnt")).cast("long")
+            .alias("total_tokens"),
+            F.expr(
+                "CAST(SUM(freq * tok_cnt) * 1000"
+                " div SUM(freq * wlen) AS BIGINT)"
+            ).alias("tokens_permil_of_chars"),
+        )
+
+
+_register_q316()
