@@ -53,7 +53,7 @@ for _mod in ("operators.dedup", "operators.similarity", "operators.text",
 # round-6 queries q295–q306 (VERDICT r6's priority names) plus 38
 # q169–q239 stragglers. Round-8 plan (precomputed per VERDICT r6 item
 # 1): rotate the remaining 27 oracle-paired + 3 rows-only never-sampled
-# names PLUS the round-7 additions q307–q314 — 38 names, fitting one
+# names PLUS the round-7 additions q307–q316 — 40 names, fitting one
 # prefix with slots to spare (`scripts/rotate_gate.py` recomputes the
 # exact set from CORRECTNESS_r01–r07 at round start).
 # Membership and implementations are untouched: every query stays
