@@ -85,10 +85,10 @@ def main() -> None:
     # n_queries/mean: the headline set GROWS round over round as operator
     # coverage widens — compare totals only at equal coverage; the
     # per-query mean is the stable cross-round throughput signal.
-    # Slowest-10 table FIRST in the JSON object (VERDICT r6 item 6): the
-    # driver's log tail truncation was hiding whichever heavy query the
-    # rotation pushed past the cut; leading with the heavy tail keeps the
-    # round-over-round comparison of the expensive queries intact.
+    # Slowest-10 table LAST in the JSON object (VERDICT r7 item 1): the
+    # driver keeps only the LAST 2000 chars of the output, so anything
+    # this table must survive truncation has to sit at the tail end —
+    # r7 emitted it first and it was cut out of the artifact.
     slowest10 = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
@@ -98,11 +98,11 @@ def main() -> None:
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
-                "slowest10": slowest10,
                 "queries": timings,
                 "n_queries": len(timings),
-                "mean_sec_per_query": round(total / len(timings), 3),
                 "sf": float(sf),
+                "mean_sec_per_query": round(total / len(timings), 3),
+                "slowest10": slowest10,
             }
         )
     )

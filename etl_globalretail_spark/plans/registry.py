@@ -43,46 +43,52 @@ for _mod in ("operators.dedup", "operators.similarity", "operators.text",
 
 
 # ---------------------------------------------------------------------------
-# Rotated iteration order (round 7). The driver's differential snapshot
+# Rotated iteration order (round 8). The driver's differential snapshot
 # examines the registry in ITERATION order and records a 50-entry prefix,
 # so the prefix is ROTATED each round to put never-yet-sampled queries on
-# the driver's correctness gate (VERDICT r6 item 1): rounds 1–6 sampled
-# 226 distinct names, leaving 80 never sampled (77 oracle-paired + 3
-# rows-only). This prefix is `scripts/rotate_gate.py`'s suggestion — the
-# 50 numerically-highest never-sampled oracle-paired names: the 12 new
-# round-6 queries q295–q306 (VERDICT r6's priority names) plus 38
-# q169–q239 stragglers. Round-8 plan (precomputed per VERDICT r6 item
-# 1): rotate the remaining 27 oracle-paired + 3 rows-only never-sampled
-# names PLUS the round-7 additions q307–q316 — 40 names, fitting one
-# prefix with slots to spare (`scripts/rotate_gate.py` recomputes the
-# exact set from CORRECTNESS_r01–r07 at round start).
+# the driver's correctness gate (VERDICT r7 item 1): rounds 1–7 sampled
+# 276 distinct names, leaving 40 never sampled — 37 oracle-paired (the
+# q131–q167 stragglers plus all ten round-7 additions q307–q316) and the
+# 3 rows-only-by-design names (q50/q74/q235, deliberately kept OFF the
+# gate so they don't emit `err: no_oracle` rows — VERDICT r7 item 2).
+# This prefix = those 37 (exactly `scripts/rotate_gate.py`'s output)
+# padded to 50 with 13 RE-SAMPLES of the heaviest oracle-paired queries
+# (per VERDICT r7 item 1: the streaming replays, the pair-graph/closure
+# family this round memoizes, and the adaptive-blocking similarity
+# tiers), so after r8 every oracle-paired query has a driver-green row.
+# Round-8 additions (q317+) are appended as they land.
 # Membership and implementations are untouched: every query stays
 # registered and oracle-paired; this is a reordering only.
 # ---------------------------------------------------------------------------
 
 _SHOWCASE = [
-    # q169–q239 never-sampled stragglers (sessionization, stats tests,
-    # drift, allocation, graph, text-scoring tiers)
-    "q169_seasonality_index", "q171_session_paths", "q172_length_drift",
-    "q173_length_ks_test", "q174_benford_audit", "q175_revenue_gini",
-    "q176_customer_skyline", "q177_twap_per_user", "q183_orderkey_islands",
-    "q184_welch_t_test", "q185_span_scrub", "q187_template_prefixes",
-    "q188_merge_with_deletes", "q189_vocab_coverage",
-    "q191_entity_resolution", "q192_linear_attribution",
-    "q193_daily_gap_fill", "q194_streaming_dedup_exact",
-    "q206_latency_histogram", "q213_rollup_rank", "q214_fifo_allocation",
-    "q215_bom_explosion", "q217_spearman_corr", "q218_kendall_tau",
-    "q220_cohort_ltv", "q221_source_drift_matrix", "q222_group_mode",
-    "q223_audience_overlap", "q224_cuped_uplift", "q225_decayed_popularity",
-    "q226_keyword_search", "q232_bigram_lm_score", "q233_cusum_changepoint",
-    "q234_embedding_gram", "q236_label_propagation", "q237_rrf_fusion",
-    "q238_bootstrap_ci", "q239_dup_span_coverage",
-    # round-6 additions, never driver-gated (VERDICT r6 item 1 priority)
-    "q295_pq_codebook", "q296_t_closeness", "q297_pq_adc_search",
-    "q298_image_dhash_neardup", "q299_audio_frame_features",
-    "q300_video_frame_sample", "q301_unigram_viterbi",
-    "q302_ivf_adc_search", "q303_streaming_full_outer_join_exact",
-    "q304_pit_feature_join", "q305_negative_sampling", "q306_image_resize",
+    # the final 37 never-driver-sampled oracle-paired names
+    "q131_sentence_stats", "q132_incremental_neardup",
+    "q133_streaming_sliding_exact", "q134_rank_with_ties",
+    "q135_moving_average", "q136_semantic_text_dedup",
+    "q137_quality_keeper_dedup", "q138_yoy_growth",
+    "q139_dup_span_fraction", "q140_bpe_pair_counts",
+    "q145_revenue_trend_ols", "q146_mad_outliers",
+    "q147_copurchase_pairs", "q148_event_transitions",
+    "q149_range_boundaries", "q150_burst_collapse",
+    "q152_table_fingerprint", "q153_sliding_distinct_users",
+    "q157_weighted_median_udaf", "q158_shipmode_priority",
+    "q159_embedding_dim_stats", "q160_winsorized_totals",
+    "q162_type_weekday_contingency", "q163_discount_quantity_corr",
+    "q164_feature_hashing", "q165_median_imputation", "q167_group_auc",
+    # all ten round-7 additions
+    "q307_unigram_em_train", "q308_quality_classifier",
+    "q309_streaming_right_outer_join_exact",
+    "q310_streaming_session_join_exact", "q311_hard_negatives_lsh",
+    "q312_fuzzy_decontamination", "q313_wordpiece_merges",
+    "q314_louvain_move", "q315_ann_multiprobe", "q316_wordpiece_encode",
+    # 13 heavy re-samples padding the prefix to 50 (VERDICT r7 item 1)
+    "q66_minhash_pairs_exact", "q80_fuzzy_name_pairs",
+    "q156_prefix_filter_join", "q191_entity_resolution",
+    "q200_curation_pipeline", "q212_kcore_peeling",
+    "q231_streaming_join_exact", "q247_streaming_kmv", "q252_hits_scores",
+    "q280_stateful_eviction_exact", "q287_streaming_outer_join_exact",
+    "q292_semdedup_prune", "q293_hard_negatives",
 ]
 
 assert set(_SHOWCASE) <= set(ALL_QUERIES), sorted(
