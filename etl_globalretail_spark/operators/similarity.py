@@ -2342,3 +2342,192 @@ def _register_q315() -> None:
 
 
 _register_q315()
+
+# ---------------------------------------------------------------------------
+# q318 — MULTI-PROBE hard-negative mining: q311's LSH-pruned per-anchor
+# top-K with q315's Hamming-1 probe set composed into the bucket join —
+# the recall-recovery lever q311's 100 TB posture cites, made concrete
+# on the mining path itself (VERDICT r7 item 5). Each anchor probes its
+# own bucket PLUS every Hamming-1 neighbor bucket (a borderline
+# hyperplane vector most likely fell one bit away), so the candidate set
+# is a strict SUPERSET of q311's: q318's per-rank cosine dominates
+# q311's pointwise, and recall vs the exact tier q293 can only rise
+# (both pytest laws).
+#
+# Scale shape: the probe expansion is a GENERATOR over a (bits+1)-long
+# literal mask array on the anchor side — map-side, no extra scan — and
+# the join stays a plain shuffle EQUI-join on the probed bucket value
+# (never a Hamming-distance theta-join). Pair mass is (bits+1) ×
+# Σ_b |bucket_b|² expected: the same constant-per-anchor asymptotics as
+# q311 with a bits+1 constant factor, which is exactly the multi-probe
+# trade (Lv et al. 2007 — T probes ≈ the recall of T independent hash
+# tables at ONE table's memory). A pair can match under at most one
+# mask (bucket_a ^ m = bucket_b pins m), so no dedup is needed. Each
+# emitted negative carries probe_hamming (0 = q311's bucket, 1 =
+# reached only by probing) so the probing contribution reads off the
+# frame. Whole path oracle-replayed: q82's md5-Rademacher buckets, the
+# mask cross-product, q293's quantized-cosine arithmetic, both ranks.
+# ---------------------------------------------------------------------------
+
+
+def _register_q318() -> None:
+    bits, dim, kk = _Q82_BITS, _Q82_DIM, _HARDNEG_K
+    masks = [0] + [1 << i for i in range(bits)]
+    masks_sql = ", ".join(str(m) for m in masks)
+
+    @_register(
+        "q318_hard_negatives_multiprobe",
+        oracle=f"""
+        WITH flat AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        signs AS (
+            SELECT b, pos,
+                   CASE WHEN CAST('0x' || substr(
+                            md5('hp-' || b || '-' || pos), 1, 15) AS BIGINT)
+                        % 2 = 0 THEN 1 ELSE -1 END AS s
+            FROM (SELECT unnest(range({bits})) AS b),
+                 (SELECT unnest(range(1, {dim + 1})) AS pos)
+        ),
+        vq AS (
+            SELECT vec_id, pos, CAST(FLOOR(val * 1e6) AS BIGINT) AS q
+            FROM flat
+        ),
+        bits AS (
+            SELECT vec_id, b,
+                   CASE WHEN SUM(s * q) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM vq JOIN signs ON vq.pos = signs.pos
+            GROUP BY vec_id, b
+        ),
+        buckets AS (
+            SELECT vec_id, CAST(SUM(bit * (1 << b)) AS BIGINT) AS bucket
+            FROM bits GROUP BY vec_id
+        ),
+        lab AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id,
+                   sqrt(CAST(SUM(CAST(FLOOR(val * val * 1e12) AS BIGINT))
+                        AS DOUBLE)) AS n
+            FROM flat GROUP BY vec_id
+        ),
+        probes AS (
+            SELECT vec_id,
+                   CAST(xor(bucket, CAST(m AS BIGINT)) AS BIGINT) AS pbucket,
+                   CAST(CASE WHEN m = 0 THEN 0 ELSE 1 END AS BIGINT) AS ph
+            FROM buckets, (SELECT unnest([{masks_sql}]) AS m)
+        ),
+        pairs AS (
+            SELECT pa.vec_id AS a, bb.vec_id AS b,
+                   la.label AS albl, lb.label AS blbl, pa.ph AS ph
+            FROM probes pa
+            JOIN buckets bb
+              ON pa.pbucket = bb.bucket AND pa.vec_id <> bb.vec_id
+            JOIN lab la ON la.vec_id = pa.vec_id
+            JOIN lab lb ON lb.vec_id = bb.vec_id
+            WHERE la.label <> lb.label
+        ),
+        dots AS (
+            SELECT p.a, p.b, p.albl, p.blbl, p.ph,
+                   CAST(SUM(CAST(FLOOR(f.val * g.val * 1e12) AS BIGINT))
+                        AS DOUBLE) AS dp
+            FROM pairs p
+            JOIN flat f ON f.vec_id = p.a
+            JOIN flat g ON g.vec_id = p.b AND g.pos = f.pos
+            GROUP BY p.a, p.b, p.albl, p.blbl, p.ph
+        ),
+        ranked AS (
+            SELECT d.a, d.b, d.albl, d.blbl, d.ph,
+                   d.dp / (na.n * nb.n) AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.a
+                       ORDER BY d.dp / (na.n * nb.n) DESC, d.b
+                   ) AS rn
+            FROM dots d
+            JOIN norms na ON d.a = na.vec_id
+            JOIN norms nb ON d.b = nb.vec_id
+        )
+        SELECT a AS anchor_id, CAST(rn AS BIGINT) AS rank, b AS neg_id,
+               albl AS anchor_label, blbl AS neg_label, cos AS cos_sim,
+               ph AS probe_hamming
+        FROM ranked WHERE rn <= {kk}
+        """,
+    )
+    def q318_hard_negatives_multiprobe(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-anchor top-K wrong-label cosine neighbors among the
+        anchor's sign-LSH bucket AND all its Hamming-1 neighbor buckets
+        (multi-probe); each pick carries its probe distance. See block
+        comment."""
+        e = load_table(spark, "embeddings", sf_dir)
+        vd = F.col("embedding").cast("array<double>")
+        # One pass computes bucket + norm beside the vector; consumed by
+        # BOTH join legs — persist or the scan+bucket folds run twice
+        # (the q311 stance). Lifetime tied to the returned plan.
+        base = e.select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            "embedding",
+            _rademacher_bucket(vd, bits).alias("bucket"),
+            _qdot(vd, vd).cast("double").alias("nrm2"),
+        ).persist()
+        left = base.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            "bucket",
+            F.col("embedding").alias("avec"),
+            F.col("nrm2").alias("na2"),
+        ).select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(m).cast("long") for m in masks])
+            ).alias("mask"),
+        ).select(
+            "anchor_id", "anchor_label", "avec", "na2",
+            F.col("bucket").bitwiseXOR(F.col("mask")).alias("pbucket"),
+            F.bit_count("mask").cast("long").alias("probe_hamming"),
+        )
+        right = base.select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.col("bucket").alias("rbucket"),
+            F.col("embedding").alias("bvec"),
+            F.col("nrm2").alias("nb2"),
+        )
+        pairs = left.join(
+            right,
+            (F.col("pbucket") == F.col("rbucket"))
+            & (F.col("anchor_id") != F.col("neg_id"))
+            & (F.col("anchor_label") != F.col("neg_label")),
+        )
+        cos = (
+            _qdot(
+                F.col("avec").cast("array<double>"),
+                F.col("bvec").cast("array<double>"),
+            ).cast("double")
+            / (F.sqrt("na2") * F.sqrt("nb2"))
+        ).alias("cos_sim")
+        scored = pairs.select(
+            "anchor_id", "anchor_label", "neg_id", "neg_label",
+            "probe_hamming", cos,
+        )
+        w = Window.partitionBy("anchor_id").orderBy(
+            F.desc("cos_sim"), F.asc("neg_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk)
+            .select(
+                "anchor_id", F.col("rank").cast("long").alias("rank"),
+                "neg_id", "anchor_label", "neg_label", "cos_sim",
+                "probe_hamming",
+            )
+        )
+
+
+_register_q318()
