@@ -5334,9 +5334,11 @@ def q246_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q314_oracle() -> str:
-    def qmod(lab: str, suffix: str) -> str:
-        return f"""
+def _q314_qmod(lab: str, suffix: str) -> str:
+    """Exact-integer modularity audit CTEs (the q246 formula) over the
+    label CTE ``lab`` — shared by q314's before/after pair and q319's
+    contracted-round after. Module-level so both oracles splice it."""
+    return f"""
     intra{suffix} AS (
         SELECT a.label, CAST(COUNT(*) AS BIGINT) AS ec
         FROM e JOIN {lab} a ON e.u = a.v JOIN {lab} b ON e.v = b.v
@@ -5357,6 +5359,11 @@ def _q314_oracle() -> str:
         GROUP BY mm.m
     )"""
 
+
+def _q314_chain() -> str:
+    """The LP prefix + one synchronized local-move round, ending at
+    l4(v, label, moved) — shared by q314's oracle and q319's, which
+    contracts l4 and runs the phase-2 round on the super-graph."""
     return f"""
     {_q236_cte_prefix()},
     mm AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
@@ -5395,9 +5402,13 @@ def _q314_oracle() -> str:
                CASE WHEN b.gain2m > 0 THEN b.c ELSE o.a END AS label,
                CASE WHEN b.gain2m > 0 THEN 1 ELSE 0 END AS moved
         FROM own o LEFT JOIN best b ON o.v = b.v
-    ),
-    {qmod("l3", "3")},
-    {qmod("l4", "4")}
+    )"""
+
+
+def _q314_oracle() -> str:
+    return f"""{_q314_chain()},
+    {_q314_qmod("l3", "3")},
+    {_q314_qmod("l4", "4")}
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM l3) AS n_vertices,
            (SELECT CAST(SUM(moved) AS BIGINT) FROM l4) AS n_moved,
            (SELECT n_comm FROM q3) AS n_comm_before,
@@ -5407,13 +5418,23 @@ def _q314_oracle() -> str:
     """
 
 
-@_register("q314_louvain_move", oracle=_q314_oracle())
-def q314_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One synchronized Louvain local-move round over the q236 partition
-    with exact-integer gains; reports moved-vertex count and modularity
-    before/after on the q246 scale. See block comment."""
+_L4_MEMO_ATTR = "_etl_globalretail_l4_memo"
+
+
+def louvain_moved_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, label, moved) after ONE synchronized Louvain local-move round
+    over the q236 partition — q314's move round as a session-memoized
+    executor-resident artifact (the lp_labels device one level up), so
+    q314's report and q319's phase-2 contraction pay the gain
+    computation once per (session, corpus)."""
+    memo = getattr(spark, _L4_MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _L4_MEMO_ATTR, memo)
+    if sf_dir in memo:
+        return memo[sf_dir]
     edges = co_purchase_edges(spark, sf_dir)  # checkpointed artifact
-    # lp_labels is itself a memoized checkpointed artifact now — every
+    # lp_labels is itself a memoized checkpointed artifact — every
     # consuming leg reads its executor-resident blocks (re-persisting a
     # checkpointed frame is the derived-persist net-loss PLANS.md notes)
     lab = lp_labels(spark, sf_dir)
@@ -5450,8 +5471,8 @@ def q314_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v", "a", "k", "tot_a",
                 F.coalesce("k_va", F.lit(0)).cast("long").alias("k_va"))
         # feeds the candidate gains AND the l4 stitch — persist or the
-        # whole label/degree pipeline replans twice. Lifetime tied to
-        # the returned plan; released by harness clearCache().
+        # whole label/degree pipeline replans twice; released once the
+        # l4 artifact is materialized below.
         .persist()
     )
     m2 = F.lit(2 * m).cast("long")
@@ -5485,7 +5506,23 @@ def q314_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("gain2m") > 0, F.lit(1)).otherwise(F.lit(0))
             .cast("long").alias("moved"),
         )
-        .persist()  # feeds the move count AND both q_after aggregates
+    )
+    memo[sf_dir] = materialize(l4)
+    own.unpersist()
+    return memo[sf_dir]
+
+
+@_register("q314_louvain_move", oracle=_q314_oracle())
+def q314_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronized Louvain local-move round over the q236 partition
+    with exact-integer gains; reports moved-vertex count and modularity
+    before/after on the q246 scale. See block comment."""
+    edges = co_purchase_edges(spark, sf_dir)  # checkpointed artifact
+    lab = lp_labels(spark, sf_dir)
+    l4 = louvain_moved_labels(spark, sf_dir)  # memoized artifact
+    m = edges.count()  # driver scalar off the checkpointed blocks
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
 
     def qmod(labels: "DataFrame"):
@@ -5531,6 +5568,245 @@ def q314_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(after))
         .select(
             "n_vertices", "n_moved", "n_comm_before", "n_comm_after",
+            "q_before_millionths", "q_after_millionths",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q319 — Louvain PHASE 2 (Blondel et al. 2008 aggregation step): contract
+# q314's post-move communities into a weighted super-graph and run one
+# more local-move round ON THE SUPER-GRAPH — completing one full outer
+# Louvain iteration (phase-1 move → contraction → phase-1 on the
+# contracted graph), per VERDICT r7 item 6. q314 moves vertices; this
+# merges whole communities.
+#
+# Contraction: super-vertices are l4's labels; super-edge weight
+# w(C1,C2) = inter-community edge count (C1 < C2); super-strength
+# k_C = Σ_{v∈C} deg(v) (intra edges ride inside k_C — a self-loop moves
+# with its vertex and never enters a gain). Phase-2 round starts from
+# SINGLETON communities (each super-vertex its own community — the
+# Blondel restart), so the move gain collapses to
+#   gain2m = 2m·w(V,C) − k_V·k_C            (all int64: ≤ 4m², the q246
+# headroom class), symmetric in (V, C). Symmetry makes mutual-best
+# 2-cycles the dominant synchronous pathology (V and C each pick the
+# other; both moving just swaps labels and merges nothing), so the round
+# applies the deterministic SWAP GUARD distributed implementations use:
+# in a mutual-best pair with positive gain, only the LARGER id moves
+# (into the smaller) — both engines replay it exactly.
+#
+# The output audits the whole iteration on the FLAT partition (vertices
+# re-labeled through the contraction map) with the exact q246 integer
+# formula: q_before = q314's q_after (pytest-pinned equal), and
+# q_after ≥ q_before is the Q-monotonicity law the merge round must
+# deliver (merging positive-gain community pairs raises Q; the guard
+# keeps simultaneous moves from cancelling).
+#
+# Scale shape: contraction is two label-map equi-joins + one
+# (C1,C2)-grouped count — |E|-sized with map-side combine; everything
+# after runs at SUPER-graph grain (|communities| vertices, ≤ |E|
+# super-edges): gains are one join per endpoint, the argmax is a window
+# partitioned by super-vertex, and the guard is one self-join on the
+# best-move frame. l4 comes from the memoized louvain_moved_labels
+# artifact, so the phase-1 round is never recomputed here.
+# ---------------------------------------------------------------------------
+
+
+def _q319_oracle() -> str:
+    return f"""{_q314_chain()},
+    cmap AS MATERIALIZED (SELECT v, label AS c FROM l4),
+    ce AS MATERIALIZED (
+        SELECT LEAST(a.c, b.c) AS c1, GREATEST(a.c, b.c) AS c2,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM e JOIN cmap a ON e.u = a.v JOIN cmap b ON e.v = b.v
+        WHERE a.c <> b.c
+        GROUP BY 1, 2
+    ),
+    ck AS MATERIALIZED (
+        SELECT a.c AS cid, CAST(COUNT(*) AS BIGINT) AS k
+        FROM sym s JOIN cmap a ON s.src = a.v GROUP BY a.c
+    ),
+    scand AS (
+        SELECT c1 AS v, c2 AS c, w FROM ce
+        UNION ALL
+        SELECT c2 AS v, c1 AS c, w FROM ce
+    ),
+    sg AS (
+        SELECT sc.v, sc.c,
+               2 * mm.m * sc.w - kv.k * kc.k AS gain2m
+        FROM scand sc
+        JOIN ck kv ON kv.cid = sc.v
+        JOIN ck kc ON kc.cid = sc.c, mm
+    ),
+    b5 AS MATERIALIZED (
+        SELECT v, c, gain2m FROM (
+            SELECT v, c, gain2m,
+                   ROW_NUMBER() OVER (PARTITION BY v
+                                      ORDER BY gain2m DESC, c) AS rn
+            FROM sg
+        ) WHERE rn = 1
+    ),
+    l5 AS MATERIALIZED (
+        SELECT k.cid AS v,
+               CASE WHEN b.gain2m > 0
+                     AND NOT COALESCE(bc.c = k.cid AND bc.gain2m > 0
+                                      AND k.cid < b.c, FALSE)
+                    THEN b.c ELSE k.cid END AS label,
+               CASE WHEN b.gain2m > 0
+                     AND NOT COALESCE(bc.c = k.cid AND bc.gain2m > 0
+                                      AND k.cid < b.c, FALSE)
+                    THEN 1 ELSE 0 END AS merged
+        FROM ck k
+        LEFT JOIN b5 b ON b.v = k.cid
+        LEFT JOIN b5 bc ON bc.v = b.c
+    ),
+    flat5 AS MATERIALIZED (
+        SELECT cm.v, l5.label FROM cmap cm JOIN l5 ON cm.c = l5.v
+    ),
+    {_q314_qmod("l4", "4")},
+    {_q314_qmod("flat5", "5")}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ck) AS n_super_vertices,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ce) AS n_super_edges,
+           (SELECT CAST(COALESCE(SUM(merged), 0) AS BIGINT) FROM l5)
+               AS n_merged_supers,
+           (SELECT n_comm FROM q4) AS n_comm_before,
+           (SELECT n_comm FROM q5) AS n_comm_after,
+           (SELECT qm FROM q4) AS q_before_millionths,
+           (SELECT qm FROM q5) AS q_after_millionths
+    """
+
+
+@_register("q319_louvain_contract", oracle=_q319_oracle())
+def q319_louvain_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain phase 2: contract q314's communities into a weighted
+    super-graph, run one swap-guarded singleton-init local-move round on
+    it, and audit modularity of the induced flat partition before/after
+    on the q246 exact-integer scale. See block comment."""
+    edges = co_purchase_edges(spark, sf_dir)  # checkpointed artifact
+    l4 = louvain_moved_labels(spark, sf_dir)  # memoized artifact
+    m = edges.count()  # driver scalar off the checkpointed blocks
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    cmap = l4.select("v", F.col("label").alias("c"))
+    ce = (
+        edges.join(cmap.select(F.col("v").alias("u"),
+                               F.col("c").alias("ca")), "u")
+        .join(cmap.select("v", F.col("c").alias("cb")), "v")
+        .filter(F.col("ca") != F.col("cb"))
+        .groupBy(
+            F.least("ca", "cb").alias("c1"),
+            F.greatest("ca", "cb").alias("c2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        # consumed by both directed candidate legs AND the super-edge
+        # count — persist; lifetime tied to the returned plan.
+        .persist()
+    )
+    ck = (
+        sym.join(cmap.select(F.col("v").alias("src"), "c"), "src")
+        .groupBy(F.col("c").alias("cid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .persist()  # feeds both gain endpoints, l5, and the census
+    )
+    scand = ce.select(F.col("c1").alias("v"), F.col("c2").alias("c"), "w") \
+        .unionAll(ce.select(F.col("c2").alias("v"),
+                            F.col("c1").alias("c"), "w"))
+    m2 = F.lit(2 * m).cast("long")
+    sg = (
+        scand.join(ck.select(F.col("cid").alias("v"),
+                             F.col("k").alias("kv")), "v")
+        .join(ck.select(F.col("cid").alias("c"),
+                        F.col("k").alias("kc")), "c")
+        .select(
+            "v", "c",
+            (m2 * F.col("w") - F.col("kv") * F.col("kc"))
+            .cast("long").alias("gain2m"),
+        )
+    )
+    wv = Window.partitionBy("v").orderBy(F.desc("gain2m"), F.asc("c"))
+    b5 = (
+        sg.select("v", "c", "gain2m", F.row_number().over(wv).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("v", "c", "gain2m")
+        .persist()  # self-joined for the swap guard
+    )
+    moves = F.col("gain2m") > 0
+    guard = ~F.coalesce(
+        (F.col("bc_c") == F.col("cid")) & (F.col("bc_gain") > 0)
+        & (F.col("cid") < F.col("c")),
+        F.lit(False),
+    )
+    l5 = (
+        ck.select("cid")
+        .join(b5.withColumnRenamed("v", "cid"), "cid", "left")
+        .join(
+            b5.select(F.col("v").alias("c"),
+                      F.col("c").alias("bc_c"),
+                      F.col("gain2m").alias("bc_gain")),
+            "c", "left",
+        )
+        .select(
+            F.col("cid").alias("sv"),
+            F.when(moves & guard, F.col("c")).otherwise(F.col("cid"))
+            .alias("label"),
+            F.when(moves & guard, F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("merged"),
+        )
+        .persist()  # feeds the merge count AND the flat re-label
+    )
+    flat5 = cmap.join(
+        l5.select(F.col("sv").alias("c"), "label"), "c"
+    ).select("v", "label")
+
+    def qmod(labels: "DataFrame"):
+        a = labels.select(F.col("v").alias("u"), F.col("label").alias("la"))
+        b = labels.select("v", F.col("label").alias("lb"))
+        intra = (
+            edges.join(a, "u").join(b, "v")
+            .filter(F.col("la") == F.col("lb"))
+            .groupBy(F.col("la").alias("label"))
+            .agg(F.count(F.lit(1)).cast("long").alias("ec"))
+        )
+        dg = (
+            sym.join(labels.select(F.col("v").alias("src"), "label"), "src")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("dc"))
+        )
+        comm = dg.join(intra, "label", "left").select(
+            "label", F.coalesce("ec", F.lit(0)).cast("long").alias("ec"),
+            "dc",
+        )
+        return comm.agg(
+            F.count(F.lit(1)).cast("long").alias("n_comm"),
+            F.expr(f"CAST(SUM(4L * {m}L * ec - dc * dc) * 1000000L"
+                   f" div (4L * {m}L * {m}L) AS BIGINT)").alias("qm"),
+        )
+
+    before = qmod(l4.select("v", "label")).select(
+        F.col("n_comm").alias("n_comm_before"),
+        F.col("qm").alias("q_before_millionths"),
+    )
+    after = qmod(flat5).select(
+        F.col("n_comm").alias("n_comm_after"),
+        F.col("qm").alias("q_after_millionths"),
+    )
+    census = ck.agg(
+        F.count(F.lit(1)).cast("long").alias("n_super_vertices"),
+    ).crossJoin(F.broadcast(
+        ce.agg(F.count(F.lit(1)).cast("long").alias("n_super_edges"))
+    )).crossJoin(F.broadcast(
+        l5.agg(F.coalesce(F.sum("merged"), F.lit(0)).cast("long")
+               .alias("n_merged_supers"))
+    ))
+    # 1-row legs stitched via broadcast crossJoins into ONE job (the
+    # q283/q314 union-the-scalar-legs stance; bounded by construction)
+    return (
+        census.crossJoin(F.broadcast(before))
+        .crossJoin(F.broadcast(after))
+        .select(
+            "n_super_vertices", "n_super_edges", "n_merged_supers",
+            "n_comm_before", "n_comm_after",
             "q_before_millionths", "q_after_millionths",
         )
     )

@@ -51,6 +51,9 @@ INTENTIONAL_CROSS = {
     "q314_louvain_move",  # crosses three broadcast 1-row aggregate legs
     # (move counts × modularity-before × modularity-after) into the single
     # output row — bounded by construction (the q283 one-job stance)
+    "q319_louvain_contract",  # crosses five broadcast 1-row aggregate legs
+    # (super census × merge count × modularity-before × -after) into the
+    # single output row — bounded by construction (the q283/q314 stance)
     "q226_keyword_search",  # attaches the broadcast 1-row corpus-max
     # bit-length to the |query|-row term frame — bounded by construction
     "q237_rrf_fusion",  # composes q226 (above) and inherits its broadcast
