@@ -2252,3 +2252,109 @@ def q310_streaming_session_join_exact(
         F.col("w.end").alias("session_end"),
         "n_pairs", "click_checksum", "value_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# q320 — tumbling aggregate FEEDING a tumbling RE-AGGREGATE (the second
+# multi-stateful shape, VERDICT r7 item 7): hourly (window × event_type)
+# counts/sums chained into a 3-hour rollup via window(window_time(w)) —
+# two windowed-aggregation state stores in one streaming query, run over
+# q230's three out-of-order arrival waves on the hash gate.
+#
+# Emission boundary, pinned by a synthetic probe (planted hourly events
+# with a controlled max event time, tests/test_streaming_rollup.py):
+# BOTH tiers emit iff window_end ≤ W NON-STRICT, W = max event time −
+# delay — a window ending exactly AT W emits (probe case A: W = the 3 h
+# boundary itself). Chained aggregation adds NO watermark delay: an
+# aggregate's output event-time watermark equals its input watermark, so
+# the rollup inherits the plain q230 rule — the exact opposite posture
+# of an op downstream of a stream-stream JOIN, which is delayed by the
+# join's time-range horizon and emits STRICTLY below (q310's boundary).
+# The emitted rows carry window_time = end − 1 µs (< W by construction),
+# which the engine's per-operator watermark simulation admits downstream
+# without dropping.
+#
+# Replay dynamics (q230's arithmetic, one level up): wave-2 rows are
+# dropped at the INNER tier (their hourly state was evicted when the
+# wave-1 batch closed end ≤ W windows); hourly cells with end > W are
+# withheld and never reach the rollup; rollup windows with end > W hold
+# emitted cells but are themselves withheld. The oracle replays exactly
+# that: kept = ¬wave2, cells emitted iff hour_end ≤ W, rollup emitted
+# iff 3h_end ≤ W. Decimal cell sums re-summed at the rollup equal the
+# flat decimal sum (exact, order-free) — one double conversion at the
+# very end on both engines.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q320_streaming_rollup_exact",
+    oracle=f"""
+    WITH mx AS (
+        SELECT MAX(epoch_us(ts) // 1000) AS max_ms FROM events
+    ),
+    kept AS (
+        SELECT e.* FROM events e, mx
+        WHERE NOT (e.event_id % 8 = 0
+                   AND epoch_us(e.ts) // 1000 <> mx.max_ms)
+    ),
+    cells AS (
+        SELECT epoch_us(k.ts) // 3600000000 AS hr, k.event_type,
+               COUNT(*) AS n,
+               SUM(CAST(k.value AS DECIMAL(27,6))) AS sv
+        FROM kept k, mx
+        WHERE (epoch_us(k.ts) // 3600000000 + 1) * 3600000000
+              <= (mx.max_ms - {_Q230_DELAY_MS}) * 1000
+        GROUP BY 1, 2
+    )
+    SELECT make_timestamp(
+               (hr * 3600000000 // 10800000000) * 10800000000
+           ) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(sv) AS DOUBLE) AS sum_value
+    FROM cells, mx
+    WHERE (hr * 3600000000 // 10800000000 + 1) * 10800000000
+          <= (mx.max_ms - {_Q230_DELAY_MS}) * 1000
+    GROUP BY 1
+    """,
+)
+def q320_streaming_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hour rollup of hourly counts/sums through a REAL two-tier
+    windowed-aggregation streaming query (window → window_time →
+    window) over three out-of-order arrival waves, hash-matched against
+    DuckDB's replay of the pinned non-strict boundary at both tiers.
+    See block comment."""
+    waves = stage_arrival_waves(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(waves.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(waves.directory)
+    )
+    inner = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("sv"),
+        )
+    )
+    rollup = (
+        inner.groupBy(
+            F.window(F.window_time("w"), "3 hours").alias("w3")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w3.start").alias("window_start"),
+            "n_cells", "n_events", "sum_value",
+        )
+    )
+    _Q128_SEQ[0] += 1
+    sink = f"q320_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(rollup, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    waves.cleanup()  # replay finished; the memory sink holds the rows
+    return spark.table(sink)
