@@ -208,7 +208,30 @@ def kmeans_fit(
         raw.unpersist()
 
 
-@_register("q74_kmeans")  # iterative, driver-held centroids — rows-only
+@_register(
+    "q74_kmeans",
+    # Shape-only oracle (VERDICT r7 item 8): the convergence trajectory
+    # (n_iter, inertia, cell sizes) depends on FP Lloyd iterations that
+    # no SQL replay reproduces, but the report's grain (exactly one
+    # summary row) and schema are fixed, and n_vectors is the exact
+    # corpus count — this SQL reproduces the shape so a driver sample
+    # records green rows_match/schema_match instead of `err: no_oracle`.
+    # The HASH tier for k-means is the quantized-integer twin q122
+    # (fixed-iteration Lloyd's, bit-exact cross-engine, hash-verified).
+    oracle="""
+    -- SHAPE-ONLY ORACLE: value columns are the engine's FP iteration
+    -- trajectory (n_cells/min/max/n_iter/inertia); row count and schema
+    -- are exact. Hash-exact twin: q122_kmeans_exact.
+    SELECT 'kmeans_k8' AS method,
+           CAST(8 AS BIGINT) AS n_cells,
+           CAST(0 AS BIGINT) AS min_sz,
+           CAST(0 AS BIGINT) AS max_sz,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(0 AS BIGINT) AS n_iter,
+           CAST(0.0 AS DOUBLE) AS inertia
+    FROM embeddings
+    """,
+)
 def q74_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embeddings table (k=8): convergence round
     count, inertia, and the cluster-size profile. Deterministic (hash-seeded

@@ -24,6 +24,14 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# Oracles whose SQL leads with this marker verify ROW COUNT + SCHEMA
+# only — their value columns are engine-specific BY DESIGN (sketch
+# states, FP iteration trajectories) and each names its oracle-exact
+# hash twin in the marker comment (VERDICT r7 item 8). The driver's
+# comparator still records rows_match/schema_match green for them; the
+# hash tier is carried by the named twin, never by these.
+SHAPE_ONLY_MARKER = "-- SHAPE-ONLY"
+
 
 def norm_cell(v):
     import datetime
@@ -116,11 +124,18 @@ def main() -> int:
             failed.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL {name}: duckdb error: {str(e)[:500]}")
             continue
+        shape_only = oracles[name].lstrip().startswith(SHAPE_ONLY_MARKER)
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(c.lower() for c in dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems and shape_only:
+            passed.append(name)
+            print(f"PASS-SHAPE {name} ({len(srows)} rows) "
+                  f"[{time.time()-t0:.1f}s] — shape-only oracle (value "
+                  f"columns engine-specific; hash twin named in the SQL)")
+            continue
         if not problems:
             sm, dm = multiset(srows, scols), multiset(
                 drows, [c.lower() for c in dcols]
