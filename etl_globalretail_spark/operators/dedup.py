@@ -1474,11 +1474,16 @@ def q156_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 0
     )
     verified, base = prefix_filtered_pairs(d, "text", "doc_id")
-    try:
-        rows = verified.collect()
-    finally:
-        base.unpersist()
-    return spark.createDataFrame(rows, "id_a long, id_b long, jaccard double")
+    # Materialize the verified pair set EXECUTOR-side (localCheckpoint)
+    # before releasing the shingle cache: the pair frame is corpus-
+    # proportional on a dup-heavy corpus, so a driver collect round-trip
+    # here would bottleneck at 100 TB (VERDICT r7 item: the
+    # minhash_near_duplicates ownership stance, storage not driver).
+    from etl_globalretail_spark.sources.artifacts import materialize
+
+    out = materialize(verified)
+    base.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

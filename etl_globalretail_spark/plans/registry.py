@@ -52,11 +52,12 @@ for _mod in ("operators.dedup", "operators.similarity", "operators.text",
 # 3 rows-only-by-design names (q50/q74/q235, deliberately kept OFF the
 # gate so they don't emit `err: no_oracle` rows — VERDICT r7 item 2).
 # This prefix = those 37 (exactly `scripts/rotate_gate.py`'s output)
-# padded to 50 with 13 RE-SAMPLES of the heaviest oracle-paired queries
-# (per VERDICT r7 item 1: the streaming replays, the pair-graph/closure
-# family this round memoizes, and the adaptive-blocking similarity
-# tiers), so after r8 every oracle-paired query has a driver-green row.
-# Round-8 additions (q317+) are appended as they land.
+# padded to 50 with the FOUR round-8 additions (q317–q320, so new
+# queries land on the gate the round they ship) and 9 RE-SAMPLES of the
+# heaviest oracle-paired queries (per VERDICT r7 item 1: the streaming
+# replays, the pair-graph/closure family this round memoizes, and the
+# adaptive-blocking similarity tiers), so after r8 every oracle-paired
+# query has a driver-green row.
 # Membership and implementations are untouched: every query stays
 # registered and oracle-paired; this is a reordering only.
 # ---------------------------------------------------------------------------
@@ -82,13 +83,17 @@ _SHOWCASE = [
     "q310_streaming_session_join_exact", "q311_hard_negatives_lsh",
     "q312_fuzzy_decontamination", "q313_wordpiece_merges",
     "q314_louvain_move", "q315_ann_multiprobe", "q316_wordpiece_encode",
-    # 13 heavy re-samples padding the prefix to 50 (VERDICT r7 item 1)
+    # the four round-8 additions — on the gate the round they ship
+    "q317_unigram_trained_viterbi", "q318_hard_negatives_multiprobe",
+    "q319_louvain_contract", "q320_streaming_rollup_exact",
+    # 9 heavy re-samples padding the prefix to 50 (VERDICT r7 item 1) —
+    # q66/q80/q156/q191 also re-prove this round's memoization and
+    # executor-materialization changes hash-neutral
     "q66_minhash_pairs_exact", "q80_fuzzy_name_pairs",
     "q156_prefix_filter_join", "q191_entity_resolution",
-    "q200_curation_pipeline", "q212_kcore_peeling",
-    "q231_streaming_join_exact", "q247_streaming_kmv", "q252_hits_scores",
-    "q280_stateful_eviction_exact", "q287_streaming_outer_join_exact",
-    "q292_semdedup_prune", "q293_hard_negatives",
+    "q200_curation_pipeline", "q231_streaming_join_exact",
+    "q252_hits_scores", "q280_stateful_eviction_exact",
+    "q293_hard_negatives",
 ]
 
 assert set(_SHOWCASE) <= set(ALL_QUERIES), sorted(
