@@ -2255,6 +2255,130 @@ def q310_streaming_session_join_exact(
 
 
 # ---------------------------------------------------------------------------
+# q321 — stream-stream join CHAINED INTO a TUMBLING window aggregate:
+# q310's multi-stateful shape with the downstream state being a plain
+# time window instead of a session — together with q320 this completes
+# the 2×2 watermark-delay matrix the cookbook pins:
+#
+#                      downstream of AGGREGATE   downstream of JOIN
+#   emission boundary  end ≤ W (non-strict,      end < W − horizon
+#                      q320 probe)               (STRICT, q310 + q321
+#                                                 probes)
+#
+# The q321 probe (tests/test_streaming_join_rollup.py, planted hourly
+# purchase/click pairs with a controlled max event time) confirms the
+# join's output-watermark delay is the join's time-range horizon and is
+# WINDOW-KIND-INDEPENDENT: a tumbling window ending exactly AT
+# W − horizon is withheld, exactly like q310's session (and the ±1 ms
+# StreamingJoinHelper adjustment zone sits on the boundary — µs-grain
+# data never lands there).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q321_streaming_join_rollup_exact",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id AS cu, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    mx AS (
+        SELECT LEAST((SELECT MAX(epoch_us(p_ts)) // 1000 FROM p),
+                     (SELECT MAX(epoch_us(c_ts)) // 1000 FROM c))
+               - 600000 AS wm
+    ),
+    pairs AS (
+        SELECT p.purchase_id, p.p_ts, p.value, c.click_id
+        FROM p JOIN c
+          ON p.user_id = c.cu
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT make_timestamp((epoch_us(p_ts) // 3600000000) * 3600000000)
+               AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           CAST(SUM(click_id) AS BIGINT) AS click_checksum,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM pairs, mx
+    WHERE (epoch_us(p_ts) // 3600000000 + 1) * 3600000000
+          < (mx.wm - 3600000) * 1000
+    GROUP BY 1
+    """,
+)
+def q321_streaming_join_rollup_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly rollup of the purchase⨝recent-click stream-stream join run
+    as ONE multi-stateful streaming query (join state → window state)
+    over the two-wave late-click replay, hash-matched against the batch
+    interval join filtered to the pinned strict boundary window_end <
+    W − horizon. See block comment."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, "events", sf_dir)
+    late = (F.col("event_type") == "click") & (F.col("event_id") % 8 == 0)
+    work = tempfile.mkdtemp(prefix="q321_jroll_")
+    sdir = os.path.join(work, "stream")
+    os.makedirs(sdir)
+    tmp = os.path.join(work, "staged")
+    e.withColumn(
+        "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
+    ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
+    for i in range(2):
+        part = glob.glob(
+            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
+        )[0]
+        dst = os.path.join(sdir, f"wave_{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    pairs = purchases_with_recent_click(stream, how="inner")
+    # The streaming tier aggregates at (window, purchase_id) grain —
+    # exact distinct-counting inside a streaming agg would need a second
+    # dedup state; keeping the purchase key in the group lets the final
+    # |emitted windows|-sized batch reduce over the sink count purchases
+    # exactly. The emission boundary is a property of the WINDOW column,
+    # so the extra key doesn't move it (probe-pinned).
+    agg = (
+        pairs.groupBy(F.window("p_ts", "1 hour").alias("w"), "purchase_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("click_id").cast("long").alias("click_checksum"),
+            F.sum(F.floor(F.col("purchase_value") * 100).cast("long"))
+            .cast("long").alias("value_cents"),
+        )
+    )
+    _Q128_SEQ[0] += 1
+    sink = f"q321_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(agg, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    shutil.rmtree(work, ignore_errors=True)  # rows live in the memory sink
+    return (
+        spark.table(sink)
+        .groupBy(F.col("w.start").alias("window_start"))
+        .agg(
+            F.sum("n_pairs").cast("long").alias("n_pairs"),
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("click_checksum").cast("long").alias("click_checksum"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q320 — tumbling aggregate FEEDING a tumbling RE-AGGREGATE (the second
 # multi-stateful shape, VERDICT r7 item 7): hourly (window × event_type)
 # counts/sums chained into a 3-hour rollup via window(window_time(w)) —
