@@ -4553,3 +4553,144 @@ def _register_q317() -> None:
 
 
 _register_q317()
+
+
+# ---------------------------------------------------------------------------
+# q322 — unigram-LM vocabulary PRUNING (the SentencePiece prune step,
+# Kudo 2018 §3.2: alternate EM with discarding the pieces whose removal
+# costs the corpus least), completing the unigram family's full
+# train → PRUNE → encode loop beside q307 (EM) and q317 (trained
+# decode). For a 2-character piece ab the only piece-free segmentation
+# is a·b, so its removal penalty is EXACT, not an approximation:
+#   penalty(ab) = u2(ab) × (c1(a) + c1(b) − c2(ab))
+# — the corpus-cost increase if every optimal use of ab re-routes
+# through its characters. Characters are never pruned (segmentability
+# by construction); the TOP-K bigrams by penalty survive, K =
+# max(4, ⌈|bigrams|/2⌉) (adaptive, ties to the smaller piece).
+#
+# Integer exactness: u2 × cost-delta exceeds int64 at corpus scale
+# (u2 ~ corpus tokens × path weights), so the penalty is ranked in
+# arbitrary-precision space — Python ints on the Spark side (the
+# ≤ 26² bigram table is a documented driver scalar), HUGEINT in the
+# DuckDB CTE (internal only; never an output column). Both engines
+# rank (penalty DESC, piece ASC) — bit-identical keep set.
+#
+# Output: the q317 decode re-run under the PRUNED vocabulary (pruned
+# bigrams' costs → +∞, i.e. removed), at vocabulary grain. The pruned
+# optimum can only rise — min_cost(pruned) ≥ min_cost(trained)
+# pointwise (pytest law, with the prune measurably biting).
+#
+# Scale shape: identical to q317 — corpus-sized work is the one
+# word-frequency aggregate; prune ranking is ≤ 26² rows; the decode is
+# one Arrow-batched DP pass over DISTINCT words.
+# ---------------------------------------------------------------------------
+
+
+def _q322_oracle() -> str:
+    cost = f"{_Q301_PENALTY} + {_Q301_FREQ_NUM} // (COALESCE(u, 0) + 1)"
+    return f"""{_q307_em_chain()},
+    c1r3 AS MATERIALIZED (
+        SELECT i.piece, CAST({cost} AS BIGINT) AS c
+        FROM chars0 i LEFT JOIN use2 u ON u.piece = i.piece
+    ),
+    c2r3 AS MATERIALIZED (
+        SELECT i.piece, CAST({cost} AS BIGINT) AS c
+        FROM bigs0 i LEFT JOIN use2 u ON u.piece = i.piece
+    ),
+    pen AS MATERIALIZED (
+        SELECT b2.piece,
+               CAST(COALESCE(u.u, 0) AS HUGEINT)
+               * (ca.c + cb.c - b2.c) AS penalty
+        FROM c2r3 b2
+        JOIN c1r3 ca ON ca.piece = substr(b2.piece, 1, 1)
+        JOIN c1r3 cb ON cb.piece = substr(b2.piece, 2, 1)
+        LEFT JOIN use2 u ON u.piece = b2.piece
+    ),
+    kept AS MATERIALIZED (
+        SELECT piece FROM (
+            SELECT piece,
+                   ROW_NUMBER() OVER (ORDER BY penalty DESC, piece) AS rn,
+                   COUNT(*) OVER () AS nb
+            FROM pen
+        ) WHERE rn <= GREATEST(4, (nb + 1) // 2)
+    ),
+    c2r4 AS MATERIALIZED (
+        SELECT c.piece, c.c FROM c2r3 c JOIN kept k ON k.piece = c.piece
+    ),
+    poscost4 AS MATERIALIZED (
+        SELECT wp.w, wp.pos, c1.c AS cc1,
+               COALESCE(c2.c, {_Q301_HUGE}) AS cc2
+        FROM wpos wp
+        LEFT JOIN c1r3 c1 ON c1.piece = substr(wp.w, wp.pos, 1)
+        LEFT JOIN c2r4 c2 ON wp.pos >= 2
+                         AND c2.piece = substr(wp.w, wp.pos - 1, 2)
+    ),
+    dp4 AS (
+        SELECT w, 0 AS pos,
+               CAST(0 AS BIGINT) AS best,
+               CAST({_Q301_HUGE} AS BIGINT) AS bprev,
+               CAST(1 AS BIGINT) AS paths,
+               CAST(0 AS BIGINT) AS pprev
+        FROM words
+        UNION ALL
+        SELECT w, pos,
+               CASE WHEN cand1 <= cand2 THEN cand1 ELSE cand2 END,
+               prev_best,
+               CASE WHEN cand1 <= cand2 THEN cur_paths ELSE 0 END
+               + CASE WHEN cand2 <= cand1 THEN prev_paths ELSE 0 END,
+               cur_paths
+        FROM (
+            SELECT d.w, d.pos + 1 AS pos,
+                   d.best + p.cc1 AS cand1,
+                   CASE WHEN d.pos >= 1 THEN d.bprev + p.cc2
+                        ELSE {_Q301_HUGE} END AS cand2,
+                   d.best AS prev_best,
+                   d.paths AS cur_paths,
+                   d.pprev AS prev_paths
+            FROM dp4 d JOIN poscost4 p ON p.w = d.w AND p.pos = d.pos + 1
+        ) s(w, pos, cand1, cand2, prev_best, cur_paths, prev_paths)
+    )
+    SELECT w AS word, CAST(length(w) AS BIGINT) AS len,
+           best AS min_cost, paths AS n_best_paths
+    FROM dp4 WHERE pos = length(w)
+    """
+
+
+def _register_q322() -> None:
+    @_register("q322_unigram_vocab_prune", oracle=_q322_oracle())
+    def q322_unigram_vocab_prune(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Viterbi decode under the PRUNED trained vocabulary: the
+        top-half bigrams by exact removal penalty survive (chars always
+        kept); (word, len, min_cost, n_best_paths) at vocabulary grain.
+        See block comment."""
+        trained = QUERIES["q307_unigram_em_train"](spark, sf_dir).collect()
+        c1 = {r["piece"]: r["cost2"] for r in trained
+              if r["piece_len"] == 1}
+        bigs = [(r["piece"], r["cost2"], r["u2"]) for r in trained
+                if r["piece_len"] == 2]
+        # Exact removal penalties in arbitrary-precision Python ints —
+        # the ≤ 26² bigram table is a documented driver scalar; int64
+        # would overflow at corpus scale (u2 × cost-delta ~ 1e23).
+        ranked = sorted(
+            ((u2 * (c1[p[0]] + c1[p[1]] - c), p) for p, c, u2 in bigs),
+            key=lambda t: (-t[0], t[1]),
+        )
+        k = max(4, (len(bigs) + 1) // 2)
+        keep = {p for _, p in ranked[:k]}
+        c2 = {p: (c if p in keep else _Q301_HUGE) for p, c, _ in bigs}
+        d = load_table(spark, "documents", sf_dir)
+        words = (
+            d.select(F.explode(alpha_tokens(F.col("text"))).alias("w"))
+            .distinct()
+            .withColumnRenamed("w", "word")
+        )
+        return words.mapInPandas(
+            _q301_dp_kernel(c1, c2),
+            schema="word string, len long, min_cost long,"
+                   " n_best_paths long",
+        )
+
+
+_register_q322()
