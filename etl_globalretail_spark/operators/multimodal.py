@@ -1251,3 +1251,125 @@ def q306_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vsum").cast("long").alias("value_sum"),
         F.sum("wsum").cast("long").alias("weighted_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q323 — video SCENE-CUT detection over DEMUXED Y4M frames: the keyframe
+# /shot-boundary operator every video-curation pipeline runs before
+# sampling (pick frames at cuts, not blindly every k-th — the upgrade
+# path from q300's fixed-stride sampler). Pipeline, all REAL steps:
+# synthesize C444 clips WITH SCENE STRUCTURE (3-frame shots: a large
+# per-scene term + small within-scene motion, closed-form integer
+# pixels) → encode a real YUV4MPEG2 stream → demux with the
+# pure-Python parser → per consecutive-frame pair, SAD = Σ|v_f −
+# v_{f−1}| over ALL demuxed samples → cut iff SAD > 64·n_samples.
+#
+# The threshold separates the two regimes by construction — within a
+# scene the +7 motion gives SAD ≈ 14·N (each sample |diff| ∈ {7, 249},
+# wrap ≈ 3%); at a shot boundary the +104 jump gives SAD ≈ 124·N (wrap
+# ≈ 40%) — but the exact SAD values are wrap-count dependent per
+# (clip, frame) and the oracle replays them SAMPLE-EXACTLY from the
+# closed form: a demuxer frame-walk off-by-one or SAD bug breaks the
+# hash, and variable clip lengths (6..10) make the cut CENSUS vary
+# (cuts at f = 3, 6, 9 exist only where the clip is long enough).
+#
+# Scale shape: map-only (one Arrow pass per document batch; clips are
+# row-local), |documents|-row output; all int64 (SAD ≤ 255·144·10 per
+# clip).
+# ---------------------------------------------------------------------------
+
+_Q323_SCENE = 3                     # frames per shot
+_Q323_THRESH = 64 * 3 * _Q300_W * _Q300_H  # SAD > 64 × n_samples
+
+
+def _q323_cut_kernel(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """synthesize → REAL Y4M encode → demux → inter-frame SAD → cuts."""
+    import numpy as np
+    import pandas as pd
+
+    w, h, plane = _Q300_W, _Q300_H, _Q300_W * _Q300_H
+    for pdf in batches:
+        recs = []
+        for mid in pdf["media_id"]:
+            mid = int(mid)
+            nframes = _Q300_BASE_FRAMES + mid % 5
+            frames = []
+            for f in range(nframes):
+                p = np.arange(3 * plane, dtype=np.int64)
+                pl = p // plane
+                r = (p % plane) // w
+                c = p % w
+                v = (mid * 131 + (f // _Q323_SCENE) * 97 + f * 7
+                     + pl * 17 + r * 13 + c * 7) % 256
+                frames.append(v.astype(np.uint8).tobytes())
+            dw, dh, decoded = decode_y4m(encode_y4m(w, h, frames))
+            mats = [
+                np.frombuffer(fr, np.uint8).astype(np.int64)
+                for fr in decoded
+            ]
+            n_cuts, first, sad_total = 0, -1, 0
+            for f in range(1, len(mats)):
+                sad = int(np.abs(mats[f] - mats[f - 1]).sum())
+                sad_total += sad
+                if sad > _Q323_THRESH:
+                    n_cuts += 1
+                    if first < 0:
+                        first = f
+            recs.append(
+                (mid, int(len(mats)), n_cuts, first, sad_total)
+            )
+        yield pd.DataFrame(
+            recs,
+            columns=["media_id", "n_frames", "n_cuts",
+                     "first_cut_idx", "sad_total"],
+        ).astype("int64")
+
+
+@_register(
+    "q323_video_scene_cuts",
+    oracle=f"""
+    WITH t AS (
+        SELECT p // {_Q300_W * _Q300_H} AS pl,
+               (p % {_Q300_W * _Q300_H}) // {_Q300_W} AS r,
+               p % {_Q300_W} AS c
+        FROM generate_series(0, {3 * _Q300_W * _Q300_H - 1}) AS tt(p)
+    ),
+    s AS (
+        SELECT doc_id AS media_id,
+               f.f AS f,
+               CAST({_Q300_BASE_FRAMES} + doc_id % 5 AS BIGINT) AS n_frames,
+               SUM(ABS(
+                   (doc_id*131 + (f.f // 3)*97 + f.f*7
+                    + t.pl*17 + t.r*13 + t.c*7) % 256
+                 - (doc_id*131 + ((f.f-1) // 3)*97 + (f.f-1)*7
+                    + t.pl*17 + t.r*13 + t.c*7) % 256
+               )) AS sad
+        FROM documents,
+             generate_series(1, {_Q300_BASE_FRAMES + 4 - 1}) AS f(f),
+             t
+        WHERE f.f < {_Q300_BASE_FRAMES} + doc_id % 5
+        GROUP BY 1, 2, 3
+    )
+    SELECT media_id, n_frames,
+           CAST(COUNT(*) FILTER (WHERE sad > {_Q323_THRESH}) AS BIGINT)
+               AS n_cuts,
+           CAST(COALESCE(MIN(f) FILTER (WHERE sad > {_Q323_THRESH}), -1)
+               AS BIGINT) AS first_cut_idx,
+           CAST(SUM(sad) AS BIGINT) AS sad_total
+    FROM s GROUP BY media_id, n_frames
+    """,
+)
+def q323_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip scene-cut census (cut count, first cut index, total
+    inter-frame SAD) computed only from DEMUXED Y4M planes; the oracle
+    replays the sample-exact SAD from the closed-form pixel pattern.
+    See block comment."""
+    d = load_table(spark, "documents", sf_dir)
+    src = d.select(F.col("doc_id").alias("media_id"))
+    return src.mapInPandas(
+        _q323_cut_kernel,
+        schema="media_id long, n_frames long, n_cuts long,"
+               " first_cut_idx long, sad_total long",
+    )
