@@ -2255,6 +2255,80 @@ def q310_streaming_session_join_exact(
 
 
 # ---------------------------------------------------------------------------
+# q324 — streaming DEDUP chained into a tumbling window aggregate: the
+# third upstream kind in the cookbook's watermark-delay matrix.
+# q194's duplicated-delivery shape (two unioned file streams over the
+# same source, collapsed by dropDuplicatesWithinWatermark) feeds an
+# hourly windowed aggregate INSIDE the same streaming query — dedup
+# state upstream of window state, exactly the "idempotent ingest →
+# aggregate" pipeline every at-least-once delivery system runs.
+#
+# Boundary, probe-pinned (tests/test_streaming_dedup_rollup.py):
+# dropDuplicatesWithinWatermark adds NO watermark delay — the window
+# emits iff window_end ≤ W NON-STRICT, identical to the agg-upstream
+# rule (q320), and the counts prove the dedup bit (n = 1 per planted
+# duplicate pair, never 2). The matrix: {aggregate, dedup} upstream →
+# ≤ W no delay; join upstream → < W − horizon strict (q310/q321).
+#
+# Oracle: each-event-ONCE hourly census (the doubled delivery must
+# vanish) filtered to the non-strict boundary, integer cents.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q324_streaming_dedup_rollup_exact",
+    oracle="""
+    WITH mx AS (
+        SELECT MAX(epoch_us(ts) // 1000) AS max_ms FROM events
+    )
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events, mx
+    WHERE (epoch_us(ts) // 3600000000 + 1) * 3600000000
+          <= (mx.max_ms - 600000) * 1000
+    GROUP BY 1, 2
+    """,
+)
+def q324_streaming_dedup_rollup_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly per-type census of a DUPLICATED-delivery stream after
+    in-query dedup: two unioned file streams over the same events
+    source → dropDuplicatesWithinWatermark(event_id) → hourly window
+    aggregate → append memory sink, hash-matched against DuckDB's
+    each-event-once census at the pinned non-strict boundary. See
+    block comment."""
+    path = f"{sf_dir}/events.parquet"
+    doubled = read_event_stream(spark, path).unionAll(
+        read_event_stream(spark, path)
+    )
+    dd = dedup_stream(doubled, keys=("event_id",))  # 10-min watermark
+    agg = (
+        dd.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long").alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "id_sum", "value_cents",
+        )
+    )
+    _Q128_SEQ[0] += 1
+    sink = f"q324_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(agg, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
 # q321 — stream-stream join CHAINED INTO a TUMBLING window aggregate:
 # q310's multi-stateful shape with the downstream state being a plain
 # time window instead of a session — together with q320 this completes
