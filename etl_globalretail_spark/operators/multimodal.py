@@ -1373,3 +1373,131 @@ def q323_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id long, n_frames long, n_cuts long,"
                " first_cut_idx long, sad_total long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q325 — audio ACTIVITY SEGMENTATION over the decoded WAV samples: the
+# VAD-style trim/segment operator speech-corpus curation runs (cut a
+# recording into active utterance spans, drop silence) — upgrades
+# q299's silent-frame CENSUS to actual segments, completing the
+# segmentation story across modalities beside q323's video scene cuts.
+#
+# Synthesis plants real structure: the per-frame amplitude is
+# amp_f = (doc_id + f) mod 3, so every clip interleaves digital-silence
+# frames (amp 0) with two loudness tiers — the active/silent
+# classification (energy ≥ the q299 threshold, evaluated ONLY on bytes
+# round-tripped through the real RIFF/WAVE codec) yields genuine
+# islands whose boundaries shift with doc_id. Per clip: active count,
+# segment count, longest run, first/last active frame (−1 sentinels,
+# COALESCEd in both engines).
+#
+# Scale shape: map-only Arrow pass, |documents|-row output; the oracle
+# replays the sample formula and runs the gaps-and-islands grouping
+# (f − ROW_NUMBER) at frame grain.
+# ---------------------------------------------------------------------------
+
+
+def _q325_segment_kernel(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """synthesize (frame-modulated amp) → REAL WAV round-trip → energy
+    classification → contiguous active segments."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        recs = []
+        for mid in pdf["media_id"]:
+            mid = int(mid)
+            i = np.arange(_Q299_SAMPLES, dtype=np.int64)
+            ampf = (mid + i // _Q299_FRAME) % 3
+            base = (mid * 7919 + i * 104729) % 65536
+            s = (base * ampf) // 4 - 8192 * ampf
+            rate, raw = decode_wav(encode_wav(s.astype("<i2")))
+            x = np.frombuffer(raw, "<i2").astype(np.int64)
+            frames = x.reshape(-1, _Q299_FRAME)
+            energy = (frames * frames).sum(axis=1)
+            active = energy >= _Q299_SILENT
+            idx = np.flatnonzero(active)
+            if len(idx):
+                is_start = np.ones(len(idx), dtype=bool)
+                is_start[1:] = np.diff(idx) > 1
+                n_seg = int(is_start.sum())
+                run_ids = np.cumsum(is_start)
+                longest = int(np.bincount(run_ids).max())
+                recs.append((mid, int(len(frames)), int(len(idx)),
+                             n_seg, longest, int(idx[0]), int(idx[-1])))
+            else:
+                recs.append((mid, int(len(frames)), 0, 0, 0, -1, -1))
+        yield pd.DataFrame(
+            recs,
+            columns=["media_id", "n_frames", "n_active", "n_segments",
+                     "longest_run", "first_active", "last_active"],
+        ).astype("int64")
+
+
+@_register(
+    "q325_audio_activity_segments",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id AS media_id, t.i,
+               ((doc_id * 7919 + t.i * 104729) % 65536)
+                   * ((doc_id + t.i // {_Q299_FRAME}) % 3) // 4
+               - 8192 * ((doc_id + t.i // {_Q299_FRAME}) % 3) AS v
+        FROM documents, generate_series(0, {_Q299_SAMPLES - 1}) AS t(i)
+    ),
+    fr AS (
+        SELECT media_id, i // {_Q299_FRAME} AS f,
+               CAST(SUM(v * v) AS BIGINT) AS energy
+        FROM s GROUP BY 1, 2
+    ),
+    act AS (
+        SELECT media_id, f FROM fr WHERE energy >= {_Q299_SILENT}
+    ),
+    isl AS (
+        SELECT media_id, f,
+               f - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY f)
+                   AS g
+        FROM act
+    ),
+    runs AS (
+        SELECT media_id, g, COUNT(*) AS len FROM isl GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(MAX(len) AS BIGINT) AS longest_run,
+               CAST(SUM(len) AS BIGINT) AS n_active
+        FROM runs GROUP BY 1
+    ),
+    fl AS (
+        SELECT media_id, MIN(f) AS first_a, MAX(f) AS last_a
+        FROM act GROUP BY 1
+    )
+    SELECT d.doc_id AS media_id,
+           CAST({_Q299_SAMPLES // _Q299_FRAME} AS BIGINT) AS n_frames,
+           CAST(COALESCE(a.n_active, 0) AS BIGINT) AS n_active,
+           CAST(COALESCE(a.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(a.longest_run, 0) AS BIGINT) AS longest_run,
+           CAST(COALESCE(fl.first_a, -1) AS BIGINT) AS first_active,
+           CAST(COALESCE(fl.last_a, -1) AS BIGINT) AS last_active
+    FROM documents d
+    LEFT JOIN agg a ON a.media_id = d.doc_id
+    LEFT JOIN fl ON fl.media_id = d.doc_id
+    """,
+)
+def q325_audio_activity_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-clip active-audio segmentation (active frames, contiguous
+    segments, longest run, first/last active frame) computed only from
+    bytes round-tripped through the real RIFF/WAVE codec. See block
+    comment."""
+    d = load_table(spark, "documents", sf_dir)
+    src = d.select(F.col("doc_id").alias("media_id"))
+    return src.mapInPandas(
+        _q325_segment_kernel,
+        schema="media_id long, n_frames long, n_active long,"
+               " n_segments long, longest_run long,"
+               " first_active long, last_active long",
+    )
