@@ -5813,6 +5813,280 @@ def q319_louvain_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q326 — Louvain LEVEL 2 (multi-level aggregation, Blondel et al. 2008):
+# contract q319's flat partition into a SECOND weighted super-graph and
+# run one more swap-guarded singleton local-move round on it — the
+# third outer step of the full multi-level pipeline (move → contract →
+# move → CONTRACT → MOVE), each level coarser than the last. q314
+# moves vertices, q319 merges communities, THIS merges communities of
+# communities; modularity is audited on the induced flat partition at
+# every step and can only rise (pytest-pinned, with q_before ≡ q319's
+# q_after — the levels compose).
+#
+# Mechanics are EXACTLY q319's one level up (the shared
+# `_contract_move_round` helper): super-edge weights from two
+# label-map equi-joins + one grouped count, singleton gains
+# gain2m = 2m·w(V,C) − k_V·k_C, argmax with (gain DESC, c ASC) ties,
+# and the deterministic mutual-best SWAP GUARD (larger id moves).
+# Level-1's flat labels come from the memoized `louvain_level2_labels`
+# artifact, so the level-1 round is computed once per (session,
+# corpus) and never inside this query's plan.
+#
+# Scale shape: every level runs at the CURRENT super-graph grain,
+# which shrinks monotonically (level 2 is |communities-of-communities|
+# vertices) — the multi-level property that makes Louvain near-linear
+# in practice.
+# ---------------------------------------------------------------------------
+
+
+def _contract_move_round(edges, sym, m, labels):
+    """One Louvain aggregation level over ``labels`` (v, label):
+    contract into a weighted super-graph, run a swap-guarded
+    singleton-init local-move round, and return lazy frames
+    (ce super-edges [persisted], ck super-strengths [persisted],
+    l5 moves [persisted], flat re-labeled vertices). Persisted frames'
+    lifetimes are tied to the consuming plan (harness clearCache) or
+    released by the caller after materialization."""
+    cmap = labels.select("v", F.col("label").alias("c"))
+    ce = (
+        edges.join(cmap.select(F.col("v").alias("u"),
+                               F.col("c").alias("ca")), "u")
+        .join(cmap.select("v", F.col("c").alias("cb")), "v")
+        .filter(F.col("ca") != F.col("cb"))
+        .groupBy(
+            F.least("ca", "cb").alias("c1"),
+            F.greatest("ca", "cb").alias("c2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .persist()
+    )
+    ck = (
+        sym.join(cmap.select(F.col("v").alias("src"), "c"), "src")
+        .groupBy(F.col("c").alias("cid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .persist()
+    )
+    scand = ce.select(F.col("c1").alias("v"), F.col("c2").alias("c"), "w") \
+        .unionAll(ce.select(F.col("c2").alias("v"),
+                            F.col("c1").alias("c"), "w"))
+    m2 = F.lit(2 * m).cast("long")
+    sg = (
+        scand.join(ck.select(F.col("cid").alias("v"),
+                             F.col("k").alias("kv")), "v")
+        .join(ck.select(F.col("cid").alias("c"),
+                        F.col("k").alias("kc")), "c")
+        .select(
+            "v", "c",
+            (m2 * F.col("w") - F.col("kv") * F.col("kc"))
+            .cast("long").alias("gain2m"),
+        )
+    )
+    wv = Window.partitionBy("v").orderBy(F.desc("gain2m"), F.asc("c"))
+    b5 = (
+        sg.select("v", "c", "gain2m", F.row_number().over(wv).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("v", "c", "gain2m")
+        .persist()
+    )
+    moves = F.col("gain2m") > 0
+    guard = ~F.coalesce(
+        (F.col("bc_c") == F.col("cid")) & (F.col("bc_gain") > 0)
+        & (F.col("cid") < F.col("c")),
+        F.lit(False),
+    )
+    l5 = (
+        ck.select("cid")
+        .join(b5.withColumnRenamed("v", "cid"), "cid", "left")
+        .join(
+            b5.select(F.col("v").alias("c"),
+                      F.col("c").alias("bc_c"),
+                      F.col("gain2m").alias("bc_gain")),
+            "c", "left",
+        )
+        .select(
+            F.col("cid").alias("sv"),
+            F.when(moves & guard, F.col("c")).otherwise(F.col("cid"))
+            .alias("label"),
+            F.when(moves & guard, F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("merged"),
+        )
+        .persist()
+    )
+    flat = cmap.join(
+        l5.select(F.col("sv").alias("c"), "label"), "c"
+    ).select("v", "label")
+    return ce, ck, l5, flat
+
+
+_L5_MEMO_ATTR = "_etl_globalretail_l5_memo"
+
+
+def louvain_level2_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, label) flat partition after the LEVEL-1 contraction round
+    (q319's result) as a session-memoized executor-resident artifact —
+    the louvain_moved_labels device one level up, so q326's level-2
+    round never recomputes level 1."""
+    memo = getattr(spark, _L5_MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _L5_MEMO_ATTR, memo)
+    if sf_dir in memo:
+        return memo[sf_dir]
+    edges = co_purchase_edges(spark, sf_dir)
+    l4 = louvain_moved_labels(spark, sf_dir)
+    m = edges.count()
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    ce, ck, l5, flat = _contract_move_round(
+        edges, sym, m, l4.select("v", "label")
+    )
+    memo[sf_dir] = materialize(flat)
+    for fr in (ce, ck, l5):
+        fr.unpersist()
+    return memo[sf_dir]
+
+
+def _q326_round_sql(lvl: str, lab: str) -> str:
+    """One contraction + swap-guarded move round as CTEs over the label
+    CTE ``lab``, producing ce{lvl}/ck{lvl}/l{lvl}m/flat{lvl}."""
+    return f"""
+    cmap{lvl} AS MATERIALIZED (SELECT v, label AS c FROM {lab}),
+    ce{lvl} AS MATERIALIZED (
+        SELECT LEAST(a.c, b.c) AS c1, GREATEST(a.c, b.c) AS c2,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM e JOIN cmap{lvl} a ON e.u = a.v JOIN cmap{lvl} b ON e.v = b.v
+        WHERE a.c <> b.c
+        GROUP BY 1, 2
+    ),
+    ck{lvl} AS MATERIALIZED (
+        SELECT a.c AS cid, CAST(COUNT(*) AS BIGINT) AS k
+        FROM sym s JOIN cmap{lvl} a ON s.src = a.v GROUP BY a.c
+    ),
+    sg{lvl} AS (
+        SELECT sc.v, sc.c,
+               2 * mm.m * sc.w - kv.k * kc.k AS gain2m
+        FROM (
+            SELECT c1 AS v, c2 AS c, w FROM ce{lvl}
+            UNION ALL
+            SELECT c2 AS v, c1 AS c, w FROM ce{lvl}
+        ) sc
+        JOIN ck{lvl} kv ON kv.cid = sc.v
+        JOIN ck{lvl} kc ON kc.cid = sc.c, mm
+    ),
+    b{lvl} AS MATERIALIZED (
+        SELECT v, c, gain2m FROM (
+            SELECT v, c, gain2m,
+                   ROW_NUMBER() OVER (PARTITION BY v
+                                      ORDER BY gain2m DESC, c) AS rn
+            FROM sg{lvl}
+        ) WHERE rn = 1
+    ),
+    l{lvl}m AS MATERIALIZED (
+        SELECT k.cid AS v,
+               CASE WHEN b.gain2m > 0
+                     AND NOT COALESCE(bc.c = k.cid AND bc.gain2m > 0
+                                      AND k.cid < b.c, FALSE)
+                    THEN b.c ELSE k.cid END AS label,
+               CASE WHEN b.gain2m > 0
+                     AND NOT COALESCE(bc.c = k.cid AND bc.gain2m > 0
+                                      AND k.cid < b.c, FALSE)
+                    THEN 1 ELSE 0 END AS merged
+        FROM ck{lvl} k
+        LEFT JOIN b{lvl} b ON b.v = k.cid
+        LEFT JOIN b{lvl} bc ON bc.v = b.c
+    ),
+    flat{lvl} AS MATERIALIZED (
+        SELECT cm.v, lm.label FROM cmap{lvl} cm
+        JOIN l{lvl}m lm ON cm.c = lm.v
+    )"""
+
+
+def _q326_oracle() -> str:
+    return f"""{_q314_chain()},
+    {_q326_round_sql('5', 'l4')},
+    {_q326_round_sql('6', 'flat5')},
+    {_q314_qmod("flat5", "5")},
+    {_q314_qmod("flat6", "6")}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ck6) AS n_super_vertices,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ce6) AS n_super_edges,
+           (SELECT CAST(COALESCE(SUM(merged), 0) AS BIGINT) FROM l6m)
+               AS n_merged_supers,
+           (SELECT n_comm FROM q5) AS n_comm_before,
+           (SELECT n_comm FROM q6) AS n_comm_after,
+           (SELECT qm FROM q5) AS q_before_millionths,
+           (SELECT qm FROM q6) AS q_after_millionths
+    """
+
+
+@_register("q326_louvain_level2", oracle=_q326_oracle())
+def q326_louvain_level2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain level 2: contract q319's flat partition into a second
+    weighted super-graph, run one more swap-guarded singleton move
+    round, audit modularity of the induced flat partition before/after
+    on the q246 exact-integer scale. See block comment."""
+    edges = co_purchase_edges(spark, sf_dir)  # checkpointed artifact
+    flat5 = louvain_level2_labels(spark, sf_dir)  # memoized artifact
+    m = edges.count()  # driver scalar off the checkpointed blocks
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    ce2, ck2, l6, flat6 = _contract_move_round(edges, sym, m, flat5)
+
+    def qmod(labels: "DataFrame"):
+        a = labels.select(F.col("v").alias("u"), F.col("label").alias("la"))
+        b = labels.select("v", F.col("label").alias("lb"))
+        intra = (
+            edges.join(a, "u").join(b, "v")
+            .filter(F.col("la") == F.col("lb"))
+            .groupBy(F.col("la").alias("label"))
+            .agg(F.count(F.lit(1)).cast("long").alias("ec"))
+        )
+        dg = (
+            sym.join(labels.select(F.col("v").alias("src"), "label"), "src")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("dc"))
+        )
+        comm = dg.join(intra, "label", "left").select(
+            "label", F.coalesce("ec", F.lit(0)).cast("long").alias("ec"),
+            "dc",
+        )
+        return comm.agg(
+            F.count(F.lit(1)).cast("long").alias("n_comm"),
+            F.expr(f"CAST(SUM(4L * {m}L * ec - dc * dc) * 1000000L"
+                   f" div (4L * {m}L * {m}L) AS BIGINT)").alias("qm"),
+        )
+
+    before = qmod(flat5).select(
+        F.col("n_comm").alias("n_comm_before"),
+        F.col("qm").alias("q_before_millionths"),
+    )
+    after = qmod(flat6).select(
+        F.col("n_comm").alias("n_comm_after"),
+        F.col("qm").alias("q_after_millionths"),
+    )
+    census = ck2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_super_vertices"),
+    ).crossJoin(F.broadcast(
+        ce2.agg(F.count(F.lit(1)).cast("long").alias("n_super_edges"))
+    )).crossJoin(F.broadcast(
+        l6.agg(F.coalesce(F.sum("merged"), F.lit(0)).cast("long")
+               .alias("n_merged_supers"))
+    ))
+    # 1-row legs stitched via broadcast crossJoins into ONE job (the
+    # q283/q314/q319 stance; bounded by construction)
+    return (
+        census.crossJoin(F.broadcast(before))
+        .crossJoin(F.broadcast(after))
+        .select(
+            "n_super_vertices", "n_super_edges", "n_merged_supers",
+            "n_comm_before", "n_comm_after",
+            "q_before_millionths", "q_after_millionths",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q250 — Theil–Sen robust trend per user: the median of all pairwise
 # slopes, the estimator that shrugs off the outliers OLS (q176-family)
 # chases. Kept exact by quantizing BEFORE the division: values floor to

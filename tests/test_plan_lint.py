@@ -54,6 +54,8 @@ INTENTIONAL_CROSS = {
     "q319_louvain_contract",  # crosses five broadcast 1-row aggregate legs
     # (super census × merge count × modularity-before × -after) into the
     # single output row — bounded by construction (the q283/q314 stance)
+    "q326_louvain_level2",  # same five broadcast 1-row legs, one
+    # contraction level up — bounded by construction
     "q226_keyword_search",  # attaches the broadcast 1-row corpus-max
     # bit-length to the |query|-row term frame — bounded by construction
     "q237_rrf_fusion",  # composes q226 (above) and inherits its broadcast
