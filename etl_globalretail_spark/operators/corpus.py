@@ -4694,3 +4694,116 @@ def _register_q322() -> None:
 
 
 _register_q322()
+
+
+# ---------------------------------------------------------------------------
+# q327 — LM-score FILTERING (the perplexity filter itself): compose
+# q232's bigram-LM document scores into the drop-the-worst-quartile
+# retention census every KenLM/CCNet-style pipeline runs — scoring
+# (q232) was the model half; THIS is the curation decision half.
+#
+# Rank-free exact order statistic: the per-lang bottom-quartile
+# threshold is the k-th smallest score (k = n div 4), found on the
+# per-(lang, score) HISTOGRAM with a cumulative sum over the VALUE
+# GRID (the q228 device — the window's partition content is the
+# bounded score grid, never data rows; integer ppm scores make the
+# grid exact in both engines). The drop rule is "score strictly below
+# the threshold" — tie rows at the threshold are kept, so no doc-id
+# tie-break enters and the census is bit-deterministic.
+#
+# Scale shape: q232's score frame is doc-grain (persisted — it feeds
+# the histogram AND the census); the histogram/cumulative/threshold
+# run at value-grid grain; the ≤|langs|-row threshold frame broadcasts
+# back onto the score frame for one map-side-combinable census.
+# ---------------------------------------------------------------------------
+
+
+def _q327_oracle() -> str:
+    q232 = ORACLE["q232_bigram_lm_score"]
+    return f"""
+    WITH scores AS ({q232}),
+    hist AS (
+        SELECT lang, lm_score_ppm AS sc, COUNT(*) AS c
+        FROM scores GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT lang, sc, c,
+               SUM(c) OVER (PARTITION BY lang ORDER BY sc) AS cc,
+               SUM(c) OVER (PARTITION BY lang) AS n
+        FROM hist
+    ),
+    thr AS (
+        SELECT lang, MIN(sc) AS thr, MIN(n) AS n
+        FROM cum WHERE cc >= n // 4 GROUP BY lang
+    )
+    SELECT s.lang,
+           CAST(t.n AS BIGINT) AS n_docs,
+           CAST(t.thr AS BIGINT) AS threshold_ppm,
+           CAST(SUM(CASE WHEN s.lm_score_ppm < t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN s.lm_score_ppm >= t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN s.lm_score_ppm >= t.thr
+                         THEN s.lm_score_ppm ELSE 0 END)
+                AS BIGINT) AS kept_score_sum
+    FROM scores s JOIN thr t USING (lang)
+    GROUP BY 1, 2, 3
+    """
+
+
+def _register_q327() -> None:
+    @_register("q327_lm_score_filter", oracle=_q327_oracle())
+    def q327_lm_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-lang retention census after dropping documents whose
+        q232 LM score falls strictly below the lang's bottom-quartile
+        order statistic (k = n div 4, found rank-free on the integer
+        score grid): (lang, n_docs, threshold_ppm, n_dropped, n_kept,
+        kept_score_sum). See block comment."""
+        from pyspark.sql.window import Window
+
+        s = (
+            QUERIES["q232_bigram_lm_score"](spark, sf_dir)
+            .select("doc_id", "lang", "lm_score_ppm")
+            # doc-grain frame consumed by BOTH the histogram build and
+            # the census join — persist (Catalyst never dedupes the
+            # subplan); lifetime tied to the returned plan.
+            .persist()
+        )
+        hist = s.groupBy("lang", F.col("lm_score_ppm").alias("sc")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # windows over the VALUE GRID (bounded grain: distinct integer
+        # ppm scores), never over data rows — the q228 stance
+        wcum = Window.partitionBy("lang").orderBy("sc")
+        wall = Window.partitionBy("lang")
+        cum = hist.select(
+            "lang", "sc", "c",
+            F.sum("c").over(wcum).alias("cc"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        thr = (
+            cum.filter(F.col("cc") >= F.expr("n div 4"))
+            .groupBy("lang")
+            .agg(
+                F.min("sc").cast("long").alias("threshold_ppm"),
+                F.min("n").cast("long").alias("n_docs"),
+            )
+        )
+        kept = F.col("lm_score_ppm") >= F.col("threshold_ppm")
+        return (
+            s.join(F.broadcast(thr), "lang")  # ≤ |langs| rows
+            .groupBy("lang", "n_docs", "threshold_ppm")
+            .agg(
+                F.sum(F.when(~kept, 1).otherwise(0)).cast("long")
+                .alias("n_dropped"),
+                F.sum(F.when(kept, 1).otherwise(0)).cast("long")
+                .alias("n_kept"),
+                F.sum(F.when(kept, F.col("lm_score_ppm")).otherwise(0))
+                .cast("long").alias("kept_score_sum"),
+            )
+            .select("lang", "n_docs", "threshold_ppm", "n_dropped",
+                    "n_kept", "kept_score_sum")
+        )
+
+
+_register_q327()
