@@ -11,6 +11,16 @@ oracle-paired names (newest-first bias, rows-only tier deferred), as a
 ready-to-paste Python list.
 
 Usage: python scripts/rotate_gate.py [n]    (default n=50)
+
+Post-saturation regime (round 9+): once CORRECTNESS_r08 lands, every
+oracle-paired query has been driver-sampled at least once and this
+script will report 0 never-sampled names. The rotation policy then
+becomes: lead the prefix with the CURRENT round's new additions (gate
+them the round they ship), and fill the rest with re-samples of (a)
+queries whose implementation changed this round (hash-neutrality
+proof) and (b) the heaviest oracle-paired queries, freshest-green
+last. Keep the rows-only tier (and shape-only q50/q74 unless their
+partial-green rows are explicitly wanted) off the prefix.
 """
 
 from __future__ import annotations
