@@ -1729,3 +1729,165 @@ def _register_q291() -> None:
 
 
 _register_q291()
+
+
+# ---------------------------------------------------------------------------
+# q328 — BLOOM-FILTER membership (the approximate-membership sketch the
+# family was missing beside KMV q240, HLL q180, count-min q241): the
+# Bloom-join prefilter every distributed engine ships — probe the
+# customer table against a filter built over a SELECTIVE order-side
+# key slice (customers who ordered in 1996: the date predicate is what
+# makes a Bloom prefilter worth building, and it leaves a real
+# non-member population at every SF — ~1/4 of customers), pass only
+# probes whose k=4 md5-derived bit positions are ALL set, and audit
+# the filter's exactness: Bloom admits NO false negatives (every true
+# member passes — pytest law) and its false-positive rate is the price
+# of the compression (reported as exact integer ppm beside the
+# exact-membership ground truth).
+#
+# Adaptive sizing, replayed in BOTH engines with the q89 integer
+# bit-length device (length(bin(n)) — no libm): m = 4 · 2^bitlen(n)
+# bits for n members, pinning the occupancy k·n/m to [0.5, 1.0]
+# (fill 1−e^−u ∈ [0.39, 0.63]) and the FPR to fill⁴ ≈ 2–16% at ANY
+# corpus size — deliberately compact so the audit column is never
+# vacuous, and size-stable as SF grows (the q292 adaptive-k stance).
+# Positions are md5('bl{j}-' || key) mod m — the portable hash family.
+#
+# Scale shape: the bits frame is ≤ m rows (∝ members); NO broadcast
+# hint — AQE broadcasts it while it fits and falls back to a pos-keyed
+# shuffle equi-join beyond that (a real 1e9-member filter is a ~1 GB
+# bitmap — the shuffle join IS the scale path). Probe side explodes
+# k=4 rows per key, the pass test is one count, the census one
+# aggregate.
+# ---------------------------------------------------------------------------
+
+_Q328_K = 4
+
+
+def _register_q328() -> None:
+    @_register(
+        "q328_bloom_membership",
+        oracle=f"""
+        WITH mem AS (
+            SELECT DISTINCT o_custkey AS k FROM orders
+            WHERE YEAR(o_orderdate) = 1996
+        ),
+        mm AS (
+            SELECT CAST(4 * (1 << LENGTH(BIN(COUNT(*)))) AS BIGINT) AS m
+            FROM mem
+        ),
+        bits AS (
+            SELECT DISTINCT
+                   CAST('0x' || substr(md5('bl' || j.j || '-' || mem.k),
+                        1, 15) AS BIGINT) % mm.m AS pos
+            FROM mem, (SELECT unnest(range({_Q328_K})) AS j) j, mm
+        ),
+        probe AS (
+            SELECT c.c_custkey AS k, j.j,
+                   CAST('0x' || substr(md5('bl' || j.j || '-'
+                        || c.c_custkey), 1, 15) AS BIGINT) % mm.m AS pos
+            FROM customer c, (SELECT unnest(range({_Q328_K})) AS j) j, mm
+        ),
+        hits AS (
+            SELECT k, COUNT(*) AS nhit
+            FROM probe JOIN bits USING (pos) GROUP BY k
+        ),
+        flags AS (
+            SELECT c.c_custkey AS k,
+                   CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS is_m,
+                   CASE WHEN COALESCE(h.nhit, 0) = {_Q328_K}
+                        THEN 1 ELSE 0 END AS bp
+            FROM customer c
+            LEFT JOIN mem m ON m.k = c.c_custkey
+            LEFT JOIN hits h ON h.k = c.c_custkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(is_m) AS BIGINT) AS n_members,
+               CAST(SUM(bp) AS BIGINT) AS n_bloom_positive,
+               CAST(SUM(CASE WHEN is_m = 1 AND bp = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true_positive,
+               CAST(SUM(CASE WHEN is_m = 0 AND bp = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_positive,
+               CAST(SUM(CASE WHEN is_m = 0 AND bp = 1 THEN 1 ELSE 0 END)
+                    * 1000000
+                    // GREATEST(SUM(CASE WHEN is_m = 0 THEN 1 ELSE 0 END),
+                                1) AS BIGINT) AS fpr_ppm,
+               (SELECT CAST(m AS BIGINT) FROM mm) AS m_bits
+        FROM flags
+        """,
+    )
+    def q328_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bloom-join prefilter audit: customers probed against an
+        adaptively-sized (m = 8·2^bitlen(n), k = 4) md5-Bloom filter
+        over the distinct order custkeys; one census row with the exact
+        confusion counts and the integer-ppm false-positive rate. See
+        block comment."""
+        o = load_table(spark, "orders", sf_dir)
+        c = load_table(spark, "customer", sf_dir)
+        # members feeds the bits build AND the exact-membership join —
+        # persist (lifetime tied to the returned plan). The selective
+        # year predicate reaches the orders scan (pushdown).
+        mem = (
+            o.filter(F.year("o_orderdate") == 1996)
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+            .persist()
+        )
+        n = mem.count()  # driver scalar (1 value) — sizes the filter
+        m_bits = 4 << n.bit_length()
+
+        def pos(col, j):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bl{j}-"), col.cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % F.lit(m_bits).cast("long")
+
+        bits = (
+            mem.select(
+                F.explode(
+                    F.array(*[pos(F.col("k"), j) for j in range(_Q328_K)])
+                ).alias("pos")
+            )
+            .distinct()
+        )
+        probe = c.select(F.col("c_custkey").alias("k")).select(
+            "k",
+            F.explode(
+                F.array(*[pos(F.col("k"), j) for j in range(_Q328_K)])
+            ).alias("pos"),
+        )
+        # NO broadcast hint: AQE broadcasts the ≤m-row bits frame while
+        # it fits and shuffle-joins on pos beyond that (the scale path)
+        hits = probe.join(bits, "pos").groupBy("k").agg(
+            F.count(F.lit(1)).alias("nhit")
+        )
+        flags = (
+            c.select(F.col("c_custkey").alias("k"))
+            .join(mem.withColumn("is_m", F.lit(1)), "k", "left")
+            .join(hits, "k", "left")
+            .select(
+                F.coalesce("is_m", F.lit(0)).alias("is_m"),
+                F.when(F.coalesce("nhit", F.lit(0)) == _Q328_K, 1)
+                .otherwise(0).alias("bp"),
+            )
+        )
+        return flags.agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("is_m").cast("long").alias("n_members"),
+            F.sum("bp").cast("long").alias("n_bloom_positive"),
+            F.sum(F.when((F.col("is_m") == 1) & (F.col("bp") == 1), 1)
+                  .otherwise(0)).cast("long").alias("n_true_positive"),
+            F.sum(F.when((F.col("is_m") == 0) & (F.col("bp") == 1), 1)
+                  .otherwise(0)).cast("long").alias("n_false_positive"),
+            F.expr(
+                "CAST(SUM(CASE WHEN is_m = 0 AND bp = 1 THEN 1 ELSE 0 END)"
+                " * 1000000L div GREATEST(SUM(CASE WHEN is_m = 0 THEN 1"
+                " ELSE 0 END), 1L) AS BIGINT)"
+            ).alias("fpr_ppm"),
+            F.lit(m_bits).cast("long").alias("m_bits"),
+        )
+
+
+_register_q328()

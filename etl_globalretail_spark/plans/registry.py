@@ -83,17 +83,18 @@ _SHOWCASE = [
     "q310_streaming_session_join_exact", "q311_hard_negatives_lsh",
     "q312_fuzzy_decontamination", "q313_wordpiece_merges",
     "q314_louvain_move", "q315_ann_multiprobe", "q316_wordpiece_encode",
-    # the eleven round-8 additions — on the gate the round they ship
+    # the twelve round-8 additions — on the gate the round they ship
     "q317_unigram_trained_viterbi", "q318_hard_negatives_multiprobe",
     "q319_louvain_contract", "q320_streaming_rollup_exact",
     "q321_streaming_join_rollup_exact", "q322_unigram_vocab_prune",
     "q323_video_scene_cuts", "q324_streaming_dedup_rollup_exact",
     "q325_audio_activity_segments", "q326_louvain_level2",
-    "q327_lm_score_filter",
-    # 2 heavy re-samples padding the prefix to 50: q156/q191 re-prove
-    # this round's memoization and executor-materialization changes
-    # hash-neutral on the driver gate itself
-    "q156_prefix_filter_join", "q191_entity_resolution",
+    "q327_lm_score_filter", "q328_bloom_membership",
+    # 1 heavy re-sample padding the prefix to 50: q191 re-proves this
+    # round's closure-memoization change hash-neutral on the driver
+    # gate itself (q156's materialize change is value-identical and
+    # covered by the round's two full sweeps)
+    "q191_entity_resolution",
 ]
 
 assert set(_SHOWCASE) <= set(ALL_QUERIES), sorted(
