@@ -1946,3 +1946,129 @@ def _register_q312() -> None:
 
 
 _register_q312()
+
+
+# ---------------------------------------------------------------------------
+# q329 — exact span dedup with DOCUMENT REWRITE (C4-style): the removal
+# half of the dup-span family. q139/q239 only MEASURE duplicated-span
+# coverage; real pipelines (C4, Raffel et al. 2020 §2.2 "we discard all
+# but one of any three-sentence span occurring more than once") REMOVE
+# the repeats and keep the corpus. This operator tiles each document
+# into non-overlapping K-word segments (the newline-free testdata's
+# stand-in for C4's sentences/lines), keeps each distinct segment's
+# FIRST occurrence under the corpus total order (doc_id, seg_no), and
+# reassembles every document from its surviving segments in original
+# order — emitting the rewritten text's md5 + size census per doc.
+#
+# Plan shape (the canonical global-dedup pipeline): one map-side explode
+# produces the (segment, position) stream; ONE shuffle on the segment
+# hash ranks occurrences inside each duplicate cluster (clusters are
+# tiny — window state per key is the cluster size, never corpus-sized);
+# one shuffle on doc_id reassembles via array_sort(collect_list) —
+# partial-agg combinable, per-doc state bounded by document length. No
+# Python, no driver round-trips; every stage is linear in corpus tokens
+# at 100 TB. Reference has no corpus surface (etl_completo.py is
+# row-at-a-time retail ETL); 100 TB training-data mandate.
+#
+# Cross-engine: md5 over exact strings, integer ceil-div for the tile
+# count, first-occurrence via ROW_NUMBER over an identical total order,
+# reassembly order pinned by seg_no in both engines.
+# ---------------------------------------------------------------------------
+
+_REWRITE_K = 8  # words per tile — C4 uses 3 sentences; 8 words ≈ one line
+
+
+@_register(
+    "q329_span_dedup_rewrite",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    dd AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+    pos AS (
+        SELECT doc_id, toks,
+               unnest(range(0, (n + {_REWRITE_K} - 1) // {_REWRITE_K})) AS i
+        FROM dd
+    ),
+    segs AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS seg_no,
+               array_to_string(
+                   toks[CAST(i AS BIGINT) * {_REWRITE_K} + 1
+                        :CAST(i AS BIGINT) * {_REWRITE_K} + {_REWRITE_K}],
+                   ' ') AS seg
+        FROM pos
+    ),
+    kept AS (
+        SELECT doc_id, seg_no, seg FROM (
+            SELECT doc_id, seg_no, seg,
+                   ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                                      ORDER BY doc_id, seg_no) AS rn
+            FROM segs
+        ) WHERE rn = 1
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS kept_segs,
+               string_agg(seg, ' ' ORDER BY seg_no) AS new_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT dd.doc_id,
+           CAST((dd.n + {_REWRITE_K} - 1) // {_REWRITE_K} AS BIGINT)
+               AS n_segs,
+           CAST(COALESCE(r.kept_segs, 0) AS BIGINT) AS kept_segs,
+           CAST(length(COALESCE(r.new_text, '')) AS BIGINT) AS kept_chars,
+           md5(COALESCE(r.new_text, '')) AS rewritten_md5
+    FROM dd LEFT JOIN rebuilt r ON dd.doc_id = r.doc_id
+    """,
+)
+def q329_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide first-occurrence dedup of non-overlapping K-word
+    segments with per-document REASSEMBLY (C4's remove-and-keep-one
+    span dedup): each doc reports its tile count, surviving tiles, and
+    the rewritten text's length + md5. See block comment."""
+    k = _REWRITE_K
+    d = load_table(spark, "documents", sf_dir)
+    dd = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).withColumn("n_segs", F.expr(f"(size(toks) + {k - 1}) div {k}"))
+    segs = dd.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_segs") - 1)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("seg_no"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("i") * k + 1, F.lit(k)), " "
+        ).alias("seg"),
+    )
+    w = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_no")
+    kept = (
+        segs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_segs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_no", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return (
+        dd.select("doc_id", F.col("n_segs").cast("long").alias("n_segs"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce("kept_segs", F.lit(0)).cast("long")
+            .alias("kept_segs"),
+            F.length(F.coalesce("new_text", F.lit("")))
+            .cast("long").alias("kept_chars"),
+            F.md5(F.coalesce("new_text", F.lit(""))).alias("rewritten_md5"),
+        )
+    )
