@@ -4807,3 +4807,136 @@ def _register_q327() -> None:
 
 
 _register_q327()
+
+
+# ---------------------------------------------------------------------------
+# q331 — BM25 ranked retrieval (Robertson & Walker 1994): q226's
+# keyword scorer upgraded with the two ingredients that make BM25 the
+# IR default — TERM-FREQUENCY SATURATION (diminishing returns via k1)
+# and DOCUMENT-LENGTH NORMALIZATION (long docs don't win on bulk, via
+# b) — kept oracle-exact by clearing denominators of the rational
+# constants k1 = 6/5, b = 3/4:
+#
+#   tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+#     ≡ 44·A·tf / (20·A·tf + 6·A + 18·dl)       (×20A, A = avgdl)
+#
+# quantized to ppm by ONE integer floor-division per (doc, term), then
+# weighted by q226's integer bit-length rarity (the log-idf proxy) and
+# summed — int64-safe at ANY corpus scale: A and dl are bounded by
+# document length, never corpus size, so 1e6·44·A·tf ≲ 4e17 while the
+# corpus-sized totals (N, T) only ever appear inside one int64 div.
+#
+# Plan shape: q226's inverted-probe skeleton — the token stream is
+# materialized once (vocabulary build + probe join), the vocabulary
+# once (global max-bits + query-term rarities), corpus totals and
+# max-bits fold in as 1-row driver scalars (the q252 literal-divisor
+# device, no crossJoin), and the doc-grain scored frame funnels through
+# the two-phase bounded top-k. Reference has no IR surface; 100 TB
+# mandate (retrieval over curated corpora).
+# ---------------------------------------------------------------------------
+
+_Q331_QUERY = ("spark", "join", "window")
+
+
+@_register(
+    "q331_bm25_retrieval",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    ds AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    tot AS (
+        SELECT CAST(SUM(dl) // COUNT(*) AS BIGINT) AS a FROM ds
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+    vocab AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY t
+    ),
+    mx AS (SELECT MAX(length(bin(cnt))) AS maxbits FROM vocab),
+    qterms AS (
+        SELECT v.t, CAST(mx.maxbits - length(bin(v.cnt)) + 1 AS BIGINT)
+                   AS rarity
+        FROM vocab v, mx
+        WHERE v.t IN {_Q331_QUERY!r}
+    ),
+    tf AS (
+        SELECT tok.doc_id, tok.t, CAST(COUNT(*) AS BIGINT) AS tf,
+               MAX(q.rarity) AS rarity
+        FROM tok JOIN qterms q ON tok.t = q.t
+        GROUP BY tok.doc_id, tok.t
+    ),
+    scored AS (
+        SELECT f.doc_id, MAX(ds.dl) AS dl,
+               CAST(SUM(f.rarity *
+                        ((1000000 * 44 * tot.a * f.tf)
+                         // (20 * tot.a * f.tf + 6 * tot.a + 18 * ds.dl)))
+                    AS BIGINT) AS score
+        FROM tf f
+        JOIN ds ON ds.doc_id = f.doc_id
+        CROSS JOIN tot
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def q331_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the fixed query terms under exact-integer
+    BM25 (k1=1.2, b=0.75 as cleared rationals, ppm saturation, bit-length
+    idf) — inverted-probe plan, total-ordered rank. See block comment."""
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    ds = base.select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    ).transform(materialize)  # feeds the totals agg AND the per-doc join
+    a_val = int(
+        ds.agg(
+            F.expr("sum(dl) div count(*)").alias("a")
+        ).first()["a"]
+    )  # 1-row corpus scalar (avg doclen) — literal divisor, no crossJoin
+    tok = base.select(
+        "doc_id", F.explode("toks").alias("t")
+    ).transform(materialize)  # feeds vocabulary build AND the probe join
+    vocab = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).transform(materialize)  # feeds global max-bits AND the term filter
+    maxbits = int(
+        vocab.agg(F.max(F.length(F.bin("cnt"))).alias("m")).first()["m"]
+    )
+    qterms = vocab.filter(F.col("t").isin(*_Q331_QUERY)).select(
+        "t",
+        (F.lit(maxbits) - F.length(F.bin("cnt")) + 1).cast("long")
+        .alias("rarity"),
+    )
+    tf = (
+        tok.join(F.broadcast(qterms), "t")
+        .groupBy("doc_id", "t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("rarity").alias("rarity"),
+        )
+    )
+    sat_ppm = F.expr(
+        f"({1000000 * 44 * a_val}L * tf)"
+        f" div ({20 * a_val}L * tf + {6 * a_val}L + 18L * dl)"
+    )
+    scored = (
+        tf.join(ds, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("dl").cast("long").alias("dl"),
+            F.sum(F.col("rarity") * sat_ppm).cast("long").alias("score"),
+        )
+    )
+    # bounded top-k (TakeOrderedAndProject + rank over <= 10 rows)
+    return global_topk(
+        scored, [("score", "desc"), ("doc_id", "asc")], 10, out="rank"
+    ).select(
+        "doc_id", "dl", "score", F.col("rank").cast("long").alias("rank")
+    )

@@ -31,6 +31,7 @@ from etl_globalretail_spark.plans.queries import (
     make_query_decorator,
     _osum,
 )
+from etl_globalretail_spark.sources.artifacts import materialize
 from etl_globalretail_spark.sources.readers import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -7251,4 +7252,201 @@ def q290_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_a") == 0) | (F.col("n_b") == 0) | (var_u <= 0.0),
             F.lit(0.0),
         ).otherwise(z).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q330 — Bradley-Terry preference strengths (Zermelo 1929; Hunter 2004
+# MM algorithm): THE statistic behind RLHF reward modeling and LLM
+# arena leaderboards — given pairwise "duels", estimate each item's
+# latent strength s_i so that P(i beats j) = s_i / (s_i + s_j). Duels
+# are synthesized deterministically from the event stream: within each
+# user's timeline, every consecutive pair of different-type events is
+# one duel, won by the higher-value event (value tie → lower event_id).
+#
+# Estimation = 3 unrolled Hunter MM rounds on the directed duel-count
+# matrix:  s_i' = W_i / Σ_j n_ij / (s_i + s_j),  kept EXACT in
+# arbitrary-precision integer micro-space (Python ints driver-side,
+# HUGEINT CTE-internal in the oracle — the q322 device; int64 products
+# n·10^12 die at ~9e6 duels, far below 100 TB grain). Strengths are
+# ppm-scaled, clamped to [1e3, 1e9] (an all-losing item's MM fixpoint
+# is 0; the clamp keeps later denominators positive — applied
+# identically in both engines).
+#
+# Plan shape: ONE partitioned window pass (user timeline lag) feeds a
+# map-side-combinable groupBy to the ≤|types|²-row directed matrix —
+# the corpus is touched once; the MM iteration runs on that bounded
+# driver scalar (documented class, like q308's 33-row gradients), and
+# the result frame stays distributed (strength/rank fold back as
+# literal when-chains over the |types|-row census). Reference has no
+# preference surface; 100 TB training-data mandate (reward-model data
+# curation).
+# ---------------------------------------------------------------------------
+
+_BT_ROUNDS = 3
+_BT_SCALE = 10**12
+_BT_LO, _BT_HI = 1000, 10**9
+
+
+def _q330_oracle() -> str:
+    ctes = [
+        """s AS (
+            SELECT event_type, value, event_id,
+                   lag(event_type) OVER w AS prev_t,
+                   lag(value) OVER w AS prev_v,
+                   lag(event_id) OVER w AS prev_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )""",
+        """duel AS (
+            SELECT CASE WHEN prev_v > value
+                             OR (prev_v = value AND prev_id < event_id)
+                        THEN prev_t ELSE event_type END AS winner,
+                   CASE WHEN prev_v > value
+                             OR (prev_v = value AND prev_id < event_id)
+                        THEN event_type ELSE prev_t END AS loser
+            FROM s WHERE prev_t IS NOT NULL AND prev_t <> event_type
+        )""",
+        """dir0 AS (
+            SELECT winner AS item, loser AS opp, 1 AS win FROM duel
+            UNION ALL
+            SELECT loser AS item, winner AS opp, 0 AS win FROM duel
+        )""",
+        """dirs AS (
+            SELECT item, opp, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(win) AS BIGINT) AS w
+            FROM dir0 GROUP BY item, opp
+        )""",
+        """items AS (
+            SELECT item, CAST(SUM(n) AS BIGINT) AS duels,
+                   CAST(SUM(w) AS BIGINT) AS wins
+            FROM dirs GROUP BY item
+        )""",
+        "s0 AS (SELECT item, CAST(1000000 AS HUGEINT) AS s FROM items)",
+    ]
+    for r in range(1, _BT_ROUNDS + 1):
+        ctes.append(f"""d{r} AS (
+            SELECT p.item,
+                   GREATEST(SUM((CAST(p.n AS HUGEINT) * {_BT_SCALE})
+                                // (si.s + sj.s)),
+                            CAST(1 AS HUGEINT)) AS denom
+            FROM dirs p
+            JOIN s{r - 1} si ON si.item = p.item
+            JOIN s{r - 1} sj ON sj.item = p.opp
+            GROUP BY p.item
+        )""")
+        ctes.append(f"""s{r} AS (
+            SELECT i.item,
+                   LEAST(GREATEST((CAST(i.wins AS HUGEINT) * {_BT_SCALE})
+                                  // d.denom,
+                                  CAST({_BT_LO} AS HUGEINT)),
+                         CAST({_BT_HI} AS HUGEINT)) AS s
+            FROM items i JOIN d{r} d ON d.item = i.item
+        )""")
+    last = f"s{_BT_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT i.item, i.duels, i.wins,
+               CAST(f.s AS BIGINT) AS strength_ppm,
+               CAST(ROW_NUMBER() OVER (ORDER BY f.s DESC, i.item)
+                    AS BIGINT) AS rank
+        FROM items i JOIN {last} f ON f.item = i.item
+        """
+    )
+
+
+def bradley_terry_strengths(
+    dirs: list[tuple[str, str, int, int]], rounds: int = _BT_ROUNDS
+) -> dict[str, int]:
+    """Exact integer Hunter-MM rounds over a directed duel-count list
+    [(item, opp, n, wins_of_item_over_opp)] — arbitrary-precision
+    Python ints, the oracle's HUGEINT twin."""
+    items = sorted({i for i, _, _, _ in dirs})
+    wins = {i: 0 for i in items}
+    for i, _, _, w in dirs:
+        wins[i] += w
+    s = {i: 1000000 for i in items}
+    for _ in range(rounds):
+        denom = {i: 0 for i in items}
+        for i, j, n, _ in dirs:
+            denom[i] += (n * _BT_SCALE) // (s[i] + s[j])
+        s = {
+            i: min(
+                max((wins[i] * _BT_SCALE) // max(denom[i], 1), _BT_LO),
+                _BT_HI,
+            )
+            for i in items
+        }
+    return s
+
+
+@_register("q330_bradley_terry", oracle=_q330_oracle())
+def q330_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength table over user-timeline duels: item,
+    duel/win counts, MM-estimated strength (ppm) after 3 exact integer
+    rounds, and the leaderboard rank. See block comment."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", "value", "event_id",
+        F.lag("event_type").over(w).alias("prev_t"),
+        F.lag("value").over(w).alias("prev_v"),
+        F.lag("event_id").over(w).alias("prev_id"),
+    )
+    prev_wins = (F.col("prev_v") > F.col("value")) | (
+        (F.col("prev_v") == F.col("value"))
+        & (F.col("prev_id") < F.col("event_id"))
+    )
+    duel = s.filter(
+        F.col("prev_t").isNotNull()
+        & (F.col("prev_t") != F.col("event_type"))
+    ).select(
+        F.when(prev_wins, F.col("prev_t")).otherwise(F.col("event_type"))
+        .alias("winner"),
+        F.when(prev_wins, F.col("event_type")).otherwise(F.col("prev_t"))
+        .alias("loser"),
+    )
+    dir0 = duel.select(
+        F.col("winner").alias("item"),
+        F.col("loser").alias("opp"),
+        F.lit(1).alias("win"),
+    ).unionAll(
+        duel.select(
+            F.col("loser").alias("item"),
+            F.col("winner").alias("opp"),
+            F.lit(0).alias("win"),
+        )
+    )
+    # ≤|types|² rows; materialized because it feeds BOTH the census agg
+    # and the driver-side MM iteration (one corpus pass, not two).
+    dirs = materialize(
+        dir0.groupBy("item", "opp").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("win").cast("long").alias("w"),
+        )
+    )
+    rows = dirs.collect()  # bounded by construction: |types|² driver scalars
+    strengths = bradley_terry_strengths(
+        [(r["item"], r["opp"], r["n"], r["w"]) for r in rows]
+    )
+    order = sorted(strengths, key=lambda i: (-strengths[i], i))
+    rank = {i: k + 1 for k, i in enumerate(order)}
+    s_col = F.lit(None).cast("long")
+    r_col = F.lit(None).cast("long")
+    for i in strengths:
+        s_col = F.when(F.col("item") == i, F.lit(strengths[i])).otherwise(
+            s_col
+        )
+        r_col = F.when(F.col("item") == i, F.lit(rank[i])).otherwise(r_col)
+    return (
+        dirs.groupBy("item")
+        .agg(
+            F.sum("n").cast("long").alias("duels"),
+            F.sum("w").cast("long").alias("wins"),
+        )
+        .select(
+            "item", "duels", "wins",
+            s_col.cast("long").alias("strength_ppm"),
+            r_col.cast("long").alias("rank"),
+        )
     )
