@@ -2531,3 +2531,171 @@ def _register_q318() -> None:
 
 
 _register_q318()
+
+
+# ---------------------------------------------------------------------------
+# q332 — Johnson-Lindenstrauss random projection with a DISTORTION
+# AUDIT (Achlioptas 2003 ±1 database-friendly projections): the
+# dimensionality-reduction primitive behind every "project 4096-dim
+# embeddings down to d' and index THAT" pipeline. Each vector is
+# projected from d=64 to d'=16 by a fixed ±1 sign matrix; the audit
+# then measures, over a deterministic pair sample (consecutive vec_id
+# pairs), the ratio of the projected squared distance (scaled by 1/d')
+# to the exact squared distance — the quantity the JL lemma bounds —
+# and reports its ppm histogram in quarter-width buckets.
+#
+# Everything is exact-integer: coordinates quantize to milli-units via
+# FLOOR (cookbook: bare double→int CASTs truncate in Spark but round in
+# DuckDB); the sign matrix derives from md5 parity — computed ONCE in
+# pure Python (hashlib md5 ≡ engine md5) and folded into the plan as a
+# literal 16×64 array (an index constant, the q315 driver-literal
+# device), while the oracle recomputes the same signs from md5 in SQL,
+# so the matrix is verifiably pseudo-random, not hand-picked. By
+# linearity P(a−b) = P(a) − P(b), so projections are computed per
+# VECTOR (map-only, one pass), never per pair.
+#
+# Plan shape: one scan → codegen'd HOF quantize+project per row → one
+# equi-join on the derived pair key (AQE picks broadcast/shuffle) →
+# map-side ratio → |buckets|-row histogram. At 100 TB: linear scan,
+# one co-partitioned join, no Python, output bounded by the bucket
+# grid. int64 audit: |c_j| ≤ d·2e3 ≈ 1.3e5, proj_d2 ≤ 16·(2.6e5)² ≈
+# 1.1e12, ×1e6 ≈ 1.1e18 < 9.2e18.
+# ---------------------------------------------------------------------------
+
+_JL_DPRIME = 16
+_JL_D = 64
+
+
+def _jl_sign(j: int, k: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"jl_{j}_{k}".encode()).hexdigest()
+    return 1 if int(h[:15], 16) % 2 == 0 else -1
+
+
+def _jl_sign_matrix_sql() -> str:
+    rows = ", ".join(
+        "array("
+        + ", ".join(str(_jl_sign(j, k)) + "L" for k in range(_JL_D))
+        + ")"
+        for j in range(_JL_DPRIME)
+    )
+    return f"array({rows})"
+
+
+@_register(
+    "q332_jl_projection",
+    oracle=f"""
+    WITH sgn AS (
+        SELECT j.j, k.k,
+               CASE WHEN CAST('0x' || substr(
+                        md5('jl_' || j.j || '_' || k.k), 1, 15)
+                        AS BIGINT) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM (SELECT unnest(range({_JL_DPRIME})) AS j) j
+        CROSS JOIN (SELECT unnest(range({_JL_D})) AS k) k
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS xq
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT q.vec_id, s.j,
+               CAST(SUM(s.s * q.xq[CAST(s.k AS BIGINT) + 1]) AS BIGINT)
+                   AS c
+        FROM q CROSS JOIN sgn s
+        GROUP BY q.vec_id, s.j
+    ),
+    pv AS (
+        SELECT vec_id, list(c ORDER BY j) AS cs FROM proj GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a,
+               (SELECT SUM((a.xq[t.i] - b.xq[t.i])
+                           * (a.xq[t.i] - b.xq[t.i]))
+                FROM (SELECT unnest(generate_series(1, {_JL_D})) AS i) t)
+                   AS exact_d2,
+               (SELECT SUM((pa.cs[t.i] - pb.cs[t.i])
+                           * (pa.cs[t.i] - pb.cs[t.i]))
+                FROM (SELECT unnest(generate_series(1, {_JL_DPRIME}))
+                      AS i) t)
+                   AS proj_d2
+        FROM q a
+        JOIN q b ON b.vec_id = a.vec_id + 1
+        JOIN pv pa ON pa.vec_id = a.vec_id
+        JOIN pv pb ON pb.vec_id = b.vec_id
+        WHERE a.vec_id % 2 = 0
+    ),
+    ratios AS (
+        SELECT CASE WHEN exact_d2 = 0 THEN 1000000
+                    ELSE (1000000 * proj_d2) // ({_JL_DPRIME} * exact_d2)
+               END AS ratio_ppm
+        FROM pairs
+    )
+    SELECT CAST(ratio_ppm // 250000 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(ratio_ppm) AS BIGINT) AS min_ppm,
+           CAST(MAX(ratio_ppm) AS BIGINT) AS max_ppm,
+           CAST(SUM(ratio_ppm) AS BIGINT) AS sum_ppm
+    FROM ratios
+    GROUP BY 1
+    """,
+)
+def q332_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ppm histogram of the JL distance-distortion ratio over
+    consecutive-id vector pairs under a fixed md5-derived ±1 projection
+    64 → 16. See block comment."""
+    e = load_table(spark, "embeddings", sf_dir)
+    smat = _jl_sign_matrix_sql()
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("xq"),
+    ).select(
+        "vec_id",
+        "xq",
+        F.expr(
+            f"transform(sequence(0, {_JL_DPRIME - 1}),"
+            f" j -> aggregate(zip_with(element_at({smat}, j + 1), xq,"
+            f" (s, x) -> s * x), 0L, (acc, v) -> acc + v))"
+        ).alias("cs"),
+    )
+    a = q.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("xq").alias("xq_a"),
+        F.col("cs").alias("cs_a"),
+        (F.col("vec_id") + 1).alias("pair_id"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("xq").alias("xq_b"),
+        F.col("cs").alias("cs_b"),
+    )
+    sq_d2 = (
+        "aggregate(zip_with({0}, {1}, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    pairs = a.join(b, "pair_id").select(
+        F.expr(sq_d2.format("xq_a", "xq_b")).alias("exact_d2"),
+        F.expr(sq_d2.format("cs_a", "cs_b")).alias("proj_d2"),
+    )
+    ratios = pairs.select(
+        F.when(F.col("exact_d2") == 0, F.lit(1000000).cast("long"))
+        .otherwise(
+            F.expr(f"(1000000L * proj_d2) div ({_JL_DPRIME}L * exact_d2)")
+        )
+        .alias("ratio_ppm")
+    )
+    return ratios.groupBy(
+        F.expr("ratio_ppm div 250000").cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("ratio_ppm").cast("long").alias("min_ppm"),
+        F.max("ratio_ppm").cast("long").alias("max_ppm"),
+        F.sum("ratio_ppm").cast("long").alias("sum_ppm"),
+    )
