@@ -2556,3 +2556,130 @@ def q320_streaming_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                        n_rows=table_rows(spark, "events", sf_dir))
     waves.cleanup()  # replay finished; the memory sink holds the rows
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q333 — stream-stream join → dropDuplicatesWithinWatermark → tumbling
+# window: a THREE-stateful-operator chain (join state → dedup state →
+# window state) that pins the matrix's COMPOSITION rule. The pipeline
+# is "conversion counting": purchases with ≥1 click in the preceding
+# hour, collapsed to ONE row per purchase by the in-query dedup (the
+# join's multi-click fanout must not inflate the census), rolled up
+# hourly.
+#
+# Boundary, probe-pinned (tests/test_streaming_join_dedup.py): the
+# window emits iff window_end < W − horizon STRICT — the join's
+# output-watermark delay PROPAGATES THROUGH the interposed no-delay
+# dedup unchanged (fanout-2 planted clicks collapse to n=1, and the
+# window ending exactly AT W − horizon is withheld, exactly q321's
+# boundary). Composition rule for the cookbook: an operator chain's
+# delay is the SUM along the path (join contributes its horizon,
+# aggregate/dedup contribute zero), not a property of the op adjacent
+# to the window.
+#
+# Dedup-vs-fanout determinism: the joined stream is projected to
+# (purchase_id, p_ts, purchase_value) — columns functionally determined
+# by the dedup key — BEFORE dropDuplicatesWithinWatermark, so whichever
+# physical row survives is value-identical (cookbook's q195 discipline
+# applied to streaming state). Re-match-across-batches safety: any
+# joined row carries p_ts ≥ c_ts ≥ the click side's admission bound
+# W − horizon, which is exactly the dedup's (delayed) input watermark —
+# a purchase's dedup entry therefore cannot expire while late clicks
+# can still re-produce it, so each purchase reaches the window exactly
+# once.
+#
+# Oracle: the DISTINCT-purchase projection of q321's interval-join pair
+# set, hourly census at the pinned strict boundary.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q333_streaming_join_dedup_rollup_exact",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id AS cu, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    mx AS (
+        SELECT LEAST((SELECT MAX(epoch_us(p_ts)) // 1000 FROM p),
+                     (SELECT MAX(epoch_us(c_ts)) // 1000 FROM c))
+               - 600000 AS wm
+    ),
+    hits AS (
+        SELECT DISTINCT p.purchase_id, p.p_ts, p.value
+        FROM p JOIN c
+          ON p.user_id = c.cu
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT make_timestamp((epoch_us(p_ts) // 3600000000) * 3600000000)
+               AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(purchase_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM hits, mx
+    WHERE (epoch_us(p_ts) // 3600000000 + 1) * 3600000000
+          < (mx.wm - 3600000) * 1000
+    GROUP BY 1
+    """,
+)
+def q333_streaming_join_dedup_rollup_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly census of purchases with ≥1 click in the preceding hour,
+    run as ONE join → dedup → window streaming query over the two-wave
+    late-click replay, hash-matched against the batch distinct-purchase
+    census at the pinned strict boundary. See block comment."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, "events", sf_dir)
+    late = (F.col("event_type") == "click") & (F.col("event_id") % 8 == 0)
+    work = tempfile.mkdtemp(prefix="q333_jdd_")
+    sdir = os.path.join(work, "stream")
+    os.makedirs(sdir)
+    tmp = os.path.join(work, "staged")
+    e.withColumn(
+        "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
+    ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
+    for i in range(2):
+        part = glob.glob(
+            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
+        )[0]
+        dst = os.path.join(sdir, f"wave_{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    pairs = purchases_with_recent_click(stream, how="inner")
+    slim = pairs.select("purchase_id", "p_ts", "purchase_value")
+    dd = slim.dropDuplicatesWithinWatermark(["purchase_id"])
+    agg = (
+        dd.groupBy(F.window("p_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("purchase_id").cast("long").alias("id_checksum"),
+            F.sum(F.floor(F.col("purchase_value") * 100).cast("long"))
+            .cast("long").alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_purchases", "id_checksum", "value_cents",
+        )
+    )
+    _Q128_SEQ[0] += 1
+    sink = f"q333_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(agg, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.table(sink)
