@@ -4940,3 +4940,128 @@ def q331_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "dl", "score", F.col("rank").cast("long").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q335 — chi-square feature selection (token × language): the classic
+# supervised vocabulary-selection statistic (Yang & Pedersen 1997) —
+# for every (token, class) cell of the occurrence contingency table,
+# χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)), ranked to the top-5
+# most class-indicative tokens per language. The same pipeline selects
+# classifier features or audits source/language token leakage.
+#
+# Numerics (the q313 device): every count is an exact int64; the χ²
+# expression converts each operand ONCE and stays in correctly-rounded
+# double multiplies/one divide — int64 products die at ~3e9 tokens
+# ((ad−bc)² needs N⁴) — with IDENTICAL association order in both
+# engines, so values and therefore ranks are bit-equal. Degenerate
+# margins (token or class covering the whole corpus) score 0.
+#
+# Plan shape: one explode feeds the (token, lang) cell aggregate
+# (map-side combinable); token margins re-aggregate the CELL frame
+# (vocab-sized, never the corpus), class margins and N are ≤|langs|
+# driver scalars folded as literals; top-5 per class via a PARTITIONED
+# rank (InferWindowGroupLimit pushes the filter into the sort).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q335_chi2_features",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest({_SQL_ALPHA_TOKENS}) AS t FROM documents
+    ),
+    cells AS (
+        SELECT t, lang, CAST(COUNT(*) AS BIGINT) AS a
+        FROM tok GROUP BY t, lang
+    ),
+    tm AS (SELECT t, CAST(SUM(a) AS BIGINT) AS tt FROM cells GROUP BY t),
+    lm AS (
+        SELECT lang, CAST(SUM(a) AS BIGINT) AS lt FROM cells GROUP BY lang
+    ),
+    nn AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM cells),
+    diffs AS (
+        SELECT c.lang, c.t, c.a, tm.tt, lm.lt, nn.n,
+               CAST(c.a AS DOUBLE)
+                   * CAST(nn.n - tm.tt - lm.lt + c.a AS DOUBLE)
+               - CAST(tm.tt - c.a AS DOUBLE)
+                   * CAST(lm.lt - c.a AS DOUBLE) AS df
+        FROM cells c
+        JOIN tm ON tm.t = c.t
+        JOIN lm ON lm.lang = c.lang
+        CROSS JOIN nn
+    ),
+    scored AS (
+        SELECT lang, t, a,
+               CASE WHEN n - tt = 0 OR n - lt = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(n AS DOUBLE) * (df * df)
+                         / (CAST(tt AS DOUBLE) * CAST(n - tt AS DOUBLE)
+                            * CAST(lt AS DOUBLE) * CAST(n - lt AS DOUBLE))
+               END AS chi2
+        FROM diffs
+    )
+    SELECT lang, t AS token, a AS n_occ, chi2,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY chi2 DESC, t) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q335_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 chi-square class-indicative tokens per language over the
+    token×lang occurrence contingency table. See block comment."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        "lang", F.explode(alpha_tokens(F.col("text"))).alias("t")
+    )
+    cells = materialize(  # vocab×lang grain; feeds margins AND scoring
+        tok.groupBy("t", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("a")
+        )
+    )
+    tm = cells.groupBy("t").agg(F.sum("a").cast("long").alias("tt"))
+    lm_rows = cells.groupBy("lang").agg(
+        F.sum("a").cast("long").alias("lt")
+    ).collect()  # ≤|langs| driver scalars
+    n_val = sum(r["lt"] for r in lm_rows)
+    lt_col = F.lit(None).cast("long")
+    for r in lm_rows:
+        lt_col = F.when(
+            F.col("lang") == r["lang"], F.lit(r["lt"])
+        ).otherwise(lt_col)
+    n = F.lit(n_val).cast("long")
+    base = cells.join(tm, "t").withColumn("lt", lt_col).withColumn(
+        "n", n
+    )
+    df = (
+        F.col("a").cast("double")
+        * (F.col("n") - F.col("tt") - F.col("lt") + F.col("a"))
+        .cast("double")
+        - (F.col("tt") - F.col("a")).cast("double")
+        * (F.col("lt") - F.col("a")).cast("double")
+    )
+    chi2 = F.when(
+        ((F.col("n") - F.col("tt")) == 0) | ((F.col("n") - F.col("lt")) == 0),
+        F.lit(0.0),
+    ).otherwise(
+        F.col("n").cast("double")
+        * (df * df)
+        / (
+            F.col("tt").cast("double")
+            * (F.col("n") - F.col("tt")).cast("double")
+            * F.col("lt").cast("double")
+            * (F.col("n") - F.col("lt")).cast("double")
+        )
+    )
+    scored = base.select(
+        "lang", F.col("t").alias("token"),
+        F.col("a").alias("n_occ"), chi2.alias("chi2"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("chi2"), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

@@ -7450,3 +7450,86 @@ def q330_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             r_col.cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q334 — LEAKAGE-SAFE target encoding (K-fold / leave-fold-out mean
+# encoding, the Kaggle-canonical categorical feature): encode each
+# customer segment by the mean order value computed EXCLUDING the
+# row's own fold — the device that keeps a target-derived feature from
+# leaking the very labels it will be trained against. Folds are
+# deterministic (o_orderkey % 5).
+#
+# Exactness: fold sums accumulate in DECIMAL(27,6) (order-free); the
+# leave-one-out encoding is (total − fold) / (n_total − n_fold) — a
+# ratio of two decimal-exact quantities converted once, the cookbook's
+# one-division rule. Never an average of averages.
+#
+# Plan shape: the orders⨝customer star join (AQE broadcasts the dim
+# side when it fits) feeds ONE map-side-combinable groupBy to the
+# (segment × fold) grain — ≤ 5·|segments| rows; totals re-aggregate
+# THAT bounded frame (never the orders again) and broadcast back.
+# Corpus touched once; 100 TB-safe by construction.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q334_target_encoding",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment,
+               o.o_orderkey % 5 AS fold,
+               o.o_totalprice AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT segment, CAST(fold AS BIGINT) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(y AS DECIMAL(27,6))) AS s
+        FROM base GROUP BY segment, fold
+    ),
+    tot AS (
+        SELECT segment, SUM(n_orders) AS nt, SUM(s) AS st
+        FROM cells GROUP BY segment
+    )
+    SELECT c.segment, c.fold, c.n_orders,
+           CAST(c.s AS DOUBLE) / c.n_orders AS fold_mean,
+           CASE WHEN t.nt - c.n_orders = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(t.st - c.s AS DOUBLE)
+                     / CAST(t.nt - c.n_orders AS DOUBLE)
+           END AS encoding
+    FROM cells c JOIN tot t ON t.segment = c.segment
+    """,
+)
+def q334_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment × fold) leave-fold-out mean-target encoding table with
+    decimal-exact arithmetic. See block comment."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    base = o.join(
+        c, o["o_custkey"] == c["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_orderkey") % 5).cast("long").alias("fold"),
+        F.col("o_totalprice").alias("y"),
+    )
+    cells = materialize(  # ≤ 5·|segments| rows; feeds totals AND output
+        base.groupBy("segment", "fold").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("y").cast("decimal(27,6)")).alias("s"),
+        )
+    )
+    tot = cells.groupBy("segment").agg(
+        F.sum("n_orders").alias("nt"), F.sum("s").alias("st")
+    )
+    joined = cells.join(F.broadcast(tot), "segment")
+    return joined.select(
+        "segment", "fold", "n_orders",
+        (F.col("s").cast("double") / F.col("n_orders")).alias("fold_mean"),
+        F.when(
+            (F.col("nt") - F.col("n_orders")) == 0, F.lit(0.0)
+        ).otherwise(
+            (F.col("st") - F.col("s")).cast("double")
+            / (F.col("nt") - F.col("n_orders")).cast("double")
+        ).alias("encoding"),
+    )
