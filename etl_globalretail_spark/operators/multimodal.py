@@ -1501,3 +1501,153 @@ def q325_audio_activity_segments(
                " n_segments long, longest_run long,"
                " first_active long, last_active long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q336 — Sobel edge-energy extraction over DECODED images: the classic
+# gradient feature (blur/quality screening for image training sets —
+# low edge energy ⇒ flat or blurred frame) run through the REAL
+# container round-trip: synthesize pixels → encode BMP/PPM → parse the
+# container back → numpy Sobel on the integer gray plane → per-(lang,
+# mime) energy census. Completes the image family's feature tier
+# beside dHash (q298) and resize (q306).
+#
+# Exactness: gray = r+g+b (0..765, exact int); energy = Σ interior
+# |Gx| + |Gy| (L1 gradient magnitude — no sqrt per pixel, stays in
+# int64: ≤ 8·765·~900 px ≈ 5.5e6 per image). The oracle recomputes
+# the identical convolution in SQL by materializing each image's gray
+# list and indexing its 8-neighborhood with constant-bound
+# generate_series (pixel geometry is an index constant).
+#
+# Plan shape: two Arrow-batched mapInPandas passes (encode, decode +
+# Sobel) — linear, partition-parallel, the binary column never touches
+# Catalyst; the census is a map-side-combinable groupBy on a
+# ≤|langs × mimes| grain.
+# ---------------------------------------------------------------------------
+
+
+def _sobel_energy(gray, w: int, h: int) -> int:
+    """L1 Sobel energy over the interior of an h×w int64 gray plane."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.int64).reshape(h, w)
+    gx = (
+        (g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+        - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2])
+    )
+    gy = (
+        (g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+        - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:])
+    )
+    return int(np.abs(gx).sum() + np.abs(gy).sum())
+
+
+def _q336_sobel_kernel(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        energies = []
+        for payload in pdf["payload"]:
+            w, h, pix = decode_image(bytes(payload))
+            arr = np.frombuffer(pix, dtype=np.uint8).astype(np.int64)
+            gray = arr[0::3] + arr[1::3] + arr[2::3]
+            energies.append(_sobel_energy(gray, w, h))
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "lang": pdf["lang"],
+                "mime": pdf["mime"],
+                "edge_energy": pd.Series(energies, dtype="int64"),
+            }
+        )
+
+
+@_register(
+    "q336_image_edge_energy",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                    ELSE 'image/x-portable-pixmap' END AS mime,
+               substr(repeat(md5(text), {_Q279_REPS}), 1, {_Q279_NPIX})
+                   AS s
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, lang, mime,
+               list_transform(
+                   generate_series(0, {_Q279_W * _Q279_H - 1}),
+                   p -> CAST(ord(substr(s, 3 * p + 1, 1))
+                             + ord(substr(s, 3 * p + 2, 1))
+                             + ord(substr(s, 3 * p + 3, 1)) AS BIGINT)
+               ) AS gl
+        FROM src
+    ),
+    inter AS (
+        SELECT unnest(generate_series(1, {_Q279_W - 2})) AS x
+    ),
+    intery AS (
+        SELECT unnest(generate_series(1, {_Q279_H - 2})) AS y
+    ),
+    contrib AS (
+        SELECT px.doc_id, px.lang, px.mime,
+               ABS((gl[(i.y - 1) * {_Q279_W} + i.x + 2]
+                    + 2 * gl[i.y * {_Q279_W} + i.x + 2]
+                    + gl[(i.y + 1) * {_Q279_W} + i.x + 2])
+                   - (gl[(i.y - 1) * {_Q279_W} + i.x]
+                      + 2 * gl[i.y * {_Q279_W} + i.x]
+                      + gl[(i.y + 1) * {_Q279_W} + i.x]))
+               + ABS((gl[(i.y + 1) * {_Q279_W} + i.x]
+                      + 2 * gl[(i.y + 1) * {_Q279_W} + i.x + 1]
+                      + gl[(i.y + 1) * {_Q279_W} + i.x + 2])
+                     - (gl[(i.y - 1) * {_Q279_W} + i.x]
+                        + 2 * gl[(i.y - 1) * {_Q279_W} + i.x + 1]
+                        + gl[(i.y - 1) * {_Q279_W} + i.x + 2]))
+                   AS c
+        FROM px CROSS JOIN (
+            SELECT inter.x, intery.y FROM inter CROSS JOIN intery
+        ) i
+    ),
+    energy AS (
+        SELECT doc_id, lang, mime, CAST(SUM(c) AS BIGINT) AS e
+        FROM contrib GROUP BY doc_id, lang, mime
+    )
+    SELECT lang, mime,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(e) AS BIGINT) AS total_energy,
+           CAST(MIN(e) AS BIGINT) AS min_energy,
+           CAST(MAX(e) AS BIGINT) AS max_energy
+    FROM energy GROUP BY lang, mime
+    """,
+)
+def q336_image_edge_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, mime) Sobel L1 edge-energy census over the real
+    BMP/PPM round-trip — the blur/flatness screening feature. See block
+    comment."""
+    d = load_table(spark, "documents", sf_dir)
+    pattern = F.substring(
+        F.repeat(F.md5(F.encode("text", "UTF-8")), _Q279_REPS),
+        1, _Q279_NPIX,
+    )
+    src = d.select(
+        F.col("doc_id").alias("media_id"),
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/bmp"))
+        .otherwise(F.lit("image/x-portable-pixmap"))
+        .alias("mime"),
+        F.encode(pattern, "UTF-8").alias("pix"),
+    )
+    media = src.mapInPandas(_encode_image_kernel, schema=IMAGE_SCHEMA)
+    scored = media.mapInPandas(
+        _q336_sobel_kernel,
+        schema="media_id long, lang string, mime string, edge_energy long",
+    )
+    return scored.groupBy("lang", "mime").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum("edge_energy").cast("long").alias("total_energy"),
+        F.min("edge_energy").cast("long").alias("min_energy"),
+        F.max("edge_energy").cast("long").alias("max_energy"),
+    )
