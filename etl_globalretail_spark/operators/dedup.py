@@ -2072,3 +2072,169 @@ def q329_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.coalesce("new_text", F.lit(""))).alias("rewritten_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q337 — WEIGHTED-cosine all-pairs similarity join (Bayardo et al.
+# 2007's AllPairs problem over tf-idf vectors): the real-valued rung of
+# the lexical-similarity ladder — Jaccard (q23) and containment (q207)
+# compare shingle SETS; this op compares tf-weighted, rarity-scaled
+# 4-gram-shingle MULTISETS, the representation spam/plagiarism/near-dup
+# verification actually ranks with.
+#
+#   w(t, d) = tf(t, d) · rarity(t)        (q226's bit-length idf, int)
+#   cos(a, b) = Σ_shared w_a·w_b / (‖a‖·‖b‖) ≥ τ = 0.5
+#
+# Exactness: weights are exact ints (w ≤ dl·maxbits); w², w_a·w_b stay
+# in int64 (≤ 4e15) and ACCUMULATE in DECIMAL(38,0) (the q217 overflow
+# class); each norm is ONE correctly-rounded sqrt of an exact sum, the
+# cosine ONE divide — bit-equal across engines.
+#
+# Tier contract: exact inverted-index AllPairs with pair mass
+# Σ_t df(t)² bounded by the SHINGLE ORDER: 4-gram shingles keep
+# non-duplicate df near 1 (measured at sf0.01: 402 candidate pairs vs
+# 104,041 under bigrams, identical 25 survivors), so candidate mass is
+# proportional to the true near-dup family mass, not corpus-quadratic.
+# The lossless scale paths remain q156's prefix filter (set overlap)
+# and q311/q318's LSH bucketing (dense vectors); their verification
+# rides this tier's exact cosine.
+#
+# Plan shape: one explode → (doc, shingle) tf grain; vocabulary idf
+# join (AQE broadcasts when it fits); the weighted index is
+# materialized ONCE and feeds norms + both join sides; dot products
+# shuffle on the shingle key with map-side partial aggregation.
+# ---------------------------------------------------------------------------
+
+_Q337_TAU = 0.5
+_Q337_K = 4  # shingle order: 4-grams keep non-duplicate df ~ 1, so the
+# candidate mass SIGMA df(t)^2 is output-proportional (dup families), not
+# corpus-quadratic the way unigram/bigram df would make it.
+
+
+@_register(
+    "q337_weighted_cosine_pairs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i FROM d
+    ),
+    sh AS (
+        SELECT doc_id,
+               toks[CAST(i AS BIGINT)] || chr(31)
+                   || toks[CAST(i AS BIGINT) + 1] || chr(31)
+                   || toks[CAST(i AS BIGINT) + 2] || chr(31)
+                   || toks[CAST(i AS BIGINT) + 3] AS t
+        FROM pos
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM sh GROUP BY doc_id, t
+    ),
+    vocab AS (SELECT t, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY t),
+    mx AS (SELECT MAX(length(bin(cnt))) AS maxbits FROM vocab),
+    w AS (
+        SELECT tf.doc_id,
+               tf.t,
+               tf.tf * (mx.maxbits - length(bin(v.cnt)) + 1) AS w
+        FROM tf JOIN vocab v ON v.t = tf.t, mx
+    ),
+    norms AS (
+        SELECT doc_id,
+               SQRT(CAST(SUM(CAST(w * w AS DECIMAL(38,0))) AS DOUBLE))
+                   AS nrm
+        FROM w GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared,
+               CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,0))) AS DOUBLE)
+                   AS dot
+        FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_shared,
+           dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE dot / (na.nrm * nb.nrm) >= {_Q337_TAU}
+    """,
+)
+def q337_weighted_cosine_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Document pairs with tf-idf 4-gram-shingle cosine ≥ 0.5 — the exact
+    weighted AllPairs audit tier. See block comment."""
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    sh = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - 3, F.lit(0)))
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            "\x1f",
+            F.element_at("toks", F.col("i")),
+            F.element_at("toks", F.col("i") + 1),
+            F.element_at("toks", F.col("i") + 2),
+            F.element_at("toks", F.col("i") + 3),
+        ).alias("t"),
+    )
+    tf = sh.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    vocab = materialize(  # feeds the global max-bits AND the idf join
+        tf.groupBy("t").agg(F.sum("tf").cast("long").alias("cnt"))
+    )
+    maxbits = int(
+        vocab.agg(F.max(F.length(F.bin("cnt"))).alias("m")).first()["m"]
+    )
+    w = materialize(  # feeds norms + BOTH sides of the pair join
+        tf.join(vocab, "t").select(
+            "doc_id",
+            "t",
+            (
+                F.col("tf")
+                * (F.lit(maxbits) - F.length(F.bin("cnt")) + 1)
+            ).cast("long").alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)"))
+            .cast("double")
+        ).alias("nrm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("id_a"), "t", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("id_b"), "t", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,0)"))
+            .cast("double").alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= F.lit(_Q337_TAU))
+        .select("id_a", "id_b", "n_shared", cos.alias("cosine"))
+    )
