@@ -2238,3 +2238,141 @@ def q337_weighted_cosine_pairs(
         .filter(cos >= F.lit(_Q337_TAU))
         .select("id_a", "id_b", "n_shared", cos.alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q338 — mutual-best one-to-one MATCHING over the fuzzy pair graph
+# (distributed greedy maximal matching by rounds of symmetric
+# proposals — the "handshake" algorithm, the parallel twin of
+# sort-pairs-greedy): entity resolution's reconciliation step. q80
+# emits candidate typo pairs and q191 closes them into clusters; when
+# the business rule is "each record merges with AT MOST ONE other"
+# (ledger dedup, master-record election), the pair graph must instead
+# be thinned to a matching. Each round: every node points at its best
+# alive partner (min edit distance, then partner id — a total order);
+# an edge whose endpoints choose EACH OTHER is matched; matched nodes'
+# remaining edges die; repeat. 3 unrolled rounds — the same
+# synchronous-round discipline as q314's Louvain move (and the same
+# 2-cycle-free guarantee: mutual choice IS the symmetric tie-breaker).
+#
+# Plan shape: pairs come from q80's blocked fuzzy join (Σ|block|²,
+# never N²) and are materialized once; each round is one partitioned
+# row_number window (per-node state = node degree) + two equi-joins +
+# two anti-joins, all on the PAIR frame — corpus never rescanned.
+# Every round's frame is localCheckpointed (cookbook: iterative loops
+# re-execute all prior rounds otherwise).
+# ---------------------------------------------------------------------------
+
+_Q338_ROUNDS = 3
+
+
+def _q338_oracle() -> str:
+    ctes = ["p1 AS ({q80})".format(q80=ORACLE["q80_fuzzy_name_pairs"])]
+    for r in range(1, _Q338_ROUNDS + 1):
+        ctes.append(
+            f"""dir{r} AS (
+            SELECT id_a AS node, id_b AS partner, distance AS d FROM p{r}
+            UNION ALL
+            SELECT id_b AS node, id_a AS partner, distance AS d FROM p{r}
+        )"""
+        )
+        ctes.append(
+            f"""best{r} AS (
+            SELECT node, partner FROM (
+                SELECT node, partner,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY d, partner) AS rn
+                FROM dir{r}
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""m{r} AS (
+            SELECT p.id_a, p.id_b, p.distance FROM p{r} p
+            JOIN best{r} ba ON ba.node = p.id_a AND ba.partner = p.id_b
+            JOIN best{r} bb ON bb.node = p.id_b AND bb.partner = p.id_a
+        )"""
+        )
+        if r < _Q338_ROUNDS:
+            ctes.append(
+                f"""mn{r} AS (
+                SELECT id_a AS n FROM m{r}
+                UNION SELECT id_b FROM m{r}
+            )"""
+            )
+            ctes.append(
+                f"""p{r + 1} AS (
+                SELECT * FROM p{r}
+                WHERE id_a NOT IN (SELECT n FROM mn{r})
+                  AND id_b NOT IN (SELECT n FROM mn{r})
+            )"""
+            )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, id_a, id_b, distance"
+        f" FROM m{r}"
+        for r in range(1, _Q338_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+def _register_q338() -> None:
+    @_register("q338_mutual_best_matching", oracle=_q338_oracle())
+    def q338_mutual_best_matching(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Edges matched in each of 3 mutual-best rounds over the q80
+        fuzzy pair graph — distributed greedy one-to-one matching. See
+        block comment."""
+        alive = materialize(
+            QUERIES["q80_fuzzy_name_pairs"](spark, sf_dir)
+        )
+        out: DataFrame | None = None
+        for r in range(1, _Q338_ROUNDS + 1):
+            direct = alive.select(
+                F.col("id_a").alias("node"),
+                F.col("id_b").alias("partner"),
+                F.col("distance").alias("d"),
+            ).unionAll(
+                alive.select(
+                    F.col("id_b").alias("node"),
+                    F.col("id_a").alias("partner"),
+                    F.col("distance").alias("d"),
+                )
+            )
+            w = Window.partitionBy("node").orderBy("d", "partner")
+            best = (
+                direct.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", "partner")
+            )
+            ba = best.select(
+                F.col("node").alias("id_a"), F.col("partner").alias("id_b")
+            )
+            bb = best.select(
+                F.col("partner").alias("id_a"), F.col("node").alias("id_b")
+            )
+            mutual = materialize(
+                alive.join(ba, ["id_a", "id_b"]).join(bb, ["id_a", "id_b"])
+            )
+            tagged = mutual.select(
+                F.lit(r).cast("long").alias("round"),
+                "id_a", "id_b", "distance",
+            )
+            out = tagged if out is None else out.unionAll(tagged)
+            if r < _Q338_ROUNDS:
+                matched = (
+                    mutual.select(F.col("id_a").alias("n"))
+                    .unionAll(mutual.select(F.col("id_b").alias("n")))
+                    .distinct()
+                )
+                alive = materialize(
+                    alive.join(
+                        matched, alive["id_a"] == matched["n"], "left_anti"
+                    ).join(
+                        matched, alive["id_b"] == matched["n"], "left_anti"
+                    )
+                )
+        return out
+
+
+_register_q338()
