@@ -2099,8 +2099,12 @@ def q329_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and q311/q318's LSH bucketing (dense vectors); their verification
 # rides this tier's exact cosine.
 #
-# Plan shape: one explode → (doc, shingle) tf grain; vocabulary idf
-# join (AQE broadcasts when it fits); the weighted index is
+# Plan shape: one explode → (doc, shingle) tf grain; the shingle is
+# COMPRESSED to a 60-bit md5 key at creation (cookbook device) so every
+# downstream shuffle carries 8-byte ints, never ~40-byte 4-gram
+# strings — a deterministic md5 collision would merge the same shingles
+# in BOTH engines, so cross-engine exactness is unaffected; vocabulary
+# idf join (AQE broadcasts when it fits); the weighted index is
 # materialized ONCE and feeds norms + both join sides; dot products
 # shuffle on the shingle key with map-side partial aggregation.
 # ---------------------------------------------------------------------------
@@ -2123,10 +2127,11 @@ _Q337_K = 4  # shingle order: 4-grams keep non-duplicate df ~ 1, so the
     ),
     sh AS (
         SELECT doc_id,
-               toks[CAST(i AS BIGINT)] || chr(31)
+               CAST('0x' || substr(md5(
+                   toks[CAST(i AS BIGINT)] || chr(31)
                    || toks[CAST(i AS BIGINT) + 1] || chr(31)
                    || toks[CAST(i AS BIGINT) + 2] || chr(31)
-                   || toks[CAST(i AS BIGINT) + 3] AS t
+                   || toks[CAST(i AS BIGINT) + 3]), 1, 15) AS BIGINT) AS t
         FROM pos
     ),
     tf AS (
@@ -2180,13 +2185,21 @@ def q337_weighted_cosine_pairs(
         "toks",
     ).select(
         "doc_id",
-        F.concat_ws(
-            "\x1f",
-            F.element_at("toks", F.col("i")),
-            F.element_at("toks", F.col("i") + 1),
-            F.element_at("toks", F.col("i") + 2),
-            F.element_at("toks", F.col("i") + 3),
-        ).alias("t"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.element_at("toks", F.col("i")),
+                        F.element_at("toks", F.col("i") + 1),
+                        F.element_at("toks", F.col("i") + 2),
+                        F.element_at("toks", F.col("i") + 3),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint").alias("t"),
     )
     tf = sh.groupBy("doc_id", "t").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
