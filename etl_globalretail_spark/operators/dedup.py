@@ -2389,3 +2389,166 @@ def _register_q338() -> None:
 
 
 _register_q338()
+
+
+# ---------------------------------------------------------------------------
+# q339 — Luby's MAXIMAL INDEPENDENT SET over the fuzzy pair graph: the
+# third classic symmetric-breaking primitive in the repo's distributed-
+# algorithm family (q338 mutual-best matching, q314 Louvain local-move).
+# ER reads it as "elect a maximal set of pairwise NON-conflicting
+# records" — every unelected record is adjacent to an elected one, so
+# the MIS is a covering set of merge representatives; the same
+# primitive schedules conflict-free parallel work at 100 TB.
+#
+# Luby round (derandomized): each node's priority is md5(node) — fixed,
+# engine-portable, collision-free at the 60-bit cut for any plausible
+# node count, with (priority, id) as the total order regardless; a node
+# joins the MIS iff its priority precedes every ALIVE neighbor's; MIS
+# nodes and their neighbors leave the graph; repeat. 3 unrolled rounds
+# (the fuzzy graph empties in 3 at gate SFs; leftovers are reported so
+# termination is auditable).
+#
+# Plan shape: edges from q80's blocked join, materialized once; each
+# round is one groupBy-min over the directed neighbor view + one
+# equi-join + anti-joins — per-node state is its degree, rounds touch
+# only the shrinking edge frame. Every round localCheckpointed
+# (cookbook).
+# ---------------------------------------------------------------------------
+
+_Q339_ROUNDS = 3
+
+
+def _q339_oracle() -> str:
+    prio = (
+        "CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    ctes = [
+        "e1 AS ({q80})".format(q80=ORACLE["q80_fuzzy_name_pairs"]),
+        f"""n1 AS (
+            SELECT id_a AS node FROM e1
+            UNION SELECT id_b FROM e1
+        )""",
+    ]
+    for r in range(1, _Q339_ROUNDS + 1):
+        ctes.append(
+            f"""dir{r} AS (
+            SELECT id_a AS node, id_b AS nbr FROM e{r}
+            UNION ALL SELECT id_b, id_a FROM e{r}
+        )"""
+        )
+        # a node wins iff (prio, id) precedes every alive neighbour's
+        ctes.append(
+            f"""mis{r} AS (
+            SELECT n.node FROM n{r} n
+            LEFT JOIN (
+                SELECT d.node,
+                       MIN(({prio.format(c='d.nbr')},
+                            d.nbr)) AS best_nbr
+                FROM dir{r} d GROUP BY d.node
+            ) b ON b.node = n.node
+            WHERE b.node IS NULL
+               OR ({prio.format(c='n.node')}, n.node) < b.best_nbr
+        )"""
+        )
+        if r < _Q339_ROUNDS:
+            ctes.append(
+                f"""dead{r} AS (
+                SELECT node FROM mis{r}
+                UNION
+                SELECT d.node FROM dir{r} d
+                JOIN mis{r} m ON m.node = d.nbr
+            )"""
+            )
+            ctes.append(
+                f"""e{r + 1} AS (
+                SELECT * FROM e{r}
+                WHERE id_a NOT IN (SELECT node FROM dead{r})
+                  AND id_b NOT IN (SELECT node FROM dead{r})
+            )"""
+            )
+            ctes.append(
+                f"""n{r + 1} AS (
+                SELECT node FROM n{r}
+                WHERE node NOT IN (SELECT node FROM dead{r})
+            )"""
+            )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, node FROM mis{r}"
+        for r in range(1, _Q339_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+def _register_q339() -> None:
+    @_register("q339_luby_mis", oracle=_q339_oracle())
+    def q339_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Nodes elected into the maximal independent set in each of 3
+        derandomized Luby rounds over the q80 fuzzy pair graph. See
+        block comment."""
+
+        def prio(c):
+            return F.conv(
+                F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10
+            ).cast("bigint")
+
+        edges = materialize(QUERIES["q80_fuzzy_name_pairs"](spark, sf_dir))
+        nodes = (
+            edges.select(F.col("id_a").alias("node"))
+            .unionAll(edges.select(F.col("id_b").alias("node")))
+            .distinct()
+        )
+        out: DataFrame | None = None
+        for r in range(1, _Q339_ROUNDS + 1):
+            direct = edges.select(
+                F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
+            ).unionAll(
+                edges.select(
+                    F.col("id_b").alias("node"), F.col("id_a").alias("nbr")
+                )
+            )
+            best_nbr = direct.groupBy("node").agg(
+                F.min(F.struct(prio("nbr").alias("p"),
+                               F.col("nbr").alias("i"))).alias("bn")
+            )
+            mis = materialize(
+                nodes.join(best_nbr, "node", "left")
+                .filter(
+                    F.col("bn").isNull()
+                    | (
+                        F.struct(prio("node").alias("p"),
+                                 F.col("node").alias("i"))
+                        < F.col("bn")
+                    )
+                )
+                .select("node")
+            )
+            tagged = mis.select(
+                F.lit(r).cast("long").alias("round"), "node"
+            )
+            out = tagged if out is None else out.unionAll(tagged)
+            if r < _Q339_ROUNDS:
+                dead = (
+                    mis.select("node")
+                    .unionAll(
+                        direct.join(
+                            mis.select(F.col("node").alias("nbr")), "nbr"
+                        ).select("node")
+                    )
+                    .distinct()
+                )
+                edges = materialize(
+                    edges.join(
+                        dead.select(F.col("node").alias("id_a")),
+                        "id_a", "left_anti",
+                    ).join(
+                        dead.select(F.col("node").alias("id_b")),
+                        "id_b", "left_anti",
+                    )
+                )
+                nodes = materialize(
+                    nodes.join(dead, "node", "left_anti")
+                )
+        return out
+
+
+_register_q339()
