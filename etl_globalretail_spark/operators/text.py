@@ -799,3 +799,108 @@ def q155_user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas kernel, hash-matched against the gaps-and-islands SQL
     formulation (sessions ≡ q34's rule; bursts ≡ maximal <60 s runs)."""
     return user_activity_features(load_table(spark, "events", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q340 — boilerplate REMOVAL / main-content extraction (the trafilatura
+# / jusText stage every web-corpus pipeline runs between crawl and
+# curation): documents are wrapped in deterministic synthetic markup
+# (title, script block carrying the doc's md5, nav menu, footer — the
+# standard boilerplate taxonomy), then the extraction chain recovers
+# the main content: (1) drop container tags WITH their boilerplate
+# payloads, (2) strip remaining tags, (3) collapse whitespace. The
+# census proves the round-trip (extracted ≡ whitespace-normalized
+# original) and reports the content ratio — the real pipeline's
+# "text density" signal.
+#
+# Engine notes: the container pattern uses an ALTERNATION on both the
+# open and close tag, NOT a backreference — DuckDB's RE2 has no
+# backreferences (probed; the \\1 form fails SILENTLY as a no-match),
+# Java regex accepts both, so the shared-dialect subset is the
+# alternation. Two passes of the container pattern because stripping
+# <script> exposes no nesting here but adjacent containers share no
+# chars; the pattern set is closed after two passes on this markup
+# shape by construction.
+#
+# Plan shape: pure Column regexp chain — JVM-side, codegen'd, map-only;
+# the census is one map-side-combinable groupBy on |sources| rows.
+# ---------------------------------------------------------------------------
+
+_Q340_CONTAINER = (
+    "<(script|title|nav|footer)[^>]*>[^<]*</(script|title|nav|footer)>"
+)
+
+
+@_register(
+    "q340_markup_extraction",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source, text,
+               '<html><head><title>' || source
+               || '</title><script>var k="' || md5(text)
+               || '";</script></head><body><nav>home | about | contact'
+               || '</nav><p>' || text || '</p><footer>(c) corp</footer>'
+               || '</body></html>' AS html
+        FROM documents
+    ),
+    x AS (
+        SELECT doc_id, source, text, html,
+               trim(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(html,
+                       '{_Q340_CONTAINER}', ' ', 'g'),
+                       '{_Q340_CONTAINER}', ' ', 'g'),
+                       '<[^>]+>', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS extracted
+        FROM h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(html)) AS BIGINT) AS html_chars,
+           CAST(SUM(length(extracted)) AS BIGINT) AS extracted_chars,
+           CAST(SUM(CASE WHEN extracted =
+                    trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_exact,
+           CAST(SUM(length(extracted)) * 1000 // SUM(length(html))
+                AS BIGINT) AS content_permil
+    FROM x GROUP BY source
+    """,
+)
+def q340_markup_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source census of the boilerplate-removal chain over synthetic
+    markup: html size, extracted size, exact round-trip count, content
+    ratio. See block comment."""
+    d = load_table(spark, "documents", sf_dir)
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit('</title><script>var k="'), F.md5(F.encode("text", "UTF-8")),
+        F.lit('";</script></head><body><nav>home | about | contact'),
+        F.lit("</nav><p>"), F.col("text"),
+        F.lit("</p><footer>(c) corp</footer></body></html>"),
+    )
+    extracted = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(html, _Q340_CONTAINER, " "),
+                    _Q340_CONTAINER, " ",
+                ),
+                "<[^>]+>", " ",
+            ),
+            r"\s+", " ",
+        )
+    )
+    normalized = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    x = d.select(
+        "source",
+        F.length(html).alias("hl"),
+        F.length(extracted).alias("el"),
+        (extracted == normalized).cast("long").alias("rt"),
+    )
+    return x.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("hl").cast("long").alias("html_chars"),
+        F.sum("el").cast("long").alias("extracted_chars"),
+        F.sum("rt").cast("long").alias("n_roundtrip_exact"),
+        F.expr("sum(el) * 1000 div sum(hl)").cast("long")
+        .alias("content_permil"),
+    )
