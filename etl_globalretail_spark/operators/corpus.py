@@ -5065,3 +5065,155 @@ def q335_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# q342 — SEQUENCE PACKING (GPT-style concat-and-chunk): lay the corpus
+# out as one token stream in doc_id order and cut it into fixed-length
+# training examples of L = 512 tokens; census the packing — how many
+# examples, how many documents straddle an example boundary, how
+# crowded examples get. This is the curation-to-training handoff step
+# (every LLM pretraining loader runs it) and the natural composition
+# target for the dedup/filter/tokenize families upstream.
+#
+# Determinism: token counts via the portable whitespace device
+# (size(split(trim(text),'\s+')) ≡ len(regexp_split_to_array(...)));
+# the stream order is the doc_id total order; all offsets are int64
+# (integer // on non-negative operands — both engines truncate
+# identically). A doc's examples are chunk ids start//L .. (end-1)//L.
+#
+# Scale shape: the running offset comes from the two-phase
+# global_prefix_sums helper (per-partition window + <=16 carry
+# scalars), NEVER a partition-less window; the doc->chunk explode is
+# bounded by sum(spans) = n_docs + n_boundary_docs <= 2·n_docs rows;
+# the chunk-grain groupBy keys on total_tokens/L values (corpus-linear
+# but SHORT rows); everything else is one census aggregate. At 100 TB
+# the chunk grain is exactly the training-example table a loader
+# would write — the census here re-aggregates it instead of sinking.
+# ---------------------------------------------------------------------------
+
+_Q342_L = 512
+
+
+def _register_q342() -> None:
+    @_register(
+        "q342_sequence_packing",
+        oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+            FROM documents
+        ),
+        offs AS (
+            SELECT doc_id, n_tok,
+                   SUM(n_tok) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS fin
+            FROM d
+        ),
+        spans AS (
+            SELECT doc_id, n_tok, CAST(fin - n_tok AS BIGINT) AS st,
+                   CAST(fin AS BIGINT) AS fin,
+                   (fin - 1) // {_Q342_L} - (fin - n_tok) // {_Q342_L} + 1
+                       AS n_spans
+            FROM offs
+        ),
+        chunks AS (
+            SELECT u.chunk, COUNT(*) AS docs_in_chunk
+            FROM spans s,
+                 unnest(generate_series(s.st // {_Q342_L},
+                                        (s.fin - 1) // {_Q342_L})) AS u(chunk)
+            GROUP BY u.chunk
+        ),
+        chunk_census AS (
+            SELECT MAX(docs_in_chunk) AS max_docs_per_chunk,
+                   SUM(CASE WHEN docs_in_chunk = 1 THEN 1 ELSE 0 END)
+                       AS n_singleton_chunks,
+                   COUNT(*) AS n_chunks
+            FROM chunks
+        ),
+        doc_census AS (
+            SELECT COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+                   SUM(CASE WHEN n_spans >= 2 THEN 1 ELSE 0 END)
+                       AS n_boundary_docs,
+                   MAX(n_spans) AS max_spans
+            FROM spans
+        )
+        SELECT CAST(d.n_docs AS BIGINT) AS n_docs,
+               CAST(d.total_tokens AS BIGINT) AS total_tokens,
+               CAST(c.n_chunks AS BIGINT) AS n_chunks,
+               CAST(d.n_boundary_docs AS BIGINT) AS n_boundary_docs,
+               CAST(d.max_spans AS BIGINT) AS max_spans,
+               CAST(c.max_docs_per_chunk AS BIGINT) AS max_docs_per_chunk,
+               CAST(c.n_singleton_chunks AS BIGINT) AS n_singleton_chunks,
+               CAST(d.total_tokens - (c.n_chunks - 1) * {_Q342_L}
+                    AS BIGINT) AS last_fill
+        FROM doc_census d, chunk_census c
+        """,
+    )
+    def q342_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pack the documents token stream into fixed 512-token training
+        examples (doc_id order) and census the packing. See block
+        comment for the two-phase offset + bounded-explode shape."""
+        from etl_globalretail_spark.operators.ranks import global_prefix_sums
+
+        L = _Q342_L
+        d = load_table(spark, "documents", sf_dir).select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long").alias("n_tok"),
+        )
+        cum, _tot = global_prefix_sums(d, [("doc_id", "asc")], ["n_tok"])
+        spans = cum.select(
+            "n_tok",
+            (F.col("n_tok_cum") - F.col("n_tok")).alias("st"),
+            F.col("n_tok_cum").alias("fin"),
+        ).select(
+            "n_tok", "st", "fin",
+            (
+                F.expr(f"(fin - 1) div {L}") - F.expr(f"st div {L}") + 1
+            ).alias("n_spans"),
+        )
+        # spans feeds the doc census AND the chunk explode — persist so
+        # the two-phase prefix sum runs once (lifetime: returned plan).
+        spans = spans.persist()
+        chunks = (
+            spans.select(
+                F.explode(
+                    F.sequence(
+                        F.expr(f"st div {L}"), F.expr(f"(fin - 1) div {L}")
+                    )
+                ).alias("chunk")
+            )
+            .groupBy("chunk")
+            .agg(F.count(F.lit(1)).alias("docs_in_chunk"))
+        )
+        chunk_census = chunks.agg(
+            F.max("docs_in_chunk").alias("max_docs_per_chunk"),
+            F.sum(F.when(F.col("docs_in_chunk") == 1, 1).otherwise(0))
+            .alias("n_singleton_chunks"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        doc_census = spans.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.when(F.col("n_spans") >= 2, 1).otherwise(0))
+            .alias("n_boundary_docs"),
+            F.max("n_spans").alias("max_spans"),
+        )
+        # 1-row x 1-row join: bounded by construction
+        return doc_census.join(F.broadcast(chunk_census)).select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_boundary_docs").cast("long").alias("n_boundary_docs"),
+            F.col("max_spans").cast("long").alias("max_spans"),
+            F.col("max_docs_per_chunk").cast("long")
+            .alias("max_docs_per_chunk"),
+            F.col("n_singleton_chunks").cast("long")
+            .alias("n_singleton_chunks"),
+            (F.col("total_tokens") - (F.col("n_chunks") - 1) * L)
+            .cast("long").alias("last_fill"),
+        )
+
+
+_register_q342()
