@@ -1387,3 +1387,288 @@ def q302_ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("__hit", F.lit(False)).alias("in_exact_topk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q343 — GRID-DENSITY CLUSTERING (DBSCAN-like, Ester et al. 1996 by way
+# of the grid/cell formulation): project embeddings to 2-D with the
+# q332 Achlioptas +-1 JL device, bin the plane into fixed eps-cells,
+# call a cell DENSE when it holds >= minPts points (minPts adapts with
+# the corpus, the q292 stance), connect dense cells through their
+# 8-neighborhood, and label every point with its dense-component id —
+# points in sparse cells are NOISE. This is the density-clustering
+# family member beside the centroid (k-means q74/q122), hierarchy
+# (Louvain q314/q319/q326) and partition (LPA q236) members — the
+# "find arbitrarily-shaped embedding clumps, leave outliers unlabeled"
+# shape every curation pipeline uses for topic discovery.
+#
+# Determinism: signs and quantization are the q332 contract (md5
+# parity, FLOOR milli-units); projections are shifted by +2^30 BEFORE
+# the cell division so `div`'s truncation IS floor (cookbook: negative
+# // diverges from floor); cell key = cx·2^22 + cy int64; the cluster
+# id is the MIN dense-cell key reachable (hash-min fixpoint on Spark,
+# recursive-CTE closure in DuckDB — the q67 twin pair); the purity
+# winner per cluster total-orders on (count DESC, label ASC).
+#
+# Scale shape: one map-only pass projects and bins (no vector ever
+# shuffles twice); the dense-cell graph is bounded by the OCCUPIED
+# GRID, not the corpus — at 100 TB the closure runs on thousands of
+# cells while points only ever experience one groupBy(cell) and one
+# broadcast-joinable (cell -> component) lookup; adaptive minPts =
+# max(3, N div 160) keeps the dense fraction stable as N grows. The
+# per-(component, label) purity aggregate is component-grain, and the
+# window below it is PARTITIONED by component (never global).
+# ---------------------------------------------------------------------------
+
+_Q343_CELL = 200
+_Q343_OFF = 1 << 30
+_Q343_KEY = 1 << 22
+
+
+_Q343_D = 64
+
+
+def _q343_sign(j: int, k: int) -> int:
+    # the q332 JL sign matrix, recomputed locally from the SAME
+    # md5('jl_{j}_{k}') seeds (a module-level import of similarity here
+    # would be circular — similarity imports clustering for q292)
+    import hashlib
+
+    h = hashlib.md5(f"jl_{j}_{k}".encode()).hexdigest()
+    return 1 if int(h[:15], 16) % 2 == 0 else -1
+
+
+def _register_q343() -> None:
+    def _proj_sql(j: int) -> str:
+        terms = " + ".join(
+            f"({_q343_sign(j, k)}) * xq[{k + 1}]" for k in range(_Q343_D)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    @_register(
+        "q343_grid_density_clusters",
+        oracle=f"""
+        WITH RECURSIVE
+        q AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                       AS xq
+            FROM embeddings
+        ),
+        pts AS (
+            SELECT vec_id, label,
+                   ({_proj_sql(0)} + {_Q343_OFF}) // {_Q343_CELL} AS cx,
+                   ({_proj_sql(1)} + {_Q343_OFF}) // {_Q343_CELL} AS cy
+            FROM q
+        ),
+        mp AS (
+            SELECT GREATEST(3, COUNT(*) // 160) AS minpts FROM pts
+        ),
+        cells AS (
+            SELECT cx, cy, cx * {_Q343_KEY} + cy AS ckey,
+                   COUNT(*) AS n FROM pts GROUP BY cx, cy
+        ),
+        dense AS (
+            SELECT cx, cy, ckey FROM cells, mp WHERE n >= mp.minpts
+        ),
+        edges AS (
+            SELECT a.ckey AS src, b.ckey AS dst
+            FROM dense a
+            JOIN dense b
+              ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+             AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+        ),
+        reach AS (
+            SELECT ckey AS v, ckey AS r FROM dense
+            UNION
+            SELECT e.dst AS v, reach.r AS r
+            FROM reach JOIN edges e ON reach.v = e.src
+        ),
+        comp AS (SELECT v AS ckey, MIN(r) AS component FROM reach GROUP BY v),
+        labeled AS (
+            SELECT c.component, p.label
+            FROM pts p
+            JOIN comp c ON p.cx * {_Q343_KEY} + p.cy = c.ckey
+        ),
+        cl AS (
+            SELECT component, label, COUNT(*) AS n
+            FROM labeled GROUP BY component, label
+        ),
+        win AS (
+            SELECT component, label, n,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                       ORDER BY n DESC, label ASC) AS rk,
+                   SUM(n) OVER (PARTITION BY component) AS n_points
+            FROM cl
+        ),
+        clusters AS (
+            SELECT w.component, w.n_points,
+                   (SELECT COUNT(*) FROM comp c2
+                    WHERE c2.component = w.component) AS n_cells,
+                   w.label AS top_label, w.n AS top_label_n
+            FROM win w WHERE w.rk = 1
+        )
+        SELECT CAST(component AS BIGINT) AS component,
+               CAST(n_points AS BIGINT) AS n_points,
+               CAST(n_cells AS BIGINT) AS n_cells,
+               CAST(top_label AS BIGINT) AS top_label,
+               CAST(top_label_n AS BIGINT) AS top_label_n
+        FROM clusters
+        UNION ALL
+        SELECT -1, COUNT(*),
+               (SELECT COUNT(*) FROM cells
+                WHERE ckey NOT IN (SELECT ckey FROM dense)),
+               -1, 0
+        FROM pts p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dense d
+            WHERE d.cx = p.cx AND d.cy = p.cy
+        )
+        """,
+    )
+    def q343_grid_density_clusters(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-cluster census (size, cell count, majority-label purity)
+        of grid-density clustering over JL-projected embeddings, with a
+        component = -1 noise row. See block comment."""
+        from etl_globalretail_spark.operators.components import (
+            connected_components,
+        )
+
+        e = load_table(spark, "embeddings", sf_dir)
+
+        def proj(j: int) -> str:
+            # Spark [] is 0-based (the oracle's DuckDB [] is 1-based)
+            terms = " + ".join(
+                f"({_q343_sign(j, k)}) * xq[{k}]"
+                for k in range(_Q343_D)
+            )
+            return f"CAST({terms} AS BIGINT)"
+
+        pts = e.select(
+            F.col("label").cast("long").alias("label"),
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+            ).alias("xq"),
+        ).select(
+            "label",
+            F.expr(
+                f"(({proj(0)}) + {_Q343_OFF}) div {_Q343_CELL}"
+            ).alias("cx"),
+            F.expr(
+                f"(({proj(1)}) + {_Q343_OFF}) div {_Q343_CELL}"
+            ).alias("cy"),
+        )
+        # pts feeds the cell histogram AND the final point->component
+        # lookup — persist so the 128-term projection runs once
+        # (lifetime: released after the census rows are materialized).
+        pts = pts.persist()
+        try:
+            cells = pts.groupBy("cx", "cy").agg(
+                F.count(F.lit(1)).alias("n")
+            ).withColumn(
+                "ckey",
+                (F.col("cx") * _Q343_KEY + F.col("cy")).cast("long"),
+            )
+            # cells is the grid grain (bounded by the occupied plane,
+            # NOT the corpus): reused by dense, edges, and the sparse
+            # census — persist.
+            cells = cells.persist()
+            minpts = max(3, pts.count() // 160)  # driver scalar (1 value)
+            dense = cells.filter(F.col("n") >= minpts).select(
+                "cx", "cy", "ckey"
+            )
+            nb = dense.select(
+                F.col("ckey").alias("src"),
+                F.explode(
+                    F.expr(
+                        "flatten(transform(sequence(-1, 1), dx ->"
+                        " transform(sequence(-1, 1), dy ->"
+                        f" (cx + dx) * {_Q343_KEY} + cy + dy)))"
+                    )
+                ).alias("nkey"),
+            )
+            edges = nb.join(
+                dense.select(F.col("ckey").alias("nkey")), "nkey"
+            ).select("src", F.col("nkey").alias("dst"))
+            held: list = []
+            cc = connected_components(
+                edges, src="src", dst="dst", materialized=held
+            )
+            try:
+                # component labels live at the GRID grain (≤ dense
+                # cells) — collecting them is the q67 hand-off pattern,
+                # and it frees the checkpoint blocks deterministically.
+                comp_rows = cc.select(
+                    F.col("vertex").alias("ckey"), "component"
+                ).collect()
+            finally:
+                for h in held:
+                    try:
+                        h.unpersist(False)
+                    except Exception:
+                        pass
+            comp = spark.createDataFrame(
+                comp_rows, "ckey long, component long"
+            )
+            labeled = pts.withColumn(
+                "ckey",
+                (F.col("cx") * _Q343_KEY + F.col("cy")).cast("long"),
+            ).join(F.broadcast(comp), "ckey")
+            cl = labeled.groupBy("component", "label").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("component")
+            cl = cl.withColumn(
+                "rk",
+                F.row_number().over(
+                    w.orderBy(F.col("n").desc(), F.col("label").asc())
+                ),
+            ).withColumn("n_points", F.sum("n").over(w))
+            ncells = comp.groupBy("component").agg(
+                F.count(F.lit(1)).alias("n_cells")
+            )
+            clusters = (
+                cl.filter(F.col("rk") == 1)
+                .join(F.broadcast(ncells), "component")
+                .select(
+                    F.col("component").cast("long").alias("component"),
+                    F.col("n_points").cast("long").alias("n_points"),
+                    F.col("n_cells").cast("long").alias("n_cells"),
+                    F.col("label").cast("long").alias("top_label"),
+                    F.col("n").cast("long").alias("top_label_n"),
+                )
+            )
+            dense_keys = {r["ckey"] for r in comp_rows}
+            sparse_cells = cells.filter(
+                ~F.col("ckey").isin(list(dense_keys))
+                if dense_keys else F.lit(True)
+            )
+            noise = sparse_cells.agg(
+                F.lit(-1).cast("long").alias("component"),
+                F.coalesce(F.sum("n"), F.lit(0)).cast("long")
+                .alias("n_points"),
+                F.count(F.lit(1)).cast("long").alias("n_cells"),
+                F.lit(-1).cast("long").alias("top_label"),
+                F.lit(0).cast("long").alias("top_label_n"),
+            )
+            out_rows = clusters.unionAll(noise).collect()
+        finally:
+            pts.unpersist()
+            try:
+                cells.unpersist()
+            except Exception:
+                pass
+        return spark.createDataFrame(
+            out_rows,
+            "component long, n_points long, n_cells long,"
+            " top_label long, top_label_n long",
+        )
+
+
+_register_q343()

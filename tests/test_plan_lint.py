@@ -38,6 +38,8 @@ INTENTIONAL_CROSS = {
     # scalar to the per-supplier aggregate (TPC-H Q15) — bounded
     "q162_type_weekday_contingency",  # attaches the broadcast 1-row grand
     # total N to the |types|×|days| cell frame — bounded by construction
+    "q342_sequence_packing",  # joins the 1-row doc census with the
+    # broadcast 1-row chunk census — bounded by construction
     "q221_source_drift_matrix",  # crosses the two per-source TOTALS frames
     # (|sources|² pairs — broadcast-class by construction); the value-keyed
     # inner join carries all data-sized work
