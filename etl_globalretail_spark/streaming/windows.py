@@ -2683,3 +2683,179 @@ def q333_streaming_join_dedup_rollup_exact(
                        n_rows=table_rows(spark, "events", sf_dir))
     shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q344 — DOUBLE stream-stream join: view → click → purchase attribution
+# through TWO chained time-interval joins (three live streams from one
+# source), rolled up hourly. This is the missing length-3 path in the
+# multi-stateful matrix: q321 pinned join → window, q333 pinned
+# join → dedup → window; q344 pins join → JOIN → window. Production
+# horizons are 12 h (view⋈click) and 24 h (purchase⋈cv) — wide enough
+# that the sparse per-user event stream yields a real triple set.
+#
+# Boundary, probe-pinned (tests/test_streaming_double_join.py): the
+# window emits iff window_end < W − (h1 + h2) STRICT — the two joins'
+# output-watermark delays COMPOSE ADDITIVELY along the path (probe
+# horizons 30 min for click⋈view, 1 h for purchase⋈(click,view):
+# at max 05:40 → W = 05:30 withhold the [03:00, 04:00) window ending
+# exactly AT 05:30 − 1:30, and a max-horizon rule (− 1:00 only) would
+# have emitted it — the probe discriminates sum from max). Confirms
+# q333's composition law with a second delay-contributing hop.
+#
+# Two-wave batch-equality: late views (event_id % 8 == 0) arrive in
+# wave 2 of 2. Watermarks take effect at the NEXT trigger and state
+# cleanup runs with the watermark of the CURRENT batch, so with
+# exactly two data waves no join state is evicted before the last
+# match is produced — the stream output is the FULL triple interval
+# join (the q333 device), and the only watermark effect is the final
+# emission boundary above. (A 3+-wave replay would admit mid-stream
+# eviction; that failure mode is q230's late-drop territory, pinned
+# separately.)
+#
+# Oracle: the batch triple interval join, hourly census, filtered to
+# end < min(maxV, maxC, maxP) − 10 min − 90 min strict.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q344_streaming_double_join_exact",
+    oracle="""
+    WITH v AS (
+        SELECT event_id AS view_id, user_id AS vu, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id AS cu, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    mx AS (
+        SELECT LEAST((SELECT MAX(epoch_us(v_ts)) // 1000 FROM v),
+                     (SELECT MAX(epoch_us(c_ts)) // 1000 FROM c),
+                     (SELECT MAX(epoch_us(p_ts)) // 1000 FROM p))
+               - 600000 AS wm
+    ),
+    triples AS (
+        SELECT p.purchase_id, p.p_ts, cv.click_id, cv.view_id
+        FROM p
+        JOIN (
+            SELECT c.click_id, c.cu, c.c_ts, v.view_id
+            FROM c JOIN v
+              ON c.cu = v.vu
+             AND v.v_ts <= c.c_ts
+             AND v.v_ts >= c.c_ts - INTERVAL 12 HOURS
+        ) cv
+          ON p.user_id = cv.cu
+         AND cv.c_ts <= p.p_ts
+         AND cv.c_ts >= p.p_ts - INTERVAL 24 HOURS
+    )
+    SELECT make_timestamp((epoch_us(p_ts) // 3600000000) * 3600000000)
+               AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(SUM(purchase_id) AS BIGINT) AS purchase_checksum,
+           CAST(SUM(click_id) AS BIGINT) AS click_checksum,
+           CAST(SUM(view_id) AS BIGINT) AS view_checksum
+    FROM triples, mx
+    WHERE (epoch_us(p_ts) // 3600000000 + 1) * 3600000000
+          < (mx.wm - 129600000) * 1000
+    GROUP BY 1
+    """,
+)
+def q344_streaming_double_join_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly census of view→click→purchase attribution triples from
+    two CHAINED stream-stream interval joins over the two-wave
+    late-view replay, hash-matched against the batch triple join at
+    the probe-pinned additive boundary. See block comment."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, "events", sf_dir)
+    late = (F.col("event_type") == "view") & (F.col("event_id") % 8 == 0)
+    work = tempfile.mkdtemp(prefix="q344_djj_")
+    sdir = os.path.join(work, "stream")
+    os.makedirs(sdir)
+    tmp = os.path.join(work, "staged")
+    e.withColumn(
+        "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
+    ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
+    for i in range(2):
+        part = glob.glob(
+            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
+        )[0]
+        dst = os.path.join(sdir, f"wave_{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("vu"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    cv = clicks.join(
+        views,
+        (F.col("cu") == F.col("vu"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 12 HOURS")),
+        "inner",
+    ).select("click_id", "cu", "c_ts", "view_id")
+    pcv = purchases.join(
+        cv,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+        "inner",
+    )
+    agg = (
+        pcv.groupBy(F.window("p_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.sum("purchase_id").cast("long").alias("purchase_checksum"),
+            F.sum("click_id").cast("long").alias("click_checksum"),
+            F.sum("view_id").cast("long").alias("view_checksum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_triples", "purchase_checksum",
+            "click_checksum", "view_checksum",
+        )
+    )
+    _Q128_SEQ[0] += 1
+    sink = f"q344_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(agg, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.table(sink)
