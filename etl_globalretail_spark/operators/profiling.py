@@ -2051,3 +2051,172 @@ def _register_q341() -> None:
 
 
 _register_q341()
+
+
+# ---------------------------------------------------------------------------
+# q345 — QUANTILE SKETCH by deterministic hash-Bernoulli sampling: the
+# approximate-order-statistics member of the sketch family (cardinality
+# q341/KMV, membership q328, frequency q99). Every row is kept iff its
+# 52-bit md5 ≡ 0 (mod S) — a fixed, data-independent coin, so the
+# sketch is MERGEABLE by plain union (two shards' sketches concatenate;
+# no rescaling, no randomness to reconcile) and identical no matter how
+# the corpus is partitioned. Each kept row carries weight S; the
+# φ-quantile estimate is the kept value at weighted rank ceil(φN)/S
+# under the (cents, id) total order.
+#
+# Adaptive scale (the q328/q292 stance): S = 2^max(0, bitlen(N) − 11)
+# pins the expected sample to ~2^11 rows at ANY corpus size — at 100 TB
+# (N ≈ 6·10^11) S = 2^28 and the sample is still ~2k rows. The audit
+# reports the RANK error (what sketch guarantees are stated in): the
+# estimate's true rank interval [count_lt+1, count_le] vs the target
+# rank, in ppm of N — 0 when the target falls inside the tie interval.
+#
+# Determinism: cents = FLOOR(price·100) int64; the sample order key is
+# (cents, id) with id = 10·orderkey + linenumber (unique, both
+# engines); N, S and the three target positions are integer-exact;
+# the 3 estimate values round-trip through the driver as documented
+# scalars (k = 3, the q122 centroid device) so the audit is ONE
+# conditional aggregate over the corpus, not a nested-loop join.
+#
+# Scale shape: one scan → map-side hash filter (the sample never
+# shuffles more than ~2k rows into the two-phase rank) → one corpus
+# aggregate for the audit. No global window (global_row_number is the
+# two-phase helper); no data-sized collect.
+# ---------------------------------------------------------------------------
+
+_Q345_PHIS = (500000, 900000, 990000)
+
+
+def _register_q345() -> None:
+    phis_sql = ", ".join(
+        f"({p})" for p in _Q345_PHIS
+    )
+
+    @_register(
+        "q345_quantile_sketch",
+        oracle=f"""
+        WITH base AS (
+            SELECT CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100)
+                        AS BIGINT) AS cents,
+                   l_orderkey * 10 + l_linenumber AS id,
+                   CAST('0x' || substr(md5(l_orderkey || '-'
+                        || l_linenumber), 1, 13) AS BIGINT) AS h
+            FROM lineitem
+        ),
+        nn AS (
+            SELECT COUNT(*) AS n,
+                   CAST(1::BIGINT << GREATEST(0,
+                        LENGTH(BIN(COUNT(*))) - 11) AS BIGINT) AS s
+            FROM base
+        ),
+        samp AS (
+            SELECT cents, id,
+                   ROW_NUMBER() OVER (ORDER BY cents, id) AS rn
+            FROM base, nn WHERE h % nn.s = 0
+        ),
+        sz AS (SELECT COUNT(*) AS sample_n FROM samp),
+        phis AS (SELECT * FROM (VALUES {phis_sql}) t(phi_ppm)),
+        targets AS (
+            SELECT phi_ppm,
+                   (phi_ppm * nn.n + 999999) // 1000000 AS target,
+                   GREATEST(1, LEAST(sz.sample_n,
+                       ((phi_ppm * nn.n + 999999) // 1000000
+                        + nn.s - 1) // nn.s)) AS pos
+            FROM phis, nn, sz
+        ),
+        ests AS (
+            SELECT t.phi_ppm, t.target, s.cents AS est_cents
+            FROM targets t JOIN samp s ON s.rn = t.pos
+        ),
+        audit AS (
+            SELECT e.phi_ppm, e.target, e.est_cents,
+                   SUM(CASE WHEN b.cents < e.est_cents
+                            THEN 1 ELSE 0 END) AS count_lt,
+                   SUM(CASE WHEN b.cents <= e.est_cents
+                            THEN 1 ELSE 0 END) AS count_le
+            FROM ests e, base b
+            GROUP BY e.phi_ppm, e.target, e.est_cents
+        )
+        SELECT CAST(a.phi_ppm AS BIGINT) AS phi_ppm,
+               CAST(nn.n AS BIGINT) AS n_rows,
+               CAST(nn.s AS BIGINT) AS scale_s,
+               CAST(sz.sample_n AS BIGINT) AS sample_n,
+               CAST(a.est_cents AS BIGINT) AS est_cents,
+               CAST(a.count_lt AS BIGINT) AS count_lt,
+               CAST(a.count_le AS BIGINT) AS count_le,
+               CAST(GREATEST(0, GREATEST(a.count_lt + 1 - a.target,
+                    a.target - a.count_le)) * 1000000 // nn.n
+                    AS BIGINT) AS rank_err_ppm
+        FROM audit a, nn, sz
+        """,
+    )
+    def q345_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hash-Bernoulli mergeable quantile sketch over lineitem price
+        cents with a rank-error audit at φ = 0.5/0.9/0.99. See block
+        comment for the determinism and scale contract."""
+        from etl_globalretail_spark.operators.ranks import global_row_number
+
+        li = load_table(spark, "lineitem", sf_dir)
+        base = li.select(
+            F.expr(
+                "CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100)"
+                " AS BIGINT)"
+            ).alias("cents"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("long").alias("id"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("-", "l_orderkey", "l_linenumber")),
+                    1, 13,
+                ), 16, 10,
+            ).cast("long").alias("h"),
+        )
+        # base feeds the count, the sample, and the audit — persist
+        base = base.persist()
+        try:
+            n = base.count()  # driver scalar — sizes the sketch
+            s = 1 << max(0, n.bit_length() - 11)
+            samp = base.filter(F.col("h") % s == 0).select("cents", "id")
+            ranked, sample_n = global_row_number(
+                samp, [("cents", "asc"), ("id", "asc")], "rn"
+            )  # sample_n bounded ~2^11 by construction
+            picks = []
+            for phi in _Q345_PHIS:
+                target = (phi * n + 999999) // 1000000
+                pos = max(1, min(sample_n, (target + s - 1) // s))
+                picks.append((phi, target, pos))
+            pos_map = {p: (phi, t) for phi, t, p in picks}
+            est_rows = ranked.filter(
+                F.col("rn").isin([p for _, _, p in picks])
+            ).collect()  # k = 3 documented driver scalars
+            ests = {r["rn"]: r["cents"] for r in est_rows}
+            audit_aggs = []
+            for phi, target, pos in picks:
+                ev = ests[pos]
+                audit_aggs += [
+                    F.sum(F.when(F.col("cents") < ev, 1).otherwise(0))
+                    .alias(f"lt_{phi}"),
+                    F.sum(F.when(F.col("cents") <= ev, 1).otherwise(0))
+                    .alias(f"le_{phi}"),
+                ]
+            counts = base.agg(*audit_aggs).collect()[0]
+            out = []
+            for phi, target, pos in picks:
+                ev = ests[pos]
+                lt, le = counts[f"lt_{phi}"], counts[f"le_{phi}"]
+                err = max(0, max(lt + 1 - target, target - le))
+                out.append(
+                    (phi, n, s, sample_n, ev, lt, le,
+                     err * 1000000 // n)
+                )
+            return spark.createDataFrame(
+                out,
+                "phi_ppm long, n_rows long, scale_s long, sample_n long,"
+                " est_cents long, count_lt long, count_le long,"
+                " rank_err_ppm long",
+            )
+        finally:
+            base.unpersist()
+
+
+_register_q345()
