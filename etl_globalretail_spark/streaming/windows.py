@@ -2859,3 +2859,186 @@ def q344_streaming_double_join_exact(
                        n_rows=table_rows(spark, "events", sf_dir))
     shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q346 — STREAMING HyperLogLog: q341's 256-register cardinality sketch
+# maintained incrementally over the REAL 3-micro-batch scrambled-
+# arrival replay (the q247 foreachBatch device, applied to the sketch
+# family's cardinality member). Each batch folds its rows to per-
+# (event_type, bucket) MAX-rho partials appended to a store; the final
+# merge MAXes across batches. Register MAX is idempotent, commutative
+# and associative, so the streamed sketch is BIT-EQUAL to DuckDB's
+# single whole-table pass no matter how arrivals interleave — the HLL
+# merge law executed by the streaming engine itself.
+#
+# Estimator contract is q341's verbatim (integer harmonic sum scaled
+# by 2^45, Python-exact alpha numerator, literal linear-counting
+# table; seed 'hllu-' keys the user-id space). Exact COUNT(DISTINCT)
+# rides beside as the audit column. State at any instant is
+# |types|·256 registers — the 100 TB posture of the batch sketch,
+# held live on a stream.
+# ---------------------------------------------------------------------------
+
+
+def _register_q346() -> None:
+    from etl_globalretail_spark.operators.profiling import (
+        _Q341_C,
+        _Q341_LC,
+        _Q341_M,
+    )
+
+    lc_sql = "[" + ", ".join(str(x) for x in _Q341_LC) + "]"
+
+    @_register(
+        "q346_streaming_hll",
+        oracle=f"""
+        WITH hashed AS (
+            SELECT event_type,
+                   CAST('0x' || substr(md5('hllu-' || user_id), 1, 13)
+                        AS BIGINT) AS h
+            FROM events
+        ),
+        regs AS (
+            SELECT event_type, h % {_Q341_M} AS bucket,
+                   MAX(CASE WHEN h // {_Q341_M} = 0 THEN 45
+                            ELSE 45 - LENGTH(BIN(h // {_Q341_M}))
+                       END) AS m
+            FROM hashed GROUP BY event_type, h % {_Q341_M}
+        ),
+        sketch AS (
+            SELECT event_type,
+                   CAST(SUM(1::BIGINT << (45 - m))
+                        + ({_Q341_M} - COUNT(*)) * (1::BIGINT << 45)
+                        AS BIGINT) AS denom,
+                   CAST({_Q341_M} - COUNT(*) AS BIGINT) AS v_empty
+            FROM regs GROUP BY event_type
+        ),
+        est AS (
+            SELECT event_type, v_empty,
+                   CASE WHEN v_empty > 0
+                             AND {_Q341_C} // denom < {5 * 256 // 2}
+                        THEN {lc_sql}[v_empty]
+                        ELSE {_Q341_C} // denom END AS est_hll
+            FROM sketch
+        ),
+        exact AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(x.n_exact AS BIGINT) AS n_exact,
+               CAST(e.v_empty AS BIGINT) AS v_empty,
+               CAST(e.est_hll AS BIGINT) AS est_hll,
+               CAST(ABS(e.est_hll - x.n_exact) * 1000000 // x.n_exact
+                    AS BIGINT) AS err_ppm,
+               CAST({N_ARRIVAL_WAVES} AS BIGINT) AS n_batches
+        FROM est e JOIN exact x ON e.event_type = x.event_type
+        """,
+    )
+    def q346_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-event-type distinct-user HLL maintained across a real
+        3-micro-batch replay; register-MAX merge makes the streamed
+        sketch bit-equal to the whole-table pass. See block comment."""
+        import os
+        import shutil
+        import tempfile
+
+        from etl_globalretail_spark.sources.artifacts import materialize
+
+        waves = stage_arrival_waves(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="q346_hll_")
+        accdir = os.path.join(work, "partials")
+        try:
+            def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+                h = F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("hllu-"),
+                                       F.col("user_id").cast("string"))),
+                        1, 13,
+                    ), 16, 10,
+                ).cast("long")
+                w = F.expr(f"h div {_Q341_M}")
+                rho = F.when(w == 0, F.lit(45)).otherwise(
+                    F.lit(45) - F.length(F.bin(w))
+                )
+                (
+                    batch_df.select("event_type", h.alias("h"))
+                    .select(
+                        "event_type",
+                        (F.col("h") % _Q341_M).alias("bucket"),
+                        rho.alias("rho"),
+                    )
+                    .groupBy("event_type", "bucket")
+                    .agg(F.max("rho").alias("m"))
+                    .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                    .write.mode("append").parquet(accdir)
+                )
+
+            stream = (
+                spark.readStream.schema(waves.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(waves.directory)
+            )
+            with scoped_stream_partitions(
+                spark, table_rows(spark, "events", sf_dir)
+            ):
+                q = (
+                    stream.writeStream.foreachBatch(fold_batch)
+                    .trigger(availableNow=True)
+                    .option("checkpointLocation",
+                            os.path.join(work, "ckpt"))
+                    .start()
+                )
+                q.awaitTermination()
+
+            acc = spark.read.parquet(accdir)
+            n_batches = acc.select("batch_id").distinct().count()  # driver
+            # scalar run-audit; the oracle pins the same constant
+            regs = acc.groupBy("event_type", "bucket").agg(
+                F.max("m").alias("m")
+            )
+            sketch = regs.groupBy("event_type").agg(
+                (
+                    F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 45 - m)"))
+                    + (F.lit(_Q341_M) - F.count(F.lit(1)))
+                    * F.lit(1 << 45).cast("long")
+                ).cast("long").alias("denom"),
+                (F.lit(_Q341_M) - F.count(F.lit(1)))
+                .cast("long").alias("v_empty"),
+            )
+            est = sketch.select(
+                "event_type", "v_empty",
+                F.when(
+                    (F.col("v_empty") > 0)
+                    & (F.expr(f"{_Q341_C} div denom") < 5 * _Q341_M // 2),
+                    F.element_at(
+                        F.array(*[F.lit(x) for x in _Q341_LC]),
+                        F.col("v_empty").cast("int"),
+                    ).cast("long"),
+                )
+                .otherwise(F.expr(f"{_Q341_C} div denom"))
+                .alias("est_hll"),
+            )
+            e = load_table(spark, "events", sf_dir)
+            exact = e.groupBy("event_type").agg(
+                F.count_distinct("user_id").alias("n_exact")
+            )
+            out = est.join(exact, "event_type").select(
+                "event_type",
+                F.col("n_exact").cast("long").alias("n_exact"),
+                F.col("v_empty").cast("long").alias("v_empty"),
+                F.col("est_hll").cast("long").alias("est_hll"),
+                F.expr("abs(est_hll - n_exact) * 1000000L div n_exact")
+                .cast("long").alias("err_ppm"),
+                F.lit(n_batches).cast("long").alias("n_batches"),
+            )
+            # |types|-sized: materialize so the finally can delete the
+            # partial store the lazy plan would otherwise re-read
+            return materialize(out)
+        finally:
+            waves.cleanup()
+            shutil.rmtree(work, ignore_errors=True)
+
+
+_register_q346()
