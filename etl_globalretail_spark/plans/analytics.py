@@ -7533,3 +7533,116 @@ def q334_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("nt") - F.col("n_orders")).cast("double")
         ).alias("encoding"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q347 — LINK PREDICTION by the Resource-Allocation index (Zhou, Lü &
+# Zhang 2009): for every non-adjacent pair (a, b) of the support≥2
+# co-purchase graph, RA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/deg(w) — the
+# common-neighbor family member whose weights need no logarithm, so the
+# score stays EXACT in integer space: contribution = 10^9 div deg(w),
+# summed per pair (Adamic-Adar's 1/ln deg would hit the libm ban; RA is
+# the published integer-safe sibling and empirically outperforms it).
+# Top-20 predicted edges under the (score DESC, a, b) total order.
+#
+# Plan: rides the session-memoized executor-resident edge artifact
+# (co_purchase_edges_weighted — built once per session, q66 stance);
+# candidate pairs enumerate through the common neighbor (adj ⋈ adj on
+# w, a < b), so pair mass is Σ_w deg(w)² — the same bound as q154's
+# triangle join, the family's documented enumeration budget; existing
+# edges leave via one anti-join; ranking is two-phase global_topk
+# (TakeOrderedAndProject, never a partition-less window). At 100 TB
+# the production mitigation is hub pruning (drop w with deg > D before
+# the self-join) — deliberately NOT applied here so the audit tier
+# stays exact; the LSH-pruned/exact tiering precedent is q311/q293.
+# ---------------------------------------------------------------------------
+
+
+def _register_q347() -> None:
+    @_register(
+        "q347_link_prediction_ra",
+        oracle=f"""
+        WITH edges AS ({_q154_edges_sql()}),
+        adj AS (
+            SELECT u AS w, v AS x FROM edges
+            UNION ALL
+            SELECT v AS w, u AS x FROM edges
+        ),
+        deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+        cand AS (
+            SELECT a.x AS ca, b.x AS cb, a.w
+            FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x
+        ),
+        scored AS (
+            SELECT c.ca, c.cb,
+                   SUM(1000000000 // d.d) AS ra_ppb,
+                   COUNT(*) AS n_common
+            FROM cand c
+            JOIN deg d ON d.w = c.w
+            LEFT JOIN edges e ON e.u = c.ca AND e.v = c.cb
+            WHERE e.u IS NULL
+            GROUP BY c.ca, c.cb
+        ),
+        ranked AS (
+            SELECT ca, cb, ra_ppb, n_common,
+                   ROW_NUMBER() OVER (ORDER BY ra_ppb DESC, ca, cb) AS rnk
+            FROM scored
+        )
+        SELECT CAST(rnk AS BIGINT) AS rnk,
+               CAST(ca AS BIGINT) AS part_a,
+               CAST(cb AS BIGINT) AS part_b,
+               CAST(ra_ppb AS BIGINT) AS ra_ppb,
+               CAST(n_common AS BIGINT) AS n_common
+        FROM ranked WHERE rnk <= 20
+        """,
+    )
+    def q347_link_prediction_ra(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Top-20 Resource-Allocation link predictions over the
+        co-purchase graph (integer 10^9-scaled scores). See block
+        comment."""
+        edges = co_purchase_edges(spark, sf_dir)
+        adj = edges.select(
+            F.col("u").alias("w"), F.col("v").alias("x")
+        ).unionAll(
+            edges.select(F.col("v").alias("w"), F.col("u").alias("x"))
+        )
+        # adj feeds degrees AND both sides of the neighbor self-join;
+        # it derives from the memoized executor-resident edge artifact,
+        # so recomputation is two |E| projections — no persist needed.
+        deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+        a = adj.select("w", F.col("x").alias("ca"))
+        b = adj.select("w", F.col("x").alias("cb"))
+        cand = a.join(b, "w").filter(F.col("ca") < F.col("cb"))
+        scored = (
+            cand.join(deg, "w")
+            .join(
+                edges.select(
+                    F.col("u").alias("ca"), F.col("v").alias("cb"),
+                ),
+                ["ca", "cb"],
+                "left_anti",
+            )
+            .groupBy("ca", "cb")
+            .agg(
+                F.sum(F.expr("1000000000L div d")).alias("ra_ppb"),
+                F.count(F.lit(1)).alias("n_common"),
+            )
+        )
+        top = global_topk(
+            scored,
+            [("ra_ppb", "desc"), ("ca", "asc"), ("cb", "asc")],
+            20,
+            out="rnk",
+        )
+        return top.select(
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("ca").cast("long").alias("part_a"),
+            F.col("cb").cast("long").alias("part_b"),
+            F.col("ra_ppb").cast("long").alias("ra_ppb"),
+            F.col("n_common").cast("long").alias("n_common"),
+        )
+
+
+_register_q347()
