@@ -5217,3 +5217,120 @@ def _register_q342() -> None:
 
 
 _register_q342()
+
+
+# ---------------------------------------------------------------------------
+# q348 — POSTINGS-LIST COMPRESSION census (inverted-index size
+# planning): build the PHRASE (word-bigram) → sorted-doc_id postings
+# index over the documents corpus (the Lucene shingle-filter phrase
+# index — the synthetic corpus's unigram vocabulary is ~31 terms, too
+# coarse to band) and measure, per document-frequency band, what
+# delta + varint coding (the Lucene/PForDelta baseline) saves over raw
+# 8-byte ids. This is the storage-planning half of the retrieval
+# family (q226/q331 consume an inverted index; this query prices it).
+#
+# Exact-integer contract: gap = doc_id − lag(doc_id) under the
+# per-token doc_id order (first posting's gap = doc_id + 1, never 0);
+# varint_len(g) = (bitlen(g) + 6) // 7 bytes with bitlen via the
+# LENGTH(BIN()) device — no logarithm; df band = bitlen(df), so the
+# output is ≤ ~20 rows at ANY corpus size.
+#
+# Scale shape: one explode → (token, doc) distinct → LAG window
+# PARTITIONED by token (never global) → band census. The explode is
+# the inherent index-build shuffle; everything after is map-side
+# arithmetic and a bounded-grain aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _register_q348() -> None:
+    @_register(
+        "q348_postings_compression",
+        oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents WHERE len(regexp_split_to_array(trim(text),
+                                      '\\s+')) >= 2
+        ),
+        toks AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS tok
+            FROM d, unnest(generate_series(1, len(w) - 1)) t(i)
+        ),
+        gaps AS (
+            SELECT tok, doc_id,
+                   COALESCE(doc_id - LAG(doc_id) OVER (
+                       PARTITION BY tok ORDER BY doc_id), doc_id + 1)
+                       AS gap
+            FROM toks
+        ),
+        per_tok AS (
+            SELECT tok, COUNT(*) AS df,
+                   SUM((LENGTH(BIN(gap)) + 6) // 7) AS varint_bytes
+            FROM gaps GROUP BY tok
+        )
+        SELECT CAST(LENGTH(BIN(df)) AS BIGINT) AS df_band,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(df) AS BIGINT) AS n_postings,
+               CAST(SUM(df) * 8 AS BIGINT) AS raw_bytes,
+               CAST(SUM(varint_bytes) AS BIGINT) AS varint_bytes,
+               CAST(SUM(varint_bytes) * 1000 // (SUM(df) * 8) AS BIGINT)
+                   AS size_permil
+        FROM per_tok
+        GROUP BY 1
+        """,
+    )
+    def q348_postings_compression(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-df-band census of delta+varint postings size vs raw
+        8-byte ids over the documents inverted index. See block
+        comment."""
+        from pyspark.sql.window import Window
+
+        d = load_table(spark, "documents", sf_dir)
+        toks = (
+            d.select(
+                "doc_id",
+                F.split(F.trim(F.col("text")), r"\s+").alias("w"),
+            )
+            .filter(F.size("w") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 2),"
+                        " i -> concat(w[i], ' ', w[i + 1]))"
+                    )
+                ).alias("tok"),
+            )
+            .distinct()
+        )
+        w = Window.partitionBy("tok").orderBy("doc_id")
+        gaps = toks.withColumn(
+            "gap",
+            F.coalesce(
+                F.col("doc_id") - F.lag("doc_id").over(w),
+                F.col("doc_id") + 1,
+            ),
+        )
+        per_tok = gaps.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum(
+                F.expr("(length(bin(gap)) + 6) div 7")
+            ).alias("varint_bytes"),
+        )
+        return per_tok.groupBy(
+            F.length(F.bin(F.col("df"))).cast("long").alias("df_band")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("df").cast("long").alias("n_postings"),
+            (F.sum("df") * 8).cast("long").alias("raw_bytes"),
+            F.sum("varint_bytes").cast("long").alias("varint_bytes"),
+            F.expr(
+                "CAST(SUM(varint_bytes) * 1000 div (SUM(df) * 8)"
+                " AS BIGINT)"
+            ).alias("size_permil"),
+        )
+
+
+_register_q348()
