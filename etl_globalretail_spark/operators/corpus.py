@@ -5334,3 +5334,94 @@ def _register_q348() -> None:
 
 
 _register_q348()
+
+
+# ---------------------------------------------------------------------------
+# q349 — READABILITY scoring by the FORCAST formula (Caylor & Sticht
+# 1973): grade = 20 − mono/10 per 150-word sample, where mono counts
+# single-syllable words. FORCAST is the readability member built for
+# text WITHOUT sentence boundaries (forms, listings, technical prose) —
+# exactly this corpus, whose synthetic documents carry no [.!?] at all
+# (probed; Flesch/FK would divide by zero sentences). Completes the
+# quality-scoring family (length/punct/stopword ratios, Gopher
+# repetition, LM score) with the classic education-grade axis.
+#
+# Determinism: syllables ≈ vowel groups ([aeiouy]+ runs — the standard
+# heuristic, identical RE2/ICU semantics on this class); mono = words
+# with exactly ONE vowel group via a per-word lambda filter (JVM-side
+# HOF in Spark, list_filter in DuckDB — no UDF); grade cleared to
+# milli-units: grade_milli = 20000 − (150000·mono) div (10·words) =
+# 20000 − (15000·mono) div words, one integer division on non-negative
+# operands. Per-doc grades average as Σgrade div n (int).
+#
+# Scale shape: map-only per-doc arithmetic → one |sources|-row census.
+# ---------------------------------------------------------------------------
+
+
+def _register_q349() -> None:
+    @_register(
+        "q349_readability_forcast",
+        oracle="""
+        WITH d AS (
+            SELECT source,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS words,
+                   len(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       w -> len(regexp_extract_all(w, '[aeiouy]+')) = 1))
+                       AS mono
+            FROM documents
+        ),
+        g AS (
+            SELECT source, words, mono,
+                   20000 - (15000 * mono) // words AS grade_milli
+            FROM d WHERE words > 0
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(words) AS BIGINT) AS sum_words,
+               CAST(SUM(mono) AS BIGINT) AS sum_mono,
+               CAST(20000 - (15000 * SUM(mono)) // SUM(words) AS BIGINT)
+                   AS corpus_grade_milli,
+               CAST(SUM(grade_milli) // COUNT(*) AS BIGINT)
+                   AS mean_doc_grade_milli
+        FROM g GROUP BY source
+        """,
+    )
+    def q349_readability_forcast(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-source FORCAST readability census (milli-grade) over the
+        documents corpus. See block comment."""
+        d = load_table(spark, "documents", sf_dir)
+        g = (
+            d.select(
+                "source",
+                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                .cast("long").alias("words"),
+                F.expr(
+                    "CAST(size(filter(split(trim(lower(text)), '\\\\s+'),"
+                    " w -> size(regexp_extract_all(w, '[aeiouy]+', 0))"
+                    " = 1)) AS BIGINT)"
+                ).alias("mono"),
+            )
+            .filter(F.col("words") > 0)
+            .withColumn(
+                "grade_milli",
+                F.expr("20000 - (15000 * mono) div words"),
+            )
+        )
+        return g.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("words").cast("long").alias("sum_words"),
+            F.sum("mono").cast("long").alias("sum_mono"),
+            F.expr(
+                "CAST(20000 - (15000 * SUM(mono)) div SUM(words)"
+                " AS BIGINT)"
+            ).alias("corpus_grade_milli"),
+            F.expr(
+                "CAST(SUM(grade_milli) div COUNT(*) AS BIGINT)"
+            ).alias("mean_doc_grade_milli"),
+        )
+
+
+_register_q349()
