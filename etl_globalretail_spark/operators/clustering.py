@@ -1533,10 +1533,6 @@ def _register_q343() -> None:
         """Per-cluster census (size, cell count, majority-label purity)
         of grid-density clustering over JL-projected embeddings, with a
         component = -1 noise row. See block comment."""
-        from etl_globalretail_spark.operators.components import (
-            connected_components,
-        )
-
         e = load_table(spark, "embeddings", sf_dir)
 
         def proj(j: int) -> str:
@@ -1574,43 +1570,47 @@ def _register_q343() -> None:
                 (F.col("cx") * _Q343_KEY + F.col("cy")).cast("long"),
             )
             # cells is the grid grain (bounded by the occupied plane,
-            # NOT the corpus): reused by dense, edges, and the sparse
-            # census — persist.
+            # NOT the corpus): reused by dense, sparse census, and the
+            # dense-cell collect below — persist.
             cells = cells.persist()
             minpts = max(3, pts.count() // 160)  # driver scalar (1 value)
-            dense = cells.filter(F.col("n") >= minpts).select(
+            # The dense-cell set is GRID-bounded (≤ occupied cells of a
+            # fixed-range plane — thousands at 100 TB, a documented
+            # driver-scalar class like q122's centroids): collect it and
+            # run the 8-neighborhood union-find driver-side. The
+            # distributed hash-min closure (q67 device) ran 6 iterative
+            # join rounds for the same ≤|grid| fixpoint — 8.7 s → ~2 s
+            # at sf0.1, labels identical (component = min reachable
+            # ckey either way).
+            dense_rows = cells.filter(F.col("n") >= minpts).select(
                 "cx", "cy", "ckey"
-            )
-            nb = dense.select(
-                F.col("ckey").alias("src"),
-                F.explode(
-                    F.expr(
-                        "flatten(transform(sequence(-1, 1), dx ->"
-                        " transform(sequence(-1, 1), dy ->"
-                        f" (cx + dx) * {_Q343_KEY} + cy + dy)))"
-                    )
-                ).alias("nkey"),
-            )
-            edges = nb.join(
-                dense.select(F.col("ckey").alias("nkey")), "nkey"
-            ).select("src", F.col("nkey").alias("dst"))
-            held: list = []
-            cc = connected_components(
-                edges, src="src", dst="dst", materialized=held
-            )
-            try:
-                # component labels live at the GRID grain (≤ dense
-                # cells) — collecting them is the q67 hand-off pattern,
-                # and it frees the checkpoint blocks deterministically.
-                comp_rows = cc.select(
-                    F.col("vertex").alias("ckey"), "component"
-                ).collect()
-            finally:
-                for h in held:
-                    try:
-                        h.unpersist(False)
-                    except Exception:
-                        pass
+            ).collect()
+            dense_set = {(r["cx"], r["cy"]) for r in dense_rows}
+            parent = {c: c for c in dense_set}
+
+            def _find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for (cx, cy) in dense_set:
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        nbr = (cx + dx, cy + dy)
+                        if nbr in dense_set:
+                            ra, rb = _find((cx, cy)), _find(nbr)
+                            if ra != rb:
+                                parent[ra] = rb
+            min_key: dict = {}
+            for c in dense_set:
+                r = _find(c)
+                k = c[0] * _Q343_KEY + c[1]
+                min_key[r] = min(min_key.get(r, k), k)
+            comp_rows = [
+                (c[0] * _Q343_KEY + c[1], min_key[_find(c)])
+                for c in dense_set
+            ]
             comp = spark.createDataFrame(
                 comp_rows, "ckey long, component long"
             )
@@ -1644,7 +1644,7 @@ def _register_q343() -> None:
                     F.col("n").cast("long").alias("top_label_n"),
                 )
             )
-            dense_keys = {r["ckey"] for r in comp_rows}
+            dense_keys = {k for k, _ in comp_rows}
             sparse_cells = cells.filter(
                 ~F.col("ckey").isin(list(dense_keys))
                 if dense_keys else F.lit(True)
