@@ -3868,7 +3868,7 @@ def _q308_tdiv(a: int, b: int) -> int:
     return -q if a < 0 else q
 
 
-def _q308_oracle() -> str:
+def _q308_oracle_chain() -> str:
     from etl_globalretail_spark.operators.text import (
         _QUALITY_STOPWORDS,
         _sql_stopword_hits,
@@ -3955,6 +3955,11 @@ def _q308_oracle() -> str:
         FROM w2 JOIN g3 ON g3.slot = w2.slot
     ),
     {zp(4, 'w3')}
+    """
+
+
+def _q308_oracle() -> str:
+    return _q308_oracle_chain() + """
     SELECT CAST(y AS BIGINT) AS label,
            CAST(p // 100000 AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -4002,14 +4007,12 @@ def _q308_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*cols)
 
 
-def _register_q308() -> None:
-    @_register("q308_quality_classifier", oracle=_q308_oracle())
-    def q308_quality_classifier(
-        spark: SparkSession, sf_dir: str
-    ) -> DataFrame:
-        """(label, score-decile) census of documents under a logistic
-        quality classifier trained by 3 integer full-batch GD rounds
-        over hashed quantized q19 features. See block comment."""
+def _q308_train_census(spark, sf_dir, finish):
+    """Train the q308 integer-GD classifier and apply ``finish``
+    (scored frame with columns y, p -> BOUNDED census frame); the
+    census is materialized before the feature cache is released.
+    Shared by q308 (label x decile census) and q350 (calibration)."""
+    if True:  # preserve the original body's indentation
         base = _q308_base(spark, sf_dir).persist()
         # ^ feeds 3 gradient passes + the census; the finally releases it
         names = [name for name, _ in _Q308_FEATS]
@@ -4086,19 +4089,29 @@ def _register_q308() -> None:
                     ) - _q308_tdiv(
                         int(r["grad"]), _Q308_LR_DEN * int(n_docs)
                     )
-            out = (
-                base.withColumn("z", zcol())
-                .withColumn("p", pcol())
-                .groupBy(
-                    F.col("y").cast("long").alias("label"),
-                    F.expr("p div 100000").cast("long").alias("bucket"),
-                )
-                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-            )
-            # ≤ 22 rows: materialize so the finally can release the cache
-            return materialize(out)
+            scored = base.withColumn("z", zcol()).withColumn("p", pcol())
+            # bounded census: materialize so the finally can release
+            # the cache underneath it
+            return materialize(finish(scored))
         finally:
             base.unpersist()
+
+
+def _register_q308() -> None:
+    @_register("q308_quality_classifier", oracle=_q308_oracle())
+    def q308_quality_classifier(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """(label, score-decile) census of documents under a logistic
+        quality classifier trained by 3 integer full-batch GD rounds
+        over hashed quantized q19 features. See block comment."""
+        return _q308_train_census(
+            spark, sf_dir,
+            lambda scored: scored.groupBy(
+                F.col("y").cast("long").alias("label"),
+                F.expr("p div 100000").cast("long").alias("bucket"),
+            ).agg(F.count(F.lit(1)).cast("long").alias("n_docs")),
+        )
 
 
 _register_q308()
@@ -5425,3 +5438,96 @@ def _register_q349() -> None:
 
 
 _register_q349()
+
+
+# ---------------------------------------------------------------------------
+# q350 — classifier CALIBRATION census (reliability diagram + Expected
+# Calibration Error): per score-decile of q308's trained quality
+# classifier, how far the mean predicted probability sits from the
+# observed positive rate — the ML-eval member beside discrimination
+# (q167 group AUC) and conformal coverage; a filtering pipeline that
+# thresholds q308 scores is only as good as this table says.
+#
+# Integer-exact: scores are already ppm ints; per-bin gap =
+# |Σp − 10^6·pos| div n (ppm of probability mass), and
+# ECE_ppm = Σ_bins |Σp_b − 10^6·pos_b| div N — the n_b/N weighting
+# cancels into one integer division. The bucket = -1 summary row
+# carries the corpus totals and the ECE. Training is the SHARED
+# _q308_train_census pipeline (refactored this round): identical
+# weights, identical scores — the oracle re-derives the full 3-round
+# GD chain and calibrates p4.
+#
+# Scale shape: training is q308's (33-slot gradient aggregates, no
+# doc-grain shuffle); calibration adds one decile-grain aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _register_q350() -> None:
+    @_register(
+        "q350_classifier_calibration",
+        oracle=_q308_oracle_chain() + """
+    , bins AS (
+        SELECT p // 100000 AS bucket,
+               COUNT(*) AS n_docs,
+               SUM(y) AS n_pos,
+               SUM(p) AS sum_p_ppm
+        FROM p4 GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(sum_p_ppm AS BIGINT) AS sum_p_ppm,
+           CAST(ABS(sum_p_ppm - 1000000 * n_pos) // n_docs AS BIGINT)
+               AS gap_ppm
+    FROM bins
+    UNION ALL
+    SELECT -1,
+           CAST(SUM(n_docs) AS BIGINT),
+           CAST(SUM(n_pos) AS BIGINT),
+           CAST(SUM(sum_p_ppm) AS BIGINT),
+           CAST(SUM(ABS(sum_p_ppm - 1000000 * n_pos)) // SUM(n_docs)
+                AS BIGINT)
+    FROM bins
+    """,
+    )
+    def q350_classifier_calibration(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Reliability diagram (per-decile predicted-vs-observed gap)
+        plus the ECE summary row for q308's trained classifier. See
+        block comment."""
+        def finish(scored: DataFrame) -> DataFrame:
+            bins = scored.groupBy(
+                F.expr("p div 100000").cast("long").alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("y").cast("long").alias("n_pos"),
+                F.sum("p").cast("long").alias("sum_p_ppm"),
+            )
+            # bins is ≤ 11 rows and derives from the CACHED feature
+            # frame — recomputing it for the two census faces is two
+            # cheap aggregates; a persist here would outlive the query
+            # (materialize() returns before any unpersist could run)
+            per = bins.select(
+                "bucket", "n_docs", "n_pos", "sum_p_ppm",
+                F.expr(
+                    "CAST(abs(sum_p_ppm - 1000000 * n_pos) div n_docs"
+                    " AS BIGINT)"
+                ).alias("gap_ppm"),
+            )
+            tot = bins.agg(
+                F.lit(-1).cast("long").alias("bucket"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_pos").cast("long").alias("n_pos"),
+                F.sum("sum_p_ppm").cast("long").alias("sum_p_ppm"),
+                F.expr(
+                    "CAST(SUM(abs(sum_p_ppm - 1000000 * n_pos))"
+                    " div SUM(n_docs) AS BIGINT)"
+                ).alias("gap_ppm"),
+            )
+            return per.unionAll(tot)
+
+        return _q308_train_census(spark, sf_dir, finish)
+
+
+_register_q350()
