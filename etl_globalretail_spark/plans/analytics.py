@@ -7646,3 +7646,165 @@ def _register_q347() -> None:
 
 
 _register_q347()
+
+
+# ---------------------------------------------------------------------------
+# q351 — JOIN-CARDINALITY ESTIMATION from catalog statistics (the
+# Postgres eqjoinsel shape: Most-Common-Value lists + uniform-tail
+# assumption, after Ioannidis & Christodoulakis' end-biased
+# histograms): estimate |clicks ⋈ purchases on user_id| from per-side
+# stats a catalog would store — N rows, D distinct keys, top-32 MCVs
+# with exact frequencies — and audit against the exact join size.
+# This is the optimizer-facing application of the sketch family: the
+# number every join-order decision hangs on, priced from bounded
+# state.
+#
+# Integer estimator (every term a product or one truncating div):
+#   est = Σ_{MCV∩MCV} na·nb                       (exact heavy×heavy)
+#       + Σ_{MCVa\MCVb} na·(NBt div max(DBt,1))   (heavy×avg-tail)
+#       + Σ_{MCVb\MCVa} nb·(NAt div max(DAt,1))
+#       + NAt·NBt div max(DAt, DBt, 1)            (tail×tail uniform)
+# with NXt/DXt the tail row/distinct counts after removing the MCVs.
+# Exact audit = Σ_u na(u)·nb(u) from the per-key count aggregates —
+# never a materialized join (the count is the aggregate of products).
+#
+# Scale shape: two groupBy(user) counts, two bounded global_topk MCV
+# extractions (TakeOrderedAndProject), 32-row broadcast joins for the
+# term algebra, one products aggregate for the audit. Catalog state is
+# 2·(32+2) numbers at ANY corpus size — the point of MCV statistics.
+# ---------------------------------------------------------------------------
+
+_Q351_MCV = 32
+
+
+def _register_q351() -> None:
+    def side_sql(alias: str, etype: str) -> str:
+        return f"""
+        {alias}_cnt AS (
+            SELECT user_id AS u, COUNT(*) AS n FROM events
+            WHERE event_type = '{etype}' GROUP BY user_id
+        ),
+        {alias}_mcv AS (
+            SELECT u, n FROM (
+                SELECT u, n, ROW_NUMBER() OVER (ORDER BY n DESC, u) AS rk
+                FROM {alias}_cnt
+            ) WHERE rk <= {_Q351_MCV}
+        ),
+        {alias}_tail AS (
+            SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS nt,
+                   CAST(COUNT(*) AS BIGINT) AS dt
+            FROM {alias}_cnt
+            WHERE u NOT IN (SELECT u FROM {alias}_mcv)
+        ),
+        {alias}_tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS d
+            FROM {alias}_cnt
+        )"""
+
+    @_register(
+        "q351_join_cardinality_estimate",
+        oracle=f"""
+        WITH {side_sql('a', 'click')},
+        {side_sql('b', 'purchase')},
+        hh AS (
+            SELECT CAST(COALESCE(SUM(a.n * b.n), 0) AS BIGINT) AS v
+            FROM a_mcv a JOIN b_mcv b ON a.u = b.u
+        ),
+        ht AS (
+            SELECT CAST(COALESCE(SUM(a.n), 0)
+                   * (SELECT nt // GREATEST(dt, 1) FROM b_tail)
+                   AS BIGINT) AS v
+            FROM a_mcv a WHERE a.u NOT IN (SELECT u FROM b_mcv)
+        ),
+        th AS (
+            SELECT CAST(COALESCE(SUM(b.n), 0)
+                   * (SELECT nt // GREATEST(dt, 1) FROM a_tail)
+                   AS BIGINT) AS v
+            FROM b_mcv b WHERE b.u NOT IN (SELECT u FROM a_mcv)
+        ),
+        tt AS (
+            SELECT CAST(a.nt * b.nt
+                   // GREATEST(a.dt, b.dt, 1) AS BIGINT) AS v
+            FROM a_tail a, b_tail b
+        ),
+        exact AS (
+            SELECT CAST(COALESCE(SUM(a.n * b.n), 0) AS BIGINT) AS v
+            FROM a_cnt a JOIN b_cnt b ON a.u = b.u
+        )
+        SELECT a_tot.n AS n_a, a_tot.d AS d_a,
+               b_tot.n AS n_b, b_tot.d AS d_b,
+               CAST(hh.v + ht.v + th.v + tt.v AS BIGINT) AS est_join,
+               exact.v AS exact_join,
+               CAST(ABS(hh.v + ht.v + th.v + tt.v - exact.v) * 1000
+                    // GREATEST(exact.v, 1) AS BIGINT) AS err_permil
+        FROM a_tot, b_tot, hh, ht, th, tt, exact
+        """,
+    )
+    def q351_join_cardinality_estimate(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """MCV + uniform-tail estimate of the click⋈purchase user join
+        size vs the exact Σ na·nb audit. See block comment."""
+        e = load_table(spark, "events", sf_dir)
+
+        def side(etype: str):
+            cnt = (
+                e.filter(F.col("event_type") == etype)
+                .groupBy(F.col("user_id").alias("u"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            # cnt feeds totals, MCV, tail, and the exact audit — persist
+            cnt = cnt.persist()
+            mcv = global_topk(
+                cnt, [("n", "desc"), ("u", "asc")], _Q351_MCV, out="rk"
+            ).select("u", "n")
+            tot = cnt.agg(
+                F.sum("n").cast("long").alias("n"),
+                F.count(F.lit(1)).cast("long").alias("d"),
+            ).collect()[0]
+            mcv_rows = mcv.collect()  # ≤ 32 catalog scalars, documented
+            mcv_n = sum(r["n"] for r in mcv_rows)
+            nt = int(tot["n"]) - mcv_n
+            dt = int(tot["d"]) - len(mcv_rows)
+            return cnt, {r["u"]: r["n"] for r in mcv_rows}, (
+                int(tot["n"]), int(tot["d"]), nt, dt,
+            )
+
+        a_cnt, a_mcv, (na, da, nat, dat) = side("click")
+        b_cnt, b_mcv, (nb, db, nbt, dbt) = side("purchase")
+        try:
+            # estimator: pure catalog-stat algebra on driver scalars
+            # (the 2·(32+2)-number state the block comment documents)
+            hh = sum(
+                n * b_mcv[u] for u, n in a_mcv.items() if u in b_mcv
+            )
+            ht = sum(
+                n for u, n in a_mcv.items() if u not in b_mcv
+            ) * (nbt // max(dbt, 1))
+            th = sum(
+                n for u, n in b_mcv.items() if u not in a_mcv
+            ) * (nat // max(dat, 1))
+            tt = nat * nbt // max(dat, dbt, 1)
+            est = hh + ht + th + tt
+            exact = (
+                a_cnt.join(b_cnt, "u")
+                .agg(
+                    F.coalesce(
+                        F.sum(a_cnt["n"] * b_cnt["n"]), F.lit(0)
+                    ).cast("long").alias("v")
+                )
+                .collect()[0]["v"]
+            )
+            err = abs(est - exact) * 1000 // max(exact, 1)
+            return spark.createDataFrame(
+                [(na, da, nb, db, est, exact, err)],
+                "n_a long, d_a long, n_b long, d_b long,"
+                " est_join long, exact_join long, err_permil long",
+            )
+        finally:
+            a_cnt.unpersist()
+            b_cnt.unpersist()
+
+
+_register_q351()
