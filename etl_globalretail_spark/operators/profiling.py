@@ -2220,3 +2220,152 @@ def _register_q345() -> None:
 
 
 _register_q345()
+
+
+# ---------------------------------------------------------------------------
+# q352 — THETA-SKETCH SET INTERSECTION (Dasgupta et al., the DataSketches
+# theta algebra over q240's KMV state): estimate |click-users ∩
+# purchase-users| and their Jaccard from the two bottom-k sketches
+# ALONE — the set-operation face of the sketch family (q240/q247 do
+# union-ish cardinality; real pipelines ask overlap questions: audience
+# intersection, cross-corpus contamination mass — from sketch state,
+# never rescanning either side).
+#
+# Estimator: θ = min(kth-min_A, kth-min_B) (H when a side kept < k, i.e.
+# is exact); the common sample = hashes below θ present in BOTH
+# sketches; est_∩ = n_common·H div θ (n·H ≤ 64·2^52 = 2^58, int64-safe);
+# Jaccard_ppm = n_common·10^6 div n_union-below-θ. Exact audit columns
+# ride beside (the distinct-user intersection join).
+#
+# Scale shape: the corpus never shuffles (per-batch Arrow KMV partials,
+# the q240 kernel); sketch state is ≤ 2·64 hashes, and the estimator is
+# driver algebra over those documented scalars — exactly how a sketch
+# consumer works. Audit joins are |distinct users| grain.
+# ---------------------------------------------------------------------------
+
+
+def _register_q352() -> None:
+    @_register(
+        "q352_theta_intersection",
+        oracle=f"""
+        WITH ha AS (
+            SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                   || 'kmv'), 1, 13) AS BIGINT) AS hv
+            FROM events WHERE event_type = 'click'
+        ),
+        hb AS (
+            SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                   || 'kmv'), 1, 13) AS BIGINT) AS hv
+            FROM events WHERE event_type = 'purchase'
+        ),
+        ska AS (
+            SELECT hv FROM (
+                SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk FROM ha
+            ) WHERE rk <= {_KMV_K}
+        ),
+        skb AS (
+            SELECT hv FROM (
+                SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk FROM hb
+            ) WHERE rk <= {_KMV_K}
+        ),
+        th AS (
+            SELECT LEAST(
+                CASE WHEN (SELECT COUNT(*) FROM ska) < {_KMV_K}
+                     THEN {_KMV_H} ELSE (SELECT MAX(hv) FROM ska) END,
+                CASE WHEN (SELECT COUNT(*) FROM skb) < {_KMV_K}
+                     THEN {_KMV_H} ELSE (SELECT MAX(hv) FROM skb) END
+            ) AS theta
+        ),
+        common AS (
+            SELECT COUNT(*) AS c FROM ska JOIN skb USING (hv), th
+            WHERE hv < th.theta
+        ),
+        uni AS (
+            SELECT COUNT(*) AS c FROM (
+                SELECT hv FROM ska UNION SELECT hv FROM skb
+            ), th WHERE hv < th.theta
+        ),
+        exact AS (
+            SELECT COUNT(*) AS c FROM ha JOIN hb USING (hv)
+        ),
+        exact_u AS (
+            SELECT COUNT(*) AS c FROM (
+                SELECT hv FROM ha UNION SELECT hv FROM hb
+            )
+        )
+        SELECT CAST((SELECT COUNT(*) FROM ska) AS BIGINT) AS n_kept_a,
+               CAST((SELECT COUNT(*) FROM skb) AS BIGINT) AS n_kept_b,
+               CAST(th.theta AS BIGINT) AS theta,
+               CAST(common.c AS BIGINT) AS n_common_sample,
+               CAST(uni.c AS BIGINT) AS n_union_sample,
+               CAST(common.c * {_KMV_H} // th.theta AS BIGINT)
+                   AS est_intersection,
+               CAST(exact.c AS BIGINT) AS exact_intersection,
+               CAST(common.c * 1000000 // GREATEST(uni.c, 1) AS BIGINT)
+                   AS est_jaccard_ppm,
+               CAST(exact.c * 1000000 // exact_u.c AS BIGINT)
+                   AS exact_jaccard_ppm
+        FROM th, common, uni, exact, exact_u
+        """,
+    )
+    def q352_theta_intersection(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Audience-overlap estimate (intersection cardinality +
+        Jaccard) of click vs purchase users from two bottom-64 KMV
+        sketches, with exact audit columns. See block comment."""
+        e = load_table(spark, "events", sf_dir)
+
+        def sketch(etype: str) -> list[int]:
+            side = e.filter(F.col("event_type") == etype).select(
+                F.lit(etype).alias("g"),
+                kmv_hash(F.col("user_id")).alias("hv"),
+            )
+            sk = kmv_sketch(kmv_partials(side, "g", "hv"), "g", "hv")
+            rows = sk.collect()  # ≤ k documented sketch scalars
+            return sorted(rows[0]["mins"]) if rows else []
+
+        a, b = sketch("click"), sketch("purchase")
+        th_a = a[-1] if len(a) >= _KMV_K else _KMV_H
+        th_b = b[-1] if len(b) >= _KMV_K else _KMV_H
+        theta = min(th_a, th_b)
+        sa = {h for h in a if h < theta}
+        sb = {h for h in b if h < theta}
+        n_common = len(sa & sb)
+        n_union = len(sa | sb)
+        est_inter = n_common * _KMV_H // theta
+        est_j = n_common * 1000000 // max(n_union, 1)
+        ha = (
+            e.filter(F.col("event_type") == "click")
+            .select(kmv_hash(F.col("user_id")).alias("hv")).distinct()
+        )
+        hb = (
+            e.filter(F.col("event_type") == "purchase")
+            .select(kmv_hash(F.col("user_id")).alias("hv")).distinct()
+        )
+        row = (
+            ha.join(hb, "hv")
+            .agg(F.count(F.lit(1)).cast("long").alias("i"))
+            .crossJoin(
+                F.broadcast(
+                    ha.unionAll(hb).distinct()
+                    .agg(F.count(F.lit(1)).cast("long").alias("u"))
+                )
+            )
+            .collect()[0]
+        )  # two 1-row audit scalars in one job
+        exact_i, exact_u = int(row["i"]), int(row["u"])
+        return spark.createDataFrame(
+            [(
+                len(a), len(b), theta, n_common, n_union,
+                est_inter, exact_i, est_j,
+                exact_i * 1000000 // exact_u,
+            )],
+            "n_kept_a long, n_kept_b long, theta long,"
+            " n_common_sample long, n_union_sample long,"
+            " est_intersection long, exact_intersection long,"
+            " est_jaccard_ppm long, exact_jaccard_ppm long",
+        )
+
+
+_register_q352()

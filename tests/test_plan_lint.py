@@ -40,6 +40,9 @@ INTENTIONAL_CROSS = {
     # total N to the |types|×|days| cell frame — bounded by construction
     "q342_sequence_packing",  # joins the 1-row doc census with the
     # broadcast 1-row chunk census — bounded by construction
+    "q352_theta_intersection",  # joins the 1-row exact-intersection
+    # audit with the broadcast 1-row exact-union audit — bounded
+    # by construction
     "q221_source_drift_matrix",  # crosses the two per-source TOTALS frames
     # (|sources|² pairs — broadcast-class by construction); the value-keyed
     # inner join carries all data-sized work
