@@ -7808,3 +7808,122 @@ def _register_q351() -> None:
 
 
 _register_q351()
+
+
+# ---------------------------------------------------------------------------
+# q353 — DELETION CASCADE census (right-to-be-forgotten propagation):
+# given a deletion-request set over customers (md5 % 50 == 0, a ~2%
+# corpus-fraction cohort — the q47 hash-cohort device), propagate the
+# erasure through the FK chain customer → orders → lineitem and census
+# each table: rows before, rows erased, rows after, plus the
+# referential-integrity audit (orphans after = 0 — a lineitem whose
+# order was erased must not survive). Completes the compliance family
+# beside k-anonymity (q243), t-closeness, and PII span scrubbing
+# (q185): the reactive half of privacy tooling.
+#
+# Plan shape: the cascade is two semi-join hops (custkey → orderkey);
+# deletions are corpus-fraction frames, so NO broadcast hints — AQE
+# picks broadcast while the cohort fits and shuffle-joins beyond (the
+# q312 stance). Census rows are one aggregate per table; the orphan
+# audit is one anti-join count. At 100 TB this is exactly the
+# lakehouse DELETE plan (anti-join rewrite of the affected files).
+# ---------------------------------------------------------------------------
+
+
+def _register_q353() -> None:
+    @_register(
+        "q353_deletion_cascade",
+        oracle="""
+        WITH del_c AS (
+            SELECT c_custkey FROM customer
+            WHERE CAST('0x' || substr(md5(c_custkey || '-erase'), 1, 15)
+                  AS BIGINT) % 50 = 0
+        ),
+        del_o AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM del_c)
+        ),
+        del_l AS (
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)
+        ),
+        census AS (
+            SELECT 'customer' AS tbl,
+                   (SELECT COUNT(*) FROM customer) AS before_rows,
+                   (SELECT COUNT(*) FROM del_c) AS erased_rows
+            UNION ALL
+            SELECT 'orders',
+                   (SELECT COUNT(*) FROM orders),
+                   (SELECT COUNT(*) FROM del_o)
+            UNION ALL
+            SELECT 'lineitem',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM del_l)
+        )
+        SELECT tbl,
+               CAST(before_rows AS BIGINT) AS before_rows,
+               CAST(erased_rows AS BIGINT) AS erased_rows,
+               CAST(before_rows - erased_rows AS BIGINT) AS after_rows,
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     JOIN del_o d ON l.l_orderkey = d.o_orderkey)
+                    - (SELECT COUNT(*) FROM del_l)
+                    AS BIGINT) AS orphans_after
+        FROM census
+        """,
+    )
+    def q353_deletion_cascade(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-table census of a customer-erasure cascade through the
+        FK chain, with the zero-orphans audit column. See block
+        comment."""
+        c = load_table(spark, "customer", sf_dir)
+        o = load_table(spark, "orders", sf_dir)
+        li = load_table(spark, "lineitem", sf_dir)
+        del_c = c.filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"),
+                                   F.lit("-erase"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % 50 == 0
+        ).select("c_custkey")
+        del_o = o.join(
+            del_c, o.o_custkey == del_c.c_custkey, "left_semi"
+        ).select("o_orderkey")
+        # del_o feeds the lineitem cascade AND the orphan audit
+        del_o = del_o.persist()
+        try:
+            del_l = li.join(
+                del_o, li.l_orderkey == del_o.o_orderkey, "left_semi"
+            )
+            kept_l = li.join(
+                del_o, li.l_orderkey == del_o.o_orderkey, "left_anti"
+            )
+            # orphans = kept lineitems whose order WAS erased — zero by
+            # construction of the semi/anti pair; computed, not assumed
+            orphans = (
+                kept_l.join(
+                    del_o, kept_l.l_orderkey == del_o.o_orderkey,
+                    "left_semi",
+                ).count()
+            )
+            counts = [
+                ("customer", c.count(), del_c.count()),
+                ("orders", o.count(), del_o.count()),
+                ("lineitem", li.count(), del_l.count()),
+            ]  # six 1-value aggregates — driver census scalars
+            return spark.createDataFrame(
+                [
+                    (t, b, e, b - e, orphans)
+                    for t, b, e in counts
+                ],
+                "tbl string, before_rows long, erased_rows long,"
+                " after_rows long, orphans_after long",
+            )
+        finally:
+            del_o.unpersist()
+
+
+_register_q353()
