@@ -5531,3 +5531,102 @@ def _register_q350() -> None:
 
 
 _register_q350()
+
+
+# ---------------------------------------------------------------------------
+# q354 — RAG CHUNKING census (overlapping retrieval windows): split
+# every document into token windows of C = 128 with stride S = 96
+# (25% overlap) — the chunking stage every retrieval-augmented
+# pipeline runs between curation and embedding. The per-doc chunk set
+# is windows starting at 0, S, 2S, ... while start < n_tok, with the
+# last window right-clipped. Distinct from q342's packing (disjoint,
+# corpus-ordered, doc-crossing): chunks here OVERLAP, never cross
+# docs, and their count is per-doc arithmetic.
+#
+# Census: per source — docs, chunks, chunk-token mass, overlap mass
+# (tokens counted more than once = mass − n_tok), mean fill permil of
+# the C-token budget. Exact integers: n_chunks(d) = 1 +
+# max(0, ceil((n_tok − C) / S)) with ceil via (x + S − 1) div S on
+# non-negative x; mass = Σ min(C, n_tok − i·S) computed in closed form
+# (full windows + the clipped tail), no explode at all.
+#
+# Scale shape: map-only per-doc arithmetic → |sources|-row census; the
+# chunk table itself never materializes (the census is what planning
+# needs; the chunk WRITER would be one explode of the same bounds).
+# ---------------------------------------------------------------------------
+
+_Q354_C = 128
+_Q354_S = 96
+
+
+def _register_q354() -> None:
+    C, S = _Q354_C, _Q354_S
+
+    @_register(
+        "q354_rag_chunking",
+        oracle=f"""
+        WITH d AS (
+            SELECT source,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+            FROM documents
+        ),
+        per AS (
+            SELECT source, nt,
+                   1 + CASE WHEN nt > {C}
+                            THEN (nt - {C} + {S} - 1) // {S}
+                            ELSE 0 END AS nc
+            FROM d
+        ),
+        mass AS (
+            SELECT source, nt, nc,
+                   -- full windows + right-clipped tail, closed form:
+                   -- sum_i min(C, nt - i*S) for i in 0..nc-1
+                   (nc - 1) * {C}
+                   + LEAST({C}, nt - (nc - 1) * {S}) AS m
+            FROM per
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(SUM(nc) AS BIGINT) AS n_chunks,
+               CAST(SUM(m) AS BIGINT) AS chunk_token_mass,
+               CAST(SUM(m) - SUM(nt) AS BIGINT) AS overlap_mass,
+               CAST(SUM(m) * 1000 // (SUM(nc) * {C}) AS BIGINT)
+                   AS mean_fill_permil
+        FROM mass GROUP BY source
+        """,
+    )
+    def q354_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source census of 128-token / 96-stride overlapping
+        retrieval chunks. See block comment for the closed-form mass."""
+        d = load_table(spark, "documents", sf_dir)
+        per = d.select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long").alias("nt"),
+        ).withColumn(
+            "nc",
+            F.lit(1)
+            + F.when(
+                F.col("nt") > C,
+                F.expr(f"(nt - {C} + {S} - 1) div {S}"),
+            ).otherwise(F.lit(0)),
+        ).withColumn(
+            "m",
+            (F.col("nc") - 1) * C
+            + F.least(F.lit(C).cast("long"),
+                      F.col("nt") - (F.col("nc") - 1) * S),
+        )
+        return per.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("nc").cast("long").alias("n_chunks"),
+            F.sum("m").cast("long").alias("chunk_token_mass"),
+            (F.sum("m") - F.sum("nt")).cast("long").alias("overlap_mass"),
+            F.expr(
+                f"CAST(SUM(m) * 1000 div (SUM(nc) * {C}) AS BIGINT)"
+            ).alias("mean_fill_permil"),
+        )
+
+
+_register_q354()
