@@ -2699,3 +2699,165 @@ def q332_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ratio_ppm").cast("long").alias("max_ppm"),
         F.sum("ratio_ppm").cast("long").alias("sum_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q355 — MMR DIVERSE RETRIEVAL (Carbonell & Goldstein 1998 maximal
+# marginal relevance): greedily select k = 5 results from the exact
+# top-32 cosine pool, each step maximizing λ·rel − (1−λ)·max-sim-to-
+# selected with λ = 0.7 — the diversity re-ranker every RAG stack runs
+# after ANN recall (q27/q315 produce the pool; this query prunes its
+# redundancy). The query vector is the corpus's min-vec_id row (the
+# q27 anchor).
+#
+# Integer contract: milli-quantized coordinates (FLOOR(x·1000), the
+# q332 device) make every dot an exact int64 (≤ 64·4·10^6 ≈ 2.6e8);
+# λ clears to tenths: score10 = 7·rel − 3·maxsim, ties on vec_id.
+# The first pick's maxsim is 0 by definition.
+#
+# Scale shape: ONE corpus scan computes rel via a codegen'd literal
+# fold (no shuffle before the bounded top-k); the pool is 32 rows of
+# documented driver state (the q315 probe-set stance) and the greedy
+# loop is k·|pool| integer ops on the driver — MMR is inherently
+# sequential in k, so the distributed part is exactly the part that
+# scales with the corpus. Oracle: the full greedy unrolled as 5 CTE
+# steps with correlated max-sim subqueries.
+# ---------------------------------------------------------------------------
+
+_Q355_POOL = 32
+_Q355_K = 5
+
+
+def _register_q355() -> None:
+    dot = (
+        "(SELECT SUM({a}.xq[u.i] * {b}.xq[u.i])"
+        " FROM (SELECT unnest(generate_series(1, 64)) AS i) u)"
+    )
+    steps = []
+    for t in range(2, _Q355_K + 1):
+        prev = t - 1
+        steps.append(f"""
+    step{t} AS (
+        SELECT p.vec_id, p.xq, p.rel,
+               (SELECT MAX({dot.format(a='p', b='s')})
+                FROM sels{prev} s) AS ms
+        FROM pool p
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM sels{prev})
+    ),
+    sel{t} AS (
+        SELECT vec_id, xq, rel, ms FROM step{t}
+        ORDER BY 7 * rel - 3 * ms DESC, vec_id LIMIT 1
+    ),
+    sels{t} AS (
+        SELECT vec_id, xq, rel, ms, rnk FROM sels{prev}
+        UNION ALL
+        SELECT vec_id, xq, rel, ms, {t} FROM sel{t}
+    )""")
+    chain = ",".join(steps)
+
+    @_register(
+        "q355_mmr_rerank",
+        oracle=f"""
+    WITH q AS (
+        SELECT list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xq
+        FROM embeddings
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    c0 AS (
+        SELECT vec_id,
+               list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xq
+        FROM embeddings
+        WHERE vec_id != (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    rel AS (
+        SELECT c.vec_id, c.xq,
+               CAST({dot.format(a='c', b='q')} AS BIGINT) AS rel
+        FROM c0 c, q
+    ),
+    pool AS (
+        SELECT vec_id, xq, rel FROM (
+            SELECT vec_id, xq, rel,
+                   ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rk
+            FROM rel
+        ) WHERE rk <= {_Q355_POOL}
+    ),
+    sel1 AS (
+        SELECT vec_id, xq, rel, CAST(0 AS BIGINT) AS ms FROM pool
+        ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    sels1 AS (SELECT vec_id, xq, rel, ms, 1 AS rnk FROM sel1),
+    {chain}
+    SELECT CAST(rnk AS BIGINT) AS rnk,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(rel AS BIGINT) AS rel_dot,
+           CAST(ms AS BIGINT) AS max_sim_dot,
+           CAST(7 * rel - 3 * ms AS BIGINT) AS score10
+    FROM sels{_Q355_K}
+    """,
+    )
+    def q355_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Greedy MMR (λ = 0.7) selection of 5 diverse results from the
+        exact cosine top-32 pool. See block comment."""
+        from etl_globalretail_spark.operators.ranks import global_topk
+
+        e = load_table(spark, "embeddings", sf_dir)
+        qid = e.agg(F.min("vec_id")).collect()[0][0]  # anchor scalar
+        qrow = e.filter(F.col("vec_id") == qid).select(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+            ).alias("xq")
+        ).collect()[0]["xq"]  # d ints — the q27 inlined-literal device
+        qlit = "array(" + ", ".join(f"{v}L" for v in qrow) + ")"
+        scored = e.filter(F.col("vec_id") != qid).select(
+            "vec_id",
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+            ).alias("xq"),
+        ).withColumn(
+            "rel",
+            F.expr(
+                f"aggregate(zip_with(xq, {qlit}, (a, b) -> a * b),"
+                " 0L, (acc, v) -> acc + v)"
+            ),
+        )
+        pool = global_topk(
+            scored, [("rel", "desc"), ("vec_id", "asc")], _Q355_POOL,
+            out="rk",
+        ).select("vec_id", "xq", "rel").collect()
+        # 32-row documented driver pool; greedy MMR is sequential in k
+        cands = {
+            r["vec_id"]: (list(r["xq"]), int(r["rel"])) for r in pool
+        }
+        selected: list[tuple] = []
+        while len(selected) < _Q355_K and len(selected) < len(cands):
+            best = None
+            for vid, (xq, rel) in cands.items():
+                if any(vid == s[1] for s in selected):
+                    continue
+                ms = max(
+                    (
+                        sum(a * b for a, b in zip(xq, sxq))
+                        for _, _, sxq, _, _ in selected
+                    ),
+                    default=0,
+                )
+                score = 7 * rel - 3 * ms
+                key = (-score, vid)
+                if best is None or key < best[0]:
+                    best = (key, vid, xq, rel, ms)
+            selected.append(best)
+        return spark.createDataFrame(
+            [
+                (i + 1, vid, rel, ms, 7 * rel - 3 * ms)
+                for i, (_, vid, _, rel, ms) in enumerate(selected)
+            ],
+            "rnk long, vec_id long, rel_dot long, max_sim_dot long,"
+            " score10 long",
+        )
+
+
+_register_q355()
