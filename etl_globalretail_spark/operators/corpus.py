@@ -4009,24 +4009,29 @@ def _q308_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q308_train_census(spark, sf_dir, finish):
     """Train the q308 integer-GD classifier and apply ``finish``
-    (scored frame with columns y, p -> BOUNDED census frame); the
-    census is materialized before the feature cache is released.
-    Shared by q308 (label x decile census) and q350 (calibration)."""
+    (scored frame with columns y, p [final-round score] plus the
+    per-round trajectory p2/p3/p4 -> BOUNDED census frame); the census
+    is materialized before the feature cache is released. Shared by
+    q308 (label x decile census), q350 (calibration) and q356 (dataset
+    cartography over the trajectory)."""
     if True:  # preserve the original body's indentation
         base = _q308_base(spark, sf_dir).persist()
         # ^ feeds 3 gradient passes + the census; the finally releases it
         names = [name for name, _ in _Q308_FEATS]
         try:
             w: dict[int, int] = {}
+            snapshots: list[dict[int, int]] = []
 
-            def zcol():
-                if not w:
+            def zcol(wd=None):
+                if wd is None:
+                    wd = w
+                if not wd:
                     return F.lit(0).cast("long")
                 wmap = F.create_map(
                     *[
                         F.lit(x)
-                        for k in sorted(w)
-                        for x in (int(k), int(w[k]))
+                        for k in sorted(wd)
+                        for x in (int(k), int(wd[k]))
                     ]
                 )
 
@@ -4035,7 +4040,7 @@ def _q308_train_census(spark, sf_dir, finish):
                         wmap[slot_col].cast("long"), F.lit(0)
                     )
 
-                z = F.lit(int(w.get(_Q308_BIAS, 0))).cast("long")
+                z = F.lit(int(wd.get(_Q308_BIAS, 0))).cast("long")
                 for name in names:
                     z = z + wat(F.col(f"slot_{name}")) * F.col(
                         f"sign_{name}"
@@ -4089,7 +4094,22 @@ def _q308_train_census(spark, sf_dir, finish):
                     ) - _q308_tdiv(
                         int(r["grad"]), _Q308_LR_DEN * int(n_docs)
                     )
+                snapshots.append(dict(w))
             scored = base.withColumn("z", zcol()).withColumn("p", pcol())
+            # per-round trajectory: p_{r+1} = score under snapshot w_r —
+            # the names match the oracle chain's p2/p3/p4 CTEs
+            for i, snap in enumerate(snapshots):
+                scored = scored.withColumn("__zs", zcol(snap)).withColumn(
+                    f"p{i + 2}",
+                    F.least(
+                        F.lit(1000000),
+                        F.greatest(
+                            F.lit(0),
+                            F.lit(500000)
+                            + F.expr("__zs div 4").cast("long"),
+                        ),
+                    ).cast("long"),
+                ).drop("__zs")
             # bounded census: materialize so the finally can release
             # the cache underneath it
             return materialize(finish(scored))
@@ -5630,3 +5650,76 @@ def _register_q354() -> None:
 
 
 _register_q354()
+
+
+# ---------------------------------------------------------------------------
+# q356 — DATASET CARTOGRAPHY (Swayamdipta et al. 2020): map every
+# training example by its CONFIDENCE (mean score across training
+# rounds) and VARIABILITY (score spread across rounds) under q308's
+# integer-GD trajectory — the data-curation device that separates
+# easy-to-learn (high conf, low var), hard/mislabeled (low conf, low
+# var) and ambiguous (high var) examples; the paper selects training
+# subsets by these regions.
+#
+# Integer contract: the trajectory scores p2/p3/p4 are the ppm scores
+# under the post-round-1/2/3 weight snapshots — EXACTLY the oracle
+# chain's p2/p3/p4 CTEs (the trainer now exposes them; q308/q350
+# re-verified hash-neutral). confidence = (p2+p3+p4) div 3,
+# variability = max − min (range — integer-exact, monotone with std).
+# Census: (label, conf decile, var decile) cells.
+#
+# Scale shape: training is q308's (33-slot gradients); the cartography
+# is three literal-map projections and one bounded-cell aggregate —
+# no new shuffle beyond the census groupBy.
+# ---------------------------------------------------------------------------
+
+
+def _register_q356() -> None:
+    @_register(
+        "q356_dataset_cartography",
+        oracle=_q308_oracle_chain() + """
+    , traj AS (
+        SELECT p2.doc_id, p2.y,
+               (p2.p + p3.p + p4.p) // 3 AS conf,
+               GREATEST(p2.p, p3.p, p4.p)
+               - LEAST(p2.p, p3.p, p4.p) AS var
+        FROM p2 JOIN p3 ON p3.doc_id = p2.doc_id
+        JOIN p4 ON p4.doc_id = p2.doc_id
+    )
+    SELECT CAST(y AS BIGINT) AS label,
+           CAST(conf // 100000 AS BIGINT) AS conf_band,
+           CAST(var // 100000 AS BIGINT) AS var_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(conf) AS BIGINT) AS sum_conf_ppm,
+           CAST(SUM(var) AS BIGINT) AS sum_var_ppm
+    FROM traj GROUP BY 1, 2, 3
+    """,
+    )
+    def q356_dataset_cartography(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """(label, confidence decile, variability decile) cartography
+        census over q308's training trajectory. See block comment."""
+        def finish(scored: DataFrame) -> DataFrame:
+            traj = scored.select(
+                "y",
+                F.expr("(p2 + p3 + p4) div 3").alias("conf"),
+                (
+                    F.greatest("p2", "p3", "p4")
+                    - F.least("p2", "p3", "p4")
+                ).alias("var"),
+            )
+            return traj.groupBy(
+                F.col("y").cast("long").alias("label"),
+                F.expr("conf div 100000").cast("long").alias("conf_band"),
+                F.expr("var div 100000").cast("long").alias("var_band"),
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("conf").cast("long").alias("sum_conf_ppm"),
+                F.sum("var").cast("long").alias("sum_var_ppm"),
+            )
+
+        return _q308_train_census(spark, sf_dir, finish)
+
+
+_register_q356()
