@@ -7927,3 +7927,125 @@ def _register_q353() -> None:
 
 
 _register_q353()
+
+
+# ---------------------------------------------------------------------------
+# q357 — CUPED variance-reduced experiment readout (Deng et al. WSDM
+# 2013, the industry-standard A/B adjustment): users split into two
+# arms (user_id parity); the post-period metric Y (value cents after
+# Jan 16) is adjusted by the pre-period covariate X (cents before) as
+# Y − θ(X − X̄), with θ = Cov(X,Y)/Var(X) pooled across arms — the
+# pre-period is unaffected by treatment, so the adjustment removes
+# user-level variance without biasing the arm contrast.
+#
+# Integer contract: cents via FLOOR; θ in raw-moment form
+# θ_ppm = (n·ΣXY − ΣX·ΣY)·10^6 div (n·ΣXX − ΣX²) — every term int64 at
+# gate SFs and the 10× replica ((ΣX)² ≈ 6·10^18 < 2^63 there; beyond,
+# the q217 decimal(38,0) widening applies); per-arm adjusted mean in
+# milli-cents as a FIXED chain of truncating divisions (negative
+# operands truncate toward zero identically in both engines):
+# mean_adj = ΣY·1000 div n − θ_ppm·(X̄_arm·1000 − X̄·1000) div 10^6.
+#
+# Scale shape: one groupBy(user) two-conditional-sum pass, one 5-value
+# pooled moment aggregate (driver scalars), one |arms|-row census.
+# ---------------------------------------------------------------------------
+
+
+def _register_q357() -> None:
+    @_register(
+        "q357_cuped_adjustment",
+        oracle="""
+        WITH per AS (
+            SELECT user_id, user_id % 2 AS arm,
+                   SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN CAST(FLOOR(CAST(value AS DOUBLE) * 100)
+                            AS BIGINT) ELSE 0 END) AS x,
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN CAST(FLOOR(CAST(value AS DOUBLE) * 100)
+                            AS BIGINT) ELSE 0 END) AS y
+            FROM events GROUP BY user_id
+        ),
+        mom AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM per
+        ),
+        theta AS (
+            SELECT CAST((n * sxy - sx * sy) * 1000000
+                        // (n * sxx - sx * sx) AS BIGINT) AS t_ppm,
+                   CAST(sx * 1000 // n AS BIGINT) AS xbar_milli
+            FROM mom
+        )
+        SELECT CAST(p.arm AS BIGINT) AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(p.x) AS BIGINT) AS sum_x_cents,
+               CAST(SUM(p.y) AS BIGINT) AS sum_y_cents,
+               CAST(SUM(p.y) * 1000 // COUNT(*) AS BIGINT)
+                   AS mean_y_milli,
+               CAST(SUM(p.y) * 1000 // COUNT(*)
+                    - t.t_ppm * (SUM(p.x) * 1000 // COUNT(*)
+                                 - t.xbar_milli) // 1000000
+                    AS BIGINT) AS mean_adj_milli,
+               t.t_ppm AS theta_ppm
+        FROM per p, theta t
+        GROUP BY p.arm, t.t_ppm, t.xbar_milli
+        """,
+    )
+    def q357_cuped_adjustment(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-arm CUPED-adjusted post-period means (milli-cents) with
+        the pooled theta. See block comment."""
+        e = load_table(spark, "events", sf_dir)
+        cents = F.expr(
+            "CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT)"
+        )
+        cut = F.lit("2024-01-16").cast("timestamp")
+        per = e.groupBy("user_id").agg(
+            F.sum(F.when(F.col("ts") < cut, cents).otherwise(0))
+            .cast("long").alias("x"),
+            F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0))
+            .cast("long").alias("y"),
+        ).withColumn("arm", (F.col("user_id") % 2).cast("long"))
+        # per feeds the pooled moments AND the arm census — persist
+        per = per.persist()
+        try:
+            m = per.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            ).collect()[0]  # 5 pooled-moment driver scalars
+            n, sx, sy = int(m["n"]), int(m["sx"]), int(m["sy"])
+            sxy, sxx = int(m["sxy"]), int(m["sxx"])
+            t_ppm = _tdiv(
+                (n * sxy - sx * sy) * 1000000, n * sxx - sx * sx
+            )
+            xbar_milli = _tdiv(sx * 1000, n)
+            out = per.groupBy("arm").agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.sum("x").cast("long").alias("sum_x_cents"),
+                F.sum("y").cast("long").alias("sum_y_cents"),
+                F.expr("CAST(SUM(y) * 1000 div COUNT(*) AS BIGINT)")
+                .alias("mean_y_milli"),
+                F.expr(
+                    f"CAST(SUM(y) * 1000 div COUNT(*)"
+                    f" - {t_ppm} * (SUM(x) * 1000 div COUNT(*)"
+                    f" - {xbar_milli}) div 1000000 AS BIGINT)"
+                ).alias("mean_adj_milli"),
+            ).withColumn("theta_ppm", F.lit(t_ppm).cast("long"))
+            rows = out.collect()  # |arms| = 2 census rows — localized
+            # so the finally can release the cache under the lazy plan
+            return spark.createDataFrame(rows, out.schema)
+        finally:
+            per.unpersist()
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark div / DuckDB //
+    semantics — Python's // FLOORS, which differs on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+_register_q357()
