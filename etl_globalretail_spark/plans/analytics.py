@@ -8049,3 +8049,136 @@ def _tdiv(a: int, b: int) -> int:
 
 
 _register_q357()
+
+
+# ---------------------------------------------------------------------------
+# q358 — THEIL–SEN robust trend (median of pairwise slopes, Sen 1968):
+# the outlier-proof sibling of q145's OLS — one wild day cannot move
+# the estimator, which is why monitoring pipelines prefer it for drift
+# lines. Per event type, the daily value series (30 points) yields
+# C(30,2) ≈ 435 pairwise slopes; the estimate is their lower median.
+#
+# Integer contract: slopes quantized to micro-cents/day by ONE
+# truncating division with a POSITIVE denominator (x2 > x1 by
+# construction, so truncation direction is engine-identical even for
+# falling slopes); the median is the order statistic at (n+1) div 2
+# under the (slope, x1, x2) total order — never a float average of two
+# middles.
+#
+# Scale shape: the pair explosion is DAY-grain (series length squared,
+# independent of corpus rows); the corpus contributes one
+# groupBy(type, day) pass. Per-type rank windows are PARTITIONED and
+# bounded by the pair count.
+# ---------------------------------------------------------------------------
+
+
+def _register_q358() -> None:
+    @_register(
+        "q358_theil_sen_trend",
+        oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                   SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100)
+                       AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        slopes AS (
+            SELECT a.event_type,
+                   (b.y - a.y) * 1000000 // (b.d - a.d) AS s,
+                   a.d AS x1, b.d AS x2
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND b.d > a.d
+        ),
+        ranked AS (
+            SELECT event_type, s, x1, x2,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY s, x1, x2) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS np
+            FROM slopes
+        )
+        SELECT event_type,
+               CAST((SELECT COUNT(*) FROM daily dd
+                     WHERE dd.event_type = ranked.event_type) AS BIGINT)
+                   AS n_days,
+               CAST(np AS BIGINT) AS n_pairs,
+               CAST(s AS BIGINT) AS ts_slope_micro,
+               CAST(MIN(s) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS min_slope_micro,
+               CAST(MAX(s) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS max_slope_micro
+        FROM ranked
+        QUALIFY rk = (np + 1) // 2
+        """,
+    )
+    def q358_theil_sen_trend(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-event-type Theil–Sen daily-revenue slope (micro-cents
+        per day) from the pairwise-slope median. See block comment."""
+        e = load_table(spark, "events", sf_dir)
+        daily = e.groupBy(
+            "event_type",
+            F.expr(
+                "CAST(unix_micros(ts) div 86400000000 AS BIGINT)"
+            ).alias("d"),
+        ).agg(
+            F.sum(
+                F.expr("CAST(FLOOR(CAST(value AS DOUBLE) * 100)"
+                       " AS BIGINT)")
+            ).alias("y"),
+        )
+        # daily is DAY-grain (bounded): persist for the self-join +
+        # the n_days census
+        daily = daily.persist()
+        try:
+            a = daily.select(
+                "event_type", F.col("d").alias("x1"),
+                F.col("y").alias("y1"),
+            )
+            b = daily.select(
+                "event_type", F.col("d").alias("x2"),
+                F.col("y").alias("y2"),
+            )
+            slopes = (
+                a.join(b, "event_type")
+                .filter(F.col("x2") > F.col("x1"))
+                .select(
+                    "event_type",
+                    F.expr(
+                        "(y2 - y1) * 1000000 div (x2 - x1)"
+                    ).alias("s"),
+                    "x1", "x2",
+                )
+            )
+            w = Window.partitionBy("event_type")
+            ranked = slopes.withColumn(
+                "rk",
+                F.row_number().over(
+                    w.orderBy("s", "x1", "x2")
+                ),
+            ).withColumn("np", F.count(F.lit(1)).over(w)).withColumn(
+                "min_s", F.min("s").over(w)
+            ).withColumn("max_s", F.max("s").over(w))
+            med = ranked.filter(
+                F.col("rk") == F.expr("(np + 1) div 2")
+            )
+            ndays = daily.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("long").alias("n_days")
+            )
+            out = med.join(F.broadcast(ndays), "event_type").select(
+                "event_type",
+                F.col("n_days"),
+                F.col("np").cast("long").alias("n_pairs"),
+                F.col("s").cast("long").alias("ts_slope_micro"),
+                F.col("min_s").cast("long").alias("min_slope_micro"),
+                F.col("max_s").cast("long").alias("max_slope_micro"),
+            )
+            rows = out.collect()  # |types| census rows — localized so
+            # the finally can release the day-grain cache
+            return spark.createDataFrame(rows, out.schema)
+        finally:
+            daily.unpersist()
+
+
+_register_q358()
