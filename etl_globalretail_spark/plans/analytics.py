@@ -8182,3 +8182,129 @@ def _register_q358() -> None:
 
 
 _register_q358()
+
+
+# ---------------------------------------------------------------------------
+# q359 — MANN–WHITNEY U (Wilcoxon rank-sum, the nonparametric
+# two-sample location test): does the F-status order-value
+# distribution sit above the O-status one, without any normality
+# assumption — the robust sibling of q184's Welch t. U is EXACT in
+# integer space: with midranks doubled (a tie group spanning ranks
+# [a, b] has 2·midrank = a + b, always integral), the A-side rank mass
+# is R2A = Σ_v tA_v·(2·before_v + t_v + 1) over the VALUE-grain tie
+# census, and 2·U_A = R2A − nA(nA+1).
+#
+# The normal approximation's z carries the tie-corrected variance —
+# one FIXED double op sequence ending in the portable sqrt (the q184
+# stance); everything upstream of it is int64 (Σ(t³ − t) bounded by
+# the tie profile; heavy-tie columns take the q217 decimal widening).
+#
+# Scale shape: one groupBy(cents) tie census, ONE two-phase prefix sum
+# (global_prefix_sums — never a partition-less window) for the
+# before-counts, then a single aggregate. No corpus-sized sort, no
+# per-row rank materialization.
+# ---------------------------------------------------------------------------
+
+
+def _register_q359() -> None:
+    @_register(
+        "q359_mann_whitney_u",
+        oracle="""
+        WITH vals AS (
+            SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100)
+                        AS BIGINT) AS cents,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+        ),
+        census AS (
+            SELECT cents, COUNT(*) AS t, SUM(a) AS ta
+            FROM vals GROUP BY cents
+        ),
+        cum AS (
+            SELECT cents, t, ta,
+                   SUM(t) OVER (ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) - t AS before
+            FROM census
+        ),
+        agg AS (
+            SELECT CAST(SUM(ta) AS BIGINT) AS na,
+                   CAST(SUM(t - ta) AS BIGINT) AS nb,
+                   CAST(SUM(ta * (2 * before + t + 1)) AS BIGINT) AS r2a,
+                   CAST(SUM(CASE WHEN t >= 2 THEN t * t * t - t
+                            ELSE 0 END) AS BIGINT) AS tiesum,
+                   CAST(SUM(CASE WHEN t >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tie_values
+            FROM cum
+        )
+        SELECT na AS n_a, nb AS n_b, n_tie_values,
+               CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+               CAST(na * nb AS BIGINT) AS mean_u2,
+               (CAST(r2a - na * (na + 1) AS DOUBLE) - CAST(na AS DOUBLE)
+                * CAST(nb AS DOUBLE))
+               / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 3.0
+                      * ((CAST(na + nb AS DOUBLE) + 1.0)
+                         - CAST(tiesum AS DOUBLE)
+                           / (CAST(na + nb AS DOUBLE)
+                              * (CAST(na + nb AS DOUBLE) - 1.0))))
+                   AS z_score
+        FROM agg
+        """,
+    )
+    def q359_mann_whitney_u(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Mann–Whitney U (doubled-midrank integer statistic +
+        tie-corrected z) for F vs O order values. See block comment."""
+        from etl_globalretail_spark.operators.ranks import (
+            global_prefix_sums,
+        )
+
+        o = load_table(spark, "orders", sf_dir)
+        vals = o.filter(F.col("o_orderstatus").isin("F", "O")).select(
+            F.expr(
+                "CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100)"
+                " AS BIGINT)"
+            ).alias("cents"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0).alias("a"),
+        )
+        census = vals.groupBy("cents").agg(
+            F.count(F.lit(1)).alias("t"), F.sum("a").alias("ta")
+        )
+        cum, _tot = global_prefix_sums(census, [("cents", "asc")], ["t"])
+        agg = cum.select(
+            "t", "ta", (F.col("t_cum") - F.col("t")).alias("before")
+        ).agg(
+            F.sum("ta").cast("long").alias("na"),
+            F.sum(F.col("t") - F.col("ta")).cast("long").alias("nb"),
+            F.sum(
+                F.col("ta") * (2 * F.col("before") + F.col("t") + 1)
+            ).cast("long").alias("r2a"),
+            F.sum(
+                F.when(
+                    F.col("t") >= 2,
+                    F.col("t") * F.col("t") * F.col("t") - F.col("t"),
+                ).otherwise(0)
+            ).cast("long").alias("tiesum"),
+            F.sum(F.when(F.col("t") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_tie_values"),
+        )
+        return agg.select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "n_tie_values",
+            (F.col("r2a") - F.col("na") * (F.col("na") + 1))
+            .cast("long").alias("u2_a"),
+            (F.col("na") * F.col("nb")).cast("long").alias("mean_u2"),
+            F.expr(
+                "(CAST(r2a - na * (na + 1) AS DOUBLE) - CAST(na AS"
+                " DOUBLE) * CAST(nb AS DOUBLE))"
+                " / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 3.0"
+                " * ((CAST(na + nb AS DOUBLE) + 1.0)"
+                " - CAST(tiesum AS DOUBLE) / (CAST(na + nb AS DOUBLE)"
+                " * (CAST(na + nb AS DOUBLE) - 1.0))))"
+            ).alias("z_score"),
+        )
+
+
+_register_q359()
