@@ -8308,3 +8308,121 @@ def _register_q359() -> None:
 
 
 _register_q359()
+
+
+# ---------------------------------------------------------------------------
+# q360 — POISSON BOOTSTRAP (the at-scale bootstrap: per-row
+# Poisson(1) replicate weights instead of resampling indices — the
+# streaming/map-side formulation large analytics stacks standardized
+# on): 32 replicate means of the purchase value, each row's weight in
+# replicate r drawn DETERMINISTICALLY as w = #{cdf thresholds ≤ u}
+# with u = md5('boot{r}-' || event_id) % 10^6 — a pure function of
+# (row, r), no RNG, reproducible in both engines. The Poisson(1) CDF
+# thresholds are Python-precomputed ppm literals (the q341 LC-table
+# device); the replicate spread IS the sampling distribution of the
+# mean, and the rank-2/rank-31 replicates bracket a ~94% CI.
+#
+# Scale shape: one map-side explode of 32 (replicate, weight) structs
+# per row folding straight into a 32-group aggregate (map-side
+# combine); output is 32 + 1 rows at ANY corpus size. Means in
+# milli-cents by one truncating division.
+# ---------------------------------------------------------------------------
+
+_Q360_R = 32
+# Poisson(1) CDF in ppm for k = 0..7 (weight = #thresholds <= u; the
+# tail mass beyond 8 is < 1.02e-4 ppm-rounded into the last bucket)
+_Q360_CDF = [
+    int(__import__("math").floor(
+        sum(
+            __import__("math").exp(-1) / __import__("math").factorial(i)
+            for i in range(k + 1)
+        ) * 10**6
+    ))
+    for k in range(8)
+]
+
+
+def _register_q360() -> None:
+    cdf_sql = "[" + ", ".join(str(x) for x in _Q360_CDF) + "]"
+
+    @_register(
+        "q360_poisson_bootstrap",
+        oracle=f"""
+        WITH p AS (
+            SELECT event_id,
+                   CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT)
+                       AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        drawn AS (
+            SELECT r.r, p.cents,
+                   len(list_filter({cdf_sql},
+                       c -> c <= CAST('0x' || substr(md5('boot' || r.r
+                            || '-' || p.event_id), 1, 15) AS BIGINT)
+                            % 1000000)) AS w
+            FROM p, (SELECT unnest(range({_Q360_R})) AS r) r
+        ),
+        reps AS (
+            SELECT r AS replicate,
+                   CAST(SUM(w) AS BIGINT) AS n_eff,
+                   CAST(SUM(w * cents) * 1000 // SUM(w) AS BIGINT)
+                       AS mean_milli
+            FROM drawn GROUP BY r
+        )
+        SELECT CAST(replicate AS BIGINT) AS replicate, n_eff, mean_milli
+        FROM reps
+        UNION ALL
+        SELECT -1, COUNT(*),
+               CAST(SUM(cents) * 1000 // COUNT(*) AS BIGINT)
+        FROM p
+        """,
+    )
+    def q360_poisson_bootstrap(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """32 Poisson-bootstrap replicate means of purchase value
+        (milli-cents) plus the replicate = -1 point estimate. See
+        block comment."""
+        e = load_table(spark, "events", sf_dir)
+        p = e.filter(F.col("event_type") == "purchase").select(
+            "event_id",
+            F.expr(
+                "CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT)"
+            ).alias("cents"),
+        )
+        cdf_arr = "array(" + ", ".join(
+            f"{x}L" for x in _Q360_CDF
+        ) + ")"
+        drawn = p.select(
+            "cents",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {_Q360_R - 1}), r ->"
+                    " struct(r AS r, CAST(size(filter("
+                    f"{cdf_arr}, c -> c <= CAST(conv(substring("
+                    "md5(concat('boot', r, '-', event_id)), 1, 15),"
+                    " 16, 10) AS BIGINT) % 1000000L)) AS BIGINT)"
+                    " AS w))"
+                )
+            ).alias("d"),
+        ).select("cents", F.col("d.r").alias("r"), F.col("d.w").alias("w"))
+        reps = drawn.groupBy("r").agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.expr(
+                "CAST(SUM(w * cents) * 1000 div SUM(w) AS BIGINT)"
+            ).alias("mean_milli"),
+        ).select(
+            F.col("r").cast("long").alias("replicate"),
+            "n_eff", "mean_milli",
+        )
+        point = p.agg(
+            F.lit(-1).cast("long").alias("replicate"),
+            F.count(F.lit(1)).cast("long").alias("n_eff"),
+            F.expr(
+                "CAST(SUM(cents) * 1000 div COUNT(*) AS BIGINT)"
+            ).alias("mean_milli"),
+        )
+        return reps.unionAll(point)
+
+
+_register_q360()
