@@ -23,7 +23,7 @@ def test_q360_cdf_table_is_poisson1():
         )
         assert v == want
     assert _Q360_CDF[0] == 367879
-    assert _Q360_CDF[-1] > 999990
+    assert _Q360_CDF[-1] >= 999989  # cdf(<=7) of Poisson(1)
 
 
 def test_q360_matches_driver_recompute(spark, sf_dir):
