@@ -904,3 +904,89 @@ def q340_markup_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(el) * 1000 div sum(hl)").cast("long")
         .alias("content_permil"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q361 — COHEN'S KAPPA agreement (the chance-corrected accuracy every
+# labeling/annotation pipeline reports): how much better q21's
+# heuristic language-ID agrees with the stored gold label than chance
+# would, computed from the SAME confusion matrix q21 emits (oracles
+# compose: q21's decision CTE is spliced verbatim).
+#
+# Integer contract: observed agreement po_ppm = diag·10^6 div N;
+# expected agreement from the marginals pe_ppm = (Σ_c rowN_c·colN_c)
+# ·10^6 div N² (products ≤ N², ·10^6 int64-safe through the replica;
+# the q217 decimal widening applies beyond); kappa_ppm = (po − pe)
+# ·10^6 div (10^6 − pe) — three truncating divisions in a fixed order.
+#
+# Scale shape: the confusion matrix is |langs+1|² cells at ANY corpus
+# size; everything here is algebra on that bounded grain (q21 does
+# the one corpus pass).
+# ---------------------------------------------------------------------------
+
+
+def _register_q361() -> None:
+    q21 = ORACLE["q21_lang_id"]
+
+    @_register(
+        "q361_cohens_kappa",
+        oracle=f"""
+        WITH cm AS ({q21}),
+        n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cm),
+        po AS (
+            SELECT CAST(COALESCE(SUM(n_docs), 0) * 1000000 // n.n
+                   AS BIGINT) AS po_ppm
+            FROM cm, n WHERE lang_label = lang_pred GROUP BY n.n
+        ),
+        marg AS (
+            SELECT COALESCE(r.c, p.c) AS cls,
+                   COALESCE(r.rn, 0) AS rn, COALESCE(p.pn, 0) AS pn
+            FROM (SELECT lang_label AS c, SUM(n_docs) AS rn
+                  FROM cm GROUP BY 1) r
+            FULL JOIN (SELECT lang_pred AS c, SUM(n_docs) AS pn
+                       FROM cm GROUP BY 1) p ON p.c = r.c
+        ),
+        pe AS (
+            SELECT CAST(SUM(rn * pn) * 1000000 // (n.n * n.n)
+                   AS BIGINT) AS pe_ppm
+            FROM marg, n GROUP BY n.n
+        )
+        SELECT n.n AS n_docs, po.po_ppm, pe.pe_ppm,
+               CAST((po.po_ppm - pe.pe_ppm) * 1000000
+                    // (1000000 - pe.pe_ppm) AS BIGINT) AS kappa_ppm
+        FROM n, po, pe
+        """,
+    )
+    def q361_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Chance-corrected agreement of the q21 language-ID against
+        the gold label, in ppm. See block comment."""
+        cm = QUERIES["q21_lang_id"](spark, sf_dir)
+        rows = cm.collect()  # |langs+1|² bounded confusion cells
+        n = sum(r["n_docs"] for r in rows)
+        diag = sum(
+            r["n_docs"] for r in rows if r["lang_label"] == r["lang_pred"]
+        )
+        row_n: dict[str, int] = {}
+        col_n: dict[str, int] = {}
+        for r in rows:
+            row_n[r["lang_label"]] = (
+                row_n.get(r["lang_label"], 0) + r["n_docs"]
+            )
+            col_n[r["lang_pred"]] = (
+                col_n.get(r["lang_pred"], 0) + r["n_docs"]
+            )
+        po = diag * 1000000 // n
+        pe = sum(
+            rn * col_n.get(c, 0) for c, rn in row_n.items()
+        ) * 1000000 // (n * n)
+        # truncate toward zero (DuckDB //), NOT Python floor — po < pe
+        # (worse-than-chance) would otherwise diverge on the sign
+        knum, kden = (po - pe) * 1000000, 1000000 - pe
+        kappa = abs(knum) // kden * (1 if knum >= 0 else -1)
+        return spark.createDataFrame(
+            [(n, po, pe, kappa)],
+            "n_docs long, po_ppm long, pe_ppm long, kappa_ppm long",
+        )
+
+
+_register_q361()
