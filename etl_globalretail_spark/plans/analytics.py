@@ -8052,29 +8052,30 @@ _register_q357()
 
 
 # ---------------------------------------------------------------------------
-# q358 — THEIL–SEN robust trend (median of pairwise slopes, Sen 1968):
-# the outlier-proof sibling of q145's OLS — one wild day cannot move
-# the estimator, which is why monitoring pipelines prefer it for drift
-# lines. Per event type, the daily value series (30 points) yields
-# C(30,2) ≈ 435 pairwise slopes; the estimate is their lower median.
+# q358 — SIEGEL REPEATED-MEDIAN trend (Siegel 1982): per event type,
+# slope_i = median_j slope(i, j) for every day i, estimate =
+# median_i slope_i — the 50%-breakdown robust regression (Theil–Sen,
+# q250, breaks at 29%: half the points can be wild and the repeated
+# median still holds the line, which is why monitoring uses it on
+# series with bursty corruption).
 #
-# Integer contract: slopes quantized to micro-cents/day by ONE
-# truncating division with a POSITIVE denominator (x2 > x1 by
-# construction, so truncation direction is engine-identical even for
-# falling slopes); the median is the order statistic at (n+1) div 2
-# under the (slope, x1, x2) total order — never a float average of two
-# middles.
+# Integer contract: slopes micro-quantized by ONE truncating division;
+# (a) div (b) equals (−a) div (−b) under truncate-toward-zero, so the
+# ordered-pair slope is orientation-free and both engines agree for
+# falling slopes too. Both medians are lower-median ORDER STATISTICS
+# at (n+1) div 2 under total orders ((slope, xj) inner, (slope, xi)
+# outer) — never float mid-averages.
 #
 # Scale shape: the pair explosion is DAY-grain (series length squared,
 # independent of corpus rows); the corpus contributes one
-# groupBy(type, day) pass. Per-type rank windows are PARTITIONED and
-# bounded by the pair count.
+# groupBy(type, day) pass. All rank windows PARTITIONED ((type) or
+# (type, i)) and bounded by the day count.
 # ---------------------------------------------------------------------------
 
 
 def _register_q358() -> None:
     @_register(
-        "q358_theil_sen_trend",
+        "q358_siegel_repeated_median",
         oracle="""
         WITH daily AS (
             SELECT event_type,
@@ -8084,38 +8085,44 @@ def _register_q358() -> None:
             FROM events GROUP BY 1, 2
         ),
         slopes AS (
-            SELECT a.event_type,
-                   (b.y - a.y) * 1000000 // (b.d - a.d) AS s,
-                   a.d AS x1, b.d AS x2
+            SELECT a.event_type, a.d AS xi, b.d AS xj,
+                   (b.y - a.y) * 1000000 // (b.d - a.d) AS s
             FROM daily a JOIN daily b
-              ON a.event_type = b.event_type AND b.d > a.d
+              ON a.event_type = b.event_type AND b.d != a.d
         ),
-        ranked AS (
-            SELECT event_type, s, x1, x2,
+        inner_med AS (
+            SELECT event_type, xi, s AS med_i
+            FROM (
+                SELECT event_type, xi, s,
+                       ROW_NUMBER() OVER (PARTITION BY event_type, xi
+                           ORDER BY s, xj) AS rk,
+                       COUNT(*) OVER (PARTITION BY event_type, xi) AS np
+                FROM slopes
+            ) WHERE rk = (np + 1) // 2
+        ),
+        outer_med AS (
+            SELECT event_type, med_i, xi,
                    ROW_NUMBER() OVER (PARTITION BY event_type
-                       ORDER BY s, x1, x2) AS rk,
-                   COUNT(*) OVER (PARTITION BY event_type) AS np
-            FROM slopes
+                       ORDER BY med_i, xi) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS nd,
+                   MIN(med_i) OVER (PARTITION BY event_type) AS mn,
+                   MAX(med_i) OVER (PARTITION BY event_type) AS mx
+            FROM inner_med
         )
         SELECT event_type,
-               CAST((SELECT COUNT(*) FROM daily dd
-                     WHERE dd.event_type = ranked.event_type) AS BIGINT)
-                   AS n_days,
-               CAST(np AS BIGINT) AS n_pairs,
-               CAST(s AS BIGINT) AS ts_slope_micro,
-               CAST(MIN(s) OVER (PARTITION BY event_type) AS BIGINT)
-                   AS min_slope_micro,
-               CAST(MAX(s) OVER (PARTITION BY event_type) AS BIGINT)
-                   AS max_slope_micro
-        FROM ranked
-        QUALIFY rk = (np + 1) // 2
+               CAST(nd AS BIGINT) AS n_days,
+               CAST(med_i AS BIGINT) AS siegel_slope_micro,
+               CAST(mn AS BIGINT) AS min_med_micro,
+               CAST(mx AS BIGINT) AS max_med_micro
+        FROM outer_med
+        WHERE rk = (nd + 1) // 2
         """,
     )
-    def q358_theil_sen_trend(
+    def q358_siegel_repeated_median(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        """Per-event-type Theil–Sen daily-revenue slope (micro-cents
-        per day) from the pairwise-slope median. See block comment."""
+        """Per-event-type Siegel repeated-median daily-revenue slope
+        (micro-cents/day). See block comment."""
         e = load_table(spark, "events", sf_dir)
         daily = e.groupBy(
             "event_type",
@@ -8128,57 +8135,46 @@ def _register_q358() -> None:
                        " AS BIGINT)")
             ).alias("y"),
         )
-        # daily is DAY-grain (bounded): persist for the self-join +
-        # the n_days census
-        daily = daily.persist()
-        try:
-            a = daily.select(
-                "event_type", F.col("d").alias("x1"),
-                F.col("y").alias("y1"),
+        a = daily.select(
+            "event_type", F.col("d").alias("xi"), F.col("y").alias("yi")
+        )
+        b = daily.select(
+            "event_type", F.col("d").alias("xj"), F.col("y").alias("yj")
+        )
+        slopes = (
+            a.join(b, "event_type")
+            .filter(F.col("xj") != F.col("xi"))
+            .select(
+                "event_type", "xi", "xj",
+                F.expr("(yj - yi) * 1000000 div (xj - xi)").alias("s"),
             )
-            b = daily.select(
-                "event_type", F.col("d").alias("x2"),
-                F.col("y").alias("y2"),
+        )
+        wi = Window.partitionBy("event_type", "xi")
+        inner = (
+            slopes.withColumn(
+                "rk", F.row_number().over(wi.orderBy("s", "xj"))
             )
-            slopes = (
-                a.join(b, "event_type")
-                .filter(F.col("x2") > F.col("x1"))
-                .select(
-                    "event_type",
-                    F.expr(
-                        "(y2 - y1) * 1000000 div (x2 - x1)"
-                    ).alias("s"),
-                    "x1", "x2",
-                )
+            .withColumn("np", F.count(F.lit(1)).over(wi))
+            .filter(F.col("rk") == F.expr("(np + 1) div 2"))
+            .select("event_type", "xi", F.col("s").alias("med_i"))
+        )
+        wt = Window.partitionBy("event_type")
+        outer = (
+            inner.withColumn(
+                "rk", F.row_number().over(wt.orderBy("med_i", "xi"))
             )
-            w = Window.partitionBy("event_type")
-            ranked = slopes.withColumn(
-                "rk",
-                F.row_number().over(
-                    w.orderBy("s", "x1", "x2")
-                ),
-            ).withColumn("np", F.count(F.lit(1)).over(w)).withColumn(
-                "min_s", F.min("s").over(w)
-            ).withColumn("max_s", F.max("s").over(w))
-            med = ranked.filter(
-                F.col("rk") == F.expr("(np + 1) div 2")
-            )
-            ndays = daily.groupBy("event_type").agg(
-                F.count(F.lit(1)).cast("long").alias("n_days")
-            )
-            out = med.join(F.broadcast(ndays), "event_type").select(
-                "event_type",
-                F.col("n_days"),
-                F.col("np").cast("long").alias("n_pairs"),
-                F.col("s").cast("long").alias("ts_slope_micro"),
-                F.col("min_s").cast("long").alias("min_slope_micro"),
-                F.col("max_s").cast("long").alias("max_slope_micro"),
-            )
-            rows = out.collect()  # |types| census rows — localized so
-            # the finally can release the day-grain cache
-            return spark.createDataFrame(rows, out.schema)
-        finally:
-            daily.unpersist()
+            .withColumn("nd", F.count(F.lit(1)).over(wt))
+            .withColumn("mn", F.min("med_i").over(wt))
+            .withColumn("mx", F.max("med_i").over(wt))
+            .filter(F.col("rk") == F.expr("(nd + 1) div 2"))
+        )
+        return outer.select(
+            "event_type",
+            F.col("nd").cast("long").alias("n_days"),
+            F.col("med_i").cast("long").alias("siegel_slope_micro"),
+            F.col("mn").cast("long").alias("min_med_micro"),
+            F.col("mx").cast("long").alias("max_med_micro"),
+        )
 
 
 _register_q358()
