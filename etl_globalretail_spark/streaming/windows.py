@@ -3042,3 +3042,115 @@ def _register_q346() -> None:
 
 
 _register_q346()
+
+
+# ---------------------------------------------------------------------------
+# q362 — dedup → stream-stream join → tumbling window: the REVERSE
+# composition of q333 (which put the dedup downstream of the join).
+# Pipeline: a DUPLICATED-delivery click stream (the q194 doubled-union
+# device) is collapsed by dropDuplicatesWithinWatermark(click_id)
+# BEFORE the purchase join, so the join never sees the duplicate
+# fanout; the hourly census then counts real pairs only.
+#
+# Boundary, probe-pinned (tests/test_streaming_dedup_join.py): the
+# window emits iff window_end < W − horizon STRICT — the upstream
+# dedup contributes ZERO delay (the {agg, dedup}-upstream matrix row)
+# and the join contributes its horizon, confirming the sum-along-the-
+# path rule on the path where the no-delay op comes FIRST. The dup
+# collapse is load-bearing: without it every census count doubles
+# (probe-asserted).
+#
+# Oracle: the batch single-copy interval join at end < min(maxC, maxP)
+# − 10 min − 1 h strict.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q362_streaming_dedup_join_rollup_exact",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id AS cu, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    mx AS (
+        SELECT LEAST((SELECT MAX(epoch_us(c_ts)) // 1000 FROM c),
+                     (SELECT MAX(epoch_us(p_ts)) // 1000 FROM p))
+               - 600000 AS wm
+    ),
+    pairs AS (
+        SELECT p.purchase_id, p.p_ts, c.click_id
+        FROM p JOIN c
+          ON p.user_id = c.cu
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT make_timestamp((epoch_us(p_ts) // 3600000000) * 3600000000)
+               AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(purchase_id) AS BIGINT) AS purchase_checksum,
+           CAST(SUM(click_id) AS BIGINT) AS click_checksum
+    FROM pairs, mx
+    WHERE (epoch_us(p_ts) // 3600000000 + 1) * 3600000000
+          < (mx.wm - 3600000) * 1000
+    GROUP BY 1
+    """,
+)
+def q362_streaming_dedup_join_rollup_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly purchase-click pair census where the click stream arrives
+    DOUBLED and is deduped before the join; hash-matches the batch
+    single-copy join at the probe-pinned strict boundary. See block
+    comment."""
+    path = f"{sf_dir}/events.parquet"
+    doubled = read_event_stream(spark, path).unionAll(
+        read_event_stream(spark, path)
+    )
+    clicks = (
+        doubled.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["click_id"])
+    )
+    purchases = (
+        read_event_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    agg = (
+        pairs.groupBy(F.window("p_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("purchase_id").cast("long").alias("purchase_checksum"),
+            F.sum("click_id").cast("long").alias("click_checksum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_pairs", "purchase_checksum", "click_checksum",
+        )
+    )
+    _Q128_SEQ[0] += 1
+    sink = f"q362_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(agg, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    return spark.table(sink)
