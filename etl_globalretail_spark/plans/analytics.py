@@ -8422,3 +8422,174 @@ def _register_q360() -> None:
 
 
 _register_q360()
+
+
+# ---------------------------------------------------------------------------
+# q363 — HARMONIC CENTRALITY by sampled multi-source BFS (the
+# Eppstein–Wang/Boldi–Vigna estimator: exact closeness needs all-pairs
+# distances; the at-scale answer samples k sources and sums 1/d from
+# those): completes the centrality family beside degree (q179's
+# out-degrees), eigenvector-flavored PageRank/HITS and the local
+# clustering coefficient — harmonic is the variant that handles
+# disconnected graphs (unreached contributes 0, not a divide-by-∞).
+#
+# Contract: k = 8 seed parts = smallest (md5(v), v) — the q122 init
+# device; distances by 6 SUPERSTEPS of (seed, v)-keyed min-propagation
+# (a truncated-radius variant, stated: contributions beyond 6 hops are
+# 0 — at 6 hops 1/d ≤ 0.17 and the co-purchase graph's radius is
+# smaller); score(v) = Σ_seeds 10^6 div d for d ≥ 1 — integer-exact;
+# top-20 under (score DESC, v).
+#
+# Scale shape: BFS state is |V|·k rows (k fixed), each superstep one
+# edge join + map-side MIN combine, localCheckpoint per round (the
+# q212 re-execution lesson); ranking via bounded global_topk. The
+# oracle unrolls the same 6 rounds over a (seed, v) grid.
+# ---------------------------------------------------------------------------
+
+_Q363_K = 8
+_Q363_ROUNDS = 6
+_Q363_INF = 999
+
+
+def _register_q363() -> None:
+    def round_sql(r: int) -> str:
+        return f"""
+    d{r} AS MATERIALIZED (
+        SELECT dd.seed, dd.v,
+               LEAST(dd.d, COALESCE(m.md, {_Q363_INF})) AS d
+        FROM d{r - 1} dd
+        LEFT JOIN (
+            SELECT p.seed, e.dst, MIN(p.d + 1) AS md
+            FROM d{r - 1} p JOIN sym e ON e.src = p.v
+            GROUP BY p.seed, e.dst
+        ) m ON m.seed = dd.seed AND m.dst = dd.v
+    )"""
+
+    rounds = ",".join(round_sql(r) for r in range(1, _Q363_ROUNDS + 1))
+
+    @_register(
+        "q363_harmonic_centrality",
+        oracle=f"""
+    WITH RECURSIVE
+    edges AS ({_q154_edges_sql()}),
+    sym AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v AS src, u AS dst FROM edges
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM sym),
+    seeds AS (
+        SELECT v AS seed FROM (
+            SELECT v, ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(v AS VARCHAR)), v) AS rk
+            FROM verts
+        ) WHERE rk <= {_Q363_K}
+    ),
+    d0 AS MATERIALIZED (
+        SELECT s.seed, vv.v,
+               CASE WHEN vv.v = s.seed THEN 0 ELSE {_Q363_INF} END AS d
+        FROM seeds s CROSS JOIN verts vv
+    ),
+    {rounds},
+    scored AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN d >= 1 AND d < {_Q363_INF}
+                        THEN 1000000 // d ELSE 0 END) AS BIGINT) AS score,
+               CAST(SUM(CASE WHEN d < {_Q363_INF} AND d >= 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_reached
+        FROM d{_Q363_ROUNDS} GROUP BY v
+    ),
+    ranked AS (
+        SELECT v, score, n_reached,
+               ROW_NUMBER() OVER (ORDER BY score DESC, v) AS rnk
+        FROM scored
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, CAST(v AS BIGINT) AS part,
+           score AS harmonic_score, n_reached
+    FROM ranked WHERE rnk <= 20
+    """,
+    )
+    def q363_harmonic_centrality(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Top-20 sampled harmonic centrality over the co-purchase
+        graph (8 md5 seeds, 6 supersteps). See block comment."""
+        edges = co_purchase_edges(spark, sf_dir)
+        sym = edges.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        verts = sym.select(F.col("src").alias("v")).distinct()
+        seeds = [
+            r["v"]
+            for r in verts.orderBy(
+                F.md5(F.col("v").cast("string")), F.col("v")
+            ).limit(_Q363_K).collect()
+        ]  # k = 8 documented seed scalars
+        seed_df = verts.select(
+            "v",
+            F.explode(
+                F.array(*[F.lit(s).cast("long") for s in seeds])
+            ).alias("seed"),
+        ).select(
+            "seed", "v",
+            F.when(F.col("v") == F.col("seed"), 0)
+            .otherwise(F.lit(_Q363_INF)).cast("long").alias("d"),
+        )
+        dist = seed_df.localCheckpoint()
+        for _ in range(_Q363_ROUNDS):
+            md = (
+                sym.join(dist, sym["src"] == dist["v"])
+                .select("seed", F.col("dst"), (F.col("d") + 1).alias("nd"))
+                .groupBy("seed", "dst")  # map-side partial MIN
+                .agg(F.min("nd").alias("md"))
+                .select(
+                    F.col("seed").alias("mseed"),
+                    F.col("dst").alias("mdst"),
+                    "md",
+                )
+            )
+            nxt = (
+                dist.join(
+                    md,
+                    (dist["seed"] == md["mseed"])
+                    & (dist["v"] == md["mdst"]),
+                    "left",
+                )
+                .select(
+                    dist["seed"], dist["v"],
+                    F.least(
+                        F.col("d"),
+                        F.coalesce(F.col("md"), F.lit(_Q363_INF)),
+                    ).cast("long").alias("d"),
+                )
+            )
+            prev = dist
+            dist = nxt.localCheckpoint()  # q212: or every action replays
+            del prev
+        scored = dist.groupBy("v").agg(
+            F.sum(
+                F.when(
+                    (F.col("d") >= 1) & (F.col("d") < _Q363_INF),
+                    F.expr("1000000 div d"),
+                ).otherwise(0)
+            ).cast("long").alias("score"),
+            F.sum(
+                F.when(
+                    (F.col("d") >= 1) & (F.col("d") < _Q363_INF), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_reached"),
+        )
+        top = global_topk(
+            scored, [("score", "desc"), ("v", "asc")], 20, out="rnk"
+        )
+        return top.select(
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("v").cast("long").alias("part"),
+            F.col("score").alias("harmonic_score"),
+            F.col("n_reached"),
+        )
+
+
+_register_q363()

@@ -96,12 +96,12 @@ _SHOWCASE = [
     # covered by the round's two full sweeps)
     "q191_entity_resolution",
 ]
-# The second- and third-session round-8 additions (q329-q362) do NOT
+# The second- and third-session round-8 additions (q329-q363) do NOT
 # fit the 50-slot prefix without evicting either the 37 never-sampled
 # names (the explicit r8 done-criterion) or the first-session
 # additions; they are verified by this round's full sf0.01 sweeps
-# (342/342 green incl. q329-q350; q351-q360 hash-verified per-add) +
-# per-query pytests and LEAD the r9 rotation: q329-q362 first (34
+# (342/342 green incl. q329-q350; q351-q363 hash-verified per-add) +
+# per-query pytests and LEAD the r9 rotation: q329-q363 first (35
 # names), then hash-neutrality re-samples of queries whose shared
 # pipelines changed this round (q308/q350 trainer refactor, q343
 # closure rewrite, q156/q191 from session one), freshest-green last.
