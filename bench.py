@@ -85,20 +85,40 @@ def main() -> None:
     # n_queries/mean: the headline set GROWS round over round as operator
     # coverage widens — compare totals only at equal coverage; the
     # per-query mean is the stable cross-round throughput signal.
-    # Slowest-10 table LAST in the JSON object (VERDICT r7 item 1): the
-    # driver keeps only the LAST 2000 chars of the output, so anything
-    # this table must survive truncation has to sit at the tail end —
-    # r7 emitted it first and it was cut out of the artifact.
     slowest10 = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
+    # The driver keeps only the LAST ~2000 chars of stdout, so the full
+    # per-query map (360+ entries, ~15 kB) CANNOT live on the printed
+    # line — BENCH_r08.json came back `parsed: null` because it blew the
+    # tail capture (VERDICT r8 item 2). Write the full map to a sibling
+    # file and print ONE compact summary line (≈700 chars) LAST.
+    full = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": float(sf),
+        "mean_sec_per_query": round(total / len(timings), 3),
+        "slowest10": slowest10,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_queries.json"), "w"
+    ) as f:
+        json.dump(full, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                # name→sec map per the contract, capped at the slowest
+                # 10 so the line stays inside the tail capture; the
+                # FULL 360+-entry map is in full_queries_file.
+                "queries": slowest10,
+                "full_queries_file": "bench_queries.json",
                 "n_queries": len(timings),
                 "sf": float(sf),
                 "mean_sec_per_query": round(total / len(timings), 3),

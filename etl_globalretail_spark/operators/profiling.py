@@ -2180,6 +2180,16 @@ def _register_q345() -> None:
             ranked, sample_n = global_row_number(
                 samp, [("cents", "asc"), ("id", "asc")], "rn"
             )  # sample_n bounded ~2^11 by construction
+            if sample_n == 0:
+                # Degenerate corpus (no row hashes to the sample): the
+                # oracle's rn=pos join emits ZERO rows — mirror it
+                # instead of KeyError-ing on a missing rank (ADVICE r8).
+                return spark.createDataFrame(
+                    [],
+                    "phi_ppm long, n_rows long, scale_s long,"
+                    " sample_n long, est_cents long, count_lt long,"
+                    " count_le long, rank_err_ppm long",
+                )
             picks = []
             for phi in _Q345_PHIS:
                 target = (phi * n + 999999) // 1000000

@@ -1281,15 +1281,31 @@ def q234_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic IEEE ops on an exact integer matrix → bit-stable output
 # across runs/engines.
 #
-# Rows-only tier by design: the eigenvector is the fixpoint of a 300-step
-# float recurrence — not SQL-expressible without replaying the steps
-# over a d²-cell recursive CTE; its exact-integer base q234 is the
-# oracle-paired twin that pins the corpus pass (registry convention for
-# rows-only tiers, cf. q24/q66).
+# SHAPE-ONLY oracle tier (VERDICT r8 item 3): the eigenvector is the
+# fixpoint of a 300-step float recurrence — not SQL-expressible without
+# replaying the steps over a d²-cell recursive CTE — but the output's
+# grain (exactly one row per embedding dimension) and schema are fixed,
+# so the SQL below reproduces the shape and a driver sample records
+# green rows_match/schema_match instead of `err: no_oracle`. The HASH
+# tier is its exact-integer base q234 (the corpus pass), per the
+# registry convention for rows-only tiers (cf. q50/q74).
 # ---------------------------------------------------------------------------
 
 
-@_register("q235_pca_power_iteration")
+@_register(
+    "q235_pca_power_iteration",
+    oracle="""
+    -- SHAPE-ONLY ORACLE: value columns are the engine's FP power-
+    -- iteration fixpoint (component_micros, eigenvalue); row count
+    -- (one per embedding dimension) and schema are exact. Hash-exact
+    -- twin: q234_embedding_gram.
+    SELECT CAST(unnest(generate_series(
+               1, (SELECT len(embedding) FROM embeddings LIMIT 1)
+           )) AS BIGINT) AS pos,
+           CAST(0 AS BIGINT) AS component_micros,
+           CAST(0.0 AS DOUBLE) AS eigenvalue
+    """,
+)
 def q235_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leading eigenvector/eigenvalue of the quantized Gram matrix: q234's
     distributed AᵀA + a deterministic 300-step driver-side power iteration

@@ -953,7 +953,8 @@ def _register_q361() -> None:
         )
         SELECT n.n AS n_docs, po.po_ppm, pe.pe_ppm,
                CAST((po.po_ppm - pe.pe_ppm) * 1000000
-                    // (1000000 - pe.pe_ppm) AS BIGINT) AS kappa_ppm
+                    // GREATEST(1, 1000000 - pe.pe_ppm)
+                    AS BIGINT) AS kappa_ppm
         FROM n, po, pe
         """,
     )
@@ -980,8 +981,12 @@ def _register_q361() -> None:
             rn * col_n.get(c, 0) for c, rn in row_n.items()
         ) * 1000000 // (n * n)
         # truncate toward zero (DuckDB //), NOT Python floor — po < pe
-        # (worse-than-chance) would otherwise diverge on the sign
-        knum, kden = (po - pe) * 1000000, 1000000 - pe
+        # (worse-than-chance) would otherwise diverge on the sign.
+        # Denominator clamped ≥ 1 in BOTH engines (ADVICE r8): pe_ppm
+        # hits 10^6 when the marginals put all mass in one class (then
+        # po is 10^6 too and kappa is 0/1 = 0 — the standard degenerate
+        # convention), avoiding ZeroDivisionError either side.
+        knum, kden = (po - pe) * 1000000, max(1, 1000000 - pe)
         kappa = abs(knum) // kden * (1 if knum >= 0 else -1)
         return spark.createDataFrame(
             [(n, po, pe, kappa)],

@@ -7787,11 +7787,21 @@ def _register_q351() -> None:
             ) * (nat // max(dat, 1))
             tt = nat * nbt // max(dat, dbt, 1)
             est = hh + ht + th + tt
-            exact = (
+            # Audit accumulator widened to decimal(38,0) (the q217
+            # posture, ADVICE r8): DuckDB's SUM(BIGINT) accumulates in
+            # HUGEINT while Spark's long SUM would silently wrap — the
+            # per-key na·nb products are int64-safe (per-user event
+            # counts), but their corpus-wide SUM is not at 100 TB.
+            exact = int(
                 a_cnt.join(b_cnt, "u")
                 .agg(
                     F.coalesce(
-                        F.sum(a_cnt["n"] * b_cnt["n"]), F.lit(0)
+                        F.sum(
+                            (a_cnt["n"] * b_cnt["n"]).cast(
+                                "decimal(38,0)"
+                            )
+                        ),
+                        F.lit(0),
                     ).cast("long").alias("v")
                 )
                 .collect()[0]["v"]

@@ -21,6 +21,32 @@ from pyspark.sql.window import Window
 from etl_globalretail_spark.schemas import TESTDATA_SCHEMAS
 
 
+def _stage_wave_file(tmp: str, sdir: str, i: int) -> None:
+    """Move wave ``i``'s single part file from the partitionBy staging
+    dir into the stream-source dir, pinning its mtime (FileStreamSource
+    batches files in modification-time order, so the wave order IS the
+    arrival order the replay simulates).
+
+    Guarded: on a dataset where a wave predicate selects no rows the
+    ``__wave=i`` directory never exists and the bare ``glob(...)[0]``
+    IndexErrors two frames deep (ADVICE r8) — raise a descriptive error
+    instead, since every staged replay assumes both cohorts non-empty.
+    """
+    import glob
+    import os
+    import shutil
+
+    parts = glob.glob(os.path.join(tmp, f"__wave={i}", "part-*.parquet"))
+    if not parts:
+        raise ValueError(
+            f"staged replay: wave {i} is empty — the wave-split "
+            "predicate selected no rows for this cohort in this dataset"
+        )
+    dst = os.path.join(sdir, f"wave_{i}.parquet")
+    shutil.move(parts[0], dst)
+    os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+
 def hourly_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Tumbling 1-hour windows: counts + value sums per event type.
 
@@ -1194,9 +1220,7 @@ def stage_arrival_waves(spark: SparkSession, sf_dir: str) -> "_StagedWaves":
     watermark reaches its final value in the first batch and the late
     waves are judged against ONE deterministic horizon in both engines.
     """
-    import glob
     import os
-    import shutil
     import tempfile
 
     e = load_table(spark, "events", sf_dir)
@@ -1222,13 +1246,7 @@ def stage_arrival_waves(spark: SparkSession, sf_dir: str) -> "_StagedWaves":
         "__wave"
     ).parquet(tmp)
     for i in range(N_ARRIVAL_WAVES):
-        part = glob.glob(
-            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
-        )[0]
-        dst = os.path.join(sdir, f"wave_{i}.parquet")
-        shutil.move(part, dst)
-        # FileStreamSource batches in modification-time order; pin it.
-        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+        _stage_wave_file(tmp, sdir, i)
     return _StagedWaves(sdir, e.schema, work)
 
 
@@ -1725,7 +1743,6 @@ def q287_streaming_outer_join_exact(
 ) -> DataFrame:
     """Hourly census of the left-outer purchase⨝click stream-stream
     join run through a real two-wave replay; see block comment."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -1740,12 +1757,7 @@ def q287_streaming_outer_join_exact(
         "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
     ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
     for i in range(2):
-        part = glob.glob(
-            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
-        )[0]
-        dst = os.path.join(sdir, f"wave_{i}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+        _stage_wave_file(tmp, sdir, i)
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1935,7 +1947,6 @@ def q303_streaming_full_outer_join_exact(
     run through a real two-wave replay — matched pairs, purchase-side
     null extensions, and click-side null extensions each counted, with
     null-free checksums. See block comment for the pinned boundaries."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -1950,12 +1961,7 @@ def q303_streaming_full_outer_join_exact(
         "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
     ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
     for i in range(2):
-        part = glob.glob(
-            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
-        )[0]
-        dst = os.path.join(sdir, f"wave_{i}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+        _stage_wave_file(tmp, sdir, i)
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1")
@@ -2066,7 +2072,6 @@ def q309_streaming_right_outer_join_exact(
     click, so the census keys on the click hour; null rows are clicks
     whose c_ts fell behind the state-value watermark W − horizon. See
     block comment."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -2081,12 +2086,7 @@ def q309_streaming_right_outer_join_exact(
         "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
     ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
     for i in range(2):
-        part = glob.glob(
-            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
-        )[0]
-        dst = os.path.join(sdir, f"wave_{i}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+        _stage_wave_file(tmp, sdir, i)
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1")
@@ -2203,7 +2203,6 @@ def q310_streaming_session_join_exact(
     aggregate → append memory sink), hash-matched against the batch
     gaps-and-islands formulation filtered to the pinned emission
     boundary session_end < W − horizon. See block comment."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -2218,12 +2217,7 @@ def q310_streaming_session_join_exact(
         "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
     ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
     for i in range(2):
-        part = glob.glob(
-            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
-        )[0]
-        dst = os.path.join(sdir, f"wave_{i}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+        _stage_wave_file(tmp, sdir, i)
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1")
@@ -2393,7 +2387,6 @@ def q321_streaming_join_rollup_exact(
     over the two-wave late-click replay, hash-matched against the batch
     interval join filtered to the pinned strict boundary window_end <
     W − horizon. See block comment."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -2408,12 +2401,7 @@ def q321_streaming_join_rollup_exact(
         "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
     ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
     for i in range(2):
-        part = glob.glob(
-            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
-        )[0]
-        dst = os.path.join(sdir, f"wave_{i}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+        _stage_wave_file(tmp, sdir, i)
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1")
@@ -2635,7 +2623,6 @@ def q333_streaming_join_dedup_rollup_exact(
     run as ONE join → dedup → window streaming query over the two-wave
     late-click replay, hash-matched against the batch distinct-purchase
     census at the pinned strict boundary. See block comment."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -2650,12 +2637,7 @@ def q333_streaming_join_dedup_rollup_exact(
         "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
     ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
     for i in range(2):
-        part = glob.glob(
-            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
-        )[0]
-        dst = os.path.join(sdir, f"wave_{i}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+        _stage_wave_file(tmp, sdir, i)
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1")
@@ -2772,7 +2754,6 @@ def q344_streaming_double_join_exact(
     two CHAINED stream-stream interval joins over the two-wave
     late-view replay, hash-matched against the batch triple join at
     the probe-pinned additive boundary. See block comment."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -2787,12 +2768,7 @@ def q344_streaming_double_join_exact(
         "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
     ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
     for i in range(2):
-        part = glob.glob(
-            os.path.join(tmp, f"__wave={i}", "part-*.parquet")
-        )[0]
-        dst = os.path.join(sdir, f"wave_{i}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+        _stage_wave_file(tmp, sdir, i)
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1")
