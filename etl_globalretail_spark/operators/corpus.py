@@ -5723,3 +5723,164 @@ def _register_q356() -> None:
 
 
 _register_q356()
+
+
+# ---------------------------------------------------------------------------
+# q364 — DETERMINISTIC EPOCH SHUFFLE (seeded, reproducible,
+# shard-interleaved training-data ordering): the step every dataloader
+# runs downstream of q342's sequence packing — given the packed
+# examples, produce THE epoch-0 read order for a given seed, such that
+# (a) rerunning with the same seed reproduces it bit-for-bit on any
+# cluster/retry, (b) changing the seed permutes the same example set,
+# and (c) consecutive reads round-robin across shards (so no shard's
+# I/O is hot while others idle, and examples from one source file are
+# spread through the epoch — the standard shard-interleave posture of
+# large-scale loaders). VERDICT r8 item 4.
+#
+# Construction (all engine-portable integer/md5 ops):
+#   shard(e)    = example_id % N_SHARDS            (the writer's layout)
+#   key(e)      = md5(seed ':' example_id)          (seeded shuffle key)
+#   shard_pos   = rank of key within shard          (per-shard shuffle)
+#   epoch_pos   = rank under (shard_pos, shard)     (round-robin merge)
+# With unequal shards the merge naturally degrades to cycling the
+# still-alive shards — exactly what a k-way interleaving reader does.
+#
+# Scale shape: NO partition-less window and NO per-shard single-task
+# sort — both ranks are two-phase `global_row_number`s (the engine-wide
+# lint posture); shard offsets are ≤ N_SHARDS driver scalars (bounded
+# by construction — a production layout has O(10^4) shards, still
+# driver-trivial, and the rank itself never partitions by shard). The
+# example table is q342's chunk grain rebuilt (two-phase prefix sum +
+# bounded explode); at 100 TB the loader would read the materialized
+# example table instead and pay ONLY the two rank passes.
+#
+# Cross-seed permutation laws (tests/test_round9.py): same-seed
+# determinism, cross-seed same-multiset different-order, round-robin
+# shard cycling on the full-shards prefix, epoch_pos bijection 1..N.
+# ---------------------------------------------------------------------------
+
+_Q364_SEED = "ep0-20260816"
+_Q364_SHARDS = 8
+
+
+def epoch_shuffle(
+    examples: DataFrame,
+    seed: str,
+    n_shards: int,
+    id_col: str = "chunk",
+) -> DataFrame:
+    """Seeded shard-interleaved epoch order over an example table: adds
+    ``shard``, ``shard_pos`` (seeded rank within shard) and ``epoch_pos``
+    (round-robin merged global position). Deterministic for a fixed
+    seed; a permutation of ``examples`` for any seed."""
+    from etl_globalretail_spark.operators.ranks import global_row_number
+
+    keyed = examples.select(
+        "*",
+        (F.col(id_col) % n_shards).cast("long").alias("shard"),
+        F.md5(
+            F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+        ).alias("__k"),
+    )
+    # Rank 1: total order (shard, key, id) → per-shard ranks fall out as
+    # global rank − shard offset (offsets: ≤ n_shards driver scalars).
+    g, _n = global_row_number(
+        keyed, [("shard", "asc"), ("__k", "asc"), (id_col, "asc")], "__g"
+    )
+    offs = {
+        r["shard"]: r["mn"]
+        for r in g.groupBy("shard").agg(F.min("__g").alias("mn")).collect()
+    }  # ≤ n_shards rows — bounded by construction
+    omap = F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
+    ranked = g.withColumn(
+        "shard_pos", (F.col("__g") - omap[F.col("shard")] + 1).cast("long")
+    ).drop("__k", "__g")
+    # Rank 2: the round-robin merge — total order (shard_pos, shard).
+    out, _n2 = global_row_number(
+        ranked, [("shard_pos", "asc"), ("shard", "asc")], "epoch_pos"
+    )
+    return out
+
+
+def _register_q364() -> None:
+    L = _Q342_L
+
+    @_register(
+        "q364_epoch_shuffle",
+        oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+            FROM documents
+        ),
+        offs AS (
+            SELECT doc_id, n_tok,
+                   SUM(n_tok) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS fin
+            FROM d
+        ),
+        spans AS (
+            SELECT CAST(fin - n_tok AS BIGINT) AS st,
+                   CAST(fin AS BIGINT) AS fin
+            FROM offs
+        ),
+        ex AS (
+            SELECT u.chunk, COUNT(*) AS docs_in_chunk
+            FROM spans s,
+                 unnest(generate_series(s.st // {L},
+                                        (s.fin - 1) // {L})) AS u(chunk)
+            GROUP BY u.chunk
+        ),
+        keyed AS (
+            SELECT chunk, docs_in_chunk,
+                   chunk % {_Q364_SHARDS} AS shard,
+                   md5('{_Q364_SEED}' || ':' || CAST(chunk AS VARCHAR)) AS k
+            FROM ex
+        ),
+        r AS (
+            SELECT chunk, docs_in_chunk, shard,
+                   ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY k, chunk) AS shard_pos
+            FROM keyed
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY shard_pos, shard)
+                    AS BIGINT) AS epoch_pos,
+               CAST(chunk AS BIGINT) AS chunk,
+               CAST(shard AS BIGINT) AS shard,
+               CAST(shard_pos AS BIGINT) AS shard_pos,
+               CAST(docs_in_chunk AS BIGINT) AS docs_in_chunk
+        FROM r
+        """,
+    )
+    def q364_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Seeded, reproducible, shard-interleaved epoch order over the
+        q342 packed-example table. See block comment for the two-phase
+        rank shape and the permutation laws."""
+        from etl_globalretail_spark.operators.ranks import global_prefix_sums
+
+        d = load_table(spark, "documents", sf_dir).select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long").alias("n_tok"),
+        )
+        cum, _tot = global_prefix_sums(d, [("doc_id", "asc")], ["n_tok"])
+        ex = (
+            cum.select(
+                F.explode(
+                    F.sequence(
+                        F.expr(f"(n_tok_cum - n_tok) div {L}"),
+                        F.expr(f"(n_tok_cum - 1) div {L}"),
+                    )
+                ).alias("chunk")
+            )
+            .groupBy("chunk")
+            .agg(F.count(F.lit(1)).cast("long").alias("docs_in_chunk"))
+        )
+        out = epoch_shuffle(ex, _Q364_SEED, _Q364_SHARDS)
+        return out.select(
+            "epoch_pos", F.col("chunk").cast("long").alias("chunk"),
+            "shard", "shard_pos", "docs_in_chunk",
+        )
+
+
+_register_q364()

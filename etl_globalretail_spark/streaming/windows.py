@@ -3130,3 +3130,172 @@ def q362_streaming_dedup_join_rollup_exact(
     run_to_memory_sink(agg, sink, mode="append",
                        n_rows=table_rows(spark, "events", sf_dir))
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q366 — the NON-KEY-DETERMINED dedup-after-join probe (VERDICT r8
+# item 6): q333's join → dropDuplicatesWithinWatermark(purchase_id) →
+# window chain, but the projection handed to the dedup CARRIES
+# click_id — a column NOT functionally determined by the dedup key (a
+# purchase with two clicks in its horizon yields two joined rows, same
+# key, different click_id). Horizon is 12 h — the q344 production
+# attribution framing — because at the 1 h horizon the fixture's
+# click stream is too sparse for ANY purchase to have 2 partners
+# (measured: 0 multi-click purchases at sf0.001/0.01/0.1), which would
+# make the probe vacuous; at 12 h the luck mass is real (45 multi-
+# click purchases inside the sf0.01 boundary). This is exactly the composition the
+# cookbook's "safe iff the deduped projection is key-determined" rule
+# EXCLUDES, and the probe pins why the rule is necessary:
+#
+#   WHICH row survives the dedup is micro-batch ARRIVAL order —
+#   dropDuplicatesWithinWatermark keeps the first-seen row per key, so
+#   a survivor column like click_id flips when the same rows arrive in
+#   a different wave order (pinned deterministically in
+#   tests/test_streaming_dedup_nonkey.py by staging the SAME two waves
+#   in both orders: the surviving click_id set differs, run to run at
+#   scale it would be shuffle luck). No hash gate can hold such a
+#   column, which is WHY q333 projects to key-determined columns first.
+#
+# The registered face therefore aggregates ONLY the survivor-INVARIANT
+# columns of the deduped stream — n_purchases and id_checksum are
+# properties of the surviving KEY SET (one row per joined purchase;
+# p_ts is key-determined so window assignment is invariant) — and
+# documents the excluded luck mass via a batch-side audit: per window,
+# n_multi_purchases (purchases with ≥2 distinct partner clicks — the
+# keys whose survivor is arrival luck) and fanout_excess (Σ (partners
+# − 1) — the joined rows the dedup discards, each carrying a payload
+# the rule says you must not read). n_multi_purchases > 0 at gate SFs
+# (pytest-asserted), so the precondition violation is real, not
+# hypothetical.
+#
+# Boundary: identical to q333 (join delays by its horizon, dedup adds
+# zero → window emits iff end < W − horizon STRICT); eviction-safety
+# clause 2 also unchanged (p_ts ≥ c_ts ≥ the click admission bound).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q366_streaming_dedup_nonkey_probe",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id AS cu, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    mx AS (
+        SELECT LEAST((SELECT MAX(epoch_us(p_ts)) // 1000 FROM p),
+                     (SELECT MAX(epoch_us(c_ts)) // 1000 FROM c))
+               - 600000 AS wm
+    ),
+    per AS (
+        SELECT p.purchase_id, p.p_ts,
+               COUNT(DISTINCT c.click_id) AS nc
+        FROM p JOIN c
+          ON p.user_id = c.cu
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 12 HOUR
+        GROUP BY p.purchase_id, p.p_ts
+    )
+    SELECT make_timestamp((epoch_us(p_ts) // 3600000000) * 3600000000)
+               AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(purchase_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(CASE WHEN nc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi_purchases,
+           CAST(SUM(nc - 1) AS BIGINT) AS fanout_excess
+    FROM per, mx
+    WHERE (epoch_us(p_ts) // 3600000000 + 1) * 3600000000
+          < (mx.wm - 43200000) * 1000
+    GROUP BY 1
+    """,
+)
+def q366_streaming_dedup_nonkey_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q333's join → dedup → window chain with a NON-key-determined
+    projection through the dedup: the gate face aggregates only the
+    survivor-invariant columns and audits the arrival-luck mass the
+    cookbook rule excludes. See block comment."""
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, "events", sf_dir)
+    late = (F.col("event_type") == "click") & (F.col("event_id") % 8 == 0)
+    work = tempfile.mkdtemp(prefix="q366_nkd_")
+    sdir = os.path.join(work, "stream")
+    os.makedirs(sdir)
+    tmp = os.path.join(work, "staged")
+    e.withColumn(
+        "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
+    ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
+    for i in range(2):
+        _stage_wave_file(tmp, sdir, i)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    pairs = purchases_with_recent_click(stream, horizon="12 hours",
+                                        how="inner")
+    # THE probe: click_id rides through the dedup although it is not
+    # determined by the key — only invariant columns are aggregated.
+    slim = pairs.select("purchase_id", "p_ts", "click_id")
+    dd = slim.dropDuplicatesWithinWatermark(["purchase_id"])
+    agg = (
+        dd.groupBy(F.window("p_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("purchase_id").cast("long").alias("id_checksum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_purchases", "id_checksum",
+        )
+    )
+    _Q128_SEQ[0] += 1
+    sink = f"q366_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(agg, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    shutil.rmtree(work, ignore_errors=True)
+    streamed = spark.table(sink)
+
+    # Batch audit of the excluded luck mass, same boundary (driver
+    # scalars: the two stream maxima — bounded by construction).
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"), F.col("ts").alias("c_ts"),
+    )
+    per = (
+        p.join(
+            c,
+            (p["user_id"] == c["cu"])
+            & (c["c_ts"] <= p["p_ts"])
+            & (c["c_ts"] >= p["p_ts"] - F.expr("INTERVAL 12 HOUR")),
+        )
+        .groupBy("purchase_id", "p_ts")
+        .agg(F.count_distinct("click_id").cast("long").alias("nc"))
+    )
+    audit = (
+        per.groupBy(F.window("p_ts", "1 hour").alias("w"))
+        .agg(
+            F.sum(F.when(F.col("nc") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_multi_purchases"),
+            F.sum(F.col("nc") - 1).cast("long").alias("fanout_excess"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_multi_purchases", "fanout_excess",
+        )
+    )
+    return streamed.join(audit, "window_start").select(
+        "window_start", "n_purchases", "id_checksum",
+        "n_multi_purchases", "fanout_excess",
+    )

@@ -1,0 +1,84 @@
+"""Round-9 additions: the deterministic epoch shuffle's permutation laws
+(q364, VERDICT r8 item 4). The shuffle must be a seeded bijection over
+the example set, reproducible bit-for-bit, and shard-interleaved —
+each law checked on a synthetic example table whose shard sizes are
+deliberately UNEQUAL so the round-robin merge's degrade path (cycling
+only still-alive shards) is exercised."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_globalretail_spark.operators.corpus import epoch_shuffle
+
+N_SHARDS = 4
+
+
+def _examples(spark, n=103):
+    # n NOT divisible by n_shards → unequal shard sizes (27/26/25/25)
+    return spark.range(0, n).select(
+        F.col("id").alias("chunk"),
+        (F.col("id") * 7 % 5).alias("docs_in_chunk"),
+    )
+
+
+def _run(spark, seed, n=103):
+    rows = epoch_shuffle(_examples(spark, n), seed, N_SHARDS).collect()
+    return sorted(
+        (r["epoch_pos"], r["chunk"], r["shard"], r["shard_pos"])
+        for r in rows
+    )
+
+
+def test_same_seed_bitwise_reproducible(spark):
+    assert _run(spark, "s1") == _run(spark, "s1")
+
+
+def test_epoch_pos_is_bijection(spark):
+    rows = _run(spark, "s1")
+    assert [r[0] for r in rows] == list(range(1, 104))
+    assert sorted(r[1] for r in rows) == list(range(103))
+
+
+def test_cross_seed_same_multiset_different_order(spark):
+    a, b = _run(spark, "s1"), _run(spark, "s2")
+    # same example→shard assignment (layout is seed-independent) …
+    assert sorted((c, s) for _, c, s, _ in a) == sorted(
+        (c, s) for _, c, s, _ in b
+    )
+    # … but the order is a DIFFERENT permutation
+    pos_a = {c: p for p, c, _, _ in a}
+    pos_b = {c: p for p, c, _, _ in b}
+    assert any(pos_a[c] != pos_b[c] for c in pos_a)
+
+
+def test_round_robin_interleaves_shards(spark):
+    rows = sorted(_run(spark, "s1"))  # by epoch_pos
+    # While all shards are alive, each consecutive block of N_SHARDS
+    # positions covers all N_SHARDS shards exactly once; the smallest
+    # shard here has 25 elements, so the first 25 blocks are full.
+    for blk in range(25):
+        shards = {rows[blk * N_SHARDS + i][2] for i in range(N_SHARDS)}
+        assert shards == set(range(N_SHARDS)), f"block {blk}: {shards}"
+    # Within a shard, epoch order preserves the shard-internal order.
+    by_shard: dict[int, list[int]] = {}
+    for _, _, s, sp in rows:
+        by_shard.setdefault(s, []).append(sp)
+    for s, sps in by_shard.items():
+        assert sps == sorted(sps), f"shard {s} not order-preserving"
+
+
+def test_louvain_convergence_fixpoint_laws(spark):
+    """q365 terminates (converged flag set inside the K-bound), Q is
+    monotone over the loop, and the levels compose: its starting audit
+    equals q319's post-contraction audit exactly."""
+    from etl_globalretail_spark.plans.analytics import QUERIES as AQ
+
+    sf = "/root/testdata/sf0.001"
+    out = AQ["q365_louvain_converged"](spark, sf).collect()[0]
+    assert out["converged"] == 1  # fixpoint reached inside the bound
+    assert out["n_active_rounds"] < out["n_rounds_max"]
+    assert out["q_final_millionths"] >= out["q_initial_millionths"]
+    q319 = AQ["q319_louvain_contract"](spark, sf).collect()[0]
+    assert out["q_initial_millionths"] == q319["q_after_millionths"]
+    assert out["n_comm_initial"] == q319["n_comm_after"]
