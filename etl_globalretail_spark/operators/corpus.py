@@ -5884,3 +5884,139 @@ def _register_q364() -> None:
 
 
 _register_q364()
+
+
+# ---------------------------------------------------------------------------
+# q367 — BOUNDARY-RESPECTING sequence packing census (harmonic
+# size-class bins): the SFT-side complement of q342. Pretraining
+# concat-and-chunk (q342) SPLITS documents across examples; supervised
+# fine-tuning and preference data must NOT — each example holds whole
+# documents only (Krell et al. 2021's packing problem). This query
+# plans that packing with the HARMONIC size-class algorithm (Lee &
+# Lee 1985): docs of token length t (t ≤ L) are binned with peers of
+# the same length, m = L div t per bin, bins = ceil(n_t / m) — a
+# deterministic, closed-form rule, which is what makes the plan
+# oracle-expressible where first-fit-decreasing's sequential loop is
+# not. Reported against the fractional lower bound ceil(Σt / L) (no
+# packing can beat it), plus the oversize cohort (t > L, must chunk —
+# q83/q354's territory) and the waste the class discipline pays.
+#
+# All-integer: token counts by the portable whitespace device; ceil on
+# non-negative ints via (a + b - 1) div b; waste = bins·L − Σt over
+# packable docs. Engine-identical by the cookbook's // rules.
+#
+# Scale shape: one corpus scan → groupBy(token-length) at ≤ L distinct
+# packable classes (+1 oversize flag) — the histogram grain is BOUNDED
+# BY CONSTRUCTION at L+1 rows regardless of corpus size (the property
+# Krell et al. exploit), so the census is a tiny aggregate over it; no
+# window, no join. At 100 TB the same histogram feeds the exact
+# assembly step (a driver FFD over ≤ L counters if tighter packing is
+# wanted — the q365 bounded-grain driver-switch posture).
+# ---------------------------------------------------------------------------
+
+_Q367_L = 512
+
+
+def _register_q367() -> None:
+    L = _Q367_L
+
+    @_register(
+        "q367_harmonic_packing",
+        oracle=f"""
+        WITH d AS (
+            SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM documents
+        ),
+        hist AS (
+            SELECT t, COUNT(*) AS n FROM d WHERE t <= {L} GROUP BY t
+        ),
+        classes AS (
+            SELECT t, n, {L} // t AS m,
+                   (n + ({L} // t) - 1) // ({L} // t) AS bins
+            FROM hist
+        ),
+        pack AS (
+            SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_packable,
+                   CAST(COALESCE(SUM(t * n), 0) AS BIGINT) AS packable_tokens,
+                   CAST(COALESCE(SUM(bins), 0) AS BIGINT) AS harmonic_bins,
+                   CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_classes
+            FROM classes
+        ),
+        oversize AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_oversize,
+                   CAST(COALESCE(SUM(t), 0) AS BIGINT) AS oversize_tokens
+            FROM d WHERE t > {L}
+        )
+        SELECT p.n_packable, o.n_oversize, p.n_classes,
+               p.packable_tokens, o.oversize_tokens,
+               CAST((p.packable_tokens + {L} - 1) // {L} AS BIGINT)
+                   AS lp_lower_bound,
+               p.harmonic_bins,
+               CAST(p.harmonic_bins * {L} - p.packable_tokens AS BIGINT)
+                   AS waste_tokens,
+               CAST((p.harmonic_bins * {L} - p.packable_tokens) * 1000
+                    // GREATEST(p.harmonic_bins * {L}, 1) AS BIGINT)
+                   AS waste_permil
+        FROM pack p, oversize o
+        """,
+    )
+    def q367_harmonic_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Boundary-respecting (no document splitting) packing census of
+        the documents corpus into L=512-token examples via harmonic
+        size-class bins, audited against the fractional lower bound.
+        See block comment."""
+        d = load_table(spark, "documents", sf_dir).select(
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long").alias("t")
+        )
+        # d feeds the packable histogram AND the oversize census
+        d = d.persist()
+        try:
+            classes = (
+                d.filter(F.col("t") <= L)
+                .groupBy("t")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .select(
+                    "t", "n",
+                    F.expr(f"{L} div t").alias("m"),
+                    F.expr(f"(n + ({L} div t) - 1) div ({L} div t)")
+                    .alias("bins"),
+                )
+            )
+            pack = classes.agg(
+                F.coalesce(F.sum("n"), F.lit(0)).cast("long")
+                .alias("n_packable"),
+                F.coalesce(F.sum(F.col("t") * F.col("n")), F.lit(0))
+                .cast("long").alias("packable_tokens"),
+                F.coalesce(F.sum("bins"), F.lit(0)).cast("long")
+                .alias("harmonic_bins"),
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+            )
+            oversize = d.filter(F.col("t") > L).agg(
+                F.count(F.lit(1)).cast("long").alias("n_oversize"),
+                F.coalesce(F.sum("t"), F.lit(0)).cast("long")
+                .alias("oversize_tokens"),
+            )
+            # 1-row × 1-row: bounded by construction (q342 stance)
+            out = pack.join(F.broadcast(oversize)).select(
+                "n_packable", "n_oversize", "n_classes",
+                "packable_tokens", "oversize_tokens",
+                F.expr(f"(packable_tokens + {L} - 1) div {L}")
+                .cast("long").alias("lp_lower_bound"),
+                "harmonic_bins",
+                (F.col("harmonic_bins") * L - F.col("packable_tokens"))
+                .cast("long").alias("waste_tokens"),
+                F.expr(
+                    f"(harmonic_bins * {L} - packable_tokens) * 1000 "
+                    f"div greatest(harmonic_bins * {L}, 1L)"
+                ).cast("long").alias("waste_permil"),
+            )
+            # materialize before unpersist: the caller's action must not
+            # replan the persisted scan after release
+            from etl_globalretail_spark.sources.artifacts import materialize
+            return materialize(out)
+        finally:
+            d.unpersist()
+
+
+_register_q367()

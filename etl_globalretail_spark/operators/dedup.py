@@ -2432,23 +2432,31 @@ def _q339_oracle() -> str:
     prio = (
         "CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15) AS BIGINT)"
     )
+    # Every chain CTE is multi-referenced across rounds (e{r} feeds
+    # dir/next-e, mis{r} feeds dead and the output, dead{r} three
+    # filters) — AS MATERIALIZED throughout or DuckDB re-evaluates the
+    # Levenshtein pair build per reference and the oracle replays
+    # quadratically (measured 52.6 s → ~1 s at sf0.01; the q338/q212
+    # discipline, VERDICT r8 item 7).
     ctes = [
-        "e1 AS ({q80})".format(q80=ORACLE["q80_fuzzy_name_pairs"]),
-        f"""n1 AS (
+        "e1 AS MATERIALIZED ({q80})".format(
+            q80=ORACLE["q80_fuzzy_name_pairs"]
+        ),
+        f"""n1 AS MATERIALIZED (
             SELECT id_a AS node FROM e1
             UNION SELECT id_b FROM e1
         )""",
     ]
     for r in range(1, _Q339_ROUNDS + 1):
         ctes.append(
-            f"""dir{r} AS (
+            f"""dir{r} AS MATERIALIZED (
             SELECT id_a AS node, id_b AS nbr FROM e{r}
             UNION ALL SELECT id_b, id_a FROM e{r}
         )"""
         )
         # a node wins iff (prio, id) precedes every alive neighbour's
         ctes.append(
-            f"""mis{r} AS (
+            f"""mis{r} AS MATERIALIZED (
             SELECT n.node FROM n{r} n
             LEFT JOIN (
                 SELECT d.node,
@@ -2462,7 +2470,7 @@ def _q339_oracle() -> str:
         )
         if r < _Q339_ROUNDS:
             ctes.append(
-                f"""dead{r} AS (
+                f"""dead{r} AS MATERIALIZED (
                 SELECT node FROM mis{r}
                 UNION
                 SELECT d.node FROM dir{r} d
@@ -2470,14 +2478,14 @@ def _q339_oracle() -> str:
             )"""
             )
             ctes.append(
-                f"""e{r + 1} AS (
+                f"""e{r + 1} AS MATERIALIZED (
                 SELECT * FROM e{r}
                 WHERE id_a NOT IN (SELECT node FROM dead{r})
                   AND id_b NOT IN (SELECT node FROM dead{r})
             )"""
             )
             ctes.append(
-                f"""n{r + 1} AS (
+                f"""n{r + 1} AS MATERIALIZED (
                 SELECT node FROM n{r}
                 WHERE node NOT IN (SELECT node FROM dead{r})
             )"""

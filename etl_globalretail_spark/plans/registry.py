@@ -90,10 +90,12 @@ _SHOWCASE = [
     "q50_sketch_profile", "q74_kmeans", "q235_pca_power_iteration",
     # round-9 additions — on the gate the round they ship
     "q364_epoch_shuffle", "q365_louvain_converged",
-    "q366_streaming_dedup_nonkey_probe",
-    # heavy-oracle re-samples (VERDICT r8 item 7): the deepest DuckDB
-    # CTE compositions, keeping gate wall-time measured round-over-round
-    "q200_curation_pipeline", "q66_minhash_pairs_exact",
+    "q366_streaming_dedup_nonkey_probe", "q367_harmonic_packing",
+    # heavy-oracle re-sample (VERDICT r8 item 7): the deepest DuckDB
+    # CTE composition, keeping gate wall-time measured round-over-round
+    # (q66 yielded its slot to q367; it stays green in the full local
+    # sweep and its oracle measured 0.7 s on this round's gate dry-run)
+    "q200_curation_pipeline",
 ]
 
 assert set(_SHOWCASE) <= set(ALL_QUERIES), sorted(

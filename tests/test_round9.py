@@ -82,3 +82,34 @@ def test_louvain_convergence_fixpoint_laws(spark):
     q319 = AQ["q319_louvain_contract"](spark, sf).collect()[0]
     assert out["q_initial_millionths"] == q319["q_after_millionths"]
     assert out["n_comm_initial"] == q319["n_comm_after"]
+
+
+def test_harmonic_packing_recompute_and_laws(spark):
+    """q367: pure-Python harmonic-class recompute matches the frame
+    exactly; harmonic bins can never beat the fractional lower bound;
+    packable + oversize conserves the corpus."""
+    from etl_globalretail_spark.operators.corpus import QUERIES as CQ
+    from etl_globalretail_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    L = 512
+    out = CQ["q367_harmonic_packing"](spark, sf).collect()[0]
+    lens = [
+        r["t"] for r in load_table(spark, "documents", sf)
+        .select(F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                .alias("t")).collect()
+    ]
+    packable = [t for t in lens if t <= L]
+    hist: dict[int, int] = {}
+    for t in packable:
+        hist[t] = hist.get(t, 0) + 1
+    bins = sum(-(-n // (L // t)) for t, n in hist.items())
+    assert out["n_packable"] == len(packable)
+    assert out["n_oversize"] == len(lens) - len(packable)
+    assert out["n_classes"] == len(hist)
+    assert out["packable_tokens"] == sum(packable)
+    assert out["harmonic_bins"] == bins
+    assert out["lp_lower_bound"] == -(-sum(packable) // L)
+    assert out["harmonic_bins"] >= out["lp_lower_bound"]
+    assert out["waste_tokens"] == bins * L - sum(packable) >= 0
