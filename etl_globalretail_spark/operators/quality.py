@@ -851,3 +851,95 @@ def _register_q296() -> None:
 
 
 _register_q296()
+
+
+# ---------------------------------------------------------------------------
+# q368 — DIFFERENTIALLY-PRIVATE count release (the privacy family's
+# missing half: q243/q263/q296 AUDIT a corpus, q353 deletes, q85
+# scrubs — nothing yet RELEASES an aggregate under a privacy budget).
+# Releases per-segment customer counts through symmetric-geometric
+# additive noise — the discrete analogue of the Laplace mechanism
+# (Dwork et al. 2006; Ghosh-Roughgarden-Sundararajan's geometric
+# mechanism family): noise n has P(0) = 1/2, P(±k) = 2^-(k+2), so for
+# sensitivity Δ = 1 the release is pure ε-DP with
+# ε = ln(P(0)/P(1)) = ln 4 ≈ 1.386 — stated, not approximated, because
+# the tail ratio is exactly 2 and the worst case sits at the center.
+#
+# Determinism (the repo's seeded stance — rand() never appears): the
+# noise draw is a PSEUDO-random function of the release key,
+# u = 52-bit md5("dp9:" ‖ segment); sign = u mod 2; magnitude = count
+# of trailing zeros of u div 2 (a geometric(1/2) variable), extracted
+# INTEGER-EXACTLY as LENGTH(BIN(v & -v)) − 1 — the q345 bit-length
+# device, identical in both engines. A production release would rotate
+# the seed per release epoch and emit ONLY n_released; the audit frame
+# here carries n_true/noise so the gate can hash the whole mechanism.
+#
+# Scale shape: one map-side-combinable groupBy(segment) count; the
+# noise is a per-GROUP scalar expression (|segments| rows) — the
+# mechanism costs nothing at any corpus size. Negative releases are
+# kept (clamping would break the DP guarantee; consumers post-process).
+# ---------------------------------------------------------------------------
+
+
+def _register_q368() -> None:
+    @_register(
+        "q368_dp_count_release",
+        oracle="""
+        WITH cnt AS (
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM customer GROUP BY 1
+        ),
+        draw AS (
+            SELECT c_mktsegment, n_true,
+                   CAST('0x' || substr(md5('dp9:' || c_mktsegment),
+                                       1, 13) AS BIGINT) AS u
+            FROM cnt
+        ),
+        noise AS (
+            SELECT c_mktsegment, n_true,
+                   CASE WHEN u % 2 = 0 THEN 1 ELSE -1 END
+                   * CASE WHEN u // 2 = 0 THEN 51
+                          ELSE LENGTH(BIN((u // 2) & -(u // 2))) - 1
+                     END AS noise
+            FROM draw
+        )
+        SELECT c_mktsegment,
+               n_true,
+               CAST(noise AS BIGINT) AS noise,
+               CAST(n_true + noise AS BIGINT) AS n_released,
+               CAST(ABS(noise) AS BIGINT) AS abs_err
+        FROM noise
+        """,
+    )
+    def q368_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ε = ln 4 differentially-private per-segment customer counts
+        via seeded symmetric-geometric noise; the audit frame carries
+        the true count, the noise draw, and the release. See block
+        comment."""
+        cust = load_table(spark, "customer", sf_dir)
+        cnt = cust.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n_true")
+        )
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp9:"), F.col("c_mktsegment"))),
+                1, 13,
+            ), 16, 10,
+        ).cast("long")
+        drawn = cnt.select("c_mktsegment", "n_true", u.alias("u"))
+        noise = (
+            F.when(F.col("u") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+            * F.when(F.expr("u div 2") == 0, F.lit(51)).otherwise(
+                F.expr("LENGTH(BIN((u div 2) & -(u div 2))) - 1")
+            )
+        ).cast("long")
+        return drawn.select(
+            "c_mktsegment", "n_true",
+            noise.alias("noise"),
+            (F.col("n_true") + noise).cast("long").alias("n_released"),
+            F.abs(noise).cast("long").alias("abs_err"),
+        )
+
+
+_register_q368()

@@ -97,6 +97,9 @@ _SHOWCASE = [
     # sweep and its oracle measured 0.7 s on this round's gate dry-run)
     "q200_curation_pipeline",
 ]
+# Round-9 additions past the 50-slot prefix (q368_dp_count_release, …)
+# are hash-verified by this round's local sf0.01 runs + per-query
+# pytests and LEAD the r10 rotation, per the standing convention.
 
 assert set(_SHOWCASE) <= set(ALL_QUERIES), sorted(
     set(_SHOWCASE) - set(ALL_QUERIES)

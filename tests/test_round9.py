@@ -113,3 +113,28 @@ def test_harmonic_packing_recompute_and_laws(spark):
     assert out["lp_lower_bound"] == -(-sum(packable) // L)
     assert out["harmonic_bins"] >= out["lp_lower_bound"]
     assert out["waste_tokens"] == bins * L - sum(packable) >= 0
+
+
+def test_dp_release_mechanism_recompute(spark):
+    """q368: the noise draw is a pure function of the release key —
+    recomputed here from md5 in Python bit-for-bit — and the release
+    is exactly true + noise."""
+    import hashlib
+
+    from etl_globalretail_spark.operators.quality import QUERIES as QQ
+
+    out = QQ["q368_dp_count_release"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 5  # the five market segments
+    for r in out:
+        u = int(
+            hashlib.md5(f"dp9:{r['c_mktsegment']}".encode())
+            .hexdigest()[:13], 16,
+        )
+        sign = 1 if u % 2 == 0 else -1
+        v = u // 2
+        mag = 51 if v == 0 else ((v & -v).bit_length() - 1)
+        assert r["noise"] == sign * mag
+        assert r["n_released"] == r["n_true"] + r["noise"]
+        assert r["abs_err"] == abs(r["noise"])
