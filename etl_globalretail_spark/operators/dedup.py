@@ -1081,7 +1081,10 @@ def fuzzy_pairs(
 @_register(
     "q80_fuzzy_name_pairs",
     oracle="""
-    WITH side AS (
+    -- side is self-joined (two references): MATERIALIZED, or DuckDB
+    -- builds the customer projection twice per dependent oracle
+    -- (q80 itself + the embedded copies in q338/q339/q191 chains)
+    WITH side AS MATERIALIZED (
         SELECT c_custkey AS id, c_name AS nm, c_nationkey,
                length(c_name) AS len FROM customer
     )

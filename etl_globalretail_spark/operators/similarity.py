@@ -1888,19 +1888,21 @@ def _register_q293() -> None:
     @_register(
         "q293_hard_negatives",
         oracle=f"""
-        WITH flat AS (
+        -- flat is self-joined and feeds norms; lab/norms join
+        -- twice each — MATERIALIZED (measured 3.2 s -> 1.8 s)
+        WITH flat AS MATERIALIZED (
             SELECT vec_id,
                    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings
         ),
-        norms AS (
+        norms AS MATERIALIZED (
             SELECT vec_id,
                    sqrt(CAST(SUM(CAST(FLOOR(val * val * 1e12) AS BIGINT))
                         AS DOUBLE)) AS n
             FROM flat GROUP BY vec_id
         ),
-        lab AS (
+        lab AS MATERIALIZED (
             SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
         ),
         dots AS (
@@ -2394,7 +2396,10 @@ def _register_q318() -> None:
     @_register(
         "q318_hard_negatives_multiprobe",
         oracle=f"""
-        WITH flat AS (
+        -- multi-referenced CTEs (flat x4, buckets/lab/norms x2)
+        -- MATERIALIZED: DuckDB otherwise re-expands the embedding
+        -- unnest per reference (measured 20 s -> 1.5 s at sf0.01)
+        WITH flat AS MATERIALIZED (
             SELECT vec_id,
                    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val
@@ -2418,14 +2423,14 @@ def _register_q318() -> None:
             FROM vq JOIN signs ON vq.pos = signs.pos
             GROUP BY vec_id, b
         ),
-        buckets AS (
+        buckets AS MATERIALIZED (
             SELECT vec_id, CAST(SUM(bit * (1 << b)) AS BIGINT) AS bucket
             FROM bits GROUP BY vec_id
         ),
-        lab AS (
+        lab AS MATERIALIZED (
             SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
         ),
-        norms AS (
+        norms AS MATERIALIZED (
             SELECT vec_id,
                    sqrt(CAST(SUM(CAST(FLOOR(val * val * 1e12) AS BIGINT))
                         AS DOUBLE)) AS n
@@ -2745,6 +2750,10 @@ _Q355_K = 5
 
 
 def _register_q355() -> None:
+    # every greedy-step CTE is multi-referenced (pool by all K
+    # steps, sels{t} by step and union) — AS MATERIALIZED or the
+    # correlated max-sim subqueries replay the whole chain per
+    # reference (measured 10.1 s -> 0.2 s at sf0.01; q212 rule)
     dot = (
         "(SELECT SUM({a}.xq[u.i] * {b}.xq[u.i])"
         " FROM (SELECT unnest(generate_series(1, 64)) AS i) u)"
@@ -2753,18 +2762,18 @@ def _register_q355() -> None:
     for t in range(2, _Q355_K + 1):
         prev = t - 1
         steps.append(f"""
-    step{t} AS (
+    step{t} AS MATERIALIZED (
         SELECT p.vec_id, p.xq, p.rel,
                (SELECT MAX({dot.format(a='p', b='s')})
                 FROM sels{prev} s) AS ms
         FROM pool p
         WHERE p.vec_id NOT IN (SELECT vec_id FROM sels{prev})
     ),
-    sel{t} AS (
+    sel{t} AS MATERIALIZED (
         SELECT vec_id, xq, rel, ms FROM step{t}
         ORDER BY 7 * rel - 3 * ms DESC, vec_id LIMIT 1
     ),
-    sels{t} AS (
+    sels{t} AS MATERIALIZED (
         SELECT vec_id, xq, rel, ms, rnk FROM sels{prev}
         UNION ALL
         SELECT vec_id, xq, rel, ms, {t} FROM sel{t}
@@ -2774,36 +2783,36 @@ def _register_q355() -> None:
     @_register(
         "q355_mmr_rerank",
         oracle=f"""
-    WITH q AS (
+    WITH q AS MATERIALIZED (
         SELECT list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xq
         FROM embeddings
         WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
     ),
-    c0 AS (
+    c0 AS MATERIALIZED (
         SELECT vec_id,
                list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xq
         FROM embeddings
         WHERE vec_id != (SELECT MIN(vec_id) FROM embeddings)
     ),
-    rel AS (
+    rel AS MATERIALIZED (
         SELECT c.vec_id, c.xq,
                CAST({dot.format(a='c', b='q')} AS BIGINT) AS rel
         FROM c0 c, q
     ),
-    pool AS (
+    pool AS MATERIALIZED (
         SELECT vec_id, xq, rel FROM (
             SELECT vec_id, xq, rel,
                    ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rk
             FROM rel
         ) WHERE rk <= {_Q355_POOL}
     ),
-    sel1 AS (
+    sel1 AS MATERIALIZED (
         SELECT vec_id, xq, rel, CAST(0 AS BIGINT) AS ms FROM pool
         ORDER BY rel DESC, vec_id LIMIT 1
     ),
-    sels1 AS (SELECT vec_id, xq, rel, ms, 1 AS rnk FROM sel1),
+    sels1 AS MATERIALIZED (SELECT vec_id, xq, rel, ms, 1 AS rnk FROM sel1),
     {chain}
     SELECT CAST(rnk AS BIGINT) AS rnk,
            CAST(vec_id AS BIGINT) AS vec_id,

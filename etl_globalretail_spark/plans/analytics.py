@@ -7534,8 +7534,11 @@ _BT_LO, _BT_HI = 1000, 10**9
 
 
 def _q330_oracle() -> str:
+    # every chain CTE is multi-referenced across the MM rounds —
+    # AS MATERIALIZED throughout or DuckDB replays the duel build
+    # per reference (measured 5.7 s -> 0.1 s at sf0.01; q212 rule)
     ctes = [
-        """s AS (
+        """s AS MATERIALIZED (
             SELECT event_type, value, event_id,
                    lag(event_type) OVER w AS prev_t,
                    lag(value) OVER w AS prev_v,
@@ -7543,7 +7546,7 @@ def _q330_oracle() -> str:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )""",
-        """duel AS (
+        """duel AS MATERIALIZED (
             SELECT CASE WHEN prev_v > value
                              OR (prev_v = value AND prev_id < event_id)
                         THEN prev_t ELSE event_type END AS winner,
@@ -7552,25 +7555,25 @@ def _q330_oracle() -> str:
                         THEN event_type ELSE prev_t END AS loser
             FROM s WHERE prev_t IS NOT NULL AND prev_t <> event_type
         )""",
-        """dir0 AS (
+        """dir0 AS MATERIALIZED (
             SELECT winner AS item, loser AS opp, 1 AS win FROM duel
             UNION ALL
             SELECT loser AS item, winner AS opp, 0 AS win FROM duel
         )""",
-        """dirs AS (
+        """dirs AS MATERIALIZED (
             SELECT item, opp, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(win) AS BIGINT) AS w
             FROM dir0 GROUP BY item, opp
         )""",
-        """items AS (
+        """items AS MATERIALIZED (
             SELECT item, CAST(SUM(n) AS BIGINT) AS duels,
                    CAST(SUM(w) AS BIGINT) AS wins
             FROM dirs GROUP BY item
         )""",
-        "s0 AS (SELECT item, CAST(1000000 AS HUGEINT) AS s FROM items)",
+        "s0 AS MATERIALIZED (SELECT item, CAST(1000000 AS HUGEINT) AS s FROM items)",
     ]
     for r in range(1, _BT_ROUNDS + 1):
-        ctes.append(f"""d{r} AS (
+        ctes.append(f"""d{r} AS MATERIALIZED (
             SELECT p.item,
                    GREATEST(SUM((CAST(p.n AS HUGEINT) * {_BT_SCALE})
                                 // (si.s + sj.s)),
@@ -7580,7 +7583,7 @@ def _q330_oracle() -> str:
             JOIN s{r - 1} sj ON sj.item = p.opp
             GROUP BY p.item
         )""")
-        ctes.append(f"""s{r} AS (
+        ctes.append(f"""s{r} AS MATERIALIZED (
             SELECT i.item,
                    LEAST(GREATEST((CAST(i.wins AS HUGEINT) * {_BT_SCALE})
                                   // d.denom,
