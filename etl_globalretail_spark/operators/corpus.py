@@ -6020,3 +6020,184 @@ def _register_q367() -> None:
 
 
 _register_q367()
+
+
+# ---------------------------------------------------------------------------
+# q369 — CONSISTENT-HASHING shard rebalance audit (Karger et al. 1997):
+# the data-layout question every growing training fleet asks — when the
+# shard count goes 8 → 10, HOW MUCH data moves, and does it move ONLY
+# to the added shards? Classic hash-mod placement (q364's epoch-shard
+# layout, doc % S) reshuffles ~1 − 1/S of the corpus on resize;
+# consistent hashing moves only what the new shards claim (expected
+# 2/10 here), and the MINIMAL-MOVEMENT LAW — an example never moves
+# BETWEEN two shards that exist in both configurations — is what this
+# query audits at per-shard grain.
+#
+# Ring construction (seeded, engine-portable): anchor position
+# r_i = 52-bit md5("ring:" ‖ i), example position p = md5("doc:" ‖
+# doc_id); owner = the anchor at minimal CLOCKWISE distance
+# (r_i − p + 2^52) mod 2^52 — int64-exact, ties (astronomically
+# unlikely) broken on shard id. Both configurations share anchors
+# 0..7; 8 and 9 are the added ones, so config-B ownership changes iff
+# a doc's clockwise-nearest anchor becomes 8 or 9.
+#
+# Scale shape: the anchor tables are 8/10-row broadcast literals
+# (bounded by construction — INTENTIONAL_CROSS class); ownership is
+# one doc-partitioned rank per configuration (high-cardinality
+# partition key, never global); output is the |shards|-row census. At
+# 100 TB the same plan prices a petabyte resize before running it.
+# ---------------------------------------------------------------------------
+
+_Q369_OLD, _Q369_NEW = 8, 10
+_Q369_MOD = 1 << 52
+
+
+def _register_q369() -> None:
+    mod = _Q369_MOD
+
+    def anchors_sql(n: int) -> str:
+        rows = ", ".join(
+            f"({i}, CAST('0x' || substr(md5('ring:' || {i}), 1, 13)"
+            f" AS BIGINT))"
+            for i in range(n)
+        )
+        return f"(VALUES {rows}) a(shard, r)"
+
+    def owner_sql(n: int, alias: str) -> str:
+        return f"""
+        {alias} AS MATERIALIZED (
+            SELECT doc_id, shard FROM (
+                SELECT d.doc_id, a.shard,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY d.doc_id
+                           ORDER BY (a.r - d.p + {mod}) % {mod}, a.shard
+                       ) AS rn
+                FROM pos d, {anchors_sql(n)}
+            ) WHERE rn = 1
+        )"""
+
+    @_register(
+        "q369_consistent_shard_rebalance",
+        oracle=f"""
+        WITH pos AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('doc:' || CAST(doc_id
+                        AS VARCHAR)), 1, 13) AS BIGINT) AS p
+            FROM documents
+        ),
+        {owner_sql(_Q369_OLD, 'own_a')},
+        {owner_sql(_Q369_NEW, 'own_b')},
+        j AS MATERIALIZED (
+            SELECT a.doc_id, a.shard AS sa, b.shard AS sb
+            FROM own_a a JOIN own_b b ON a.doc_id = b.doc_id
+        ),
+        shards AS (
+            SELECT unnest(generate_series(0, {_Q369_NEW - 1})) AS shard
+        )
+        SELECT CAST(s.shard AS BIGINT) AS shard,
+               CAST(COALESCE(SUM(CASE WHEN j.sa = s.shard
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_before,
+               CAST(COALESCE(SUM(CASE WHEN j.sb = s.shard
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_after,
+               CAST(COALESCE(SUM(CASE WHEN j.sb = s.shard
+                                       AND j.sa <> s.shard
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS gained,
+               CAST(COALESCE(SUM(CASE WHEN j.sa = s.shard
+                                       AND j.sb <> s.shard
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS lost
+        FROM shards s LEFT JOIN j ON j.sa = s.shard OR j.sb = s.shard
+        GROUP BY s.shard
+        """,
+    )
+    def q369_consistent_shard_rebalance(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-shard before/after/gained/lost census of an 8 → 10
+        consistent-hash ring resize over the documents corpus; the
+        minimal-movement law (gained only by the added shards) is
+        pytest-pinned. See block comment."""
+        d = load_table(spark, "documents", sf_dir).select(
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("doc:"),
+                                   F.col("doc_id").cast("string"))),
+                    1, 13,
+                ), 16, 10,
+            ).cast("long").alias("p"),
+        )
+        # pos feeds both configuration ranks — persist (q212 stance)
+        d = d.persist()
+
+        def owner(n: int, out: str) -> DataFrame:
+            anchors = spark.createDataFrame(
+                [
+                    (
+                        i,
+                        int(
+                            __import__("hashlib")
+                            .md5(f"ring:{i}".encode())
+                            .hexdigest()[:13],
+                            16,
+                        ),
+                    )
+                    for i in range(n)
+                ],
+                "shard long, r long",
+            )
+            w = Window.partitionBy("doc_id").orderBy("dist", "shard")
+            return (
+                d.crossJoin(F.broadcast(anchors))  # ≤10 rows — bounded
+                .select(
+                    "doc_id", "shard",
+                    ((F.col("r") - F.col("p") + _Q369_MOD) % _Q369_MOD)
+                    .alias("dist"),
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("doc_id", F.col("shard").alias(out))
+            )
+
+        j = owner(_Q369_OLD, "sa").join(owner(_Q369_NEW, "sb"), "doc_id")
+        shards = spark.range(0, _Q369_NEW).select(
+            F.col("id").cast("long").alias("shard")
+        )
+        census = (
+            j.select(
+                F.explode(
+                    F.array_distinct(F.array("sa", "sb"))
+                ).alias("shard"),
+                "sa", "sb",
+            )
+            .groupBy("shard")
+            .agg(
+                F.sum(F.when(F.col("sa") == F.col("shard"), 1)
+                      .otherwise(0)).cast("long").alias("n_before"),
+                F.sum(F.when(F.col("sb") == F.col("shard"), 1)
+                      .otherwise(0)).cast("long").alias("n_after"),
+                F.sum(F.when((F.col("sb") == F.col("shard"))
+                             & (F.col("sa") != F.col("shard")), 1)
+                      .otherwise(0)).cast("long").alias("gained"),
+                F.sum(F.when((F.col("sa") == F.col("shard"))
+                             & (F.col("sb") != F.col("shard")), 1)
+                      .otherwise(0)).cast("long").alias("lost"),
+            )
+        )
+        out = shards.join(census, "shard", "left").select(
+            "shard",
+            *[
+                F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                for c in ("n_before", "n_after", "gained", "lost")
+            ],
+        )
+        from etl_globalretail_spark.sources.artifacts import materialize
+        res = materialize(out)
+        d.unpersist()
+        return res
+
+
+_register_q369()

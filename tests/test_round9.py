@@ -138,3 +138,53 @@ def test_dp_release_mechanism_recompute(spark):
         assert r["noise"] == sign * mag
         assert r["n_released"] == r["n_true"] + r["noise"]
         assert r["abs_err"] == abs(r["noise"])
+
+
+def test_consistent_rebalance_minimal_movement(spark):
+    """q369: the minimal-movement law — on an 8 → 10 ring resize,
+    examples are GAINED only by the two added shards; surviving shards
+    only lose; totals conserve; and the census matches a pure-Python
+    ring recompute."""
+    import hashlib
+
+    from etl_globalretail_spark.operators.corpus import QUERIES as CQ
+    from etl_globalretail_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["shard"]: r for r in
+            CQ["q369_consistent_shard_rebalance"](spark, sf).collect()}
+    assert sorted(rows) == list(range(10))
+    # gained only by the added shards 8 and 9
+    for s in range(8):
+        assert rows[s]["gained"] == 0, f"shard {s} gained"
+        assert rows[s]["n_before"] >= rows[s]["n_after"]
+    for s in (8, 9):
+        assert rows[s]["n_before"] == 0 and rows[s]["lost"] == 0
+    # conservation: total before == total after == corpus size;
+    # total lost == total gained
+    n = load_table(spark, "documents", sf).count()
+    assert sum(r["n_before"] for r in rows.values()) == n
+    assert sum(r["n_after"] for r in rows.values()) == n
+    assert (sum(r["lost"] for r in rows.values())
+            == sum(r["gained"] for r in rows.values()))
+
+    # pure-Python ring recompute
+    mod = 1 << 52
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+    def owner(p, ns):
+        return min(range(ns), key=lambda i: ((h(f"ring:{i}") - p) % mod, i))
+
+    docs = [r["doc_id"] for r in
+            load_table(spark, "documents", sf).select("doc_id").collect()]
+    before = {s: 0 for s in range(10)}
+    after = {s: 0 for s in range(10)}
+    for did in docs:
+        p = h(f"doc:{did}")
+        before[owner(p, 8)] += 1
+        after[owner(p, 10)] += 1
+    for s in range(10):
+        assert rows[s]["n_before"] == before[s]
+        assert rows[s]["n_after"] == after[s]
