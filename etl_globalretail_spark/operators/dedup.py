@@ -1103,6 +1103,26 @@ def q80_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(c, "c_custkey", "c_name", ["c_nationkey"], 2)
 
 
+_FUZZY_MEMO_ATTR = "_etl_globalretail_fuzzy_pairs_memo"
+
+
+def fuzzy_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q80's blocked Levenshtein pair graph as a session-memoized
+    executor-resident artifact (the lp_labels device one family over):
+    q338's mutual-best matching and q339's Luby MIS both consume the
+    identical pair build — pay the blocked fuzzy join once per
+    (session, corpus) instead of once per consumer."""
+    memo = getattr(spark, _FUZZY_MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _FUZZY_MEMO_ATTR, memo)
+    if sf_dir not in memo:
+        memo[sf_dir] = materialize(
+            QUERIES["q80_fuzzy_name_pairs"](spark, sf_dir)
+        )
+    return memo[sf_dir]
+
+
 # ---------------------------------------------------------------------------
 # Benchmark contamination audit (decontamination's detection half).
 # ---------------------------------------------------------------------------
@@ -2349,9 +2369,7 @@ def _register_q338() -> None:
         """Edges matched in each of 3 mutual-best rounds over the q80
         fuzzy pair graph — distributed greedy one-to-one matching. See
         block comment."""
-        alive = materialize(
-            QUERIES["q80_fuzzy_name_pairs"](spark, sf_dir)
-        )
+        alive = fuzzy_pair_edges(spark, sf_dir)  # memoized artifact
         out: DataFrame | None = None
         for r in range(1, _Q338_ROUNDS + 1):
             direct = alive.select(
@@ -2512,7 +2530,7 @@ def _register_q339() -> None:
                 F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10
             ).cast("bigint")
 
-        edges = materialize(QUERIES["q80_fuzzy_name_pairs"](spark, sf_dir))
+        edges = fuzzy_pair_edges(spark, sf_dir)  # memoized artifact
         nodes = (
             edges.select(F.col("id_a").alias("node"))
             .unionAll(edges.select(F.col("id_b").alias("node")))
