@@ -412,3 +412,104 @@ def q286_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return materialize(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q370 — SCHEMA EVOLUTION across parquet generations (the lakehouse
+# column-add migration every long-lived table lives through): an old
+# generation of files written WITHOUT a column, a new generation
+# written WITH it, one `mergeSchema` read across both, and a census
+# proving the merge semantics — old-generation rows surface the added
+# column as NULL, new-generation values ride through intact, and
+# nothing is dropped or duplicated. q286 pins cross-FORMAT
+# losslessness; this pins cross-GENERATION schema widening, the other
+# axis a 100 TB table mutates along.
+#
+# Layout: generations are hive partition directories (gen=1, gen=2 —
+# partition discovery recovers `gen` as a column, the production
+# layout for staged migrations); the split is the fixed date cutoff
+# 1998-01-01 on o_orderdate; the added column is priority_rank =
+# first digit of o_orderpriority (int). The merged read is asserted
+# in pytest to still push filters down to the scan — schema merging
+# must not cost pushdown.
+#
+# Scale shape: one write per generation + one merged scan + one
+# 2-row census aggregate. mergeSchema's cost at scale is footer-read
+# fan-in, not data — and the pinned semantics are what a metastore
+# schema registry would enforce.
+# ---------------------------------------------------------------------------
+
+
+def _register_q370() -> None:
+    @_register(
+        "q370_schema_evolution",
+        oracle="""
+        WITH g AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderdate < DATE '1998-01-01'
+                        THEN 1 ELSE 2 END AS gen,
+                   CASE WHEN o_orderdate < DATE '1998-01-01'
+                        THEN NULL
+                        ELSE CAST(substr(o_orderpriority, 1, 1)
+                                  AS BIGINT) END AS priority_rank
+            FROM orders
+        )
+        SELECT CAST(gen AS BIGINT) AS gen,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+               CAST(SUM(CASE WHEN priority_rank IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rank_null,
+               CAST(COALESCE(SUM(priority_rank), 0) AS BIGINT)
+                   AS rank_sum
+        FROM g GROUP BY gen
+        """,
+    )
+    def q370_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Write two parquet generations of orders (the newer with an
+        added priority_rank column), read them back through ONE
+        mergeSchema scan, and census the widening semantics per
+        generation. See block comment."""
+        import tempfile
+
+        from etl_globalretail_spark.sources.readers import load_table
+
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
+        cutoff = F.lit("1998-01-01").cast("date")
+        work = tempfile.mkdtemp(prefix="q370_evo_")
+        try:
+            o.filter(F.col("o_orderdate") < cutoff).select(
+                "o_orderkey", "o_orderdate"
+            ).write.parquet(os.path.join(work, "gen=1"))
+            o.filter(F.col("o_orderdate") >= cutoff).select(
+                "o_orderkey", "o_orderdate",
+                F.substring("o_orderpriority", 1, 1).cast("long")
+                .alias("priority_rank"),
+            ).write.parquet(os.path.join(work, "gen=2"))
+            merged = (
+                spark.read.option("mergeSchema", "true").parquet(work)
+            )
+            out = merged.groupBy(
+                F.col("gen").cast("long").alias("gen")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_checksum"),
+                F.sum(
+                    F.when(F.col("priority_rank").isNull(), 1)
+                    .otherwise(0)
+                ).cast("long").alias("n_rank_null"),
+                F.coalesce(F.sum("priority_rank"), F.lit(0))
+                .cast("long").alias("rank_sum"),
+            )
+            # 2-row census: materialize so the finally can delete the
+            # generation files the lazy plan would re-read
+            from etl_globalretail_spark.sources.artifacts import materialize
+
+            return materialize(out)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
+_register_q370()

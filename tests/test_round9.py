@@ -188,3 +188,38 @@ def test_consistent_rebalance_minimal_movement(spark):
     for s in range(10):
         assert rows[s]["n_before"] == before[s]
         assert rows[s]["n_after"] == after[s]
+
+
+def test_schema_evolution_merge_semantics_and_pushdown(spark, tmp_path):
+    """q370's widening semantics: old-generation rows surface the added
+    column as NULL (exactly n_rows of gen 1), new-generation values ride
+    through; and a mergeSchema read still pushes filters to the scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_globalretail_spark.sources.formats import QUERIES as FQ
+
+    out = {r["gen"]: r for r in
+           FQ["q370_schema_evolution"](spark, "/root/testdata/sf0.001")
+           .collect()}
+    assert sorted(out) == [1, 2]
+    assert out[1]["n_rank_null"] == out[1]["n_rows"]  # all NULL pre-add
+    assert out[1]["rank_sum"] == 0
+    assert out[2]["n_rank_null"] == 0  # every new row has the column
+    assert out[2]["rank_sum"] > 0
+
+    # pushdown survives the merged read
+    base = str(tmp_path / "evo")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).alias("a")
+    ).write.parquet(os.path.join(base, "gen=1"))
+    spark.range(100, 200).select(
+        F.col("id"), (F.col("id") * 2).alias("a"),
+        (F.col("id") % 7).alias("b"),
+    ).write.parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    filtered = merged.filter(F.col("id") > 150)
+    filtered.write.format("noop").mode("overwrite").save()
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,150)]" in plan
