@@ -3299,3 +3299,123 @@ def q366_streaming_dedup_nonkey_probe(
         "window_start", "n_purchases", "id_checksum",
         "n_multi_purchases", "fanout_excess",
     )
+
+
+# ---------------------------------------------------------------------------
+# q371 — JOIN OF TWO WINDOWED AGGREGATES (the reverse factoring of
+# q321's join-then-aggregate): hourly click census ⋈ hourly purchase
+# census on WINDOW EQUALITY, the "conversion rate per hour from two
+# independently aggregated streams" shape — and the missing row of the
+# watermark-delay matrix. All prior rows pinned ops downstream of a
+# TIME-INTERVAL join (horizon > 0); this pins that a window-EQUALITY
+# equi-join of two completed aggregates contributes ZERO delay:
+#
+#   emit iff window_end ≤ W NON-STRICT (probe-pinned,
+#   tests/test_streaming_agg_join.py: max 05:10 → W = 05:00 and the
+#   [04:00, 05:00) window ending exactly AT W is EMITTED — a strict
+#   rule would withhold it). The delay rule tracks the join's TIME
+#   HORIZON, not join-ness: an equi-join on window structs has
+#   horizon 0, so the sum-along-the-path total is 0 and the agg-side
+#   non-strict posture survives the join unchanged.
+#
+# W is the query-GLOBAL watermark min(max click ts, max purchase ts)
+# − 10 min (one watermark per query across both inputs). INNER join:
+# only hours with BOTH clicks and purchases emit — mirrored in the
+# oracle's inner join.
+#
+# Oracle: the two batch hourly censuses joined at the pinned
+# non-strict boundary.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q371_streaming_agg_join_exact",
+    oracle="""
+    WITH c AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS h,
+               COUNT(*) AS n_clicks,
+               SUM(event_id) AS click_checksum
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS h,
+               COUNT(*) AS n_purchases,
+               SUM(event_id) AS purchase_checksum
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    mx AS (
+        SELECT LEAST(
+            (SELECT MAX(epoch_us(ts)) // 1000 FROM events
+             WHERE event_type = 'click'),
+            (SELECT MAX(epoch_us(ts)) // 1000 FROM events
+             WHERE event_type = 'purchase')) - 600000 AS wm
+    )
+    SELECT make_timestamp(c.h) AS window_start,
+           CAST(c.n_clicks AS BIGINT) AS n_clicks,
+           CAST(p.n_purchases AS BIGINT) AS n_purchases,
+           CAST(c.click_checksum AS BIGINT) AS click_checksum,
+           CAST(p.purchase_checksum AS BIGINT) AS purchase_checksum,
+           CAST(p.n_purchases * 1000 // c.n_clicks AS BIGINT)
+               AS conversion_permil
+    FROM c JOIN p ON c.h = p.h, mx
+    WHERE c.h + 3600000000 <= mx.wm * 1000
+    """,
+)
+def q371_streaming_agg_join_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly conversion census from a window-equality join of two
+    windowed-aggregate streams, run over the two-wave late-click
+    replay and hash-matched against the batch censuses at the pinned
+    NON-STRICT boundary (the join adds no delay). See block comment."""
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, "events", sf_dir)
+    late = (F.col("event_type") == "click") & (F.col("event_id") % 8 == 0)
+    work = tempfile.mkdtemp(prefix="q371_aj_")
+    sdir = os.path.join(work, "stream")
+    os.makedirs(sdir)
+    tmp = os.path.join(work, "staged")
+    e.withColumn(
+        "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
+    ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
+    for i in range(2):
+        _stage_wave_file(tmp, sdir, i)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clicks"),
+            F.sum("event_id").cast("long").alias("click_checksum"),
+        )
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("event_id").cast("long").alias("purchase_checksum"),
+        )
+    )
+    joined = clicks.join(purchases, "w").select(
+        F.col("w.start").alias("window_start"),
+        "n_clicks", "n_purchases",
+        "click_checksum", "purchase_checksum",
+        F.expr("n_purchases * 1000L div n_clicks").cast("long")
+        .alias("conversion_permil"),
+    )
+    _Q128_SEQ[0] += 1
+    sink = f"q371_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(joined, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.table(sink)
