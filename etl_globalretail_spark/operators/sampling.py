@@ -883,3 +883,243 @@ def _register_q305() -> None:
 
 
 _register_q305()
+
+
+# ---------------------------------------------------------------------------
+# q372 — EXACT weighted sampling WITHOUT replacement (Efraimidis &
+# Spirakis 2006, "Weighted random sampling with a reservoir" — the A-ES
+# scheme). The sampling family's missing guarantee tier: q88 is a
+# weighted fixed-RATE keep, q266 a weighted bottom-k whose linear
+# priority u·c div w only APPROXIMATES probability-proportional
+# inclusion (Duffield-Lund-Thorup estimator-grade). A-ES is the exact
+# law: give row i the key u_i^(1/w_i) (u uniform) and keep the k
+# LARGEST keys — the selected set follows exact successive WOR
+# sampling, P(first pick = i) = w_i / Σw.
+#
+# Portability device: u^(1/w) needs pow/ln — NOT cross-engine-portable
+# (determinism cookbook). For INTEGER weights there is an exact
+# integer-space equivalent: the max of w iid uniforms has CDF
+# P(max ≤ x) = x^w — the SAME distribution as u^(1/w). So the key is
+#     skey_i = max_{j=1..w_i} md5_52("wsr9:" ‖ doc_id ‖ ":" ‖ j)
+# computed identically in both engines (15→13-hex md5 prefix → int64),
+# no libm anywhere. Weights here are the doc-length tier
+# w = least(8, 1 + n_chars div 300) — an integer curation up-weight
+# with a small bound, so the replica fan-out is ≤ 8 and stays inside a
+# single array HOF (transform over sequence(1, w) + array_max): the
+# key is a MAP-ONLY projection, no explode, no shuffle.
+#
+# Scale shape: map-only keying, then global top-k via the two-phase
+# `operators/ranks.global_topk` (TakeOrderedAndProject — every
+# partition keeps a bounded heap; never a partition-less window at
+# corpus grain). At 100 TB this is one scan + a P·k-row driver merge;
+# the key is also MERGEABLE (bottom/top-k of a max-key union = union
+# of per-shard top-k), the same property that makes q240's KMV and
+# q266's priority sample distributable.
+# ---------------------------------------------------------------------------
+
+_Q372_K = 100
+_Q372_WMAX = 8
+
+
+def _register_q372() -> None:
+    @_register(
+        "q372_weighted_sample_wor",
+        oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   least({_Q372_WMAX},
+                         1 + coalesce(n_chars, 0) // 300) AS w,
+                   list_max([
+                       CAST('0x' || substr(md5('wsr9:'
+                                || CAST(doc_id AS VARCHAR) || ':'
+                                || CAST(j AS VARCHAR)), 1, 13) AS BIGINT)
+                       FOR j IN generate_series(
+                           1, least({_Q372_WMAX},
+                                    1 + coalesce(n_chars, 0) // 300))
+                   ]) AS skey
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, w, skey,
+                   ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id) AS rnk
+            FROM keyed
+        )
+        SELECT CAST(rnk AS BIGINT) AS rnk,
+               doc_id,
+               CAST(w AS BIGINT) AS w,
+               skey
+        FROM ranked
+        WHERE rnk <= {_Q372_K}
+        """,
+    )
+    def q372_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact A-ES weighted sample without replacement (k=100) over
+        documents, weight = doc-length tier ≤ 8; integer max-of-w-replicas
+        key ≡ u^(1/w) in distribution. See block comment."""
+        from etl_globalretail_spark.operators.ranks import global_topk
+
+        docs = load_table(spark, "documents", sf_dir)
+        w = F.least(
+            F.lit(_Q372_WMAX),
+            F.lit(1) + F.expr("coalesce(n_chars, 0) div 300"),
+        ).cast("int")
+        keyed = docs.select(F.col("doc_id"), w.alias("w")).withColumn(
+            "skey",
+            F.array_max(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("w")),
+                    lambda j: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("wsr9:"),
+                                    F.col("doc_id").cast("string"),
+                                    F.lit(":"),
+                                    j.cast("string"),
+                                )
+                            ),
+                            1, 13,
+                        ),
+                        16, 10,
+                    ).cast("long"),
+                )
+            ),
+        )
+        top = global_topk(
+            keyed, [("skey", "desc"), ("doc_id", "asc")], _Q372_K, out="rnk"
+        )
+        return top.select(
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id",
+            F.col("w").cast("long").alias("w"),
+            "skey",
+        )
+
+
+_register_q372()
+
+
+# ---------------------------------------------------------------------------
+# q373 — TEMPERATURE-SCALED domain mixture sampling (α = 0.5): the
+# multilingual-pretraining standard (mBERT/XLM-R/mT5 "exponentially
+# smoothed" sampling — Conneau & Lample 2019 §3.1; Xue et al. 2021
+# §3.2): sample domain d with probability ∝ n_d^α, 0 < α < 1, so head
+# domains are down-weighted and tail domains up-weighted relative to
+# natural frequency. The mixture family's missing interpolation tier:
+# q245 plans the α→? equal-share extreme (uniform per-domain budgets),
+# q48 caps head domains; α-sampling is the continuous dial between
+# natural (α=1) and uniform (α=0).
+#
+# Portability: α = 0.5 makes n^α = sqrt(n) — the ONE libm function
+# that is correctly-rounded and cross-engine-exact (determinism
+# cookbook; pow/exp/ln are not, which is why the α here is the
+# canonical 0.5 and not a free parameter). The share is then
+# quantized to integer space immediately — s_d = floor(sqrt(n_d)·1e6)
+# int64 — so the total Σ s_d and the quotas (K·s_d) div Σ s_d are
+# associative integer arithmetic, order-free in both engines.
+#
+# Per-domain selection is the family's seeded-hash rank: the n_sel_d
+# smallest md5("mix9:" ‖ doc_id) keys within each domain — a
+# PARTITIONED window (|domain| grain), never a global sort. Scale
+# shape: one map-side-combinable count, a |domains|-row quota frame
+# broadcast back, one rank-filter shuffle on the domain key. At
+# 100 TB the quota frame is still |domains| rows; the only data-sized
+# exchange is the per-domain rank, which Spark's InferWindowGroupLimit
+# rewrites to a per-partition top-n_sel heap (rank filter IS
+# partitioned here, unlike the global case q372 routes through
+# global_topk).
+# ---------------------------------------------------------------------------
+
+_Q373_K = 200
+
+
+def _register_q373() -> None:
+    @_register(
+        "q373_temperature_mixture",
+        oracle=f"""
+        WITH cnt AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        ),
+        shares AS (
+            SELECT source, n_docs,
+                   CAST(FLOOR(sqrt(n_docs) * 1000000) AS BIGINT) AS s_q
+            FROM cnt
+        ),
+        tot AS (
+            SELECT CAST(SUM(s_q) AS BIGINT) AS s_tot FROM shares
+        ),
+        quota AS (
+            SELECT source, n_docs, s_q,
+                   CAST(({_Q373_K} * s_q) // s_tot AS BIGINT) AS quota,
+                   CAST(least(n_docs, ({_Q373_K} * s_q) // s_tot)
+                        AS BIGINT) AS n_sel
+            FROM shares, tot
+        ),
+        keyed AS (
+            SELECT doc_id, source,
+                   CAST('0x' || substr(md5('mix9:'
+                        || CAST(doc_id AS VARCHAR)), 1, 13)
+                        AS BIGINT) AS dkey
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source, dkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY dkey, doc_id) AS rnk
+            FROM keyed
+        )
+        SELECT r.source,
+               r.doc_id,
+               CAST(r.rnk AS BIGINT) AS rnk,
+               r.dkey,
+               q.n_docs,
+               q.quota,
+               q.n_sel
+        FROM ranked r JOIN quota q USING (source)
+        WHERE r.rnk <= q.n_sel
+        """,
+    )
+    def q373_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """α=0.5 temperature-sampled cross-domain mixture (K=200):
+        integer-quantized √n domain shares → quotas → per-domain seeded
+        hash-rank selection. See block comment."""
+        docs = load_table(spark, "documents", sf_dir)
+        cnt = docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+        shares = cnt.withColumn(
+            "s_q", F.expr("CAST(FLOOR(sqrt(n_docs) * 1000000) AS BIGINT)")
+        )
+        tot = shares.agg(F.sum("s_q").cast("long").alias("s_tot"))
+        # 1-row total broadcast onto the |domains|-row share frame —
+        # bounded by construction (INTENTIONAL_CROSS: q373).
+        quota = shares.crossJoin(F.broadcast(tot)).select(
+            "source", "n_docs", "s_q",
+            F.expr(f"CAST(({_Q373_K} * s_q) div s_tot AS BIGINT)")
+            .alias("quota"),
+            F.expr(
+                f"CAST(least(n_docs, ({_Q373_K} * s_q) div s_tot) AS BIGINT)"
+            ).alias("n_sel"),
+        )
+        keyed = docs.select(
+            "doc_id", "source",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mix9:"),
+                                   F.col("doc_id").cast("string"))),
+                    1, 13,
+                ), 16, 10,
+            ).cast("long").alias("dkey"),
+        )
+        w = Window.partitionBy("source").orderBy("dkey", "doc_id")
+        ranked = keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
+        return (
+            ranked.join(F.broadcast(quota), "source")
+            .filter(F.col("rnk") <= F.col("n_sel"))
+            .select("source", "doc_id", "rnk", "dkey",
+                    "n_docs", "quota", "n_sel")
+        )
+
+
+_register_q373()

@@ -513,3 +513,208 @@ def _register_q370() -> None:
 
 
 _register_q370()
+
+
+# ---------------------------------------------------------------------------
+# q374 — Z-ORDER (Morton-curve) clustering layout + min-max file-skipping
+# audit. The layout family's missing axis: hive partitioning (above)
+# prunes on ONE directory key and compaction (q-compaction family) fixes
+# file SIZES, but a 100 TB lakehouse also clusters DATA WITHIN files so
+# that per-file min/max statistics (parquet row-group stats, Delta/Iceberg
+# file stats) can skip files for predicates on MULTIPLE columns at once —
+# Delta's OPTIMIZE ZORDER BY, Iceberg's sort-order rewrite (Morton 1966;
+# the space-filling-curve locality argument in Moro et al., "Z-ordering
+# for multi-dimensional queries").
+#
+# Mechanism, exactly as production table formats do it: quantize each
+# clustering column to a 16-bit rank-space code, bit-interleave the two
+# codes into a 32-bit Morton value, SORT the table by (morton, pk) and
+# cut it into equal-row files; per-file (min, max) of each column is then
+# the pruning index. The audit runs the same selective predicate
+# (user_id in the [40%, 50%] quantile band of its domain) against BOTH
+# layouts — Morton vs. the natural time-ordered layout an append-only
+# ingest produces — and reports files hit, rows scanned, and the skip
+# ratio. The Morton layout bounds BOTH dimensions per file (a file spans
+# a curve segment ⇒ a small rectangle of (user, time) space), so a
+# single-column predicate hits ~√F of F files instead of all of them;
+# time-ordered files each span the full user domain and prune nothing.
+#
+# Determinism & portability: quantization, interleave, rank, file cut,
+# bounds, and censuses are ALL integer arithmetic (shifts/&/div) —
+# bit-identical in both engines; the interleave expression is ONE shared
+# SQL string evaluated by Spark's F.expr and DuckDB verbatim. Domain
+# min/max are driver scalars on the Spark side (1-row agg, the documented
+# scalar class) and a CTE in the oracle — exact integers, so they agree.
+#
+# Scale shape: one scan → map-only quantize/interleave (persisted once;
+# consumed by both layout legs) → per-layout two-phase global row number
+# (`operators/ranks.global_row_number`; repartitionByRange on the curve
+# key — NEVER a single-task global sort; at cluster scale the ranged
+# partitions ARE the file writer tasks) → |files|-grain censuses → two
+# 1-row aggregates. Output: 2 rows.
+# ---------------------------------------------------------------------------
+
+_Q374_FILES = 32
+
+
+def _morton32_sql(qx: str, qy: str) -> str:
+    """Bit-interleave two 16-bit codes into a 32-bit Morton value —
+    x bits at odd positions, y at even. Pure integer shifts/masks:
+    the SAME text is valid Spark SQL and DuckDB SQL."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({qx} >> {i}) & 1) * {1 << (2 * i + 1)})")
+        terms.append(f"((({qy} >> {i}) & 1) * {1 << (2 * i)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _register_q374() -> None:
+    morton = _morton32_sql("qx", "qy")
+    oracle = f"""
+        WITH ev AS (
+            SELECT event_id, user_id, epoch_ms(ts) AS tms FROM events
+        ),
+        st AS (
+            SELECT MIN(user_id) AS mnu, MAX(user_id) AS mxu,
+                   MIN(tms) AS mnt, MAX(tms) AS mxt,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM ev
+        ),
+        params AS (
+            SELECT mnu, mxu, mnt, mxt, n_total,
+                   (n_total + {_Q374_FILES - 1}) // {_Q374_FILES} AS rpf,
+                   mnu + ((mxu - mnu) * 40) // 100 AS lo,
+                   mnu + ((mxu - mnu) * 50) // 100 AS hi
+            FROM st
+        ),
+        q AS (
+            SELECT event_id, user_id, tms,
+                   ((user_id - mnu) * 65535) // greatest(1, mxu - mnu) AS qx,
+                   ((tms - mnt) * 65535) // greatest(1, mxt - mnt) AS qy
+            FROM ev, params
+        ),
+        m AS (
+            SELECT event_id, user_id, tms, {morton} AS morton FROM q
+        ),
+        zr AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER (ORDER BY morton, event_id) AS rn
+            FROM m
+        ),
+        lr AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER (ORDER BY tms, event_id) AS rn
+            FROM m
+        ),
+        zf AS (
+            SELECT (rn - 1) // rpf AS file_id,
+                   MIN(user_id) AS mn, MAX(user_id) AS mx,
+                   COUNT(*) AS n_rows,
+                   SUM(CASE WHEN user_id BETWEEN lo AND hi
+                       THEN 1 ELSE 0 END) AS n_true
+            FROM zr, params GROUP BY 1
+        ),
+        lf AS (
+            SELECT (rn - 1) // rpf AS file_id,
+                   MIN(user_id) AS mn, MAX(user_id) AS mx,
+                   COUNT(*) AS n_rows,
+                   SUM(CASE WHEN user_id BETWEEN lo AND hi
+                       THEN 1 ELSE 0 END) AS n_true
+            FROM lr, params GROUP BY 1
+        ),
+        census AS (
+            SELECT 'zorder' AS layout,
+                   CAST(COUNT(*) AS BIGINT) AS n_files,
+                   CAST(SUM(CASE WHEN mn <= hi AND mx >= lo
+                        THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+                   CAST(SUM(CASE WHEN mn <= hi AND mx >= lo
+                        THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+                   CAST(SUM(n_true) AS BIGINT) AS true_rows
+            FROM zf, params
+            UNION ALL
+            SELECT 'time_linear' AS layout,
+                   CAST(COUNT(*) AS BIGINT) AS n_files,
+                   CAST(SUM(CASE WHEN mn <= hi AND mx >= lo
+                        THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+                   CAST(SUM(CASE WHEN mn <= hi AND mx >= lo
+                        THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+                   CAST(SUM(n_true) AS BIGINT) AS true_rows
+            FROM lf, params
+        )
+        SELECT layout, n_files, files_hit, rows_scanned, true_rows,
+               CAST((n_files - files_hit) * 1000 // n_files AS BIGINT)
+                   AS skip_permil
+        FROM census
+    """
+
+    @_register("q374_zorder_layout", oracle=oracle)
+    def q374_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Morton-interleave clustering vs time-linear layout: per-file
+        min/max pruning audit for a selective user_id band predicate.
+        See block comment."""
+        from etl_globalretail_spark.operators.ranks import global_row_number
+        from etl_globalretail_spark.sources.readers import load_table
+
+        ev = load_table(spark, "events", sf_dir).select(
+            "event_id", "user_id", F.unix_millis("ts").alias("tms")
+        )
+        st = ev.agg(
+            F.min("user_id").alias("mnu"), F.max("user_id").alias("mxu"),
+            F.min("tms").alias("mnt"), F.max("tms").alias("mxt"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        ).collect()[0]  # 1-row driver scalar (documented class)
+        mnu, mxu, mnt, mxt, n_total = (
+            st["mnu"], st["mxu"], st["mnt"], st["mxt"], st["n_total"]
+        )
+        rpf = (n_total + _Q374_FILES - 1) // _Q374_FILES
+        lo = mnu + ((mxu - mnu) * 40) // 100
+        hi = mnu + ((mxu - mnu) * 50) // 100
+
+        base = ev.select(
+            "event_id", "user_id", "tms",
+            F.expr(
+                f"((user_id - {mnu}) * 65535) div greatest(1, {mxu - mnu})"
+            ).alias("qx"),
+            F.expr(
+                f"((tms - {mnt}) * 65535) div greatest(1, {mxt - mnt})"
+            ).alias("qy"),
+        ).withColumn("morton", F.expr(_morton32_sql("qx", "qy")))
+        base = base.persist()  # consumed by BOTH layout rank legs
+
+        def census(order: list[tuple[str, str]], layout: str):
+            ranked, _n = global_row_number(base, order, out="rn")
+            files = (
+                ranked.withColumn("file_id", F.expr(f"(rn - 1) div {rpf}"))
+                .groupBy("file_id")
+                .agg(
+                    F.min("user_id").alias("mn"),
+                    F.max("user_id").alias("mx"),
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum(
+                        F.col("user_id").between(lo, hi).cast("long")
+                    ).alias("n_true"),
+                )
+            )
+            hit = (F.col("mn") <= hi) & (F.col("mx") >= lo)
+            return files.agg(
+                F.lit(layout).alias("layout"),
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(hit.cast("long")).alias("files_hit"),
+                F.sum(F.when(hit, F.col("n_rows")).otherwise(F.lit(0)))
+                .cast("long").alias("rows_scanned"),
+                F.sum("n_true").cast("long").alias("true_rows"),
+            )
+
+        z = census([("morton", "asc"), ("event_id", "asc")], "zorder")
+        lin = census([("tms", "asc"), ("event_id", "asc")], "time_linear")
+        out = z.unionByName(lin).withColumn(
+            "skip_permil",
+            F.expr("CAST((n_files - files_hit) * 1000 div n_files AS BIGINT)"),
+        )
+        return out.select(
+            "layout", "n_files", "files_hit", "rows_scanned",
+            "true_rows", "skip_permil",
+        )
+
+
+_register_q374()

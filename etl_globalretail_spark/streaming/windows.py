@@ -3419,3 +3419,235 @@ def q371_streaming_agg_join_exact(
                        n_rows=table_rows(spark, "events", sf_dir))
     shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q375 — UNION of two differently-delayed streams feeding ONE windowed
+# aggregate: the multi-INPUT row of the watermark matrix. Every prior
+# row pinned multi-OPERATOR chains (join/dedup/agg upstream of a
+# window); this pins how a query with TWO withWatermark nodes — the
+# union-of-sources ingest every production topology has (e.g. a
+# backfill stream union'd with the live stream, or two regional
+# feeds) — derives its ONE query-global watermark:
+#
+#   W = MIN over branches of (that branch's max event time − that
+#   branch's OWN delay)   [default multipleWatermarkPolicy = min]
+#
+# and the union itself adds NO delay: the downstream window emits iff
+# window_end ≤ W NON-STRICT (the agg-upstream posture, q320's rule).
+# Probe-pinned (tests/test_streaming_union_wm.py): clicks carry a
+# 10-minute delay, purchases 90 minutes; a window inside
+# (W_min, W_max] — where the two policies disagree — is WITHHELD,
+# discriminating min from max; the window ending exactly AT W_min is
+# EMITTED, discriminating non-strict from strict. The slow branch
+# therefore GATES the whole union (the documented ops cost of mixed
+# delays: a 90-minute backfill feed holds back a 10-minute live feed's
+# emissions — to decouple them, run separate queries).
+#
+# Replay: the standard two-wave late-click staging (clicks with
+# event_id % 8 == 0 arrive in wave 1). Branch watermarks are floored
+# to ms (Spark tracks event-time stats in ms) exactly as q371's oracle
+# does. Oracle: one batch census of the union'd cohorts at the pinned
+# min/non-strict boundary.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q375_streaming_union_exact",
+    oracle="""
+    WITH u AS (
+        SELECT ts, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    mx AS (
+        SELECT LEAST(
+            (SELECT MAX(epoch_us(ts)) // 1000 FROM events
+             WHERE event_type = 'click') - 600000,
+            (SELECT MAX(epoch_us(ts)) // 1000 FROM events
+             WHERE event_type = 'purchase') - 5400000) AS wm_ms
+    ),
+    agg AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS h,
+               COUNT(*) AS n_rows,
+               SUM(CASE WHEN event_type = 'click'
+                   THEN 1 ELSE 0 END) AS n_clicks,
+               SUM(CASE WHEN event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS n_purchases,
+               SUM(event_id) AS checksum
+        FROM u GROUP BY 1
+    )
+    SELECT make_timestamp(h) AS window_start,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_clicks AS BIGINT) AS n_clicks,
+           CAST(n_purchases AS BIGINT) AS n_purchases,
+           CAST(checksum AS BIGINT) AS checksum
+    FROM agg, mx
+    WHERE h + 3600000000 <= mx.wm_ms * 1000
+    """,
+)
+def q375_streaming_union_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly census over the UNION of a 10-minute-delay click stream
+    and a 90-minute-delay purchase stream, hash-matched against the
+    batch census at the pinned min-policy / non-strict boundary. See
+    block comment."""
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, "events", sf_dir)
+    late = (F.col("event_type") == "click") & (F.col("event_id") % 8 == 0)
+    work = tempfile.mkdtemp(prefix="q375_un_")
+    sdir = os.path.join(work, "stream")
+    os.makedirs(sdir)
+    tmp = os.path.join(work, "staged")
+    e.withColumn(
+        "__wave", F.when(late, F.lit(1)).otherwise(F.lit(0))
+    ).coalesce(1).write.partitionBy("__wave").parquet(tmp)
+    for i in range(2):
+        _stage_wave_file(tmp, sdir, i)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    ).select("ts", "event_id", "event_type")
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark(
+        "ts", "10 minutes"
+    )
+    purchases = stream.filter(
+        F.col("event_type") == "purchase"
+    ).withWatermark("ts", "90 minutes")
+    agg = (
+        clicks.unionByName(purchases)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum((F.col("event_type") == "click").cast("long"))
+            .cast("long").alias("n_clicks"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long").alias("n_purchases"),
+            F.sum("event_id").cast("long").alias("checksum"),
+        )
+        .select(F.col("w.start").alias("window_start"),
+                "n_rows", "n_clicks", "n_purchases", "checksum")
+    )
+    _Q128_SEQ[0] += 1
+    sink = f"q375_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(agg, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q376 — LEFT SEMI stream-stream interval join: "purchases that HAD a
+# click within the prior hour" as an existence test, not a pair
+# enumeration. The join-matrix's projection row: q231 pins the INNER
+# interval join (n_pairs grain — a purchase with 3 matching clicks
+# emits 3 rows), q287/q303/q309 pin the OUTER null-emission timing;
+# semi is the third output contract — each matched LEFT row emits
+# EXACTLY ONCE however many clicks match, unmatched rows never emit.
+# Probe-pinned (tests/test_streaming_semi_join.py): two simultaneous
+# wave-0 matches → one output row; a purchase whose ONLY match arrives
+# in a later wave emits then (left state retained until the watermark
+# proves no admissible click can still match it); a duplicate late
+# click re-matching an already-emitted purchase does NOT re-emit.
+#
+# At 100 TB this is the attribution-filter topology (emit the
+# conversion event once, don't fan out per touchpoint): state is the
+# same symmetric interval-join store as q231 — bounded by
+# watermark + horizon — but the OUTPUT is |matched purchases|, not
+# |pairs|, which is what keeps the downstream sink linear when a bot
+# user has 10^4 clicks per purchase.
+#
+# Replay discipline: one availableNow wave (the q231 stance) — the
+# watermark never advances mid-run, so no eviction arithmetic enters
+# the result and the batch EXISTS is the exact semantics; the
+# eviction/late side is the probe's job. Oracle: EXISTS + hourly
+# census.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q376_streaming_semi_join_exact",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+        SELECT p.purchase_id, p.p_ts, p.value
+        FROM p
+        WHERE EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = p.user_id
+              AND c.c_ts <= p.p_ts
+              AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        )
+    )
+    SELECT make_timestamp((epoch_us(p_ts) // 3600000000) * 3600000000)
+               AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(purchase_id) AS BIGINT) AS purchase_checksum,
+           {val}
+    FROM m GROUP BY 1
+    """.format(val=_osum("value", "sum_value")),
+)
+def q376_streaming_semi_join_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly census of purchases with ≥1 click in the prior hour, run
+    through the real LEFT SEMI state-store join (one availableNow
+    wave) and hash-matched against DuckDB's EXISTS. See block
+    comment."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, "events", sf_dir)
+    work = tempfile.mkdtemp(prefix="q376_semi_")
+    sdir = os.path.join(work, "stream")
+    os.makedirs(sdir)
+    tmp = os.path.join(work, "w0")
+    e.coalesce(1).write.parquet(tmp)
+    shutil.move(
+        glob.glob(tmp + "/part-*.parquet")[0],
+        os.path.join(sdir, "wave_0.parquet"),
+    )
+    stream = spark.readStream.schema(e.schema).parquet(sdir)
+    p = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("p_ts", "10 minutes")
+    c = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "10 minutes")
+    matched = p.join(
+        c,
+        (F.col("p_uid") == F.col("c_uid"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    _Q128_SEQ[0] += 1
+    sink = f"q376_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(matched, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .groupBy(F.date_trunc("hour", F.col("p_ts")).alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("purchase_id").cast("long").alias("purchase_checksum"),
+            F.sum(F.col("purchase_value").cast("decimal(27,6)"))
+            .cast("double").alias("sum_value"),
+        )
+    )

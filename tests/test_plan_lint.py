@@ -61,6 +61,8 @@ INTENTIONAL_CROSS = {
     # single output row — bounded by construction (the q283/q314 stance)
     "q326_louvain_level2",  # same five broadcast 1-row legs, one
     # contraction level up — bounded by construction
+    "q373_temperature_mixture",  # attaches the broadcast 1-row Σ√-share
+    # total to the |domains|-row quota frame — bounded by construction
     "q365_louvain_converged",  # crosses three broadcast 1-row legs
     # (loop census × modularity-initial × modularity-final) into the
     # single output row — bounded by construction (the q314/q319 stance)

@@ -1,0 +1,165 @@
+"""Round-9 second-session laws: q372 weighted WOR sampling (and the
+queries that follow it this session)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+
+from etl_globalretail_spark.plans.registry import ALL_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _md52(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+
+def _aes_key(doc_id: int, w: int) -> int:
+    return max(_md52(f"wsr9:{doc_id}:{j}") for j in range(1, w + 1))
+
+
+def test_q372_pure_python_recompute(spark):
+    """The full top-100 (ids, weights, keys, ranks) matches a from-scratch
+    Python recompute of the A-ES integer device."""
+    got = {
+        r["rnk"]: (r["doc_id"], r["w"], r["skey"])
+        for r in ALL_QUERIES["q372_weighted_sample_wor"](spark, SF).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, coalesce(n_chars,0) AS n FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    keyed = []
+    for doc_id, n in docs:
+        w = min(8, 1 + n // 300)
+        keyed.append((-_aes_key(doc_id, w), doc_id, w))
+    keyed.sort()
+    want = {
+        i + 1: (doc_id, w, -negkey)
+        for i, (negkey, doc_id, w) in enumerate(keyed[:100])
+    }
+    assert got == want
+
+
+def test_q372_keys_are_mergeable(spark):
+    """Top-k of the union equals top-k of the per-shard top-k unions —
+    the property that makes the sample distributable (per-partition
+    bounded heaps, tiny driver merge)."""
+    docs = duckdb.sql(
+        f"SELECT doc_id, coalesce(n_chars,0) AS n FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    keyed = sorted(
+        (-_aes_key(d, min(8, 1 + n // 300)), d) for d, n in docs
+    )
+    full = keyed[:20]
+    shard_a = sorted(k for k in keyed if k[1] % 2 == 0)[:20]
+    shard_b = sorted(k for k in keyed if k[1] % 2 == 1)[:20]
+    merged = sorted(shard_a + shard_b)[:20]
+    assert merged == full
+
+
+def test_q372_weight_bounds(spark):
+    rows = ALL_QUERIES["q372_weighted_sample_wor"](spark, SF).collect()
+    assert len(rows) == min(
+        100,
+        duckdb.sql(f"SELECT count(*) FROM '{SF}/documents.parquet'").fetchone()[0],
+    )
+    assert all(1 <= r["w"] <= 8 for r in rows)
+    assert all(0 <= r["skey"] < 2**52 for r in rows)
+
+
+def _py_quotas(sf: str, k: int = 200) -> dict[str, tuple[int, int, int]]:
+    import math
+
+    cnt = dict(
+        duckdb.sql(
+            f"SELECT source, count(*) FROM '{sf}/documents.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    s = {d: int(math.floor(math.sqrt(n) * 1_000_000)) for d, n in cnt.items()}
+    tot = sum(s.values())
+    return {
+        d: (cnt[d], (k * s[d]) // tot, min(cnt[d], (k * s[d]) // tot))
+        for d in cnt
+    }
+
+
+def test_q373_quota_arithmetic_recompute(spark):
+    """Domain quotas match the integer-quantized sqrt-share recompute,
+    and every domain's selection is exactly its n_sel smallest
+    md5('mix9:'||doc_id) keys."""
+    rows = ALL_QUERIES["q373_temperature_mixture"](spark, SF).collect()
+    want = _py_quotas(SF)
+    by_dom: dict[str, list] = {}
+    for r in rows:
+        assert (r["n_docs"], r["quota"], r["n_sel"]) == want[r["source"]]
+        by_dom.setdefault(r["source"], []).append(r)
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    keys: dict[str, list] = {}
+    for doc_id, src in docs:
+        keys.setdefault(src, []).append((_md52(f"mix9:{doc_id}"), doc_id))
+    for dom, sel in by_dom.items():
+        keys[dom].sort()
+        n_sel = want[dom][2]
+        assert sorted(r["doc_id"] for r in sel) == sorted(
+            d for _, d in keys[dom][:n_sel]
+        )
+        assert len(sel) == n_sel
+
+
+def test_q373_temperature_flattens_the_head(spark):
+    """alpha=0.5 up-weights tail domains: sampled FRACTION (n_sel/n_docs)
+    is non-increasing in domain size across uncapped domains — compared
+    exactly via cross-multiplied integers."""
+    q = _py_quotas(SF)
+    doms = sorted(q.values())  # by n_docs asc
+    total_sel = sum(v[2] for v in doms)
+    assert total_sel <= 200
+    for (n_a, quota_a, _), (n_b, quota_b, _) in zip(doms, doms[1:]):
+        if quota_a == 0 or quota_b == 0:
+            continue
+        # fraction_a >= fraction_b  <=>  quota_a * n_b >= quota_b * n_a,
+        # with 1-ulp floor slack on each quota
+        assert (quota_a + 1) * n_b >= quota_b * n_a
+
+
+def test_q374_zorder_prunes_linear_does_not(spark):
+    """The Morton layout must skip strictly more files than the
+    time-linear layout for the user-band predicate, both layouts see
+    the same true rows, and file accounting conserves the corpus."""
+    rows = {
+        r["layout"]: r
+        for r in ALL_QUERIES["q374_zorder_layout"](spark, SF).collect()
+    }
+    z, lin = rows["zorder"], rows["time_linear"]
+    assert z["n_files"] == lin["n_files"] == 32
+    assert z["true_rows"] == lin["true_rows"] > 0
+    assert z["files_hit"] < lin["files_hit"]
+    assert z["skip_permil"] > lin["skip_permil"]
+    assert z["rows_scanned"] <= lin["rows_scanned"]
+    # min-max pruning is sound: every true row lives in a hit file
+    assert z["rows_scanned"] >= z["true_rows"]
+    assert lin["rows_scanned"] >= lin["true_rows"]
+
+
+def test_q374_morton_interleave_recompute():
+    from etl_globalretail_spark.sources.formats import _morton32_sql
+
+    def py_morton(x: int, y: int) -> int:
+        out = 0
+        for i in range(16):
+            out |= ((x >> i) & 1) << (2 * i + 1)
+            out |= ((y >> i) & 1) << (2 * i)
+        return out
+
+    sql = _morton32_sql("x", "y")
+    for x, y in [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321)]:
+        got = duckdb.sql(
+            f"SELECT {sql} FROM (SELECT {x} AS x, {y} AS y)"
+        ).fetchone()[0]
+        assert got == py_morton(x, y)
+    # locality: adjacent morton values share a small bounding box
+    assert py_morton(65535, 0) == sum(2 << (2 * i) for i in range(16))
