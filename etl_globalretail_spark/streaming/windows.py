@@ -3651,3 +3651,138 @@ def q376_streaming_semi_join_exact(
             .cast("double").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q377 — STREAM ENRICHMENT AGAINST A COMPLETED WINDOWED AGGREGATE: raw
+# purchases joined to the PREVIOUS hour's click census (windowed agg →
+# equi-join with a raw stream) — the agg-UPSTREAM-of-join row of the
+# watermark matrix, and the reverse factoring of q310's join-upstream
+# rows. The production topology is real-time decisioning against
+# just-closed windows (rate limits from last hour's traffic, fraud
+# scores against the prior window's profile).
+#
+# Two rules pinned (tests/test_streaming_agg_enrich.py):
+#   * A stream-stream join REQUIRES an equality predicate
+#     (streamJoinStreamWithoutEqualityPredicateUnsupportedError —
+#     probed; a pure time-range condition is rejected). The horizon is
+#     FOLDED INTO THE KEY: date_trunc(hour, p_ts) − 1h = census window
+#     start — an event-time-DERIVED key, generalizing q371's
+#     window-struct equality.
+#   * Pairs emit at the census's OWN non-strict boundary: purchase p in
+#     hour H pairs with census H−1 iff (H−1)-window end = H ≤ W_click
+#     NON-STRICT (the 06:10 probe: W = 06:00, the census ending exactly
+#     AT W joins and emits). The agg's zero delay propagates through
+#     the derived-key equi-join unchanged — horizon 0, path sum 0 — and
+#     the RAW side is not additionally gated (all resident purchases
+#     pair; probe-observed retention across the agg-flush batch).
+#
+# The redundant range condition (p_ts ∈ (wt, wt + 1h]) is implied by
+# the key equality but stated anyway: it is what lets the engine bound
+# the raw side's state at cluster scale instead of retaining every
+# purchase forever — the production posture for this topology.
+#
+# Replay discipline: one availableNow wave (the q231/q376 stance), so
+# the batch prev-hour join restricted to W-emitted censuses is exact.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q377_streaming_agg_enrich_exact",
+    oracle="""
+    WITH c AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS h,
+               COUNT(*) AS n_clicks,
+               SUM(event_id) AS click_checksum
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    mx AS (
+        SELECT (SELECT MAX(epoch_us(ts)) // 1000 FROM events
+                WHERE event_type = 'click') - 600000 AS wm_ms
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, ts AS p_ts,
+               (epoch_us(ts) // 3600000000) * 3600000000 AS ph
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT p.purchase_id, p.ph, c.n_clicks, c.click_checksum
+        FROM p JOIN c ON p.ph - 3600000000 = c.h, mx
+        WHERE c.h + 3600000000 <= mx.wm_ms * 1000
+    )
+    SELECT make_timestamp(ph) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(purchase_id) AS BIGINT) AS purchase_checksum,
+           CAST(n_clicks AS BIGINT) AS prev_n_clicks,
+           CAST(click_checksum AS BIGINT) AS prev_click_checksum
+    FROM j GROUP BY ph, n_clicks, click_checksum
+    """,
+)
+def q377_streaming_agg_enrich_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Purchases enriched with the PREVIOUS hour's click census through
+    a real windowed-agg → derived-key stream-stream equi-join, one
+    availableNow wave, hash-matched against the batch prev-hour join at
+    the census's non-strict boundary. See block comment."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, "events", sf_dir)
+    work = tempfile.mkdtemp(prefix="q377_enrich_")
+    sdir = os.path.join(work, "stream")
+    os.makedirs(sdir)
+    tmp = os.path.join(work, "w0")
+    e.coalesce(1).write.parquet(tmp)
+    shutil.move(
+        glob.glob(tmp + "/part-*.parquet")[0],
+        os.path.join(sdir, "wave_0.parquet"),
+    )
+    stream = spark.readStream.schema(e.schema).parquet(sdir)
+    census = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("prev_n_clicks"),
+            F.sum("event_id").cast("long").alias("prev_click_checksum"),
+        )
+        .select(
+            F.col("w.start").alias("cw_start"),
+            F.window_time("w").alias("wt"),
+            "prev_n_clicks", "prev_click_checksum",
+        )
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    ).withWatermark("p_ts", "10 minutes")
+    enriched = purchases.join(
+        census,
+        (
+            F.date_trunc("hour", F.col("p_ts")) - F.expr("INTERVAL 1 HOUR")
+            == F.col("cw_start")
+        )
+        & (F.col("p_ts") > F.col("wt"))
+        & (F.col("p_ts") <= F.col("wt") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    _Q128_SEQ[0] += 1
+    sink = f"q377_sink_{_Q128_SEQ[0]}"
+    run_to_memory_sink(enriched, sink, mode="append",
+                       n_rows=table_rows(spark, "events", sf_dir))
+    shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .groupBy(
+            F.date_trunc("hour", F.col("p_ts")).alias("window_start"),
+            "prev_n_clicks", "prev_click_checksum",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("purchase_id").cast("long").alias("purchase_checksum"),
+        )
+        .select("window_start", "n_purchases", "purchase_checksum",
+                "prev_n_clicks", "prev_click_checksum")
+    )
