@@ -6201,3 +6201,141 @@ def _register_q369() -> None:
 
 
 _register_q369()
+
+
+# ---------------------------------------------------------------------------
+# q378 — DSIR-STYLE IMPORTANCE SELECTION (Data Selection via Importance
+# Resampling, Xie et al. 2023): pick raw-pool documents whose hashed
+# n-gram profile looks most like a TARGET distribution — the
+# quality-by-similarity curation step between q327's perplexity
+# quartile filter (one LM) and q350's trained classifier (labels).
+# DSIR's estimator is a log-likelihood ratio over hashed unigram
+# buckets; its selection is Gumbel-top-k under those weights.
+#
+# Integer re-expression (determinism cookbook — pow/log are not
+# portable): the per-bucket log-ratio is quantized at LOG2 RESOLUTION
+# with the exact bit-length device
+#     w_b = LENGTH(BIN(cnt_target(b)+1)) − LENGTH(BIN(cnt_pool(b)+1))
+# (= floor(log2)+1 of each add-one count — the q89/q345/q368 integer
+# log), and a document's importance is the plain integer sum of w_b
+# over its TOKEN OCCURRENCES. Selection is the deterministic limit of
+# Gumbel-top-k: argmax-K under (score DESC, doc_id) — the stochastic
+# tier would swap in the q372 A-ES key with weight tiers derived from
+# this same score; both are stated so the production choice is a
+# one-line swap.
+#
+# Target = the 'en' cohort, pool = everything else (the cross-lingual
+# framing mirrors DSIR's formal setup: importance of raw text toward a
+# target domain). 512 hash buckets — the llr table is BOUNDED at 512
+# rows by construction and broadcast into the scoring join.
+#
+# Scale shape: ONE tokenize+hash pass persisted (three consumers:
+# target counts, pool counts, candidate scoring — Catalyst will not
+# dedupe the explode subplan, and InferFiltersFromGenerate is excluded
+# engine-wide so the builder runs once); two 512-row censuses; scoring
+# = broadcast equi-join at token grain + one map-side-combinable sum;
+# top-K via two-phase global_topk. No data-sized shuffle except the
+# doc-grain sum.
+# ---------------------------------------------------------------------------
+
+_Q378_B = 512
+_Q378_K = 50
+
+
+def _register_q378() -> None:
+    @_register(
+        "q378_dsir_selection",
+        oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM documents
+        ),
+        tb AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substr(md5('dsir9:' || t), 1, 13)
+                        AS BIGINT) % {_Q378_B} AS b
+            FROM tok
+        ),
+        tcnt AS (
+            SELECT b, COUNT(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1
+        ),
+        scnt AS (
+            SELECT b, COUNT(*) AS cs FROM tb WHERE lang <> 'en' GROUP BY 1
+        ),
+        llr AS (
+            SELECT COALESCE(tcnt.b, scnt.b) AS b,
+                   LENGTH(BIN(COALESCE(ct, 0) + 1))
+                   - LENGTH(BIN(COALESCE(cs, 0) + 1)) AS w
+            FROM tcnt FULL JOIN scnt ON tcnt.b = scnt.b
+        ),
+        scored AS (
+            SELECT tb.doc_id,
+                   CAST(SUM(w) AS BIGINT) AS score,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok
+            FROM tb JOIN llr USING (b)
+            WHERE tb.lang <> 'en'
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT doc_id, score, n_tok,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM scored
+        )
+        SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, score, n_tok
+        FROM ranked WHERE rnk <= {_Q378_K}
+        """,
+    )
+    def q378_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-50 raw-pool docs by integer-quantized DSIR importance
+        toward the 'en' target (hashed-unigram bit-length log-ratio).
+        See block comment."""
+        docs = load_table(spark, "documents", sf_dir)
+        tb = docs.select(
+            "doc_id", "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+        ).select(
+            "doc_id", "lang",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("dsir9:"), F.col("t"))), 1, 13
+                    ), 16, 10,
+                ).cast("long") % _Q378_B
+            ).alias("b"),
+        ).persist()  # three consumers: target counts, pool counts, scoring
+        tcnt = (
+            tb.filter(F.col("lang") == "en")
+            .groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+        )
+        scnt = (
+            tb.filter(F.col("lang") != "en")
+            .groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+        )
+        llr = tcnt.join(scnt, "b", "full_outer").select(
+            "b",
+            F.expr(
+                "LENGTH(BIN(COALESCE(ct, 0) + 1))"
+                " - LENGTH(BIN(COALESCE(cs, 0) + 1))"
+            ).alias("w"),
+        )
+        scored = (
+            tb.filter(F.col("lang") != "en")
+            .join(F.broadcast(llr), "b")  # llr bounded at 512 rows
+            .groupBy("doc_id")
+            .agg(
+                F.sum("w").cast("long").alias("score"),
+                F.count(F.lit(1)).cast("long").alias("n_tok"),
+            )
+        )
+        top = global_topk(
+            scored, [("score", "desc"), ("doc_id", "asc")], _Q378_K,
+            out="rnk",
+        )
+        return top.select(
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id", "score", "n_tok",
+        )
+
+
+_register_q378()

@@ -163,3 +163,44 @@ def test_q374_morton_interleave_recompute():
         assert got == py_morton(x, y)
     # locality: adjacent morton values share a small bounding box
     assert py_morton(65535, 0) == sum(2 << (2 * i) for i in range(16))
+
+
+def test_q378_pure_python_recompute(spark):
+    """Full DSIR top-50 (ids, scores, token counts, ranks) matches a
+    from-scratch Python recompute of the hashed bit-length log-ratio."""
+    got = [
+        (r["rnk"], r["doc_id"], r["score"], r["n_tok"])
+        for r in sorted(
+            ALL_QUERIES["q378_dsir_selection"](spark, SF).collect(),
+            key=lambda r: r["rnk"],
+        )
+    ]
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    tcnt: dict[int, int] = {}
+    scnt: dict[int, int] = {}
+    toks = {}
+    for doc_id, lang, text in docs:
+        bs = [_md52(f"dsir9:{t}") % 512 for t in text.strip().split()]
+        toks[doc_id] = (lang, bs)
+        tgt = tcnt if lang == "en" else scnt
+        for b in bs:
+            tgt[b] = tgt.get(b, 0) + 1
+    w = {
+        b: (tcnt.get(b, 0) + 1).bit_length() - (scnt.get(b, 0) + 1).bit_length()
+        for b in set(tcnt) | set(scnt)
+    }
+    scored = sorted(
+        (-sum(w[b] for b in bs), doc_id, len(bs))
+        for doc_id, (lang, bs) in toks.items()
+        if lang != "en"
+    )
+    want = [
+        (i + 1, doc_id, -neg, n) for i, (neg, doc_id, n) in enumerate(scored[:50])
+    ]
+    assert got == want
+    # selection never includes the target cohort and every doc has tokens
+    en = {d for d, (lang, _) in toks.items() if lang == "en"}
+    assert not en & {d for _, d, _, _ in got}
+    assert all(n > 0 for *_, n in got)
