@@ -89,3 +89,47 @@ def test_aqe_skew_join_splits_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime row-level Bloom pruning (the non-partitioned complement
+    of DPP): a selective filter on one join side injects a
+    bloom_filter_agg / might_contain pair so the BIG side drops
+    non-joinable rows at scan time instead of shipping them through the
+    shuffle — at 100 TB this is the difference between shuffling the
+    fact table and shuffling ~its matching slice. Result must equal the
+    plain join's."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 2_000_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        )
+        sel = spark.range(0, 2_000_000).select(
+            F.col("id").alias("k")
+        ).filter(F.col("k") % 1000 == 7)
+        j = big.join(sel, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan or "might_contain" in plan, (
+            plan[:2000]
+        )
+        assert j.count() == 2_000_000 // 1000
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
