@@ -2591,3 +2591,290 @@ def _register_q339() -> None:
 
 
 _register_q339()
+
+
+# ---------------------------------------------------------------------------
+# q379 — LSH BANDING RECALL/PRECISION AUDIT: measure, on a bounded
+# deterministic sample, how much of the TRUE near-duplicate mass the
+# q24/q66 banding (24 hashes, 6 bands × 4 rows) actually catches, per
+# Jaccard decile. The S-curve says P(caught) = 1 − (1 − j^4)^6 — this
+# query turns that theory into a measured confusion table, the QA step
+# a 100 TB dedup rollout runs before committing to a banding scheme
+# (threshold drift = silent under- or over-deduplication).
+#
+# Sample: the K=80 docs with smallest md5("smp9:" ‖ doc_id) among docs
+# with ≥1 shingle — seeded, reproducible, and BOUNDED BY CONSTRUCTION,
+# so the all-pairs grid is ≤ K(K−1)/2 = 3160 rows (the q33 exact-tier
+# stance; at any corpus size the audit cost is constant). Every sample
+# pair gets its exact shingle-Jaccard (integer permil) AND its banding
+# outcome (shares ≥1 of the 6 exact 4-slices), aggregated per decile:
+# n_pairs, n_caught, catch_permil. Low deciles read as the FALSE-
+# POSITIVE candidate rate (pairs the band join would needlessly
+# verify), high deciles as RECALL (q66's verification re-filters, so
+# FPs cost time, FNs cost correctness).
+#
+# Shares every modeling constant with q66 (same shingles, same affine
+# params, same band layout) — the audit measures the PRODUCTION
+# scheme, not a replica.
+# ---------------------------------------------------------------------------
+
+_Q379_K = 80
+
+
+def _register_q379() -> None:
+    caught_sql = " OR ".join(
+        "(" + " AND ".join(
+            f"a.m{b * _Q66_ROWS + j} = b.m{b * _Q66_ROWS + j}"
+            for j in range(_Q66_ROWS)
+        ) + ")"
+        for b in range(_Q66_BANDS)
+    )
+
+    @_register(
+        "q379_lsh_recall_audit",
+        oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       {_sql_shingles(2)},
+                       s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                            & {_MASK32}
+                   )) AS hs
+            FROM (SELECT doc_id, {_sql_tokens("text")} AS __t FROM documents)
+        ),
+        nonempty AS (
+            SELECT doc_id, hs,
+                   CAST('0x' || substr(md5('smp9:'
+                        || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS sk
+            FROM sh WHERE len(hs) > 0
+        ),
+        sample AS (
+            SELECT doc_id, hs FROM (
+                SELECT doc_id, hs,
+                       ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS rn
+                FROM nonempty
+            ) WHERE rn <= {_Q379_K}
+        ),
+        ex AS (SELECT doc_id, unnest(hs) AS h FROM sample),
+        sigs AS (
+            SELECT doc_id,
+                   {_Q66_MIN_AGGS}
+            FROM ex GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   len(list_intersect(xs.hs, ys.hs)) AS i,
+                   len(xs.hs) + len(ys.hs)
+                       - len(list_intersect(xs.hs, ys.hs)) AS u
+            FROM sample x
+            JOIN sample y ON x.doc_id < y.doc_id
+            JOIN sample xs ON xs.doc_id = x.doc_id
+            JOIN sample ys ON ys.doc_id = y.doc_id
+        ),
+        graded AS (
+            SELECT p.id_a, p.id_b,
+                   (p.i * 1000) // p.u AS jacc_permil,
+                   CASE WHEN {caught_sql} THEN 1 ELSE 0 END AS caught
+            FROM pairs p
+            JOIN sigs a ON a.doc_id = p.id_a
+            JOIN sigs b ON b.doc_id = p.id_b
+        )
+        SELECT CAST(jacc_permil // 100 AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(caught) AS BIGINT) AS n_caught,
+               CAST(SUM(caught) * 1000 // COUNT(*) AS BIGINT)
+                   AS catch_permil
+        FROM graded
+        GROUP BY 1
+        """,
+    )
+    def q379_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-Jaccard-decile catch rate of the production 6×4 banding
+        on a bounded 80-doc seeded sample (3160 pairs). See block
+        comment."""
+        from etl_globalretail_spark.operators.ranks import global_topk
+
+        d = load_table(spark, "documents", sf_dir)
+        hs = F.array_distinct(
+            F.transform(
+                word_shingles(F.col("text"), 2),
+                lambda s: _md5_hash64(s).bitwiseAND(
+                    F.lit(_MASK32).cast("long")
+                ),
+            )
+        )
+        base = d.select(F.col("doc_id").alias("doc"), hs.alias("hs")).filter(
+            F.size("hs") > 0
+        ).withColumn(
+            "sk",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("smp9:"),
+                                   F.col("doc").cast("string"))), 1, 13
+                ), 16, 10,
+            ).cast("long"),
+        )
+        sample = global_topk(
+            base, [("sk", "asc"), ("doc", "asc")], _Q379_K, out="rn"
+        ).select("doc", "hs").persist()  # feeds sigs + both pair sides
+        sigs = minhash_signatures_arrow(sample, "doc", "hs",
+                                        num_hashes=_Q66_NH)
+        # bounded all-pairs grid: sample is <= 80 rows BY CONSTRUCTION
+        # (INTENTIONAL_CROSS: q379) — the q33 exact-audit stance.
+        a = sample.select(F.col("doc").alias("id_a"),
+                          F.col("hs").alias("hs_a"))
+        b = sample.select(F.col("doc").alias("id_b"),
+                          F.col("hs").alias("hs_b"))
+        pairs = a.crossJoin(F.broadcast(b)).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+        inter = F.size(F.array_intersect("hs_a", "hs_b"))
+        union = F.size("hs_a") + F.size("hs_b") - inter
+        graded = pairs.select(
+            "id_a", "id_b",
+            (inter * 1000).cast("long").alias("__i1000"),
+            union.cast("long").alias("__u"),
+        ).select(
+            "id_a", "id_b",
+            F.expr("__i1000 div __u").alias("jacc_permil"),
+        )
+        sa = sigs.select(
+            F.col("doc").alias("id_a"), F.col("sig").alias("sig_a")
+        )
+        sb = sigs.select(
+            F.col("doc").alias("id_b"), F.col("sig").alias("sig_b")
+        )
+        caught = None
+        for band in range(_Q66_BANDS):
+            band_eq = None
+            for j in range(_Q66_ROWS):
+                idx = band * _Q66_ROWS + j + 1
+                eq = F.element_at("sig_a", idx) == F.element_at("sig_b", idx)
+                band_eq = eq if band_eq is None else (band_eq & eq)
+            caught = band_eq if caught is None else (caught | band_eq)
+        out = (
+            graded.join(F.broadcast(sa), "id_a")
+            .join(F.broadcast(sb), "id_b")
+            .select(
+                F.expr("jacc_permil div 100").cast("long").alias("decile"),
+                caught.cast("long").alias("caught"),
+            )
+            .groupBy("decile")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum("caught").cast("long").alias("n_caught"),
+            )
+            .withColumn(
+                "catch_permil",
+                F.expr("CAST(n_caught * 1000 div n_pairs AS BIGINT)"),
+            )
+        )
+        return out
+
+
+_register_q379()
+
+
+# ---------------------------------------------------------------------------
+# q380 — DEDUP THRESHOLD SENSITIVITY SWEEP: the curation-decision
+# table q66's single 0.4 threshold hides. Before committing a 100 TB
+# corpus to one Jaccard cutoff, you sweep it — each candidate
+# threshold implies an edge set, a touched-document cohort, and a
+# removal volume; the elbow of removal_permil(threshold) is what the
+# curation review actually debates (C4 removed ~1.1% at exact-span
+# grain; Lee et al. 2021 §5 shows the dedup-rate curve is the tuning
+# artifact that matters).
+#
+# One pass over the MEMOIZED verified pair frame (q66's artifact — the
+# shingle/signature pipeline is paid once per session, this sweep adds
+# |pairs| × |thresholds| work on a frame that is tiny relative to the
+# corpus): per threshold ∈ {400..900}‰, n_edges, distinct docs
+# touched, and the min-id keeper rule's removal count (a doc is
+# removed iff it has a smaller-id neighbor ⇔ it appears as id_b — the
+# q93/q137 keeper convention, exact without a closure; the component
+# closure tier for the CHOSEN threshold is q67/q43). Thresholds with
+# no surviving edge drop out (inner semantics, both engines).
+#
+# Cross-engine note: jaccard is the IEEE division of the same two
+# ints in both engines, so `jaccard >= th/1000.0` compares identical
+# doubles — no decimal recast of a division (cookbook rule).
+# ---------------------------------------------------------------------------
+
+
+def _register_q380() -> None:
+    q66_sql = ORACLE["q66_minhash_pairs_exact"]
+
+    @_register(
+        "q380_dedup_threshold_sweep",
+        oracle=f"""
+        WITH pairs AS ({q66_sql}),
+        t AS (SELECT unnest([400, 500, 600, 700, 800, 900]) AS th),
+        e AS (
+            SELECT th, id_a, id_b FROM pairs, t
+            WHERE jaccard >= th / 1000.0
+        ),
+        agg AS (
+            SELECT th,
+                   CAST(COUNT(*) AS BIGINT) AS n_edges,
+                   CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_removed
+            FROM e GROUP BY 1
+        ),
+        touched AS (
+            SELECT th, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_docs_touched
+            FROM (
+                SELECT th, id_a AS v FROM e
+                UNION
+                SELECT th, id_b AS v FROM e
+            ) GROUP BY 1
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus FROM documents)
+        SELECT CAST(agg.th AS BIGINT) AS threshold_permil,
+               n_edges,
+               n_docs_touched,
+               n_removed,
+               CAST(n_removed * 1000 // corpus AS BIGINT) AS removal_permil
+        FROM agg JOIN touched ON agg.th = touched.th, n
+        """,
+    )
+    def q380_dedup_threshold_sweep(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Removal-volume curve over candidate near-dup thresholds,
+        swept on q66's memoized verified pair frame with the min-id
+        keeper rule. See block comment."""
+        pairs = q66_minhash_pairs_exact(spark, sf_dir)
+        th = F.explode(
+            F.array(*[F.lit(t) for t in (400, 500, 600, 700, 800, 900)])
+        ).alias("th")
+        e = pairs.select("id_a", "id_b", "jaccard", th).filter(
+            F.col("jaccard") >= F.col("th") / F.lit(1000.0)
+        )
+        agg = e.groupBy("th").agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.countDistinct("id_b").cast("long").alias("n_removed"),
+        )
+        touched = (
+            e.select("th", F.col("id_a").alias("v"))
+            .union(e.select("th", F.col("id_b").alias("v")))
+            .distinct()
+            .groupBy("th")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs_touched"))
+        )
+        corpus = load_table(spark, "documents", sf_dir).agg(
+            F.count(F.lit(1)).cast("long").alias("corpus")
+        )
+        # 1-row corpus census broadcast onto the ≤6-row sweep
+        # (INTENTIONAL_CROSS: q380) — bounded by construction.
+        return (
+            agg.join(touched, "th")
+            .crossJoin(F.broadcast(corpus))
+            .select(
+                F.col("th").cast("long").alias("threshold_permil"),
+                "n_edges", "n_docs_touched", "n_removed",
+                F.expr("CAST(n_removed * 1000 div corpus AS BIGINT)")
+                .alias("removal_permil"),
+            )
+        )
+
+
+_register_q380()

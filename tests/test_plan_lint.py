@@ -63,6 +63,11 @@ INTENTIONAL_CROSS = {
     # contraction level up — bounded by construction
     "q373_temperature_mixture",  # attaches the broadcast 1-row Σ√-share
     # total to the |domains|-row quota frame — bounded by construction
+    "q379_lsh_recall_audit",  # all-pairs grid over the K=80 seeded
+    # sample — ≤ 3160 pairs BY CONSTRUCTION (the q33 exact-audit
+    # stance); the sample is limit-bounded before the cross
+    "q380_dedup_threshold_sweep",  # attaches the broadcast 1-row corpus
+    # count to the ≤6-row threshold sweep — bounded by construction
     "q365_louvain_converged",  # crosses three broadcast 1-row legs
     # (loop census × modularity-initial × modularity-final) into the
     # single output row — bounded by construction (the q314/q319 stance)

@@ -204,3 +204,47 @@ def test_q378_pure_python_recompute(spark):
     en = {d for d, (lang, _) in toks.items() if lang == "en"}
     assert not en & {d for _, d, _, _ in got}
     assert all(n > 0 for *_, n in got)
+
+
+def test_q379_confusion_table_laws(spark):
+    """Decile accounting conserves the sample pair grid, rates are
+    consistent, and identical shingle sets (decile 10) are ALWAYS
+    caught — identical signatures share every band."""
+    rows = ALL_QUERIES["q379_lsh_recall_audit"](spark, SF).collect()
+    n_nonempty = duckdb.sql(
+        f"""SELECT count(*) FROM (
+            SELECT doc_id FROM '{SF}/documents.parquet'
+            WHERE len(regexp_split_to_array(trim(lower(
+                regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))),
+                '\\s+')) >= 2)"""
+    ).fetchone()[0]
+    k = min(80, n_nonempty)
+    total = sum(r["n_pairs"] for r in rows)
+    # the grid is every unordered pair of the bounded sample (or a
+    # subset if short docs shrank it — conservation against k)
+    assert total <= k * (k - 1) // 2
+    assert total > 0
+    for r in rows:
+        assert 0 <= r["decile"] <= 10
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+        assert r["catch_permil"] == r["n_caught"] * 1000 // r["n_pairs"]
+        if r["decile"] == 10:
+            assert r["n_caught"] == r["n_pairs"]
+
+
+def test_q380_sweep_is_monotone(spark):
+    """Raising the threshold can only shrink the edge set, the touched
+    cohort, and the removal volume; every present threshold's removal
+    rule is consistent (removed <= touched, edges >= removed)."""
+    rows = sorted(
+        ALL_QUERIES["q380_dedup_threshold_sweep"](spark, SF).collect(),
+        key=lambda r: r["threshold_permil"],
+    )
+    assert rows, "sf0.001 corpus must have at least one near-dup pair"
+    for r in rows:
+        assert r["n_removed"] <= r["n_docs_touched"] <= 2 * r["n_edges"]
+        assert r["n_edges"] >= r["n_removed"]
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["n_edges"] <= lo["n_edges"]
+        assert hi["n_docs_touched"] <= lo["n_docs_touched"]
+        assert hi["n_removed"] <= lo["n_removed"]
