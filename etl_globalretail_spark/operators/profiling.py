@@ -2379,3 +2379,84 @@ def _register_q352() -> None:
 
 
 _register_q352()
+
+
+# ---------------------------------------------------------------------------
+# q381 — APPROXIMATE FUNCTIONAL-DEPENDENCY audit (data-profiling's FD
+# discovery measure: TANE's g3 error, Kivinen-Mannila; the Metanome
+# profiling suite's core primitive). A data contract says "X should
+# determine Y"; the g3 error is the MINIMUM number of rows you would
+# have to remove for the FD X → Y to hold exactly:
+#     g3 = Σ over X-groups (group_size − largest single-Y class) .
+# Schema-inference, key discovery, and normalization reviews all read
+# this table: g3 = 0 certifies the dependency, small g3 flags dirty
+# rows (the quarantine cohort), large g3 refutes the contract.
+#
+# Six candidate FDs across the warehouse (two key-certified, four
+# measured): each leg is two map-side-combinable aggregations —
+# groupBy(X, Y) count, then per-X total/max/distinct — so the audit is
+# shuffle-light at any scale; legs are unioned BY NAME into one job
+# (the q283 one-action stance). All-integer outputs.
+# ---------------------------------------------------------------------------
+
+_Q381_FDS = [
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("part", "p_brand", "p_type"),
+]
+
+
+def _register_q381() -> None:
+    legs = []
+    for table, lhs, rhs in _Q381_FDS:
+        legs.append(f"""
+        SELECT '{table}.{lhs}->{rhs}' AS fd,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_groups,
+               CAST(SUM(n - mx) AS BIGINT) AS rows_to_fix,
+               CAST(SUM(n - mx) * 1000 // SUM(n) AS BIGINT) AS g3_permil
+        FROM (
+            SELECT {lhs},
+                   SUM(c) AS n, MAX(c) AS mx, COUNT(*) AS n_rhs
+            FROM (
+                SELECT {lhs}, {rhs}, COUNT(*) AS c
+                FROM {table} GROUP BY 1, 2
+            ) GROUP BY 1
+        )""")
+    oracle = "\nUNION ALL\n".join(legs)
+
+    @_register("q381_fd_audit", oracle=oracle)
+    def q381_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """g3 approximate-FD error for six candidate dependencies —
+        rows to remove for X → Y to hold, per FD. See block comment."""
+        out = None
+        for table, lhs, rhs in _Q381_FDS:
+            t = load_table(spark, table, sf_dir)
+            pair = t.groupBy(lhs, rhs).agg(F.count(F.lit(1)).alias("c"))
+            grp = pair.groupBy(lhs).agg(
+                F.sum("c").alias("n"),
+                F.max("c").alias("mx"),
+                F.count(F.lit(1)).alias("n_rhs"),
+            )
+            leg = grp.agg(
+                F.lit(f"{table}.{lhs}->{rhs}").alias("fd"),
+                F.sum("n").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum((F.col("n_rhs") > 1).cast("long")).cast("long")
+                .alias("n_violating_groups"),
+                F.sum(F.col("n") - F.col("mx")).cast("long")
+                .alias("rows_to_fix"),
+            ).withColumn(
+                "g3_permil",
+                F.expr("CAST(rows_to_fix * 1000 div n_rows AS BIGINT)"),
+            )
+            out = leg if out is None else out.unionByName(leg)
+        return out
+
+
+_register_q381()

@@ -248,3 +248,25 @@ def test_q380_sweep_is_monotone(spark):
         assert hi["n_edges"] <= lo["n_edges"]
         assert hi["n_docs_touched"] <= lo["n_docs_touched"]
         assert hi["n_removed"] <= lo["n_removed"]
+
+
+def test_q381_g3_laws(spark):
+    """g3 is zero exactly for key-certified FDs, rows_to_fix is the
+    Kivinen-Mannila minimum (recomputed in Python for one failing FD),
+    and every row's accounting is internally consistent."""
+    rows = {r["fd"]: r for r in ALL_QUERIES["q381_fd_audit"](spark, SF).collect()}
+    assert rows["nation.n_nationkey->n_regionkey"]["rows_to_fix"] == 0
+    assert rows["orders.o_orderkey->o_orderstatus"]["rows_to_fix"] == 0
+    for r in rows.values():
+        assert 0 <= r["rows_to_fix"] < r["n_rows"]
+        assert r["g3_permil"] == r["rows_to_fix"] * 1000 // r["n_rows"]
+        assert (r["rows_to_fix"] == 0) == (r["n_violating_groups"] == 0)
+    pairs = duckdb.sql(
+        f"SELECT c_nationkey, c_mktsegment, count(*) FROM "
+        f"'{SF}/customer.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    per: dict[int, list[int]] = {}
+    for k, _, c in pairs:
+        per.setdefault(k, []).append(c)
+    want = sum(sum(cs) - max(cs) for cs in per.values())
+    assert rows["customer.c_nationkey->c_mktsegment"]["rows_to_fix"] == want
