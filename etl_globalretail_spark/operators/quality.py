@@ -943,3 +943,129 @@ def _register_q368() -> None:
 
 
 _register_q368()
+
+
+# ---------------------------------------------------------------------------
+# q382 — UNBIASED pass@k AGGREGATION (Chen et al. 2021, "Evaluating
+# Large Language Models Trained on Code", eq. 1): the eval-harness
+# staple. Naively reporting 1 − (1 − ĉ/n)^k is biased; the unbiased
+# per-task estimator is 1 − C(n−c, k)/C(n, k) over n samples with c
+# successes. Every LLM eval pipeline aggregates exactly this.
+#
+# Integer-exact device: n is FIXED at 8 samples per task, so C(8−c, k)
+# is a 9-entry CASE table of literal integers (emitted by the same
+# Python loop into both engines — no factorials, no floats), and the
+# fleet aggregate is computed as ONE exact fraction:
+#     pass@k = Σ_tasks [C(n,k) − C(n−c,k)] · 1000
+#              div (n_tasks · C(n,k))            (single truncation)
+# — not a mean of per-task truncations. The naive biased rate rides
+# along for contrast (what the estimator corrects).
+#
+# Task framing on the fixture: task = user with ≥ 8 events; samples =
+# the user's FIRST 8 events under the (ts, event_id) total order;
+# success = 'purchase'. The rank is per-user PARTITIONED (heap-
+# rewritten by InferWindowGroupLimit); one task-grain census feeds all
+# four k legs (persist, the rows+reaggregate stance).
+# ---------------------------------------------------------------------------
+
+_Q382_N = 8
+_Q382_KS = (1, 2, 4, 8)
+
+
+def _comb(n: int, k: int) -> int:
+    import math
+
+    return math.comb(n, k) if 0 <= k <= n else 0
+
+
+def _register_q382() -> None:
+    def case_sql(k: int) -> str:
+        whens = " ".join(
+            f"WHEN {c} THEN {_comb(_Q382_N - c, k)}"
+            for c in range(_Q382_N + 1)
+        )
+        return f"CASE c {whens} END"
+
+    legs = []
+    for k in _Q382_KS:
+        cnk = _comb(_Q382_N, k)
+        legs.append(f"""
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_tasks,
+               CAST(SUM({cnk} - {case_sql(k)}) * 1000
+                    // (COUNT(*) * {cnk}) AS BIGINT) AS pass_at_k_permil,
+               CAST(SUM(c) * 1000 // (COUNT(*) * {_Q382_N}) AS BIGINT)
+                   AS naive_rate_permil
+        FROM tasks""")
+    oracle = f"""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    tasks AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS c
+        FROM ranked WHERE rn <= {_Q382_N}
+        GROUP BY user_id
+        HAVING COUNT(*) = {_Q382_N}
+    )
+    {" UNION ALL ".join(legs)}
+    """
+
+    @_register("q382_pass_at_k", oracle=oracle)
+    def q382_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Unbiased pass@k over 8-sample tasks for k ∈ {1,2,4,8}, as one
+        exact integer fraction per k; the biased naive rate rides along.
+        See block comment."""
+        from pyspark.sql.window import Window
+
+        e = load_table(spark, "events", sf_dir)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        tasks = (
+            e.select(
+                "user_id", "event_type",
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") <= _Q382_N)
+            .groupBy("user_id")
+            .agg(
+                F.sum(
+                    (F.col("event_type") == "purchase").cast("long")
+                ).alias("c"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .filter(F.col("n") == _Q382_N)
+            .persist()  # one task census, four k legs
+        )
+        out = None
+        for k in _Q382_KS:
+            cnk = _comb(_Q382_N, k)
+            cmap = F.create_map(
+                *[
+                    F.lit(x)
+                    for c in range(_Q382_N + 1)
+                    for x in (c, _comb(_Q382_N - c, k))
+                ]
+            )
+            leg = tasks.select(
+                F.col("c"), cmap[F.col("c")].alias("cnck")
+            ).agg(
+                F.lit(k).cast("long").alias("k"),
+                F.count(F.lit(1)).cast("long").alias("n_tasks"),
+                F.expr(
+                    f"CAST(SUM({cnk} - cnck) * 1000"
+                    f" div (COUNT(*) * {cnk}) AS BIGINT)"
+                ).alias("pass_at_k_permil"),
+                F.expr(
+                    f"CAST(SUM(c) * 1000 div (COUNT(*) * {_Q382_N})"
+                    " AS BIGINT)"
+                ).alias("naive_rate_permil"),
+            )
+            out = leg if out is None else out.unionByName(leg)
+        return out
+
+
+_register_q382()

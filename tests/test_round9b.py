@@ -270,3 +270,43 @@ def test_q381_g3_laws(spark):
         per.setdefault(k, []).append(c)
     want = sum(sum(cs) - max(cs) for cs in per.values())
     assert rows["customer.c_nationkey->c_mktsegment"]["rows_to_fix"] == want
+
+
+def test_q382_pass_at_k_laws(spark):
+    """pass@k is monotone non-decreasing in k, pass@n equals the
+    any-success rate exactly, pass@1 equals the naive rate (unbiased =
+    biased at k=1), and the whole table matches a Python recompute."""
+    from math import comb
+
+    rows = {
+        r["k"]: r for r in ALL_QUERIES["q382_pass_at_k"](spark, SF).collect()
+    }
+    cs = [
+        r[0]
+        for r in duckdb.sql(
+            f"""WITH ranked AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) rn
+                FROM '{SF}/events.parquet')
+            SELECT SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            FROM ranked WHERE rn <= 8 GROUP BY user_id
+            HAVING COUNT(*) = 8"""
+        ).fetchall()
+    ]
+    n_tasks = len(cs)
+    assert n_tasks > 0
+    for k, r in rows.items():
+        cnk = comb(8, k)
+        want = sum(cnk - comb(8 - c, k) for c in cs) * 1000 // (n_tasks * cnk)
+        assert r["pass_at_k_permil"] == want
+        assert r["n_tasks"] == n_tasks
+        assert r["naive_rate_permil"] == sum(cs) * 1000 // (n_tasks * 8)
+    ks = sorted(rows)
+    for a, b in zip(ks, ks[1:]):
+        assert rows[a]["pass_at_k_permil"] <= rows[b]["pass_at_k_permil"]
+    assert rows[1]["pass_at_k_permil"] == sum(
+        c * 1000 for c in cs
+    ) // (n_tasks * 8) == rows[1]["naive_rate_permil"]
+    any_success = sum(1 for c in cs if c > 0)
+    assert rows[8]["pass_at_k_permil"] == any_success * 1000 // n_tasks
