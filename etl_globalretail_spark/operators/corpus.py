@@ -6204,21 +6204,25 @@ _register_q369()
 
 
 # ---------------------------------------------------------------------------
-# q378 — DSIR-STYLE IMPORTANCE SELECTION (Data Selection via Importance
-# Resampling, Xie et al. 2023): pick raw-pool documents whose hashed
-# n-gram profile looks most like a TARGET distribution — the
-# quality-by-similarity curation step between q327's perplexity
-# quartile filter (one LM) and q350's trained classifier (labels).
-# DSIR's estimator is a log-likelihood ratio over hashed unigram
-# buckets; its selection is Gumbel-top-k under those weights.
+# q378 — DSIR, the ADDITIVE LOG-LIKELIHOOD tier. q294 above implements
+# DSIR (Xie et al. 2023) with a LENGTH-NORMALIZED linear-ratio mean —
+# a monotone twin of the mean importance ratio. The paper's actual
+# estimator (its eq. for log importance weights) is the ADDITIVE form
+#     log w(doc) = Σ_tokens log p_target(b)/p_source(b) ,
+# which is length-SENSITIVE (long on-target documents outrank short
+# ones — the behavior resampling needs, since it draws documents, not
+# per-token mass) and ranks differently from q294's mean: the two
+# tiers are complementary, not duplicates, and a curation pipeline
+# typically sweeps both. This query is that additive form.
 #
 # Integer re-expression (determinism cookbook — pow/log are not
 # portable): the per-bucket log-ratio is quantized at LOG2 RESOLUTION
 # with the exact bit-length device
 #     w_b = LENGTH(BIN(cnt_target(b)+1)) − LENGTH(BIN(cnt_pool(b)+1))
 # (= floor(log2)+1 of each add-one count — the q89/q345/q368 integer
-# log), and a document's importance is the plain integer sum of w_b
-# over its TOKEN OCCURRENCES. Selection is the deterministic limit of
+# log), and a document's importance is the plain integer SUM of w_b
+# over its TOKEN OCCURRENCES — the additive log form q294's floor-mean
+# deliberately is not. Selection is the deterministic limit of DSIR's
 # Gumbel-top-k: argmax-K under (score DESC, doc_id) — the stochastic
 # tier would swap in the q372 A-ES key with weight tiers derived from
 # this same score; both are stated so the production choice is a
