@@ -6343,3 +6343,114 @@ def _register_q378() -> None:
 
 
 _register_q378()
+
+
+# ---------------------------------------------------------------------------
+# q383 — CORPUS DIVERSITY CENSUS (the data-card vocabulary panel):
+# per-source type-token ratio, hapax share, head concentration, and
+# the Gini coefficient of the type-frequency distribution — the
+# standard "is this source repetitive boilerplate or diverse prose"
+# panel a corpus datasheet reports (Gebru et al., Datasheets for
+# Datasets; Dodge et al. 2021's C4 analysis reads exactly these).
+# Low TTR + high top-10 mass + high Gini = templated/boilerplate
+# source (a dedup/filter candidate); high hapax = noisy OCR or rich
+# vocabulary (route to the q21/q349 panels to tell which).
+#
+# Gini in ONE exact integer fraction: with per-type counts c_(1..n)
+# ranked ascending (ties on count are order-invariant for Σ i·c_i —
+# equal c makes i·c + j·c symmetric — so ANY total order works; we
+# still pin (count, token) for plan determinism),
+#     gini_permil = (2·Σ i·c_i − (n+1)·T) · 1000 div (n·T),   T = Σc
+# — single truncation, no doubles anywhere in the panel.
+#
+# Plan: one explode pass → (source, type) counts [the only data-sized
+# shuffle] → persisted (four consumers: totals, hapax, ranked Gini
+# sum, top-10 mass) → SOURCE-partitioned rank windows (vocab grain,
+# never global) → one |sources|-row panel.
+# ---------------------------------------------------------------------------
+
+
+def _register_q383() -> None:
+    @_register(
+        "q383_corpus_diversity",
+        oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest({_SQL_ALPHA_TOKENS}) AS t
+            FROM documents
+        ),
+        tc AS (
+            SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT source, t, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY c, t) AS ra,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY c DESC, t) AS rd
+            FROM tc
+        ),
+        panel AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hapax,
+                   CAST(SUM(ra * c) AS BIGINT) AS gsum,
+                   CAST(SUM(CASE WHEN rd <= 10 THEN c ELSE 0 END)
+                        AS BIGINT) AS top10
+            FROM ranked GROUP BY 1
+        )
+        SELECT source, n_types, n_tokens, n_hapax,
+               CAST(n_types * 1000 // n_tokens AS BIGINT) AS ttr_permil,
+               CAST(n_hapax * 1000 // n_types AS BIGINT) AS hapax_permil,
+               CAST(top10 * 1000 // n_tokens AS BIGINT)
+                   AS top10_mass_permil,
+               CAST((2 * gsum - (n_types + 1) * n_tokens) * 1000
+                    // (n_types * n_tokens) AS BIGINT) AS gini_permil
+        FROM panel
+        """,
+    )
+    def q383_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source vocabulary panel: TTR, hapax share, top-10 mass,
+        and exact-integer Gini of the type-frequency distribution. See
+        block comment."""
+        docs = load_table(spark, "documents", sf_dir)
+        tc = (
+            docs.select(
+                "source", F.explode(alpha_tokens(F.col("text"))).alias("t")
+            )
+            .groupBy("source", "t")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .persist()  # four panel legs ride the ranked projection
+        )
+        wa = Window.partitionBy("source").orderBy("c", "t")
+        wd = Window.partitionBy("source").orderBy(F.col("c").desc(), "t")
+        ranked = tc.withColumn("ra", F.row_number().over(wa)).withColumn(
+            "rd", F.row_number().over(wd)
+        )
+        panel = ranked.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long")
+            .alias("n_hapax"),
+            F.sum(F.col("ra") * F.col("c")).cast("long").alias("gsum"),
+            F.sum(F.when(F.col("rd") <= 10, F.col("c")).otherwise(F.lit(0)))
+            .cast("long").alias("top10"),
+        )
+        return panel.select(
+            "source", "n_types", "n_tokens", "n_hapax",
+            F.expr("CAST(n_types * 1000 div n_tokens AS BIGINT)")
+            .alias("ttr_permil"),
+            F.expr("CAST(n_hapax * 1000 div n_types AS BIGINT)")
+            .alias("hapax_permil"),
+            F.expr("CAST(top10 * 1000 div n_tokens AS BIGINT)")
+            .alias("top10_mass_permil"),
+            F.expr(
+                "CAST((2 * gsum - (n_types + 1) * n_tokens) * 1000"
+                " div (n_types * n_tokens) AS BIGINT)"
+            ).alias("gini_permil"),
+        )
+
+
+_register_q383()

@@ -310,3 +310,37 @@ def test_q382_pass_at_k_laws(spark):
     ) // (n_tasks * 8) == rows[1]["naive_rate_permil"]
     any_success = sum(1 for c in cs if c > 0)
     assert rows[8]["pass_at_k_permil"] == any_success * 1000 // n_tasks
+
+
+def test_q383_gini_recompute_and_bounds(spark):
+    """Gini matches a from-scratch Python recompute on every source and
+    all panel shares sit in their lawful ranges."""
+    rows = ALL_QUERIES["q383_corpus_diversity"](spark, SF).collect()
+    assert rows
+    import re
+
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    cnt: dict[str, dict[str, int]] = {}
+    for src, text in docs:
+        d = cnt.setdefault(src, {})
+        for t in text.strip().lower().split():
+            if re.fullmatch(r"[a-z]+", t):
+                d[t] = d.get(t, 0) + 1
+    for r in rows:
+        d = cnt[r["source"]]
+        n, total = len(d), sum(d.values())
+        assert (r["n_types"], r["n_tokens"]) == (n, total)
+        assert r["n_hapax"] == sum(1 for c in d.values() if c == 1)
+        cs = sorted(d.values())
+        gsum = sum((i + 1) * c for i, c in enumerate(cs))
+        assert r["gini_permil"] == (2 * gsum - (n + 1) * total) * 1000 // (
+            n * total
+        )
+        assert r["top10_mass_permil"] == sum(
+            sorted(d.values(), reverse=True)[:10]
+        ) * 1000 // total
+        assert 0 <= r["gini_permil"] < 1000
+        assert 0 < r["ttr_permil"] <= 1000
+        assert 0 <= r["hapax_permil"] <= 1000
