@@ -8851,3 +8851,135 @@ def _register_q363() -> None:
 
 
 _register_q363()
+
+
+# ---------------------------------------------------------------------------
+# q384 — FORECAST BASELINE EVALUATION (naive-1, seasonal-naive-7,
+# moving-average-7, scored by MAE and MASE): the benchmark panel every
+# forecasting rollout is graded against (Hyndman & Koehler 2006
+# introduced MASE precisely so models are compared to the naive
+# baselines; M-competitions report exactly this table). A model that
+# can't beat seasonal-naive on MASE < 1000‰ doesn't ship.
+#
+# All-integer: the series is the daily order count; each candidate day
+# joins its 7 trailing days via a bounded offset EXPLODE (never a
+# global range-frame window — day grain would be whitelist-bounded,
+# but the explode form needs no whitelist at all); eval set = days
+# with ALL 7 lags present (fair across models, identical in both
+# engines); MA-7 = floor(Σ lags / 7); errors are |int − int|;
+#     mae_milli   = Σ|e| · 1000 div n_days
+#     mase_permil = Σ|e_model| · 1000 div Σ|e_naive1|
+# — single truncations of exact integer sums (naive-1's own MASE is
+# exactly 1000 by construction, a free self-check the pytest pins).
+# ---------------------------------------------------------------------------
+
+
+def _register_q384() -> None:
+    @_register(
+        "q384_forecast_baselines",
+        oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        ),
+        lagged AS (
+            SELECT t.d, t.n,
+                   COUNT(*) AS n_lags,
+                   CAST(SUM(l.n) AS BIGINT) AS lag_sum,
+                   CAST(MAX(CASE WHEN l.d = t.d - 1 THEN l.n END)
+                        AS BIGINT) AS lag1,
+                   CAST(MAX(CASE WHEN l.d = t.d - 7 THEN l.n END)
+                        AS BIGINT) AS lag7
+            FROM daily t
+            JOIN daily l
+              ON l.d >= t.d - 7 AND l.d <= t.d - 1
+            GROUP BY t.d, t.n
+            HAVING COUNT(*) = 7
+        ),
+        errs AS (
+            SELECT SUM(ABS(n - lag1)) AS e1,
+                   SUM(ABS(n - lag7)) AS e7,
+                   SUM(ABS(n - lag_sum // 7)) AS ema,
+                   COUNT(*) AS nd
+            FROM lagged
+        )
+        SELECT model, n_days, sum_abs_err,
+               CAST(sum_abs_err * 1000 // n_days AS BIGINT) AS mae_milli,
+               CAST(sum_abs_err * 1000 // e1 AS BIGINT) AS mase_permil
+        FROM (
+            SELECT 'naive1' AS model, CAST(nd AS BIGINT) AS n_days,
+                   CAST(e1 AS BIGINT) AS sum_abs_err, e1 FROM errs
+            UNION ALL
+            SELECT 'seasonal7', CAST(nd AS BIGINT), CAST(e7 AS BIGINT), e1
+            FROM errs
+            UNION ALL
+            SELECT 'ma7', CAST(nd AS BIGINT), CAST(ema AS BIGINT), e1
+            FROM errs
+        )
+        """,
+    )
+    def q384_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MAE/MASE panel for the three canonical forecast baselines
+        over the daily order-count series. See block comment."""
+        o = load_table(spark, "orders", sf_dir)
+        daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        # bounded offset explode: each day looks up its 7 trailing days
+        offs = daily.select(
+            "d", "n",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, 8)])
+            ).alias("off"),
+        ).select(
+            "d", "n", F.date_sub(F.col("d"), F.col("off")).alias("ld"),
+            "off",
+        )
+        lagged = (
+            offs.join(
+                daily.select(F.col("d").alias("ld"),
+                             F.col("n").alias("ln")),
+                "ld",
+            )
+            .groupBy("d", "n")
+            .agg(
+                F.count(F.lit(1)).alias("n_lags"),
+                F.sum("ln").cast("long").alias("lag_sum"),
+                F.max(F.when(F.col("off") == 1, F.col("ln")))
+                .cast("long").alias("lag1"),
+                F.max(F.when(F.col("off") == 7, F.col("ln")))
+                .cast("long").alias("lag7"),
+            )
+            .filter(F.col("n_lags") == 7)
+        )
+        errs = lagged.agg(
+            F.sum(F.abs(F.col("n") - F.col("lag1"))).cast("long")
+            .alias("e1"),
+            F.sum(F.abs(F.col("n") - F.col("lag7"))).cast("long")
+            .alias("e7"),
+            F.sum(F.abs(F.col("n") - F.expr("lag_sum div 7"))).cast("long")
+            .alias("ema"),
+            F.count(F.lit(1)).cast("long").alias("nd"),
+        )
+        legs = []
+        for model, col in (("naive1", "e1"), ("seasonal7", "e7"),
+                           ("ma7", "ema")):
+            legs.append(
+                errs.select(
+                    F.lit(model).alias("model"),
+                    F.col("nd").alias("n_days"),
+                    F.col(col).alias("sum_abs_err"),
+                    F.expr(f"CAST({col} * 1000 div nd AS BIGINT)")
+                    .alias("mae_milli"),
+                    F.expr(f"CAST({col} * 1000 div e1 AS BIGINT)")
+                    .alias("mase_permil"),
+                )
+            )
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return out
+
+
+_register_q384()

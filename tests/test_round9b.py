@@ -344,3 +344,35 @@ def test_q383_gini_recompute_and_bounds(spark):
         assert 0 <= r["gini_permil"] < 1000
         assert 0 < r["ttr_permil"] <= 1000
         assert 0 <= r["hapax_permil"] <= 1000
+
+
+def test_q384_mase_laws(spark):
+    """naive1's MASE is exactly 1000 permil by construction; every
+    model shares the same eval set; mae accounting is consistent; and
+    the naive1 error sum matches a Python recompute."""
+    rows = {
+        r["model"]: r
+        for r in ALL_QUERIES["q384_forecast_baselines"](spark, SF).collect()
+    }
+    assert set(rows) == {"naive1", "seasonal7", "ma7"}
+    assert rows["naive1"]["mase_permil"] == 1000
+    nd = {r["n_days"] for r in rows.values()}
+    assert len(nd) == 1 and nd.pop() > 0
+    for r in rows.values():
+        assert r["mae_milli"] == r["sum_abs_err"] * 1000 // r["n_days"]
+    daily = dict(
+        duckdb.sql(
+            f"SELECT CAST(o_orderdate AS DATE), count(*) FROM "
+            f"'{SF}/orders.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    from datetime import timedelta
+
+    e1 = n_days = 0
+    for d, n in daily.items():
+        lags = [daily.get(d - timedelta(days=i)) for i in range(1, 8)]
+        if all(v is not None for v in lags):
+            n_days += 1
+            e1 += abs(n - lags[0])
+    assert rows["naive1"]["n_days"] == n_days
+    assert rows["naive1"]["sum_abs_err"] == e1
