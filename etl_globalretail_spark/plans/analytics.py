@@ -8983,3 +8983,140 @@ def _register_q384() -> None:
 
 
 _register_q384()
+
+
+# ---------------------------------------------------------------------------
+# q385 — KAPLAN–MEIER product-limit survival curve (Kaplan & Meier 1958)
+# over q267's first-purchase life table: THE estimator every retention /
+# churn dashboard plots above the life table's hazards. q267's block
+# comment deliberately left the KM product off the hash gate because a
+# cumulative FP product is an ordered chain both engines could disagree
+# on; this query puts it ON the gate by making the fold exact: survival
+# is carried in integer ppm and each step applies
+#     s ← s · (n_risk − d_events) div n_risk
+# with truncating integer division — associativity is irrelevant because
+# BOTH engines replay the identical left fold over the identical bucket
+# order (all operands non-negative, so DuckDB `//` ≡ Spark/Python
+# truncation; s ≤ 1e6 and n_risk ≤ |users| keep s·n_risk far from int64).
+#
+# Plan: the life table is computed distributed exactly as q267 (one
+# per-user aggregate → day-bucket groupBy); the fold then runs over the
+# DAY-BUCKET grain — bounded by the observation span in days (≤ ~2.6k
+# for the 7-year corpus at ANY SF, the q343/q122 documented
+# driver-scalar class), so the buckets are collected and folded in
+# Python ints with the suffix-sum n_risk computed in the same pass (no
+# partition-less window anywhere). The oracle replays the identical
+# fold as a recursive CTE over the ROW_NUMBER-indexed buckets.
+# At 100 TB nothing changes: the collect is |distinct duration days|,
+# not corpus-sized.
+# ---------------------------------------------------------------------------
+
+
+def _register_q385() -> None:
+    @_register(
+        "q385_kaplan_meier",
+        oracle="""
+        WITH RECURSIVE per_user AS (
+            SELECT user_id,
+                   MIN(ts) AS t0,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+                   MAX(ts) AS tend
+            FROM events GROUP BY user_id
+        ),
+        durs AS (
+            SELECT CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS converted,
+                   CASE WHEN tp IS NOT NULL
+                        THEN (epoch_us(tp) - epoch_us(t0)) // 86400000000
+                        ELSE (epoch_us(tend) - epoch_us(t0)) // 86400000000
+                   END AS day
+            FROM per_user
+        ),
+        buckets AS (
+            SELECT day, CAST(SUM(converted) AS BIGINT) AS d_events,
+                   CAST(SUM(1 - converted) AS BIGINT) AS d_censored
+            FROM durs GROUP BY day
+        ),
+        idx AS (
+            SELECT day, d_events, d_censored,
+                   SUM(d_events + d_censored) OVER (
+                       ORDER BY day DESC ROWS UNBOUNDED PRECEDING
+                   ) AS n_risk,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn
+            FROM buckets
+        ),
+        km AS (
+            SELECT rn, day, n_risk, d_events, d_censored,
+                   CAST(1000000 * (n_risk - d_events) // n_risk
+                        AS BIGINT) AS s
+            FROM idx WHERE rn = 1
+            UNION ALL
+            SELECT i.rn, i.day, i.n_risk, i.d_events, i.d_censored,
+                   CAST(km.s * (i.n_risk - i.d_events) // i.n_risk
+                        AS BIGINT)
+            FROM km JOIN idx i ON i.rn = km.rn + 1
+        )
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               d_events, d_censored,
+               s AS survival_ppm
+        FROM km
+        """,
+    )
+    def q385_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact integer-ppm Kaplan–Meier curve over the first-purchase
+        life table (q267's stated BI-layer fold, made cross-engine).
+        See block comment for the bounded-grain driver-fold posture."""
+        ev = load_table(spark, "events", sf_dir)
+        per_user = ev.groupBy("user_id").agg(
+            F.min("ts").alias("t0"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("tp"),
+            F.max("ts").alias("tend"),
+        )
+        durs = per_user.select(
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0)
+            .alias("converted"),
+            F.when(
+                F.col("tp").isNotNull(),
+                F.expr(
+                    "(unix_micros(tp) - unix_micros(t0)) div 86400000000"
+                ),
+            ).otherwise(
+                F.expr(
+                    "(unix_micros(tend) - unix_micros(t0)) div 86400000000"
+                )
+            ).alias("day"),
+        )
+        buckets = durs.groupBy("day").agg(
+            F.sum("converted").cast("long").alias("d_events"),
+            F.sum(F.lit(1) - F.col("converted")).cast("long")
+            .alias("d_censored"),
+        )
+        # bounded collect: |buckets| ≤ observation span in DAYS (≤ ~2.6k
+        # at any SF) — the q343 documented driver-scalar class.
+        rows = sorted(
+            (
+                (r["day"], r["d_events"], r["d_censored"])
+                for r in buckets.collect()
+            ),
+        )
+        n_risk = 0
+        suffix: list[tuple[int, int, int, int]] = []
+        for day, d_ev, d_ce in reversed(rows):
+            n_risk += d_ev + d_ce
+            suffix.append((day, n_risk, d_ev, d_ce))
+        suffix.reverse()
+        s = 1_000_000
+        out = []
+        for day, nr, d_ev, d_ce in suffix:
+            s = s * (nr - d_ev) // nr  # non-negative: // ≡ truncation
+            out.append((day, nr, d_ev, d_ce, s))
+        return spark.createDataFrame(
+            out,
+            "day long, n_risk long, d_events long, d_censored long,"
+            " survival_ppm long",
+        )
+
+
+_register_q385()

@@ -1,0 +1,78 @@
+"""Round-9 third-session laws: q385 Kaplan–Meier (and the queries that
+follow it this session)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from etl_globalretail_spark.plans.registry import ALL_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _km_from_scratch():
+    """Pure-Python life table + truncating-ppm KM fold from the raw
+    events parquet — independent of both engines' SQL."""
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id,
+               min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+               max(ts) AS tend
+        FROM '{SF}/events.parquet' GROUP BY user_id
+        """
+    ).fetchall()
+    buckets: dict[int, list[int]] = {}
+    for _uid, t0, tp, tend in rows:
+        if tp is not None:
+            day = int((tp - t0).total_seconds() * 1_000_000) // 86_400_000_000
+            buckets.setdefault(day, [0, 0])[0] += 1
+        else:
+            day = int((tend - t0).total_seconds() * 1_000_000) // 86_400_000_000
+            buckets.setdefault(day, [0, 0])[1] += 1
+    days = sorted(buckets)
+    n_risk = sum(e + c for e, c in buckets.values())
+    s = 1_000_000
+    out = []
+    for day in days:
+        d_ev, d_ce = buckets[day]
+        s = s * (n_risk - d_ev) // n_risk
+        out.append((day, n_risk, d_ev, d_ce, s))
+        n_risk -= d_ev + d_ce
+    return out
+
+
+def test_q385_pure_python_recompute(spark):
+    got = [
+        (r["day"], r["n_risk"], r["d_events"], r["d_censored"],
+         r["survival_ppm"])
+        for r in ALL_QUERIES["q385_kaplan_meier"](spark, SF).collect()
+    ]
+    got.sort()
+    assert got == _km_from_scratch()
+
+
+def test_q385_km_laws(spark):
+    rows = sorted(
+        (r["day"], r["n_risk"], r["d_events"], r["d_censored"],
+         r["survival_ppm"])
+        for r in ALL_QUERIES["q385_kaplan_meier"](spark, SF).collect()
+    )
+    assert rows, "curve must be non-empty"
+    # survival starts ≤ 1e6 and is monotone non-increasing
+    prev = 1_000_000
+    for _d, _nr, _de, _dc, s in rows:
+        assert 0 <= s <= prev
+        prev = s
+    # risk-set conservation: first n_risk is the full user census and
+    # each step removes exactly that day's events + censored
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert rows[0][1] == n_users
+    for (_, nr, de, dc, _), (_, nr2, _, _, _) in zip(rows, rows[1:]):
+        assert nr2 == nr - de - dc
+    # a day with zero events leaves survival unchanged
+    for (_, _, de, _, s_prev), (_, _, de2, _, s) in zip(rows, rows[1:]):
+        if de2 == 0:
+            assert s == s_prev
