@@ -9120,3 +9120,92 @@ def _register_q385() -> None:
 
 
 _register_q385()
+
+
+# ---------------------------------------------------------------------------
+# q386 — WILSON lower-bound ranking (Wilson 1927 by way of Miller's
+# "How Not To Sort By Average Rating" — the Reddit/Hacker-News comment
+# sort): rank suppliers by the LOWER bound of the 95% Wilson score
+# interval on their keep rate (share of line items NOT returned), not
+# by the raw rate — a 3/3 supplier must not outrank a 970/1000 one.
+#
+# Cross-engine determinism: the bound needs sqrt, which IEEE 754
+# requires correctly rounded (portable, unlike pow/log — the cookbook's
+# libm line), and +,−,×,/ on doubles are exact IEEE ops — so BOTH
+# engines evaluate the IDENTICAL formula string (the q374 shared-SQL
+# device) over exactly-representable int64 inputs and produce
+# bit-identical doubles. Constants are E-notation literals (decimal
+# literals cast differently in DuckDB — the q174 observation):
+# z = 1.96, z² = 3.8416, z²/2 = 1.9208, z²/4 = 9.604e-1. The algebra
+# is pre-multiplied by n so no p̂ intermediate exists:
+#     lb = (pos + z²/2 − z·√(pos·neg/n + z²/4)) / (n + z²).
+# pos·neg stays exact in double up to n ≈ 9.4e7 rows per supplier
+# (2^53 bound) — orders of magnitude above any per-supplier line count
+# at 100 TB; stated, not silently assumed.
+#
+# Plan: one map-side-combinable groupBy(l_suppkey) over lineitem (the
+# only shuffle), the scalar formula row-wise, then top-20 via the
+# two-phase global_topk (TakeOrderedAndProject — never a partition-less
+# rank window).
+# ---------------------------------------------------------------------------
+
+
+_WILSON_LB_SQL = (
+    "(CAST(pos AS DOUBLE) + 1.9208e0 - 1.96e0 * sqrt("
+    "CAST(pos AS DOUBLE) * CAST(neg AS DOUBLE) / CAST(n AS DOUBLE)"
+    " + 9.604e-1)) / (CAST(n AS DOUBLE) + 3.8416e0)"
+)
+
+
+def _register_q386() -> None:
+    @_register(
+        "q386_wilson_ranking",
+        oracle=f"""
+        WITH agg AS (
+            SELECT l_suppkey AS suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_returnflag <> 'R'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        scored AS (
+            SELECT suppkey, n, pos,
+                   CAST(pos * 1000000 // n AS BIGINT) AS naive_ppm,
+                   {_WILSON_LB_SQL.replace("neg", "(n - pos)")} AS wilson_lb
+            FROM agg
+        )
+        SELECT CAST(rnk AS BIGINT) AS rnk, suppkey, n, pos,
+               naive_ppm, wilson_lb
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       ORDER BY wilson_lb DESC, suppkey) AS rnk
+            FROM scored
+        ) WHERE rnk <= 20
+        """,
+    )
+    def q386_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-20 suppliers by the Wilson 95% lower bound of their
+        keep rate (bit-identical shared formula). See block comment."""
+        li = load_table(spark, "lineitem", sf_dir)
+        agg = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0))
+            .cast("long").alias("pos"),
+        )
+        scored = agg.select(
+            "suppkey", "n", "pos",
+            F.expr("CAST(pos * 1000000 div n AS BIGINT)")
+            .alias("naive_ppm"),
+            F.expr(_WILSON_LB_SQL.replace("neg", "(n - pos)"))
+            .alias("wilson_lb"),
+        )
+        return global_topk(
+            scored, [("wilson_lb", "desc"), ("suppkey", "asc")], 20,
+            out="rnk",
+        ).select(
+            F.col("rnk").cast("long").alias("rnk"),
+            "suppkey", "n", "pos", "naive_ppm", "wilson_lb",
+        )
+
+
+_register_q386()

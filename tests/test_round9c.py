@@ -76,3 +76,48 @@ def test_q385_km_laws(spark):
     for (_, _, de, _, s_prev), (_, _, de2, _, s) in zip(rows, rows[1:]):
         if de2 == 0:
             assert s == s_prev
+
+
+def _wilson_lb(pos: int, n: int) -> float:
+    import math
+
+    return (pos + 1.9208 - 1.96 * math.sqrt(pos * (n - pos) / n + 0.9604)) / (
+        n + 3.8416
+    )
+
+
+def test_q386_bit_equal_python_recompute(spark):
+    """Top-20 panel (ranks, counts, and the DOUBLE bound itself) matches
+    a pure-Python math.sqrt recompute bit-for-bit."""
+    got = [
+        (r["rnk"], r["suppkey"], r["n"], r["pos"], r["naive_ppm"],
+         r["wilson_lb"])
+        for r in ALL_QUERIES["q386_wilson_ranking"](spark, SF).collect()
+    ]
+    agg = duckdb.sql(
+        f"""
+        SELECT l_suppkey, count(*) AS n,
+               sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS pos
+        FROM '{SF}/lineitem.parquet' GROUP BY l_suppkey
+        """
+    ).fetchall()
+    scored = sorted(
+        (-_wilson_lb(int(pos), int(n)), int(sk), int(n), int(pos))
+        for sk, n, pos in agg
+    )
+    want = [
+        (i + 1, sk, n, pos, pos * 1_000_000 // n, -neglb)
+        for i, (neglb, sk, n, pos) in enumerate(scored[:20])
+    ]
+    assert got == want
+
+
+def test_q386_wilson_laws(spark):
+    """0 ≤ lb ≤ p̂ always, and the bound shrinks with n at fixed rate —
+    the reason the metric exists (a tiny-n perfect score must not win)."""
+    rows = ALL_QUERIES["q386_wilson_ranking"](spark, SF).collect()
+    for r in rows:
+        lb, n, pos = r["wilson_lb"], r["n"], r["pos"]
+        assert 0.0 <= lb <= pos / n
+    assert _wilson_lb(3, 3) < _wilson_lb(970, 1000)
+    assert _wilson_lb(5, 10) < _wilson_lb(50, 100) < _wilson_lb(500, 1000)
