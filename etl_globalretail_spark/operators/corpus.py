@@ -6454,3 +6454,148 @@ def _register_q383() -> None:
 
 
 _register_q383()
+
+
+# ---------------------------------------------------------------------------
+# q387 — GREEDY MAX-COVERAGE document selection (Nemhauser/Wolsey/Fisher
+# 1978's (1−1/e) greedy over a submodular objective — the
+# facility-location/coreset step of data curation: pick K documents
+# that together cover the most vocabulary, the "small subset that
+# represents the corpus" primitive behind coreset selection and
+# seed-set curation; beside q355's MMR, which trades relevance against
+# redundancy pairwise, this maximizes a SET objective).
+#
+# The coverage universe is word BIGRAM types (the q258 slot device) —
+# the synthetic corpus has only 31 unigram types, so one document
+# covers them all and the greedy would be vacuous; its ~900 bigram
+# types give a genuine submodular trajectory (marginal gains strictly
+# decay across all 6 rounds at both gate SFs).
+#
+# Round i: gain(d) = |bigrams(d) \ covered|; pick argmax under the
+# (gain DESC, doc_id ASC) total order; covered ∪= bigrams(pick). Exact
+# integers end to end, so the whole trajectory hash-matches.
+#
+# Plan: ONE tokenize+distinct pass materialized at the (doc, type)
+# grain; each of the K=6 rounds is one broadcast ANTI-join against the
+# covered set (bounded by Σ picked docs' types — thousands at ANY
+# corpus size, the q343 driver-scalar class: it is rebuilt from the
+# driver each round, so no lineage chain accumulates and no
+# localCheckpoint is needed) + one map-side-combinable groupBy whose
+# argmax is a TakeOrderedAndProject LIMIT 1 — never a rank window.
+# 2K bounded jobs total; the corpus is scanned once.
+# ---------------------------------------------------------------------------
+
+
+def _register_q387() -> None:
+    _k = 6
+    _sql = [
+        """
+        WITH pairs AS MATERIALIZED (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS t
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\\s+') AS t,
+                         unnest(generate_series(
+                             1, len(regexp_split_to_array(
+                                        trim(text), '\\s+')) - 1)) AS i
+                  FROM documents)
+        ),
+        pick1 AS MATERIALIZED (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+            FROM pairs GROUP BY doc_id
+            ORDER BY gain DESC, doc_id LIMIT 1
+        ),
+        cov1 AS MATERIALIZED (
+            SELECT DISTINCT t FROM pairs
+            WHERE doc_id = (SELECT doc_id FROM pick1)
+        )"""
+    ]
+    for i in range(2, _k + 1):
+        _sql.append(f""",
+        pick{i} AS MATERIALIZED (
+            SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+            FROM pairs p
+            WHERE NOT EXISTS (SELECT 1 FROM cov{i - 1} c WHERE c.t = p.t)
+            GROUP BY p.doc_id
+            ORDER BY gain DESC, p.doc_id LIMIT 1
+        ),
+        cov{i} AS MATERIALIZED (
+            SELECT t FROM cov{i - 1}
+            UNION
+            SELECT t FROM pairs
+            WHERE doc_id = (SELECT doc_id FROM pick{i})
+        )""")
+    _legs = [
+        f"""
+        SELECT CAST({i} AS BIGINT) AS rnk, doc_id, gain,
+               CAST((SELECT COUNT(*) FROM cov{i}) AS BIGINT)
+                   AS covered_total
+        FROM pick{i}"""
+        for i in range(1, _k + 1)
+    ]
+    oracle = "".join(_sql) + "\n        UNION ALL".join(_legs)
+
+    @_register("q387_greedy_max_coverage", oracle=oracle)
+    def q387_greedy_max_coverage(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """K=6 greedy max-coverage picks over vocabulary types with the
+        full (pick, marginal gain, cumulative coverage) trajectory.
+        See block comment for the bounded-round posture."""
+        d = load_table(spark, "documents", sf_dir)
+        pos = (
+            d.select(
+                "doc_id",
+                F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+            )
+            .filter(F.size("toks") >= 2)
+            .select(
+                "doc_id", "toks",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("toks") - 1)
+                ).alias("i"),
+            )
+        )
+        pairs = (
+            pos.select(
+                "doc_id",
+                F.concat(
+                    F.expr("toks[i - 1]"), F.lit(" "), F.expr("toks[i]")
+                ).alias("t"),
+            )
+            .distinct()
+            .transform(materialize)  # feeds all K rounds
+        )
+        covered: set[str] = set()
+        out: list[tuple[int, int, int, int]] = []
+        for i in range(1, _k + 1):
+            if covered:
+                cov_df = spark.createDataFrame(
+                    [(t,) for t in sorted(covered)], "t string"
+                )
+                remaining = pairs.join(
+                    F.broadcast(cov_df), "t", "left_anti"
+                )
+            else:
+                remaining = pairs
+            pick = (
+                remaining.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+                .orderBy(F.desc("gain"), F.asc("doc_id"))
+                .limit(1)
+                .collect()
+            )[0]
+            doc, gain = pick["doc_id"], pick["gain"]
+            new_types = [
+                r["t"]
+                for r in remaining.filter(F.col("doc_id") == doc)
+                .select("t")
+                .collect()
+            ]  # bounded by one document's distinct types
+            covered.update(new_types)
+            out.append((i, int(doc), int(gain), len(covered)))
+        return spark.createDataFrame(
+            out, "rnk long, doc_id long, gain long, covered_total long"
+        )
+
+
+_register_q387()

@@ -121,3 +121,53 @@ def test_q386_wilson_laws(spark):
         assert 0.0 <= lb <= pos / n
     assert _wilson_lb(3, 3) < _wilson_lb(970, 1000)
     assert _wilson_lb(5, 10) < _wilson_lb(50, 100) < _wilson_lb(500, 1000)
+
+
+def _bigram_sets():
+    rows = duckdb.sql(
+        f"""
+        SELECT doc_id, list(DISTINCT t[i] || ' ' || t[i+1]) FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+                   unnest(generate_series(1, len(regexp_split_to_array(
+                       trim(text), '\\s+')) - 1)) AS i
+            FROM '{SF}/documents.parquet'
+        ) GROUP BY doc_id
+        """
+    ).fetchall()
+    return {int(d): set(l) for d, l in rows}
+
+
+def test_q387_pure_python_greedy_recompute(spark):
+    got = sorted(
+        (r["rnk"], r["doc_id"], r["gain"], r["covered_total"])
+        for r in ALL_QUERIES["q387_greedy_max_coverage"](spark, SF).collect()
+    )
+    sets = _bigram_sets()
+    cov: set[str] = set()
+    want = []
+    for i in range(1, 7):
+        doc, gain = min(
+            ((d, len(s - cov)) for d, s in sets.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        cov |= sets[doc]
+        want.append((i, doc, gain, len(cov)))
+    assert got == want
+
+
+def test_q387_submodular_laws(spark):
+    """Marginal gains are non-increasing (greedy on a submodular set
+    objective) and coverage is the exact running sum of gains."""
+    rows = sorted(
+        (r["rnk"], r["doc_id"], r["gain"], r["covered_total"])
+        for r in ALL_QUERIES["q387_greedy_max_coverage"](spark, SF).collect()
+    )
+    gains = [g for _, _, g, _ in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert all(g > 0 for g in gains), "degenerate universe — see block comment"
+    total = 0
+    for _, _, g, cum in rows:
+        total += g
+        assert cum == total
+    # picks never repeat
+    assert len({d for _, d, _, _ in rows}) == len(rows)
