@@ -995,3 +995,216 @@ def _register_q361() -> None:
 
 
 _register_q361()
+
+
+# ---------------------------------------------------------------------------
+# q388 — KRIPPENDORFF'S ALPHA (nominal; Krippendorff 1970/2004): the
+# inter-annotator agreement metric labeling pipelines actually report
+# when there are MORE THAN TWO annotators and MISSING annotations —
+# exactly the two cases q361's Cohen's kappa cannot express. The panel
+# here is three annotators over every document: the stored gold label,
+# q21's heuristic language-ID (same decision CTE, reconstructed from
+# the same stopword profiles — oracles compose), and a deterministic
+# md5 "second human" who skips every third unit (real missingness) and
+# relabels ~20% of the rest as 'und' (real disagreement).
+#
+# Integer contract (the half-unit device): each ordered pair of
+# annotations within a unit contributes 1/(m_u−1) to the coincidence
+# matrix; with m_u ∈ {2,3} the weight 2/(m_u−1) ∈ {2,1} is an exact
+# integer, so the DOUBLED coincidence matrix O2, its margins n_c2, and
+# D_o2 = Σ_{c≠k} O2 are all int64, and
+#     α = 1 − 2·(n−1)·D_o2 / Σ_{c≠k} n_c2·n_k2
+# is ONE truncating division (toward zero — q361's sign trick on the
+# Spark side, DuckDB's native // semantics in the oracle; denominator
+# clamped ≥ 1, the ADVICE-r8 q361 discipline). Σ n_c2·n_k2 ≤ (2n)²
+# needs the q217 decimal widening past ~1.5e9 annotations; the Spark
+# side computes it in driver Python ints (exact at any scale), the
+# oracle in DuckDB's 128-bit internals.
+#
+# Plan: the corpus is touched by exactly one decision pass; the
+# annotation frame self-joins on doc_id with fanout ≤ 6 (3 annotators),
+# collapses to the ≤(|langs|+1)² coincidence grain, and the alpha
+# algebra runs on those bounded driver cells (the q343 class).
+# ---------------------------------------------------------------------------
+
+
+def _register_q388() -> None:
+    scored_cols = ", ".join(
+        f"{_sql_stopword_hits(ws)} AS s_{lg}"
+        for lg, ws in LANG_STOPWORDS.items()
+    )
+    total = " + ".join("s_" + lg for lg in _LANGS)
+    arms = " ".join(
+        "WHEN "
+        + " AND ".join(
+            f"s_{lg} >= s_{other}" for other in _LANGS if other != lg
+        )
+        + f" THEN '{lg}'"
+        for lg in _LANGS
+    )
+
+    @_register(
+        "q388_krippendorff_alpha",
+        oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang AS lang_label, {scored_cols}
+            FROM documents
+        ),
+        decided AS MATERIALIZED (
+            SELECT doc_id, lang_label,
+                   CASE WHEN {total} = 0 THEN 'und' {arms}
+                        ELSE 'und' END AS lang_pred,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                           || 'kra'), 1, 15) AS BIGINT)
+                       % 3 AS h_a,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                           || 'krb'), 1, 15) AS BIGINT)
+                       % 10 AS h_b
+            FROM scored
+        ),
+        ann AS MATERIALIZED (
+            SELECT doc_id, 'gold' AS annot, lang_label AS lab FROM decided
+            UNION ALL
+            SELECT doc_id, 'model', lang_pred FROM decided
+            UNION ALL
+            SELECT doc_id, 'human2',
+                   CASE WHEN h_b < 8 THEN lang_label ELSE 'und' END
+            FROM decided WHERE h_a <> 0
+        ),
+        m AS (SELECT doc_id, COUNT(*) AS m FROM ann GROUP BY doc_id),
+        cells AS MATERIALIZED (
+            SELECT a.lab AS c, b.lab AS k,
+                   CAST(SUM(2 // (m.m - 1)) AS BIGINT) AS o2
+            FROM ann a
+            JOIN ann b ON a.doc_id = b.doc_id AND a.annot <> b.annot
+            JOIN m ON m.doc_id = a.doc_id
+            GROUP BY a.lab, b.lab
+        ),
+        marg AS MATERIALIZED (
+            SELECT c, CAST(SUM(o2) AS BIGINT) AS nc2 FROM cells GROUP BY c
+        ),
+        sc AS (
+            SELECT (SELECT COUNT(*) FROM m) AS n_units,
+                   (SELECT SUM(nc2) FROM marg) // 2 AS n_ann,
+                   (SELECT COALESCE(SUM(o2), 0) FROM cells
+                    WHERE c <> k) AS d_o2,
+                   (SELECT GREATEST(1, COALESCE(SUM(a.nc2 * b.nc2), 0))
+                    FROM marg a JOIN marg b ON a.c <> b.c) AS s
+        )
+        SELECT CAST(n_units AS BIGINT) AS n_units,
+               CAST(n_ann AS BIGINT) AS n_ann,
+               CAST(d_o2 AS BIGINT) AS d_o2,
+               CAST((s - 2 * (n_ann - 1) * d_o2) * 1000000 // s
+                    AS BIGINT) AS alpha_ppm
+        FROM sc
+        """,
+    )
+    def q388_krippendorff_alpha(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Nominal Krippendorff's alpha over a 3-annotator panel with
+        genuine missingness, via the exact half-unit coincidence
+        matrix. See block comment."""
+        d = load_table(spark, "documents", sf_dir)
+        scored = d.select(
+            "doc_id",
+            F.col("lang").alias("lang_label"),
+            *[
+                stopword_hits(F.col("text"), ws).alias(f"s_{lg}")
+                for lg, ws in LANG_STOPWORDS.items()
+            ],
+        )
+        tot = None
+        for lg in _LANGS:
+            tot = (
+                F.col(f"s_{lg}") if tot is None else tot + F.col(f"s_{lg}")
+            )
+        decision = F.when(tot == 0, F.lit("und"))
+        for lg in _LANGS:
+            cond = None
+            for other in _LANGS:
+                if other == lg:
+                    continue
+                c = F.col(f"s_{lg}") >= F.col(f"s_{other}")
+                cond = c if cond is None else cond & c
+            decision = decision.when(cond, F.lit(lg))
+        decision = decision.otherwise(F.lit("und"))
+
+        def _h(salt: str, mod: int):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"), F.lit(salt)
+                            )
+                        ),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("bigint") % mod
+            )
+
+        decided = scored.select(
+            "doc_id", "lang_label", decision.alias("lang_pred"),
+            _h("kra", 3).alias("h_a"), _h("krb", 10).alias("h_b"),
+        )
+        ann = (
+            decided.select(
+                "doc_id", F.lit("gold").alias("annot"),
+                F.col("lang_label").alias("lab"),
+            )
+            .unionAll(
+                decided.select(
+                    "doc_id", F.lit("model"),
+                    F.col("lang_pred"),
+                )
+            )
+            .unionAll(
+                decided.filter(F.col("h_a") != 0).select(
+                    "doc_id", F.lit("human2"),
+                    F.when(F.col("h_b") < 8, F.col("lang_label"))
+                    .otherwise(F.lit("und")),
+                )
+            )
+        )
+        from etl_globalretail_spark.sources.artifacts import materialize
+
+        ann = materialize(ann)  # feeds m, both self-join sides
+        m = ann.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+        a = ann.select("doc_id", F.col("annot").alias("a1"),
+                       F.col("lab").alias("c"))
+        b = ann.select("doc_id", F.col("annot").alias("a2"),
+                       F.col("lab").alias("k"))
+        cells = (
+            a.join(b, "doc_id")
+            .filter(F.col("a1") != F.col("a2"))
+            .join(m, "doc_id")
+            .groupBy("c", "k")
+            .agg(F.sum(F.expr("2 div (m - 1)")).cast("long").alias("o2"))
+        ).collect()  # ≤ (|langs|+1)² bounded coincidence cells
+        n_units = m.count()
+        o2 = {(r["c"], r["k"]): r["o2"] for r in cells}
+        nc2: dict[str, int] = {}
+        for (c, _k), v in o2.items():
+            nc2[c] = nc2.get(c, 0) + v
+        n_ann = sum(nc2.values()) // 2
+        d_o2 = sum(v for (c, k), v in o2.items() if c != k)
+        s = max(
+            1,
+            sum(
+                va * vb
+                for ca, va in nc2.items()
+                for cb, vb in nc2.items()
+                if ca != cb
+            ),
+        )
+        num = (s - 2 * (n_ann - 1) * d_o2) * 1_000_000
+        alpha = abs(num) // s * (1 if num >= 0 else -1)
+        return spark.createDataFrame(
+            [(n_units, n_ann, d_o2, alpha)],
+            "n_units long, n_ann long, d_o2 long, alpha_ppm long",
+        )
+
+
+_register_q388()

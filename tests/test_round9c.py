@@ -171,3 +171,94 @@ def test_q387_submodular_laws(spark):
         assert cum == total
     # picks never repeat
     assert len({d for _, d, _, _ in rows}) == len(rows)
+
+
+def _md5mod(s: str, mod: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % mod
+
+
+def _alpha_panel_from_scratch():
+    """Rebuild the 3-annotator panel (gold, stopword-argmax model,
+    md5 human2 with missingness) in pure Python from the raw parquet."""
+    from etl_globalretail_spark.operators.text import LANG_STOPWORDS, _LANGS
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    panel = []
+    for doc_id, lang, text in rows:
+        toks = text.strip().split()
+        hits = {
+            lg: sum(1 for t in toks if t in ws)
+            for lg, ws in LANG_STOPWORDS.items()
+        }
+        if sum(hits.values()) == 0:
+            pred = "und"
+        else:
+            pred = next(
+                (
+                    lg
+                    for lg in _LANGS
+                    if all(hits[lg] >= hits[o] for o in _LANGS if o != lg)
+                ),
+                "und",
+            )
+        anns = [lang, pred]
+        if _md5mod(f"{doc_id}kra", 3) != 0:
+            anns.append(
+                lang if _md5mod(f"{doc_id}krb", 10) < 8 else "und"
+            )
+        panel.append(anns)
+    return panel
+
+
+def _alpha_ppm(panel):
+    o2: dict[tuple[str, str], int] = {}
+    for anns in panel:
+        m = len(anns)
+        w = 2 // (m - 1)
+        for i, c in enumerate(anns):
+            for j, k in enumerate(anns):
+                if i != j:
+                    o2[(c, k)] = o2.get((c, k), 0) + w
+    nc2: dict[str, int] = {}
+    for (c, _k), v in o2.items():
+        nc2[c] = nc2.get(c, 0) + v
+    n_ann = sum(nc2.values()) // 2
+    d_o2 = sum(v for (c, k), v in o2.items() if c != k)
+    s = max(
+        1,
+        sum(
+            va * vb
+            for ca, va in nc2.items()
+            for cb, vb in nc2.items()
+            if ca != cb
+        ),
+    )
+    num = (s - 2 * (n_ann - 1) * d_o2) * 1_000_000
+    return len(panel), n_ann, d_o2, abs(num) // s * (1 if num >= 0 else -1)
+
+
+def test_q388_pure_python_recompute(spark):
+    got = ALL_QUERIES["q388_krippendorff_alpha"](spark, SF).collect()[0]
+    n_units, n_ann, d_o2, alpha = _alpha_ppm(_alpha_panel_from_scratch())
+    assert (
+        got["n_units"], got["n_ann"], got["d_o2"], got["alpha_ppm"]
+    ) == (n_units, n_ann, d_o2, alpha)
+
+
+def test_q388_alpha_laws(spark):
+    """Perfect agreement → α = 1e6; one lone disagreement pulls it
+    below; α ≤ 1e6 always; and the real panel sits strictly between
+    chance and perfection (the panel has real disagreement + real
+    agreement by construction)."""
+    perfect = [["en", "en", "en"], ["de", "de"], ["fr", "fr", "fr"]]
+    assert _alpha_ppm(perfect)[3] == 1_000_000
+    one_bad = [["en", "en", "en"], ["de", "de"], ["fr", "fr", "und"]]
+    assert _alpha_ppm(one_bad)[3] < 1_000_000
+    got = ALL_QUERIES["q388_krippendorff_alpha"](spark, SF).collect()[0]
+    assert 0 < got["alpha_ppm"] < 1_000_000
+    # missingness is real: annotations strictly between 2n and 3n units
+    assert 2 * got["n_units"] < got["n_ann"] < 3 * got["n_units"]
