@@ -9209,3 +9209,156 @@ def _register_q386() -> None:
 
 
 _register_q386()
+
+
+# ---------------------------------------------------------------------------
+# q389 — PINBALL-LOSS QUANTILE-FORECAST EVALUATION (Koenker & Bassett
+# 1978's check function; the M5-Uncertainty / every-prob-forecast
+# scoring rule): q384 grades POINT forecasts by MAE — this grades
+# QUANTILE forecasts by the loss they are actually proper for,
+#     L_τ(y, ŷ) = τ·(y−ŷ)⁺ + (1−τ)·(ŷ−y)⁺,
+# at τ = 0.5 and τ = 0.9 over the same daily order-count series. The
+# punchline the pytest pins: each forecaster wins at ITS OWN τ — the
+# trailing median minimizes τ=0.5 pinball, the trailing max (the 7/7
+# order statistic ≈ p90 of a 7-window) wins at τ=0.9 — which is the
+# whole reason quantile models are scored this way.
+#
+# All-integer: τ cleared to tenths (×10): loss10 = 9(y−ŷ)⁺ + (ŷ−y)⁺
+# at τ=.9 and 5|y−ŷ| at τ=.5. Forecasters are order statistics of the
+# 7 trailing lags (q384's bounded offset explode): median = 4th of 7,
+# max = 7th of 7, plus naive-1 (lag1) as the point-model control —
+# whose DOUBLED τ=.5 pinball equals q384's naive-1 Σ|e| exactly (a
+# free cross-query law, pinned). ONE aggregate computes all six sums;
+# six 1-row legs union BY NAME into one job (the q283 device).
+# ---------------------------------------------------------------------------
+
+
+def _register_q389() -> None:
+    @_register(
+        "q389_pinball_quantile_eval",
+        oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        ),
+        offs AS (
+            SELECT t.d, t.n, l.n AS ln, o.off
+            FROM daily t
+            CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS off) o
+            JOIN daily l ON l.d = t.d - CAST(o.off AS INTEGER)
+        ),
+        lagged AS (
+            SELECT d, n,
+                   list_sort(list(ln)) AS ls,
+                   MAX(CASE WHEN off = 1 THEN ln END) AS lag1
+            FROM offs GROUP BY d, n
+            HAVING COUNT(*) = 7
+        ),
+        fc AS (
+            SELECT d, n, ls[4] AS f_med, ls[7] AS f_max, lag1 AS f_lag1
+            FROM lagged
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                   CAST(SUM(5 * abs(n - f_med)) AS BIGINT) AS med50,
+                   CAST(SUM(5 * abs(n - f_max)) AS BIGINT) AS max50,
+                   CAST(SUM(5 * abs(n - f_lag1)) AS BIGINT) AS lag150,
+                   CAST(SUM(9 * GREATEST(n - f_med, 0)
+                            + GREATEST(f_med - n, 0)) AS BIGINT) AS med90,
+                   CAST(SUM(9 * GREATEST(n - f_max, 0)
+                            + GREATEST(f_max - n, 0)) AS BIGINT) AS max90,
+                   CAST(SUM(9 * GREATEST(n - f_lag1, 0)
+                            + GREATEST(f_lag1 - n, 0)) AS BIGINT) AS lag190
+            FROM fc
+        )
+        SELECT tau_pct, model, n_days, pinball10_sum,
+               CAST(pinball10_sum * 1000 // n_days AS BIGINT) AS mean_milli
+        FROM (
+            SELECT CAST(50 AS BIGINT) AS tau_pct, 'trail_median' AS model,
+                   nd AS n_days, med50 AS pinball10_sum FROM sums
+            UNION ALL SELECT 50, 'trail_max', nd, max50 FROM sums
+            UNION ALL SELECT 50, 'naive1', nd, lag150 FROM sums
+            UNION ALL SELECT 90, 'trail_median', nd, med90 FROM sums
+            UNION ALL SELECT 90, 'trail_max', nd, max90 FROM sums
+            UNION ALL SELECT 90, 'naive1', nd, lag190 FROM sums
+        )
+        """,
+    )
+    def q389_pinball_quantile_eval(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """τ ∈ {0.5, 0.9} pinball-loss panel for trailing-window order
+        statistics + naive-1 over the daily order series. See block
+        comment."""
+        o = load_table(spark, "orders", sf_dir)
+        daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        offs = daily.select(
+            "d", "n",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, 8)])
+            ).alias("off"),
+        ).select(
+            "d", "n", F.date_sub(F.col("d"), F.col("off")).alias("ld"),
+            "off",
+        )
+        lagged = (
+            offs.join(
+                daily.select(F.col("d").alias("ld"),
+                             F.col("n").alias("ln")),
+                "ld",
+            )
+            .groupBy("d", "n")
+            .agg(
+                F.count(F.lit(1)).alias("n_lags"),
+                F.array_sort(F.collect_list("ln")).alias("ls"),
+                F.max(F.when(F.col("off") == 1, F.col("ln")))
+                .cast("long").alias("f_lag1"),
+            )
+            .filter(F.col("n_lags") == 7)
+            .select(
+                "d", "n",
+                F.element_at("ls", 4).cast("long").alias("f_med"),
+                F.element_at("ls", 7).cast("long").alias("f_max"),
+                "f_lag1",
+            )
+        )
+        sums = lagged.agg(
+            F.count(F.lit(1)).cast("long").alias("nd"),
+            *[
+                F.sum(5 * F.abs(F.col("n") - F.col(f"f_{m}")))
+                .cast("long").alias(f"{m}50")
+                for m in ("med", "max", "lag1")
+            ],
+            *[
+                F.sum(
+                    9 * F.greatest(F.col("n") - F.col(f"f_{m}"), F.lit(0))
+                    + F.greatest(F.col(f"f_{m}") - F.col("n"), F.lit(0))
+                ).cast("long").alias(f"{m}90")
+                for m in ("med", "max", "lag1")
+            ],
+        )
+        legs = []
+        for tau, suf in ((50, "50"), (90, "90")):
+            for model, m in (("trail_median", "med"), ("trail_max", "max"),
+                             ("naive1", "lag1")):
+                legs.append(
+                    sums.select(
+                        F.lit(tau).cast("long").alias("tau_pct"),
+                        F.lit(model).alias("model"),
+                        F.col("nd").alias("n_days"),
+                        F.col(f"{m}{suf}").alias("pinball10_sum"),
+                        F.expr(
+                            f"CAST({m}{suf} * 1000 div nd AS BIGINT)"
+                        ).alias("mean_milli"),
+                    )
+                )
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return out
+
+
+_register_q389()

@@ -262,3 +262,61 @@ def test_q388_alpha_laws(spark):
     assert 0 < got["alpha_ppm"] < 1_000_000
     # missingness is real: annotations strictly between 2n and 3n units
     assert 2 * got["n_units"] < got["n_ann"] < 3 * got["n_units"]
+
+
+def test_q389_pinball_recompute_and_proper_scoring(spark):
+    """Pure-Python recompute of all six (tau, model) sums; each
+    forecaster wins at its own tau; and the doubled tau=.5 naive-1
+    pinball equals q384's naive-1 sum of absolute errors (cross-query
+    law)."""
+    daily = dict(
+        duckdb.sql(
+            f"SELECT CAST(o_orderdate AS DATE), count(*) "
+            f"FROM '{SF}/orders.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    import datetime
+
+    sums = {k: 0 for k in ("med50", "max50", "lag150",
+                           "med90", "max90", "lag190")}
+    nd = 0
+    for d, n in daily.items():
+        lags = [
+            daily.get(d - datetime.timedelta(days=i)) for i in range(1, 8)
+        ]
+        if any(v is None for v in lags):
+            continue
+        nd += 1
+        ls = sorted(lags)
+        fc = {"med": ls[3], "max": ls[6], "lag1": lags[0]}
+        for m, f in fc.items():
+            sums[f"{m}50"] += 5 * abs(n - f)
+            sums[f"{m}90"] += 9 * max(n - f, 0) + max(f - n, 0)
+    got = {
+        (r["tau_pct"], r["model"]): (r["n_days"], r["pinball10_sum"],
+                                     r["mean_milli"])
+        for r in ALL_QUERIES["q389_pinball_quantile_eval"](spark, SF)
+        .collect()
+    }
+    for tau, suf in ((50, "50"), (90, "90")):
+        for model, m in (("trail_median", "med"), ("trail_max", "max"),
+                         ("naive1", "lag1")):
+            s = sums[f"{m}{suf}"]
+            assert got[(tau, model)] == (nd, s, s * 1000 // nd)
+    # proper-scoring: each order-statistic forecaster wins at its own
+    # tau. Needs a non-degenerate series — sf0.001 has only 5 eval days
+    # (one lucky window flips it), so pin it at sf0.01 (2350 days).
+    got01 = {
+        (r["tau_pct"], r["model"]): r["pinball10_sum"]
+        for r in ALL_QUERIES["q389_pinball_quantile_eval"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert got01[(50, "trail_median")] < got01[(50, "trail_max")]
+    assert got01[(90, "trail_max")] < got01[(90, "trail_median")]
+    # cross-query law: 2 x (tau=.5 naive1 pinball10) == 10 x q384 naive1 sum|e|
+    q384 = {
+        r["model"]: r["sum_abs_err"]
+        for r in ALL_QUERIES["q384_forecast_baselines"](spark, SF).collect()
+    }
+    assert 2 * got[(50, "naive1")][1] == 10 * q384["naive1"]
