@@ -9362,3 +9362,156 @@ def _register_q389() -> None:
 
 
 _register_q389()
+
+
+# ---------------------------------------------------------------------------
+# q390 — SIMPSON'S-PARADOX AUDIT (Simpson 1951; the kidney-stone /
+# Berkeley-admissions trap): before shipping "segment A converts
+# better than segment B", check whether the POOLED direction agrees
+# with the WITHIN-STRATUM directions — a confounded mix (here: order
+# year) can flip the sign. This is the metrics-review gate every
+# experimentation platform runs next to q357's CUPED.
+#
+# Exact integers: rates are never divided — a_pos/a_n vs b_pos/b_n is
+# compared by cross-multiplication a_pos·b_n vs b_pos·a_n (int64;
+# needs the q217 decimal widening past ~3e9 rows per cell, stated),
+# giving diff_sign ∈ {−1, 0, 1} per stratum and pooled. paradox_flag
+# = 1 iff the pooled sign is nonzero, no populated stratum agrees
+# with it, and at least one strictly opposes — the strict form of the
+# reversal.
+#
+# Cohorts: BUILDING vs MACHINERY customers; metric: URGENT/HIGH
+# priority order share; strata: order year. One fact⨝dim join, one
+# groupBy(year) to the |years|-grain cell frame (persisted — rows AND
+# its own re-aggregate, the CLAUDE.md rule), pooled = re-aggregate of
+# the cells, flag = driver scalar over ≤|years| signs.
+# ---------------------------------------------------------------------------
+
+
+def _register_q390() -> None:
+    @_register(
+        "q390_simpson_audit",
+        oracle="""
+        WITH base AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                   c.c_mktsegment AS seg,
+                   CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS hot
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ),
+        cells AS MATERIALIZED (
+            SELECT yr,
+                   CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN seg = 'BUILDING' THEN hot ELSE 0 END)
+                        AS BIGINT) AS pos_a,
+                   CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN hot ELSE 0 END)
+                        AS BIGINT) AS pos_b
+            FROM base GROUP BY yr
+        ),
+        strata AS (
+            SELECT CAST(yr AS VARCHAR) AS stratum, n_a, pos_a, n_b, pos_b,
+                   CASE WHEN pos_a * n_b > pos_b * n_a THEN 1
+                        WHEN pos_a * n_b < pos_b * n_a THEN -1
+                        ELSE 0 END AS diff_sign
+            FROM cells WHERE n_a > 0 AND n_b > 0
+        ),
+        pooled AS (
+            SELECT 'ALL' AS stratum,
+                   CAST(SUM(n_a) AS BIGINT) AS n_a,
+                   CAST(SUM(pos_a) AS BIGINT) AS pos_a,
+                   CAST(SUM(n_b) AS BIGINT) AS n_b,
+                   CAST(SUM(pos_b) AS BIGINT) AS pos_b,
+                   CASE WHEN SUM(pos_a) * SUM(n_b)
+                             > SUM(pos_b) * SUM(n_a) THEN 1
+                        WHEN SUM(pos_a) * SUM(n_b)
+                             < SUM(pos_b) * SUM(n_a) THEN -1
+                        ELSE 0 END AS diff_sign
+            FROM cells
+        ),
+        allrows AS (
+            SELECT * FROM strata UNION ALL SELECT * FROM pooled
+        ),
+        flag AS (
+            SELECT CASE WHEN p.diff_sign <> 0
+                         AND NOT EXISTS (SELECT 1 FROM strata s
+                                         WHERE s.diff_sign = p.diff_sign)
+                         AND EXISTS (SELECT 1 FROM strata s
+                                     WHERE s.diff_sign = -p.diff_sign)
+                        THEN 1 ELSE 0 END AS paradox_flag
+            FROM pooled p
+        )
+        SELECT a.stratum, a.n_a, a.pos_a, a.n_b, a.pos_b,
+               CAST(a.diff_sign AS BIGINT) AS diff_sign,
+               CAST(f.paradox_flag AS BIGINT) AS paradox_flag
+        FROM allrows a CROSS JOIN flag f
+        """,
+    )
+    def q390_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-year and pooled BUILDING-vs-MACHINERY hot-order-rate
+        direction with a strict Simpson-reversal flag. See block
+        comment."""
+        o = load_table(spark, "orders", sf_dir)
+        c = load_table(spark, "customer", sf_dir)
+        base = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .select(
+                F.year("o_orderdate").cast("long").alias("yr"),
+                F.col("c_mktsegment").alias("seg"),
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0).alias("hot"),
+            )
+        )
+        cells = base.groupBy("yr").agg(
+            F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0))
+            .cast("long").alias("n_a"),
+            F.sum(F.when(F.col("seg") == "BUILDING", F.col("hot"))
+                  .otherwise(0)).cast("long").alias("pos_a"),
+            F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0))
+            .cast("long").alias("n_b"),
+            F.sum(F.when(F.col("seg") == "MACHINERY", F.col("hot"))
+                  .otherwise(0)).cast("long").alias("pos_b"),
+        ).persist()  # rows AND their own pooled re-aggregate
+        sign = (
+            F.when(F.col("pos_a") * F.col("n_b")
+                   > F.col("pos_b") * F.col("n_a"), 1)
+            .when(F.col("pos_a") * F.col("n_b")
+                  < F.col("pos_b") * F.col("n_a"), -1)
+            .otherwise(0)
+        )
+        strata = cells.filter(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0)
+        ).select(
+            F.col("yr").cast("string").alias("stratum"),
+            "n_a", "pos_a", "n_b", "pos_b",
+            sign.cast("long").alias("diff_sign"),
+        )
+        pooled = cells.agg(
+            F.sum("n_a").cast("long").alias("n_a"),
+            F.sum("pos_a").cast("long").alias("pos_a"),
+            F.sum("n_b").cast("long").alias("n_b"),
+            F.sum("pos_b").cast("long").alias("pos_b"),
+        ).select(
+            F.lit("ALL").alias("stratum"),
+            "n_a", "pos_a", "n_b", "pos_b",
+            sign.cast("long").alias("diff_sign"),
+        )
+        # ≤|years| signs + 1 pooled sign: bounded driver scalars
+        s_signs = [r["diff_sign"] for r in strata.collect()]
+        p_sign = pooled.collect()[0]["diff_sign"]
+        paradox = int(
+            p_sign != 0
+            and all(s != p_sign for s in s_signs)
+            and any(s == -p_sign for s in s_signs)
+        )
+        return strata.unionByName(pooled).withColumn(
+            "paradox_flag", F.lit(paradox).cast("long")
+        )
+
+
+_register_q390()

@@ -320,3 +320,84 @@ def test_q389_pinball_recompute_and_proper_scoring(spark):
         for r in ALL_QUERIES["q384_forecast_baselines"](spark, SF).collect()
     }
     assert 2 * got[(50, "naive1")][1] == 10 * q384["naive1"]
+
+
+def _simpson_flag(strata_signs, pooled_sign):
+    return int(
+        pooled_sign != 0
+        and all(s != pooled_sign for s in strata_signs)
+        and any(s == -pooled_sign for s in strata_signs)
+    )
+
+
+def test_q390_pure_python_recompute(spark):
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT),
+               c.c_mktsegment,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        """
+    ).fetchall()
+    cells: dict[int, list[int]] = {}
+    for yr, seg, hot in rows:
+        cell = cells.setdefault(yr, [0, 0, 0, 0])
+        if seg == "BUILDING":
+            cell[0] += 1
+            cell[1] += hot
+        else:
+            cell[2] += 1
+            cell[3] += hot
+
+    def sgn(pa, na, pb, nb):
+        x = pa * nb - pb * na
+        return 1 if x > 0 else (-1 if x < 0 else 0)
+
+    want = {}
+    s_signs = []
+    for yr, (na, pa, nb, pb) in cells.items():
+        if na > 0 and nb > 0:
+            s = sgn(pa, na, pb, nb)
+            s_signs.append(s)
+            want[str(yr)] = (na, pa, nb, pb, s)
+    tna = sum(v[0] for v in cells.values())
+    tpa = sum(v[1] for v in cells.values())
+    tnb = sum(v[2] for v in cells.values())
+    tpb = sum(v[3] for v in cells.values())
+    p_sign = sgn(tpa, tna, tpb, tnb)
+    want["ALL"] = (tna, tpa, tnb, tpb, p_sign)
+    flag = _simpson_flag(s_signs, p_sign)
+    got = {
+        r["stratum"]: (r["n_a"], r["pos_a"], r["n_b"], r["pos_b"],
+                       r["diff_sign"])
+        for r in ALL_QUERIES["q390_simpson_audit"](spark, SF).collect()
+    }
+    flags = {
+        r["paradox_flag"]
+        for r in ALL_QUERIES["q390_simpson_audit"](spark, SF).collect()
+    }
+    assert got == want
+    assert flags == {flag}
+
+
+def test_q390_flag_fires_on_the_textbook_case():
+    """The kidney-stone numbers (Charig et al. 1986): treatment A wins
+    within BOTH strata yet loses pooled — the flag must fire; and it
+    must NOT fire when pooled agrees with any stratum."""
+    def sgn(pa, na, pb, nb):
+        x = pa * nb - pb * na
+        return 1 if x > 0 else (-1 if x < 0 else 0)
+
+    # (pos_a, n_a, pos_b, n_b) per stratum: small stones, large stones
+    strata = [(81, 87, 234, 270), (192, 263, 55, 80)]
+    s_signs = [sgn(*s) for s in strata]
+    pooled = tuple(sum(x) for x in zip(*strata))
+    p_sign = sgn(*pooled)
+    assert s_signs == [1, 1] and p_sign == -1
+    assert _simpson_flag(s_signs, p_sign) == 1
+    assert _simpson_flag([1, -1], 1) == 0
+    assert _simpson_flag([0, 0], 1) == 0  # ties don't oppose: strict form
+    assert _simpson_flag([-1, 0], 1) == 1
