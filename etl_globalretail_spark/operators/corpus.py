@@ -6599,3 +6599,102 @@ def _register_q387() -> None:
 
 
 _register_q387()
+
+
+# ---------------------------------------------------------------------------
+# q391 — GOOD–TURING frequency spectrum (Good 1953, by way of Gale &
+# Sampson 1995's Simple Good-Turing): the counts-of-counts table
+# N_r = |{types seen exactly r times}| and the adjusted count
+# r* = (r+1)·N_{r+1}/N_r — THE classical LM-smoothing estimator and
+# the corpus-QA answer to "how much probability mass belongs to
+# bigrams we have NOT seen yet" (P_unseen = N_1/N, read off the r=1
+# row). Beside q383 (which reads hapax SHARE and the spectrum's Gini)
+# this emits the estimator itself; beside q232's bigram LM it is the
+# smoothing tier that would back off its raw counts.
+#
+# Exact integers: r* is quantized as (r+1)·N_{r+1}·1000 div N_r, one
+# truncation; rows where N_{r+1} = 0 (spectrum holes — exactly where
+# Gale-Sampson switch to their log-log regression, which is pow/log
+# and NOT portable) emit rstar_permil = 0 with the hole visible in
+# n_next — the smoothing DECISION stays data, not libm.
+#
+# Mass conservation (pinned in pytest): Σ_{r≥1} (r+1)·N_{r+1}
+# = N − N_1 — the identity that makes Good-Turing a probability
+# re-allocation rather than an ad-hoc discount.
+#
+# Plan: one bigram pass (q258's slot device) → type counts → the
+# counts-of-counts aggregate; the spectrum is ≤ O(√N) rows (r values
+# are distinct positive integers summing to ≤ N) — a bounded frame,
+# self-joined broadcast on r+1. Corpus touched once.
+# ---------------------------------------------------------------------------
+
+
+def _register_q391() -> None:
+    @_register(
+        "q391_good_turing",
+        oracle="""
+        WITH bg AS (
+            SELECT t[i] || ' ' || t[i + 1] AS b
+            FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t,
+                         unnest(generate_series(1, len(
+                             regexp_split_to_array(trim(text), '\\s+'))
+                             - 1)) AS i
+                  FROM documents)
+        ),
+        types AS (SELECT b, COUNT(*) AS r FROM bg GROUP BY b),
+        spectrum AS MATERIALIZED (
+            SELECT CAST(r AS BIGINT) AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+            FROM types GROUP BY r
+        )
+        SELECT s.r, s.n_r,
+               CAST(COALESCE(nx.n_r, 0) AS BIGINT) AS n_next,
+               CAST((s.r + 1) * COALESCE(nx.n_r, 0) * 1000 // s.n_r
+                    AS BIGINT) AS rstar_permil
+        FROM spectrum s
+        LEFT JOIN spectrum nx ON nx.r = s.r + 1
+        """,
+    )
+    def q391_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Counts-of-counts spectrum with exact-permil Good-Turing
+        adjusted counts over bigram types. See block comment."""
+        d = load_table(spark, "documents", sf_dir)
+        pos = (
+            d.select(
+                F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+            )
+            .filter(F.size("toks") >= 2)
+            .select(
+                "toks",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("toks") - 1)
+                ).alias("i"),
+            )
+        )
+        types = pos.select(
+            F.concat(
+                F.expr("toks[i - 1]"), F.lit(" "), F.expr("toks[i]")
+            ).alias("b")
+        ).groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+        spectrum = types.groupBy("r").agg(
+            F.count(F.lit(1)).cast("long").alias("n_r")
+        ).select(F.col("r").cast("long").alias("r"), "n_r").transform(
+            materialize
+        )  # bounded O(sqrt N) rows — feeds both sides of the r+1 join
+        nx = spectrum.select(
+            (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next")
+        )
+        return (
+            spectrum.join(F.broadcast(nx), "r", "left")
+            .select(
+                "r", "n_r",
+                F.coalesce(F.col("n_next"), F.lit(0)).cast("long")
+                .alias("n_next"),
+                F.expr(
+                    "CAST((r + 1) * COALESCE(n_next, 0) * 1000 div n_r"
+                    " AS BIGINT)"
+                ).alias("rstar_permil"),
+            )
+        )
+
+
+_register_q391()

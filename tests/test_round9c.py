@@ -401,3 +401,46 @@ def test_q390_flag_fires_on_the_textbook_case():
     assert _simpson_flag([1, -1], 1) == 0
     assert _simpson_flag([0, 0], 1) == 0  # ties don't oppose: strict form
     assert _simpson_flag([-1, 0], 1) == 1
+
+
+def test_q391_pure_python_recompute_and_mass_conservation(spark):
+    from collections import Counter
+
+    docs = duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    counts: Counter = Counter()
+    for (text,) in docs:
+        toks = text.strip().split()
+        for a, b in zip(toks, toks[1:]):
+            counts[(a, b)] += 1
+    spec = Counter(counts.values())
+    want = sorted(
+        (r, n_r, spec.get(r + 1, 0),
+         (r + 1) * spec.get(r + 1, 0) * 1000 // n_r)
+        for r, n_r in spec.items()
+    )
+    got = sorted(
+        (r["r"], r["n_r"], r["n_next"], r["rstar_permil"])
+        for r in ALL_QUERIES["q391_good_turing"](spark, SF).collect()
+    )
+    assert got == want
+    # mass conservation, hole-aware: the reallocated mass reachable
+    # through n_next is the full N - N_1 MINUS the mass sitting just
+    # above spectrum holes (r present, r-1 absent) — equality iff the
+    # spectrum is contiguous; both faces asserted exactly.
+    n_tokens = sum(counts.values())
+    n1 = spec.get(1, 0)
+    present = {r for r, _, _, _ in got}
+    hole_mass = sum(
+        r * n_r for r, n_r, _, _ in got if r >= 2 and (r - 1) not in present
+    )
+    assert (
+        sum((r + 1) * nx for r, _, nx, _ in got)
+        == n_tokens - n1 - hole_mass
+    )
+    assert sum(r * n_r for r, n_r, _, _ in got if r >= 2) == n_tokens - n1
+    # the spectrum's weighted sum IS the bigram total (self-check)
+    assert sum(r * n_r for r, n_r, _, _ in got) == n_tokens
+    # unseen-mass estimate is readable and sane: 0 <= N_1/N < 1
+    assert 0 <= n1 < n_tokens
