@@ -9515,3 +9515,128 @@ def _register_q390() -> None:
 
 
 _register_q390()
+
+
+# ---------------------------------------------------------------------------
+# q392 — ISOTONIC CALIBRATION via PAVA (Ayer et al. 1955; Barlow et al.
+# 1972; Zadrozny & Elkan 2002 made it the standard classifier
+# calibrator next to Platt scaling): fit the best MONOTONE
+# non-decreasing rate curve over ordered score bins — here the
+# hot-order (URGENT/HIGH) rate over bit-length price buckets
+# (bucket = bitlen(floor-cents), a deterministic, window-free,
+# bounded ~24-value grid monotone in price). q350 calibrates by
+# binning alone; this adds the monotonicity projection.
+#
+# Cross-engine exactness rides on TWO facts. (1) The PAVA fit has the
+# minimax closed form  ŷ_i = max_{k≤i} min_{j≥i} mean(pool k..j)
+# (Barlow et al. 1972, thm 1.4.4) — so the oracle needs no recursive
+# pool-merging, just an O(B³) enumeration over the BOUNDED bin grain.
+# (2) floor is monotone non-decreasing, so it COMMUTES with min/max:
+# floor-ppm of the minimax equals minimax of the floor-ppm interval
+# means — both engines therefore quantize each interval mean ONCE
+# with integer division and take max-of-min in int64.
+#
+# Plan: one map-side-combinable groupBy(bucket) over orders; the
+# Spark side collects the ≤24 bins (q343 driver-scalar class) and
+# runs the exact-fraction PAVA fold (cross-multiplied mean compares,
+# never a float); the oracle replays the minimax form. Equality of
+# the two IS the theorem, re-proven on the gate every round.
+# ---------------------------------------------------------------------------
+
+
+def _register_q392() -> None:
+    @_register(
+        "q392_isotonic_calibration",
+        oracle="""
+        WITH base AS (
+            SELECT length(bin(CAST(FLOOR(o_totalprice * 100) AS BIGINT)))
+                       AS bucket,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS hot
+            FROM orders
+        ),
+        bins AS MATERIALIZED (
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(hot) AS BIGINT) AS pos
+            FROM base GROUP BY bucket
+        ),
+        idx AS MATERIALIZED (
+            SELECT bucket, n, pos,
+                   ROW_NUMBER() OVER (ORDER BY bucket) AS rn
+            FROM bins
+        ),
+        intervals AS MATERIALIZED (
+            SELECT a.rn AS k, b.rn AS j,
+                   CAST(1000000 * SUM(m.pos) // SUM(m.n) AS BIGINT) AS v
+            FROM idx a
+            JOIN idx b ON a.rn <= b.rn
+            JOIN idx m ON m.rn BETWEEN a.rn AND b.rn
+            GROUP BY a.rn, b.rn
+        ),
+        mv AS (
+            SELECT iv.k, i.rn AS i, MIN(iv.v) AS mn
+            FROM intervals iv
+            JOIN idx i ON iv.k <= i.rn AND iv.j >= i.rn
+            GROUP BY iv.k, i.rn
+        ),
+        iso AS (SELECT i, CAST(MAX(mn) AS BIGINT) AS iso_ppm
+                FROM mv GROUP BY i)
+        SELECT x.bucket, x.n, x.pos,
+               CAST(1000000 * x.pos // x.n AS BIGINT) AS raw_ppm,
+               iso.iso_ppm
+        FROM idx x JOIN iso ON iso.i = x.rn
+        """,
+    )
+    def q392_isotonic_calibration(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Monotone (isotonic / PAVA) hot-order rate over bit-length
+        price buckets, exact-fraction pooling quantized once to ppm.
+        See block comment."""
+        o = load_table(spark, "orders", sf_dir)
+        bins = (
+            o.select(
+                F.length(
+                    F.bin(F.floor(F.col("o_totalprice") * 100)
+                          .cast("long"))
+                ).cast("long").alias("bucket"),
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0).alias("hot"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("hot").cast("long").alias("pos"),
+            )
+        )
+        rows = sorted(
+            (r["bucket"], r["n"], r["pos"]) for r in bins.collect()
+        )  # ≤ bitlen(max cents) ≈ 24 buckets — bounded driver scalars
+        # exact-fraction PAVA: pools are (S, C) pairs; violation test by
+        # cross-multiplication, never a float division
+        pools: list[list[int]] = []  # [S, C, n_buckets]
+        for _b, n, pos in rows:
+            pools.append([pos, n, 1])
+            while len(pools) >= 2 and (
+                pools[-2][0] * pools[-1][1]
+                >= pools[-1][0] * pools[-2][1]
+            ):
+                s2, c2, m2 = pools.pop()
+                pools[-1][0] += s2
+                pools[-1][1] += c2
+                pools[-1][2] += m2
+        iso: list[int] = []
+        for s, c, m in pools:
+            iso.extend([1_000_000 * s // c] * m)
+        out = [
+            (b, n, pos, 1_000_000 * pos // n, iso_v)
+            for (b, n, pos), iso_v in zip(rows, iso)
+        ]
+        return spark.createDataFrame(
+            out, "bucket long, n long, pos long, raw_ppm long, iso_ppm long"
+        )
+
+
+_register_q392()

@@ -444,3 +444,64 @@ def test_q391_pure_python_recompute_and_mass_conservation(spark):
     assert sum(r * n_r for r, n_r, _, _ in got) == n_tokens
     # unseen-mass estimate is readable and sane: 0 <= N_1/N < 1
     assert 0 <= n1 < n_tokens
+
+
+def _minimax_iso_ppm(bins):
+    """Brute-force O(B³) minimax form of PAVA over (n, pos) bins —
+    the independent face of the theorem the query's gate re-proves."""
+    B = len(bins)
+    v = {}
+    for k in range(B):
+        s = c = 0
+        for j in range(k, B):
+            s += bins[j][1]
+            c += bins[j][0]
+            v[(k, j)] = 1_000_000 * s // c
+    return [
+        max(min(v[(k, j)] for j in range(i, B)) for k in range(i + 1))
+        for i in range(B)
+    ]
+
+
+def test_q392_minimax_recompute(spark):
+    got = sorted(
+        (r["bucket"], r["n"], r["pos"], r["raw_ppm"], r["iso_ppm"])
+        for r in ALL_QUERIES["q392_isotonic_calibration"](spark, SF)
+        .collect()
+    )
+    bins = duckdb.sql(
+        f"""
+        SELECT length(bin(CAST(FLOOR(o_totalprice * 100) AS BIGINT))) AS b,
+               count(*) AS n,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS pos
+        FROM '{SF}/orders.parquet' GROUP BY b ORDER BY b
+        """
+    ).fetchall()
+    iso = _minimax_iso_ppm([(int(n), int(p)) for _, n, p in bins])
+    want = sorted(
+        (int(b), int(n), int(p), 1_000_000 * int(p) // int(n), iso_v)
+        for (b, n, p), iso_v in zip(bins, iso)
+    )
+    assert got == want
+
+
+def test_q392_isotonic_laws(spark):
+    rows = sorted(
+        (r["bucket"], r["raw_ppm"], r["iso_ppm"])
+        for r in ALL_QUERIES["q392_isotonic_calibration"](spark, SF)
+        .collect()
+    )
+    iso = [i for _, _, i in rows]
+    assert iso == sorted(iso), "fit must be monotone non-decreasing"
+    # the projection genuinely fires on this data (raw is non-monotone)
+    raw = [r for _, r, _ in rows]
+    assert raw != sorted(raw)
+    assert any(r != i for r, i in zip(raw, iso))
+    # closed-form unit checks: monotone input is a fixpoint; a single
+    # violation pools to the exact fraction mean
+    assert _minimax_iso_ppm([(10, 1), (10, 5), (10, 9)]) == [
+        100_000, 500_000, 900_000,
+    ]
+    assert _minimax_iso_ppm([(10, 9), (10, 1)]) == [500_000, 500_000]
+    assert _minimax_iso_ppm([(30, 9), (10, 1)]) == [250_000, 250_000]
