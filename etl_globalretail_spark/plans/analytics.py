@@ -9640,3 +9640,146 @@ def _register_q392() -> None:
 
 
 _register_q392()
+
+
+# ---------------------------------------------------------------------------
+# q393 — PAIRED PERMUTATION TEST by deterministic sign-flips (Fisher
+# 1935's randomization test — the distribution-free significance gate
+# that needs NO normal approximation, so no erf/Φ and nothing
+# unportable): did per-customer spend change from 1995 to 1996? The
+# null "no change" is exchangeable under sign-flips of the paired
+# differences; the test compares the observed |Σ dᵢ| against B = 64
+# resampled |Σ ±dᵢ|.
+#
+# Determinism: flip b assigns pair i the sign 1 − 2·(md5(cust‖perm‖b)
+# mod 2) — a pure function of (customer, b), identically replayable in
+# DuckDB; p_permil = (1 + #{b : T_b ≥ T_obs})·1000 div (B+1), the
+# standard add-one estimate, exact integers end to end (Σ|d| needs the
+# q217 widening past ~10^18 cents, stated).
+#
+# Plan: one groupBy(customer) pivot builds the paired-diff frame (the
+# only corpus shuffle); the 64 flips are a bounded literal explode
+# (map-side), collapsing straight to the 64-group aggregate — partial
+# aggregation makes the b-grain shuffle 64·P rows, nothing more. One
+# summary row out.
+# ---------------------------------------------------------------------------
+
+
+def _register_q393() -> None:
+    _b = 64
+
+    @_register(
+        "q393_permutation_test",
+        oracle=f"""
+        WITH pairs AS MATERIALIZED (
+            SELECT o_custkey AS cust,
+                   CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                            THEN FLOOR(o_totalprice * 100) ELSE 0 END)
+                        - SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                              THEN FLOOR(o_totalprice * 100) ELSE 0 END)
+                        AS BIGINT) AS d
+            FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+            GROUP BY o_custkey
+            HAVING SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                       THEN 1 ELSE 0 END) > 0
+               AND SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                       THEN 1 ELSE 0 END) > 0
+        ),
+        obs AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(abs(SUM(d)) AS BIGINT) AS t_obs
+            FROM pairs
+        ),
+        flips AS (
+            SELECT b.b,
+                   CAST(abs(SUM((1 - 2 * (CAST('0x' || substr(md5(
+                       CAST(p.cust AS VARCHAR) || 'perm'
+                       || CAST(b.b AS VARCHAR)), 1, 15) AS BIGINT) % 2))
+                       * p.d)) AS BIGINT) AS t_b
+            FROM pairs p
+            CROSS JOIN (SELECT unnest(generate_series(1, {_b})) AS b) b
+            GROUP BY b.b
+        )
+        SELECT o.n_pairs, o.t_obs,
+               CAST(SUM(CASE WHEN f.t_b >= o.t_obs THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ge,
+               CAST((1 + SUM(CASE WHEN f.t_b >= o.t_obs THEN 1 ELSE 0 END))
+                    * 1000 // {_b + 1} AS BIGINT) AS p_permil
+        FROM flips f CROSS JOIN obs o
+        GROUP BY o.n_pairs, o.t_obs
+        """,
+    )
+    def q393_permutation_test(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Sign-flip permutation test on paired 1995→1996 customer
+        spend diffs, B=64 md5 flips, exact-integer p. See block
+        comment."""
+        o = load_table(spark, "orders", sf_dir)
+        yr = F.year("o_orderdate")
+        pairs = (
+            o.filter(yr.isin(1995, 1996))
+            .groupBy(F.col("o_custkey").alias("cust"))
+            .agg(
+                (
+                    F.sum(F.when(yr == 1996,
+                                 F.floor(F.col("o_totalprice") * 100))
+                          .otherwise(0))
+                    - F.sum(F.when(yr == 1995,
+                                   F.floor(F.col("o_totalprice") * 100))
+                            .otherwise(0))
+                ).cast("long").alias("d"),
+                F.sum(F.when(yr == 1996, 1).otherwise(0)).alias("n96"),
+                F.sum(F.when(yr == 1995, 1).otherwise(0)).alias("n95"),
+            )
+            .filter((F.col("n96") > 0) & (F.col("n95") > 0))
+            .select("cust", "d")
+            .transform(materialize)  # feeds the observed agg AND 64 flips
+        )
+        obs = pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.abs(F.sum("d")).cast("long").alias("t_obs"),
+        )
+        sign = 1 - 2 * (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("cust").cast("string"), F.lit("perm"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint") % 2
+        )
+        flips = (
+            pairs.select(
+                "cust", "d",
+                F.explode(
+                    F.array(*[F.lit(i) for i in range(1, _b + 1)])
+                ).alias("b"),
+            )
+            .groupBy("b")
+            .agg(F.abs(F.sum(sign * F.col("d"))).cast("long").alias("t_b"))
+        )
+        return (
+            flips.crossJoin(F.broadcast(obs))  # 1-row scalar broadcast
+            .groupBy("n_pairs", "t_obs")
+            .agg(
+                F.sum(
+                    F.when(F.col("t_b") >= F.col("t_obs"), 1).otherwise(0)
+                ).cast("long").alias("n_ge"),
+            )
+            .select(
+                "n_pairs", "t_obs", "n_ge",
+                F.expr(
+                    f"CAST((1 + n_ge) * 1000 div {_b + 1} AS BIGINT)"
+                ).alias("p_permil"),
+            )
+        )
+
+
+_register_q393()

@@ -98,6 +98,9 @@ INTENTIONAL_CROSS = {
     "q296_t_closeness",  # crosses the |classes| aggregate with the m-row
     # sensitive-domain aggregate (the EMD grid — bounded audit grains by
     # construction) and attaches the broadcast 1-row (N, m) scalar
+    "q393_permutation_test",  # attaches the broadcast 1-row observed
+    # statistic to the 64-row flip-statistic frame — bounded by
+    # construction (B is a literal)
 }
 
 FORBIDDEN = ("CartesianProduct",)

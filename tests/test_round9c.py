@@ -505,3 +505,44 @@ def test_q392_isotonic_laws(spark):
     ]
     assert _minimax_iso_ppm([(10, 9), (10, 1)]) == [500_000, 500_000]
     assert _minimax_iso_ppm([(30, 9), (10, 1)]) == [250_000, 250_000]
+
+
+def test_q393_pure_python_recompute(spark):
+    """Pairs, observed statistic, all 64 flip statistics, and the
+    add-one p-value match a from-scratch Python replay of the md5
+    sign-flip device."""
+    rows = duckdb.sql(
+        f"""
+        SELECT o_custkey,
+               CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                        THEN FLOOR(o_totalprice * 100) ELSE 0 END)
+                    - SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                          THEN FLOOR(o_totalprice * 100) ELSE 0 END)
+                    AS BIGINT),
+               SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                   THEN 1 ELSE 0 END),
+               SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                   THEN 1 ELSE 0 END)
+        FROM '{SF}/orders.parquet'
+        WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+        GROUP BY o_custkey
+        """
+    ).fetchall()
+    pairs = [(int(c), int(d)) for c, d, n96, n95 in rows
+             if n96 > 0 and n95 > 0]
+    t_obs = abs(sum(d for _, d in pairs))
+    n_ge = 0
+    for b in range(1, 65):
+        t_b = abs(
+            sum(
+                (1 - 2 * _md5mod(f"{c}perm{b}", 2)) * d for c, d in pairs
+            )
+        )
+        if t_b >= t_obs:
+            n_ge += 1
+    got = ALL_QUERIES["q393_permutation_test"](spark, SF).collect()[0]
+    assert (got["n_pairs"], got["t_obs"], got["n_ge"], got["p_permil"]) == (
+        len(pairs), t_obs, n_ge, (1 + n_ge) * 1000 // 65,
+    )
+    # sanity: the p-value is a valid add-one permutation p in (0, 1]
+    assert 1000 // 65 <= got["p_permil"] <= 1000
