@@ -9783,3 +9783,106 @@ def _register_q393() -> None:
 
 
 _register_q393()
+
+
+# ---------------------------------------------------------------------------
+# q394 — AUTOCORRELATION FUNCTION panel (Box & Jenkins 1970's model-
+# identification plot): r_l for lags 1..14 over the daily order-count
+# series — the diagnostic read before picking q384's seasonal-naive-7
+# (a spike at lag 7 is WHY that baseline exists; the free cross-check
+# the pytest pins is r_7 > r_6, r_8 on this seasonal corpus... if the
+# synthetic series carries weekly structure — asserted only as data
+# allows, the recompute is the real law).
+#
+# Exact integers: clear the mean by multiplying through by n —
+# deviation_t = n·x_t − S (S = Σx, n = #days), so
+#     r_l = Σ_{t>l} dev_t·dev_{t−l} · 1000 div Σ_t dev_t²
+# is ONE truncating division per lag (toward zero on negative
+# numerators — Spark div ≡ DuckDB //); n·x ≲ 2.5e7 at sf100 keeps the
+# products inside int64 with the q217 widening note past that.
+# Gapped days simply drop pairs (calendar-lag join), identically in
+# both engines — stated, not hidden.
+#
+# Plan: one groupBy(day) scan; (n, S, den) fold into literals from one
+# 1-row aggregate (the q331 literal-scalar device); 14 lags as a
+# bounded literal explode → one equi-join back on the lagged date →
+# 14-group aggregate. Two jobs, one corpus pass each.
+# ---------------------------------------------------------------------------
+
+
+def _register_q394() -> None:
+    _lags = 14
+
+    @_register(
+        "q394_acf_panel",
+        oracle=f"""
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        sc AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM daily
+        ),
+        dev AS MATERIALIZED (
+            SELECT d, sc.n * x - sc.s AS dv FROM daily CROSS JOIN sc
+        ),
+        den AS (SELECT CAST(SUM(dv * dv) AS BIGINT) AS den FROM dev)
+        SELECT l.lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(a.dv * b.dv) * 1000 // MAX(den.den) AS BIGINT)
+                   AS acf_permil
+        FROM (SELECT unnest(generate_series(1, {_lags})) AS lag) l
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.d = a.d - CAST(l.lag AS INTEGER)
+        CROSS JOIN den
+        GROUP BY l.lag
+        """,
+    )
+    def q394_acf_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact-permil ACF at lags 1..14 over the daily order series.
+        See block comment."""
+        o = load_table(spark, "orders", sf_dir)
+        daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+            F.count(F.lit(1)).cast("long").alias("x")
+        ).transform(materialize)  # feeds the scalar fold AND both sides
+        sc = daily.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+        ).collect()[0]  # 1-row corpus scalars — literal fold, no crossJoin
+        n, s = int(sc["n"]), int(sc["s"])
+        dev = daily.select(
+            "d", (F.lit(n) * F.col("x") - F.lit(s)).alias("dv")
+        ).transform(materialize)  # feeds den AND the 14-lag join
+        den = int(
+            dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("den"))
+            .collect()[0]["den"]
+        )
+        lagged = dev.select(
+            "d", F.col("dv").alias("adv"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, _lags + 1)])
+            ).alias("lag"),
+        ).select(
+            "lag", "adv", F.date_sub(F.col("d"), F.col("lag")).alias("ld")
+        )
+        return (
+            lagged.join(
+                dev.select(F.col("d").alias("ld"), F.col("dv").alias("bdv")),
+                "ld",
+            )
+            .groupBy("lag")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.expr(
+                    f"CAST(SUM(adv * bdv) * 1000 div {den}L AS BIGINT)"
+                ).alias("acf_permil"),
+            )
+            .select(F.col("lag").cast("long").alias("lag"),
+                    "n_pairs", "acf_permil")
+        )
+
+
+_register_q394()

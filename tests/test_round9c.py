@@ -546,3 +546,39 @@ def test_q393_pure_python_recompute(spark):
     )
     # sanity: the p-value is a valid add-one permutation p in (0, 1]
     assert 1000 // 65 <= got["p_permil"] <= 1000
+
+
+def test_q394_pure_python_recompute(spark):
+    import datetime
+
+    daily = dict(
+        duckdb.sql(
+            f"SELECT CAST(o_orderdate AS DATE), count(*) "
+            f"FROM '{SF}/orders.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    n, s = len(daily), sum(daily.values())
+    dev = {d: n * x - s for d, x in daily.items()}
+    den = sum(v * v for v in dev.values())
+
+    def trunc_div(a: int, b: int) -> int:
+        return abs(a) // b * (1 if a >= 0 else -1)
+
+    want = {}
+    for lag in range(1, 15):
+        num, np_ = 0, 0
+        for d, v in dev.items():
+            prev = dev.get(d - datetime.timedelta(days=lag))
+            if prev is not None:
+                num += v * prev
+                np_ += 1
+        want[lag] = (np_, trunc_div(num * 1000, den))
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf_permil"])
+        for r in ALL_QUERIES["q394_acf_panel"](spark, SF).collect()
+    }
+    assert got == want
+    # range law: |r_l| <= 1 by Cauchy-Schwarz (quantized: <= 1000)
+    assert all(abs(a) <= 1000 for _, a in got.values())
+    # lag-0 identity on the same device: num == den exactly
+    assert trunc_div(sum(v * v for v in dev.values()) * 1000, den) == 1000
