@@ -9886,3 +9886,102 @@ def _register_q394() -> None:
 
 
 _register_q394()
+
+
+# ---------------------------------------------------------------------------
+# q395 — RFM SEGMENTATION (Hughes 1994; the classic retail-CRM
+# customer partition the GlobalRetail star schema exists to serve):
+# score every ordering customer 1..5 on Recency (days since last
+# order, vs the corpus max date), Frequency (order count) and
+# Monetary (floor-cents lifetime spend), then census the ≤125
+# (r,f,m) cells — quintile 1 is BEST on each axis (most recent /
+# most frequent / highest spend; stated, not implied).
+#
+# Quintiles are NTILE over the full customer grain — a partition-less
+# rank by definition — so each axis uses the two-phase
+# operators/ranks.global_row_number (range-shard offsets + partitioned
+# window; the q141 NTILE reconstruction) under a TOTAL order
+# (tie-break custkey), and the quintile is the exact integer
+# 5·(rank−1) div n + 1. No global window anywhere; ranks are
+# hash-identical to the single-window form by the ranks.py property
+# tests.
+#
+# Plan: one groupBy(custkey) over orders (the only corpus shuffle),
+# the corpus max date folded in as a driver literal, three two-phase
+# ranks over the customer-grain frame (materialized once), one
+# ≤125-cell census.
+# ---------------------------------------------------------------------------
+
+
+def _register_q395() -> None:
+    @_register(
+        "q395_rfm_segmentation",
+        oracle="""
+        WITH per AS MATERIALIZED (
+            SELECT o_custkey AS cust,
+                   date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                             (SELECT MAX(CAST(o_orderdate AS DATE))
+                              FROM orders)) AS rec,
+                   COUNT(*) AS freq,
+                   CAST(SUM(FLOOR(o_totalprice * 100)) AS BIGINT) AS mon
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT mon,
+                   ROW_NUMBER() OVER (ORDER BY rec, cust) AS rr,
+                   ROW_NUMBER() OVER (ORDER BY freq DESC, cust) AS fr,
+                   ROW_NUMBER() OVER (ORDER BY mon DESC, cust) AS mr,
+                   COUNT(*) OVER () AS n
+            FROM per
+        )
+        SELECT CAST(5 * (rr - 1) // n + 1 AS BIGINT) AS r_q,
+               CAST(5 * (fr - 1) // n + 1 AS BIGINT) AS f_q,
+               CAST(5 * (mr - 1) // n + 1 AS BIGINT) AS m_q,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(mon) AS BIGINT) AS monetary_cents
+        FROM ranked
+        GROUP BY 1, 2, 3
+        """,
+    )
+    def q395_rfm_segmentation(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """≤125-cell RFM quintile census over ordering customers;
+        two-phase ranks, quintile 1 = best. See block comment."""
+        o = load_table(spark, "orders", sf_dir)
+        ref = o.agg(
+            F.max(F.to_date("o_orderdate")).alias("mx")
+        ).collect()[0]["mx"]  # 1-row corpus scalar — literal fold
+        per = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+            F.datediff(F.lit(ref), F.max(F.to_date("o_orderdate")))
+            .cast("long").alias("rec"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long")
+            .alias("mon"),
+        ).transform(materialize)  # feeds all three two-phase ranks
+        ranked, n = global_row_number(
+            per, [("rec", "asc"), ("cust", "asc")], out="rr"
+        )
+        ranked, _ = global_row_number(
+            ranked, [("freq", "desc"), ("cust", "asc")], out="fr"
+        )
+        ranked, _ = global_row_number(
+            ranked, [("mon", "desc"), ("cust", "asc")], out="mr"
+        )
+        q = "CAST(5 * ({col} - 1) div {n}L + 1 AS BIGINT)"
+        return (
+            ranked.select(
+                F.expr(q.format(col="rr", n=n)).alias("r_q"),
+                F.expr(q.format(col="fr", n=n)).alias("f_q"),
+                F.expr(q.format(col="mr", n=n)).alias("m_q"),
+                "mon",
+            )
+            .groupBy("r_q", "f_q", "m_q")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_customers"),
+                F.sum("mon").cast("long").alias("monetary_cents"),
+            )
+        )
+
+
+_register_q395()

@@ -582,3 +582,49 @@ def test_q394_pure_python_recompute(spark):
     assert all(abs(a) <= 1000 for _, a in got.values())
     # lag-0 identity on the same device: num == den exactly
     assert trunc_div(sum(v * v for v in dev.values()) * 1000, den) == 1000
+
+
+def test_q395_pure_python_recompute(spark):
+    rows = duckdb.sql(
+        f"""
+        SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)), COUNT(*),
+               CAST(SUM(FLOOR(o_totalprice * 100)) AS BIGINT)
+        FROM '{SF}/orders.parquet' GROUP BY o_custkey
+        """
+    ).fetchall()
+    ref = max(r[1] for r in rows)
+    per = [
+        (int(c), (ref - mx).days, int(fq), int(mon))
+        for c, mx, fq, mon in rows
+    ]
+    n = len(per)
+
+    def quint(order_key):
+        ranked = sorted(per, key=order_key)
+        return {
+            row[0]: 5 * i // n + 1 for i, row in enumerate(ranked)
+        }
+
+    r_q = quint(lambda r: (r[1], r[0]))
+    f_q = quint(lambda r: (-r[2], r[0]))
+    m_q = quint(lambda r: (-r[3], r[0]))
+    want: dict[tuple[int, int, int], list[int]] = {}
+    for c, _rec, _fq, mon in per:
+        cell = want.setdefault((r_q[c], f_q[c], m_q[c]), [0, 0])
+        cell[0] += 1
+        cell[1] += mon
+    got = {
+        (r["r_q"], r["f_q"], r["m_q"]): [r["n_customers"],
+                                         r["monetary_cents"]]
+        for r in ALL_QUERIES["q395_rfm_segmentation"](spark, SF).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
+    # conservation + balance laws: every customer lands in exactly one
+    # cell, and each axis's quintiles split n as evenly as possible
+    assert sum(v[0] for v in got.values()) == n
+    for axis in range(3):
+        sizes: dict[int, int] = {}
+        for k, v in got.items():
+            sizes[k[axis]] = sizes.get(k[axis], 0) + v[0]
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
