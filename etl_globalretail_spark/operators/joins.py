@@ -214,3 +214,236 @@ def q196_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q396 — FELLEGI–SUNTER probabilistic record linkage (Fellegi & Sunter
+# 1969; the scoring theory under Splink/dedupe.io): q191 links records
+# by a DETERMINISTIC edit-distance threshold — this adds the
+# probabilistic tier, where each comparison field contributes a
+# log-odds weight log((m_f/u_f)) on agreement and log((1−m_f)/(1−u_f))
+# on disagreement, and the PAIR'S total score drives
+# match / possible (clerical review) / non-match.
+#
+# Construction: source B is an md5-perturbed copy of customer (~20%
+# segment rotations, ~25% balance jitters — the deterministic-fake
+# convention); candidates are nation-blocked (true pairs share the
+# block by construction; at 100 TB the block key grows a name-suffix
+# so blocks stay bounded — nation-only is kept here so the u-estimates
+# see real non-match mass, the q23/q33 audit-tier stance). Fields:
+# segment equality, balance BIT-LENGTH band, balance cents-mod-100.
+# m_f and u_f are estimated EXACTLY from the labeled candidate census
+# (same-key pairs are truth) — no EM needed when labels exist; weights
+# are the q378 bit-length device, bitlen(num+1) − bitlen(den+1), i.e.
+# log2 resolution with +1 smoothing so empty cells never hit bin(0).
+# Thresholds (match ≥ 8, possible ≥ 0) sit in the measured score gaps:
+# the all-agree pattern scores 10 at 95% true, the cents+band pattern
+# 6 at 48% (clerical), everything ≤ 1 is ~0% true.
+#
+# Plan: ONE blocked equi-join (nation key, AQE-planned), one 8-row
+# agreement-pattern census; every m/u margin, weight, score and class
+# is algebra on those 8 driver rows (the q343 class). The output IS
+# the canonical FS pattern table.
+# ---------------------------------------------------------------------------
+
+
+_FS_SEGS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY")
+
+
+def _register_q396() -> None:
+    segs_sql = "[" + ", ".join(f"'{s}'" for s in _FS_SEGS) + "]"
+    h = ("CAST('0x' || substr(md5(CAST(cust AS VARCHAR) || '{salt}'),"
+         " 1, 15) AS BIGINT)")
+
+    @_register(
+        "q396_fellegi_sunter",
+        oracle=f"""
+        WITH a AS MATERIALIZED (
+            SELECT c_custkey AS cust, c_nationkey AS nat,
+                   c_mktsegment AS seg,
+                   CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer
+        ),
+        b AS (
+            SELECT cust, nat,
+                   CASE WHEN {h.format(salt='fss')} % 5 = 0
+                        THEN ({segs_sql})[CAST({h.format(salt='fssv')} % 5
+                                          AS INTEGER) + 1]
+                        ELSE seg END AS seg,
+                   CASE WHEN {h.format(salt='fsb')} % 4 = 0
+                        THEN cents + {h.format(salt='fsbv')} % 2000 - 1000
+                        ELSE cents END AS cents
+            FROM a
+        ),
+        census AS MATERIALIZED (
+            SELECT CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS seg_agree,
+                   CASE WHEN length(bin(abs(a.cents) + 1))
+                             = length(bin(abs(b.cents) + 1))
+                        THEN 1 ELSE 0 END AS band_agree,
+                   CASE WHEN ((a.cents % 100) + 100) % 100
+                             = ((b.cents % 100) + 100) % 100
+                        THEN 1 ELSE 0 END AS cents_agree,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN a.cust = b.cust THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_true
+            FROM a JOIN b ON a.nat = b.nat
+            GROUP BY 1, 2, 3
+        ),
+        tot AS (
+            SELECT SUM(n_true) AS md, SUM(n_pairs - n_true) AS ud
+            FROM census
+        ),
+        w AS MATERIALIZED (
+            SELECT f,
+                   CAST(length(bin(mn * t.ud + 1))
+                        - length(bin(t.md * un + 1)) AS BIGINT) AS wa,
+                   CAST(length(bin((t.md - mn) * t.ud + 1))
+                        - length(bin(t.md * (t.ud - un) + 1))
+                        AS BIGINT) AS wd
+            FROM (
+                SELECT 's' AS f,
+                       SUM(CASE WHEN seg_agree = 1 THEN n_true
+                           ELSE 0 END) AS mn,
+                       SUM(CASE WHEN seg_agree = 1 THEN n_pairs - n_true
+                           ELSE 0 END) AS un
+                FROM census
+                UNION ALL
+                SELECT 'b',
+                       SUM(CASE WHEN band_agree = 1 THEN n_true
+                           ELSE 0 END),
+                       SUM(CASE WHEN band_agree = 1 THEN n_pairs - n_true
+                           ELSE 0 END)
+                FROM census
+                UNION ALL
+                SELECT 'c',
+                       SUM(CASE WHEN cents_agree = 1 THEN n_true
+                           ELSE 0 END),
+                       SUM(CASE WHEN cents_agree = 1 THEN n_pairs - n_true
+                           ELSE 0 END)
+                FROM census
+            ) m CROSS JOIN tot t
+        ),
+        scored AS (
+            SELECT c.*,
+                   CAST((CASE WHEN c.seg_agree = 1 THEN ws.wa ELSE ws.wd
+                         END)
+                        + (CASE WHEN c.band_agree = 1 THEN wb.wa
+                           ELSE wb.wd END)
+                        + (CASE WHEN c.cents_agree = 1 THEN wc.wa
+                           ELSE wc.wd END) AS BIGINT) AS score
+            FROM census c,
+                 (SELECT wa, wd FROM w WHERE f = 's') ws,
+                 (SELECT wa, wd FROM w WHERE f = 'b') wb,
+                 (SELECT wa, wd FROM w WHERE f = 'c') wc
+        )
+        SELECT CAST(seg_agree AS BIGINT) AS seg_agree,
+               CAST(band_agree AS BIGINT) AS band_agree,
+               CAST(cents_agree AS BIGINT) AS cents_agree,
+               n_pairs, n_true, score,
+               CASE WHEN score >= 8 THEN 'match'
+                    WHEN score >= 0 THEN 'possible'
+                    ELSE 'non-match' END AS fs_class
+        FROM scored
+        """,
+    )
+    def q396_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """FS agreement-pattern table: exact m/u from the labeled
+        blocked candidates, bitlen log2-resolution weights, 3-way
+        classification. See block comment."""
+        c = load_table(spark, "customer", sf_dir)
+        a = c.select(
+            F.col("c_custkey").alias("cust"),
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+
+        def _h(salt: str, mod: int):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("cust").cast("string"),
+                                       F.lit(salt))),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("bigint") % mod
+            )
+
+        segs_arr = F.array(*[F.lit(s) for s in _FS_SEGS])
+        b = a.select(
+            "cust", "nat",
+            F.when(
+                _h("fss", 5) == 0,
+                F.element_at(segs_arr, (_h("fssv", 5) + 1).cast("int")),
+            ).otherwise(F.col("seg")).alias("seg"),
+            F.when(
+                _h("fsb", 4) == 0,
+                F.col("cents") + _h("fsbv", 2000) - 1000,
+            ).otherwise(F.col("cents")).alias("cents"),
+        )
+        al = a.select(
+            "nat", F.col("cust").alias("cust_a"),
+            F.col("seg").alias("seg_a"), F.col("cents").alias("cents_a"),
+        )
+        bl_ = b.select(
+            "nat", F.col("cust").alias("cust_b"),
+            F.col("seg").alias("seg_b"), F.col("cents").alias("cents_b"),
+        )
+        band = "length(bin(abs({c}) + 1))"
+        c100 = "(({c} % 100) + 100) % 100"
+        census = (
+            al.join(bl_, "nat")
+            .select(
+                F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0)
+                .alias("seg_agree"),
+                F.when(
+                    F.expr(band.format(c="cents_a"))
+                    == F.expr(band.format(c="cents_b")), 1,
+                ).otherwise(0).alias("band_agree"),
+                F.when(
+                    F.expr(c100.format(c="cents_a"))
+                    == F.expr(c100.format(c="cents_b")), 1,
+                ).otherwise(0).alias("cents_agree"),
+                F.when(F.col("cust_a") == F.col("cust_b"), 1).otherwise(0)
+                .alias("t"),
+            )
+            .groupBy("seg_agree", "band_agree", "cents_agree")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum("t").cast("long").alias("n_true"),
+            )
+        ).collect()  # ≤ 8 agreement patterns — bounded driver rows
+        md = sum(r["n_true"] for r in census)
+        ud = sum(r["n_pairs"] - r["n_true"] for r in census)
+        weights = {}
+        for f in ("seg_agree", "band_agree", "cents_agree"):
+            mn = sum(r["n_true"] for r in census if r[f] == 1)
+            un = sum(r["n_pairs"] - r["n_true"] for r in census
+                     if r[f] == 1)
+            weights[f] = (
+                (mn * ud + 1).bit_length() - (md * un + 1).bit_length(),
+                ((md - mn) * ud + 1).bit_length()
+                - (md * (ud - un) + 1).bit_length(),
+            )
+        out = []
+        for r in census:
+            score = sum(
+                weights[f][0] if r[f] == 1 else weights[f][1]
+                for f in ("seg_agree", "band_agree", "cents_agree")
+            )
+            cls = ("match" if score >= 8
+                   else "possible" if score >= 0 else "non-match")
+            out.append(
+                (r["seg_agree"], r["band_agree"], r["cents_agree"],
+                 r["n_pairs"], r["n_true"], score, cls)
+            )
+        return spark.createDataFrame(
+            out,
+            "seg_agree long, band_agree long, cents_agree long,"
+            " n_pairs long, n_true long, score long, fs_class string",
+        )
+
+
+_register_q396()
