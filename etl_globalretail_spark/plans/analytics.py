@@ -9985,3 +9985,185 @@ def _register_q395() -> None:
 
 
 _register_q395()
+
+
+# ---------------------------------------------------------------------------
+# q397 — BENJAMINI–HOCHBERG FDR over a family of permutation tests
+# (Benjamini & Hochberg 1995 — THE multiple-testing correction of
+# every modern experimentation / genomics pipeline): q393 runs ONE
+# paired test; a real metrics review runs one per nation and must
+# control the false-discovery rate across all 25. Each nation gets
+# q393's sign-flip test (B = 32 flips, salt 'bh'); BH then rejects the
+# k* smallest p-values where k* = max{k : p_(k)·m ≤ k·α}, α = 20%.
+#
+# Exact integers throughout: p_j = (1 + n_ge_j)/(B+1) is never
+# divided — the BH condition is cross-multiplied,
+#     (1 + n_ge_(k)) · m · 1000 ≤ k · α_permil · (B+1),
+# and the p-ranking uses the total order (n_ge, nation). The step-up
+# "max k" makes rejection non-monotone in isolation, so it is computed
+# ONCE from the ranked list, never per-row independently.
+#
+# Plan: one orders scan → (nation, cust) paired diffs (the q393
+# device, one shuffle); 33 legs (b = 0 is the observed statistic) as
+# a bounded literal explode collapsing map-side to the (nation, b)
+# grain; per-nation stats are ≤ 25 driver rows (q343 class) where the
+# BH step-up runs in Python; the oracle replays it with a ranked CTE.
+# ---------------------------------------------------------------------------
+
+
+def _register_q397() -> None:
+    _b = 32
+    _alpha = 200  # permil
+
+    @_register(
+        "q397_bh_fdr",
+        oracle=f"""
+        WITH pairs AS MATERIALIZED (
+            SELECT c.c_nationkey AS nat, o.o_custkey AS cust,
+                   CAST(SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate)
+                                      = 1996
+                            THEN FLOOR(o.o_totalprice * 100) ELSE 0 END)
+                        - SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate)
+                                        = 1995
+                              THEN FLOOR(o.o_totalprice * 100) ELSE 0 END)
+                        AS BIGINT) AS d
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE EXTRACT(year FROM o.o_orderdate) IN (1995, 1996)
+            GROUP BY c.c_nationkey, o.o_custkey
+            HAVING SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate) = 1996
+                       THEN 1 ELSE 0 END) > 0
+               AND SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate) = 1995
+                       THEN 1 ELSE 0 END) > 0
+        ),
+        stats AS MATERIALIZED (
+            SELECT p.nat, b.b,
+                   CAST(abs(SUM((CASE WHEN b.b = 0 THEN 1
+                                 ELSE 1 - 2 * (CAST('0x' || substr(md5(
+                                     CAST(p.cust AS VARCHAR) || 'bh'
+                                     || CAST(b.b AS VARCHAR)), 1, 15)
+                                     AS BIGINT) % 2) END) * p.d))
+                        AS BIGINT) AS t
+            FROM pairs p
+            CROSS JOIN (SELECT unnest(generate_series(0, {_b})) AS b) b
+            GROUP BY p.nat, b.b
+        ),
+        obs AS (SELECT nat, t AS t_obs FROM stats WHERE b = 0),
+        pernat AS MATERIALIZED (
+            SELECT s.nat,
+                   CAST(MAX(o.t_obs) AS BIGINT) AS t_obs,
+                   CAST(SUM(CASE WHEN s.b > 0 AND s.t >= o.t_obs
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+            FROM stats s JOIN obs o ON o.nat = s.nat
+            GROUP BY s.nat
+        ),
+        np AS (
+            SELECT nat,
+                   (SELECT COUNT(*) FROM pairs p WHERE p.nat = x.nat)
+                       AS n_pairs
+            FROM (SELECT DISTINCT nat FROM pernat) x
+        ),
+        ranked AS MATERIALIZED (
+            SELECT pn.nat, np.n_pairs, pn.t_obs, pn.n_ge,
+                   CAST((1 + pn.n_ge) * 1000 // {_b + 1} AS BIGINT)
+                       AS p_permil,
+                   ROW_NUMBER() OVER (ORDER BY pn.n_ge, pn.nat)
+                       AS bh_rank,
+                   COUNT(*) OVER () AS m
+            FROM pernat pn JOIN np ON np.nat = pn.nat
+        ),
+        kstar AS (
+            SELECT COALESCE(MAX(bh_rank), 0) AS k
+            FROM ranked
+            WHERE (1 + n_ge) * m * 1000 <= bh_rank * {_alpha} * {_b + 1}
+        )
+        SELECT r.nat AS nation, r.n_pairs, r.t_obs, r.n_ge, r.p_permil,
+               CAST(r.bh_rank AS BIGINT) AS bh_rank,
+               CAST(CASE WHEN r.bh_rank <= k.k THEN 1 ELSE 0 END
+                    AS BIGINT) AS rejected
+        FROM ranked r CROSS JOIN kstar k
+        """,
+    )
+    def q397_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-nation sign-flip permutation tests with BH step-up FDR
+        control at alpha = 20%. See block comment."""
+        o = load_table(spark, "orders", sf_dir)
+        c = load_table(spark, "customer", sf_dir)
+        yr = F.year("o_orderdate")
+        pairs = (
+            o.filter(yr.isin(1995, 1996))
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy(
+                F.col("c_nationkey").alias("nat"),
+                F.col("o_custkey").alias("cust"),
+            )
+            .agg(
+                (
+                    F.sum(F.when(yr == 1996,
+                                 F.floor(F.col("o_totalprice") * 100))
+                          .otherwise(0))
+                    - F.sum(F.when(yr == 1995,
+                                   F.floor(F.col("o_totalprice") * 100))
+                            .otherwise(0))
+                ).cast("long").alias("d"),
+                F.sum(F.when(yr == 1996, 1).otherwise(0)).alias("n96"),
+                F.sum(F.when(yr == 1995, 1).otherwise(0)).alias("n95"),
+            )
+            .filter((F.col("n96") > 0) & (F.col("n95") > 0))
+            .select("nat", "cust", "d")
+            .transform(materialize)  # feeds flips AND per-nation counts
+        )
+        sign = F.when(F.col("b") == 0, F.lit(1)).otherwise(
+            1 - 2 * (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("cust").cast("string"),
+                                       F.lit("bh"),
+                                       F.col("b").cast("string"))),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("bigint") % 2
+            )
+        )
+        stats = (
+            pairs.select(
+                "nat", "cust", "d",
+                F.explode(
+                    F.array(*[F.lit(i) for i in range(0, _b + 1)])
+                ).alias("b"),
+            )
+            .groupBy("nat", "b")
+            .agg(F.abs(F.sum(sign * F.col("d"))).cast("long").alias("t"))
+        )
+        counts = {
+            r["nat"]: r["n"]
+            for r in pairs.groupBy("nat")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        per: dict[int, dict[str, int]] = {}
+        for r in stats.collect():  # ≤ |nations|·33 bounded driver rows
+            per.setdefault(r["nat"], {})[r["b"]] = r["t"]
+        rows = []
+        for nat, ts in per.items():
+            t_obs = ts[0]
+            n_ge = sum(1 for b, t in ts.items() if b > 0 and t >= t_obs)
+            rows.append((nat, counts[nat], t_obs, n_ge))
+        rows.sort(key=lambda r: (r[3], r[0]))  # total order (n_ge, nat)
+        m = len(rows)
+        kstar = 0
+        for k, (_nat, _np, _t, n_ge) in enumerate(rows, start=1):
+            if (1 + n_ge) * m * 1000 <= k * _alpha * (_b + 1):
+                kstar = k
+        out = [
+            (nat, np_, t_obs, n_ge, (1 + n_ge) * 1000 // (_b + 1), k,
+             int(k <= kstar))
+            for k, (nat, np_, t_obs, n_ge) in enumerate(rows, start=1)
+        ]
+        return spark.createDataFrame(
+            out,
+            "nation long, n_pairs long, t_obs long, n_ge long,"
+            " p_permil long, bh_rank long, rejected long",
+        )
+
+
+_register_q397()

@@ -720,3 +720,79 @@ def test_q396_fs_discrimination_laws(spark):
                 up = (*k[:i], 1, *k[i + 1:])
                 if up in by_pat:
                     assert by_pat[up]["score"] >= r["score"]
+
+
+def _bh_kstar(n_ges, m, alpha_permil=200, b=32):
+    kstar = 0
+    for k, n_ge in enumerate(sorted(n_ges), start=1):
+        if (1 + n_ge) * m * 1000 <= k * alpha_permil * (b + 1):
+            kstar = k
+    return kstar
+
+
+def test_q397_pure_python_recompute(spark):
+    rows = duckdb.sql(
+        f"""
+        SELECT c.c_nationkey, o.o_custkey,
+               CAST(SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate) = 1996
+                        THEN FLOOR(o.o_totalprice * 100) ELSE 0 END)
+                    - SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate) = 1995
+                          THEN FLOOR(o.o_totalprice * 100) ELSE 0 END)
+                    AS BIGINT),
+               SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate) = 1996
+                   THEN 1 ELSE 0 END),
+               SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate) = 1995
+                   THEN 1 ELSE 0 END)
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        WHERE EXTRACT(year FROM o.o_orderdate) IN (1995, 1996)
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_nat: dict[int, list[tuple[int, int]]] = {}
+    for nat, cust, d, n96, n95 in rows:
+        if n96 > 0 and n95 > 0:
+            by_nat.setdefault(int(nat), []).append((int(cust), int(d)))
+    per = []
+    for nat, pairs in by_nat.items():
+        t_obs = abs(sum(d for _, d in pairs))
+        n_ge = sum(
+            1
+            for b in range(1, 33)
+            if abs(sum((1 - 2 * _md5mod(f"{c}bh{b}", 2)) * d
+                       for c, d in pairs)) >= t_obs
+        )
+        per.append((n_ge, nat, len(pairs), t_obs))
+    per.sort()
+    m = len(per)
+    kstar = _bh_kstar([p[0] for p in per], m)
+    want = {
+        nat: (np_, t_obs, n_ge, (1 + n_ge) * 1000 // 33, k,
+              int(k <= kstar))
+        for k, (n_ge, nat, np_, t_obs) in enumerate(per, start=1)
+    }
+    got = {
+        r["nation"]: (r["n_pairs"], r["t_obs"], r["n_ge"], r["p_permil"],
+                      r["bh_rank"], r["rejected"])
+        for r in ALL_QUERIES["q397_bh_fdr"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_q397_bh_step_up_laws(spark):
+    """Step-up semantics on constructed cases: the rejection set is
+    ALWAYS a rank prefix; a straggler below threshold inside the
+    prefix is still rejected (the step-up, not step-down, rule); and
+    on the null corpus BH rejects nothing (FDR control working)."""
+    # 4 nations at the minimum possible p (n_ge=0) out of m=25: BH at
+    # alpha=.2, B=32 accepts exactly when k*alpha*(B+1) >= m*1000/(1+0)
+    # -> k >= 3.78 -> the 4-strong prefix is rejected WHOLE, including
+    # ranks 1-3 whose individual thresholds are below their p.
+    assert _bh_kstar([0, 0, 0, 0] + [30] * 21, 25) == 4
+    # step-down would have stopped at k=1; step-up must take the max k
+    assert _bh_kstar([0, 0, 0] + [30] * 22, 25) == 0  # 3 is not enough
+    rows = ALL_QUERIES["q397_bh_fdr"](spark, SF).collect()
+    rejected_ranks = sorted(r["bh_rank"] for r in rows if r["rejected"])
+    assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))
+    ps = [r["p_permil"] for r in sorted(rows, key=lambda r: r["bh_rank"])]
+    assert ps == sorted(ps)
