@@ -6698,3 +6698,89 @@ def _register_q391() -> None:
 
 
 _register_q391()
+
+
+# ---------------------------------------------------------------------------
+# q398 — CURRICULUM ORDERING (Bengio et al. 2009; the length-based
+# easy-first schedule of practical LLM curricula): the training-order
+# composition BETWEEN q364's flat epoch shuffle and a difficulty
+# signal — documents are banded by difficulty (token-count bit-length,
+# the deterministic length curriculum), bands are consumed easy-first,
+# and order WITHIN a band is the seeded md5 shuffle (curriculum
+# without within-band shuffling re-introduces source ordering bias —
+# the q364 lesson applied per tier).
+#
+# The schedule is ONE two-phase global rank (operators/ranks) under
+# the total order (band, md5(seed‖doc), doc_id) — never a global
+# window; band sizes ride back on a broadcast ≤|bands| join so every
+# row carries its tier's width (the pacing-function read).
+#
+# Laws (pytest): bands occupy CONTIGUOUS position ranges; the position
+# multiset is exactly 1..n for any seed (a permutation); within-band
+# order matches the from-scratch md5 sort.
+# ---------------------------------------------------------------------------
+
+
+def _register_q398() -> None:
+    _seed = "cur9"
+
+    @_register(
+        "q398_curriculum_order",
+        oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(length(bin(len(regexp_split_to_array(
+                       trim(text), '\\s+')))) AS BIGINT) AS band,
+                   md5('{_seed}:' || CAST(doc_id AS VARCHAR)) AS k
+            FROM documents
+        ),
+        bands AS (
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS band_n
+            FROM d GROUP BY band
+        )
+        SELECT d.doc_id, d.band,
+               CAST(ROW_NUMBER() OVER (ORDER BY d.band, d.k, d.doc_id)
+                    AS BIGINT) AS curriculum_pos,
+               b.band_n
+        FROM d JOIN bands b ON b.band = d.band
+        """,
+    )
+    def q398_curriculum_order(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Easy-first banded, seeded-within-band training order via one
+        two-phase global rank. See block comment."""
+        from etl_globalretail_spark.operators.ranks import (
+            global_row_number,
+        )
+
+        d = load_table(spark, "documents", sf_dir).select(
+            "doc_id",
+            F.length(
+                F.bin(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+            ).cast("long").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(_seed), F.col("doc_id").cast("string")
+                )
+            ).alias("k"),
+        )
+        ranked, _n = global_row_number(
+            d, [("band", "asc"), ("k", "asc"), ("doc_id", "asc")],
+            out="curriculum_pos",
+        )
+        bands = d.groupBy("band").agg(
+            F.count(F.lit(1)).cast("long").alias("band_n")
+        )
+        return (
+            ranked.join(F.broadcast(bands), "band")
+            .select(
+                "doc_id", "band",
+                F.col("curriculum_pos").cast("long")
+                .alias("curriculum_pos"),
+                "band_n",
+            )
+        )
+
+
+_register_q398()

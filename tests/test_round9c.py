@@ -796,3 +796,44 @@ def test_q397_bh_step_up_laws(spark):
     assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))
     ps = [r["p_permil"] for r in sorted(rows, key=lambda r: r["bh_rank"])]
     assert ps == sorted(ps)
+
+
+def test_q398_pure_python_recompute_and_permutation_laws(spark):
+    import hashlib
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    keyed = sorted(
+        (
+            len(t.strip().split()).bit_length(),
+            hashlib.md5(f"cur9:{d}".encode()).hexdigest(),
+            int(d),
+        )
+        for d, t in docs
+    )
+    band_n: dict[int, int] = {}
+    for b, _k, _d in keyed:
+        band_n[b] = band_n.get(b, 0) + 1
+    want = {
+        d: (b, i + 1, band_n[b]) for i, (b, _k, d) in enumerate(keyed)
+    }
+    got = {
+        r["doc_id"]: (r["band"], r["curriculum_pos"], r["band_n"])
+        for r in ALL_QUERIES["q398_curriculum_order"](spark, SF).collect()
+    }
+    assert got == want
+    # permutation: positions are exactly 1..n
+    assert sorted(p for _, p, _ in got.values()) == list(
+        range(1, len(docs) + 1)
+    )
+    # bands occupy contiguous position ranges, easy-first
+    spans: dict[int, list[int]] = {}
+    for b, p, _n in got.values():
+        spans.setdefault(b, []).append(p)
+    ordered = sorted(spans)
+    hi = 0
+    for b in ordered:
+        ps = sorted(spans[b])
+        assert ps[0] == hi + 1 and ps[-1] == hi + len(ps)
+        hi = ps[-1]
