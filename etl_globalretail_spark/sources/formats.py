@@ -718,3 +718,130 @@ def _register_q374() -> None:
 
 
 _register_q374()
+
+
+# ---------------------------------------------------------------------------
+# q399 — TAMPER-EVIDENT LOAD AUDIT (hash-chain / Merkle-list over the
+# loaded rows — the verifiable-pipeline primitive behind audit logs,
+# QLDB-style ledgers and artifact attestation): after a load, emit a
+# per-shard hash-chain head and a global root such that changing ANY
+# row, reordering within a shard, or dropping a shard flips the root.
+# The reference loads rows with no integrity evidence; at 100 TB an
+# auditor cannot re-read the corpus, only re-derive the root.
+#
+# Chain: rows are md5-digested; within shard s (o_orderkey mod 16),
+# under the orderkey total order, head_s = fold md5(prev ‖ digest_i)
+# from the literal seed 'genesis'; root = md5(head_1 ‖ … ‖ head_16 in
+# shard order). The fold is inherently sequential PER SHARD — exactly
+# the shape applyInPandas distributes (one Arrow batch per shard,
+# shards in parallel, zero cross-shard state); the ≤16 heads then fold
+# into the root driver-side. This is also this module's Python-surface
+# carrier for a SEQUENTIAL (non-mergeable) per-group kernel.
+#
+# Oracle: DuckDB replays each shard chain as a recursive CTE over the
+# ROW_NUMBER index and folds the root with an ordered string_agg.
+# ---------------------------------------------------------------------------
+
+
+def _register_q399() -> None:
+    @_register(
+        "q399_hash_chain_audit",
+        oracle="""
+        WITH RECURSIVE rows_d AS MATERIALIZED (
+            SELECT CAST(o_orderkey % 16 AS BIGINT) AS shard,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderkey % 16 ORDER BY o_orderkey
+                   ) AS rn,
+                   md5(CAST(o_orderkey AS VARCHAR) || '|'
+                       || CAST(o_custkey AS VARCHAR) || '|'
+                       || CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                               AS VARCHAR) || '|'
+                       || strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+                       || '|' || o_orderpriority) AS digest
+            FROM orders
+        ),
+        maxrn AS MATERIALIZED (
+            SELECT shard, CAST(MAX(rn) AS BIGINT) AS mx
+            FROM rows_d GROUP BY shard
+        ),
+        chain AS (
+            SELECT shard, rn, md5('genesis' || digest) AS h
+            FROM rows_d WHERE rn = 1
+            UNION ALL
+            SELECT r.shard, r.rn, md5(c.h || r.digest)
+            FROM chain c JOIN rows_d r
+              ON r.shard = c.shard AND r.rn = c.rn + 1
+        ),
+        heads AS MATERIALIZED (
+            SELECT c.shard, m.mx AS n_rows, c.h AS chain_head
+            FROM chain c JOIN maxrn m
+              ON m.shard = c.shard AND c.rn = m.mx
+        ),
+        root AS (
+            SELECT md5(string_agg(chain_head, '' ORDER BY shard)) AS root
+            FROM heads
+        )
+        SELECT h.shard, h.n_rows, h.chain_head, r.root
+        FROM heads h CROSS JOIN root r
+        """,
+    )
+    def q399_hash_chain_audit(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-shard md5 hash-chain heads + global root over the orders
+        load. See block comment for the sequential-fold posture."""
+        import pandas as pd
+
+        from etl_globalretail_spark.sources.readers import load_table
+
+        o = load_table(spark, "orders", sf_dir).select(
+            (F.col("o_orderkey") % 16).cast("long").alias("shard"),
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    .cast("string"),
+                    F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd"),
+                    F.col("o_orderpriority"),
+                )
+            ).alias("digest"),
+        )
+
+        def _chain(pdf: pd.DataFrame) -> pd.DataFrame:
+            import hashlib
+
+            pdf = pdf.sort_values("k")
+            h = "genesis"
+            for d in pdf["digest"]:
+                h = hashlib.md5((h + d).encode()).hexdigest()
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "n_rows": [len(pdf)],
+                    "chain_head": [h],
+                }
+            )
+
+        heads = (
+            o.groupBy("shard")
+            .applyInPandas(
+                _chain, "shard long, n_rows long, chain_head string"
+            )
+        ).collect()  # ≤ 16 shard heads — bounded driver rows
+        import hashlib
+
+        heads.sort(key=lambda r: r["shard"])
+        root = hashlib.md5(
+            "".join(r["chain_head"] for r in heads).encode()
+        ).hexdigest()
+        return spark.createDataFrame(
+            [(r["shard"], r["n_rows"], r["chain_head"], root)
+             for r in heads],
+            "shard long, n_rows long, chain_head string, root string",
+        )
+
+
+_register_q399()

@@ -837,3 +837,75 @@ def test_q398_pure_python_recompute_and_permutation_laws(spark):
         ps = sorted(spans[b])
         assert ps[0] == hi + 1 and ps[-1] == hi + len(ps)
         hi = ps[-1]
+
+
+def _chain_heads(rows):
+    """rows: (orderkey, custkey, cents, date_str, priority) — returns
+    ({shard: (n, head)}, root)."""
+    import hashlib
+
+    shards: dict[int, list] = {}
+    for k, c, cents, ds, pri in rows:
+        d = hashlib.md5(
+            f"{k}|{c}|{cents}|{ds}|{pri}".encode()
+        ).hexdigest()
+        shards.setdefault(k % 16, []).append((k, d))
+    heads = {}
+    for s, lst in shards.items():
+        h = "genesis"
+        for _k, d in sorted(lst):
+            h = hashlib.md5((h + d).encode()).hexdigest()
+        heads[s] = (len(lst), h)
+    root = hashlib.md5(
+        "".join(heads[s][1] for s in sorted(heads)).encode()
+    ).hexdigest()
+    return heads, root
+
+
+def _q399_rows(sf=SF):
+    return [
+        (int(k), int(c), int(v), ds, p)
+        for k, c, v, ds, p in duckdb.sql(
+            f"""
+            SELECT o_orderkey, o_custkey,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+                   strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'),
+                   o_orderpriority
+            FROM '{sf}/orders.parquet'
+            """
+        ).fetchall()
+    ]
+
+
+def test_q399_pure_python_recompute(spark):
+    heads, root = _chain_heads(_q399_rows())
+    got = {
+        r["shard"]: (r["n_rows"], r["chain_head"], r["root"])
+        for r in ALL_QUERIES["q399_hash_chain_audit"](spark, SF).collect()
+    }
+    assert got == {s: (n, h, root) for s, (n, h) in heads.items()}
+
+
+def test_q399_tamper_evidence():
+    """Mutating one row's cents, or swapping two rows' chain order,
+    flips that shard's head AND the global root — the property that
+    makes the audit tamper-evident."""
+    rows = _q399_rows()
+    heads0, root0 = _chain_heads(rows)
+    tampered = list(rows)
+    k, c, cents, ds, p = tampered[7]
+    tampered[7] = (k, c, cents + 1, ds, p)
+    heads1, root1 = _chain_heads(tampered)
+    assert root1 != root0
+    assert heads1[k % 16][1] != heads0[k % 16][1]
+    diff = {s for s in heads0 if heads0[s] != heads1[s]}
+    assert diff == {k % 16}, "tamper is localized to one shard"
+    # reorder within a shard (swap two orderkeys' payloads): head flips
+    same_shard = [r for r in rows if r[0] % 16 == 3][:2]
+    a, b = same_shard
+    swapped = [
+        (a[0], *b[1:]) if r == a else ((b[0], *a[1:]) if r == b else r)
+        for r in rows
+    ]
+    _, root2 = _chain_heads(swapped)
+    assert root2 != root0
