@@ -1123,3 +1123,157 @@ def _register_q373() -> None:
 
 
 _register_q373()
+
+
+# ---------------------------------------------------------------------------
+# q400 — NEYMAN-ALLOCATION stratified sample (Neyman 1934 — THE
+# optimal survey design: sample stratum h in proportion to N_h·σ_h,
+# not N_h, so high-variance strata get the budget; the eval-set
+# construction every benchmark pipeline should use instead of uniform
+# draws). Strata = order priority; target = floor-dollar order value;
+# budget n = 500.
+#
+# Determinism: σ's sqrt is the ONLY non-integer step and it is
+# IEEE-correctly-rounded over an identical exactly-computed operand —
+# w_h = FLOOR(SQRT(N_h·ΣX² − (ΣX)²)) (the variance numerator; dollars
+# keep it inside int64 at gate SFs, the q217 widening applies beyond
+# ~10^18 — stated). Both engines floor the SAME double, so w_h is the
+# same BIGINT even where the floor sits on a rounding boundary.
+# Quotas are Hamilton largest-remainder over the ≤5-row stratum frame
+# (base = n·w div W, the n − Σbase leftover seats go to the largest
+# n·w mod W, tie-break stratum) — so Σ quota = n EXACTLY, no dust.
+# The draw is the seeded md5 rank WITHIN each stratum (partitioned
+# window — InferWindowGroupLimit territory, never global), keeping
+# rank ≤ quota; the drawn set is surfaced as an order-free key-hash
+# sum so the gate pins the exact membership.
+#
+# Plan: one orders scan → 5-row stratum aggregate (driver algebra for
+# quotas, q343 class) → one partitioned rank + broadcast quota join.
+# ---------------------------------------------------------------------------
+
+
+def _register_q400() -> None:
+    _n = 500
+
+    @_register(
+        "q400_neyman_stratified_sample",
+        oracle=f"""
+        WITH base AS MATERIALIZED (
+            SELECT o_orderkey AS k, o_orderpriority AS stratum,
+                   CAST(FLOOR(o_totalprice) AS BIGINT) AS x,
+                   CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                           || 'ney'), 1, 15) AS BIGINT)
+                       AS hk
+            FROM orders
+        ),
+        agg AS MATERIALIZED (
+            SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_h,
+                   CAST(FLOOR(SQRT(CAST(COUNT(*) * SUM(x * x)
+                                        - SUM(x) * SUM(x) AS DOUBLE)))
+                        AS BIGINT) AS w
+            FROM base GROUP BY stratum
+        ),
+        tot AS (SELECT SUM(w) AS tw, COUNT(*) AS ns FROM agg),
+        seats AS MATERIALIZED (
+            SELECT a.stratum, a.n_h, a.w,
+                   {_n} * a.w // t.tw AS q_base,
+                   {_n} * a.w % t.tw AS rem,
+                   {_n} - SUM({_n} * a.w // t.tw) OVER () AS leftover
+            FROM agg a CROSS JOIN tot t
+        ),
+        quota AS MATERIALIZED (
+            SELECT stratum, n_h, w,
+                   CAST(q_base + CASE WHEN ROW_NUMBER() OVER (
+                            ORDER BY rem DESC, stratum) <= leftover
+                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+            FROM seats
+        ),
+        ranked AS (
+            SELECT b.stratum, b.hk, q.quota,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.stratum ORDER BY b.hk, b.k
+                   ) AS rn
+            FROM base b JOIN quota q ON q.stratum = b.stratum
+        )
+        SELECT q.stratum, q.n_h, q.w, q.quota,
+               CAST(COUNT(r.rn) AS BIGINT) AS n_drawn,
+               CAST(COALESCE(SUM(r.hk % 1000000007), 0) % 1000000007
+                    AS BIGINT) AS drawn_key_hashsum
+        FROM quota q
+        LEFT JOIN (SELECT * FROM ranked WHERE rn <= quota) r
+          ON r.stratum = q.stratum
+        GROUP BY q.stratum, q.n_h, q.w, q.quota
+        """,
+    )
+    def q400_neyman_stratified_sample(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Neyman-allocated, Hamilton-apportioned, md5-drawn stratified
+        sample over orders; per-stratum census with an order-free
+        membership hash. See block comment."""
+        o = load_table(spark, "orders", sf_dir)
+        base = o.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("stratum"),
+            F.floor(F.col("o_totalprice")).cast("long").alias("x"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("o_orderkey").cast("string"),
+                                   F.lit("ney"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint").alias("hk"),
+        ).transform(materialize)  # feeds the stratum agg AND the draw
+        agg = base.groupBy("stratum").agg(
+            F.count(F.lit(1)).cast("long").alias("n_h"),
+            F.floor(
+                F.sqrt(
+                    (
+                        F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+                        - F.sum("x") * F.sum("x")
+                    ).cast("double")
+                )
+            ).cast("long").alias("w"),
+        ).collect()  # ≤ 5 stratum rows — driver algebra (q343 class)
+        tw = sum(r["w"] for r in agg)
+        seats = [
+            (r["stratum"], r["n_h"], r["w"],
+             _n * r["w"] // tw, _n * r["w"] % tw)
+            for r in agg
+        ]
+        leftover = _n - sum(s[3] for s in seats)
+        by_rem = sorted(seats, key=lambda s: (-s[4], s[0]))
+        extra = {s[0] for s in by_rem[:leftover]}
+        quota_rows = [
+            (st, n_h, w, q_base + (1 if st in extra else 0))
+            for st, n_h, w, q_base, _rem in seats
+        ]
+        quota = spark.createDataFrame(
+            quota_rows, "stratum string, n_h long, w long, quota long"
+        )
+        wnd = Window.partitionBy("stratum").orderBy("hk", "k")
+        drawn = (
+            base.join(F.broadcast(quota.select("stratum", "quota")),
+                      "stratum")
+            .withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") <= F.col("quota"))
+            .groupBy("stratum")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_drawn"),
+                (F.sum(F.col("hk") % 1000000007) % 1000000007)
+                .cast("long").alias("drawn_key_hashsum"),
+            )
+        )
+        # left join from the quota frame so a quota-0 stratum still
+        # emits its row (n_drawn = 0), matching the oracle's LEFT JOIN
+        return quota.join(drawn, "stratum", "left").select(
+            "stratum", "n_h", "w", "quota",
+            F.coalesce(F.col("n_drawn"), F.lit(0)).cast("long")
+            .alias("n_drawn"),
+            F.coalesce(F.col("drawn_key_hashsum"), F.lit(0)).cast("long")
+            .alias("drawn_key_hashsum"),
+        )
+
+
+_register_q400()

@@ -909,3 +909,57 @@ def test_q399_tamper_evidence():
     ]
     _, root2 = _chain_heads(swapped)
     assert root2 != root0
+
+
+def test_q400_pure_python_recompute(spark):
+    import math
+
+    rows = duckdb.sql(
+        f"""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice) AS BIGINT)
+        FROM '{SF}/orders.parquet'
+        """
+    ).fetchall()
+    strata: dict[str, list[tuple[int, int]]] = {}
+    for k, p, x in rows:
+        strata.setdefault(p, []).append((int(k), int(x)))
+    agg = {}
+    for st, lst in strata.items():
+        n = len(lst)
+        s1 = sum(x for _, x in lst)
+        s2 = sum(x * x for _, x in lst)
+        agg[st] = (n, int(math.floor(math.sqrt(float(n * s2 - s1 * s1)))))
+    tw = sum(w for _, w in agg.values())
+    seats = {st: (500 * w // tw, 500 * w % tw) for st, (_, w) in agg.items()}
+    leftover = 500 - sum(b for b, _ in seats.values())
+    extra = {
+        st for st, _ in sorted(
+            seats.items(), key=lambda kv: (-kv[1][1], kv[0])
+        )[:leftover]
+    }
+    want = {}
+    for st, lst in strata.items():
+        quota = seats[st][0] + (1 if st in extra else 0)
+        keyed = sorted(
+            (_md5mod(f"{k}ney", 1 << 60), k) for k, _ in lst
+        )
+        drawn = keyed[:quota]
+        want[st] = (
+            agg[st][0], agg[st][1], quota, len(drawn),
+            sum(h % 1000000007 for h, _ in drawn) % 1000000007,
+        )
+    got = {
+        r["stratum"]: (r["n_h"], r["w"], r["quota"], r["n_drawn"],
+                       r["drawn_key_hashsum"])
+        for r in ALL_QUERIES["q400_neyman_stratified_sample"](spark, SF)
+        .collect()
+    }
+    assert got == want
+    # apportionment laws: quotas sum EXACTLY to the budget, every
+    # stratum draws its full quota, and allocation follows w order
+    assert sum(q for _, _, q, _, _ in got.values()) == 500
+    assert all(nd == q for _, _, q, nd, _ in got.values())
+    by_w = sorted(got.values(), key=lambda v: v[1])
+    qs = [v[2] for v in by_w]
+    assert qs == sorted(qs), "bigger N·sigma never gets fewer seats"
