@@ -6784,3 +6784,147 @@ def _register_q398() -> None:
 
 
 _register_q398()
+
+
+# ---------------------------------------------------------------------------
+# q401 — EXACT SHAPLEY data-source valuation (Shapley 1953 by way of
+# Ghorbani & Zou 2019's Data Shapley): what is each source tier's fair
+# share of the corpus's vocabulary coverage? The general game needs
+# Monte-Carlo; for THREE players the 3! permutations are enumerable,
+# so the value is EXACT — the per-player marginal sum over all 6
+# orders, carried in SIXTHS so no division ever happens before the
+# final share quantization.
+#
+# Game: players = source tiers (srcN grouped by N mod 3); the
+# characteristic function v(S) = # distinct bigram types covered by
+# the union of tiers in S — a monotone coverage game, computable for
+# ALL 2³ coalitions from ONE pass: each type reduces to a 3-bit
+# presence MASK (bit_or over its tiers — both engines have BIT_OR),
+# the ≤7 mask-cells census is collected, and every v(S) is a sum over
+# intersecting masks (driver algebra, q343 class). Laws pinned:
+# efficiency (Σ 6φ_i = 6·v(full)), null-player = 0, and coverage
+# monotonicity (φ_i ≥ 0).
+#
+# Plan: one bigram explode → (type, tier-bit) → BIT_OR groupBy(type)
+# → 7-cell mask census. The corpus is touched once.
+# ---------------------------------------------------------------------------
+
+
+def _register_q401() -> None:
+    @_register(
+        "q401_shapley_source_value",
+        oracle="""
+        WITH toks AS (
+            SELECT CAST(SUBSTRING(source, 4) AS BIGINT) % 3 AS g,
+                   t[i] || ' ' || t[i + 1] AS b
+            FROM (SELECT source,
+                         regexp_split_to_array(trim(text), '\\s+') AS t,
+                         unnest(generate_series(1, len(
+                             regexp_split_to_array(trim(text), '\\s+'))
+                             - 1)) AS i
+                  FROM documents)
+        ),
+        masks AS (
+            SELECT b, BIT_OR(CAST(1 << g AS BIGINT)) AS mask
+            FROM toks GROUP BY b
+        ),
+        cells AS MATERIALIZED (
+            SELECT mask, CAST(COUNT(*) AS BIGINT) AS n
+            FROM masks GROUP BY mask
+        ),
+        v AS MATERIALIZED (
+            SELECT s.s,
+                   CAST(COALESCE(SUM(CASE WHEN (c.mask & s.s) <> 0
+                                     THEN c.n ELSE 0 END), 0) AS BIGINT)
+                       AS v
+            FROM (SELECT unnest(generate_series(0, 7)) AS s) s
+            LEFT JOIN cells c ON TRUE
+            GROUP BY s.s
+        ),
+        -- 6·phi_i = sum over the 3! orders of the marginal of i
+        phi AS (
+            SELECT g.g,
+                   CAST(2 * ((SELECT v FROM v WHERE s = (1 << g.g))
+                             - (SELECT v FROM v WHERE s = 0))
+                        + ((SELECT v FROM v
+                            WHERE s = ((1 << g.g) | (1 << ((g.g+1)%3))))
+                           - (SELECT v FROM v WHERE s = (1 << ((g.g+1)%3))))
+                        + ((SELECT v FROM v
+                            WHERE s = ((1 << g.g) | (1 << ((g.g+2)%3))))
+                           - (SELECT v FROM v WHERE s = (1 << ((g.g+2)%3))))
+                        + 2 * ((SELECT v FROM v WHERE s = 7)
+                               - (SELECT v FROM v
+                                  WHERE s = xor(7, 1 << g.g)))
+                        AS BIGINT) AS six_phi
+            FROM (SELECT unnest(generate_series(0, 2)) AS g) g
+        )
+        SELECT p.g AS tier,
+               (SELECT v FROM v WHERE s = (1 << p.g)) AS own_coverage,
+               p.six_phi,
+               CAST(p.six_phi * 1000 // (6 * (SELECT v FROM v WHERE s = 7))
+                    AS BIGINT) AS share_permil
+        FROM phi p
+        """,
+    )
+    def q401_shapley_source_value(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Exact 3-player Shapley split of bigram-vocabulary coverage
+        across source tiers, in sixths. See block comment."""
+        d = load_table(spark, "documents", sf_dir)
+        pos = (
+            d.select(
+                (F.substring(F.col("source"), 4, 10).cast("long") % 3)
+                .alias("g"),
+                F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+            )
+            .filter(F.size("toks") >= 2)
+            .select(
+                "g",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("toks") - 1)
+                ).alias("i"),
+                "toks",
+            )
+        )
+        masks = (
+            pos.select(
+                F.concat(
+                    F.expr("toks[i - 1]"), F.lit(" "), F.expr("toks[i]")
+                ).alias("b"),
+                F.expr("CAST(shiftleft(1L, CAST(g AS INT)) AS BIGINT)")
+                .alias("bit"),
+            )
+            .groupBy("b")
+            .agg(F.expr("bit_or(bit)").alias("mask"))
+        )
+        cells = {
+            r["mask"]: r["n"]
+            for r in masks.groupBy("mask")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()  # ≤ 7 mask cells — driver algebra (q343 class)
+        }
+
+        def v(s: int) -> int:
+            return sum(n for m, n in cells.items() if m & s)
+
+        out = []
+        vfull = v(7)
+        for g in range(3):
+            me = 1 << g
+            o1, o2 = 1 << ((g + 1) % 3), 1 << ((g + 2) % 3)
+            six_phi = (
+                2 * (v(me) - v(0))
+                + (v(me | o1) - v(o1))
+                + (v(me | o2) - v(o2))
+                + 2 * (vfull - v(7 ^ me))
+            )
+            out.append((g, v(me), six_phi, six_phi * 1000 // (6 * vfull)))
+        return spark.createDataFrame(
+            out,
+            "tier long, own_coverage long, six_phi long,"
+            " share_permil long",
+        )
+
+
+_register_q401()

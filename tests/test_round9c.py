@@ -963,3 +963,58 @@ def test_q400_pure_python_recompute(spark):
     by_w = sorted(got.values(), key=lambda v: v[1])
     qs = [v[2] for v in by_w]
     assert qs == sorted(qs), "bigger N·sigma never gets fewer seats"
+
+
+def _shapley_sixths(cells):
+    def v(s):
+        return sum(n for m, n in cells.items() if m & s)
+
+    out = {}
+    for g in range(3):
+        me, o1, o2 = 1 << g, 1 << ((g + 1) % 3), 1 << ((g + 2) % 3)
+        out[g] = (
+            2 * (v(me) - v(0)) + (v(me | o1) - v(o1))
+            + (v(me | o2) - v(o2)) + 2 * (v(7) - v(7 ^ me))
+        )
+    return out, v(7)
+
+
+def test_q401_pure_python_recompute_and_axioms(spark):
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    masks: dict[str, int] = {}
+    for src, text in docs:
+        g = int(src[3:]) % 3
+        toks = text.strip().split()
+        for a, b in zip(toks, toks[1:]):
+            masks[f"{a} {b}"] = masks.get(f"{a} {b}", 0) | (1 << g)
+    cells: dict[int, int] = {}
+    for m in masks.values():
+        cells[m] = cells.get(m, 0) + 1
+    phi, vfull = _shapley_sixths(cells)
+    got = {
+        r["tier"]: (r["own_coverage"], r["six_phi"], r["share_permil"])
+        for r in ALL_QUERIES["q401_shapley_source_value"](spark, SF)
+        .collect()
+    }
+    want = {
+        g: (
+            sum(n for m, n in cells.items() if m & (1 << g)),
+            phi[g],
+            phi[g] * 1000 // (6 * vfull),
+        )
+        for g in range(3)
+    }
+    assert got == want
+    # efficiency axiom: the sixths sum EXACTLY to 6·v(full)
+    assert sum(p for _, p, _ in got.values()) == 6 * vfull
+    # monotone coverage game: every value non-negative
+    assert all(p >= 0 for _, p, _ in got.values())
+    # null player axiom on a constructed game: a tier covering nothing
+    # new gets exactly zero
+    phi0, _ = _shapley_sixths({0b011: 10, 0b010: 5})  # tier 2 covers none
+    assert phi0[2] == 0
+    # symmetry axiom: interchangeable tiers split equally
+    phi1, _ = _shapley_sixths({0b001: 7, 0b010: 7, 0b011: 3})
+    assert phi1[0] == phi1[1]
