@@ -1018,3 +1018,81 @@ def test_q401_pure_python_recompute_and_axioms(spark):
     # symmetry axiom: interchangeable tiers split equally
     phi1, _ = _shapley_sixths({0b001: 7, 0b010: 7, 0b011: 3})
     assert phi1[0] == phi1[1]
+
+
+def _burst_dp(xs):
+    t, s = len(xs), sum(xs)
+    mu0 = s // t
+    mu1 = 3 * mu0 // 2 + 1
+    gam = mu0 // 2
+    c0, c1 = abs(xs[0] - mu0), abs(xs[0] - mu1) + gam
+    back = []
+    for x in xs[1:]:
+        p0 = 0 if c0 <= c1 else 1
+        n0 = abs(x - mu0) + min(c0, c1)
+        p1 = 1 if c1 <= c0 + gam else 0
+        n1 = abs(x - mu1) + min(c1, c0 + gam)
+        back.append((p0, p1))
+        c0, c1 = n0, n1
+    st = 0 if c0 <= c1 else 1
+    path = [st]
+    for b in reversed(back):
+        st = b[st]
+        path.append(st)
+    path.reverse()
+    return path, (mu0, mu1, gam), min(c0, c1)
+
+
+def _path_cost(xs, path, mu0, mu1, gam):
+    cost = 0
+    prev = 0
+    for x, st in zip(xs, path):
+        cost += abs(x - (mu1 if st else mu0))
+        if st == 1 and prev == 0:
+            cost += gam
+        prev = st
+    return cost
+
+
+def test_q402_pure_python_recompute_and_optimality(spark):
+    weekly = sorted(
+        duckdb.sql(
+            f"""
+            SELECT date_diff('day', DATE '1970-01-05',
+                             CAST(o_orderdate AS DATE)) // 7,
+                   count(*)
+            FROM '{SF}/orders.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    )
+    xs = [int(x) for _, x in weekly]
+    path, (mu0, mu1, gam), best_cost = _burst_dp(xs)
+    want = []
+    seg_start = 0
+    for i in range(1, len(xs) + 1):
+        if i == len(xs) or path[i] != path[i - 1]:
+            want.append(
+                (len(want) + 1, path[seg_start], int(weekly[seg_start][0]),
+                 int(weekly[i - 1][0]), i - seg_start,
+                 sum(xs[seg_start:i]))
+            )
+            seg_start = i
+    got = sorted(
+        (r["seg_id"], r["state"], r["w_start"], r["w_end"], r["n_weeks"],
+         r["total_x"])
+        for r in ALL_QUERIES["q402_burst_segmentation"](spark, SF)
+        .collect()
+    )
+    assert got == want
+    # Viterbi optimality: the DP cost beats the two constant paths and
+    # equals the forward-computed cost of the emitted path
+    n = len(xs)
+    assert best_cost == _path_cost(xs, path, mu0, mu1, gam)
+    assert best_cost <= _path_cost(xs, [0] * n, mu0, mu1, gam)
+    assert best_cost <= _path_cost(xs, [1] * n, mu0, mu1, gam)
+    # segments alternate and tile the week range contiguously
+    for (s1, st1, _ws1, we1, _n1, _t1), (s2, st2, ws2, _we2, _n2, _t2) in zip(
+        got, got[1:]
+    ):
+        assert s2 == s1 + 1 and st2 != st1 and ws2 > we1
+    assert sum(n for _, _, _, _, n, _ in got) == n
