@@ -6928,3 +6928,82 @@ def _register_q401() -> None:
 
 
 _register_q401()
+
+
+# ---------------------------------------------------------------------------
+# q403 — QUANTILE NORMALIZATION across sources (Bolstad et al. 2003 —
+# the microarray-era distribution equalizer that feature pipelines
+# still use: force every source's value distribution onto the common
+# reference, so downstream comparisons see rank information only).
+# Here: per-source document n_chars distributions are mapped onto the
+# cross-source reference.
+#
+# Exact contract: rank r within source under the TOTAL order
+# (n_chars, doc_id); reference value at rank r is the truncating mean
+# of the rank-r values over the sources THAT HAVE a rank r —
+# ref_r = Σ v div cnt — which reduces to the textbook definition when
+# sources are equal-sized (they are here: 25 docs each) and stays
+# well-defined when they are not (stated). Post-normalization, every
+# equal-sized source has the IDENTICAL value multiset {ref_r} — the
+# law the pytest pins via per-source sums.
+#
+# Plan: one partitioned rank window (by source — never global), one
+# groupBy(rank) to the ≤max-source-size reference frame, one equi-join
+# back on rank. Doc-grain mapping emitted so the gate pins the entire
+# transform.
+# ---------------------------------------------------------------------------
+
+
+def _register_q403() -> None:
+    @_register(
+        "q403_quantile_normalization",
+        oracle="""
+        WITH ranked AS MATERIALIZED (
+            SELECT doc_id, source,
+                   CAST(COALESCE(n_chars, 0) AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY COALESCE(n_chars, 0), doc_id
+                   ) AS r
+            FROM documents
+        ),
+        ref AS (
+            SELECT r, CAST(SUM(v) // COUNT(*) AS BIGINT) AS ref_v
+            FROM ranked GROUP BY r
+        )
+        SELECT k.doc_id, k.source, CAST(k.r AS BIGINT) AS rnk,
+               k.v AS v_before, ref.ref_v AS v_after
+        FROM ranked k JOIN ref ON ref.r = k.r
+        """,
+    )
+    def q403_quantile_normalization(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Doc-grain quantile-normalization mapping of per-source
+        n_chars onto the cross-source reference. See block comment."""
+        from pyspark.sql.window import Window
+
+        d = load_table(spark, "documents", sf_dir).select(
+            "doc_id", "source",
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("long")
+            .alias("v"),
+        )
+        w = Window.partitionBy("source").orderBy("v", "doc_id")
+        ranked = d.withColumn("r", F.row_number().over(w)).transform(
+            materialize
+        )  # feeds the reference build AND the join back
+        ref = ranked.groupBy("r").agg(
+            F.expr("CAST(SUM(v) div COUNT(*) AS BIGINT)").alias("ref_v")
+        )
+        return (
+            ranked.join(F.broadcast(ref), "r")
+            .select(
+                "doc_id", "source",
+                F.col("r").cast("long").alias("rnk"),
+                F.col("v").alias("v_before"),
+                F.col("ref_v").alias("v_after"),
+            )
+        )
+
+
+_register_q403()

@@ -1096,3 +1096,50 @@ def test_q402_pure_python_recompute_and_optimality(spark):
     ):
         assert s2 == s1 + 1 and st2 != st1 and ws2 > we1
     assert sum(n for _, _, _, _, n, _ in got) == n
+
+
+def test_q403_pure_python_recompute_and_equal_multiset_law(spark):
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, COALESCE(n_chars, 0) "
+        f"FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for d, s, v in docs:
+        by_src.setdefault(s, []).append((int(v), int(d)))
+    ranked = {}
+    rank_vals: dict[int, list[int]] = {}
+    for s, lst in by_src.items():
+        for i, (v, d) in enumerate(sorted(lst), start=1):
+            ranked[d] = (s, i, v)
+            rank_vals.setdefault(i, []).append(v)
+    ref = {r: sum(vs) // len(vs) for r, vs in rank_vals.items()}
+    want = {
+        d: (s, r, v, ref[r]) for d, (s, r, v) in ranked.items()
+    }
+    got = {
+        r["doc_id"]: (r["source"], r["rnk"], r["v_before"], r["v_after"])
+        for r in ALL_QUERIES["q403_quantile_normalization"](spark, SF)
+        .collect()
+    }
+    assert got == want
+    # the law the operator exists for: after normalization every
+    # equal-sized source carries the IDENTICAL value multiset
+    sizes = {s: len(lst) for s, lst in by_src.items()}
+    full = max(sizes.values())
+    after: dict[str, list[int]] = {}
+    for s, _r, _v, va in got.values():
+        after.setdefault(s, []).append(va)
+    ref_multiset = None
+    for s, vs in after.items():
+        if sizes[s] == full:
+            vs = sorted(vs)
+            if ref_multiset is None:
+                ref_multiset = vs
+            assert vs == ref_multiset
+    # rank-monotone: v_after non-decreasing in rank within any source
+    per_src: dict[str, list[tuple[int, int]]] = {}
+    for _d, (s, r, _v, va) in got.items():
+        per_src.setdefault(s, []).append((r, va))
+    for s, lst in per_src.items():
+        vals = [va for _r, va in sorted(lst)]
+        assert vals == sorted(vals)
