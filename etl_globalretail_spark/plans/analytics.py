@@ -10328,3 +10328,99 @@ def _register_q402() -> None:
 
 
 _register_q402()
+
+
+# ---------------------------------------------------------------------------
+# q404 — VALUE-AT-RISK / EXPECTED SHORTFALL panel (Artzner et al.
+# 1999 made ES the coherent risk measure; Basel's FRTB moved bank
+# capital onto it): over the day-over-day change in total order
+# revenue, report VaR and ES at 95% and 99% — "how bad is a bad day,
+# and how bad is the average of the bad days". ES is the canonical
+# example of a statistic the AVERAGE-of-quantiles crowd gets wrong;
+# here both are EXACT order statistics / tail means in floor-cents.
+#
+# Exact contract: losses = −Δrevenue (positive = bad); tail sizes
+# k_95 = ⌈n/20⌉, k_99 = ⌈n/100⌉ (nearest-rank, ceil); ONE bounded
+# top-k (TakeOrderedAndProject via global_topk, k = k_95 ⊇ k_99)
+# yields both levels: VaR_α = the k_α-th largest loss, ES_α =
+# truncating mean of the top k_α. Total order (loss DESC, day ASC).
+#
+# Plan: one groupBy(day) corpus pass → day-grain deltas via a
+# 1-day-lag equi-join (no window at all), one global_topk, 2-row
+# panel assembled from ≤k driver rows (q343 class).
+# ---------------------------------------------------------------------------
+
+
+def _register_q404() -> None:
+    @_register(
+        "q404_var_expected_shortfall",
+        oracle="""
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(FLOOR(o_totalprice * 100)) AS BIGINT) AS rev
+            FROM orders GROUP BY 1
+        ),
+        deltas AS MATERIALIZED (
+            SELECT t.d, p.rev - t.rev AS loss
+            FROM daily t JOIN daily p ON p.d = t.d - 1
+        ),
+        n AS (SELECT COUNT(*) AS n FROM deltas),
+        ranked AS MATERIALIZED (
+            SELECT loss, ROW_NUMBER() OVER (ORDER BY loss DESC, d) AS rn
+            FROM deltas
+        )
+        SELECT CAST(lvl AS BIGINT) AS level_pct,
+               CAST(n.n AS BIGINT) AS n_days,
+               CAST(k AS BIGINT) AS tail_k,
+               CAST((SELECT loss FROM ranked WHERE rn = k)
+                    AS BIGINT) AS var_cents,
+               CAST((SELECT SUM(loss) // k FROM ranked WHERE rn <= k)
+                    AS BIGINT) AS es_cents
+        FROM (
+            SELECT 95 AS lvl, (n.n + 19) // 20 AS k FROM n
+            UNION ALL
+            SELECT 99, (n.n + 99) // 100 FROM n
+        ) CROSS JOIN n
+        """,
+    )
+    def q404_var_expected_shortfall(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Exact nearest-rank VaR + tail-mean ES at 95/99% over daily
+        revenue losses. See block comment."""
+        o = load_table(spark, "orders", sf_dir)
+        daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long")
+            .alias("rev")
+        ).transform(materialize)  # feeds both sides of the lag join
+        deltas = (
+            daily.alias("t")
+            .join(
+                daily.select(
+                    F.date_add(F.col("d"), 1).alias("d"),
+                    F.col("rev").alias("prev"),
+                ).alias("p"),
+                "d",
+            )
+            .select("d", (F.col("prev") - F.col("rev")).alias("loss"))
+        )
+        n = deltas.count()
+        k95, k99 = (n + 19) // 20, (n + 99) // 100
+        tail = global_topk(
+            deltas, [("loss", "desc"), ("d", "asc")], k95, out="rn"
+        ).select("rn", "loss").collect()  # ≤ k_95 driver rows
+        tail.sort(key=lambda r: r["rn"])
+        losses = [r["loss"] for r in tail]
+        out = []
+        for lvl, k in ((95, k95), (99, k99)):
+            out.append(
+                (lvl, n, k, losses[k - 1], sum(losses[:k]) // k)
+            )
+        return spark.createDataFrame(
+            out,
+            "level_pct long, n_days long, tail_k long, var_cents long,"
+            " es_cents long",
+        )
+
+
+_register_q404()

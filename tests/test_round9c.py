@@ -1143,3 +1143,38 @@ def test_q403_pure_python_recompute_and_equal_multiset_law(spark):
     for s, lst in per_src.items():
         vals = [va for _r, va in sorted(lst)]
         assert vals == sorted(vals)
+
+
+def test_q404_pure_python_recompute(spark):
+    import datetime
+
+    daily = dict(
+        duckdb.sql(
+            f"SELECT CAST(o_orderdate AS DATE),"
+            f" CAST(SUM(FLOOR(o_totalprice * 100)) AS BIGINT)"
+            f" FROM '{SF}/orders.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    losses = []
+    for d, rev in daily.items():
+        prev = daily.get(d - datetime.timedelta(days=1))
+        if prev is not None:
+            losses.append((int(prev) - int(rev), d))
+    losses.sort(key=lambda t: (-t[0], t[1]))
+    vals = [v for v, _ in losses]
+    n = len(vals)
+    want = {}
+    for lvl, k in ((95, (n + 19) // 20), (99, (n + 99) // 100)):
+        want[lvl] = (n, k, vals[k - 1], sum(vals[:k]) // k)
+    got = {
+        r["level_pct"]: (r["n_days"], r["tail_k"], r["var_cents"],
+                         r["es_cents"])
+        for r in ALL_QUERIES["q404_var_expected_shortfall"](spark, SF)
+        .collect()
+    }
+    assert got == want
+    # coherence-flavored laws: ES dominates VaR at the same level, and
+    # the deeper tail is at least as bad on both measures
+    for lvl in (95, 99):
+        assert got[lvl][3] >= got[lvl][2]
+    assert got[99][2] >= got[95][2] and got[99][3] >= got[95][3]
