@@ -1208,3 +1208,180 @@ def _register_q388() -> None:
 
 
 _register_q388()
+
+
+# ---------------------------------------------------------------------------
+# q405 — RAKE keyphrase extraction (Rose et al. 2010 — Rapid Automatic
+# Keyword Extraction, the stopword-delimited co-occurrence scorer that
+# is still the zero-shot keyphrase baseline): candidate phrases are
+# maximal stopword-free token runs; each word scores
+# degree/frequency (degree = Σ phrase length over its occurrences —
+# co-occurrence counted within phrases only); a phrase scores the sum
+# of its words' scores; top-10 phrases win.
+#
+# Exact-integer variant (stated): word score is quantized ONCE as
+# wscore_permil = deg·1000 div freq, and phrase score is the integer
+# sum of member word scores (with multiplicity) — the float original
+# sums unquantized ratios; the permil variant is deterministic and
+# order-free in both engines. Stopword set = LANG_STOPWORDS['en']
+# (the module's shared public profile). Phrase identity includes
+# word order; ranking uses the total order (score DESC, phrase ASC).
+#
+# Plan: one tokenize+posexplode pass → gaps-and-islands runs per doc
+# (doc-PARTITIONED windows only) → phrase frame materialized (feeds
+# word stats AND phrase scoring) → word stats are a vocab-grain
+# groupBy broadcast back → bounded global_topk.
+# ---------------------------------------------------------------------------
+
+
+def _register_q405() -> None:
+    stop_sql = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+    @_register(
+        "q405_rake_keyphrases",
+        oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, i AS pos, t[i] AS tok,
+                   CASE WHEN t[i] IN ({stop_sql}) THEN 1 ELSE 0 END
+                       AS is_stop
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\\s+') AS t,
+                         unnest(generate_series(1, len(
+                             regexp_split_to_array(trim(text), '\\s+'))))
+                             AS i
+                  FROM documents)
+        ),
+        runs AS (
+            SELECT doc_id, pos, tok,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, is_stop ORDER BY pos
+                   ) AS grp
+            FROM toks WHERE is_stop = 0
+        ),
+        phrases AS MATERIALIZED (
+            SELECT doc_id, grp,
+                   string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                   CAST(COUNT(*) AS BIGINT) AS plen
+            FROM runs GROUP BY doc_id, grp
+        ),
+        words AS MATERIALIZED (
+            SELECT r.tok,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(p.plen) AS BIGINT) AS deg
+            FROM runs r
+            JOIN phrases p ON p.doc_id = r.doc_id AND p.grp = r.grp
+            GROUP BY r.tok
+        ),
+        wscore AS (
+            SELECT tok, CAST(deg * 1000 // freq AS BIGINT) AS ws
+            FROM words
+        ),
+        pscore AS (
+            SELECT p.phrase,
+                   CAST(COUNT(DISTINCT p.doc_id || '#' || p.grp)
+                        AS BIGINT) AS n_occ,
+                   CAST(SUM(w.ws) // COUNT(DISTINCT p.doc_id || '#'
+                                            || p.grp) AS BIGINT)
+                       AS score_permil
+            FROM phrases p
+            JOIN runs r ON r.doc_id = p.doc_id AND r.grp = p.grp
+            JOIN wscore w ON w.tok = r.tok
+            GROUP BY p.phrase
+        )
+        SELECT phrase, n_occ, score_permil,
+               CAST(rn AS BIGINT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY score_permil DESC, phrase) AS rn
+            FROM pscore
+        ) WHERE rn <= 10
+        """,
+    )
+    def q405_rake_keyphrases(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Top-10 RAKE keyphrases under the permil-quantized word
+        scores. See block comment."""
+        from pyspark.sql.window import Window
+
+        from etl_globalretail_spark.operators.ranks import global_topk
+        from etl_globalretail_spark.sources.artifacts import materialize
+
+        d = load_table(spark, "documents", sf_dir)
+        toks = d.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.trim(F.col("text")), r"\s+")
+            ).alias("pos0", "tok"),
+        ).select(
+            "doc_id", (F.col("pos0") + 1).alias("pos"), "tok",
+            F.when(
+                F.col("tok").isin(*LANG_STOPWORDS["en"]), 1
+            ).otherwise(0).alias("is_stop"),
+        )
+        w = Window.partitionBy("doc_id", "is_stop").orderBy("pos")
+        runs = (
+            toks.filter(F.col("is_stop") == 0)
+            .withColumn(
+                "grp", F.col("pos") - F.row_number().over(w)
+            )
+            .select("doc_id", "pos", "tok", "grp")
+            .transform(materialize)  # feeds phrases AND word stats
+        )
+        phrases = (
+            runs.groupBy("doc_id", "grp")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda x: x.tok,
+                    ),
+                    " ",
+                ).alias("phrase"),
+                F.count(F.lit(1)).cast("long").alias("plen"),
+            )
+            .transform(materialize)  # feeds word degrees AND scoring
+        )
+        words = (
+            runs.join(phrases, ["doc_id", "grp"])
+            .groupBy("tok")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("freq"),
+                F.sum("plen").cast("long").alias("deg"),
+            )
+            .select(
+                "tok",
+                F.expr("CAST(deg * 1000 div freq AS BIGINT)").alias("ws"),
+            )
+        )
+        wscores = words.select(
+            F.col("tok").alias("wtok"), "ws"
+        )
+        pscore = (
+            phrases.join(runs, ["doc_id", "grp"])
+            .join(F.broadcast(wscores), F.col("tok") == F.col("wtok"))
+            .groupBy("phrase")
+            .agg(
+                F.countDistinct(
+                    F.concat_ws("#", F.col("doc_id").cast("string"),
+                                F.col("grp").cast("string"))
+                ).cast("long").alias("n_occ"),
+                F.expr(
+                    "CAST(SUM(ws) div COUNT(DISTINCT"
+                    " concat_ws('#', CAST(doc_id AS STRING),"
+                    " CAST(grp AS STRING))) AS BIGINT)"
+                ).alias("score_permil"),
+            )
+        )
+        return global_topk(
+            pscore, [("score_permil", "desc"), ("phrase", "asc")], 10,
+            out="rnk",
+        ).select(
+            "phrase", "n_occ", "score_permil",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+
+
+_register_q405()

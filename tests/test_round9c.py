@@ -1178,3 +1178,54 @@ def test_q404_pure_python_recompute(spark):
     for lvl in (95, 99):
         assert got[lvl][3] >= got[lvl][2]
     assert got[99][2] >= got[95][2] and got[99][3] >= got[95][3]
+
+
+def test_q405_pure_python_rake_recompute(spark):
+    from etl_globalretail_spark.operators.text import LANG_STOPWORDS
+
+    stop = set(LANG_STOPWORDS["en"])
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    phrases: list[list[str]] = []
+    for _d, text in docs:
+        run: list[str] = []
+        for t in text.strip().split():
+            if t in stop:
+                if run:
+                    phrases.append(run)
+                run = []
+            else:
+                run.append(t)
+        if run:
+            phrases.append(run)
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for ph in phrases:
+        for w in ph:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(ph)
+    ws = {w: deg[w] * 1000 // freq[w] for w in freq}
+    agg: dict[str, list[int]] = {}
+    for ph in phrases:
+        key = " ".join(ph)
+        cell = agg.setdefault(key, [0, 0])
+        cell[0] += 1
+        cell[1] += sum(ws[w] for w in ph)
+    scored = sorted(
+        (-(tot // n), p, n) for p, (n, tot) in agg.items()
+    )
+    want = [
+        (p, n, -negs, i + 1) for i, (negs, p, n) in enumerate(scored[:10])
+    ]
+    got = sorted(
+        (r["phrase"], r["n_occ"], r["score_permil"], r["rnk"])
+        for r in ALL_QUERIES["q405_rake_keyphrases"](spark, SF).collect()
+    )
+    assert got == sorted(want)
+    # RAKE's defining behaviors: no phrase contains a stopword, and a
+    # word appearing only in long phrases outscores the same-frequency
+    # word living in short ones (degree dominates)
+    for p, _n, _s, _r in got:
+        assert not (set(p.split()) & stop)
+    assert ws == {w: deg[w] * 1000 // freq[w] for w in freq}
