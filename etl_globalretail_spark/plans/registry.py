@@ -97,9 +97,17 @@ _SHOWCASE = [
     # sweep and its oracle measured 0.7 s on this round's gate dry-run)
     "q200_curation_pipeline",
 ]
-# Round-9 additions past the 50-slot prefix (q368_dp_count_release, …)
-# are hash-verified by this round's local sf0.01 runs + per-query
-# pytests and LEAD the r10 rotation, per the standing convention.
+# Round-9 additions past the 50-slot prefix (q368–q405: DP release,
+# shard rebalance, schema evolution, Z-order, watermark probes, LSH
+# audits, DSIR-additive, TANE, pass@k, diversity census, MASE, then
+# the third-session tranche q385–q405 — Kaplan–Meier, Wilson ranking,
+# greedy max-coverage, Krippendorff's alpha, pinball eval, Simpson
+# audit, Good–Turing, isotonic/PAVA, permutation test, ACF, RFM,
+# Fellegi–Sunter, BH-FDR, curriculum order, hash-chain audit, Neyman
+# sampling, exact Shapley, burst Viterbi, quantile normalization,
+# VaR/ES, RAKE) are hash-verified by this round's local sf0.01 runs +
+# per-query pytests and LEAD the r10 rotation, per the standing
+# convention.
 
 assert set(_SHOWCASE) <= set(ALL_QUERIES), sorted(
     set(_SHOWCASE) - set(ALL_QUERIES)
