@@ -227,10 +227,14 @@ def q196_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Construction: source B is an md5-perturbed copy of customer (~20%
 # segment rotations, ~25% balance jitters — the deterministic-fake
-# convention); candidates are nation-blocked (true pairs share the
-# block by construction; at 100 TB the block key grows a name-suffix
-# so blocks stay bounded — nation-only is kept here so the u-estimates
-# see real non-match mass, the q23/q33 audit-tier stance). Fields:
+# convention); candidates are blocked on (nation, name-suffix) where
+# the suffix LENGTH is adaptive — max(0, decimal_digits(n) − 4) — so
+# blocks stay bounded (~≤400 rows/nation) at ANY corpus size while
+# gate SFs (n ≤ 10^4) keep the suffix empty and the u-estimates see
+# real non-match mass; true pairs share every block because B keeps
+# the name. The 10× rehearsal measured the nation-only form at ratio
+# 10.2 (quadratic-in-block); the adaptive key is the linear fix, not
+# a stated intention. Fields:
 # segment equality, balance BIT-LENGTH band, balance cents-mod-100.
 # m_f and u_f are estimated EXACTLY from the labeled candidate census
 # (same-key pairs are truth) — no EM needed when labels exist; weights
@@ -260,13 +264,18 @@ def _register_q396() -> None:
         "q396_fellegi_sunter",
         oracle=f"""
         WITH a AS MATERIALIZED (
-            SELECT c_custkey AS cust, c_nationkey AS nat,
+            SELECT c_custkey AS cust, c_nationkey AS nat, c_name AS nm,
                    c_mktsegment AS seg,
                    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
             FROM customer
         ),
+        sfx AS (
+            SELECT GREATEST(0, length(CAST(COUNT(*) AS VARCHAR)) - 4)
+                       AS k
+            FROM customer
+        ),
         b AS (
-            SELECT cust, nat,
+            SELECT cust, nat, nm,
                    CASE WHEN {h.format(salt='fss')} % 5 = 0
                         THEN ({segs_sql})[CAST({h.format(salt='fssv')} % 5
                                           AS INTEGER) + 1]
@@ -287,7 +296,10 @@ def _register_q396() -> None:
                    CAST(COUNT(*) AS BIGINT) AS n_pairs,
                    CAST(SUM(CASE WHEN a.cust = b.cust THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_true
-            FROM a JOIN b ON a.nat = b.nat
+            FROM a JOIN b
+              ON a.nat = b.nat
+             AND right(a.nm, (SELECT k FROM sfx))
+                 = right(b.nm, (SELECT k FROM sfx))
             GROUP BY 1, 2, 3
         ),
         tot AS (
@@ -355,9 +367,13 @@ def _register_q396() -> None:
         a = c.select(
             F.col("c_custkey").alias("cust"),
             F.col("c_nationkey").alias("nat"),
+            F.col("c_name").alias("nm"),
             F.col("c_mktsegment").alias("seg"),
             F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
         )
+        # adaptive block-suffix length: decimal_digits(n) − 4, so block
+        # size stays bounded at any corpus size (driver scalar, 1 value)
+        sfx = max(0, len(str(a.count())) - 4)
 
         def _h(salt: str, mod: int):
             return (
@@ -373,7 +389,7 @@ def _register_q396() -> None:
 
         segs_arr = F.array(*[F.lit(s) for s in _FS_SEGS])
         b = a.select(
-            "cust", "nat",
+            "cust", "nat", "nm",
             F.when(
                 _h("fss", 5) == 0,
                 F.element_at(segs_arr, (_h("fssv", 5) + 1).cast("int")),
@@ -383,18 +399,22 @@ def _register_q396() -> None:
                 F.col("cents") + _h("fsbv", 2000) - 1000,
             ).otherwise(F.col("cents")).alias("cents"),
         )
+        bk = F.concat_ws(
+            "|", F.col("nat").cast("string"),
+            F.expr(f"right(nm, {sfx})"),
+        )
         al = a.select(
-            "nat", F.col("cust").alias("cust_a"),
+            bk.alias("bk"), F.col("cust").alias("cust_a"),
             F.col("seg").alias("seg_a"), F.col("cents").alias("cents_a"),
         )
         bl_ = b.select(
-            "nat", F.col("cust").alias("cust_b"),
+            bk.alias("bk"), F.col("cust").alias("cust_b"),
             F.col("seg").alias("seg_b"), F.col("cents").alias("cents_b"),
         )
         band = "length(bin(abs({c}) + 1))"
         c100 = "(({c} % 100) + 100) % 100"
         census = (
-            al.join(bl_, "nat")
+            al.join(bl_, "bk")
             .select(
                 F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0)
                 .alias("seg_agree"),

@@ -1135,9 +1135,10 @@ _register_q373()
 #
 # Determinism: σ's sqrt is the ONLY non-integer step and it is
 # IEEE-correctly-rounded over an identical exactly-computed operand —
-# w_h = FLOOR(SQRT(N_h·ΣX² − (ΣX)²)) (the variance numerator; dollars
-# keep it inside int64 at gate SFs, the q217 widening applies beyond
-# ~10^18 — stated). Both engines floor the SAME double, so w_h is the
+# w_h = FLOOR(SQRT(N_h·ΣX² − (ΣX)²)) — the variance numerator is
+# computed in DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB
+# (int64 overflows past ~10^18; the 10× rehearsal proved it), and both
+# engines convert the same exact integer to double. Both engines floor the SAME double, so w_h is the
 # same BIGINT even where the floor sits on a rounding boundary.
 # Quotas are Hamilton largest-remainder over the ≤5-row stratum frame
 # (base = n·w div W, the n − Σbase leftover seats go to the largest
@@ -1225,16 +1226,21 @@ def _register_q400() -> None:
                 16, 10,
             ).cast("bigint").alias("hk"),
         ).transform(materialize)  # feeds the stratum agg AND the draw
+        # variance numerator widened to DECIMAL(38,0): N·ΣX² overflows
+        # int64 past ~10^18 (the 10× rehearsal hit it under ANSI mode);
+        # DuckDB's SUM(BIGINT) is already HUGEINT, so only this side
+        # widens — both engines then convert the SAME exact integer to
+        # double for the correctly-rounded sqrt.
         agg = base.groupBy("stratum").agg(
             F.count(F.lit(1)).cast("long").alias("n_h"),
-            F.floor(
-                F.sqrt(
-                    (
-                        F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
-                        - F.sum("x") * F.sum("x")
-                    ).cast("double")
-                )
-            ).cast("long").alias("w"),
+            F.expr(
+                "CAST(FLOOR(SQRT(CAST("
+                "CAST(COUNT(*) AS DECIMAL(38,0))"
+                " * SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))"
+                " - SUM(CAST(x AS DECIMAL(19,0)))"
+                "   * SUM(CAST(x AS DECIMAL(19,0)))"
+                " AS DOUBLE))) AS BIGINT)"
+            ).alias("w"),
         ).collect()  # ≤ 5 stratum rows — driver algebra (q343 class)
         tw = sum(r["w"] for r in agg)
         seats = [

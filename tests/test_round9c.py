@@ -634,25 +634,29 @@ def _fs_panel_from_scratch(sf=SF):
     rows = duckdb.sql(
         f"""
         SELECT c_custkey, c_nationkey, c_mktsegment,
-               CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT), c_name
         FROM '{sf}/customer.parquet'
         """
     ).fetchall()
+    sfx = max(0, len(str(len(rows))) - 4)  # the adaptive block suffix
     segs = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
             "MACHINERY")
-    a = [(int(c), int(n), s, int(v)) for c, n, s, v in rows]
+    a = [
+        (int(c), (int(n), nm[-sfx:] if sfx else ""), s, int(v))
+        for c, n, s, v, nm in rows
+    ]
     b = []
-    for c, n, s, v in a:
+    for c, blk, s, v in a:
         s2 = segs[_md5mod(f"{c}fssv", 5)] if _md5mod(f"{c}fss", 5) == 0 else s
         v2 = v + _md5mod(f"{c}fsbv", 2000) - 1000 \
             if _md5mod(f"{c}fsb", 4) == 0 else v
-        b.append((c, n, s2, v2))
-    by_nat: dict[int, list] = {}
+        b.append((c, blk, s2, v2))
+    by_nat: dict[tuple, list] = {}
     for rec in b:
         by_nat.setdefault(rec[1], []).append(rec)
     census: dict[tuple[int, int, int], list[int]] = {}
-    for c, n, s, v in a:
-        for c2, _n2, s2, v2 in by_nat.get(n, ()):
+    for c, blk, s, v in a:
+        for c2, _n2, s2, v2 in by_nat.get(blk, ()):
             key = (
                 int(s == s2),
                 int((abs(v) + 1).bit_length() == (abs(v2) + 1).bit_length()),
