@@ -10424,3 +10424,105 @@ def _register_q404() -> None:
 
 
 _register_q404()
+
+
+# ---------------------------------------------------------------------------
+# q406 — SIMPLE EXPONENTIAL SMOOTHING forecast (Brown 1956; the third
+# classical baseline family beside q384's naive/seasonal/MA and
+# q402's regime segmentation): level l_t = α·x_t + (1−α)·l_{t−1} with
+# α = 1/4 CLEARED — l_t = (x_t + 3·l_{t−1}) div 4, a truncating
+# integer fold both engines replay identically (the q385 recurrence
+# device; truncation bias < 1 count per step, stated). The forecast
+# for day t is l_{t−1}; the panel scores SES against q384's naive-1
+# on the SAME eval days (days 2..T), reporting Σ|e| and MAE.
+#
+# Weekly grain (the q402 lesson: recursive-CTE rounds cost wall time;
+# 345 weeks, not 2400 days). Seeded l_1 = x_1.
+#
+# Plan: one groupBy(week) corpus pass; the fold runs over ≤ span-weeks
+# driver rows; the oracle is a recursive CTE over the ROW_NUMBER
+# index. Output: one row per model with exact error sums.
+# ---------------------------------------------------------------------------
+
+
+def _register_q406() -> None:
+    @_register(
+        "q406_exponential_smoothing",
+        oracle="""
+        WITH RECURSIVE weekly AS MATERIALIZED (
+            SELECT date_diff('day', DATE '1970-01-05',
+                             CAST(o_orderdate AS DATE)) // 7 AS w,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        idx AS MATERIALIZED (
+            SELECT w, x, ROW_NUMBER() OVER (ORDER BY w) AS rn,
+                   LAG(x) OVER (ORDER BY w) AS prev_x
+            FROM weekly
+        ),
+        ses AS (
+            SELECT rn, x AS lvl, CAST(0 AS BIGINT) AS err
+            FROM idx WHERE rn = 1
+            UNION ALL
+            SELECT i.rn, (i.x + 3 * s.lvl) // 4,
+                   s.err + abs(i.x - s.lvl)
+            FROM ses s JOIN idx i ON i.rn = s.rn + 1
+        ),
+        fin AS (
+            SELECT MAX(err) AS ses_err,
+                   (SELECT COUNT(*) - 1 FROM weekly) AS n_eval
+            FROM ses
+        ),
+        naive AS (
+            SELECT CAST(SUM(abs(x - prev_x)) AS BIGINT) AS e
+            FROM idx WHERE prev_x IS NOT NULL
+        )
+        SELECT model, n_eval, sum_abs_err,
+               CAST(sum_abs_err * 1000 // n_eval AS BIGINT) AS mae_milli
+        FROM (
+            SELECT 'ses_q4' AS model, CAST(f.n_eval AS BIGINT) AS n_eval,
+                   CAST(f.ses_err AS BIGINT) AS sum_abs_err
+            FROM fin f
+            UNION ALL
+            SELECT 'naive1', CAST(f.n_eval AS BIGINT), n.e
+            FROM fin f CROSS JOIN naive n
+        )
+        """,
+    )
+    def q406_exponential_smoothing(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """SES (alpha = 1/4, truncating integer fold) vs naive-1 over
+        the weekly order series. See block comment."""
+        o = load_table(spark, "orders", sf_dir)
+        weekly = sorted(
+            (r["w"], r["x"])
+            for r in o.groupBy(
+                F.expr(
+                    "CAST(datediff(to_date(o_orderdate),"
+                    " DATE '1970-01-05') div 7 AS BIGINT)"
+                ).alias("w")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("x"))
+            .collect()  # bounded: ≤ span weeks (q385 driver class)
+        )
+        xs = [x for _, x in weekly]
+        lvl = xs[0]
+        ses_err = 0
+        naive_err = 0
+        for prev, x in zip(xs, xs[1:]):
+            ses_err += abs(x - lvl)
+            naive_err += abs(x - prev)
+            lvl = (x + 3 * lvl) // 4
+        n_eval = len(xs) - 1
+        out = [
+            ("ses_q4", n_eval, ses_err, ses_err * 1000 // n_eval),
+            ("naive1", n_eval, naive_err, naive_err * 1000 // n_eval),
+        ]
+        return spark.createDataFrame(
+            out,
+            "model string, n_eval long, sum_abs_err long, mae_milli long",
+        )
+
+
+_register_q406()

@@ -1233,3 +1233,43 @@ def test_q405_pure_python_rake_recompute(spark):
     for p, _n, _s, _r in got:
         assert not (set(p.split()) & stop)
     assert ws == {w: deg[w] * 1000 // freq[w] for w in freq}
+
+
+def test_q406_pure_python_recompute_and_smoothing_laws(spark):
+    weekly = sorted(
+        duckdb.sql(
+            f"""
+            SELECT date_diff('day', DATE '1970-01-05',
+                             CAST(o_orderdate AS DATE)) // 7, count(*)
+            FROM '{SF}/orders.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    )
+    xs = [int(x) for _, x in weekly]
+    lvl, ses_err, naive_err = xs[0], 0, 0
+    levels = [lvl]
+    for prev, x in zip(xs, xs[1:]):
+        ses_err += abs(x - lvl)
+        naive_err += abs(x - prev)
+        lvl = (x + 3 * lvl) // 4
+        levels.append(lvl)
+    n = len(xs) - 1
+    got = {
+        r["model"]: (r["n_eval"], r["sum_abs_err"], r["mae_milli"])
+        for r in ALL_QUERIES["q406_exponential_smoothing"](spark, SF)
+        .collect()
+    }
+    assert got == {
+        "ses_q4": (n, ses_err, ses_err * 1000 // n),
+        "naive1": (n, naive_err, naive_err * 1000 // n),
+    }
+    # smoothing law: the level always sits inside the running data
+    # envelope (a convex-combination fold, up to truncation dust)
+    lo, hi = min(xs), max(xs)
+    assert all(lo - 1 <= lv <= hi for lv in levels)
+    # constant-series fixpoint of the cleared-rational fold
+    c = 17
+    lv = c
+    for _ in range(10):
+        lv = (c + 3 * lv) // 4
+    assert lv == c
