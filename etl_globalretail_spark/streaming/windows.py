@@ -3786,3 +3786,170 @@ def q377_streaming_agg_enrich_exact(
         .select("window_start", "n_purchases", "purchase_checksum",
                 "prev_n_clicks", "prev_click_checksum")
     )
+
+
+# ---------------------------------------------------------------------------
+# q407 — STREAMING TAMPER-EVIDENT LEDGER (the streaming face of q399's
+# hash-chain audit; QLDB-style journals work exactly this way — each
+# committed batch extends per-shard chains whose heads attest the whole
+# history): the PURCHASE event stream, replayed through the standing
+# 3-wave mtime-ordered staging (q230's machinery), maintains 8 shard
+# chains (user_id mod 8 — deliberately INDEPENDENT of the event_id-mod
+# wave function, so every shard spans every batch and the carried-head
+# seeding is genuinely exercised on the gate) across REAL
+# micro-batches. Each batch extends every present
+# shard's chain — distributed (one applyInPandas group per shard, the
+# q399 kernel seeded with the carried head), with only the ≤8 heads on
+# the driver between batches (the q346 incremental-maintenance
+# pattern). The audit table is (batch, shard) → (rows folded, head
+# after) — what a verifier checks per commit.
+#
+# Determinism: batch order = wave order (mtime staging +
+# maxFilesPerTrigger=1, availableNow — house-proven); within a batch a
+# shard's rows fold in event_id order; digests are md5 over the typed
+# row fields. The oracle replays the identical fold as one recursive
+# CTE per shard over the (wave, event_id) total order, reading heads
+# at wave boundaries.
+# ---------------------------------------------------------------------------
+
+
+def _register_q407() -> None:
+    @_register(
+        "q407_streaming_ledger",
+        oracle="""
+        WITH RECURSIVE mx AS (SELECT MAX(ts) AS m FROM events),
+        base AS MATERIALIZED (
+            SELECT user_id % 8 AS shard,
+                   CASE WHEN event_id % 8 = 4 AND ts <> mx.m THEN 1
+                        WHEN event_id % 8 = 0 AND ts <> mx.m THEN 2
+                        ELSE 0 END AS wave,
+                   event_id,
+                   md5('led|' || CAST(event_id AS VARCHAR) || '|'
+                       || CAST(user_id AS VARCHAR) || '|' || event_type
+                       || '|' || CAST(CAST(FLOOR(value * 100) AS BIGINT)
+                                      AS VARCHAR)) AS digest
+            FROM events CROSS JOIN mx
+            WHERE event_type = 'purchase'
+        ),
+        idx AS MATERIALIZED (
+            SELECT shard, wave, event_id, digest,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY shard ORDER BY wave, event_id
+                   ) AS rn
+            FROM base
+        ),
+        chain AS (
+            SELECT shard, rn, wave, md5('genesis' || digest) AS h
+            FROM idx WHERE rn = 1
+            UNION ALL
+            SELECT i.shard, i.rn, i.wave, md5(c.h || i.digest)
+            FROM chain c JOIN idx i
+              ON i.shard = c.shard AND i.rn = c.rn + 1
+        ),
+        bounds AS MATERIALIZED (
+            SELECT shard, wave, MAX(rn) AS last_rn,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM idx GROUP BY shard, wave
+        )
+        SELECT CAST(b.wave AS BIGINT) AS batch_id,
+               CAST(b.shard AS BIGINT) AS shard,
+               b.n_rows,
+               c.h AS head
+        FROM bounds b
+        JOIN chain c ON c.shard = b.shard AND c.rn = b.last_rn
+        """,
+    )
+    def q407_streaming_ledger(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-(batch, shard) ledger heads over a real 3-micro-batch
+        purchase-stream replay. See block comment."""
+        import os
+        import tempfile
+
+        import pandas as pd
+
+        waves = stage_arrival_waves(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="q407_ledger_")
+        heads: dict[int, str] = {}
+        audit: list[tuple[int, int, int, str]] = []
+
+        def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+            b = (
+                batch_df.filter(F.col("event_type") == "purchase")
+                .select(
+                    (F.col("user_id") % 8).cast("long").alias("shard"),
+                    "event_id",
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit("led"),
+                            F.col("event_id").cast("string"),
+                            F.col("user_id").cast("string"),
+                            F.col("event_type"),
+                            F.floor(F.col("value") * 100).cast("long")
+                            .cast("string"),
+                        )
+                    ).alias("digest"),
+                )
+            )
+            if not heads:
+                seed_df = spark.createDataFrame(
+                    [(-1, "genesis")], "shard long, seed string"
+                )
+            else:
+                seed_df = spark.createDataFrame(
+                    [(s, h) for s, h in heads.items()],
+                    "shard long, seed string",
+                )
+            joined = b.join(F.broadcast(seed_df), "shard", "left")
+
+            def _chain(pdf: pd.DataFrame) -> pd.DataFrame:
+                import hashlib
+
+                pdf = pdf.sort_values("event_id")
+                seeds = pdf["seed"].dropna()
+                h = seeds.iloc[0] if len(seeds) else "genesis"
+                for d in pdf["digest"]:
+                    h = hashlib.md5((h + d).encode()).hexdigest()
+                return pd.DataFrame(
+                    {
+                        "shard": [int(pdf["shard"].iloc[0])],
+                        "n_rows": [len(pdf)],
+                        "head": [h],
+                    }
+                )
+
+            rows = (
+                joined.groupBy("shard")
+                .applyInPandas(
+                    _chain, "shard long, n_rows long, head string"
+                )
+                .collect()  # ≤ 8 shard heads per batch
+            )
+            for r in rows:
+                heads[r["shard"]] = r["head"]
+                audit.append(
+                    (batch_id, r["shard"], r["n_rows"], r["head"])
+                )
+
+        stream = (
+            spark.readStream.schema(waves.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves.directory)
+        )
+        with scoped_stream_partitions(
+            spark, table_rows(spark, "events", sf_dir)
+        ):
+            q = (
+                stream.writeStream.foreachBatch(fold_batch)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .start()
+            )
+            q.awaitTermination()
+        return spark.createDataFrame(
+            audit, "batch_id long, shard long, n_rows long, head string"
+        )
+
+
+_register_q407()

@@ -1273,3 +1273,58 @@ def test_q406_pure_python_recompute_and_smoothing_laws(spark):
     for _ in range(10):
         lv = (c + 3 * lv) // 4
     assert lv == c
+
+
+def test_q407_streaming_ledger_recompute(spark):
+    """Boundary heads match a from-scratch Python chain over the
+    (wave, event_id) order; every shard's chain EXTENDS across batches
+    (the carried-head seeding is load-bearing); row counts conserve."""
+    import hashlib
+
+    rows = duckdb.sql(
+        f"""
+        SELECT event_id, user_id, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT), ts
+        FROM '{SF}/events.parquet' WHERE event_type = 'purchase'
+        """
+    ).fetchall()
+    max_ts = duckdb.sql(
+        f"SELECT MAX(ts) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+
+    def wave(eid, ts):
+        if eid % 8 == 4 and ts != max_ts:
+            return 1
+        if eid % 8 == 0 and ts != max_ts:
+            return 2
+        return 0
+
+    per_shard: dict[int, list] = {}
+    for eid, uid, et, cents, ts in rows:
+        d = hashlib.md5(
+            f"led|{eid}|{uid}|{et}|{cents}".encode()
+        ).hexdigest()
+        per_shard.setdefault(int(uid) % 8, []).append(
+            (wave(int(eid), ts), int(eid), d)
+        )
+    want = {}
+    for s, lst in per_shard.items():
+        h = "genesis"
+        lst.sort()
+        counts: dict[int, int] = {}
+        for w, _eid, d in lst:
+            h = hashlib.md5((h + d).encode()).hexdigest()
+            counts[w] = counts.get(w, 0) + 1
+            want[(w, s)] = (counts[w], h)
+    got = {
+        (r["batch_id"], r["shard"]): (r["n_rows"], r["head"])
+        for r in ALL_QUERIES["q407_streaming_ledger"](spark, SF).collect()
+    }
+    assert got == want
+    # every shard appears in all 3 batches, heads all distinct
+    shards = {s for _b, s in got}
+    for s in shards:
+        bs = [b for b, s2 in got if s2 == s]
+        assert sorted(bs) == [0, 1, 2]
+    assert len({h for _n, h in got.values()}) == len(got)
+    assert sum(n for n, _h in got.values()) == len(rows)
