@@ -2878,3 +2878,111 @@ def _register_q380() -> None:
 
 
 _register_q380()
+
+
+# ---------------------------------------------------------------------------
+# q408 — CROSS-SOURCE CONTAMINATION MATRIX (the source×source n-gram
+# overlap audit: Dodge et al. 2021 ran exactly this between C4 and
+# benchmark suites; here it runs across ALL corpus sources pairwise —
+# the release-gate read for "which feeds duplicate each other", one
+# level up from q87/q312's train-vs-test checks and the dedup tiers'
+# doc-vs-doc joins). 5-gram shingle types: at this corpus's vocabulary
+# the 190-pair matrix is non-trivially sparse (32 pairs share any
+# 5-gram, intersections 1–143 — the contamination signal shape;
+# 3-grams saturate all 190 pairs, measured).
+#
+# Exact contract: |A∩B| at shingle-TYPE grain from ONE distinct
+# (shingle, source) frame self-joined on the shingle with src_a <
+# src_b — per-shingle fanout bounded by C(|sources|,2); per-source
+# type counts broadcast back; jaccard_permil = i·1000 div (n_a+n_b−i),
+# one truncation. Only overlapping pairs are emitted (the clean pairs
+# are the silent majority by design — stated, not hidden: 190 − rows
+# = clean pairs).
+#
+# Plan: one shingle explode+distinct (the only corpus shuffle), one
+# self-equi-join on the shingle, a ≤C(20,2)-row census.
+# ---------------------------------------------------------------------------
+
+
+def _register_q408() -> None:
+    _k = 5
+
+    @_register(
+        "q408_source_contamination_matrix",
+        oracle=f"""
+        WITH d AS (
+            SELECT source,
+                   regexp_split_to_array(trim(text), '\\s+') AS __t
+            FROM documents
+        ),
+        sh AS MATERIALIZED (
+            SELECT DISTINCT source, unnest({_sql_shingles(_k)}) AS s
+            FROM d
+        ),
+        per AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM sh GROUP BY source
+        ),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT i.src_a, i.src_b, i.n_shared,
+               pa.n AS n_a, pb.n AS n_b,
+               CAST(i.n_shared * 1000
+                    // (pa.n + pb.n - i.n_shared) AS BIGINT)
+                   AS jaccard_permil
+        FROM inter i
+        JOIN per pa ON pa.source = i.src_a
+        JOIN per pb ON pb.source = i.src_b
+        """,
+    )
+    def q408_source_contamination_matrix(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Pairwise 5-gram overlap + Jaccard between sources; only
+        contaminated pairs emitted. See block comment."""
+        from etl_globalretail_spark.sources.artifacts import materialize
+
+        d = load_table(spark, "documents", sf_dir)
+        sh = (
+            d.select(
+                "source",
+                F.explode(
+                    word_shingles(F.col("text"), k=_k)
+                ).alias("s"),
+            )
+            .distinct()
+            .transform(materialize)  # feeds per-source counts AND join
+        )
+        per = sh.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        a = sh.select(F.col("source").alias("src_a"), "s")
+        b = sh.select(F.col("source").alias("src_b"), "s")
+        inter = (
+            a.join(b, "s")
+            .filter(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        )
+        pa = per.select(F.col("source").alias("src_a"),
+                        F.col("n").alias("n_a"))
+        pb = per.select(F.col("source").alias("src_b"),
+                        F.col("n").alias("n_b"))
+        return (
+            inter.join(F.broadcast(pa), "src_a")
+            .join(F.broadcast(pb), "src_b")
+            .select(
+                "src_a", "src_b", "n_shared", "n_a", "n_b",
+                F.expr(
+                    "CAST(n_shared * 1000 div (n_a + n_b - n_shared)"
+                    " AS BIGINT)"
+                ).alias("jaccard_permil"),
+            )
+        )
+
+
+_register_q408()

@@ -1328,3 +1328,40 @@ def test_q407_streaming_ledger_recompute(spark):
         assert sorted(bs) == [0, 1, 2]
     assert len({h for _n, h in got.values()}) == len(got)
     assert sum(n for n, _h in got.values()) == len(rows)
+
+
+def test_q408_pure_python_recompute(spark):
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    per: dict[str, set] = {}
+    for src, text in docs:
+        toks = text.strip().split()
+        s = per.setdefault(src, set())
+        for i in range(len(toks) - 4):
+            s.add(" ".join(toks[i:i + 5]))
+    want = {}
+    srcs = sorted(per)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(per[a] & per[b])
+            if inter:
+                na, nb = len(per[a]), len(per[b])
+                want[(a, b)] = (
+                    inter, na, nb, inter * 1000 // (na + nb - inter)
+                )
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_shared"], r["n_a"], r["n_b"],
+                                   r["jaccard_permil"])
+        for r in ALL_QUERIES["q408_source_contamination_matrix"](
+            spark, SF
+        ).collect()
+    }
+    assert got == want
+    # the audit's useful shape: strictly fewer than all pairs overlap
+    # (clean pairs exist), and jaccard is a valid similarity
+    n_src = len(srcs)
+    assert 0 < len(got) < n_src * (n_src - 1) // 2
+    for inter, na, nb, j in got.values():
+        assert 0 < inter <= min(na, nb)
+        assert 0 <= j <= 1000  # permil truncation can floor tiny overlaps
