@@ -1341,7 +1341,7 @@ def test_q408_pure_python_recompute(spark):
         for i in range(len(toks) - 4):
             s.add(" ".join(toks[i:i + 5]))
     want = {}
-    srcs = sorted(per)
+    srcs = sorted(per, key=lambda x: int(x[3:]))  # numeric source order
     for i, a in enumerate(srcs):
         for b in srcs[i + 1:]:
             inter = len(per[a] & per[b])
