@@ -10526,3 +10526,84 @@ def _register_q406() -> None:
 
 
 _register_q406()
+
+
+# ---------------------------------------------------------------------------
+# q409 — DAY-OF-WEEK SEASONAL INDEX (the ratio-to-overall decomposition
+# read on every ops dashboard, and classical decomposition's seasonal
+# component at weekly period — completing the series suite: q394
+# diagnoses, q384/q389/q406 forecast, q402 segments, this PROFILES):
+# for each day-of-week, how does its mean daily order count compare to
+# the overall mean daily count?
+#
+# Exact contract: means are never divided — the index is ONE
+# cross-multiplied truncation, idx_permil = S_d·D·1000 div (D_d·S)
+# (S_d = orders on that dow, D_d = #days of that dow, S/D = overall).
+# The cookbook's dayofweek trap is exercised head-on: Spark's
+# dayofweek() is 1-based (Sun=1), DuckDB's is 0-based (Sun=0) — the
+# oracle offsets by +1 so both emit the Spark convention.
+#
+# Plan: one groupBy(day) corpus pass → ≤7-row dow aggregate; (S, D)
+# fold in as driver literals.
+# ---------------------------------------------------------------------------
+
+
+def _register_q409() -> None:
+    @_register(
+        "q409_dow_seasonal_index",
+        oracle="""
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS nd
+            FROM daily
+        ),
+        dow AS (
+            SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(x) AS BIGINT) AS n_orders
+            FROM daily GROUP BY 1
+        )
+        SELECT w.dow, w.n_days, w.n_orders,
+               CAST(w.n_orders * t.nd * 1000 // (w.n_days * t.s)
+                    AS BIGINT) AS index_permil
+        FROM dow w CROSS JOIN tot t
+        """,
+    )
+    def q409_dow_seasonal_index(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-day-of-week order-rate index vs the overall daily mean,
+        one cross-multiplied truncation. See block comment."""
+        o = load_table(spark, "orders", sf_dir)
+        daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+            F.count(F.lit(1)).cast("long").alias("x")
+        ).transform(materialize)  # feeds totals AND the dow rollup
+        tot = daily.agg(
+            F.sum("x").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("nd"),
+        ).collect()[0]  # 1-row corpus scalars — literal fold
+        s, nd = int(tot["s"]), int(tot["nd"])
+        return (
+            daily.groupBy(
+                F.dayofweek("d").cast("long").alias("dow")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_days"),
+                F.sum("x").cast("long").alias("n_orders"),
+            )
+            .select(
+                "dow", "n_days", "n_orders",
+                F.expr(
+                    f"CAST(n_orders * {nd}L * 1000"
+                    f" div (n_days * {s}L) AS BIGINT)"
+                ).alias("index_permil"),
+            )
+        )
+
+
+_register_q409()

