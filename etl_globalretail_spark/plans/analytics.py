@@ -10607,3 +10607,142 @@ def _register_q409() -> None:
 
 
 _register_q409()
+
+
+# ---------------------------------------------------------------------------
+# q410 — DIFFERENCE-IN-DIFFERENCES (Card & Krueger 1994 made it the
+# workhorse of applied causal inference; the third leg of this repo's
+# experimentation stack — q357 CUPED reduces variance, q393/q397 test
+# significance, THIS estimates a treatment effect under the parallel-
+# trends assumption): did BUILDING-segment customers' mean order value
+# move differently from MACHINERY's between 1995 (pre) and 1996
+# (post)?
+#
+#     DiD = (m_treat,post − m_treat,pre) − (m_ctrl,post − m_ctrl,pre)
+#
+# Exact contract: the four cell means are never materialized as
+# floats — DiD is ONE truncation of the exact rational
+#     1e6·(S_tp·D/n_tp − S_tr·D/n_tr − S_cp·D/n_cp + S_cr·D/n_cr) / D,
+# D = Π n, computed in driver Python ints (arbitrary precision) on the
+# Spark side and HUGEINT-cast products in the oracle — int64 dies at
+# ~1e21 here, the q400 lesson applied preemptively. Per-cell milli-
+# cent means ride along as separate single truncations (display tier).
+#
+# Plan: one fact⨝dim scan → 4-cell aggregate (driver algebra, q343
+# class). Sign-correct truncation toward zero in both engines.
+# ---------------------------------------------------------------------------
+
+
+def _register_q410() -> None:
+    @_register(
+        "q410_difference_in_differences",
+        oracle="""
+        WITH cells AS MATERIALIZED (
+            SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 'treat'
+                        ELSE 'ctrl' END AS grp,
+                   CASE WHEN EXTRACT(year FROM o.o_orderdate) = 1996
+                        THEN 'post' ELSE 'pre' END AS period,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(FLOOR(o.o_totalprice * 100)) AS BIGINT) AS s
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+              AND EXTRACT(year FROM o.o_orderdate) IN (1995, 1996)
+            GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT
+                MAX(CASE WHEN grp='treat' AND period='post' THEN n END)
+                    AS n_tp,
+                MAX(CASE WHEN grp='treat' AND period='post' THEN s END)
+                    AS s_tp,
+                MAX(CASE WHEN grp='treat' AND period='pre' THEN n END)
+                    AS n_tr,
+                MAX(CASE WHEN grp='treat' AND period='pre' THEN s END)
+                    AS s_tr,
+                MAX(CASE WHEN grp='ctrl' AND period='post' THEN n END)
+                    AS n_cp,
+                MAX(CASE WHEN grp='ctrl' AND period='post' THEN s END)
+                    AS s_cp,
+                MAX(CASE WHEN grp='ctrl' AND period='pre' THEN n END)
+                    AS n_cr,
+                MAX(CASE WHEN grp='ctrl' AND period='pre' THEN s END)
+                    AS s_cr
+            FROM cells
+        ),
+        f AS (
+            SELECT *,
+                   CAST(n_tp AS HUGEINT) * n_tr * n_cp * n_cr AS d,
+                   1000000 * (
+                       CAST(s_tp AS HUGEINT) * n_tr * n_cp * n_cr
+                       - CAST(s_tr AS HUGEINT) * n_tp * n_cp * n_cr
+                       - CAST(s_cp AS HUGEINT) * n_tp * n_tr * n_cr
+                       + CAST(s_cr AS HUGEINT) * n_tp * n_tr * n_cp
+                   ) AS num
+            FROM w
+        )
+        SELECT n_tp, n_tr, n_cp, n_cr,
+               CAST(s_tp * 1000 // n_tp AS BIGINT) AS m_tp_milli,
+               CAST(s_tr * 1000 // n_tr AS BIGINT) AS m_tr_milli,
+               CAST(s_cp * 1000 // n_cp AS BIGINT) AS m_cp_milli,
+               CAST(s_cr * 1000 // n_cr AS BIGINT) AS m_cr_milli,
+               CAST(num // d AS BIGINT) AS did_micro_cents
+        FROM f
+        """,
+    )
+    def q410_difference_in_differences(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Exact single-truncation DiD of mean order value, BUILDING vs
+        MACHINERY across 1995→1996. See block comment."""
+        o = load_table(spark, "orders", sf_dir)
+        c = load_table(spark, "customer", sf_dir)
+        yr = F.year("o_orderdate")
+        cells = {
+            (r["grp"], r["period"]): (r["n"], r["s"])
+            for r in (
+                o.filter(yr.isin(1995, 1996))
+                .join(c, o.o_custkey == c.c_custkey)
+                .filter(
+                    F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+                )
+                .groupBy(
+                    F.when(F.col("c_mktsegment") == "BUILDING", "treat")
+                    .otherwise("ctrl").alias("grp"),
+                    F.when(yr == 1996, "post").otherwise("pre")
+                    .alias("period"),
+                )
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum(F.floor(F.col("o_totalprice") * 100))
+                    .cast("long").alias("s"),
+                )
+                .collect()  # exactly 4 cells — driver algebra
+            )
+        }
+        n_tp, s_tp = cells[("treat", "post")]
+        n_tr, s_tr = cells[("treat", "pre")]
+        n_cp, s_cp = cells[("ctrl", "post")]
+        n_cr, s_cr = cells[("ctrl", "pre")]
+        d = n_tp * n_tr * n_cp * n_cr
+        num = 1_000_000 * (
+            s_tp * n_tr * n_cp * n_cr
+            - s_tr * n_tp * n_cp * n_cr
+            - s_cp * n_tp * n_tr * n_cr
+            + s_cr * n_tp * n_tr * n_cp
+        )
+        did = abs(num) // d * (1 if num >= 0 else -1)  # trunc toward 0
+        row = (
+            n_tp, n_tr, n_cp, n_cr,
+            s_tp * 1000 // n_tp, s_tr * 1000 // n_tr,
+            s_cp * 1000 // n_cp, s_cr * 1000 // n_cr,
+            did,
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_tp long, n_tr long, n_cp long, n_cr long,"
+            " m_tp_milli long, m_tr_milli long, m_cp_milli long,"
+            " m_cr_milli long, did_micro_cents long",
+        )
+
+
+_register_q410()

@@ -1397,3 +1397,58 @@ def test_q409_pure_python_recompute(spark):
     assert sum(v[0] for v in got.values()) == nd
     assert sum(v[1] for v in got.values()) == s
     assert set(got) <= set(range(1, 8))
+
+
+def test_q410_pure_python_recompute_and_did_laws(spark):
+    from fractions import Fraction
+
+    rows = duckdb.sql(
+        f"""
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 'treat'
+                    ELSE 'ctrl' END,
+               CASE WHEN EXTRACT(year FROM o.o_orderdate) = 1996
+                    THEN 'post' ELSE 'pre' END,
+               count(*), CAST(SUM(FLOOR(o.o_totalprice * 100)) AS BIGINT)
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+          AND EXTRACT(year FROM o.o_orderdate) IN (1995, 1996)
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    cells = {(g, p): (int(n), int(s)) for g, p, n, s in rows}
+    m = {k: Fraction(s, n) for k, (n, s) in cells.items()}
+    did_exact = (
+        m[("treat", "post")] - m[("treat", "pre")]
+        - (m[("ctrl", "post")] - m[("ctrl", "pre")])
+    ) * 1_000_000
+    # truncate toward zero
+    did = int(did_exact) if did_exact >= 0 else -int(-did_exact)
+    got = ALL_QUERIES["q410_difference_in_differences"](
+        spark, SF
+    ).collect()[0]
+    assert (got["n_tp"], got["n_tr"], got["n_cp"], got["n_cr"]) == (
+        cells[("treat", "post")][0], cells[("treat", "pre")][0],
+        cells[("ctrl", "post")][0], cells[("ctrl", "pre")][0],
+    )
+    for col, key in (
+        ("m_tp_milli", ("treat", "post")), ("m_tr_milli", ("treat", "pre")),
+        ("m_cp_milli", ("ctrl", "post")), ("m_cr_milli", ("ctrl", "pre")),
+    ):
+        n, s = cells[key]
+        assert got[col] == s * 1000 // n
+    assert got["did_micro_cents"] == did
+    # DiD identities: swapping treat/ctrl flips the sign; equal trends
+    # on a constructed grid give exactly zero
+    def did_of(mm):
+        v = (mm["tp"] - mm["tr"] - (mm["cp"] - mm["cr"])) * 1_000_000
+        return int(v) if v >= 0 else -int(-v)
+
+    base = {"tp": Fraction(12), "tr": Fraction(10),
+            "cp": Fraction(8), "cr": Fraction(7)}
+    flipped = {"tp": base["cp"], "tr": base["cr"],
+               "cp": base["tp"], "cr": base["tr"]}
+    assert did_of(base) == -did_of(flipped)
+    parallel = {"tp": Fraction(15), "tr": Fraction(10),
+                "cp": Fraction(9), "cr": Fraction(4)}
+    assert did_of(parallel) == 0
