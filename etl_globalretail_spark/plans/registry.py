@@ -105,9 +105,11 @@ _SHOWCASE = [
 # audit, Good–Turing, isotonic/PAVA, permutation test, ACF, RFM,
 # Fellegi–Sunter, BH-FDR, curriculum order, hash-chain audit, Neyman
 # sampling, exact Shapley, burst Viterbi, quantile normalization,
-# VaR/ES, RAKE) are hash-verified by this round's local sf0.01 runs +
-# per-query pytests and LEAD the r10 rotation, per the standing
-# convention.
+# VaR/ES, RAKE, SES, the streaming ledger q407, the cross-source
+# contamination matrix q408, the day-of-week seasonal index q409 and
+# difference-in-differences q410) are hash-verified by this round's
+# local sf0.01 runs + per-query pytests and LEAD the r10 rotation,
+# per the standing convention.
 
 assert set(_SHOWCASE) <= set(ALL_QUERIES), sorted(
     set(_SHOWCASE) - set(ALL_QUERIES)
