@@ -10746,3 +10746,101 @@ def _register_q410() -> None:
 
 
 _register_q410()
+
+
+# ---------------------------------------------------------------------------
+# q411 — HERFINDAHL–HIRSCHMAN concentration INDEX (Herfindahl 1950 /
+# Hirschman 1945; the DOJ/FTC merger-review statistic, read directly
+# against their published 1500/2500 thresholds): per nation, how
+# concentrated is order revenue across that nation's customers?
+# Beside q175's Gini (inequality of the distribution) and q104's skew
+# profiler (top-k shares), HHI is the share-of-squares market measure
+# with REGULATORY cut points — so the panel also emits the DOJ class.
+#
+# Exact contract: shares are never divided — HHI in basis points is
+#     hhi_bp = Σ_i s_i² · 104 div S²  =  (Σ s_i²) · 10000 div S²
+# with s_i, S in floor-cents. s_i² and S² overflow int64 past ~3e9
+# cents (~$30 M per customer / per nation), so both sums run widened:
+# DECIMAL(38,0) per-term casts on the Spark side, HUGEINT casts in
+# DuckDB (the q400/q410 discipline). The 1/N lower bound rides along
+# (equal-share floor: 10000 div n).
+#
+# Plan: one fact scan → (nation, customer) grain → one re-aggregate to
+# the ≤25-nation panel; both aggregates map-side combinable.
+# ---------------------------------------------------------------------------
+
+
+def _register_q411() -> None:
+    @_register(
+        "q411_hhi_concentration",
+        oracle="""
+        WITH per_cust AS (
+            SELECT c.c_nationkey AS nat, o.o_custkey AS cust,
+                   CAST(SUM(FLOOR(o.o_totalprice * 100)) AS BIGINT) AS s
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        panel AS (
+            SELECT nat, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   SUM(CAST(s AS HUGEINT)) AS tot,
+                   SUM(CAST(s AS HUGEINT) * s) AS sumsq
+            FROM per_cust GROUP BY nat
+        )
+        SELECT CAST(nat AS BIGINT) AS nation, n_cust,
+               CAST(tot AS BIGINT) AS revenue_cents,
+               CAST(sumsq * 10000 // (tot * tot) AS BIGINT) AS hhi_bp,
+               CAST(10000 // n_cust AS BIGINT) AS floor_bp,
+               CASE WHEN sumsq * 10000 // (tot * tot) >= 2500
+                    THEN 'high'
+                    WHEN sumsq * 10000 // (tot * tot) >= 1500
+                    THEN 'moderate'
+                    ELSE 'unconcentrated' END AS doj_class
+        FROM panel
+        """,
+    )
+    def q411_hhi_concentration(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-nation customer-revenue HHI in basis points with the
+        DOJ classification and the equal-share floor. See block
+        comment."""
+        o = load_table(spark, "orders", sf_dir)
+        c = load_table(spark, "customer", sf_dir)
+        per_cust = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy(
+                F.col("c_nationkey").alias("nat"),
+                F.col("o_custkey").alias("cust"),
+            )
+            .agg(
+                F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long")
+                .alias("s")
+            )
+        )
+        panel = per_cust.groupBy("nat").agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum(F.col("s").cast("decimal(38,0)")).alias("tot"),
+            F.sum(
+                F.col("s").cast("decimal(19,0)")
+                * F.col("s").cast("decimal(19,0)")
+            ).alias("sumsq"),
+        )
+        return panel.select(
+            F.col("nat").cast("long").alias("nation"),
+            "n_cust",
+            F.col("tot").cast("long").alias("revenue_cents"),
+            F.expr(
+                "CAST(sumsq * 10000 div (tot * tot) AS BIGINT)"
+            ).alias("hhi_bp"),
+            F.expr("CAST(10000 div n_cust AS BIGINT)").alias("floor_bp"),
+            F.expr(
+                "CASE WHEN CAST(sumsq * 10000 div (tot * tot) AS BIGINT)"
+                " >= 2500 THEN 'high'"
+                " WHEN CAST(sumsq * 10000 div (tot * tot) AS BIGINT)"
+                " >= 1500 THEN 'moderate'"
+                " ELSE 'unconcentrated' END"
+            ).alias("doj_class"),
+        )
+
+
+_register_q411()

@@ -107,7 +107,8 @@ _SHOWCASE = [
 # sampling, exact Shapley, burst Viterbi, quantile normalization,
 # VaR/ES, RAKE, SES, the streaming ledger q407, the cross-source
 # contamination matrix q408, the day-of-week seasonal index q409 and
-# difference-in-differences q410) are hash-verified by this round's
+# difference-in-differences q410 and HHI concentration q411) are
+# hash-verified by this round's
 # local sf0.01 runs + per-query pytests and LEAD the r10 rotation,
 # per the standing convention.
 

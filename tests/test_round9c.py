@@ -1452,3 +1452,39 @@ def test_q410_pure_python_recompute_and_did_laws(spark):
     parallel = {"tp": Fraction(15), "tr": Fraction(10),
                 "cp": Fraction(9), "cr": Fraction(4)}
     assert did_of(parallel) == 0
+
+
+def test_q411_pure_python_recompute_and_hhi_laws(spark):
+    rows = duckdb.sql(
+        f"""
+        SELECT c.c_nationkey, o.o_custkey,
+               CAST(SUM(FLOOR(o.o_totalprice * 100)) AS BIGINT)
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    per: dict[int, list[int]] = {}
+    for nat, _cust, s in rows:
+        per.setdefault(int(nat), []).append(int(s))
+    want = {}
+    for nat, ss in per.items():
+        tot = sum(ss)
+        hhi = sum(x * x for x in ss) * 10000 // (tot * tot)
+        cls = ("high" if hhi >= 2500
+               else "moderate" if hhi >= 1500 else "unconcentrated")
+        want[nat] = (len(ss), tot, hhi, 10000 // len(ss), cls)
+    got = {
+        r["nation"]: (r["n_cust"], r["revenue_cents"], r["hhi_bp"],
+                      r["floor_bp"], r["doj_class"])
+        for r in ALL_QUERIES["q411_hhi_concentration"](spark, SF)
+        .collect()
+    }
+    assert got == want
+    # HHI bounds: equal-share floor <= hhi <= 10000 (monopoly); the
+    # floor is truncation-tight so allow the -1 quantization slack
+    for n_cust, _tot, hhi, floor_bp, _cls in got.values():
+        assert floor_bp - 1 <= hhi <= 10_000
+    # hand cases: monopoly = 10000; two equal firms = 5000
+    assert sum(x * x for x in [7]) * 10000 // 49 == 10_000
+    assert sum(x * x for x in [5, 5]) * 10000 // 100 == 5_000
