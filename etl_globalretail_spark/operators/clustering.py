@@ -208,65 +208,6 @@ def kmeans_fit(
         raw.unpersist()
 
 
-@_register(
-    "q74_kmeans",
-    # Shape-only oracle (VERDICT r7 item 8): the convergence trajectory
-    # (n_iter, inertia, cell sizes) depends on FP Lloyd iterations that
-    # no SQL replay reproduces, but the report's grain (exactly one
-    # summary row) and schema are fixed, and n_vectors is the exact
-    # corpus count — this SQL reproduces the shape so a driver sample
-    # records green rows_match/schema_match instead of `err: no_oracle`.
-    # The HASH tier for k-means is the quantized-integer twin q122
-    # (fixed-iteration Lloyd's, bit-exact cross-engine, hash-verified).
-    oracle="""
-    -- SHAPE-ONLY ORACLE: value columns are the engine's FP iteration
-    -- trajectory (n_cells/min/max/n_iter/inertia); row count and schema
-    -- are exact. Hash-exact twin: q122_kmeans_exact.
-    SELECT 'kmeans_k8' AS method,
-           CAST(8 AS BIGINT) AS n_cells,
-           CAST(0 AS BIGINT) AS min_sz,
-           CAST(0 AS BIGINT) AS max_sz,
-           CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           CAST(0 AS BIGINT) AS n_iter,
-           CAST(0.0 AS DOUBLE) AS inertia
-    FROM embeddings
-    """,
-)
-def q74_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means over the embeddings table (k=8): convergence round
-    count, inertia, and the cluster-size profile. Deterministic (hash-seeded
-    init, total-order argmin ties) so the rows-only check is stable."""
-    e = load_table(spark, "embeddings", sf_dir)
-    assigned, _centroids, n_iter, inertia = kmeans_fit(
-        e, "embedding", "vec_id", k=8, max_iter=15
-    )
-    try:
-        sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
-        prof = sizes.agg(
-            F.count(F.lit(1)).alias("n_cells"),
-            F.min("n").alias("min_sz"),
-            F.max("n").alias("max_sz"),
-            F.sum("n").alias("n_vectors"),
-        ).collect()[0]
-        return spark.createDataFrame(
-            [
-                (
-                    "kmeans_k8",
-                    int(prof.n_cells),
-                    int(prof.min_sz),
-                    int(prof.max_sz),
-                    int(prof.n_vectors),
-                    int(n_iter),
-                    round(inertia, 6),
-                )
-            ],
-            "method string, n_cells long, min_sz long, max_sz long, "
-            "n_vectors long, n_iter long, inertia double",
-        )
-    finally:
-        assigned.unpersist()
-
-
 # ---------------------------------------------------------------------------
 # Oracle-exact twin: fixed-iteration Lloyd's in quantized integer space.
 # ---------------------------------------------------------------------------
@@ -284,6 +225,101 @@ def _qvec(col: Column) -> Column:
     return F.transform(
         col, lambda x: F.floor(x.cast("double") * F.lit(_Q122_SCALE)).cast("long")
     )
+
+
+def _lattice_partials(cents: dict[int, list[int]]):
+    """Assign+reduce in ONE Arrow-batched kernel per Lloyd step over the
+    int64 lattice: numpy distances are bit-identical to a zip_with fold
+    (all values exact integers — (Δq)²·d ≤ 2.6e14 ≪ 2⁶³, any summation
+    order agrees), argmin's first-minimum over the ascending-cell
+    centroid matrix is the (dist, cell) tie-break, and the per-partition
+    partials merge driver-side in partition order. Shared by q122 (fixed
+    2 iterations) and q74 (run to convergence). Replaces ~1M interpreted
+    lambda evaluations per assign (3.6 s → ~1.5 s warm at sf0.1); the
+    oracles are unchanged by kernel choice (integer associativity)."""
+    import numpy as np
+
+    cell_ids = sorted(cents)
+    cmat = np.array([cents[c] for c in cell_ids], dtype=np.int64)
+    kk, dd = cmat.shape
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        S = np.zeros((kk, dd), dtype=np.int64)
+        N = np.zeros(kk, dtype=np.int64)
+        inert = np.zeros(kk, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["qv"]), dtype=np.int64)
+            diff = X[:, None, :] - cmat[None, :, :]
+            d2 = (diff * diff).sum(-1)
+            cells = np.argmin(d2, axis=1)
+            mind = d2[np.arange(len(cells)), cells]
+            for ci in range(kk):
+                m = cells == ci
+                if m.any():
+                    S[ci] += X[m].sum(axis=0)
+                    N[ci] += int(m.sum())
+                    inert[ci] += int(mind[m].sum())
+        live = [ci for ci in range(kk) if N[ci]]
+        yield pd.DataFrame(
+            {
+                "cell": pd.Series(
+                    [cell_ids[ci] for ci in live for _ in range(dd)],
+                    dtype="int64"),
+                "pos": pd.Series(
+                    [p for ci in live for p in range(dd)],
+                    dtype="int32"),
+                "s": pd.Series(
+                    [int(S[ci, p]) for ci in live
+                     for p in range(dd)], dtype="int64"),
+                "n": pd.Series(
+                    [int(N[ci]) for ci in live for _ in range(dd)],
+                    dtype="int64"),
+                "inertia": pd.Series(
+                    [int(inert[ci]) for ci in live
+                     for _ in range(dd)], dtype="int64"),
+            }
+        )
+
+    return fn
+
+
+def _lattice_merged(base, cents):
+    """One Lloyd step's partials, merged to driver dicts: per-cell
+    dimension sums S, populations N, and inertia vs the CURRENT
+    centroids. ≤ parts·k·d partial rows to the driver — the algorithm's
+    inherent sync point (documented bounded collect)."""
+    rows = base.mapInPandas(
+        _lattice_partials(cents),
+        schema="cell long, pos int, s long, n long, inertia long",
+    ).collect()
+    k_now = sorted(cents)
+    dd = len(next(iter(cents.values())))
+    S = {c: [0] * dd for c in k_now}
+    N = dict.fromkeys(k_now, 0)
+    inert = dict.fromkeys(k_now, 0)
+    for r in rows:
+        S[r.cell][r.pos] += r.s
+        if r.pos == 0:
+            N[r.cell] += r.n
+            inert[r.cell] += r.inertia
+    return S, N, inert
+
+
+def _lattice_update(cents, S, N):
+    """The integer centroid update: empty cells DIE (the documented
+    Lloyd variant), the mean is floor(Σq/n) on exactly-representable
+    doubles (Σq < 2⁵³) — bit-identical to DuckDB's FLOOR(SUM/COUNT)."""
+    import math
+
+    return {
+        c: [int(math.floor(S[c][p] / N[c])) for p in range(len(S[c]))]
+        for c in sorted(cents) if N[c]
+    }
 
 
 def _q122_oracle() -> str:
@@ -387,97 +423,11 @@ def q122_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             i: list(r["qv"]) for i, r in enumerate(init)
         }
 
-        import math
-
-        import numpy as np
-
-        # Assign+reduce in ONE Arrow-batched kernel per step: int64
-        # numpy distances are bit-identical to the former zip_with fold
-        # (all values exact integers — (Δq)²·d ≤ 2.6e14 ≪ 2⁶³, any
-        # summation order agrees), argmin's first-minimum over the
-        # ascending-cell centroid matrix is the (dist, cell) tie-break,
-        # and the per-partition partials merge driver-side in partition
-        # order. Replaces ~1M interpreted lambda evaluations per assign
-        # (3.6 s → ~1.5 s warm at sf0.1); the oracle is unchanged.
-        def _partials(cents: dict[int, list[int]]):
-            cell_ids = sorted(cents)
-            cmat = np.array(
-                [cents[c] for c in cell_ids], dtype=np.int64
-            )
-            kk, dd = cmat.shape
-
-            def fn(batches):
-                import numpy as np
-                import pandas as pd
-
-                S = np.zeros((kk, dd), dtype=np.int64)
-                N = np.zeros(kk, dtype=np.int64)
-                inert = np.zeros(kk, dtype=np.int64)
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    X = np.array(list(pdf["qv"]), dtype=np.int64)
-                    diff = X[:, None, :] - cmat[None, :, :]
-                    d2 = (diff * diff).sum(-1)
-                    cells = np.argmin(d2, axis=1)
-                    mind = d2[np.arange(len(cells)), cells]
-                    for ci in range(kk):
-                        m = cells == ci
-                        if m.any():
-                            S[ci] += X[m].sum(axis=0)
-                            N[ci] += int(m.sum())
-                            inert[ci] += int(mind[m].sum())
-                live = [ci for ci in range(kk) if N[ci]]
-                yield pd.DataFrame(
-                    {
-                        "cell": pd.Series(
-                            [cell_ids[ci] for ci in live for _ in range(dd)],
-                            dtype="int64"),
-                        "pos": pd.Series(
-                            [p for ci in live for p in range(dd)],
-                            dtype="int32"),
-                        "s": pd.Series(
-                            [int(S[ci, p]) for ci in live
-                             for p in range(dd)], dtype="int64"),
-                        "n": pd.Series(
-                            [int(N[ci]) for ci in live for _ in range(dd)],
-                            dtype="int64"),
-                        "inertia": pd.Series(
-                            [int(inert[ci]) for ci in live
-                             for _ in range(dd)], dtype="int64"),
-                    }
-                )
-
-            return fn
-
-        def _merged(cents):
-            rows = base.mapInPandas(
-                _partials(cents),
-                schema="cell long, pos int, s long, n long, inertia long",
-            ).collect()
-            k_now = sorted(cents)
-            dd = len(next(iter(cents.values())))
-            S = {c: [0] * dd for c in k_now}
-            N = dict.fromkeys(k_now, 0)
-            inert = dict.fromkeys(k_now, 0)
-            for r in rows:
-                S[r.cell][r.pos] += r.s
-                if r.pos == 0:
-                    N[r.cell] += r.n
-                    inert[r.cell] += r.inertia
-            return S, N, inert
-
         for _ in range(_Q122_ITERS - 1):
-            S, N, _ = _merged(centroids)
-            # empty cells DIE (the documented Lloyd variant); the mean is
-            # floor(Σq/n) on exactly-representable doubles (Σq < 2⁵³)
-            centroids = {
-                c: [int(math.floor(S[c][p] / N[c]))
-                    for p in range(len(S[c]))]
-                for c in sorted(centroids) if N[c]
-            }
+            S, N, _ = _lattice_merged(base, centroids)
+            centroids = _lattice_update(centroids, S, N)
 
-        _, N, inert = _merged(centroids)
+        _, N, inert = _lattice_merged(base, centroids)
         out_rows = [
             (c, int(N[c]), int(inert[c]), int(sum(centroids[c])))
             for c in sorted(centroids) if N[c]
@@ -485,6 +435,182 @@ def q122_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             out_rows,
             "cell long, n_vectors long, inertia_q long, centroid_sum long",
+        )
+    finally:
+        base.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# q74 — Lloyd's k-means run TO CONVERGENCE on the int64 lattice, with a
+# FULL exact oracle (VERDICT r9 item 7: the old q74 reported the FP
+# trajectory and could only ever be shape-only; the graded frame now
+# carries exclusively engine-portable integers, and the FP tier lives on
+# in the non-graded ``kmeans_fit`` production helper, pytest-pinned).
+#
+# Semantics: quantize floor(v·1e6) (the q122 lattice), init = the k
+# vectors with smallest (md5(vec_id), vec_id), then up to 15 rounds of
+# assign (int64 argmin, ties to the lower cell) → integer-floor centroid
+# update (empty cells die). Convergence = the centroid SET is unchanged
+# by a round (exact integer equality — no tolerance). n_iter = the first
+# converged round, else 15. The report is the corpus profile: cell
+# count, min/max population, total vectors, rounds, integer inertia.
+#
+# Oracle replay: the round recurrence is unrolled (a1..a15 / c1..c15,
+# each AS MATERIALIZED — the q212 multi-reference discipline: every c_r
+# feeds both a_{r+1} and its own eq_r check), eq_r compares c_r to
+# c_{r-1} by two-sided EXCEPT, n_iter = MIN(r | eq_r) else 15, and the
+# profile reads a15. Early-stop equivalence: once c_r == c_{r-1} every
+# later assign/update is stationary, so a15 ≡ a_{n_iter} — the Spark
+# side stops at n_iter and reports the SAME frame the full chain yields
+# (measured 1.7 s oracle at sf0.01).
+#
+# Scale notes: identical to q122 — centroids are k·d driver integers,
+# assignment is one Arrow-batched map pass (no vector shuffle), each
+# round's sync point is ≤ parts·k·d partial rows; rounds are driver-
+# sequenced (inherently sequential algorithm) against the ONE persisted
+# quantized scan.
+# ---------------------------------------------------------------------------
+
+_Q74_K = 8
+_Q74_MAX_ITERS = 15
+
+
+def _q74_oracle() -> str:
+    k, scale, R = _Q74_K, int(_Q122_SCALE), _Q74_MAX_ITERS
+    flat = f"""
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale})
+                    AS BIGINT) AS q
+        FROM embeddings
+    """
+
+    def assign(cfrm: str) -> str:
+        return f"""
+        SELECT vec_id, cell, dist FROM (
+            SELECT f.vec_id, c.cell,
+                   SUM((f.q - c.cq) * (f.q - c.cq)) AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY f.vec_id
+                       ORDER BY SUM((f.q - c.cq) * (f.q - c.cq)), c.cell
+                   ) AS rn
+            FROM flat f JOIN {cfrm} c ON f.pos = c.pos
+            GROUP BY f.vec_id, c.cell
+        ) WHERE rn = 1
+        """
+
+    def update(afrm: str) -> str:
+        return f"""
+        SELECT a.cell, f.pos,
+               CAST(FLOOR(CAST(SUM(f.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS cq
+        FROM {afrm} a JOIN flat f ON a.vec_id = f.vec_id
+        GROUP BY a.cell, f.pos
+        """
+
+    ctes = [
+        f"flat AS MATERIALIZED ({flat})",
+        f"""init AS (
+            SELECT vec_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS BIGINT) - 1 AS cell
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {k}
+        )""",
+        """c0 AS MATERIALIZED (
+            SELECT i.cell, f.pos, f.q AS cq
+            FROM init i JOIN flat f ON i.vec_id = f.vec_id
+        )""",
+    ]
+    for r in range(1, R + 1):
+        ctes.append(f"a{r} AS MATERIALIZED ({assign(f'c{r - 1}')})")
+        ctes.append(f"c{r} AS MATERIALIZED ({update(f'a{r}')})")
+    for r in range(1, R + 1):
+        ctes.append(f"""eq{r} AS (
+            SELECT COUNT(*) AS n FROM (
+                SELECT cell, pos, cq FROM c{r}
+                EXCEPT SELECT cell, pos, cq FROM c{r - 1}
+                UNION ALL
+                SELECT cell, pos, cq FROM c{r - 1}
+                EXCEPT SELECT cell, pos, cq FROM c{r}
+            )
+        )""")
+    rounds_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, n FROM eq{r}" for r in range(1, R + 1)
+    )
+    return f"""
+    WITH {','.join(ctes)},
+    ni AS (
+        SELECT COALESCE(MIN(r), {R}) AS n_iter
+        FROM ({rounds_union}) WHERE n = 0
+    ),
+    sizes AS (
+        SELECT cell, COUNT(*) AS n, CAST(SUM(dist) AS BIGINT) AS inert
+        FROM a{R} GROUP BY cell
+    )
+    SELECT 'kmeans_lattice_k8' AS method,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MIN(n) AS BIGINT) AS min_sz,
+           CAST(MAX(n) AS BIGINT) AS max_sz,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(MIN(ni.n_iter) AS BIGINT) AS n_iter,
+           CAST(SUM(inert) AS BIGINT) AS inertia_q
+    FROM sizes, ni
+    """
+
+
+@_register("q74_kmeans", oracle=_q74_oracle())
+def q74_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-capped Lloyd's k-means over the embeddings table
+    (k=8, ≤15 rounds) on the int64 lattice: the corpus-profile report
+    (cell count, min/max population, rounds to convergence, integer
+    inertia), hash-exact against DuckDB's unrolled-round replay. The FP
+    production variant stays available as ``kmeans_fit`` (non-graded,
+    pytest-pinned). See block comment."""
+    e = load_table(spark, "embeddings", sf_dir)
+    base = e.select(
+        "vec_id", _qvec(F.col("embedding")).alias("qv")
+    ).persist()
+    try:
+        init = (
+            base.orderBy(
+                F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+            )
+            .limit(_Q74_K)
+            .collect()
+        )
+        centroids: dict[int, list[int]] = {
+            i: list(r["qv"]) for i, r in enumerate(init)
+        }
+        n_iter = _Q74_MAX_ITERS
+        N: dict[int, int] = {}
+        inert: dict[int, int] = {}
+        for r in range(1, _Q74_MAX_ITERS + 1):
+            # partials vs c_{r-1} — these ARE round r's assignment a_r
+            S, N, inert = _lattice_merged(base, centroids)
+            new_centroids = _lattice_update(centroids, S, N)
+            if new_centroids == centroids:
+                n_iter = r
+                break
+            centroids = new_centroids
+        live = [c for c in sorted(N) if N[c]]
+        sizes = [N[c] for c in live]
+        return spark.createDataFrame(
+            [
+                (
+                    "kmeans_lattice_k8",
+                    len(live),
+                    min(sizes),
+                    max(sizes),
+                    sum(sizes),
+                    n_iter,
+                    sum(inert[c] for c in live),
+                )
+            ],
+            "method string, n_cells long, min_sz long, max_sz long, "
+            "n_vectors long, n_iter long, inertia_q long",
         )
     finally:
         base.unpersist()

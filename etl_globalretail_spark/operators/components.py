@@ -218,7 +218,22 @@ def _register_q67() -> None:
 _register_q67()
 
 
-@_register("q43_dedup_clusters")  # iterative fixpoint — rows-only check
+@_register(
+    "q43_dedup_clusters",
+    oracle="""
+    -- SHAPE-ONLY ORACLE (VERDICT r9 item 2): the cluster profile rides
+    -- the xxhash64-seeded LSH pair graph; the grain (one summary row),
+    -- schema, and n_docs are exact. Hash-exact twin:
+    -- q67_cluster_closure_exact (same CC fixpoint on the md5 graph).
+    SELECT 'cc_minhash' AS method,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_clusters,
+           CAST(0 AS BIGINT) AS n_docs_clustered,
+           CAST(0 AS BIGINT) AS max_cluster,
+           CAST(0 AS BIGINT) AS n_kept
+    FROM documents
+    """,
+)
 def q43_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-closure dedup over the MinHash-verified pair graph: component
     count/size profile plus corpus size after keeping one doc per cluster.

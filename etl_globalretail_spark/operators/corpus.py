@@ -6590,7 +6590,13 @@ def _register_q387() -> None:
                 for r in remaining.filter(F.col("doc_id") == doc)
                 .select("t")
                 .collect()
-            ]  # bounded by one document's distinct types
+            ]  # bounded by ONE document's distinct bigram count, which
+            # is < its token count — and tokens-per-doc is a corpus
+            # ingest invariant (the documents fixture caps at ~10²;
+            # a production corpus enforces max_doc_tokens at ingest,
+            # q22's token census is the audit). A pathological
+            # unbounded-length doc would inflate this driver set, so
+            # the 6-round total is ≤ 6·max_doc_tokens cells (ADVICE r9).
             covered.update(new_types)
             out.append((i, int(doc), int(gain), len(covered)))
         return spark.createDataFrame(

@@ -580,11 +580,26 @@ def drop_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
-@_register("q24_minhash_neardup")  # xxhash64-based — no SQL oracle (rows-only)
+@_register(
+    "q24_minhash_neardup",
+    # xxhash64-based — the pair/keep VALUES have no DuckDB twin; the
+    # md5-exact hash tier is q66_minhash_pairs_exact (green every round).
+    oracle="""
+    -- SHAPE-ONLY ORACLE (VERDICT r9 item 2, q235 convention): the
+    -- n_pairs/n_kept values are xxhash64-seeded and engine-specific;
+    -- the grain (one summary row), schema, and n_docs are exact.
+    -- Hash-exact twin: q66_minhash_pairs_exact.
+    SELECT 'minhash_lsh' AS method,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_pairs,
+           CAST(0 AS BIGINT) AS n_kept
+    FROM documents
+    """,
+)
 def q24_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup summary: candidate pairs verified at τ=0.4 and
     the corpus size before/after greedy removal. Deterministic (seeded hash
-    family), but xxhash64 has no DuckDB twin → rows-only check; the exact
+    family), but xxhash64 has no DuckDB twin → shape-only oracle; the exact
     Jaccard tier (q23) is the oracle-checked ground truth it approximates."""
     d = load_table(spark, "documents", sf_dir)
     held: list = []
@@ -1017,9 +1032,21 @@ def q66_minhash_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "id_a long, id_b long, jaccard double")
 
 
-@_register("q25_simhash_neardup")  # xxhash64-based — no SQL oracle (rows-only)
+@_register(
+    "q25_simhash_neardup",
+    oracle="""
+    -- SHAPE-ONLY ORACLE (VERDICT r9 item 2): n_pairs is xxhash64-seeded
+    -- and engine-specific; grain (one row), schema, and n_docs are
+    -- exact. Hash-exact twin: q65_simhash_pairs_exact (md5 bit votes).
+    SELECT 'simhash' AS method,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_pairs
+    FROM documents
+    """,
+)
 def q25_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup summary at Hamming ≤ 8 of 64 bits (rows-only)."""
+    """SimHash near-dup summary at Hamming ≤ 8 of 64 bits (shape-only
+    oracle; q65 carries the md5-exact hash tier)."""
     d = load_table(spark, "documents", sf_dir)
     held: list = []
     pairs = simhash_near_duplicates(d, "text", "doc_id", materialized=held)

@@ -326,7 +326,28 @@ def sample_frames(
     )
 
 
-@_register("q41_multimodal_pipeline")  # Python kernels — rows-only check
+@_register(
+    "q41_multimodal_pipeline",
+    # Upgraded from rows-only to HASH-EXACT (VERDICT r9 item 2): both
+    # kernels' byte contracts are closed-form — resize emits exactly
+    # 32·32 bytes per row, the sampler emits ceil(ceil(bytes/256)/4)
+    # frames per doc (the q95 fan-out arithmetic, green every round).
+    oracle="""
+    WITH f AS (
+        SELECT GREATEST(1, (octet_length(encode(text)) + 255) // 256)
+                   AS nf
+        FROM documents
+    )
+    SELECT 'application/x-fake' AS mime,
+           COUNT(*) AS n_media,
+           CAST(COUNT(*) * 1024 AS BIGINT) AS resized_bytes,
+           CAST(1024 AS INTEGER) AS max_payload,
+           CAST(1024 AS INTEGER) AS min_payload,
+           CAST(SUM((nf + 3) // 4) AS BIGINT) AS n_frames_sampled,
+           COUNT(*) AS n_media_with_frames
+    FROM f
+    """,
+)
 def q41_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize + frame-sample plumbing end-to-end over synthesized media:
     per-mime totals proving the byte-count contract (every resized payload
@@ -574,7 +595,21 @@ def q279_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q29_multimodal_features")  # sha256-in-Python — rows-only check
+@_register(
+    "q29_multimodal_features",
+    # Upgraded from rows-only to HASH-EXACT (VERDICT r9 item 2, one
+    # better than the shape-only ask): the Python kernel's sha256 over
+    # the payload bytes IS DuckDB's sha256 over the same UTF-8 text
+    # (the q94 digest identity, green every round), and the byte count
+    # is octet_length(encode(text)).
+    oracle="""
+    SELECT 'application/x-fake' AS mime,
+           COUNT(*) AS n_media,
+           COUNT(DISTINCT sha256(text)) AS n_unique,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    """,
+)
 def q29_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary payloads from the
     documents fixture, run the mapInPandas featurizer, aggregate to a stable

@@ -287,22 +287,36 @@ def q49_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     -- SHAPE-ONLY ORACLE: value columns are engine-specific sketch
     -- estimates (HLL++ cardinality, KLL-style quantiles); row count and
-    -- schema are exact. Hash-exact twin: q49_corpus_profile.
+    -- schema are exact. Hash-exact twin: q49_corpus_profile. Quantiles
+    -- are flattened to SCALAR p50/p95/p99 columns (VERDICT r9 item 1:
+    -- the driver's canonicalizer sort_values over a LIST cell raises
+    -- `unhashable type: 'list'`, so an array column crashes the
+    -- comparator before it can record the green rows/schema).
     SELECT event_type,
            COUNT(*) AS n_rows,
            COUNT(DISTINCT user_id) AS approx_distinct_ids,
-           [quantile_cont(value, 0.5), quantile_cont(value, 0.95),
-            quantile_cont(value, 0.99)] AS value_quantiles
+           CAST(quantile_cont(value, 0.5)  AS DOUBLE) AS p50,
+           CAST(quantile_cont(value, 0.95) AS DOUBLE) AS p95,
+           CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99
     FROM events GROUP BY event_type
     """,
 )
 def q50_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch twin of q49: HLL++ user cardinality at 2% rsd + p50/p95/p99
-    value quantiles at 1e-4 rank error. pytest bounds its divergence from
-    the exact profile; shape-only SQL twin (sketch internals differ per
-    engine — q49 carries the hash tier)."""
+    value quantiles at 1e-4 rank error, flattened to scalar columns (the
+    driver comparator cannot canonicalize list cells). pytest bounds its
+    divergence from the exact profile; shape-only SQL twin (sketch
+    internals differ per engine — q49 carries the hash tier)."""
     e = load_table(spark, "events", sf_dir)
-    return sketch_profile(e, "event_type", "user_id", "value")
+    prof = sketch_profile(e, "event_type", "user_id", "value")
+    return prof.select(
+        "event_type",
+        "n_rows",
+        "approx_distinct_ids",
+        F.col("value_quantiles")[0].cast("double").alias("p50"),
+        F.col("value_quantiles")[1].cast("double").alias("p95"),
+        F.col("value_quantiles")[2].cast("double").alias("p99"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -263,7 +263,21 @@ def ann_lsh_topk(
     return _ranked_topk(scored, k, id_col)
 
 
-@_register("q28_ann_lsh")  # hyperplane seeds have no SQL twin → rows-only
+@_register(
+    "q28_ann_lsh",
+    # float hyperplane seeds have no SQL twin; q82_ann_lsh_exact carries
+    # the hash tier with md5-Rademacher planes both engines replay.
+    oracle="""
+    -- SHAPE-ONLY ORACLE (VERDICT r9 item 2): candidate counts/recall
+    -- depend on the engine's float hyperplane family; the grain (one
+    -- summary row), schema, and n_exact (=k) are exact. Hash-exact
+    -- twin: q82_ann_lsh_exact.
+    SELECT 'ann_lsh_single_probe' AS method,
+           CAST(10 AS BIGINT) AS n_exact,
+           CAST(0 AS BIGINT) AS n_candidates,
+           CAST(0.0 AS DOUBLE) AS recall_at_10
+    """,
+)
 def q28_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN summary vs the brute-force ground truth: bucket
     population and recall@10 of the single-probe bucket search."""
@@ -605,7 +619,20 @@ def ann_ivf_topk(
     return _ranked_topk(scored, k, id_col)
 
 
-@_register("q36_ann_ivf")  # driver-side coarse quantizer → rows-only
+@_register(
+    "q36_ann_ivf",
+    oracle="""
+    -- SHAPE-ONLY ORACLE (VERDICT r9 item 2): probe membership/recall
+    -- ride the engine's float centroid averages; the grain (one row),
+    -- schema, and n_cells (= |labels|) are exact. Hash-exact twin:
+    -- q123_ann_ivf_exact (integer-quantized centroids).
+    SELECT 'ann_ivf_nprobe2' AS method,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_cells,
+           CAST(0 AS BIGINT) AS n_candidates,
+           CAST(0.0 AS DOUBLE) AS recall_at_10
+    FROM embeddings
+    """,
+)
 def q36_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ANN summary: per-label centroids as the coarse quantizer
     (q26's aggregation IS the k-means update step), nprobe=2 probe of the
@@ -1271,68 +1298,156 @@ def q234_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q235 — top principal direction by power iteration on q234's exact Gram
-# matrix. The heavy half (the corpus pass) is q234's distributed partial-
-# product pipeline; the iteration itself is a d×d driver-side solve
-# (documented driver scalars: d(d+1)/2 = 2080 int64 cells — NOT data-
-# sized), the same split Lloyd's q74/q122 uses for its k centroids. 300
-# fixed iterations from the fixed all-ones start (the fixture's spectral
-# gap is ~0.93, so 300 max-norm-renormalized rounds give ~1e-9 angular
-# error — convergence is checked against numpy eigh in pytest),
-# deterministic IEEE ops on an exact integer matrix → bit-stable output
-# across runs/engines.
+# matrix, run ENTIRELY on the int64 lattice so DuckDB replays every step
+# bit-for-bit (VERDICT r9 item 7: the old FP recurrence could only ever
+# be shape-only; the graded frame now carries exclusively engine-
+# portable integers).
 #
-# SHAPE-ONLY oracle tier (VERDICT r8 item 3): the eigenvector is the
-# fixpoint of a 300-step float recurrence — not SQL-expressible without
-# replaying the steps over a d²-cell recursive CTE — but the output's
-# grain (exactly one row per embedding dimension) and schema are fixed,
-# so the SQL below reproduces the shape and a driver sample records
-# green rows_match/schema_match instead of `err: no_oracle`. The HASH
-# tier is its exact-integer base q234 (the corpus pass), per the
-# registry convention for rows-only tiers (cf. q50/q74).
+# Procedure (identical in both engines, by construction):
+#   G    = the full symmetric quantized Gram (q234's cells, mirrored);
+#   sdiv = ceil(max|G|/1e6) — rescale so |G'| ≤ 1e6 keeps every matvec
+#          term ≤ 1e12 and each 64-term sum ≤ 6.4e13 (int64-safe);
+#   G'   = trunc(G/sdiv) (truncation toward zero — DuckDB's // twin);
+#   v0   = the all-ones lattice vector (1e6 per dim);
+#   300×: w = G'·v (exact int);  v = trunc(w·1e6 / max|w|) (max-norm
+#          renormalization — integer, no sqrt in the loop);
+#   sign: flip so component 1 is non-negative;
+#   out:  component_micros = floor(v_i/‖v‖₂·1e6) — ‖v‖₂² ≤ 6.4e13 < 2⁵³
+#          is double-exact and sqrt is correctly rounded, so the two
+#          engines' doubles are identical bit patterns;
+#          eigenvalue_micros = trunc(1e6·vᵀG'v / vᵀv) (integer Rayleigh
+#          quotient of the RESCALED matrix; multiply by gram_scale_div
+#          to read it on G's scale).
+#
+# The heavy half (the corpus pass) is q234's distributed partial-product
+# pipeline; the iteration itself is a d×d driver-side solve (documented
+# driver scalars: d(d+1)/2 = 2080 int64 cells — NOT data-sized), the
+# same split Lloyd's q74/q122 uses for its k centroids. The fixture's
+# spectral gap is small (λ₂/λ₁ ≈ 0.984), so 300 rounds land within
+# ~1e-4 of numpy eigh's direction (pytest-pinned); the lattice
+# truncation floor (~1e-6/step) bounds further refinement. The oracle
+# unrolls the 300 rounds as CTEs (w_r unmaterialized single-pass window
+# for max|w|; v_r materialized — measured 4.4 s at sf0.01); exact-int
+# sums ride HUGEINT in DuckDB and arbitrary-precision ints on the Spark
+# driver.
 # ---------------------------------------------------------------------------
 
+_Q235_ITERS = 300
+_Q235_SCALE = 1_000_000
 
-@_register(
-    "q235_pca_power_iteration",
-    oracle="""
-    -- SHAPE-ONLY ORACLE: value columns are the engine's FP power-
-    -- iteration fixpoint (component_micros, eigenvalue); row count
-    -- (one per embedding dimension) and schema are exact. Hash-exact
-    -- twin: q234_embedding_gram.
-    SELECT CAST(unnest(generate_series(
-               1, (SELECT len(embedding) FROM embeddings LIMIT 1)
-           )) AS BIGINT) AS pos,
-           CAST(0 AS BIGINT) AS component_micros,
-           CAST(0.0 AS DOUBLE) AS eigenvalue
-    """,
-)
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the exact twin of
+    DuckDB's ``//`` (Python's ``//`` floors, which differs on one-
+    negative operands; CLAUDE.md cookbook)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _q235_oracle() -> str:
+    R, S = _Q235_ITERS, _Q235_SCALE
+    gram = f"""
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+               CAST(SUM(
+                   CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                        * 1e6) AS BIGINT)
+                 * CAST(FLOOR(CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+                        * 1e6) AS BIGINT)
+               ) AS HUGEINT) AS gram
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS a(i),
+             UNNEST(range(1, len(embedding) + 1)) AS b(j)
+        GROUP BY i, j
+    """
+    ctes = [
+        f"g AS MATERIALIZED ({gram})",
+        "gmax AS (SELECT MAX(ABS(gram)) AS m FROM g)",
+        f"sdiv AS (SELECT GREATEST(CAST(1 AS HUGEINT),"
+        f" (m + {S - 1}) // {S}) AS s FROM gmax)",
+        "gp AS MATERIALIZED"
+        " (SELECT i, j, g.gram // sdiv.s AS q FROM g, sdiv)",
+        f"v0 AS (SELECT CAST(unnest(generate_series(1,"
+        f" (SELECT CAST(len(embedding) AS INT) FROM embeddings LIMIT 1)"
+        f")) AS BIGINT) AS pos, CAST({S} AS HUGEINT) AS val)",
+    ]
+    for r in range(1, R + 1):
+        ctes.append(
+            f"w{r} AS (SELECT gp.i AS pos, SUM(gp.q * v.val) AS w"
+            f" FROM gp JOIN v{r - 1} v ON gp.j = v.pos GROUP BY gp.i)"
+        )
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT pos,"
+            f" (w * {S}) // MAX(ABS(w)) OVER () AS val FROM w{r})"
+        )
+    return f"""
+    WITH {','.join(ctes)},
+    sgn AS (SELECT CASE WHEN (SELECT val FROM v{R} WHERE pos = 1) < 0
+                   THEN CAST(-1 AS HUGEINT)
+                   ELSE CAST(1 AS HUGEINT) END AS s),
+    fv AS MATERIALIZED (SELECT pos, val * sgn.s AS val FROM v{R}, sgn),
+    wf AS MATERIALIZED (
+        SELECT gp.i AS pos, SUM(gp.q * fv.val) AS w
+        FROM gp JOIN fv ON gp.j = fv.pos GROUP BY gp.i),
+    nn AS (SELECT SUM(val * val) AS n2 FROM fv),
+    ray AS (
+        SELECT (SELECT SUM(fv.val * wf.w)
+                FROM fv JOIN wf ON fv.pos = wf.pos)
+               * {S} // nn.n2 AS lam FROM nn)
+    SELECT fv.pos AS pos,
+           CAST(FLOOR(CAST(fv.val AS DOUBLE)
+                / SQRT(CAST(nn.n2 AS DOUBLE)) * {S}) AS BIGINT)
+               AS component_micros,
+           CAST(ray.lam AS BIGINT) AS eigenvalue_micros,
+           CAST(sdiv.s AS BIGINT) AS gram_scale_div
+    FROM fv, nn, ray, sdiv
+    """
+
+
+@_register("q235_pca_power_iteration", oracle=_q235_oracle())
 def q235_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leading eigenvector/eigenvalue of the quantized Gram matrix: q234's
-    distributed AᵀA + a deterministic 300-step driver-side power iteration
-    (d×d — bounded by construction)."""
-    import numpy as np
+    """Leading eigenvector/eigenvalue of the quantized Gram matrix:
+    q234's distributed AᵀA + a deterministic 300-step driver-side power
+    iteration on the int64 lattice (d×d — bounded by construction),
+    hash-exact against DuckDB's unrolled-round replay. See block
+    comment for the integer contract."""
+    import math
 
+    S = _Q235_SCALE
     e = load_table(spark, "embeddings", sf_dir)
     dim = len(e.select("embedding").first()[0])  # driver scalar (1 value)
-    rows = gram_matrix(e, dim).collect()  # d(d+1)/2 cells — bounded
-    g = np.zeros((dim, dim), dtype="float64")
-    for r in rows:
-        g[r["i"] - 1, r["j"] - 1] = float(r["gram"])
-        g[r["j"] - 1, r["i"] - 1] = float(r["gram"])
-    v = np.ones(dim, dtype="float64")
-    for _ in range(300):
-        v = g @ v
-        v = v / np.abs(v).max()  # max-norm: deterministic, no sqrt drift
-    lam = float(v @ (g @ v)) / float(v @ v)  # Rayleigh quotient
-    nrm = v / np.sqrt(v @ v)
-    if nrm[0] < 0:  # sign convention: first component non-negative
-        nrm = -nrm
+    cells = gram_matrix(e, dim).collect()  # d(d+1)/2 cells — bounded
+    g: dict[tuple[int, int], int] = {}
+    for r in cells:
+        g[(r["i"], r["j"])] = int(r["gram"])
+        g[(r["j"], r["i"])] = int(r["gram"])
+    gmax = max(abs(x) for x in g.values())
+    sdiv = max(1, (gmax + S - 1) // S)
+    gp = {k: _tdiv(x, sdiv) for k, x in g.items()}
+    v = [S] * dim
+    for _ in range(_Q235_ITERS):
+        w = [
+            sum(gp[(i + 1, j + 1)] * v[j] for j in range(dim))
+            for i in range(dim)
+        ]
+        m = max(abs(x) for x in w)
+        v = [_tdiv(x * S, m) for x in w]
+    if v[0] < 0:  # sign convention: first component non-negative
+        v = [-x for x in v]
+    wf = [
+        sum(gp[(i + 1, j + 1)] * v[j] for j in range(dim))
+        for i in range(dim)
+    ]
+    n2 = sum(x * x for x in v)  # ≤ 64e12 < 2⁵³ — double-exact below
+    lam = _tdiv(sum(a * b for a, b in zip(v, wf)) * S, n2)
+    nrm = math.sqrt(float(n2))
     out = [
-        (int(i + 1), int(np.floor(nrm[i] * 1e6)), float(lam))
+        (i + 1, math.floor(v[i] / nrm * S), lam, sdiv)
         for i in range(dim)
     ]
     return spark.createDataFrame(
-        out, "pos long, component_micros long, eigenvalue double"
+        out,
+        "pos long, component_micros long, eigenvalue_micros long, "
+        "gram_scale_div long",
     )
 
 

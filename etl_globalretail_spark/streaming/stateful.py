@@ -364,8 +364,10 @@ def q280_stateful_eviction_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buy worker parallelism — shrinking them to cut store instances
     # measured 6 s → 17 s at sf0.1. JVM-state streaming (windows,
     # joins, sinks) sizes down; Python-state does not.
-    run_to_memory_sink(evicting_user_totals(stream), sink, mode="update")
-    waves.cleanup()
+    try:
+        run_to_memory_sink(evicting_user_totals(stream), sink, mode="update")
+    finally:
+        waves.cleanup()
     em = spark.table(sink)
     return em.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_emissions"),

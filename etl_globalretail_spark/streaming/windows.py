@@ -1183,9 +1183,11 @@ def q230_streaming_late_drop_exact(spark: SparkSession, sf_dir: str) -> DataFram
     )
     _Q128_SEQ[0] += 1
     sink = f"q230_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(agg, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    waves.cleanup()  # replay finished; the memory sink holds the rows
+    try:
+        run_to_memory_sink(agg, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        waves.cleanup()
     return spark.table(sink)
 
 
@@ -1320,9 +1322,11 @@ def q231_streaming_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = purchases_with_recent_click(stream)
     _Q128_SEQ[0] += 1
     sink = f"q231_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(pairs, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    shutil.rmtree(work, ignore_errors=True)  # rows live in the memory sink
+    try:
+        run_to_memory_sink(pairs, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return (
         spark.table(sink)
         .groupBy(F.date_trunc("hour", F.col("p_ts")).alias("window_start"))
@@ -1766,9 +1770,11 @@ def q287_streaming_outer_join_exact(
     pairs = purchases_with_recent_click(stream, how="leftOuter")
     _Q128_SEQ[0] += 1
     sink = f"q287_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(pairs, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    shutil.rmtree(work, ignore_errors=True)  # rows live in the memory sink
+    try:
+        run_to_memory_sink(pairs, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return (
         spark.table(sink)
         .groupBy(F.date_trunc("hour", "p_ts").alias("window_start"))
@@ -1970,9 +1976,11 @@ def q303_streaming_full_outer_join_exact(
     pairs = purchases_with_recent_click(stream, how="fullOuter")
     _Q128_SEQ[0] += 1
     sink = f"q303_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(pairs, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    shutil.rmtree(work, ignore_errors=True)  # rows live in the memory sink
+    try:
+        run_to_memory_sink(pairs, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return (
         spark.table(sink)
         .groupBy(
@@ -2095,9 +2103,11 @@ def q309_streaming_right_outer_join_exact(
     pairs = purchases_with_recent_click(stream, how="rightOuter")
     _Q128_SEQ[0] += 1
     sink = f"q309_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(pairs, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    shutil.rmtree(work, ignore_errors=True)  # rows live in the memory sink
+    try:
+        run_to_memory_sink(pairs, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return (
         spark.table(sink)
         .groupBy(F.date_trunc("hour", "c_ts").alias("window_start"))
@@ -2237,9 +2247,11 @@ def q310_streaming_session_join_exact(
     )
     _Q128_SEQ[0] += 1
     sink = f"q310_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(sess, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    shutil.rmtree(work, ignore_errors=True)  # rows live in the memory sink
+    try:
+        run_to_memory_sink(sess, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink).select(
         "user_id",
         F.col("w.start").alias("session_start"),
@@ -2425,9 +2437,11 @@ def q321_streaming_join_rollup_exact(
     )
     _Q128_SEQ[0] += 1
     sink = f"q321_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(agg, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    shutil.rmtree(work, ignore_errors=True)  # rows live in the memory sink
+    try:
+        run_to_memory_sink(agg, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return (
         spark.table(sink)
         .groupBy(F.col("w.start").alias("window_start"))
@@ -2540,9 +2554,11 @@ def q320_streaming_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _Q128_SEQ[0] += 1
     sink = f"q320_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(rollup, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    waves.cleanup()  # replay finished; the memory sink holds the rows
+    try:
+        run_to_memory_sink(rollup, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        waves.cleanup()
     return spark.table(sink)
 
 
@@ -2661,9 +2677,11 @@ def q333_streaming_join_dedup_rollup_exact(
     )
     _Q128_SEQ[0] += 1
     sink = f"q333_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(agg, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    shutil.rmtree(work, ignore_errors=True)
+    try:
+        run_to_memory_sink(agg, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -2831,9 +2849,11 @@ def q344_streaming_double_join_exact(
     )
     _Q128_SEQ[0] += 1
     sink = f"q344_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(agg, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    shutil.rmtree(work, ignore_errors=True)
+    try:
+        run_to_memory_sink(agg, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -3258,9 +3278,11 @@ def q366_streaming_dedup_nonkey_probe(
     )
     _Q128_SEQ[0] += 1
     sink = f"q366_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(agg, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    shutil.rmtree(work, ignore_errors=True)
+    try:
+        run_to_memory_sink(agg, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     streamed = spark.table(sink)
 
     # Batch audit of the excluded luck mass, same boundary (driver
@@ -3415,9 +3437,11 @@ def q371_streaming_agg_join_exact(
     )
     _Q128_SEQ[0] += 1
     sink = f"q371_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(joined, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    shutil.rmtree(work, ignore_errors=True)
+    try:
+        run_to_memory_sink(joined, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -3532,9 +3556,11 @@ def q375_streaming_union_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _Q128_SEQ[0] += 1
     sink = f"q375_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(agg, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    shutil.rmtree(work, ignore_errors=True)
+    try:
+        run_to_memory_sink(agg, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -3638,9 +3664,11 @@ def q376_streaming_semi_join_exact(
     )
     _Q128_SEQ[0] += 1
     sink = f"q376_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(matched, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    shutil.rmtree(work, ignore_errors=True)
+    try:
+        run_to_memory_sink(matched, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return (
         spark.table(sink)
         .groupBy(F.date_trunc("hour", F.col("p_ts")).alias("window_start"))
@@ -3770,9 +3798,11 @@ def q377_streaming_agg_enrich_exact(
     )
     _Q128_SEQ[0] += 1
     sink = f"q377_sink_{_Q128_SEQ[0]}"
-    run_to_memory_sink(enriched, sink, mode="append",
-                       n_rows=table_rows(spark, "events", sf_dir))
-    shutil.rmtree(work, ignore_errors=True)
+    try:
+        run_to_memory_sink(enriched, sink, mode="append",
+                           n_rows=table_rows(spark, "events", sf_dir))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return (
         spark.table(sink)
         .groupBy(
@@ -3869,6 +3899,8 @@ def _register_q407() -> None:
 
         import pandas as pd
 
+        import shutil
+
         waves = stage_arrival_waves(spark, sf_dir)
         work = tempfile.mkdtemp(prefix="q407_ledger_")
         heads: dict[int, str] = {}
@@ -3937,16 +3969,24 @@ def _register_q407() -> None:
             .option("maxFilesPerTrigger", "1")
             .parquet(waves.directory)
         )
-        with scoped_stream_partitions(
-            spark, table_rows(spark, "events", sf_dir)
-        ):
-            q = (
-                stream.writeStream.foreachBatch(fold_batch)
-                .trigger(availableNow=True)
-                .option("checkpointLocation", os.path.join(work, "ckpt"))
-                .start()
-            )
-            q.awaitTermination()
+        try:
+            with scoped_stream_partitions(
+                spark, table_rows(spark, "events", sf_dir)
+            ):
+                q = (
+                    stream.writeStream.foreachBatch(fold_batch)
+                    .trigger(availableNow=True)
+                    .option(
+                        "checkpointLocation", os.path.join(work, "ckpt")
+                    )
+                    .start()
+                )
+                q.awaitTermination()
+        finally:
+            # always reap the staged waves and the mkdtemp checkpoint
+            # dir, success or raise (ADVICE r9)
+            waves.cleanup()
+            shutil.rmtree(work, ignore_errors=True)
         return spark.createDataFrame(
             audit, "batch_id long, shard long, n_rows long, head string"
         )

@@ -1,0 +1,142 @@
+"""Round-10 regression tier (VERDICT r9 items 1/2/4 + ADVICE r9).
+
+Pins, each against the defect the r9 verdict/advice named:
+- the q50 graded frame is LIST-FREE (the driver comparator's
+  ``sort_values`` canonicalizer raises ``unhashable type: 'list'`` on
+  any array cell — VERDICT r9 item 1);
+- every registered query now carries an oracle: zero rows-only gate
+  records are possible from here on (item 2);
+- the four latent-edge guards hold on constructed degenerate inputs
+  (item 4): empty staged wave, empty hash-Bernoulli sample, pe = 10^6
+  kappa denominator, and the q351 exact-audit value on a known corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_globalretail_spark.plans.registry import ALL_ORACLE, ALL_QUERIES
+from etl_globalretail_spark.schemas import TESTDATA_SCHEMAS
+
+
+def test_every_registered_query_has_an_oracle():
+    # VERDICT r9 item 2: the seven scale tiers were registered with NO
+    # oracle at all, so the driver could only record `err: no_oracle`.
+    # From round 10 every query ships SQL — hash-exact, or shape-only
+    # with the `-- SHAPE-ONLY` marker naming its hash twin.
+    missing = [name for name in ALL_QUERIES if name not in ALL_ORACLE]
+    assert missing == []
+
+
+def test_shape_only_oracles_lead_with_marker():
+    # check_oracle.py (and the registry convention) detect shape-only
+    # oracles by the LEADING marker; a marker buried mid-SQL silently
+    # downgrades to a value compare that can never pass.
+    for name in (
+        "q24_minhash_neardup", "q25_simhash_neardup", "q28_ann_lsh",
+        "q36_ann_ivf", "q43_dedup_clusters", "q50_sketch_profile",
+    ):
+        assert ALL_ORACLE[name].lstrip().startswith("-- SHAPE-ONLY"), name
+
+
+def test_q50_graded_frame_is_list_free(spark, sf_dir):
+    # VERDICT r9 item 1: an ArrayType column crashes the driver's
+    # canonicalizer before rows/schema can be recorded.
+    df = ALL_QUERIES["q50_sketch_profile"](spark, sf_dir)
+    for f in df.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), f"q50 column {f.name} is non-scalar: {f.dataType}"
+    cols = {f.name for f in df.schema.fields}
+    assert {"p50", "p95", "p99"} <= cols
+
+
+def test_stage_wave_file_empty_wave_raises(tmp_path):
+    # q344's staging guard (ADVICE r8, re-pinned r10): a wave predicate
+    # that selects no rows leaves no __wave=i directory, and the bare
+    # glob()[0] used to IndexError two frames deep.
+    from etl_globalretail_spark.streaming.windows import _stage_wave_file
+
+    tmp = tmp_path / "staged"
+    sdir = tmp_path / "stream"
+    os.makedirs(tmp / "__wave=0")
+    os.makedirs(sdir)
+    with pytest.raises(ValueError, match="wave 1 is empty"):
+        _stage_wave_file(str(tmp), str(sdir), 1)
+
+
+def _write_table(spark, sf_dir_tmp, name, rows):
+    df = spark.createDataFrame(rows, TESTDATA_SCHEMAS[name])
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir_tmp, f"{name}.parquet")
+    )
+
+
+def test_q345_empty_corpus_returns_empty_frame(spark, tmp_path):
+    # The empty-sample guard: on a 0-row lineitem the hash-Bernoulli
+    # sample is empty, the oracle's rn=pos join emits zero rows, and
+    # the Spark side must mirror that instead of KeyError-ing.
+    _write_table(spark, str(tmp_path), "lineitem", [])
+    df = ALL_QUERIES["q345_quantile_sketch"](spark, str(tmp_path))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "phi_ppm", "n_rows", "scale_s", "sample_n",
+        "est_cents", "count_lt", "count_le", "rank_err_ppm",
+    ]
+
+
+def test_q361_degenerate_single_class_kappa_zero(spark, tmp_path):
+    # The pe=10^6 denominator clamp: when label and prediction both put
+    # all mass in ONE class, po = pe = 10^6 and kappa must come out 0
+    # via max(1, 1e6 - pe) — not ZeroDivisionError. Two passes: first
+    # learn what the n-gram classifier predicts for a crafted text,
+    # then relabel every doc with that prediction and re-run.
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (i, text, "xx", "src", len(text)) for i in range(1, 9)
+    ]
+    # two distinct dirs: load_table memoizes the (sf_dir, table) plan
+    # per session, so pass 2 must not overwrite pass 1's files in place
+    d1, d2 = str(tmp_path / "pass1"), str(tmp_path / "pass2")
+    _write_table(spark, d1, "documents", docs)
+    from etl_globalretail_spark.operators.text import QUERIES as TEXT_QUERIES
+
+    cm = TEXT_QUERIES["q21_lang_id"](spark, d1).collect()
+    pred = cm[0]["lang_pred"]
+    assert all(r["lang_pred"] == pred for r in cm)  # one class only
+
+    docs = [(i, text, pred, "src", len(text)) for i in range(1, 9)]
+    _write_table(spark, d2, "documents", docs)
+    row = TEXT_QUERIES["q361_cohens_kappa"](spark, d2).collect()[0]
+    assert row["po_ppm"] == 1_000_000
+    assert row["pe_ppm"] == 1_000_000
+    assert row["kappa_ppm"] == 0
+
+
+def test_q351_exact_audit_on_known_corpus(spark, tmp_path):
+    # The widened Σ na·nb audit, checked against a hand-computed value:
+    # users 1/2 click {3,2} times and purchase {1,4} times, user 3 only
+    # clicks → exact join size = 3·1 + 2·4 = 11.
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user, n in ((1, 3), (2, 2), (3, 5)):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, ts, user, "click", 1.0, "{}"))
+    for user, n in ((1, 1), (2, 4)):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, ts, user, "purchase", 1.0, "{}"))
+    _write_table(spark, str(tmp_path), "events", rows)
+    row = ALL_QUERIES["q351_join_cardinality_estimate"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert row["exact_join"] == 11
+    assert row["n_a"] == 10 and row["n_b"] == 5
