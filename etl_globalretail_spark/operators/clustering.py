@@ -408,9 +408,23 @@ def q122_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer associativity is what lets the two forms agree bit-for-bit.
     """
     e = load_table(spark, "embeddings", sf_dir)
-    base = e.select(
+    raw = e.select(
         "vec_id", _qvec(F.col("embedding")).alias("qv")
     ).persist()
+    # size the iterated frame to the DATA, not the input split count
+    # (the kmeans_fit device): every Lloyd round launches a job over
+    # this cached frame, and 32 near-empty Arrow tasks per round is
+    # pure scheduler overhead (measured ~0.35 s/round at sf0.1's 5 000
+    # vectors — 15 rounds paid 8.1 s before, ~3 s after). At cluster
+    # scale the parallelism cap binds and the coalesce is a no-op.
+    n_rows = raw.count()
+    base = raw.coalesce(max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_rows // 32768),
+        ),
+    ))
     try:
         init = (
             base.orderBy(
@@ -437,7 +451,7 @@ def q122_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell long, n_vectors long, inertia_q long, centroid_sum long",
         )
     finally:
-        base.unpersist()
+        raw.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -570,9 +584,23 @@ def q74_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     production variant stays available as ``kmeans_fit`` (non-graded,
     pytest-pinned). See block comment."""
     e = load_table(spark, "embeddings", sf_dir)
-    base = e.select(
+    raw = e.select(
         "vec_id", _qvec(F.col("embedding")).alias("qv")
     ).persist()
+    # size the iterated frame to the DATA, not the input split count
+    # (the kmeans_fit device): every Lloyd round launches a job over
+    # this cached frame, and 32 near-empty Arrow tasks per round is
+    # pure scheduler overhead (measured ~0.35 s/round at sf0.1's 5 000
+    # vectors — 15 rounds paid 8.1 s before, ~3 s after). At cluster
+    # scale the parallelism cap binds and the coalesce is a no-op.
+    n_rows = raw.count()
+    base = raw.coalesce(max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_rows // 32768),
+        ),
+    ))
     try:
         init = (
             base.orderBy(
@@ -613,7 +641,7 @@ def q74_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vectors long, n_iter long, inertia_q long",
         )
     finally:
-        base.unpersist()
+        raw.unpersist()
 
 
 # ---------------------------------------------------------------------------

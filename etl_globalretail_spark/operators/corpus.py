@@ -7013,3 +7013,306 @@ def _register_q403() -> None:
 
 
 _register_q403()
+
+
+# ---------------------------------------------------------------------------
+# q412 — VARIABLE-LENGTH duplicated-span runs: the exact-substring dedup
+# rung the span family stopped short of (VERDICT r9 "what's missing" #3;
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better" — the suffix-array ExactSubstr pass, public). q139 scores
+# FIXED 5-word windows; this merges consecutive duplicated windows into
+# MAXIMAL runs, recovering the true variable length of every duplicated
+# region: a 50-token verbatim quote shows up as ONE run of 50 tokens
+# (46 consecutive windows), not as an undifferentiated "46 windows dup"
+# count. Per document: run count, the longest duplicated region's token
+# length, and the duplicated-window total (which must equal q139's
+# dup_spans — a built-in cross-family consistency check).
+#
+# Suffix arrays don't distribute; the equivalent relational form does:
+# a window is duplicated iff its 5-token md5 occurs in ≥2 documents
+# (q139's min≠max window over ONE hash-partitioned exchange), and a
+# maximal duplicated substring of length ≥ 5 is exactly a maximal run
+# of consecutive duplicated window positions (pos − row_number islands,
+# the gaps-and-islands device — the per-doc window is PARTITIONED).
+# Shuffles: spans on h, islands on doc — both carry (id, hash/pos)
+# pairs only, never text. The oracle replays the identical pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _register_q412() -> None:
+    from etl_globalretail_spark.operators.corpus import span_hashes
+
+    @_register(
+        "q412_dup_span_runs",
+        oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        dd AS (SELECT doc_id, len(toks) AS n_toks, toks FROM d),
+        pos AS (
+            SELECT doc_id, toks,
+                   unnest(range(1, CAST(n_toks AS BIGINT) - {_SPAN_K - 2}))
+                       AS i
+            FROM dd
+        ),
+        spans AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(
+                       toks[CAST(i AS BIGINT):CAST(i AS BIGINT)
+                            + {_SPAN_K - 1}],
+                       chr(31))) AS h
+            FROM pos
+        ),
+        flagged AS (
+            SELECT doc_id, i,
+                   CASE WHEN MIN(doc_id) OVER (PARTITION BY h)
+                             <> MAX(doc_id) OVER (PARTITION BY h)
+                        THEN 1 ELSE 0 END AS dup
+            FROM spans
+        ),
+        isl AS (
+            SELECT doc_id, i,
+                   i - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY i) AS grp
+            FROM flagged WHERE dup = 1
+        ),
+        runs AS (
+            SELECT doc_id, grp, COUNT(*) AS cnt
+            FROM isl GROUP BY doc_id, grp
+        ),
+        census AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_runs,
+                   MAX(cnt) + {_SPAN_K - 1} AS longest,
+                   SUM(cnt) AS dw
+            FROM runs GROUP BY doc_id
+        )
+        SELECT dd.doc_id,
+               CAST(COALESCE(c.n_runs, 0) AS BIGINT) AS n_runs,
+               CAST(COALESCE(c.longest, 0) AS BIGINT)
+                   AS longest_run_tokens,
+               CAST(COALESCE(c.dw, 0) AS BIGINT) AS dup_windows
+        FROM dd LEFT JOIN census c ON dd.doc_id = c.doc_id
+        """,
+    )
+    def q412_dup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Maximal variable-length duplicated-span runs per document
+        (exact-substring dedup, Lee et al. 2022 shape). See block
+        comment; dup_windows ≡ q139's dup_spans by construction."""
+        d = load_table(spark, "documents", sf_dir)
+        spans = d.select(
+            F.col("doc_id").alias("doc"),
+            F.posexplode(span_hashes(F.col("text"))).alias("pos0", "h"),
+        ).select("doc", (F.col("pos0") + 1).alias("i"), "h")
+        wh = Window.partitionBy("h")
+        dups = spans.select(
+            "doc", "i",
+            (F.min("doc").over(wh) != F.max("doc").over(wh))
+            .alias("dup"),
+        ).filter(F.col("dup"))
+        wd = Window.partitionBy("doc").orderBy("i")
+        runs = (
+            dups.select(
+                "doc", "i",
+                (F.col("i") - F.row_number().over(wd)).alias("grp"),
+            )
+            .groupBy("doc", "grp")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        census = runs.groupBy("doc").agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            (F.max("cnt") + F.lit(_SPAN_K - 1)).alias("longest"),
+            F.sum("cnt").alias("dw"),
+        )
+        return (
+            d.select(F.col("doc_id").alias("doc"))
+            .join(census, "doc", "left")
+            .select(
+                F.col("doc").alias("doc_id"),
+                F.coalesce("n_runs", F.lit(0)).cast("long")
+                .alias("n_runs"),
+                F.coalesce("longest", F.lit(0)).cast("long")
+                .alias("longest_run_tokens"),
+                F.coalesce("dw", F.lit(0)).cast("long")
+                .alias("dup_windows"),
+            )
+        )
+
+
+_register_q412()
+
+
+# ---------------------------------------------------------------------------
+# q413 — ITERATED BPE MERGE LOOP: k successive byte-pair-encoding merges
+# (Sennrich et al. 2016 — the actual tokenizer-training loop; VERDICT r9
+# "what's missing" #4: q140 ships one pair-count round, this runs the
+# chain). Training operates on the VOCABULARY with word frequencies —
+# the corpus-sized word stream reduces once to (word, count), and every
+# merge round is arithmetic over that vocabulary-sized frame.
+#
+# Determinism contract (identical in both engines, by construction):
+# a word's symbol state is a \\x1f-separated string ("|h|e|r|" for
+# "her"); round r counts positional adjacent symbol pairs weighted by
+# word count, selects argmax under (count DESC, pair ASC) total order,
+# and APPLIES the merge as THREE successive plain-string replaces of
+# "|a|b|" → "|ab|" — left-to-right, non-overlapping, no rescan, the
+# semantics Spark's replace() and DuckDB's replace() share bit-for-bit
+# (probed). Three passes re-catch matches whose leading separator was
+# consumed by the previous pass's match; on chains longer than ~8
+# identical symbols the pass-bounded result can differ from classic
+# greedy BPE in WHICH maximal matching it picks, but both engines pick
+# the SAME one — the merge procedure, not "greedy", is the contract.
+# If a round finds no pair (all words single-symbol) the loop stops
+# and later rounds emit nothing (the oracle's LEFT JOIN + sentinel
+# replace mirrors the no-op).
+#
+# Scale shape: ONE corpus-sized wordcount shuffle builds the vocab;
+# each round is a map-side pair explode over the vocab + one tiny
+# grouped shuffle + a TakeOrderedAndProject top-1 (driver scalar,
+# documented); the merge apply is map-only. Rounds are inherently
+# sequential (round r+1's counts depend on round r's merge); the vocab
+# frame is re-materialized per round so lineage stays flat (q212
+# discipline).
+# ---------------------------------------------------------------------------
+
+_Q413_MERGES = 6
+_Q413_SEP = "\x1f"
+
+
+def _register_q413() -> None:
+    S = "chr(31)"
+    rounds = []
+    for r in range(1, _Q413_MERGES + 1):
+        rounds.append(f"""
+        tk{r} AS (
+            SELECT cnt,
+                   string_split(substr(seq, 2, length(seq) - 2), {S})
+                       AS toks
+            FROM v{r - 1}
+        ),
+        c{r} AS (
+            SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+                SELECT cnt,
+                       toks[CAST(i AS BIGINT)] || {S}
+                           || toks[CAST(i AS BIGINT) + 1] AS pair
+                FROM (
+                    SELECT cnt, toks,
+                           unnest(range(1, CAST(len(toks) AS BIGINT)))
+                               AS i
+                    FROM tk{r}
+                )
+            ) GROUP BY pair
+        ),
+        t{r} AS MATERIALIZED (
+            SELECT pair, pc FROM c{r} ORDER BY pc DESC, pair LIMIT 1
+        ),
+        v{r} AS MATERIALIZED (
+            SELECT v.cnt,
+                   replace(replace(replace(v.seq,
+                       COALESCE(t.pat, chr(30)), COALESCE(t.rep, chr(30))),
+                       COALESCE(t.pat, chr(30)), COALESCE(t.rep, chr(30))),
+                       COALESCE(t.pat, chr(30)), COALESCE(t.rep, chr(30)))
+                       AS seq
+            FROM v{r - 1} v LEFT JOIN (
+                SELECT {S} || pair || {S} AS pat,
+                       {S} || replace(pair, {S}, '') || {S} AS rep
+                FROM t{r}
+            ) t ON TRUE
+        )""")
+    out_legs = " UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS rnk,
+               split_part(pair, {S}, 1) AS left_sym,
+               split_part(pair, {S}, 2) AS right_sym,
+               replace(pair, {S}, '') AS merged,
+               pc AS pair_count
+        FROM t{r}"""
+        for r in range(1, _Q413_MERGES + 1)
+    )
+
+    @_register(
+        "q413_bpe_merge_loop",
+        oracle=f"""
+        WITH v0 AS MATERIALIZED (
+            SELECT COUNT(*) AS cnt,
+                   {S} || regexp_replace(w, '(.)', '\\1' || {S}, 'g')
+                       AS seq
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                    AS w
+                FROM documents
+            )
+            WHERE length(w) > 0
+            GROUP BY w
+        ),{','.join(rounds)}
+        {out_legs}
+        """,
+    )
+    def q413_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """k=6 successive BPE merges over the documents word vocabulary:
+        the merge TABLE (rank, pair, merged symbol, weighted count at
+        selection) — tokenizer training's core artifact. See block
+        comment for the cross-engine merge-procedure contract."""
+        SEP = _Q413_SEP
+        d = load_table(spark, "documents", sf_dir)
+        vocab = (
+            d.select(
+                F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+            )
+            .filter(F.length("w") > 0)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "cnt",
+                F.concat(
+                    F.lit(SEP),
+                    F.regexp_replace("w", "(.)", "$1" + SEP),
+                ).alias("seq"),
+            )
+        )
+        vocab = materialize(vocab)
+        out = []
+        for r in range(1, _Q413_MERGES + 1):
+            toks = F.split(
+                F.expr("substring(seq, 2, length(seq) - 2)"), SEP
+            )
+            pairs = F.when(
+                F.size(toks) > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat(
+                        F.element_at(toks, i),
+                        F.lit(SEP),
+                        F.element_at(toks, i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            counts = (
+                vocab.select("cnt", F.explode(pairs).alias("pair"))
+                .groupBy("pair")
+                .agg(F.sum("cnt").alias("pc"))
+            )
+            pick = (
+                counts.orderBy(F.desc("pc"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )  # 1-row driver scalar per round, documented
+            if not pick:
+                break
+            pair, pc = pick[0]["pair"], int(pick[0]["pc"])
+            a, b = pair.split(SEP)
+            out.append((r, a, b, a + b, pc))
+            pat, rep = SEP + pair + SEP, SEP + a + b + SEP
+            seq = F.col("seq")
+            for _ in range(3):
+                seq = F.replace(seq, F.lit(pat), F.lit(rep))
+            vocab = materialize(vocab.select("cnt", seq.alias("seq")))
+        return spark.createDataFrame(
+            out,
+            "rnk long, left_sym string, right_sym string, "
+            "merged string, pair_count long",
+        )
+
+
+_register_q413()

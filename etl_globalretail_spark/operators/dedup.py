@@ -1078,9 +1078,45 @@ def fuzzy_pairs(
 
     Blocking IS the scale strategy: candidate pairs form only inside an
     equi-join on ``block_cols`` (+ name length, since edit distance k
-    bounds length delta by k — here an exact-length block for the k ≤ 2
-    regime keeps blocks tight), so cost is Σ|block|², never N². The edit
-    distance itself is the JVM built-in — no UDF.
+    bounds length delta by k). The edit distance itself is the JVM
+    built-in — no UDF.
+
+    ADAPTIVE tiering (VERDICT r9 item 6, chosen by MEASUREMENT — one
+    bounded stats aggregate per call, ≤ |blocks|·|length classes| driver
+    rows): the k = 2 path picks the cheapest LOSSLESS plan for the
+    corpus at hand (hashes unchanged on every path — the q80 oracle
+    still replays the dense form):
+
+    - DENSE-ON-IDS (the classic Σ|block|² self-join): when names are
+      block-unique and the rep pair mass is small, raw JVM Levenshtein
+      over the blocked join is unbeatable (163 k pairs in ~2 s at
+      sf0.1) — shuffling candidate sets would only add exchanges.
+    - DENSE-ON-REPS + EXACT-NAME GROUPING: replicated corpora carry the
+      same name n× (the 10× rehearsal's dup-bomb — ratio 16.7 on the
+      raw join). Identical (block, name) rows pair at distance 0 via
+      ONE name-equality join; the dense join runs on DISTINCT names
+      and verified name pairs expand back to ids (expansion is
+      output-mass, irreducible).
+    - WILDCARD/DELETION NEIGHBORHOODS on reps: when even the rep pair
+      mass blows past ``_FUZZY_DENSE_MASS`` (organic growth), strip
+      each length class's common prefix (lcp of min/max name —
+      lexicographic order makes that the class lcp; the common-prefix
+      law reduces lev to the W = length − lcp suffixes) and generate
+      candidates from C(W,2) two-position wildcard MASKS (equal-length
+      distance ≤ 2 with no indel ⇒ Hamming ≤ 2 ⇒ some mask agrees)
+      UNION single-DELETION variants (the one-ins-one-del shape ⇒ both
+      sides share a (W−1)-string, position-free) — then Levenshtein
+      verifies the deduped candidates. Provably covers every true
+      pair; block entropy comes from the suffix content itself, so
+      candidate mass tracks OUTPUT mass, linear in the corpus. The
+      explode factor is C(W,2) + W per distinct name — quadratic in
+      the varying window, not the corpus. (A 3-segment PassJoin was
+      rehearsed first: 1-char segments on the fixture's W=5 window
+      left 60-row blocks and ran 8× slower than dense at sf0.1; the
+      mask scheme replaces it on measurement.)
+
+    ``max_distance`` ≠ 2 always takes dense-on-ids (the neighborhood
+    constants are derived for k = 2).
     """
     side = df.select(
         F.col(id_col).alias("id"),
@@ -1088,21 +1124,209 @@ def fuzzy_pairs(
         F.length(name_col).alias("__len"),
         *[F.col(c) for c in block_cols],
     )
-    a = side.select(
-        F.col("id").alias("id_a"), F.col("nm").alias("nm_a"), "__len",
-        *[F.col(c) for c in block_cols],
+
+    def dense_ids() -> DataFrame:
+        a = side.select(
+            F.col("id").alias("id_a"), F.col("nm").alias("nm_a"), "__len",
+            *[F.col(c) for c in block_cols],
+        )
+        b = side.select(
+            F.col("id").alias("id_b"), F.col("nm").alias("nm_b"), "__len",
+            *[F.col(c) for c in block_cols],
+        )
+        return (
+            a.join(b, [*block_cols, "__len"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("distance", F.levenshtein("nm_a", "nm_b"))
+            .filter(F.col("distance") <= max_distance)
+            .select(
+                "id_a", "id_b",
+                F.col("distance").cast("bigint").alias("distance"),
+            )
+        )
+
+    if max_distance != 2:
+        return dense_ids()
+
+    # one bounded stats pass drives the tier choice (see docstring)
+    stats = (
+        side.groupBy(*block_cols, "__len")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("nm").alias("n_reps"),
+            F.min("nm").alias("lo"),
+            F.max("nm").alias("hi"),
+        )
+        .collect()
     )
-    b = side.select(
-        F.col("id").alias("id_b"), F.col("nm").alias("nm_b"), "__len",
-        *[F.col(c) for c in block_cols],
-    )
-    return (
-        a.join(b, [*block_cols, "__len"])
+    has_dups = any(r["n_rows"] > r["n_reps"] for r in stats)
+    rep_mass = sum(r["n_reps"] * r["n_reps"] for r in stats)
+    if not has_dups and rep_mass <= _FUZZY_DENSE_MASS:
+        return dense_ids()
+
+    reps = side.select(*block_cols, "__len", "nm").dropDuplicates()
+
+    if rep_mass <= _FUZZY_DENSE_MASS:
+        # EXPLICIT repartition on the probe side: the dedup exchange's
+        # tiny byte size invites AQE to coalesce it to ONE partition,
+        # serializing the Σ|block|² Levenshtein work behind the
+        # broadcast join (measured 17 s vs ~3 s at the 10× rehearsal);
+        # a user-specified repartition is exempt from coalescing and
+        # the per-row probe cost, not bytes, is what needs spreading.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        a = reps.repartition(par).select(
+            F.col("nm").alias("nm_a"), "__len", *block_cols
+        )
+        b = reps.select(F.col("nm").alias("nm_b"), "__len", *block_cols)
+        name_pairs = (
+            a.join(b, [*block_cols, "__len"])
+            .filter(F.col("nm_a") < F.col("nm_b"))
+            .withColumn("distance", F.levenshtein("nm_a", "nm_b"))
+            .filter(F.col("distance") <= max_distance)
+            .select(*block_cols, "nm_a", "nm_b", "distance")
+        )
+    else:
+        name_pairs = _neighborhood_name_pairs(
+            reps, block_cols, stats, max_distance
+        )
+
+    # identical names pair at distance 0 via ONE equi-join
+    intra = (
+        side.select(F.col("id").alias("id_a"), "nm", *block_cols)
+        .join(
+            side.select(F.col("id").alias("id_b"), "nm", *block_cols),
+            [*block_cols, "nm"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("distance", F.levenshtein("nm_a", "nm_b"))
-        .filter(F.col("distance") <= max_distance)
-        .select("id_a", "id_b", F.col("distance").cast("bigint").alias("distance"))
+        .select(
+            "id_a", "id_b", F.lit(0).cast("bigint").alias("distance")
+        )
     )
+    # expand verified name-level pairs back to id pairs (output-mass)
+    ma = side.select(*block_cols, F.col("nm").alias("nm_a"),
+                     F.col("id").alias("ia"))
+    mb = side.select(*block_cols, F.col("nm").alias("nm_b"),
+                     F.col("id").alias("ib"))
+    inter = (
+        name_pairs.join(ma, [*block_cols, "nm_a"])
+        .join(mb, [*block_cols, "nm_b"])
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            F.col("distance").cast("bigint").alias("distance"),
+        )
+    )
+    return intra.unionByName(inter)
+
+
+# Rep-level pair-comparison budget below which the dense blocked join
+# wins outright: ~2e8 JVM levenshtein calls spread over the cluster is
+# seconds, and the neighborhood path's extra exchanges only pay for
+# themselves past it.
+_FUZZY_DENSE_MASS = 200_000_000
+
+
+def _neighborhood_name_pairs(
+    reps: DataFrame,
+    block_cols: list[str],
+    stats: list,
+    max_distance: int,
+) -> DataFrame:
+    """Mask/deletion candidate generation + Levenshtein verify at the
+    distinct-name grain (the fuzzy_pairs scale tier — see its
+    docstring for the losslessness argument)."""
+
+    def lcp_len(lo: str, hi: str) -> int:
+        n = 0
+        for x, y in zip(lo, hi):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    # per length class: reps, lcp bounds (driver-side fold of the
+    # bounded per-block stats)
+    classes: dict[int, tuple[int, str, str]] = {}
+    for r in stats:
+        L = r["__len"]
+        n, lo, hi = classes.get(L, (0, r["lo"], r["hi"]))
+        classes[L] = (
+            n + r["n_reps"], min(lo, r["lo"]), max(hi, r["hi"])
+        )
+
+    legs: list[DataFrame] = []
+    dense_lens: list[int] = []
+    for L, (n, lo, hi) in sorted(classes.items()):
+        if n < 2:
+            continue
+        W = L - lcp_len(lo, hi)
+        if W < 3:
+            dense_lens.append(L)
+            continue
+        lcp = L - W
+        sfx = F.substring("nm", lcp + 1, W)
+
+        def variants() -> Column:
+            vs = []
+            # (a) 2-wildcard masks: Hamming ≤ 2 pairs share one
+            for i in range(W):
+                for j in range(i + 1, W):
+                    vs.append(
+                        F.struct(
+                            F.lit(i * W + j).alias("vk"),
+                            F.overlay(
+                                F.overlay(sfx, F.lit("\x00"), i + 1, 1),
+                                F.lit("\x00"), j + 1, 1,
+                            ).alias("content"),
+                        )
+                    )
+            # (b) single-deletion neighborhood: ins+del pairs collide
+            # on a shared (W−1)-variant, whatever the two positions
+            for i in range(W):
+                vs.append(
+                    F.struct(
+                        F.lit(-1).alias("vk"),
+                        F.concat(
+                            F.substring("nm", lcp + 1, i),
+                            F.substring("nm", lcp + i + 2, W - i - 1),
+                        ).alias("content"),
+                    )
+                )
+            return F.array(*vs)
+
+        cls = reps.filter(F.col("__len") == L)
+        ea = cls.select(
+            F.col("nm").alias("nm_a"), *block_cols,
+            F.explode(variants()).alias("k"),
+        ).select("nm_a", *block_cols, "k.vk", "k.content")
+        eb = cls.select(
+            F.col("nm").alias("nm_b"), *block_cols,
+            F.explode(variants()).alias("k"),
+        ).select("nm_b", *block_cols, "k.vk", "k.content")
+        legs.append(
+            ea.join(eb, [*block_cols, "vk", "content"])
+            .filter(F.col("nm_a") < F.col("nm_b"))
+            .select(*block_cols, "nm_a", "nm_b")
+            .dropDuplicates()
+            .withColumn("distance", F.levenshtein("nm_a", "nm_b"))
+            .filter(F.col("distance") <= max_distance)
+        )
+    if dense_lens:
+        cls = reps.filter(F.col("__len").isin(dense_lens))
+        a = cls.select(F.col("nm").alias("nm_a"), "__len", *block_cols)
+        b = cls.select(F.col("nm").alias("nm_b"), "__len", *block_cols)
+        legs.append(
+            a.join(b, [*block_cols, "__len"])
+            .filter(F.col("nm_a") < F.col("nm_b"))
+            .select(*block_cols, "nm_a", "nm_b")
+            .withColumn("distance", F.levenshtein("nm_a", "nm_b"))
+            .filter(F.col("distance") <= max_distance)
+        )
+    assert legs, "no eligible length class"
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 @_register(

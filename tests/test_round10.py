@@ -140,3 +140,56 @@ def test_q351_exact_audit_on_known_corpus(spark, tmp_path):
     ).collect()[0]
     assert row["exact_join"] == 11
     assert row["n_a"] == 10 and row["n_b"] == 5
+
+
+def test_q412_runs_consistent_with_q139(spark, sf_dir):
+    # dup_windows aggregates the same flagged-window set q139 counts —
+    # the two faces of the span family must agree doc by doc.
+    from etl_globalretail_spark.operators.corpus import QUERIES as CQ
+
+    runs = {
+        r["doc_id"]: (r["n_runs"], r["longest_run_tokens"],
+                      r["dup_windows"])
+        for r in CQ["q412_dup_span_runs"](spark, sf_dir).collect()
+    }
+    frac = {
+        r["doc_id"]: r["dup_spans"]
+        for r in CQ["q139_dup_span_fraction"](spark, sf_dir).collect()
+    }
+    assert set(runs) == set(frac)
+    for doc, (n_runs, longest, dw) in runs.items():
+        assert dw == frac[doc]
+        if dw == 0:
+            assert n_runs == 0 and longest == 0
+        else:
+            assert n_runs >= 1
+            # a run of c windows spans c+4 tokens; the longest run is
+            # bounded by the doc's duplicated-window total
+            assert 5 <= longest <= dw + 4
+
+
+def test_q412_recovers_variable_length_region(spark, tmp_path):
+    # Two docs sharing a verbatim 12-token region (and nothing else)
+    # must each report exactly ONE run of 12 tokens = 8 windows.
+    shared = " ".join(f"w{i}" for i in range(12))
+    docs = [
+        (1, "alpha beta gamma " + shared + " delta one", "xx", "s", 0),
+        (2, "epsilon zeta " + shared + " eta theta two", "xx", "s", 0),
+        (3, "totally unrelated text with many plain tokens here", "xx",
+         "s", 0),
+    ]
+    docs = [(i, t, lg, sr, len(t)) for i, t, lg, sr, _ in docs]
+    _write_table(spark, str(tmp_path), "documents", docs)
+    from etl_globalretail_spark.operators.corpus import QUERIES as CQ
+
+    rows = {
+        r["doc_id"]: r
+        for r in CQ["q412_dup_span_runs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    for doc in (1, 2):
+        assert rows[doc]["n_runs"] == 1
+        assert rows[doc]["longest_run_tokens"] == 12
+        assert rows[doc]["dup_windows"] == 8
+    assert rows[3]["n_runs"] == 0 and rows[3]["longest_run_tokens"] == 0
