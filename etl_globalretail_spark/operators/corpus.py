@@ -7181,18 +7181,34 @@ _Q413_MERGES = 6
 _Q413_SEP = "\x1f"
 
 
-def _register_q413() -> None:
+def _bpe_round_ctes(rounds: int) -> str:
+    """The shared DuckDB CTE chain for ``rounds`` BPE merges: v0 (the
+    \\x1f-separated per-word symbol state with counts, word carried
+    through) and per round tk/c/t/v CTEs (t{r} = the selected merge,
+    v{r} = the vocabulary after applying it as 3 left-to-right
+    replaces). Reused by the q413 merge-table oracle and the q414
+    encode oracle."""
     S = "chr(31)"
-    rounds = []
-    for r in range(1, _Q413_MERGES + 1):
-        rounds.append(f"""
-        tk{r} AS (
+    parts = [f"""v0 AS MATERIALIZED (
+            SELECT w, COUNT(*) AS cnt,
+                   {S} || regexp_replace(w, '(.)', '\\1' || {S}, 'g')
+                       AS seq
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                    AS w
+                FROM documents
+            )
+            WHERE length(w) > 0
+            GROUP BY w
+        )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""tk{r} AS (
             SELECT cnt,
                    string_split(substr(seq, 2, length(seq) - 2), {S})
                        AS toks
             FROM v{r - 1}
-        ),
-        c{r} AS (
+        )""")
+        parts.append(f"""c{r} AS (
             SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
                 SELECT cnt,
                        toks[CAST(i AS BIGINT)] || {S}
@@ -7204,12 +7220,12 @@ def _register_q413() -> None:
                     FROM tk{r}
                 )
             ) GROUP BY pair
-        ),
-        t{r} AS MATERIALIZED (
+        )""")
+        parts.append(f"""t{r} AS MATERIALIZED (
             SELECT pair, pc FROM c{r} ORDER BY pc DESC, pair LIMIT 1
-        ),
-        v{r} AS MATERIALIZED (
-            SELECT v.cnt,
+        )""")
+        parts.append(f"""v{r} AS MATERIALIZED (
+            SELECT v.w, v.cnt,
                    replace(replace(replace(v.seq,
                        COALESCE(t.pat, chr(30)), COALESCE(t.rep, chr(30))),
                        COALESCE(t.pat, chr(30)), COALESCE(t.rep, chr(30))),
@@ -7221,6 +7237,76 @@ def _register_q413() -> None:
                 FROM t{r}
             ) t ON TRUE
         )""")
+    return ",".join(parts)
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str, rounds: int = _Q413_MERGES
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Learn ``rounds`` BPE merges over the documents word vocabulary.
+    Returns (merge table rows, final vocabulary frame (w, cnt, seq)).
+    Each round's argmax is a 1-row driver scalar (documented); the
+    vocab is re-materialized per round so lineage stays flat."""
+    SEP = _Q413_SEP
+    d = load_table(spark, "documents", sf_dir)
+    vocab = (
+        d.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "w",
+            "cnt",
+            F.concat(
+                F.lit(SEP),
+                F.regexp_replace("w", "(.)", "$1" + SEP),
+            ).alias("seq"),
+        )
+    )
+    vocab = materialize(vocab)
+    out: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        toks = F.split(
+            F.expr("substring(seq, 2, length(seq) - 2)"), SEP
+        )
+        pairs = F.when(
+            F.size(toks) > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i),
+                    F.lit(SEP),
+                    F.element_at(toks, i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        counts = (
+            vocab.select("cnt", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        pick = (
+            counts.orderBy(F.desc("pc"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )  # 1-row driver scalar per round, documented
+        if not pick:
+            break
+        pair, pc = pick[0]["pair"], int(pick[0]["pc"])
+        a, b = pair.split(SEP)
+        out.append((r, a, b, a + b, pc))
+        pat, rep = SEP + pair + SEP, SEP + a + b + SEP
+        seq = F.col("seq")
+        for _ in range(3):
+            seq = F.replace(seq, F.lit(pat), F.lit(rep))
+        vocab = materialize(vocab.select("w", "cnt", seq.alias("seq")))
+    return out, vocab
+
+
+def _register_q413() -> None:
+    S = "chr(31)"
     out_legs = " UNION ALL ".join(
         f"""SELECT CAST({r} AS BIGINT) AS rnk,
                split_part(pair, {S}, 1) AS left_sym,
@@ -7234,18 +7320,7 @@ def _register_q413() -> None:
     @_register(
         "q413_bpe_merge_loop",
         oracle=f"""
-        WITH v0 AS MATERIALIZED (
-            SELECT COUNT(*) AS cnt,
-                   {S} || regexp_replace(w, '(.)', '\\1' || {S}, 'g')
-                       AS seq
-            FROM (
-                SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
-                    AS w
-                FROM documents
-            )
-            WHERE length(w) > 0
-            GROUP BY w
-        ),{','.join(rounds)}
+        WITH {_bpe_round_ctes(_Q413_MERGES)}
         {out_legs}
         """,
     )
@@ -7254,60 +7329,7 @@ def _register_q413() -> None:
         the merge TABLE (rank, pair, merged symbol, weighted count at
         selection) — tokenizer training's core artifact. See block
         comment for the cross-engine merge-procedure contract."""
-        SEP = _Q413_SEP
-        d = load_table(spark, "documents", sf_dir)
-        vocab = (
-            d.select(
-                F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
-            )
-            .filter(F.length("w") > 0)
-            .groupBy("w")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(
-                "cnt",
-                F.concat(
-                    F.lit(SEP),
-                    F.regexp_replace("w", "(.)", "$1" + SEP),
-                ).alias("seq"),
-            )
-        )
-        vocab = materialize(vocab)
-        out = []
-        for r in range(1, _Q413_MERGES + 1):
-            toks = F.split(
-                F.expr("substring(seq, 2, length(seq) - 2)"), SEP
-            )
-            pairs = F.when(
-                F.size(toks) > 1,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.concat(
-                        F.element_at(toks, i),
-                        F.lit(SEP),
-                        F.element_at(toks, i + 1),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-            counts = (
-                vocab.select("cnt", F.explode(pairs).alias("pair"))
-                .groupBy("pair")
-                .agg(F.sum("cnt").alias("pc"))
-            )
-            pick = (
-                counts.orderBy(F.desc("pc"), F.asc("pair"))
-                .limit(1)
-                .collect()
-            )  # 1-row driver scalar per round, documented
-            if not pick:
-                break
-            pair, pc = pick[0]["pair"], int(pick[0]["pc"])
-            a, b = pair.split(SEP)
-            out.append((r, a, b, a + b, pc))
-            pat, rep = SEP + pair + SEP, SEP + a + b + SEP
-            seq = F.col("seq")
-            for _ in range(3):
-                seq = F.replace(seq, F.lit(pat), F.lit(rep))
-            vocab = materialize(vocab.select("cnt", seq.alias("seq")))
+        out, _vocab = _bpe_learn(spark, sf_dir, _Q413_MERGES)
         return spark.createDataFrame(
             out,
             "rnk long, left_sym string, right_sym string, "
@@ -7316,3 +7338,90 @@ def _register_q413() -> None:
 
 
 _register_q413()
+
+
+# ---------------------------------------------------------------------------
+# q414 — BPE ENCODE: apply the q413-learned merge table to the corpus
+# and report the per-language compression census — the tokenizer
+# story's application half (train q140/q413 → ENCODE here), i.e. the
+# "how many tokens is my corpus" number every training-data budget
+# starts from. Encoding rides the VOCABULARY: each distinct word is
+# encoded once (the learner's final symbol state IS the encoding), and
+# the corpus-sized word stream just joins the |V|-row symbol-count
+# table — no per-occurrence merge replay. Census per language: word
+# occurrences, character total, post-merge symbol (token) total, and
+# tokens-per-1000-chars (integer div — portable).
+#
+# Scale shape: the merge learning is q413's (vocab-sized rounds,
+# 1-row driver scalar per round); the census is one corpus word
+# explode + one shuffle join on the word key + one map-side-combinable
+# aggregate. The oracle replays the identical 6-round CTE chain
+# (shared builder) and the same join/census.
+# ---------------------------------------------------------------------------
+
+
+def _register_q414() -> None:
+    S = "chr(31)"
+
+    @_register(
+        "q414_bpe_encode",
+        oracle=f"""
+        WITH {_bpe_round_ctes(_Q413_MERGES)},
+        enc AS (
+            SELECT w,
+                   CAST(len(string_split(
+                       substr(seq, 2, length(seq) - 2), {S}
+                   )) AS BIGINT) AS n_syms
+            FROM v{_Q413_MERGES}
+        ),
+        words AS (
+            SELECT lang,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_words,
+               CAST(SUM(length(w)) AS BIGINT) AS chars_total,
+               CAST(SUM(e.n_syms) AS BIGINT) AS tokens_total,
+               CAST(SUM(e.n_syms) * 1000 // SUM(length(w)) AS BIGINT)
+                   AS tokens_per_kchar
+        FROM words JOIN enc e USING (w)
+        WHERE length(w) > 0
+        GROUP BY lang
+        """,
+    )
+    def q414_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-language BPE compression census under the 6 learned
+        merges (word count, chars, post-merge tokens, tokens per 1000
+        chars). See block comment."""
+        SEP = _Q413_SEP
+        _merges, vocab = _bpe_learn(spark, sf_dir, _Q413_MERGES)
+        enc = vocab.select(
+            "w",
+            F.size(
+                F.split(
+                    F.expr("substring(seq, 2, length(seq) - 2)"), SEP
+                )
+            ).cast("long").alias("n_syms"),
+        )
+        d = load_table(spark, "documents", sf_dir)
+        words = d.select(
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        ).filter(F.length("w") > 0)
+        return (
+            words.join(enc, "w")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum(F.length("w")).alias("chars_total"),
+                F.sum("n_syms").alias("tokens_total"),
+                F.expr(
+                    "CAST(sum(n_syms) * 1000 div sum(length(w))"
+                    " AS BIGINT)"
+                ).alias("tokens_per_kchar"),
+            )
+        )
+
+
+_register_q414()

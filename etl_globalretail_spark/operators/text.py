@@ -1385,3 +1385,360 @@ def _register_q405() -> None:
 
 
 _register_q405()
+
+
+# ---------------------------------------------------------------------------
+# q415 — WINNOWING fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+# MOSS local document-fingerprinting algorithm; public). The span/dedup
+# family hashes EVERY k-gram (q139) or a random-looking MinHash subset
+# (q24/q66); winnowing instead GUARANTEES a match for any shared run ≥
+# w+k−1 tokens while selecting only ~2/(w+1) of positions — the
+# fingerprint density every plagiarism/near-dup index actually stores.
+#
+# Contract (identical both engines): 3-token grams hashed to 48-bit
+# md5-prefix ints; every w=4 consecutive gram positions form a window;
+# each window selects its MINIMUM hash, RIGHTMOST position on ties (the
+# paper's robust-winnowing tie rule); the fingerprint set is the
+# distinct selected (position, hash) pairs. Documents with fewer grams
+# than w collapse to one whole-doc window (n_starts = max(1, n−w+1)
+# makes that uniform). Census per doc: gram count, fingerprint count,
+# selection density (permil, integer div), XOR fold of selected hashes
+# (order-free), and how many of the doc's fingerprint hashes are
+# SHARED with some other doc's fingerprint set (the index-hit signal).
+#
+# Plan shape: one gram posexplode (shuffle on nothing — map-side), a
+# w-way window-membership explode (constant ×4), ONE grouped pass to
+# each window's min, one membership-frame re-join to resolve the
+# rightmost tie (equi on (doc, start) — no range join), distinct
+# fingerprints, then a hash-partitioned min≠max window marks shared
+# hashes and one doc-grain aggregate lands the census. All exchanges
+# carry (doc, pos, int48) triples; text never shuffles.
+# ---------------------------------------------------------------------------
+
+_Q415_K = 3   # tokens per gram
+_Q415_W = 4   # grams per winnowing window
+
+
+def winnow_fps(d: DataFrame, k: int = _Q415_K, w: int = _Q415_W):
+    """Winnowing selection at the (doc, position, hash48) grain —
+    returns (fps, grams) frames. Shared by q415's census and q416's
+    fingerprint-index pair join; see the q415 block comment for the
+    selection contract."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_toks")
+    ).filter(F.col("n_toks") >= k)
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.col("n_toks") - (k - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.slice("toks", i, k))),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("long"),
+    )
+    grams = base.select(
+        "doc_id",
+        (F.col("n_toks") - F.lit(k - 1)).cast("long").alias("n_grams"),
+        F.posexplode(gram_hashes).alias("pos0", "h"),
+    ).select(
+        "doc_id", "n_grams",
+        (F.col("pos0") + 1).cast("long").alias("pos"), "h",
+    )
+    member = grams.select(
+        "doc_id", "pos", "h", "n_grams",
+        F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("delta"),
+    ).select(
+        "doc_id", "pos", "h",
+        (F.col("pos") - F.col("delta")).alias("s"),
+        F.greatest(
+            F.lit(1).cast("long"), F.col("n_grams") - F.lit(w - 1)
+        ).alias("n_starts"),
+    ).filter(
+        (F.col("s") >= 1) & (F.col("s") <= F.col("n_starts"))
+    ).select("doc_id", "pos", "h", "s")
+    wmin = member.groupBy("doc_id", "s").agg(F.min("h").alias("mh"))
+    chosen = (
+        member.join(wmin, ["doc_id", "s"])
+        .filter(F.col("h") == F.col("mh"))
+        .groupBy("doc_id", "s", "mh")
+        .agg(F.max("pos").alias("fp_pos"))
+    )
+    fps = chosen.select(
+        "doc_id", "fp_pos", F.col("mh").alias("h")
+    ).dropDuplicates()
+    return fps, grams
+
+
+def _winnow_cte_chain() -> str:
+    """DuckDB CTE chain ending in ``fps(doc_id, fp_pos, h)`` — the
+    winnowing selection shared by the q415 census oracle and the q416
+    index-join oracle."""
+    K, W = _Q415_K, _Q415_W
+    return f"""
+        d AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        dd AS (SELECT doc_id, len(toks) AS n_toks, toks FROM d),
+        grams AS (
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS pos,
+                   CAST('0x' || substr(md5(array_to_string(
+                       toks[CAST(i AS BIGINT):CAST(i AS BIGINT) + {K - 1}],
+                       chr(31))), 1, 12) AS BIGINT) AS h,
+                   CAST(n_toks - {K - 1} AS BIGINT) AS n_grams
+            FROM (
+                SELECT doc_id, n_toks, toks,
+                       unnest(range(1, CAST(n_toks AS BIGINT) - {K - 2}))
+                           AS i
+                FROM dd
+                WHERE n_toks >= {K}
+            )
+        ),
+        member AS (
+            SELECT doc_id, pos, h, pos - CAST(dd2.d AS BIGINT) AS s
+            FROM grams,
+                 (SELECT unnest(range(0, {W})) AS d) dd2
+            WHERE pos - CAST(dd2.d AS BIGINT) >= 1
+              AND pos - CAST(dd2.d AS BIGINT)
+                  <= GREATEST(1, n_grams - {W - 1})
+        ),
+        wmin AS (
+            SELECT doc_id, s, MIN(h) AS mh FROM member
+            GROUP BY doc_id, s
+        ),
+        chosen AS (
+            SELECT m.doc_id, m.s, MAX(m.pos) AS fp_pos, w.mh AS h
+            FROM member m JOIN wmin w
+              ON m.doc_id = w.doc_id AND m.s = w.s AND m.h = w.mh
+            GROUP BY m.doc_id, m.s, w.mh
+        ),
+        fps AS MATERIALIZED (
+            SELECT DISTINCT doc_id, fp_pos, h FROM chosen
+        )"""
+
+
+def _register_q415() -> None:
+    K, W = _Q415_K, _Q415_W
+
+    @_register(
+        "q415_winnowing_fingerprints",
+        oracle=f"""
+        WITH {_winnow_cte_chain()},
+        marked AS (
+            SELECT doc_id, fp_pos, h,
+                   CASE WHEN MIN(doc_id) OVER (PARTITION BY h)
+                             <> MAX(doc_id) OVER (PARTITION BY h)
+                        THEN 1 ELSE 0 END AS shared
+            FROM fps
+        ),
+        census AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_fps,
+                   bit_xor(h) AS fp_xor,
+                   CAST(SUM(shared) AS BIGINT) AS n_shared
+            FROM marked GROUP BY doc_id
+        ),
+        gc AS (
+            SELECT doc_id, MAX(n_grams) AS n_grams FROM grams
+            GROUP BY doc_id
+        )
+        SELECT dd.doc_id,
+               CAST(COALESCE(gc.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(c.n_fps, 0) AS BIGINT) AS n_fps,
+               CAST(CASE WHEN COALESCE(gc.n_grams, 0) = 0 THEN 0
+                         ELSE COALESCE(c.n_fps, 0) * 1000 // gc.n_grams
+                    END AS BIGINT) AS density_permil,
+               CAST(COALESCE(c.fp_xor, 0) AS BIGINT) AS fp_xor,
+               CAST(COALESCE(c.n_shared, 0) AS BIGINT) AS n_shared
+        FROM dd
+        LEFT JOIN gc ON dd.doc_id = gc.doc_id
+        LEFT JOIN census c ON dd.doc_id = c.doc_id
+        """,
+    )
+    def q415_winnowing_fingerprints(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-document winnowing fingerprint census (MOSS selection:
+        min hash per w-gram window, rightmost tie) with cross-doc
+        shared-hash counts. See block comment."""
+        from pyspark.sql.window import Window
+
+        d = load_table(spark, "documents", sf_dir)
+        fps, grams = winnow_fps(d)
+        wh = Window.partitionBy("h")
+        marked = fps.select(
+            "doc_id", "h",
+            (F.min("doc_id").over(wh) != F.max("doc_id").over(wh))
+            .cast("long").alias("shared"),
+        )
+        census = marked.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.bit_xor("h").alias("fp_xor"),
+            F.sum("shared").alias("n_shared"),
+        )
+        gc = grams.groupBy("doc_id").agg(
+            F.max("n_grams").alias("n_grams")
+        )
+        return (
+            d.select("doc_id")
+            .join(gc, "doc_id", "left")
+            .join(census, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_grams", F.lit(0)).cast("long")
+                .alias("n_grams"),
+                F.coalesce("n_fps", F.lit(0)).cast("long")
+                .alias("n_fps"),
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0)
+                ).otherwise(
+                    F.expr("coalesce(n_fps, 0) * 1000 div n_grams")
+                ).cast("long").alias("density_permil"),
+                F.coalesce("fp_xor", F.lit(0)).cast("long")
+                .alias("fp_xor"),
+                F.coalesce("n_shared", F.lit(0)).cast("long")
+                .alias("n_shared"),
+            )
+        )
+
+
+_register_q415()
+
+
+# ---------------------------------------------------------------------------
+# q416 — winnowing-INDEX near-duplicate pairs: the fingerprint family's
+# application half. MOSS-style: candidate pairs share ≥ 2 winnowing
+# fingerprint HASHES (bucket join on the selected-hash index — never
+# all-pairs), with BOILERPLATE SUPPRESSION first (fingerprints present
+# in > 10 docs are dropped before pairing — the paper's common-code
+# filter, and what bounds bucket fan-out at corpus scale); survivors
+# verify with EXACT distinct-3-gram Jaccard. Winnowing's guarantee
+# (any shared run ≥ w+k−1 tokens yields a shared fingerprint) makes
+# this a deterministic, recall-characterized blocking tier beside
+# MinHash banding (q24/q66): no probability, just run-length.
+#
+# Plan shape: the q415 selection (see its block comment), one
+# (h)-grouped census for the document-frequency filter, a bucket
+# self-join on h (bounded by the ≤10-doc cap — Σ|bucket|² ≤ 45·|hashes|),
+# a pair groupBy, and verification joins at the DISTINCT-gram grain
+# against only the candidate pairs. All exchanges carry ids + int48s.
+# ---------------------------------------------------------------------------
+
+_Q416_MAX_DF = 10   # boilerplate cap: drop fingerprints in > this many docs
+_Q416_MIN_SHARED = 2
+
+
+def _register_q416() -> None:
+    T, M = _Q416_MAX_DF, _Q416_MIN_SHARED
+
+    @_register(
+        "q416_winnowing_neardup_pairs",
+        oracle=f"""
+        WITH {{chain}},
+        fh AS (
+            SELECT DISTINCT doc_id, h FROM fps
+        ),
+        df AS (
+            SELECT h, COUNT(*) AS n_docs FROM fh GROUP BY h
+        ),
+        keep AS (
+            SELECT fh.doc_id, fh.h FROM fh JOIN df ON fh.h = df.h
+            WHERE df.n_docs BETWEEN 2 AND {T}
+        ),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS shared_fps
+            FROM keep a JOIN keep b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= {M}
+        ),
+        gset AS (
+            SELECT DISTINCT doc_id, h FROM grams
+        ),
+        gsz AS (
+            SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT c.id_a, c.id_b, c.shared_fps, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN gset ga ON ga.doc_id = c.id_a
+            JOIN gset gb ON gb.doc_id = c.id_b AND gb.h = ga.h
+            GROUP BY c.id_a, c.id_b, c.shared_fps
+        )
+        SELECT i.id_a, i.id_b,
+               CAST(i.shared_fps AS BIGINT) AS shared_fps,
+               CAST(i.n_inter AS BIGINT) AS inter_grams,
+               CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS union_grams,
+               CAST(i.n_inter * 1000 // (sa.n + sb.n - i.n_inter)
+                    AS BIGINT) AS jaccard_permil
+        FROM inter i
+        JOIN gsz sa ON sa.doc_id = i.id_a
+        JOIN gsz sb ON sb.doc_id = i.id_b
+        """.format(chain=_winnow_cte_chain()),
+    )
+    def q416_winnowing_neardup_pairs(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Candidate near-dup pairs from the winnowing fingerprint
+        index (≥2 shared non-boilerplate fingerprints), verified with
+        exact distinct-3-gram Jaccard. See block comment."""
+        d = load_table(spark, "documents", sf_dir)
+        fps, grams = winnow_fps(d)
+        fh = fps.select("doc_id", "h").dropDuplicates()
+        dfreq = fh.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+        keep = fh.join(
+            dfreq.filter(
+                (F.col("n_docs") >= 2) & (F.col("n_docs") <= T)
+            ).select("h"),
+            "h",
+        )
+        cand = (
+            keep.select(F.col("doc_id").alias("id_a"), "h")
+            .join(keep.select(F.col("doc_id").alias("id_b"), "h"), "h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .filter(F.col("shared_fps") >= M)
+        )
+        gset = grams.select("doc_id", "h").dropDuplicates()
+        gsz = gset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        inter = (
+            cand.join(
+                gset.select(F.col("doc_id").alias("id_a"), "h"), "id_a"
+            )
+            .join(
+                gset.select(F.col("doc_id").alias("id_b"), "h"),
+                ["id_b", "h"],
+            )
+            .groupBy("id_a", "id_b", "shared_fps")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        return (
+            inter.join(
+                gsz.select(F.col("doc_id").alias("id_a"),
+                           F.col("n").alias("na")), "id_a"
+            )
+            .join(
+                gsz.select(F.col("doc_id").alias("id_b"),
+                           F.col("n").alias("nb")), "id_b"
+            )
+            .select(
+                "id_a", "id_b",
+                F.col("shared_fps").cast("long").alias("shared_fps"),
+                F.col("n_inter").cast("long").alias("inter_grams"),
+                (F.col("na") + F.col("nb") - F.col("n_inter"))
+                .cast("long").alias("union_grams"),
+                F.expr(
+                    "CAST(n_inter * 1000 div (na + nb - n_inter)"
+                    " AS BIGINT)"
+                ).alias("jaccard_permil"),
+            )
+        )
+
+
+_register_q416()

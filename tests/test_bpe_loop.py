@@ -39,3 +39,39 @@ def test_q413_first_merge_agrees_with_q140(spark, sf_dir):
         for r in CQ["q140_bpe_pair_counts"](spark, sf_dir).collect()
     }
     assert q140[1] == (top[1] + top[2], top[4])
+
+
+def test_q414_encode_census_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_globalretail_spark.sources.readers import load_table
+
+    rows = CQ["q414_bpe_encode"](spark, sf_dir).collect()
+    assert rows
+    d = load_table(spark, "documents", sf_dir)
+    direct = {
+        r["lang"]: (r["n"], r["c"])
+        for r in d.select(
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("w")).alias("c"),
+        )
+        .collect()
+    }
+    total_tokens = total_chars = 0
+    for r in rows:
+        n, c = direct[r["lang"]]
+        # every word occurrence is encoded (the vocab join is total)
+        assert r["n_words"] == n and r["chars_total"] == c
+        # merges only ever shrink: n_words ≤ tokens ≤ chars
+        assert r["n_words"] <= r["tokens_total"] <= r["chars_total"]
+        assert r["tokens_per_kchar"] == r["tokens_total"] * 1000 // c
+        total_tokens += r["tokens_total"]
+        total_chars += r["chars_total"]
+    # six corpus-argmax merges certainly fired somewhere
+    assert total_tokens < total_chars

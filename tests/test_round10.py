@@ -193,3 +193,98 @@ def test_q412_recovers_variable_length_region(spark, tmp_path):
         assert rows[doc]["longest_run_tokens"] == 12
         assert rows[doc]["dup_windows"] == 8
     assert rows[3]["n_runs"] == 0 and rows[3]["longest_run_tokens"] == 0
+
+
+def _winnow_brute(tokens, k=3, w=4):
+    # reference implementation of the q415 contract
+    import hashlib
+
+    n = len(tokens) - k + 1
+    grams = []
+    for i in range(n):
+        gram = "\x1f".join(tokens[i:i + k])
+        grams.append(int(hashlib.md5(gram.encode()).hexdigest()[:12], 16))
+    n_starts = max(1, n - w + 1)
+    sel = set()
+    for s in range(1, n_starts + 1):
+        win = [(grams[p - 1], p) for p in range(s, min(s + w, n + 1))]
+        mh = min(h for h, _ in win)
+        fp = max(p for h, p in win if h == mh)
+        sel.add((fp, grams[fp - 1]))
+    return sel
+
+
+def test_q415_matches_bruteforce_and_guarantee(spark, tmp_path):
+    from etl_globalretail_spark.operators.text import QUERIES as TQ
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w+k−1 tokens
+    t1 = "one two three " + shared + " four five six"
+    t2 = "seven eight " + shared + " nine ten eleven twelve"
+    t3 = "unrelated words only in this document here now"
+    docs = [(i + 1, t, "xx", "s", len(t)) for i, t in
+            enumerate((t1, t2, t3))]
+    _write_table(spark, str(tmp_path), "documents", docs)
+    rows = {
+        r["doc_id"]: r
+        for r in TQ["q415_winnowing_fingerprints"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    for doc_id, text in ((1, t1), (2, t2), (3, t3)):
+        want = _winnow_brute(text.split())
+        r = rows[doc_id]
+        assert r["n_fps"] == len(want)
+        xor = 0
+        for _, h in want:
+            xor ^= h
+        assert r["fp_xor"] == xor
+    # the winnowing GUARANTEE: a shared run of ≥ w+k−1 tokens forces a
+    # shared fingerprint between docs 1 and 2
+    assert rows[1]["n_shared"] >= 1 and rows[2]["n_shared"] >= 1
+    assert rows[3]["n_shared"] == 0
+
+
+def test_q415_density_near_theory(spark, sf_dir):
+    # expected selection density is ~2/(w+1) = 0.4 for random hashes;
+    # docs with enough grams should sit in a generous band around it
+    from etl_globalretail_spark.operators.text import QUERIES as TQ
+
+    rows = [
+        r for r in TQ["q415_winnowing_fingerprints"](
+            spark, sf_dir
+        ).collect()
+        if r["n_grams"] >= 40
+    ]
+    assert rows
+    for r in rows:
+        assert 250 <= r["density_permil"] <= 600, (
+            r["doc_id"], r["density_permil"]
+        )
+
+
+def test_q416_index_pairs_on_crafted_corpus(spark, tmp_path):
+    from etl_globalretail_spark.operators.text import QUERIES as TQ
+
+    shared = ("alpha beta gamma delta epsilon zeta eta theta iota "
+              "kappa lam mu")  # 12 tokens → many shared fingerprints
+    t1 = "one two three " + shared + " four five six"
+    t2 = "seven eight " + shared + " nine ten eleven twelve"
+    t3 = "unrelated words only in this document here now truly"
+    docs = [(i + 1, t, "xx", "s", len(t)) for i, t in
+            enumerate((t1, t2, t3))]
+    _write_table(spark, str(tmp_path), "documents", docs)
+    rows = TQ["q416_winnowing_neardup_pairs"](
+        spark, str(tmp_path)
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert set(pairs) == {(1, 2)}
+    r = pairs[(1, 2)]
+    assert r["shared_fps"] >= 2
+    # exact Jaccard check: distinct 3-gram sets of the two texts
+    def gset(t):
+        toks = t.split()
+        return {tuple(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    ga, gb = gset(t1), gset(t2)
+    assert r["inter_grams"] == len(ga & gb)
+    assert r["union_grams"] == len(ga | gb)
+    assert r["jaccard_permil"] == len(ga & gb) * 1000 // len(ga | gb)
