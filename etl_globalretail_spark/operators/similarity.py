@@ -1309,8 +1309,13 @@ def q234_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          term ≤ 1e12 and each 64-term sum ≤ 6.4e13 (int64-safe);
 #   G'   = trunc(G/sdiv) (truncation toward zero — DuckDB's // twin);
 #   v0   = the all-ones lattice vector (1e6 per dim);
-#   300×: w = G'·v (exact int);  v = trunc(w·1e6 / max|w|) (max-norm
-#          renormalization — integer, no sqrt in the loop);
+#   M    = G'⁴ (two exact integer matrix squarings — |G'⁴| ≤ 2.6e29
+#          rides HUGEINT/Python int; matvec sums peak 1.7e37, inside
+#          HUGEINT's 1.7e38 with 10× headroom);
+#   75×:  w = M·v (exact int);  v = trunc(w·1e6 / max|w|) (max-norm
+#          renormalization — integer, no sqrt in the loop; 75 M-steps
+#          ≡ effective power 300 with QUARTER the truncations and
+#          quarter the oracle CTEs: 3.7 s → 1.24 s at sf0.01);
 #   sign: flip so component 1 is non-negative;
 #   out:  component_micros = floor(v_i/‖v‖₂·1e6) — ‖v‖₂² ≤ 6.4e13 < 2⁵³
 #          is double-exact and sqrt is correctly rounded, so the two
@@ -1325,14 +1330,16 @@ def q234_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same split Lloyd's q74/q122 uses for its k centroids. The fixture's
 # spectral gap is small (λ₂/λ₁ ≈ 0.984), so 300 rounds land within
 # ~1e-4 of numpy eigh's direction (pytest-pinned); the lattice
-# truncation floor (~1e-6/step) bounds further refinement. The oracle
-# unrolls the 300 rounds as CTEs (w_r unmaterialized single-pass window
-# for max|w|; v_r materialized — measured 4.4 s at sf0.01); exact-int
-# sums ride HUGEINT in DuckDB and arbitrary-precision ints on the Spark
-# driver.
+# truncation floor bounds further refinement. The oracle unrolls the 75
+# rounds as CTEs (w_r unmaterialized single-pass window for max|w|; v_r
+# materialized; g2/g4 one 64³ matmul CTE each); exact-int sums ride
+# HUGEINT in DuckDB and arbitrary-precision ints on the Spark driver.
+# The Rayleigh quotient reports on G' (not M), so eigenvalue_micros
+# stays on the G'-eigenvalue scale the pytest rescales via
+# gram_scale_div.
 # ---------------------------------------------------------------------------
 
-_Q235_ITERS = 300
+_Q235_ITERS = 75   # steps of M = G'^4 - effective power 300
 _Q235_SCALE = 1_000_000
 
 
@@ -1366,14 +1373,18 @@ def _q235_oracle() -> str:
         f" (m + {S - 1}) // {S}) AS s FROM gmax)",
         "gp AS MATERIALIZED"
         " (SELECT i, j, g.gram // sdiv.s AS q FROM g, sdiv)",
+        "g2 AS MATERIALIZED (SELECT a.i, b.j, SUM(a.q * b.q) AS q"
+        " FROM gp a JOIN gp b ON a.j = b.i GROUP BY a.i, b.j)",
+        "g4 AS MATERIALIZED (SELECT a.i, b.j, SUM(a.q * b.q) AS q"
+        " FROM g2 a JOIN g2 b ON a.j = b.i GROUP BY a.i, b.j)",
         f"v0 AS (SELECT CAST(unnest(generate_series(1,"
         f" (SELECT CAST(len(embedding) AS INT) FROM embeddings LIMIT 1)"
         f")) AS BIGINT) AS pos, CAST({S} AS HUGEINT) AS val)",
     ]
     for r in range(1, R + 1):
         ctes.append(
-            f"w{r} AS (SELECT gp.i AS pos, SUM(gp.q * v.val) AS w"
-            f" FROM gp JOIN v{r - 1} v ON gp.j = v.pos GROUP BY gp.i)"
+            f"w{r} AS (SELECT g4.i AS pos, SUM(g4.q * v.val) AS w"
+            f" FROM g4 JOIN v{r - 1} v ON g4.j = v.pos GROUP BY g4.i)"
         )
         ctes.append(
             f"v{r} AS MATERIALIZED (SELECT pos,"
@@ -1423,10 +1434,22 @@ def q235_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     gmax = max(abs(x) for x in g.values())
     sdiv = max(1, (gmax + S - 1) // S)
     gp = {k: _tdiv(x, sdiv) for k, x in g.items()}
+
+    def matmul(x: dict, y: dict) -> dict:
+        return {
+            (i, j): sum(
+                x[(i, t)] * y[(t, j)] for t in range(1, dim + 1)
+            )
+            for i in range(1, dim + 1)
+            for j in range(1, dim + 1)
+        }
+
+    g2 = matmul(gp, gp)
+    g4 = matmul(g2, g2)
     v = [S] * dim
     for _ in range(_Q235_ITERS):
         w = [
-            sum(gp[(i + 1, j + 1)] * v[j] for j in range(dim))
+            sum(g4[(i + 1, j + 1)] * v[j] for j in range(dim))
             for i in range(dim)
         ]
         m = max(abs(x) for x in w)
