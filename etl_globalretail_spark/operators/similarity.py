@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from etl_globalretail_spark.plans.queries import make_query_decorator
 from etl_globalretail_spark.sources.readers import load_table
+from etl_globalretail_spark.sources.artifacts import materialize
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -3024,3 +3025,326 @@ def _register_q355() -> None:
 
 
 _register_q355()
+
+
+# ---------------------------------------------------------------------------
+# q417 — GRAPH-BASED ANN: multi-start greedy search on an exact kNN
+# proximity graph — the NSW/HNSW search primitive (Malkov & Yashunin
+# 2016, public), completing the engine's ANN ladder (q27 brute, q82
+# sign-LSH, q123 IVF, q297 PQ-ADC, q318 multi-probe; graph search is
+# the production-standard family those approximate-index tiers feed).
+#
+# Determinism contract (identical both engines, all int64/HUGEINT):
+# vectors quantize to floor(v·1e6); GRAPH = each vector's top-16 by
+# (integer dot DESC, vec_id ASC), self excluded; PROBES = the 4
+# vectors with smallest (md5(vec_id), vec_id) (the q248 seed
+# convention); ENTRIES = the 8 md5-NEXT ids (disjoint from probes,
+# shared across probes); SEARCH = 10 greedy steps per (probe, entry):
+# next = argmax over {current} ∪ neighbors(current) − {probe} by
+# (dot-to-probe DESC, vec_id ASC). Including `current` makes each walk
+# MONOTONE, so the fixed unroll is stationary past convergence — the
+# q74 early-stop-≡-chain device. Report per probe: the exact best
+# non-self dot (ground truth), the best endpoint dot across entries,
+# the hit flag, and found/exact in permil (integer div) — greedy NSW
+# without a hierarchy is NOT 100% recall; the permil column is the
+# honest quality signal (≈900 at sf0.1 in rehearsal).
+#
+# Scale posture: the GRAPH BUILD rides the blocked tile engine
+# (_neardup_pairs_blocked's cogroup device — per-tile numpy int64
+# matmul, per-src per-tile top-16 partials, one grouped rank merges
+# them; the driver never holds vectors). The SEARCH is driver-
+# sequenced with BOUNDED per-step fetches: ≤|walks| current nodes'
+# adjacency rows and ≤|walks|·17 candidate vectors per step, both
+# memo-cached across steps (stationary walks stop fetching) — each a
+# pushdown-filtered collect of documented driver scalars. The exact
+# ground truth is ONE map-only aggregate (probe vectors folded in as
+# literals). The oracle replays graph, probes, entries and all steps.
+# ---------------------------------------------------------------------------
+
+_Q417_DEG = 16    # graph out-degree
+_Q417_ENTRIES = 8
+_Q417_STEPS = 10
+
+
+def _register_q417() -> None:
+    DEG, NE, ST = _Q417_DEG, _Q417_ENTRIES, _Q417_STEPS
+    NP = _Q248_PROBES
+
+    flat = """
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings
+    """
+    steps = []
+    for r in range(1, ST + 1):
+        steps.append(f"""s{r} AS MATERIALIZED (
+            SELECT probe_id, entry_id, cur FROM (
+                SELECT c.probe_id, c.entry_id, c.cand AS cur,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.probe_id, c.entry_id
+                           ORDER BY pd.dot DESC, c.cand
+                       ) AS rn
+                FROM (
+                    SELECT probe_id, entry_id, cur AS cand
+                    FROM s{r - 1}
+                    UNION ALL
+                    SELECT s.probe_id, s.entry_id, g.dst
+                    FROM s{r - 1} s JOIN graph g ON g.src = s.cur
+                ) c
+                JOIN pdots pd
+                  ON pd.probe_id = c.probe_id AND pd.vec_id = c.cand
+                WHERE c.cand <> c.probe_id
+            ) WHERE rn = 1
+        )""")
+    steps_sql = ",".join(steps)
+
+    @_register(
+        "q417_graph_ann_search",
+        oracle=f"""
+        WITH flat AS MATERIALIZED ({flat}),
+        seeds AS MATERIALIZED (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS rk
+            FROM embeddings
+        ),
+        probes AS (SELECT vec_id AS probe_id FROM seeds WHERE rk <= {NP}),
+        entries AS (
+            SELECT vec_id AS entry_id FROM seeds
+            WHERE rk > {NP} AND rk <= {NP + NE}
+        ),
+        dots AS MATERIALIZED (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   SUM(a.q * b.q) AS dot
+            FROM flat a JOIN flat b
+              ON a.pos = b.pos AND a.vec_id <> b.vec_id
+            GROUP BY a.vec_id, b.vec_id
+        ),
+        graph AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY src ORDER BY dot DESC, dst
+                       ) AS rn
+                FROM dots
+            ) WHERE rn <= {DEG}
+        ),
+        pdots AS MATERIALIZED (
+            SELECT p.probe_id, d.dst AS vec_id, d.dot
+            FROM probes p JOIN dots d ON d.src = p.probe_id
+        ),
+        exact AS (
+            SELECT probe_id, MAX(dot) AS exact_dot
+            FROM pdots GROUP BY probe_id
+        ),
+        s0 AS (
+            SELECT p.probe_id, e.entry_id, e.entry_id AS cur
+            FROM probes p JOIN entries e ON e.entry_id <> p.probe_id
+        ),
+        {steps_sql},
+        found AS (
+            SELECT f.probe_id, MAX(pd.dot) AS found_dot
+            FROM s{ST} f
+            JOIN pdots pd
+              ON pd.probe_id = f.probe_id AND pd.vec_id = f.cur
+            GROUP BY f.probe_id
+        )
+        SELECT e.probe_id,
+               CAST(e.exact_dot AS BIGINT) AS exact_dot_q,
+               CAST(f.found_dot AS BIGINT) AS found_dot_q,
+               CAST(CASE WHEN f.found_dot = e.exact_dot
+                         THEN 1 ELSE 0 END AS BIGINT) AS hit_top1,
+               CAST(f.found_dot * 1000 // e.exact_dot AS BIGINT)
+                   AS found_permil,
+               CAST({NE} AS BIGINT) AS n_entries
+        FROM exact e JOIN found f ON f.probe_id = e.probe_id
+        """,
+    )
+    def q417_graph_ann_search(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Multi-start greedy NSW search on the exact integer kNN
+        graph: per-probe exact-vs-found top-1 dots, hit flags and
+        found/exact permil. See block comment for the determinism and
+        scale contract."""
+        import numpy as np
+        import pandas as pd
+
+        e = load_table(spark, "embeddings", sf_dir)
+        base = e.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * F.lit(1e6))
+                .cast("long"),
+            ).alias("qv"),
+        )
+        seeds = base.orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+        ).limit(NP + NE).collect()  # NP+NE rows — bounded driver scalars
+        probe_ids = [int(r["vec_id"]) for r in seeds[:NP]]
+        entry_ids = [int(r["vec_id"]) for r in seeds[NP:NP + NE]]
+        pvecs = {
+            int(r["vec_id"]): np.array(list(r["qv"]), dtype=np.int64)
+            for r in seeds[:NP]
+        }
+
+        # ---- graph build: blocked tile engine (no driver vectors) ----
+        n_blocks = 8
+        tiles = spark.createDataFrame(
+            [(i, j) for i in range(n_blocks) for j in range(n_blocks)],
+            "bi int, bj int",
+        )
+        ev = base.select(
+            F.col("vec_id").alias("vid"), F.col("qv").alias("vec"),
+            F.pmod("vec_id", F.lit(n_blocks)).cast("int").alias("blk"),
+        )
+        left = ev.join(
+            F.broadcast(tiles), F.col("blk") == F.col("bi")
+        ).select("bi", "bj", "vid", "vec")
+        right = ev.join(
+            F.broadcast(tiles), F.col("blk") == F.col("bj")
+        ).select(
+            F.col("bi").alias("rbi"), F.col("bj").alias("rbj"),
+            F.col("vid").alias("rvid"), F.col("vec").alias("rvec"),
+        )
+        empty = pd.DataFrame({"src": [], "dst": [], "dot": []})
+
+        def tile_topk(key, lpdf, rpdf):
+            if lpdf.empty or rpdf.empty:
+                return empty
+            a_ids = lpdf["vid"].to_numpy(dtype=np.int64)
+            b_ids = rpdf["rvid"].to_numpy(dtype=np.int64)
+            A = np.array(list(lpdf["vec"]), dtype=np.int64)
+            B = np.array(list(rpdf["rvec"]), dtype=np.int64)
+            D = A @ B.T  # exact: |q| ≤ 1e6 → 64·1e12 ≪ 2⁶³
+            out_s, out_d, out_v = [], [], []
+            for i in range(len(a_ids)):
+                d = D[i]
+                keep = b_ids != a_ids[i]
+                cid, cd = b_ids[keep], d[keep]
+                sel = np.lexsort((cid, -cd))[:DEG]
+                out_s += [int(a_ids[i])] * len(sel)
+                out_d += [int(cid[s]) for s in sel]
+                out_v += [int(cd[s]) for s in sel]
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(out_s, dtype="int64"),
+                    "dst": pd.Series(out_d, dtype="int64"),
+                    "dot": pd.Series(out_v, dtype="int64"),
+                }
+            )
+
+        partials = left.groupBy("bi", "bj").cogroup(
+            right.groupBy("rbi", "rbj")
+        ).applyInPandas(tile_topk, schema="src long, dst long, dot long")
+        wsrc = Window.partitionBy("src").orderBy(
+            F.desc("dot"), F.asc("dst")
+        )
+        graph = materialize(
+            partials.withColumn("rn", F.row_number().over(wsrc))
+            .filter(F.col("rn") <= DEG)
+            .select("src", "dst")
+        )
+
+        # ---- exact ground truth: ONE map-only aggregate ----
+        def pdot(pvec) -> Column:
+            arr = F.array(*[F.lit(int(x)).cast("long") for x in pvec])
+            return F.aggregate(
+                F.zip_with("qv", arr, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+
+        exact_row = base.agg(
+            *[
+                F.max(
+                    F.when(F.col("vec_id") != pid, pdot(pvecs[pid]))
+                ).alias(f"e{pid}")
+                for pid in probe_ids
+            ]
+        ).collect()[0]
+        exact = {pid: int(exact_row[f"e{pid}"]) for pid in probe_ids}
+
+        # ---- greedy walks: driver-sequenced, bounded memoized fetches
+        adj: dict[int, list[int]] = {}
+        vecs: dict[int, "np.ndarray"] = {
+            int(r["vec_id"]): np.array(list(r["qv"]), dtype=np.int64)
+            for r in seeds
+        }
+
+        def fetch_adj(nodes: list[int]) -> None:
+            missing = [n for n in nodes if n not in adj]
+            if not missing:
+                return
+            rows = graph.filter(
+                F.col("src").isin(missing)
+            ).collect()  # ≤ |walks|·DEG rows per step — bounded
+            for n in missing:
+                adj[n] = []
+            for r in rows:
+                adj[int(r["src"])].append(int(r["dst"]))
+
+        def fetch_vecs(nodes: list[int]) -> None:
+            missing = [n for n in nodes if n not in vecs]
+            if not missing:
+                return
+            rows = base.filter(
+                F.col("vec_id").isin(missing)
+            ).collect()  # ≤ |walks|·(DEG+1) rows per step — bounded
+            for r in rows:
+                vecs[int(r["vec_id"])] = np.array(
+                    list(r["qv"]), dtype=np.int64
+                )
+
+        walks = {
+            (pid, eid): eid
+            for pid in probe_ids
+            for eid in entry_ids
+            if eid != pid
+        }
+        for _ in range(ST):
+            fetch_adj(sorted({cur for cur in walks.values()}))
+            cand_ids = sorted(
+                {c for cur in walks.values() for c in adj[cur]}
+                | set(walks.values())
+            )
+            fetch_vecs(cand_ids)
+            new_walks = {}
+            for (pid, eid), cur in walks.items():
+                pv = pvecs[pid]
+                cands = [c for c in [cur, *adj[cur]] if c != pid]
+                best = max(
+                    cands,
+                    key=lambda c: (int(pv @ vecs[c]), -c),
+                )
+                new_walks[(pid, eid)] = best
+            walks = new_walks
+        out = []
+        for pid in probe_ids:
+            found = max(
+                int(pvecs[pid] @ vecs[cur])
+                for (p, _), cur in walks.items()
+                if p == pid
+            )
+            out.append(
+                (
+                    pid,
+                    exact[pid],
+                    found,
+                    1 if found == exact[pid] else 0,
+                    found * 1000 // exact[pid],
+                    NE,
+                )
+            )
+        return spark.createDataFrame(
+            out,
+            "probe_id long, exact_dot_q long, found_dot_q long, "
+            "hit_top1 long, found_permil long, n_entries long",
+        )
+
+
+_register_q417()

@@ -288,3 +288,70 @@ def test_q416_index_pairs_on_crafted_corpus(spark, tmp_path):
     assert r["inter_grams"] == len(ga & gb)
     assert r["union_grams"] == len(ga | gb)
     assert r["jaccard_permil"] == len(ga & gb) * 1000 // len(ga | gb)
+
+
+def test_q417_matches_driver_recompute(spark, sf_dir):
+    # full contract recompute with numpy from the raw embeddings:
+    # quantize, exact kNN graph (top-16 by dot desc, id asc), md5
+    # probe/entry seeds, 10 monotone greedy steps, exact best.
+    import hashlib
+
+    import numpy as np
+
+    from etl_globalretail_spark.operators.similarity import (
+        QUERIES as SQ,
+        _Q417_DEG as DEG,
+        _Q417_ENTRIES as NE,
+        _Q417_STEPS as ST,
+    )
+    from etl_globalretail_spark.sources.readers import load_table
+
+    rows = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    Q = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1e6
+    ).astype(np.int64)
+    o = np.argsort(ids)
+    ids, Q = ids[o], Q[o]
+    idx = {int(v): k for k, v in enumerate(ids)}
+    seeds = sorted(
+        (hashlib.md5(str(int(v)).encode()).hexdigest(), int(v))
+        for v in ids
+    )
+    probes = [v for _, v in seeds[:4]]
+    entries = [v for _, v in seeds[4:4 + NE]]
+    D = Q @ Q.T
+    nbrs = {}
+    for k, v in enumerate(ids):
+        d = D[k].copy()
+        keep = ids != v
+        cid, cd = ids[keep], d[keep]
+        sel = np.lexsort((cid, -cd))[:DEG]
+        nbrs[int(v)] = [int(cid[s]) for s in sel]
+    want = {}
+    for p in probes:
+        pi = idx[p]
+        row = D[pi]
+        exact = int(
+            max(row[k] for k, v in enumerate(ids) if int(v) != p)
+        )
+        best = None
+        for en in entries:
+            if en == p:
+                continue
+            cur = en
+            for _ in range(ST):
+                cands = [c for c in [cur, *nbrs[cur]] if c != p]
+                cur = max(cands, key=lambda c: (row[idx[c]], -c))
+            d = int(row[idx[cur]])
+            best = d if best is None else max(best, d)
+        want[p] = (exact, best, 1 if best == exact else 0,
+                   best * 1000 // exact)
+    got = {
+        r["probe_id"]: (r["exact_dot_q"], r["found_dot_q"],
+                        r["hit_top1"], r["found_permil"])
+        for r in SQ["q417_graph_ann_search"](spark, sf_dir).collect()
+    }
+    assert got == want
