@@ -59,8 +59,9 @@ for _mod in ("operators.dedup", "operators.similarity", "operators.text",
 # q43_dedup_clusters (shape-only oracles registered this round; their
 # md5-exact twins q66/q67 are green) and the now-integer-hashable
 # q74/q235 are DEFERRED to lead the r11 rotation alongside this round's
-# new additions q412-q416 (span runs, BPE loop + encode, winnowing
-# census + index pairs) - documented tradeoff, not an oversight.
+# new additions q412-q417 (span runs, BPE loop + encode, winnowing
+# census + index pairs, graph ANN) - documented tradeoff, not an
+# oversight.
 # Membership and implementations are untouched: every query stays
 # registered; this is a reordering only.
 # ---------------------------------------------------------------------------
