@@ -69,19 +69,21 @@ def connected_components(
     """
     sc = pairs.sparkSession.sparkContext
 
-    def _checkpoint(df: DataFrame):
+    def _checkpoint(df: DataFrame, eager: bool = True):
         """Materialize one round + handles of any java RDD blocks pinned.
 
         Local tier: localCheckpoint pins executor blocks — capture their
-        handles so superseded rounds can be released. Reliable tier
+        handles so superseded rounds can be released (the mark registers
+        the blocks immediately even under ``eager=False``; the caller's
+        first full action materializes them). Reliable tier
         (SPARK_GRAFT_RELIABLE_ARTIFACTS=1): rounds go to the checkpoint
         dir as files; nothing is pinned, so there is nothing to release
         (the dir is session-scoped).
         """
         if reliable_enabled():
-            return materialize(df), []
+            return materialize(df, eager=eager), []
         pre = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-        out = df.localCheckpoint()
+        out = df.localCheckpoint(eager=eager)
         post = sc._jsc.getPersistentRDDs()
         handles = [
             post.get(i) for i in set(post.keySet().toArray()) - pre
@@ -101,26 +103,39 @@ def connected_components(
     )
     try:
         for _ in range(max_iter):
-            neighbor_min = (
-                edges.join(labels, edges.v == labels.vertex)
-                .groupBy("u")
-                .agg(F.min("component").alias("nmin"))
+            # One wide exchange per round (r10): the self leg carries the
+            # old label, the neighbor leg ships candidate labels, and a
+            # single groupBy-min replaces the former
+            # join → groupBy(nmin) → left-join-back chain (3 label-keyed
+            # exchanges → 1; min over self ∪ neighbors ≡
+            # least(component, min(nmin)) because every vertex appears in
+            # its own self leg). `old` survives the aggregate via MAX —
+            # exactly one non-null per group — so the convergence flag
+            # still falls out of the same pass.
+            comp_type = labels.schema["component"].dataType
+            neighbor = edges.join(labels, edges.v == labels.vertex).select(
+                F.col("u").alias("vertex"),
+                F.col("component").alias("cand"),
+                F.lit(None).cast(comp_type).alias("old"),
+            )
+            self_leg = labels.select(
+                "vertex",
+                F.col("component").alias("cand"),
+                F.col("component").alias("old"),
             )
             updated = (
-                labels.join(neighbor_min, labels.vertex == neighbor_min.u, "left")
+                self_leg.unionAll(neighbor)
+                .groupBy("vertex")
+                .agg(
+                    F.min("cand").alias("component"),
+                    F.max("old").alias("old"),
+                )
                 .select(
                     "vertex",
-                    F.least(
-                        "component", F.coalesce("nmin", "component")
-                    ).alias("component"),
-                    (F.coalesce("nmin", "component") < F.col("component")).alias(
-                        "__changed"
-                    ),
+                    "component",
+                    (F.col("component") < F.col("old")).alias("__changed"),
                 )
             )
-            # One pass computes both the new labels and the convergence
-            # flag; localCheckpoint materializes it so the growing loop
-            # lineage is cut and `changed` doesn't recompute the join.
             updated, new_blocks = _checkpoint(updated)
             for h in prev_blocks:
                 h.unpersist(False)

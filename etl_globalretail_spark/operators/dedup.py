@@ -2796,20 +2796,32 @@ def _register_q339() -> None:
                     F.col("id_b").alias("node"), F.col("id_a").alias("nbr")
                 )
             )
-            best_nbr = direct.groupBy("node").agg(
-                F.min(F.struct(prio("nbr").alias("p"),
-                               F.col("nbr").alias("i"))).alias("bn")
+            # r10: one wide exchange per round — each node's own (prio, id)
+            # unions with its alive neighbors' and a single groupBy decides
+            # the election via min_by (wins iff the group minimum is the
+            # self row), replacing the former groupBy-min → left-join-back
+            # chain (3 node-keyed exchanges → 1). (prio, id) structs are
+            # distinct within a group (direct has unique (node, nbr) rows
+            # and the id tiebreaks), so min_by is deterministic; an
+            # isolated node's group holds only its self row — elected,
+            # exactly the old bn-IS-NULL arm.
+            nbr_leg = direct.select(
+                "node",
+                F.struct(prio("nbr").alias("p"),
+                         F.col("nbr").alias("i")).alias("s"),
+                F.lit(0).alias("own"),
+            )
+            self_leg = nodes.select(
+                "node",
+                F.struct(prio("node").alias("p"),
+                         F.col("node").alias("i")).alias("s"),
+                F.lit(1).alias("own"),
             )
             mis = materialize(
-                nodes.join(best_nbr, "node", "left")
-                .filter(
-                    F.col("bn").isNull()
-                    | (
-                        F.struct(prio("node").alias("p"),
-                                 F.col("node").alias("i"))
-                        < F.col("bn")
-                    )
-                )
+                self_leg.unionAll(nbr_leg)
+                .groupBy("node")
+                .agg(F.min_by("own", "s").alias("win"))
+                .filter(F.col("win") == 1)
                 .select("node")
             )
             tagged = mis.select(
@@ -2826,6 +2838,10 @@ def _register_q339() -> None:
                     )
                     .distinct()
                 )
+                # Lazy checkpoints (r10): the next round's election job is
+                # the materializing action for BOTH frames (its plan reads
+                # each once), so a round runs 1 eager job instead of 3;
+                # lineage is still cut once the blocks exist.
                 edges = materialize(
                     edges.join(
                         dead.select(F.col("node").alias("id_a")),
@@ -2833,10 +2849,11 @@ def _register_q339() -> None:
                     ).join(
                         dead.select(F.col("node").alias("id_b")),
                         "id_b", "left_anti",
-                    )
+                    ),
+                    eager=False,
                 )
                 nodes = materialize(
-                    nodes.join(dead, "node", "left_anti")
+                    nodes.join(dead, "node", "left_anti"), eager=False
                 )
         return out
 

@@ -3276,29 +3276,29 @@ def _register_q417() -> None:
             for r in seeds
         }
 
-        def fetch_adj(nodes: list[int]) -> None:
+        def fetch_frontier(nodes: list[int]) -> None:
+            """Adjacency rows WITH the neighbor vectors attached
+            engine-side (graph ⋈ base on dst): ONE bounded driver job
+            per step instead of an adjacency collect chased by a vector
+            collect (r10 — the two fetches were sequential jobs, ~2×
+            driver-job overhead per step). ≤ |walks|·DEG rows; every
+            walk's own vector is already memoized (entries come from
+            ``seeds``, later currents were a previous step's dst)."""
             missing = [n for n in nodes if n not in adj]
             if not missing:
                 return
-            rows = graph.filter(
-                F.col("src").isin(missing)
-            ).collect()  # ≤ |walks|·DEG rows per step — bounded
+            rows = (
+                graph.filter(F.col("src").isin(missing))
+                .join(base.withColumnRenamed("vec_id", "dst"), "dst")
+                .collect()
+            )
             for n in missing:
                 adj[n] = []
             for r in rows:
-                adj[int(r["src"])].append(int(r["dst"]))
-
-        def fetch_vecs(nodes: list[int]) -> None:
-            missing = [n for n in nodes if n not in vecs]
-            if not missing:
-                return
-            rows = base.filter(
-                F.col("vec_id").isin(missing)
-            ).collect()  # ≤ |walks|·(DEG+1) rows per step — bounded
-            for r in rows:
-                vecs[int(r["vec_id"])] = np.array(
-                    list(r["qv"]), dtype=np.int64
-                )
+                dst = int(r["dst"])
+                adj[int(r["src"])].append(dst)
+                if dst not in vecs:
+                    vecs[dst] = np.array(list(r["qv"]), dtype=np.int64)
 
         walks = {
             (pid, eid): eid
@@ -3307,12 +3307,7 @@ def _register_q417() -> None:
             if eid != pid
         }
         for _ in range(ST):
-            fetch_adj(sorted({cur for cur in walks.values()}))
-            cand_ids = sorted(
-                {c for cur in walks.values() for c in adj[cur]}
-                | set(walks.values())
-            )
-            fetch_vecs(cand_ids)
+            fetch_frontier(sorted({cur for cur in walks.values()}))
             new_walks = {}
             for (pid, eid), cur in walks.items():
                 pv = pvecs[pid]

@@ -1445,7 +1445,15 @@ def winnow_fps(d: DataFrame, k: int = _Q415_K, w: int = _Q415_W):
     ).select(
         "doc_id", "n_grams",
         (F.col("pos0") + 1).cast("long").alias("pos"), "h",
-    )
+    ).persist()
+    # ^ r10: the md5 gram-hash array build is the expensive kernel and
+    # every downstream frame forks from `grams` (member feeds wmin AND
+    # the tie-break join; the census/gset/gsz legs re-read it) —
+    # Catalyst does not dedupe the subplan, so without the persist the
+    # HOF+md5 builder ran 3× in q415 and 5× in q416 (the q239 lesson).
+    # Cache lifetime is tied to the returned plan (bench clearCache
+    # releases it; the cookbook convention for shared query-local
+    # frames).
     member = grams.select(
         "doc_id", "pos", "h", "n_grams",
         F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("delta"),
@@ -1467,7 +1475,10 @@ def winnow_fps(d: DataFrame, k: int = _Q415_K, w: int = _Q415_W):
     )
     fps = chosen.select(
         "doc_id", "fp_pos", F.col("mh").alias("h")
-    ).dropDuplicates()
+    ).dropDuplicates().persist()
+    # ^ r10: q416 forks fps into the document-frequency census AND the
+    # keep-side of the bucket join (two evaluations of the
+    # member ⋈ wmin selection without it).
     return fps, grams
 
 
@@ -1705,7 +1716,10 @@ def _register_q416() -> None:
             .agg(F.count(F.lit(1)).alias("shared_fps"))
             .filter(F.col("shared_fps") >= M)
         )
-        gset = grams.select("doc_id", "h").dropDuplicates()
+        # r10: gset feeds BOTH verification legs and the size census —
+        # persist the distinct-gram frame once instead of three
+        # dropDuplicates shuffles over the gram explode.
+        gset = grams.select("doc_id", "h").dropDuplicates().persist()
         gsz = gset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         inter = (
             cand.join(

@@ -8797,31 +8797,22 @@ def _register_q363() -> None:
         )
         dist = seed_df.localCheckpoint()
         for _ in range(_Q363_ROUNDS):
-            md = (
+            # r10: one wide exchange per superstep — the previous round's
+            # state unions with the edge-propagated candidates and a single
+            # (seed, v) groupBy-MIN replaces the former
+            # groupBy(seed,dst) → left-join-back chain (2 state-keyed
+            # exchanges → 1). Equivalent because d0 seeds EVERY (seed, v)
+            # cell, so min over self ∪ incoming ≡ least(d, min(d+1)).
+            relaxed = (
                 sym.join(dist, sym["src"] == dist["v"])
-                .select("seed", F.col("dst"), (F.col("d") + 1).alias("nd"))
-                .groupBy("seed", "dst")  # map-side partial MIN
-                .agg(F.min("nd").alias("md"))
-                .select(
-                    F.col("seed").alias("mseed"),
-                    F.col("dst").alias("mdst"),
-                    "md",
-                )
+                .select("seed", F.col("dst").alias("v"),
+                        (F.col("d") + 1).alias("d"))
             )
             nxt = (
-                dist.join(
-                    md,
-                    (dist["seed"] == md["mseed"])
-                    & (dist["v"] == md["mdst"]),
-                    "left",
-                )
-                .select(
-                    dist["seed"], dist["v"],
-                    F.least(
-                        F.col("d"),
-                        F.coalesce(F.col("md"), F.lit(_Q363_INF)),
-                    ).cast("long").alias("d"),
-                )
+                dist.select("seed", "v", "d")
+                .unionAll(relaxed)
+                .groupBy("seed", "v")  # map-side partial MIN
+                .agg(F.min("d").cast("long").alias("d"))
             )
             prev = dist
             dist = nxt.localCheckpoint()  # q212: or every action replays
