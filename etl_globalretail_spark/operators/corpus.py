@@ -6565,12 +6565,26 @@ def _register_q387() -> None:
             .distinct()
             .transform(materialize)  # feeds all K rounds
         )
-        covered: set[str] = set()
+        # r10: the covered set stays ENGINE-SIDE, derived from the picked
+        # doc ids (covered_i = distinct types of the picked docs — an
+        # isin-pushdown filter + distinct over the persisted (doc, type)
+        # frame, broadcast into the anti-join). This halves the
+        # sequential driver jobs (the per-round winner-types collect is
+        # gone: 2K jobs → K) and removes the driver-held type set the
+        # ADVICE-r9 note flagged (a pathologically long doc no longer
+        # inflates driver memory — only K doc-id literals ever live on
+        # the driver). covered_total needs no count job: gain counts
+        # exactly the picked doc's NEW types, so |covered| telescopes as
+        # the running gain sum.
+        picked: list[int] = []
+        cum = 0
         out: list[tuple[int, int, int, int]] = []
         for i in range(1, _k + 1):
-            if covered:
-                cov_df = spark.createDataFrame(
-                    [(t,) for t in sorted(covered)], "t string"
+            if picked:
+                cov_df = (
+                    pairs.filter(F.col("doc_id").isin(picked))
+                    .select("t")
+                    .distinct()
                 )
                 remaining = pairs.join(
                     F.broadcast(cov_df), "t", "left_anti"
@@ -6584,21 +6598,10 @@ def _register_q387() -> None:
                 .limit(1)
                 .collect()
             )[0]
-            doc, gain = pick["doc_id"], pick["gain"]
-            new_types = [
-                r["t"]
-                for r in remaining.filter(F.col("doc_id") == doc)
-                .select("t")
-                .collect()
-            ]  # bounded by ONE document's distinct bigram count, which
-            # is < its token count — and tokens-per-doc is a corpus
-            # ingest invariant (the documents fixture caps at ~10²;
-            # a production corpus enforces max_doc_tokens at ingest,
-            # q22's token census is the audit). A pathological
-            # unbounded-length doc would inflate this driver set, so
-            # the 6-round total is ≤ 6·max_doc_tokens cells (ADVICE r9).
-            covered.update(new_types)
-            out.append((i, int(doc), int(gain), len(covered)))
+            doc, gain = int(pick["doc_id"]), int(pick["gain"])
+            picked.append(doc)
+            cum += gain
+            out.append((i, doc, gain, cum))
         return spark.createDataFrame(
             out, "rnk long, doc_id long, gain long, covered_total long"
         )

@@ -216,6 +216,12 @@ def jaccard_pairs(
     a = base.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"))
     b = base.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    # NOTE (r10): deliberately NOT repartitioned before the verify — the
+    # exact tier's candidate set is large (bytes track the per-row
+    # verify work, so AQE sizes the exchange sanely) and a keyless
+    # repartition pays a sort of the whole candidate frame (measured
+    # +1.3 s at sf0.1). The coalesce-exempt spread is for SMALL-bytes /
+    # heavy-per-row candidate frames (banded LSH, sliced prefix tiers).
     verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -555,6 +561,15 @@ def minhash_near_duplicates(
 
     sh_a = base.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = base.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # EXPLICIT repartition on the candidate frame (r10, the q80 device):
+    # the post-distinct exchange is tiny in BYTES, so AQE coalesces it to
+    # very few partitions — but the verification cost is per-ROW
+    # (array_intersect/union over two shingle sets per candidate), which
+    # then serializes behind the broadcast joins. A user repartition is
+    # coalesce-exempt; sized to the cluster, not the bytes.
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     verified = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
@@ -1682,6 +1697,11 @@ def prefix_filtered_pairs(
     b = base.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
+    # Coalesce-exempt spread of the per-ROW-expensive verify (r10, the
+    # q80 device) — see jaccard_pairs.
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -1961,6 +1981,11 @@ def _register_q207() -> None:
         a = base.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"))
         b = base.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"))
         inter = F.size(F.array_intersect("hs_a", "hs_b"))
+        # Coalesce-exempt spread of the per-ROW-expensive verify (r10,
+        # the q80 device) — see jaccard_pairs.
+        cand = cand.repartition(
+            spark.sparkContext.defaultParallelism
+        )
         return (
             cand.join(a, "id_a")
             .join(b, "id_b")

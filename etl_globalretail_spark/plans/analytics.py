@@ -4338,16 +4338,22 @@ def q218_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("disc"),
         )
     )
-    nn = q.groupBy("flag").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # r10: n and the tie sums are GRID marginals — derive all three from
+    # the persisted cell frame instead of re-scanning lineitem (4 corpus
+    # passes → 1): n = Σc, cx = Σ_y c, cy = Σ_x c, bit-identical to the
+    # row-grain counts.
+    nn = cells.groupBy("flag").agg(
+        F.sum("c").cast("long").alias("n")
+    )
     dcx = F.col("cx").cast("decimal(38,0)")
     dcy = F.col("cy").cast("decimal(38,0)")
     tx = (
-        q.groupBy("flag", "x").agg(F.count(F.lit(1)).alias("cx"))
+        cells.groupBy("flag", "x").agg(F.sum("c").alias("cx"))
         .groupBy("flag")
         .agg(F.sum(dcx * (dcx - 1)).alias("s1"))
     )
     ty = (
-        q.groupBy("flag", "y").agg(F.count(F.lit(1)).alias("cy"))
+        cells.groupBy("flag", "y").agg(F.sum("c").alias("cy"))
         .groupBy("flag")
         .agg(F.sum(dcy * (dcy - 1)).alias("s2"))
     )
