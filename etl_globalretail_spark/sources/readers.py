@@ -116,7 +116,15 @@ def _spread(spark: SparkSession, df: DataFrame, path: str | None = None) -> Data
     (load_table runs 1–6× per query; across the bench that probe alone
     was seconds of driver time). Non-local paths fall back to the probe.
     """
+    if os.environ.get('SPREAD_MODE')=='off':
+        return df
     want = spark.sparkContext.defaultParallelism
+    if os.environ.get('SPREAD_MODE')=='data':
+        try:
+            sz = os.path.getsize(path) if path else 0
+        except OSError:
+            sz = 0
+        want = max(1, min(want, sz // int(os.environ.get('SPREAD_BPT','65536'))))
     splits: int | None = None
     if path is not None:
         try:
